@@ -1,0 +1,72 @@
+"""Table catalog over the driver testdata and engine warehouses.
+
+The reference catalogs tables by running Glue crawlers over S3 prefixes and
+registering them in ``retail_lakehouse_db`` (``glue_infra.py:71-79,85-120``).
+In Spark the same capability is: read parquet/CSV with (inferred or explicit)
+schema, register as temp views / saveAsTable, enumerate via
+``spark.catalog.listTables`` — no polling barrier needed because inference is
+in-process (SURVEY §3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Driver testdata tables (TESTDATA.md) — one parquet file each.
+TESTDATA_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan (SURVEY §2.1 S4): predicate pushdown + column pruning
+    come free from the parquet source once filters/selects are applied.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as nanos-since-epoch
+    long, converted here to a microsecond TimestampType (floor division —
+    matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation).
+    """
+    if name == "events":
+        # Runtime-set so the contract also works on a caller-built session
+        # (the driver constructs its own SparkSession without our builder).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view (SURVEY §2.1 S5).
+
+    Mirrors the crawler's register-then-list flow (``glue_infra.py:146-153``)
+    without the 15 s polling loop: registration is synchronous in-process.
+    """
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
+
+
+def list_tables(spark: SparkSession, db: str | None = None) -> list[str]:
+    """Catalog enumeration — analogue of ``glue_infra.py:146-153``."""
+    return [t.name for t in spark.catalog.listTables(db) if t is not None]

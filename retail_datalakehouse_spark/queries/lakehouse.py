@@ -1,0 +1,191 @@
+"""Lakehouse-semantics queries (SURVEY §2.1 S1–S8).
+
+S1/S2 (CSV ingest) and S5/S6 (catalog DDL) are env-local — they write/read
+scratch files or touch the session catalog — so they carry rows-only checks;
+their exact-value behavior is pinned by unit tests instead
+(`tests/test_sources.py`). S3 (partitioned write), S7 (MERGE) and S8 (JSON
+ingestion) are SQL-expressible and hash-checked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T_
+
+from ..operators.merge import merge_upsert
+from ..sources.csv import read_csv_explicit, read_csv_inferred, write_partitioned
+from .base import register
+from .helpers import T, dsum, sql_dsum
+
+
+def _scratch(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "rdl_spark_scratch")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, name)
+
+
+@register(
+    "s1_csv_scan_inferred",
+    oracle=None,  # env-local: round-trips through a scratch CSV file
+    tags=("S1",),
+)
+def s1_csv_scan_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: write a CSV sample of `nation`, read back with header +
+    inferSchema (the Glue-crawler analogue), aggregate per region."""
+    path = _scratch("s1_nation_csv")
+    T(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    df = read_csv_inferred(spark, path)
+    return df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+@register(
+    "s2_csv_malformed_header",
+    oracle=None,  # env-local: reads a generated products.csv-shaped file
+    tags=("S2",),
+)
+def s2_csv_malformed_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the products.csv trap — 4-name header over 5-field rows
+    (`/root/reference/datasets/products.csv:1-2`). Read with a full-width
+    explicit schema; header line skipped, never trusted."""
+    path = _scratch("s2_products.csv")
+    with open(path, "w") as f:
+        f.write("product_id,department_id,department,product_name\n")
+        for pid in range(1, 21):
+            f.write(f"{pid},{pid % 7},{pid % 21},dept_{pid % 21},product {pid}\n")
+    schema = T_.StructType(
+        [
+            T_.StructField("product_id", T_.LongType()),
+            T_.StructField("aisle_id", T_.LongType()),  # the unnamed 5th field
+            T_.StructField("department_id", T_.LongType()),
+            T_.StructField("department", T_.StringType()),
+            T_.StructField("product_name", T_.StringType()),
+        ]
+    )
+    df = read_csv_explicit(spark, path, schema)
+    return df.groupBy("department").agg(
+        F.count(F.lit(1)).alias("n_products"), F.min("product_id").alias("min_pid")
+    )
+
+
+@register(
+    "s3_partitioned_write_roundtrip",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+""",
+    tags=("S3", "P4"),
+)
+def s3_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: write orders year-partitioned (the `<table>/<date>/` layout of
+    `s3_bucket.py:50-58` as `partitionBy`), read back, aggregate. The oracle
+    runs on the ORIGINAL table — so the hash only matches if the partitioned
+    round-trip was lossless."""
+    path = _scratch("s3_orders_partitioned")
+    o = T(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    write_partitioned(o, path, ["order_year"])
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("order_year").cast("int").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
+    )
+
+
+@register(
+    "s5_catalog_register_list",
+    oracle=None,  # session-catalog state, env-local
+    tags=("S5", "S6"),
+)
+def s5_catalog_register_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+S6: register testdata tables as views (idempotently — run twice,
+    CREATE OR REPLACE semantics) and enumerate them from the catalog —
+    the Glue create_database/crawler/get_tables flow (`glue_infra.py:71-153`)
+    without the polling barrier."""
+    from ..catalog import TESTDATA_TABLES, register_views
+
+    register_views(spark, sf_dir)
+    register_views(spark, sf_dir)  # idempotency: second run must not fail
+    listed = {t.name for t in spark.catalog.listTables()}
+    present = sorted(set(TESTDATA_TABLES) & listed)
+    return spark.createDataFrame([(n,) for n in present], ["table_name"])
+
+
+@register(
+    "s7_merge_upsert",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 100000.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, 'N' AS o_orderstatus,
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 89 = 0
+),
+merged AS (
+  SELECT t.* FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM merged
+GROUP BY 1
+""",
+    tags=("S7", "J6", "O2"),
+)
+def s7_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 MERGE: apply a correction batch (updates to existing keys +
+    inserts of new keys) via the anti-join+union rewrite — the
+    `orders_2024-06-06-Updated.csv` upsert fixture generalized. The update
+    batch is derived deterministically from orders itself (keys %97 →
+    changed price; keys %89 → new synthetic orders)."""
+    o = T(spark, sf_dir, "orders")
+    changed = o.filter(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 100000.0
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 89 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    updates = changed.unionByName(inserted)
+    merged = merge_upsert(o, updates, keys=["o_orderkey"])
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
+    )
+
+
+@register(
+    "s8_json_ingestion",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1
+""",
+    tags=("S8", "F7"),
+)
+def s8_json_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: parse the semi-structured `events.props` JSON string into a
+    typed struct with an explicit schema (`from_json` — vectorized,
+    null-safe on malformed rows), then aggregate the extracted field."""
+    e = T(spark, sf_dir, "events")
+    schema = T_.StructType([T_.StructField("k", T_.LongType())])
+    parsed = e.withColumn("k", F.from_json(F.col("props"), schema).getField("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )

@@ -1,0 +1,201 @@
+"""Streaming queries (SURVEY §2.8 T1–T6) — executed as REAL streams.
+
+Each query builds a file-source stream over the events parquet, runs it with
+``Trigger.AvailableNow`` through the stateful operator under test into a
+memory sink, and returns the sink table. The DuckDB oracle is the *batch
+rewrite* of the same window logic — so a hash match proves streaming ≡ batch
+on the same data (the equivalence oracle from SURVEY §5.6).
+
+Timestamp discipline: events.ts is nanos in parquet; the stream truncates to
+micros (`ts div 1000`), and every oracle casts TIMESTAMP_NS → TIMESTAMP
+before comparing/lagging, so both engines window on identical µs instants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.jobs import (
+    events_stream,
+    run_foreach_batch,
+    run_to_memory,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+    watermarked_dedup,
+)
+from .base import register
+
+
+@register(
+    "t1_file_stream_ingest",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+""",
+    tags=("T1",),
+)
+def t1_file_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: file-source stream ingest → count per type. The oracle is the
+    batch query over the same directory: stream ≡ batch when the source is
+    fully drained (AvailableNow)."""
+    stream = events_stream(spark, sf_dir)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    sink = run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "t2_tumbling_window",
+    oracle="""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("T2",),
+)
+def t2_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: tumbling 1-hour window agg, run as a stateful stream; batch
+    rewrite is date_trunc('hour') — revenue per window per type."""
+    stream = events_stream(spark, sf_dir)
+    sink = run_to_memory(tumbling_agg(stream, "1 hour"), output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "t3_sliding_window",
+    oracle="""
+WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS es FROM events),
+     w AS (
+       SELECT (CAST(FLOOR(es / 900) AS BIGINT) - j) * 900 AS ws
+       FROM e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) js
+       WHERE es >= (CAST(FLOOR(es / 900) AS BIGINT) - j) * 900
+         AND es <  (CAST(FLOOR(es / 900) AS BIGINT) - j) * 900 + 3600
+     )
+SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start, COUNT(*) AS n_events
+FROM w
+GROUP BY 1
+""",
+    tags=("T3",),
+)
+def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: sliding window (1 hour every 15 min) as a stream; the batch
+    rewrite expands each event into its 4 overlapping windows (slide-grid
+    math), which is exactly Spark's expand-based implementation."""
+    stream = events_stream(spark, sf_dir)
+    sink = run_to_memory(sliding_agg(stream, "1 hour", "15 minutes"), output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "t4_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("T4",),
+)
+def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: session windows (30-min gap) as a stateful stream; the batch
+    rewrite is the classic lag-gap → cumulative-session-id (SURVEY §7 step
+    5 names this THE oracle for session semantics). Spark's session end =
+    last event + gap, mirrored in the oracle."""
+    stream = events_stream(spark, sf_dir)
+    sink = run_to_memory(session_agg(stream, "30 minutes"), output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "t5_watermark_dedup",
+    oracle=None,  # watermark admission semantics are stream-internal → rows-only
+    tags=("T5", "T6"),
+)
+def t5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: watermark + stateful dropDuplicates on event_id. On fully-
+    ordered replay nothing is dropped (count == distinct event_ids); the
+    late-data *admission* behavior is pinned in tests/test_streaming.py."""
+    stream = events_stream(spark, sf_dir)
+    dedup = watermarked_dedup(stream, "1 hour")
+    agg = dedup.select("event_id", "user_id", "ts")
+    sink = run_to_memory(agg, output_mode="append")
+    return spark.table(sink).agg(
+        F.count(F.lit(1)).alias("n_rows"), F.countDistinct("event_id").alias("n_distinct")
+    )
+
+
+@register(
+    "t6_foreachbatch_merge",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_types,
+       CAST(SUM(CAST(last_value AS DECIMAL(25,2))) AS DOUBLE) AS sum_last_values
+FROM (
+  SELECT user_id, event_type, value AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+GROUP BY user_id
+""",
+    tags=("T6", "S7"),
+)
+def t6_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: streaming upsert — each micro-batch MERGEs into a keyed state
+    table (latest value per (user_id, event_type)), via foreachBatch. The
+    oracle is the batch 'latest row per key': if per-batch MERGE ≡ global
+    last-writer-wins, the stream upsert is exactly-once-correct."""
+    from ..operators.dedup import dedup_keep_first
+    from ..operators.merge import merge_upsert
+
+    stream = events_stream(spark, sf_dir)
+    state = {"df": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # within the batch: keep latest row per key (deterministic order)
+        b = (
+            batch_df.withColumn("__neg_ts", -F.col("ts").cast("long"))
+            .withColumn("__neg_id", -F.col("event_id"))
+        )
+        latest = dedup_keep_first(
+            b, keys=["user_id", "event_type"], order_by=["__neg_ts", "__neg_id"]
+        ).drop("__neg_ts", "__neg_id")
+        latest = latest.select("user_id", "event_type", "value", "ts", "event_id")
+        prev = state["df"]
+        if prev is None:
+            state["df"] = latest.localCheckpoint(eager=True)
+        else:
+            merged = merge_upsert(prev, latest, keys=["user_id", "event_type"])
+            state["df"] = merged.localCheckpoint(eager=True)
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+    final = state["df"]
+    return final.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_last_values"),
+    )

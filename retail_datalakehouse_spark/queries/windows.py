@@ -1,0 +1,225 @@
+"""Window-function queries (SURVEY §2.5 W1–W6) and the as-of join (J9).
+
+The reference's ``days_since_prior_order`` column is a *materialized lag*
+(SURVEY §1.3) — W2 recomputes exactly that pattern. Top-k-per-group (W6)
+uses rank + filter, which Spark 3.5+ rewrites to ``WindowGroupLimit``
+(per-partition heap, no full sort) — the plan that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from .base import register
+from .helpers import SQL_REVENUE, T, dsum, revenue_expr, sql_dsum
+
+
+@register(
+    "w1_ranking",
+    oracle="""
+SELECT brand, partkey, part_revenue, rnk, drnk, rn
+FROM (
+  SELECT p.p_brand AS brand,
+         p.p_partkey AS partkey,
+         CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))), 2) AS DOUBLE) AS part_revenue,
+         RANK() OVER (PARTITION BY p.p_brand ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) DESC, p.p_partkey) AS rnk,
+         DENSE_RANK() OVER (PARTITION BY p.p_brand ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) DESC, p.p_partkey) AS drnk,
+         ROW_NUMBER() OVER (PARTITION BY p.p_brand ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,4))) DESC, p.p_partkey) AS rn
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, p.p_partkey
+) t
+WHERE rn <= 5
+""",
+    tags=("W1", "W6"),
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/row_number per brand; top-5 parts per brand (W6).
+    Ranked on the exact decimal revenue (pre-cast) with partkey tie-break
+    so both engines order identically."""
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    per_part = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_partkey").alias("partkey"))
+        .agg(F.sum((revenue_expr()).cast("decimal(25,4)")).alias("rev_exact"))
+    )
+    w = Window.partitionBy("brand").orderBy(F.desc("rev_exact"), F.asc("partkey"))
+    return (
+        per_part.withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select(
+            "brand",
+            "partkey",
+            F.round(F.col("rev_exact"), 2).cast("double").alias("part_revenue"),
+            "rnk",
+            "drnk",
+            "rn",
+        )
+    )
+
+
+@register(
+    "w2_lag_lead",
+    oracle="""
+SELECT custkey, orderkey, o_date,
+       date_diff('day', prev_date, o_date) AS days_since_prior_order,
+       next_price
+FROM (
+  SELECT o_custkey AS custkey,
+         o_orderkey AS orderkey,
+         CAST(o_orderdate AS DATE) AS o_date,
+         LAG(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_date,
+         LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS next_price
+  FROM orders
+) t
+""",
+    tags=("W2",),
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per customer — recomputes the reference's materialized
+    `days_since_prior_order` column from raw order history (SURVEY §2.5 W2,
+    evidence: order_items col 4 IS this lag)."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(d.asc(), F.col("o_orderkey").asc())
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        d.alias("o_date"),
+        F.datediff(d, F.lag(d).over(w)).cast("long").alias("days_since_prior_order"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+@register(
+    "w3_running_total",
+    oracle="""
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       CAST(o_orderdate AS DATE) AS o_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spend
+FROM orders
+""",
+    tags=("W3",),
+)
+def w3_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (rowsBetween frame). Running sum in
+    exact decimal so every prefix matches the oracle bit-for-bit."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(d.asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        d.alias("o_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).over(w).cast("double").alias("cum_spend"),
+    )
+
+
+@register(
+    "w4_moving_aggregate",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         {sql_dsum("o_totalprice", scale=2)} AS day_revenue
+  FROM orders GROUP BY 1
+)
+SELECT d, day_revenue,
+       CAST(SUM(CAST(day_revenue AS DECIMAL(25,2))) OVER (
+         ORDER BY date_diff('day', DATE '1970-01-01', d)
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rev_7d
+FROM daily
+""",
+    tags=("W4",),
+)
+def w4_moving_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving revenue via a rangeBetween frame over epoch-day
+    ordinals — the time-based frame works on days with gaps (unlike a
+    rows frame), matching the daily-partition cadence of the reference."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    daily = o.groupBy(d.alias("d")).agg(dsum("o_totalprice", scale=2).alias("day_revenue"))
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "d",
+        "day_revenue",
+        F.sum(F.col("day_revenue").cast("decimal(25,2)")).over(w).cast("double").alias("rev_7d"),
+    )
+
+
+@register(
+    "w5_ntile_percent_rank",
+    oracle=f"""
+WITH spend AS (
+  SELECT o_custkey AS custkey, {sql_dsum("o_totalprice", scale=2)} AS total_spend
+  FROM orders GROUP BY 1
+)
+SELECT custkey, total_spend,
+       NTILE(4) OVER (ORDER BY total_spend DESC, custkey) AS quartile,
+       ROUND(PERCENT_RANK() OVER (ORDER BY total_spend DESC, custkey), 6) AS pct_rank
+FROM spend
+""",
+    tags=("W5",),
+)
+def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles: ntile(4) + percent_rank with a total
+    order (spend desc, custkey) so bucket boundaries are deterministic."""
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum("o_totalprice", scale=2).alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.asc("custkey"))
+    return spend.select(
+        "custkey",
+        "total_spend",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "j9_asof_join",
+    oracle="""
+SELECT e.event_id AS event_id,
+       e.user_id AS user_id,
+       CAST(e.ts AS TIMESTAMP) AS ts,
+       CAST(s.ts AS TIMESTAMP) AS ts_asof,
+       s.event_id AS event_id_asof
+FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON e.user_id = s.user_id AND CAST(e.ts AS TIMESTAMP) >= CAST(s.ts AS TIMESTAMP)
+""",
+    tags=("J9",),
+)
+def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the user's latest
+    signup event at-or-before it — the correction-file versioning pattern
+    ("which version was current at t") generalized. Checked against
+    DuckDB's native ASOF JOIN. Single shuffle per side on the key
+    (union + running window), no range explosion."""
+    e = T(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    signups = e.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts")
+    out = asof_join(
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "ts_asof", "event_id_asof")

@@ -1,0 +1,138 @@
+"""Structured Streaming over the daily-arrival pattern (SURVEY §2.8).
+
+The reference ingests per-date file drops in a batch loop
+(``/root/reference/s3_bucket.py:43-58``); Structured Streaming models the
+same pipeline continuously: a file source watches the directory, new files
+become micro-batches, windowed aggregations maintain state, watermarks bound
+late data (the correction file ``orders_2024-06-06-Updated.csv`` IS late
+data), and ``foreachBatch`` applies MERGE per micro-batch (T6).
+
+Execution discipline for verification: every job here can run with
+``Trigger.AvailableNow`` — process everything currently in the source as a
+real stream (state store, incremental micro-batches), then stop. The result
+lands in an in-memory sink table and is compared against the *batch* run of
+the same logic — the batch≡streaming equivalence oracle (SURVEY §5.6).
+
+At scale: file-source streams list directories incrementally
+(``maxFilesPerTrigger``), stateful aggs shard state by key across executors
+(RocksDB state store in prod), and watermarks bound state size — none of
+which changes the declarative query below.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_sink_counter = itertools.count()
+
+
+def read_file_stream(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
+    """T1: file-source stream — watch ``path``, ingest files as they appear.
+    Schema must be explicit (file streams don't infer)."""
+    return spark.readStream.schema(schema).format(fmt).load(path)
+
+
+def run_to_memory(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> str:
+    """Execute a streaming DataFrame with AvailableNow into a memory sink;
+    returns the sink table name (unique per call, so re-runs don't clash)."""
+    sink = name or f"stream_sink_{next(_sink_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
+    """T6 harness: run a stream through ``foreachBatch(fn)`` to completion.
+    ``fn(batch_df, batch_id)`` applies the per-micro-batch action (MERGE,
+    idempotent upsert into a sink table, ...)."""
+    q = df.writeStream.foreachBatch(fn).outputMode(output_mode).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def _as_stream_dir(sf_dir: str, table: str) -> str:
+    """File-stream sources watch a DIRECTORY (new files = new micro-batches,
+    exactly the reference's daily-drop arrival at `s3_bucket.py:43-58`).
+    The testdata ships single parquet files, so stage a symlink into a
+    scratch dir."""
+    import os
+    import tempfile
+
+    d = os.path.join(
+        tempfile.gettempdir(), "rdl_spark_streams", sf_dir.strip("/").replace("/", "_"), table
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/{table}.parquet", link)
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical event stream: testdata events as a file-source stream,
+    with the nanos→micros timestamp conversion applied stream-side."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = read_file_stream(spark, _as_stream_dir(sf_dir, "events"), raw_schema)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_agg(stream: DataFrame, window_size: str = "1 hour") -> DataFrame:
+    """T2: tumbling-window aggregation (revenue per window per type)."""
+    return (
+        stream.groupBy(F.window("ts", window_size).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_agg(stream: DataFrame, window_size: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    """T3: sliding-window aggregation — each event lands in
+    window/slide overlapping windows."""
+    return (
+        stream.groupBy(F.window("ts", window_size, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """T4: session windows — user activity sessions closed by a 30-min gap."""
+    return (
+        stream.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def watermarked_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5+T6: watermark + stateful dedup — late duplicates beyond the
+    watermark are dropped; state for seen keys is bounded by the watermark
+    horizon (the piece that keeps 100 TB streams from unbounded state)."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])

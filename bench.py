@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect overhead). The set spans the engine's hot paths: the
+flagship join+agg mart, wide aggregation, fact-fact join, window ranking,
+exact + near dedup, similarity search, streaming tumbling window, MERGE.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from retail_datalakehouse_spark import queries as Q
+from retail_datalakehouse_spark.session import build_spark
+
+HEADLINE = [
+    "flagship_region_month_revenue",
+    "a1_pricing_summary",
+    "j1_inner_join_facts",
+    "w1_ranking",
+    "o4_exact_dedup",
+    "s7_merge_upsert",
+    "l1_exact_dedup_documents",
+    "l2_minhash_lsh_neardup",
+    "l3_topk_cosine",
+    "t2_tumbling_window",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = build_spark("bench")
+    registry = Q.all_queries()
+
+    # JVM/codegen warmup on the smallest table so t0 isn't startup-skewed
+    force(registry["flagship_region_month_revenue"].fn(spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

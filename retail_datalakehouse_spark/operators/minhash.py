@@ -1,0 +1,205 @@
+"""Near-duplicate detection: MinHash + LSH, SimHash, n-gram Jaccard
+(SURVEY §2.10 L2).
+
+Pipeline (all pure DataFrame ops — no Python in the hot path):
+
+1. shingle: w-token shingles via `sequence` + `slice` (JVM-side).
+2. minhash: k hash permutations ((a·h + b) mod p), each signature value =
+   min over shingles — computed with `transform` + `array_min` over a
+   zipped literal coefficient array; `xxhash64` supplies the base hash.
+3. band: split the k-signature into b bands of r rows; band hash =
+   xxhash64 of the band slice.
+4. bucket-join: self-join on (band_idx, band_hash) → candidate pairs; a
+   pair collides if ANY band matches (the standard s-curve guarantee).
+5. verify: exact n-gram Jaccard on candidates only.
+
+Scale: the only shuffles are the explode-to-bands groupBy and the
+candidate self-join keyed on band hash — both linear in corpus size; the
+quadratic all-pairs comparison never materializes. Skewed buckets (boiler-
+plate shingles) are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# 2^31 − 1: keeps a·h + b < 2^62, safely inside int64 (no overflow in the
+# permutation arithmetic, which runs in Spark LongType).
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) coefficients for k hash permutations (LCG on
+    the seed — no RNG state, reproducible across runs/partitions)."""
+    coeffs = []
+    x = seed
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        a = (x | 1) % _MERSENNE  # odd, nonzero
+        x = (x * 6364136223846793005 + 1442695040888963407) % _MERSENNE
+        b = x % _MERSENNE
+        coeffs.append((a, b))
+    return coeffs
+
+
+def shingles(text_col: str, w: int = 3) -> F.Column:
+    """w-token shingles as strings: slice the token array at every offset.
+    Docs shorter than w tokens yield their whole text as one shingle."""
+    t = tokens(text_col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, w)))
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", k: int = 64, w: int = 3, id_cols: list[str] | None = None
+) -> DataFrame:
+    """Attach `signature: array<bigint>` of k minhash values.
+
+    Shape: explode distinct shingles to rows, compute the base xxhash64
+    ONCE per (doc, shingle), then one groupBy taking all k permutation
+    minima as parallel aggregates. This is two-phase (map-side partial
+    min) and hashes each shingle exactly once — vs the naive k×transform
+    formulation whose expression tree re-hashes every shingle k times
+    (measured 100×+ slower at sf0.1).
+    """
+    id_cols = list(id_cols or [c for c in df.columns if c != text_col])
+    exploded = df.select(
+        *id_cols, F.explode(F.array_distinct(shingles(text_col, w))).alias("__sh")
+    ).withColumn("__h", F.abs(F.xxhash64("__sh")) % _MERSENNE)
+    mins = [
+        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_perm_coeffs(k))
+    ]
+    agg = exploded.groupBy(*id_cols).agg(*mins)
+    return agg.select(
+        *id_cols, F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on band hashes → candidate pairs
+    (id_a < id_b, distinct). bands·rows must equal the signature length."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.xxhash64(F.concat_ws(",", F.slice(F.col("signature"), i * rows + 1, rows))),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 1,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact w-gram Jaccard similarity for pairs above ``threshold``.
+
+    With ``candidates`` (from LSH) — the scale path — each candidate pair
+    is scored by joining the two docs' distinct-shingle ARRAYS and taking
+    ``array_intersect`` per pair: cost is O(|candidates| · shingles/doc),
+    never a corpus-wide shingle self-join. Without candidates, falls back
+    to the explode + self-join-on-shingle formulation (only pairs sharing
+    ≥1 shingle surface — fine for small/diverse corpora, quadratic on
+    boilerplate-heavy ones; always pass candidates at scale).
+
+    Returns (id_a, id_b, jaccard).
+    """
+    sh_arrays = df.select(
+        F.col(id_col), F.array_distinct(shingles(text_col, w)).alias("shs")
+    )
+    if candidates is not None:
+        a = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+        b = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+        scored = (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_common")
+                    / (F.size("shs_a") + F.size("shs_b") - F.col("n_common"))
+                ).cast("double"),
+            )
+        )
+        return scored.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+    sh = sh_arrays.select(F.col(id_col), F.explode("shs").alias("sh"))
+    sizes = sh_arrays.select(F.col(id_col), F.size("shs").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document: explode distinct tokens, xxhash64 each,
+    then ONE groupBy computing all 64 bit-majority sums (each output bit is
+    the sign of the sum of ±1 contributions). Two-phase hash aggregation —
+    fully distributed, no UDF, no per-bit passes over the data.
+
+    Returns (id_col, sh: long).
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sh = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 is int64's sign bit
+        sh = sh.bitwiseXOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.select(F.col(id_col), sh.alias("sh"))
+
+
+def hamming64(a: F.Column, b: F.Column) -> F.Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,170 @@
+"""Embedding similarity search (SURVEY §2.10 L3) + embedding near-dedup.
+
+Two tiers:
+
+- **Brute-force top-k cosine** — exact baseline. Dot product and norms via
+  `zip_with` + `aggregate` folds over `array<float>` cast to double
+  (JVM-side, deterministic left-to-right reduction, no UDF); top-k via
+  `orderBy().limit(k)` = `TakeOrderedAndProject` (per-partition heap, no
+  global sort). Linear scan — correct at any scale, bandwidth-bound.
+
+- **IVF (inverted-file) top-k** — the scale path: assign every vector to
+  its nearest of C centroids (one broadcast-joined cross score against C
+  rows, C ≪ N), then search only the query's nprobe closest clusters.
+  Centroids here are seeded deterministically from the corpus (ids 0..C-1)
+  rather than k-means-trained — the *partition-pruning* structure is what
+  matters for the engine: at 100 TB the cluster assignment is a cheap
+  narrow column, the search scans nprobe/C of the data, and clusters map
+  to partition keys so a probe reads only matching partitions.
+
+- **LSH near-dup** — random-hyperplane sign bits → bucket; exact cosine
+  verified only within buckets (mirrors minhash banding for text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dvec(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(_dvec(a), _dvec(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(_dvec(a), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def topk_cosine(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 8,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine to a literal query vector.
+    Score rounded (default 8 dp) and tie-broken by id for determinism."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine; centroid id
+    tie-break). One broadcast join against C centroids — never N×N."""
+    joined = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(centroid_id),
+        F.round(cosine(F.col(vec_col), F.col(centroid_vec)), 8).alias("c_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc(centroid_id))
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, centroid_id)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: score centroids against the query, keep nprobe clusters,
+    brute-force only inside them. Approximate (recall < 1 when true
+    neighbors live outside probed clusters) — the standard IVF tradeoff."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    probed = assigned.filter(F.col("centroid_id").isin(probe_ids))
+    return topk_cosine(probed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def seeded_centroids(
+    df: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Deterministic pseudo-centroids: the first c vectors by id. (A k-means
+    refinement would slot in here; the engine-side structure is unchanged.)"""
+    return df.filter(F.col(id_col) < c).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+    )
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    n_planes: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH signature (n sign bits)
+    → bucket join → exact cosine ≥ threshold within buckets only."""
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+    sig = F.concat_ws(
+        "",
+        *[
+            F.when(dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0, "1").otherwise("0")
+            for plane in planes
+        ],
+    )
+    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 8).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

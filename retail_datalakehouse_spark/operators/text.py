@@ -1,0 +1,93 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.10 L4).
+
+All hot-path logic is built-in `pyspark.sql.functions` (JVM-side, codegen) —
+no Python UDFs: tokenization is `split`/`regexp_extract_all`, language ID
+and quality scoring are closed-form column expressions, fingerprinting is
+`md5` over a normalized projection. At 100 TB these run inside
+WholeStageCodegen with zero Python serialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Whitespace tokenizer — trailing-empty tokens removed (cross-engine safe).
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != "")
+
+
+#: BPE-ish sub-word segmentation: letter runs, digit runs, single symbols.
+TOKEN_REGEX = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def approx_token_count(col: Column | str) -> Column:
+    """Token count under a BPE-ish regex segmentation (letters / digits /
+    punctuation split) — the cheap proxy for LLM token budgeting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(TOKEN_REGEX), 0)).cast("long")
+
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    t = tokens(col)
+    sw = F.filter(t, lambda x: x.isin(*_EN_STOPWORDS))
+    return (F.size(sw) / F.greatest(F.size(t), F.lit(1))).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic doc-quality heuristic in [0,1]:
+    0.4·length_score + 0.3·lexical_diversity + 0.3·(1 − stopword_excess).
+
+    Mirrors the published quality-filter recipe family (length, diversity,
+    stopword balance) with exact closed-form column math so a SQL oracle
+    can replicate it bit-for-bit.
+    """
+    t = tokens(col)
+    n = F.size(t).cast("double")
+    length_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    diversity = F.size(F.array_distinct(t)).cast("double") / F.greatest(n, F.lit(1.0))
+    sw = stopword_ratio(col)
+    return (
+        F.lit(0.4) * length_score + F.lit(0.3) * diversity + F.lit(0.3) * (F.lit(1.0) - sw)
+    ).cast("double")
+
+
+def language_id(col: Column | str) -> Column:
+    """Marker-token language heuristic (n-gram-class detector skeleton):
+    checks for high-frequency function words per language. On real corpora
+    the marker lists extend per language; the *plumbing* (array overlap →
+    argmax class) is the scalable part — pure column ops, no UDF."""
+    t = tokens(col)
+    has = lambda *ws: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in ws]))) > 0  # noqa: E731
+    return (
+        F.when(has("the", "and", "of"), F.lit("en"))
+        .when(has("el", "la", "de", "y"), F.lit("es"))
+        .when(has("der", "die", "und"), F.lit("de"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 over case/whitespace-normalized text —
+    the exact-dup key that survives trivial reformatting. (md5 chosen over
+    xxhash64/F.hash because it is engine-portable for oracle checking.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.concat_ws(" ", F.filter(F.split(F.lower(c), " "), lambda t: t != ""))
+    return F.md5(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard text-analysis column block."""
+    return (
+        df.withColumn("n_tokens", F.size(tokens(text_col)).cast("long"))
+        .withColumn("n_chars", F.length(text_col).cast("long"))
+        .withColumn("approx_tokens", approx_token_count(text_col))
+        .withColumn("stopword_ratio", stopword_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_pred", language_id(text_col))
+        .withColumn("fp", fingerprint(text_col))
+    )

@@ -1,0 +1,320 @@
+"""LLM-data-pipeline queries (SURVEY §2.10 L1–L5 + text analysis).
+
+The scale rationale for each operator lives in the operator modules
+(`operators/text.py`, `operators/minhash.py`, `operators/similarity.py`,
+`operators/multimodal.py`). Oracle notes:
+
+- exact dedup, token stats, word freq, quality/lang, fingerprints, and the
+  multimodal carry-through are SQL-checked;
+- MinHash-LSH, SimHash, IVF, and hyperplane-LSH near-dup are algorithm-
+  specific (engine-internal hashes) → rows-only, pinned by unit tests;
+- brute-force cosine top-k is SQL-checked via DuckDB's positional
+  multi-unnest zip (scores rounded to 6 dp — cross-engine sum-order noise
+  is ~1e-15, far below the rounding grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import dedup_exact_content
+from ..operators.minhash import (
+    hamming64,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64_df,
+)
+from ..operators.multimodal import attach_media, extract_features
+from ..operators.similarity import (
+    lsh_near_dup_pairs,
+    seeded_centroids,
+    ivf_topk,
+    topk_cosine,
+)
+from ..operators.text import (
+    approx_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    tokens,
+)
+from .base import register
+from .helpers import T, davg, sql_davg
+
+
+@register(
+    "l1_exact_dedup_documents",
+    oracle="""
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY text
+""",
+    tags=("L1", "O4"),
+)
+def l1_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact content dedup at scale — survivors chosen as min(doc_id)
+    per sha2(text) group; shuffle carries the 64-char digest, not the doc."""
+    d = T(spark, sf_dir, "documents")
+    survivors = dedup_exact_content(d, content_col="text", id_col="doc_id")
+    counts = d.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        survivors.join(counts, "text")
+        .select(F.col("doc_id").alias("keep_id"), "n_copies")
+    )
+
+
+@register(
+    "l2_minhash_lsh_neardup",
+    oracle=None,  # algorithm-specific (xxhash64 permutations) → rows-only
+    tags=("L2",),
+)
+def l2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash(64) → LSH(16 bands × 4 rows) candidates → exact 3-gram
+    Jaccard ≥ 0.5 verification on candidates only. Returns verified
+    near-dup pairs; the all-pairs comparison never materializes."""
+    d = T(spark, sf_dir, "documents")
+    sig = minhash_signature(d, "text", k=64, w=3, id_cols=["doc_id"])
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
+    verified = jaccard_pairs(d, "doc_id", "text", w=3, threshold=0.5, candidates=cand)
+    return verified.orderBy("id_a", "id_b")
+
+
+@register(
+    "l2_simhash",
+    oracle=None,  # engine-internal xxhash64 bit math → rows-only
+    tags=("L2",),
+)
+def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 64-bit SimHash near-dup — pairs at Hamming distance ≤ 12 among
+    docs sharing a signature band (16-bit prefix bucket), pure column math."""
+    d = simhash64_df(T(spark, sf_dir, "documents"), "doc_id", "text")
+    banded = d.withColumn("bucket", F.shiftright("sh", 48))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 12)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register(
+    "l3_topk_cosine",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS y
+  FROM embeddings e
+),
+agg AS (
+  SELECT vec_id,
+         SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS cs
+  FROM scored GROUP BY vec_id
+)
+SELECT vec_id, ROUND(cs, 6) AS cos_sim
+FROM agg
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+""",
+    tags=("L3",),
+)
+def l3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline: exact brute-force top-10 by cosine to the vec_id=0
+    embedding. zip_with/aggregate folds (JVM, no UDF); TakeOrderedAndProject
+    top-k (no global sort)."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return topk_cosine(e, [float(x) for x in qvec], k=10, round_to=6)
+
+
+@register(
+    "l3_ivf_topk",
+    oracle=None,  # approximate path (probe subset) → rows-only
+    tags=("L3",),
+)
+def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF top-10 — 8 seeded centroids, nprobe=2; scans
+    only the probed clusters (≈ nprobe/C of the corpus at scale)."""
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = seeded_centroids(e, c=8)
+    return ivf_topk(e, cents, qvec, k=10, nprobe=2)
+
+
+@register(
+    "l3_embedding_neardup",
+    oracle=None,  # hyperplane-LSH bucketing (seeded RNG) → rows-only
+    tags=("L3", "L2"),
+)
+def l3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: hyperplane-LSH buckets, exact cosine
+    verified within buckets only. (Synthetic embeddings are random — no
+    true near-dups — so the threshold is set low enough to exercise the
+    verify stage; production would use ≥0.9.)"""
+    e = T(spark, sf_dir, "embeddings")
+    return lsh_near_dup_pairs(e, n_planes=8, threshold=0.2, dim=64).orderBy("id_a", "id_b")
+
+
+@register(
+    "l4_text_stats",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+       LENGTH(text) AS n_chars,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS approx_tokens,
+       len(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS n_distinct_tokens
+FROM documents
+""",
+    tags=("L4",),
+)
+def l4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: per-document token/char counts — whitespace tokens + BPE-ish
+    regex segmentation, all JVM-side column ops."""
+    d = T(spark, sf_dir, "documents")
+    t = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        approx_token_count("text").alias("approx_tokens"),
+        F.size(F.array_distinct(t)).cast("long").alias("n_distinct_tokens"),
+    )
+
+
+@register(
+    "l4_word_frequency",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+      FROM documents)
+GROUP BY 1
+ORDER BY n DESC, word
+LIMIT 20
+""",
+    tags=("L4", "U5"),
+)
+def l4_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: corpus word frequency (explode → two-phase count), top-20 with
+    lexicographic tie-break — the UDTF one-row→many-rows pattern (U5)."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
+    "l4_quality_language",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['the','and','of'])) > 0 THEN 'en'
+              WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['el','la','de','y'])) > 0 THEN 'es'
+              WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['der','die','und'])) > 0 THEN 'de'
+              ELSE 'unknown' END AS lang_pred,
+         0.4 * LEAST(len(list_filter(string_split(text,' '), t -> t != '')) / 100.0, 1.0)
+         + 0.3 * (len(list_distinct(list_filter(string_split(text,' '), t -> t != '')))
+                  / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+         + 0.3 * (1.0 - len(list_filter(string_split(text,' '),
+                                        t -> t IN ('the','a','of','and','to','in','is')))
+                        / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+           AS q
+  FROM documents
+)
+SELECT lang_pred, lang, COUNT(*) AS n_docs, {sql_davg("q", scale=8, out_round=6)} AS avg_quality
+FROM scored
+GROUP BY 1, 2
+""",
+    tags=("L4",),
+)
+def l4_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: language-ID heuristic × labeled lang, with the closed-form
+    quality score (length/diversity/stopword mix) averaged per cell."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+    )
+    return scored.groupBy("lang_pred", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("q", scale=8, out_round=6).alias("avg_quality"),
+    )
+
+
+@register(
+    "l4_fingerprint_groups",
+    oracle="""
+SELECT md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' ')) AS fp,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+""",
+    tags=("L4", "L1"),
+)
+def l4_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: md5 fingerprint over normalized text (case/whitespace-folded) —
+    the exact-dup key that survives trivial reformatting."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "l5_multimodal_carry",
+    oracle="""
+SELECT doc_id,
+       LENGTH(text) AS payload_bytes,
+       LENGTH(text) AS meta_width,
+       'image' AS media_type
+FROM documents
+WHERE n_chars >= 200
+""",
+    tags=("L5",),
+)
+def l5_multimodal_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: binary payload + typed metadata struct carried losslessly
+    through filter/projection; byte length + struct fields re-emerge intact
+    (testdata text is ASCII, so chars == bytes for the oracle)."""
+    d = T(spark, sf_dir, "documents")
+    media = attach_media(d.filter(F.col("n_chars") >= 200))
+    return media.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.width").cast("long").alias("meta_width"),
+        F.col("meta.media_type").alias("media_type"),
+    )
+
+
+@register(
+    "l5_feature_extraction",
+    oracle=None,  # python-side deterministic fake decoder → rows-only
+    tags=("L5", "U2"),
+)
+def l5_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: Arrow-batched mapInPandas feature extraction over binary
+    payloads (deterministic stub decoder — real codecs not in container;
+    the Spark-side schema/batching/partitioning is the real thing)."""
+    d = T(spark, sf_dir, "documents")
+    media = attach_media(d)
+    feats = extract_features(media)
+    return feats.select("doc_id", "n_bytes", "checksum", F.element_at("features", 2).alias("f1"))

@@ -1,0 +1,211 @@
+"""UDF-surface queries (SURVEY §2.9 U1–U5) + approx aggregates (A3).
+
+The engine's UDF doctrine: built-ins first (everything in other modules is
+UDF-free); when Python is unavoidable, Arrow-batched pandas UDFs, never
+row-at-a-time in the hot path. U1 deliberately shows the slow path
+(scalar Python UDF) for parity; U2–U4 show the production shapes.
+
+Oracle-parity notes: U2's vectorized arithmetic is elementwise IEEE —
+bit-identical to SQL. U3 uses min-max normalization (min/max are exact,
+no summation-order hazard). U4's weighted mean goes through Python
+``decimal`` with the same quantization as the SQL ``CAST(x AS
+DECIMAL(25,4))`` sum — exact on both sides.
+"""
+
+from __future__ import annotations
+
+import decimal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T_
+
+from .base import register
+from .helpers import T
+
+
+@register(
+    "u1_scalar_python_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity > 40 THEN 'bulk'
+            WHEN l_quantity > 10 THEN 'standard'
+            ELSE 'small' END AS basket_bucket
+FROM lineitem
+""",
+    tags=("U1",),
+)
+def u1_scalar_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: row-at-a-time Python UDF (the slow path, shown once): basket
+    bucket label. Same logic as a SQL CASE — which is what you'd ship."""
+
+    @F.udf(T_.StringType())
+    def bucket(q):
+        if q is None:
+            return None
+        if q > 40:
+            return "bulk"
+        if q > 10:
+            return "standard"
+        return "small"
+
+    l = T(spark, sf_dir, "lineitem")
+    return l.select("l_orderkey", "l_linenumber", bucket("l_quantity").alias("basket_bucket"))
+
+
+@register(
+    "u2_pandas_scalar_udf",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+FROM lineitem
+""",
+    tags=("U2",),
+)
+def u2_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Arrow-batched pandas scalar UDF — vectorized numpy arithmetic,
+    ~10-100× the throughput of U1. Elementwise IEEE ops are bit-identical
+    to the SQL expression, so the oracle needs no rounding at all."""
+
+    @F.pandas_udf(T_.DoubleType())
+    def charged(price: pd.Series, disc: pd.Series, tax: pd.Series) -> pd.Series:
+        return price * (1.0 - disc) * (1.0 + tax)
+
+    l = T(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        charged("l_extendedprice", "l_discount", "l_tax").alias("charged"),
+    )
+
+
+@register(
+    "u3_grouped_map_normalize",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CASE WHEN mx = mn THEN 0.5 ELSE (o_totalprice - mn) / (mx - mn) END AS spend_norm
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         MIN(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+         MAX(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+  FROM orders
+) t
+""",
+    tags=("U3",),
+)
+def u3_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: per-group pandas transform (applyInPandas): min-max normalize
+    each customer's order amounts. min/max carry no summation-order hazard,
+    and the per-row normalization is elementwise IEEE — exact vs the
+    window-function oracle."""
+    schema = T_.StructType(
+        [
+            T_.StructField("custkey", T_.LongType()),
+            T_.StructField("orderkey", T_.LongType()),
+            T_.StructField("spend_norm", T_.DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        if mx == mn:
+            norm = pd.Series(0.5, index=pdf.index)
+        else:
+            norm = (pdf["o_totalprice"] - mn) / (mx - mn)
+        return pd.DataFrame(
+            {"custkey": pdf["o_custkey"], "orderkey": pdf["o_orderkey"], "spend_norm": norm}
+        )
+
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").applyInPandas(normalize, schema)
+
+
+@register(
+    "u4_grouped_agg_weighted_avg",
+    oracle="""
+SELECT p.p_brand AS brand,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice * l.l_quantity AS DECIMAL(25,4)))
+             / SUM(CAST(l.l_quantity AS DECIMAL(25,4))), 4) AS DOUBLE) AS weighted_avg_price
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+""",
+    tags=("U4",),
+)
+def u4_grouped_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: custom UDAF via pandas GROUPED_AGG — quantity-weighted mean
+    price per brand. Python ``decimal`` with the same half-up quantization
+    as the oracle's DECIMAL(25,4) casts → exact parity, no float noise."""
+    Q4 = decimal.Decimal("0.0001")
+
+    @F.pandas_udf(T_.DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        num = decimal.Decimal(0)
+        den = decimal.Decimal(0)
+        for p_, q_ in zip(price, qty):
+            num += decimal.Decimal(p_ * q_).quantize(Q4, rounding=decimal.ROUND_HALF_UP)
+            den += decimal.Decimal(q_).quantize(Q4, rounding=decimal.ROUND_HALF_UP)
+        return float((num / den).quantize(Q4, rounding=decimal.ROUND_HALF_UP))
+
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(wavg("l_extendedprice", "l_quantity").alias("weighted_avg_price"))
+    )
+
+
+@register(
+    "u5_udtf_expand",
+    oracle="""
+SELECT doc_id, word, n
+FROM (
+  SELECT doc_id, word, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, word) AS rn
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+) t
+WHERE rn <= 3
+""",
+    tags=("U5",),
+)
+def u5_udtf_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: table-function expansion (one row → many): per-doc top-3 words.
+    Expressed as explode (Spark's native UDTF shape — a Python ``@udtf``
+    variant is pinned in tests/test_udfs.py)."""
+    from pyspark.sql import Window
+
+    from ..operators.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "n")
+    )
+
+
+@register(
+    "a3_approx_count_distinct",
+    oracle=None,  # HLL sketches differ across engines → rows-only
+    tags=("A3",),
+)
+def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: approx_count_distinct (HyperLogLog++) — the 100 TB substitute
+    for exact COUNT(DISTINCT): no expand, partial-mergeable sketches.
+    Estimates are engine-specific → rows-only; the exactness-bound test
+    (±5% of true) lives in tests/test_llm_ops.py."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )

@@ -53,6 +53,7 @@ def build_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.schemaInference", "true")
         # Driver testdata writes events.ts as parquet TIMESTAMP(NANOS), which
         # Spark's vectorized reader rejects; read as long and convert in the

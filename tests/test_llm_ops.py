@@ -1,0 +1,136 @@
+"""Unit tests: near-dedup (MinHash/LSH, SimHash, Jaccard), similarity
+search, text analysis, multimodal plumbing — the rows-only operators whose
+exact behavior the DuckDB oracle can't pin."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from retail_datalakehouse_spark.operators import multimodal
+from retail_datalakehouse_spark.operators.minhash import (
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash64_df,
+)
+from retail_datalakehouse_spark.operators.similarity import (
+    seeded_centroids,
+    ivf_topk,
+    topk_cosine,
+)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near-dup of 0
+    (2, "completely different content about spark sql engines and parquet files"),
+    (3, "another unrelated document mentioning streaming watermarks and windows"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_jaccard_exact_values(spark, docs_df):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             jaccard_pairs(docs_df, "doc_id", "text", w=3, threshold=0.0).collect()}
+    assert pairs[(0, 4)] == 1.0  # exact duplicate
+    # docs 0/1 share all but the final 3-gram region
+    assert 0.5 < pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs  # no shared 3-grams at all
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    sig = minhash_signature(docs_df, "text", k=64, w=3)
+    cand = {(r.id_a, r.id_b) for r in lsh_candidate_pairs(sig, "doc_id", 16, 4).collect()}
+    assert (0, 4) in cand  # identical signature → must collide
+    assert (0, 1) in cand  # high-jaccard pair collides w.h.p. with 16 bands
+    # verification stage kills false positives:
+    verified = jaccard_pairs(
+        docs_df, "doc_id", "text", w=3, threshold=0.5,
+        candidates=lsh_candidate_pairs(sig, "doc_id", 16, 4),
+    )
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert got == {(0, 1), (0, 4), (1, 4)}
+
+
+def test_simhash_hamming_reflects_similarity(spark, docs_df):
+    from retail_datalakehouse_spark.operators.minhash import hamming64
+
+    sh = simhash64_df(docs_df, "doc_id", "text")
+    rows = {r.doc_id: r.sh for r in sh.collect()}
+    assert rows[0] == rows[4]  # identical docs → identical simhash
+    df = spark.createDataFrame([(rows[0], rows[1], rows[2])], ["a", "b", "c"])
+    h01, h02 = df.select(
+        hamming64(F.col("a"), F.col("b")).alias("h01"),
+        hamming64(F.col("a"), F.col("c")).alias("h02"),
+    ).collect()[0]
+    assert h01 < h02  # near-dup is closer in hamming space than unrelated
+
+
+def test_topk_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(50, 16).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    q = vecs[0]
+    got = [r.vec_id for r in topk_cosine(df, [float(x) for x in q], k=5).collect()]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = [int(i) for i in np.lexsort((np.arange(50), -np.round(cos, 8)))[:5]]
+    assert got == expected
+
+
+def test_ivf_topk_subset_of_probed_clusters(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(60, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)], ["vec_id", "embedding"]
+    )
+    cents = seeded_centroids(df, c=4)
+    out = ivf_topk(df, cents, [float(x) for x in vecs[0]], k=5, nprobe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert rows[0].vec_id == 0  # the query vector itself lives in a probed cluster
+    assert rows[0].cos_sim == 1.0
+
+
+def test_multimodal_feature_extraction_deterministic(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "")], ["doc_id", "text"])
+    media = multimodal.attach_media(df)
+    feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    assert feats[1].n_bytes == 3
+    assert feats[1].checksum == ord("a") + ord("b") + ord("c")
+    assert feats[1].features[2] == float(ord("a"))
+    assert feats[2].n_bytes == 0 and feats[2].features[2] == 0.0
+
+
+def test_multimodal_decode_stubs_raise():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"x")
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"x", 2, 2)
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_frames(b"x", 40)
+
+
+def test_approx_count_distinct_within_bound(spark, sf_dir):
+    from retail_datalakehouse_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert math.isclose(row.approx, row.exact, rel_tol=0.05)

@@ -589,3 +589,57 @@ def o4_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_keep_first(e, keys=["user_id", "event_type"], order_by=["event_id"]).select(
         "event_id", "user_id", "event_type"
     )
+
+
+@register(
+    "a4_cube",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    tags=("A4",),
+)
+def a4_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority: all 4 grouping combinations in one
+    pass (Spark expands then two-phase aggregates — no repeated scans)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "a4_grouping_sets",
+    oracle=f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
+""",
+    tags=("A4",),
+)
+def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (status-only + year-only rollups in one
+    aggregation) via Spark SQL."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS yr,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
+        """
+    )

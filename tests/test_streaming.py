@@ -1,0 +1,79 @@
+"""Streaming semantics tests (SURVEY §2.8): late-data admission under
+watermarks (T5) and multi-file micro-batch arrival (T1) — the behaviors the
+driver's batch-equivalence oracle can't pin."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from retail_datalakehouse_spark.streaming.jobs import (
+    read_file_stream,
+    run_to_memory,
+    tumbling_agg,
+    watermarked_dedup,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type", "value"]).coalesce(
+        1
+    ).write.mode("append").parquet(str(path))
+
+
+def test_multi_file_arrival_drains_all(spark, tmp_path):
+    """T1: two files dropped before start — AvailableNow drains both (the
+    daily-drop consolidation the reference does with an upload loop)."""
+    d = tmp_path / "stream"
+    t0 = datetime(2024, 6, 6, 10, 0, 0)
+    _write_batch(spark, d, [(1, t0, 7, "click", 1.0)])
+    _write_batch(spark, d, [(2, t0, 7, "click", 2.0), (3, t0, 8, "view", 3.0)])
+    schema = spark.read.parquet(str(d)).schema
+    stream = read_file_stream(spark, str(d), schema)
+    sink = run_to_memory(
+        stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    got = {r.event_type: r.n for r in spark.table(sink).collect()}
+    assert got == {"click": 2, "view": 1}
+
+
+def test_watermark_dedup_drops_duplicate_within_horizon(spark, tmp_path):
+    """T5/T6: duplicate event_ids inside the watermark horizon are dropped
+    by stateful dedup; distinct ids all survive."""
+    d = tmp_path / "stream"
+    t0 = datetime(2024, 6, 6, 10, 0, 0)
+    t1 = datetime(2024, 6, 6, 10, 5, 0)
+    rows = [(1, t0, 7, "click", 1.0), (1, t0, 7, "click", 1.0), (2, t1, 7, "view", 2.0)]
+    _write_batch(spark, d, rows)
+    schema = spark.read.parquet(str(d)).schema
+    stream = read_file_stream(spark, str(d), schema)
+    sink = run_to_memory(
+        watermarked_dedup(stream, "1 hour").select("event_id"), output_mode="append"
+    )
+    ids = sorted(r.event_id for r in spark.table(sink).collect())
+    assert ids == [1, 2]
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    """T2 equivalence on crafted data: streaming tumbling agg ≡ batch
+    groupBy(date_trunc) on the same rows."""
+    d = tmp_path / "stream"
+    rows = [
+        (1, datetime(2024, 6, 6, 10, 10), 7, "click", 1.0),
+        (2, datetime(2024, 6, 6, 10, 50), 7, "click", 2.0),
+        (3, datetime(2024, 6, 6, 11, 5), 8, "view", 4.0),
+    ]
+    _write_batch(spark, d, rows)
+    schema = spark.read.parquet(str(d)).schema
+    sink = run_to_memory(tumbling_agg(read_file_stream(spark, str(d), schema)), "complete")
+    streamed = {(r.window_start, r.event_type): (r.n_events, r.total_value)
+                for r in spark.table(sink).collect()}
+    batch = (
+        spark.read.parquet(str(d))
+        .groupBy(F.date_trunc("hour", "ts").alias("ws"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("tv"))
+    )
+    expected = {(r.ws, r.event_type): (r.n, r.tv) for r in batch.collect()}
+    assert streamed == expected

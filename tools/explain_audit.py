@@ -1,0 +1,87 @@
+"""Physical-plan audit: assert the plans have the shapes that survive a
+100× scale-up (SURVEY §4). Run: python tools/explain_audit.py
+
+Checks, per representative query:
+- parquet scans carry PushedFilters + pruned ReadSchema (no full-width scan
+  behind a narrow projection);
+- small dims join via BroadcastHashJoin (no shuffle of the fact side);
+- aggregations are two-phase (partial HashAggregate before the exchange);
+- top-k compiles to TakeOrderedAndProject (no global sort);
+- JVM-only hot paths: no Python eval (BatchEvalPython/ArrowEvalPython) in
+  queries that should be pure column math;
+- WholeStageCodegen is present in the relational spine.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from retail_datalakehouse_spark import queries as Q  # noqa: E402
+from retail_datalakehouse_spark.session import build_spark  # noqa: E402
+
+SF = "/root/testdata/sf0.01"
+
+
+_plan_cache: dict[str, str] = {}
+
+
+def plan_of(spark, name: str) -> str:
+    if name not in _plan_cache:
+        df = Q.all_queries()[name].fn(spark, SF)
+        df.collect()  # finalize THIS df's AQE plan (a noop write runs a copy)
+        _plan_cache[name] = df._jdf.queryExecution().executedPlan().toString()
+    return _plan_cache[name]
+
+
+CHECKS: list[tuple[str, str, bool, str]] = [
+    # (query, substring, should_be_present, why)
+    ("p2_filter_compound", "PushedFilters: [IsNotNull(o_totalprice)", True,
+     "filter must reach the parquet scan"),
+    ("flagship_region_month_revenue", "BroadcastHashJoin", True,
+     "dims must broadcast, not shuffle the fact table"),
+    ("flagship_region_month_revenue", "TakeOrderedAndProject", True,
+     "top-k must be heap-based, not a global sort"),
+    ("a1_pricing_summary", "partial", True,
+     "agg must be two-phase (map-side partial before exchange)"),
+    ("j2_broadcast_dim_join", "BroadcastHashJoin", True,
+     "explicit broadcast hint must materialize"),
+    ("l3_topk_cosine", "EvalPython", False,
+     "cosine kernel must stay JVM-side (no Python eval)"),
+    ("l2_minhash_lsh_neardup", "EvalPython", False,
+     "minhash pipeline must stay JVM-side"),
+    ("a1_pricing_summary", "*(2) HashAggregate", True,
+     "relational spine must compile to codegen (the *(n) star marker)"),
+    ("w1_ranking", "WindowGroupLimit", True,
+     "rank<=k must push the group-limit below the sort (Spark 3.5+)"),
+]
+
+
+def main() -> int:
+    spark = build_spark("explain-audit")
+    failures = []
+    for name, needle, want, why in CHECKS:
+        plan = plan_of(spark, name)
+        present = needle in plan
+        ok = present == want
+        status = "PASS" if ok else "FAIL"
+        print(f"{status}  {name}: {'has' if present else 'lacks'} {needle!r} ({why})")
+        if not ok:
+            failures.append((name, needle, why))
+    # column pruning: narrow projection must shrink ReadSchema
+    df = Q.all_queries()["p1_projection_computed"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_line = next((ln for ln in plan.splitlines() if "ReadSchema" in ln), "")
+    for should_be_absent in ("l_shipdate", "l_partkey", "l_suppkey", "l_returnflag"):
+        if should_be_absent in scan_line:
+            failures.append(("p1_projection_computed", should_be_absent, "column pruning"))
+            print(f"FAIL  p1 scan reads unneeded column {should_be_absent}")
+    else:
+        print("PASS  p1_projection_computed: ReadSchema pruned to used columns")
+    print(f"\n{len(CHECKS) + 1 - len(failures)}/{len(CHECKS) + 1} plan checks pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

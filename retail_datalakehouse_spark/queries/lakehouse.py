@@ -189,3 +189,66 @@ def s8_json_ingestion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum("k").alias("sum_k"),
     )
+
+
+@register(
+    "s4_parquet_scan",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("S4",),
+)
+def s4_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: the columnar parquet scan itself — vectorized reader, column
+    pruning down to one column (see tools/explain_audit.py for the
+    ReadSchema assertion)."""
+    l = T(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "s7_versioned_table_merge",
+    oracle="""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice * 2 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 101 = 0
+),
+merged AS (
+  SELECT t.* FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = t.o_orderkey)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM merged
+GROUP BY 1
+""",
+    tags=("S7", "S6"),
+)
+def s7_versioned_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 via the snapshot-versioned table format: overwrite v1 with
+    orders, MERGE a correction batch as v2 (snapshot isolation + time
+    travel preserved — see tests/test_table_format.py), aggregate the
+    CURRENT version. The oracle recomputes the merge in SQL, so the hash
+    only matches if commit/read resolution is correct."""
+    import shutil
+
+    from ..sources.table_format import VersionedTable
+
+    path = _scratch(f"s7_vt_{sf_dir.strip('/').replace('/', '_')}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = T(spark, sf_dir, "orders")
+    t = VersionedTable(spark, path)
+    t.overwrite(o)
+    updates = o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    t.merge(updates, keys=["o_orderkey"])
+    return t.read().groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
+    )

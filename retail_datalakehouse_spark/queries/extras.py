@@ -1,0 +1,248 @@
+"""Beyond-inventory queries: data-quality auditing, pivot, extended window/
+string/date functions, sampling, and incremental gold refresh.
+
+These extend SURVEY §2 where a real lakehouse user would expect more:
+the reference's defining data traits are *dirty* (broken FK, NULLs,
+header drift — SURVEY §1.3), so the engine ships a first-class DQ audit;
+and its daily-drop cadence implies incremental (not full-recompute) gold
+refresh, verified here against the full recompute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register
+from .helpers import T, dsum, sql_dsum
+
+
+@register(
+    "x_dq_audit",
+    oracle="""
+SELECT 'orders_null_custkey' AS check_name,
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_bad,
+       COUNT(*) AS n_total
+FROM orders
+UNION ALL
+SELECT 'lineitem_orphan_orderkey' AS check_name,
+       CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_bad,
+       COUNT(*) AS n_total
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem_orphan_partkey' AS check_name,
+       CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT) AS n_bad,
+       COUNT(*) AS n_total
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'orders_negative_price' AS check_name,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT) AS n_bad,
+       COUNT(*) AS n_total
+FROM orders
+""",
+    tags=("DQ", "J3", "A6"),
+)
+def x_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit mart: null keys, FK orphans (the reference's
+    116/133 broken product FK generalized), domain violations — one scan
+    + left joins, conditional aggs. The check a medallion bronze→silver
+    promotion gates on."""
+    o = T(spark, sf_dir, "orders")
+    l = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+
+    def check(name: str, df: DataFrame, bad) -> DataFrame:
+        return df.agg(
+            F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_bad"),
+            F.count(F.lit(1)).alias("n_total"),
+        ).select(F.lit(name).alias("check_name"), "n_bad", "n_total")
+
+    lo = l.join(o, l.l_orderkey == o.o_orderkey, "left")
+    lp = l.join(p, l.l_partkey == p.p_partkey, "left")
+    return (
+        check("orders_null_custkey", o, F.col("o_custkey").isNull())
+        .unionByName(check("lineitem_orphan_orderkey", lo, F.col("o_orderkey").isNull()))
+        .unionByName(check("lineitem_orphan_partkey", lp, F.col("p_partkey").isNull()))
+        .unionByName(check("orders_negative_price", o, F.col("o_totalprice") <= 0))
+    )
+
+
+@register(
+    "x_pivot",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END", scale=2)} AS F,
+       {sql_dsum("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END", scale=2)} AS O,
+       {sql_dsum("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END", scale=2)} AS P
+FROM orders
+GROUP BY 1
+""",
+    tags=("A1", "P1"),
+)
+def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: status columns × year rows (explicit value list so the plan
+    is a single pass — no second job to discover pivot values)."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(dsum("o_totalprice", scale=2))
+    )
+
+
+@register(
+    "x_window_navigation",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+       ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    tags=("W1", "W5"),
+)
+def x_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: first/last/nth value + cume_dist with
+    explicit frames (the default frame differs between engines — always
+    pin it)."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    w = Window.partitionBy("o_custkey").orderBy(d.asc(), F.col("o_orderkey").asc())
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.first("o_totalprice").over(w_run).alias("first_price"),
+        F.last("o_totalprice").over(w_all).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w_run).alias("second_price"),
+        F.round(F.cume_dist().over(w_rank), 6).alias("cd"),
+    )
+
+
+@register(
+    "x_string_extended",
+    oracle="""
+SELECT p_partkey,
+       upper(substring(p_name, 1, 1)) || substring(p_name, 2) AS name_title,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       levenshtein(p_brand, 'Brand#1') AS brand_dist,
+       reverse(p_brand) AS brand_rev,
+       split_part(p_type, ' ', 1) AS type_head,
+       repeat('*', p_size % 5) AS stars
+FROM part
+""",
+    tags=("F1",),
+)
+def x_string_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: capitalize/lpad/levenshtein/reverse/
+    split_part/repeat. (DuckDB 1.0 has no initcap — first-letter
+    capitalization is spelled out identically on both engines.)"""
+    p = T(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+        ).alias("name_title"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.levenshtein("p_brand", F.lit("Brand#1")).cast("long").alias("brand_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias("stars"),
+    )
+
+
+@register(
+    "x_date_extended",
+    oracle="""
+SELECT o_orderkey,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(o_orderdate) AS INT) AS qtr,
+       CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS wk,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS week_start,
+       ROUND(CAST(datediff('month', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS DOUBLE), 1) AS months_since
+FROM orders
+""",
+    tags=("F2",),
+)
+def x_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date family: last_day/quarter/weekofyear/week-trunc/
+    month-diff. (DuckDB datediff('month') counts boundary crossings;
+    Spark months_between is fractional — floor both to whole months.)"""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    months = F.floor(F.months_between(F.date_trunc("month", d), F.lit("1995-01-01").cast("date")))
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("wk"),
+        F.trunc(d, "week").alias("week_start"),
+        F.round(months.cast("double"), 1).alias("months_since"),
+    )
+
+
+@register(
+    "x_sample_deterministic",
+    oracle=None,  # sampling RNG is engine-specific → rows-only
+    tags=("P2",),
+)
+def x_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample — same seed ⇒ same sample across runs
+    (replay-stable training-data subsetting). Engine RNG ≠ DuckDB RNG →
+    rows-only; determinism across runs is what the driver's two-run check
+    observes."""
+    l = T(spark, sf_dir, "lineitem")
+    return (
+        l.sample(fraction=0.1, seed=42)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+
+
+@register(
+    "x_incremental_gold_refresh",
+    oracle=f"""
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+""",
+    tags=("S3", "A1", "S7"),
+)
+def x_incremental_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental gold refresh: the mart is built from a historical slice,
+    then the 'newly arrived' tail partition is aggregated ALONE and merged
+    in (partial-agg merge on the month key) — never a full recompute. The
+    oracle IS the full recompute: hash match proves incremental ≡ full,
+    the invariant that makes daily refresh safe at 100 TB."""
+    from ..operators.merge import merge_upsert
+
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cutoff = F.lit("2000-01-01").cast("date")
+    month = F.trunc(d, "month").alias("order_month")
+
+    def mart(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("rev_exact"),
+        )
+
+    historical = mart(o.filter(d < cutoff))
+    arriving = mart(o.filter(d >= cutoff))
+    # months split cleanly at the cutoff (first-of-month), so merge = upsert
+    merged = merge_upsert(historical, arriving, keys=["order_month"], broadcast_updates=False)
+    return merged.select(
+        "order_month",
+        "n_orders",
+        F.round(F.col("rev_exact"), 2).cast("double").alias("revenue"),
+    )

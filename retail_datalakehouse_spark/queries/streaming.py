@@ -199,3 +199,42 @@ def t6_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_last_values"),
     )
+
+
+@register(
+    "t6_stateful_custom_operator",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+    tags=("T6", "U3"),
+)
+def t6_stateful_custom_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6+: custom stateful operator (applyInPandasWithState) — per-user
+    running counters folded across micro-batches. The last emission per
+    key must equal the global batch aggregate (the oracle), proving the
+    state fold is lossless. total_value re-quantized to 2dp to align the
+    float fold with the oracle's decimal sum."""
+    from ..streaming.jobs import stateful_user_counter
+
+    stream = events_stream(spark, sf_dir)
+    sink = run_to_memory(stateful_user_counter(stream), output_mode="update")
+    sunk = spark.table(sink)
+    # keep the LAST (largest-count) emission per user — robust to multi-batch
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sunk.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("total_value").cast("decimal(25,2)"), 2).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )

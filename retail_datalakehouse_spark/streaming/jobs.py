@@ -136,3 +136,48 @@ def watermarked_dedup(stream: DataFrame, watermark: str = "1 hour") -> DataFrame
     watermark are dropped; state for seen keys is bounded by the watermark
     horizon (the piece that keeps 100 TB streams from unbounded state)."""
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stateful_user_counter(stream: DataFrame):
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2.8
+    mandate): a per-user running (event_count, total_value) state machine —
+    the shape for custom session logic, CDC folding, or feature windows
+    that `window()`/`session_window()` can't express.
+
+    State (count, total) lives in the state store sharded by user_id; each
+    micro-batch folds its rows in and emits the updated row per key. The
+    final emission per key therefore equals the global batch aggregate —
+    which is exactly the oracle used in queries/streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("tot", DoubleType())]
+    )
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [tot]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

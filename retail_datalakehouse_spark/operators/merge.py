@@ -62,3 +62,40 @@ def merge_into_path(
     merged.write.mode("overwrite").format(fmt).save(tmp)
     # swap: re-point by overwriting target from the temp copy
     spark.read.format(fmt).load(tmp).write.mode("overwrite").format(fmt).save(target_path)
+
+
+def merge_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    order_by: Sequence[str] = (),
+) -> DataFrame:
+    """Full CDC fold (S7 extended): apply a change batch containing
+    upserts AND deletes.
+
+    ``changes`` rows carry ``op_col`` ∈ {'upsert', 'delete'}. When a key
+    appears multiple times in the batch, the LAST change under ``order_by``
+    wins (fold within the batch first — deterministic, replay-safe). Then:
+    delete tombstones remove the key from the target; upserts replace or
+    insert. Single anti-join + union — same shuffle profile as plain MERGE.
+    """
+    from .dedup import dedup_keep_first
+
+    keys = list(keys)
+    if order_by:
+        # keep the LAST version per key: invert the order via row_number desc
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        changes = dedup_keep_first(changes, keys=keys, order_by=keys)
+    survivors = target.join(F.broadcast(changes.select(*keys)), on=keys, how="left_anti")
+    # project upserts onto the target schema (CDC metadata cols dropped)
+    inserts = changes.filter(F.col(op_col) == "upsert").select(*target.columns)
+    return survivors.unionByName(inserts)

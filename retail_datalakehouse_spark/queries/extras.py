@@ -246,3 +246,75 @@ def x_incremental_gold_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round(F.col("rev_exact"), 2).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "x_cdc_merge",
+    oracle="""
+WITH changes AS (
+  SELECT o_orderkey, 'delete' AS op FROM orders WHERE o_orderkey % 103 = 0
+  UNION ALL
+  SELECT o_orderkey, 'upsert' AS op FROM orders WHERE o_orderkey % 97 = 0 AND o_orderkey % 103 != 0
+),
+survivors AS (
+  SELECT t.* FROM orders t
+  WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.o_orderkey = t.o_orderkey)
+),
+upserts AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+         o.o_totalprice + 5.0 AS o_totalprice, o.o_orderdate, o.o_orderpriority
+  FROM orders o JOIN changes c ON o.o_orderkey = c.o_orderkey AND c.op = 'upsert'
+),
+merged AS (SELECT * FROM survivors UNION ALL SELECT * FROM upserts)
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM merged
+GROUP BY 1
+""",
+    tags=("S7",),
+)
+def x_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC fold: one change batch carrying deletes (%103 keys) AND
+    upserts (%97 keys, price+5) applied via merge_cdc (last-writer-wins,
+    tombstone removal) — the stream-of-corrections generalization of the
+    reference's update file."""
+    from ..operators.merge import merge_cdc
+
+    o = T(spark, sf_dir, "orders")
+    deletes = o.filter(F.col("o_orderkey") % 103 == 0).withColumn("op", F.lit("delete"))
+    upserts = (
+        o.filter((F.col("o_orderkey") % 97 == 0) & (F.col("o_orderkey") % 103 != 0))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 5.0)
+        .withColumn("op", F.lit("upsert"))
+    )
+    changes = deletes.unionByName(upserts).withColumn("seq", F.lit(1))
+    merged = merge_cdc(o, changes, keys=["o_orderkey"], order_by=["seq"])
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
+    )
+
+
+@register(
+    "x_schema_evolution",
+    oracle=None,  # env-local multi-batch scratch write → rows-only
+    tags=("S1", "S5"),
+)
+def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (glue_infra.py:101-104 semantics): three batches
+    with drifting schemas land in one table; the evolved read unifies the
+    schema (added col → UPDATE; removed col survives nullable →
+    DEPRECATE). Returns the per-column status report."""
+    import shutil
+
+    from ..sources.evolution import append_batch, schema_report
+
+    from .lakehouse import _scratch
+
+    path = _scratch(f"x_evo_{sf_dir.strip('/').replace('/', '_')}")
+    shutil.rmtree(path, ignore_errors=True)
+    n = T(spark, sf_dir, "nation")
+    append_batch(n.select("n_nationkey", "n_name"), path)
+    append_batch(n.select("n_nationkey", "n_name", "n_regionkey"), path)
+    append_batch(n.select("n_nationkey", "n_regionkey"), path)  # n_name dropped
+    return schema_report(spark, path).orderBy("column_name")

@@ -107,3 +107,20 @@ class VersionedTable:
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         return self.spark.read.parquet(os.path.join(self.path, f"_v{version}"))
+
+
+def compact(table: VersionedTable, target_partitions: int = 8) -> int:
+    """Small-files compaction (the lakehouse maintenance op): rewrite the
+    current snapshot into ``target_partitions`` right-sized files as a new
+    version. Readers keep snapshot isolation throughout — time travel to
+    pre-compaction versions still works; only file layout changes.
+
+    At 100 TB this is the scheduled OPTIMIZE job: streaming/micro-batch
+    ingest produces many small files (one per trigger per partition);
+    scans then pay per-file open + footer costs. Compaction restores
+    scan-efficient file sizes without changing table contents.
+    """
+    cur = table.read()
+    if cur is None:
+        raise ValueError("cannot compact an empty table")
+    return table._commit(cur.repartition(target_partitions), "compact")

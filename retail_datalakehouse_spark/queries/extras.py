@@ -318,3 +318,31 @@ def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     append_batch(n.select("n_nationkey", "n_name", "n_regionkey"), path)
     append_batch(n.select("n_nationkey", "n_regionkey"), path)  # n_name dropped
     return schema_report(spark, path).orderBy("column_name")
+
+
+@register(
+    "x_percentiles",
+    oracle="""
+SELECT o_orderstatus AS status,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+       ROUND(median(o_totalprice), 4) AS med
+FROM orders
+GROUP BY 1
+""",
+    tags=("A1", "A3"),
+)
+def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99 + median) per status.
+    Both engines use the (n−1)·q linear-interpolation convention; results
+    rounded to 4 dp (interpolation arithmetic is the only float step).
+    At 100 TB the substitute is approx_percentile (t-digest sketch) —
+    exact percentile requires a per-group sort."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.median("o_totalprice"), 4).alias("med"),
+    )

@@ -318,3 +318,21 @@ def l5_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(d)
     feats = extract_features(media)
     return feats.select("doc_id", "n_bytes", "checksum", F.element_at("features", 2).alias("f1"))
+
+
+@register(
+    "l3_ivf_kmeans_topk",
+    oracle=None,  # approximate (probe subset, trained centroids) → rows-only
+    tags=("L3",),
+)
+def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path with TRAINED centroids: 3 Lloyd iterations of the
+    pure-DataFrame k-means (operators/kmeans.py) replace the seeded
+    centroids, then IVF top-10 with nprobe=2 — higher recall at the same
+    probe cost (tests/test_llm_ops.py quantifies it on blobs)."""
+    from ..operators.kmeans import centroids_df, kmeans_fit
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    cents = centroids_df(spark, kmeans_fit(e, k=8, max_iters=3))
+    return ivf_topk(e, cents, qvec, k=10, nprobe=2)

@@ -238,3 +238,80 @@ def t6_stateful_custom_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "t7_stream_static_join",
+    oracle="""
+WITH dim AS (
+  SELECT DISTINCT user_id, user_id % 5 AS tier FROM events
+)
+SELECT d.tier AS tier,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+FROM events e JOIN dim d ON e.user_id = d.user_id
+GROUP BY 1
+""",
+    tags=("T1", "J2"),
+)
+def t7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈static enrichment: the event stream joins a broadcast user
+    dimension per micro-batch, then aggregates per tier. Oracle = the same
+    join in batch (stream ≡ batch once drained)."""
+    from ..catalog import load_table
+    from ..streaming.jobs import stream_static_join
+
+    stream = events_stream(spark, sf_dir)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 5)
+    )
+    joined = stream_static_join(stream, dim, "user_id")
+    agg = joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("total_value"),
+    )
+    sink = run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)
+
+
+@register(
+    "t8_stream_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, COUNT(*) AS n_clicks_before
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+ AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+GROUP BY 1
+""",
+    tags=("T1", "J8"),
+)
+def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream interval join: purchases matched to same-user clicks
+    in the preceding hour, both sides watermarked (bounded state). Oracle
+    = the identical interval join in batch."""
+    from ..streaming.jobs import stream_stream_join
+
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = stream_stream_join(
+        purchases.select("event_id", "user_id", "ts"),
+        clicks.select(F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        within="1 hour",
+    )
+    # stream-stream joins emit in APPEND mode only; the joined pairs are
+    # the streaming product — the count per purchase is batch presentation.
+    pairs = joined.select(F.col("l.event_id").alias("purchase_id"), F.col("r.c_id"))
+    sink = run_to_memory(pairs, output_mode="append")
+    return (
+        spark.table(sink)
+        .groupBy("purchase_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks_before"))
+    )

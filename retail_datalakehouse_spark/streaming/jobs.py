@@ -181,3 +181,34 @@ def stateful_user_counter(stream: DataFrame):
     return stream.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def stream_static_join(stream: DataFrame, static_dim: DataFrame, on: str) -> DataFrame:
+    """T-extension: stream⋈static join — each micro-batch joins against the
+    (broadcastable) dimension snapshot; no state store involved. The
+    standard enrichment shape (events × user/product dims)."""
+    return stream.join(F.broadcast(static_dim), on)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """T-extension: stream⋈stream interval join. Both sides are
+    watermarked (bounds the join state) and matched on key + a time band
+    — right events within [left_ts - within, left_ts]. The state store
+    holds only rows younger than watermark+within: bounded at any scale.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond)

@@ -134,3 +134,52 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     assert math.isclose(row.approx, row.exact, rel_tol=0.05)
+
+
+def test_kmeans_recovers_blob_centers(spark):
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.kmeans import kmeans_fit
+
+    rng = np.random.RandomState(0)
+    blobs = np.vstack(
+        [rng.randn(40, 4) * 0.1 + c for c in [[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0]]]
+    ).astype("float32")
+    idx = rng.permutation(len(blobs))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in blobs[j]]) for i, j in enumerate(idx)],
+        ["vec_id", "embedding"],
+    )
+    cents = kmeans_fit(df, k=3, max_iters=8)
+    # each true center recovered to within the blob noise
+    for true in ([5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0]):
+        best = min(sum((a - b) ** 2 for a, b in zip(c, true)) for c in cents)
+        assert best < 0.1
+
+
+def test_ivf_with_kmeans_improves_over_seeded(spark):
+    """Trained centroids must give ≥ recall of arbitrary seeded ones for
+    the same nprobe (on clustered data, strictly better in general)."""
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.kmeans import centroids_df, kmeans_fit
+    from retail_datalakehouse_spark.operators.similarity import (
+        ivf_topk,
+        seeded_centroids,
+        topk_cosine,
+    )
+
+    rng = np.random.RandomState(1)
+    blobs = np.vstack([rng.randn(50, 8) * 0.2 + c for c in np.eye(8)[:4] * 4]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in blobs[i]]) for i in range(len(blobs))], ["vec_id", "embedding"]
+    )
+    q = [float(x) for x in blobs[10]]
+    truth = {r.vec_id for r in topk_cosine(df, q, k=5).collect()}
+    trained = centroids_df(spark, kmeans_fit(df, k=4, max_iters=6))
+    got_trained = {r.vec_id for r in ivf_topk(df, trained, q, k=5, nprobe=1).collect()}
+    got_seeded = {
+        r.vec_id for r in ivf_topk(df, seeded_centroids(df, c=4), q, k=5, nprobe=1).collect()
+    }
+    assert len(got_trained & truth) >= len(got_seeded & truth)
+    assert len(got_trained & truth) == 5  # with clean blobs, trained IVF is exact

@@ -346,3 +346,31 @@ def x_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
         F.round(F.median("o_totalprice"), 4).alias("med"),
     )
+
+
+@register(
+    "x_zorder_layout",
+    oracle=f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+""",
+    tags=("S3", "P4"),
+)
+def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering round-trip: orders re-laid-out along the Morton
+    curve of (o_custkey, epoch-day) — multi-dimensional file skipping —
+    then aggregated. Oracle = the same aggregate on the ORIGINAL table:
+    clustering must be a pure layout change (tests/test_table_format.py
+    asserts the per-file range tightening)."""
+    from ..operators.zorder import z_order_by
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "o_day", F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+    )
+    zed = z_order_by(o, ["o_custkey", "o_day"], n_partitions=8).drop("o_day")
+    return zed.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
+    )

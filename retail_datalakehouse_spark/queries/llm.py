@@ -336,3 +336,34 @@ def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     cents = centroids_df(spark, kmeans_fit(e, k=8, max_iters=3))
     return ivf_topk(e, cents, qvec, k=10, nprobe=2)
+
+
+@register(
+    "l2_word_jaccard",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+""",
+    tags=("L2",),
+)
+def l2_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SQL-checked variant: exact word-level (w=1) Jaccard ≥ 0.9 via
+    the explode + shared-token self-join path — pins the n-gram Jaccard
+    arithmetic against DuckDB. (The 3-gram MinHash-LSH pipeline is the
+    scale path; this exercises the exact-verify math end-to-end.)"""
+    d = T(spark, sf_dir, "documents")
+    return jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9)

@@ -78,3 +78,35 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     assert joined.count() == 100
     spark.sql("DROP TABLE IF EXISTS bkt_a")
     spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_zorder_tightens_per_file_ranges(spark):
+    """Z-ordered layout: each partition covers a compact rectangle in BOTH
+    dimensions — per-partition min/max spans shrink vs the unordered
+    layout, which is exactly what parquet min/max skipping feeds on."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.zorder import z_order_by
+
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") * 48271 % n).alias("x"),  # pseudo-random but deterministic
+        (F.col("id") * 69621 % n).alias("y"),
+    )
+
+    def avg_span(frame, col):
+        spans = (
+            frame.withColumn("p", F.spark_partition_id())
+            .groupBy("p")
+            .agg((F.max(col) - F.min(col)).alias("span"))
+            .agg(F.avg("span"))
+            .collect()[0][0]
+        )
+        return spans
+
+    plain = df.repartition(8)
+    zed = z_order_by(df, ["x", "y"], n_partitions=8)
+    for c in ("x", "y"):
+        assert avg_span(zed, c) < avg_span(plain, c) * 0.6  # much tighter boxes
+    # clustering is a layout change only — contents identical
+    assert sorted(map(tuple, zed.collect())) == sorted(map(tuple, df.collect()))

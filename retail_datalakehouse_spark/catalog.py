@@ -41,9 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     long, converted here to a microsecond TimestampType (floor division —
     matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation).
     """
+    # Runtime-set so the contract also works on a caller-built session (the
+    # driver constructs its own SparkSession without our builder): UTC keeps
+    # hour/day extraction aligned with DuckDB's naive timestamps, and the
+    # nanos conf lets Spark read events.ts (parquet TIMESTAMP(NANOS)).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime-set so the contract also works on a caller-built session
-        # (the driver constructs its own SparkSession without our builder).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -252,3 +252,41 @@ def s7_versioned_table_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
     )
+
+
+@register(
+    "sql_interface_flagship",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       COUNT(DISTINCT o.o_orderkey) AS num_orders,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+ORDER BY revenue DESC, nation
+""",
+    tags=("S5", "J1", "A1"),
+)
+def sql_interface_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-interface surface: tables registered in the catalog (the
+    Glue/Athena usage pattern), queried with raw `spark.sql` — same
+    Catalyst plan as the DataFrame API, proving both front doors work."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT o.o_orderkey) AS num_orders,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS DECIMAL(25,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1
+        ORDER BY revenue DESC, nation
+        """
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join
 from .base import register
-from .helpers import SQL_REVENUE, T, dsum, revenue_expr, sql_dsum
+from .helpers import T, dsum, revenue_expr, sql_dsum
 
 
 @register(

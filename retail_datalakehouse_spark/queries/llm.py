@@ -343,7 +343,7 @@ def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tok AS (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
-  FROM documents
+  FROM documents WHERE doc_id < 1000
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
 common AS (
@@ -363,7 +363,9 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
 def l2_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SQL-checked variant: exact word-level (w=1) Jaccard ≥ 0.9 via
     the explode + shared-token self-join path — pins the n-gram Jaccard
-    arithmetic against DuckDB. (The 3-gram MinHash-LSH pipeline is the
-    scale path; this exercises the exact-verify math end-to-end.)"""
-    d = T(spark, sf_dir, "documents")
+    arithmetic against DuckDB. Bounded to a deterministic 1000-doc slice
+    (both sides): exact all-pairs Jaccard is quadratic by nature — this
+    corpus has a 31-word vocabulary, so every doc pairs with every other.
+    The MinHash-LSH pipeline is the unbounded-scale path."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9)

@@ -235,3 +235,33 @@ def f7_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.col("props"), "$.missing").alias("missing_key"),
         F.get_json_object(F.col("props"), "$").isNotNull().alias("is_valid_json"),
     )
+
+
+@register(
+    "f3_bitwise_and_bounds",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS key_and,
+       o_orderkey | 4096 AS key_or,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       GREATEST(o_totalprice, 100000.0) AS price_floor_clamp,
+       LEAST(o_totalprice, 400000.0) AS price_ceil_clamp,
+       CAST(sign(o_totalprice - 250000.0) AS DOUBLE) AS above_mid
+FROM orders
+""",
+    tags=("F3",),
+)
+def f3_bitwise_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise ops (and/or/xor — the bucket/partition-id arithmetic under
+    hash layouts) + greatest/least clamps + sign."""
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("key_and"),
+        k.bitwiseOR(F.lit(4096)).alias("key_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.greatest("o_totalprice", F.lit(100000.0)).alias("price_floor_clamp"),
+        F.least("o_totalprice", F.lit(400000.0)).alias("price_ceil_clamp"),
+        F.signum(F.col("o_totalprice") - 250000.0).alias("above_mid"),
+    )

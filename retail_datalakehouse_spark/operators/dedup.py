@@ -21,15 +21,18 @@ from pyspark.sql import functions as F
 
 
 def dedup_keep_first(
-    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+    df: DataFrame, keys: Sequence[str], order_by: Sequence
 ) -> DataFrame:
     """Keep exactly one row per key, chosen by an explicit total order.
 
     Deterministic alternative to ``dropDuplicates(keys)``: the survivor is
-    the first row under ``order_by`` (ascending), so replays and partition
-    reshuffles always pick the same row. One shuffle on ``keys``.
+    the first row under ``order_by`` (column names sort ascending; Column
+    expressions are used as-is, so pass ``F.col(c).desc()`` for latest-
+    wins), so replays and partition reshuffles always pick the same row.
+    One shuffle on ``keys``.
     """
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc() for c in order_by])
+    order = [F.col(c).asc() if isinstance(c, str) else c for c in order_by]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

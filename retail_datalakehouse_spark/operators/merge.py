@@ -44,6 +44,26 @@ def merge_upsert(
     return kept.unionByName(updates)
 
 
+def merge_upsert_latest(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence,
+) -> DataFrame:
+    """Conditional MERGE: ``WHEN MATCHED AND update is newer THEN UPDATE``.
+
+    Unions both sides and keeps the first row per key under ``order_by``
+    (names sort ascending; Column expressions pass through — use
+    ``F.col("ts").desc()`` for latest-wins). Unlike :func:`merge_upsert`,
+    an update that is *older* than the stored row loses — the semantics a
+    CDC/event stream needs when micro-batch arrival order is not event
+    order. One shuffle on the merge keys.
+    """
+    from .dedup import dedup_keep_first
+
+    return dedup_keep_first(target.unionByName(updates), keys=keys, order_by=order_by)
+
+
 def merge_into_path(
     spark: SparkSession,
     target_path: str,

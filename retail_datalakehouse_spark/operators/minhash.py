@@ -182,18 +182,18 @@ def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # sum of ±1 contributions ≡ 2·(count of 1-bits) − n: plain bit-sums
+    # need no per-row conditional, which keeps the 64-agg codegen small.
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"b{i}")
         for i in range(64)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
     sh = F.lit(0).cast("long")
     for i in range(64):
         bit_val = (1 << i) if i < 63 else -(1 << 63)  # bit 63 is int64's sign bit
         sh = sh.bitwiseXOR(
-            F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.when(F.col(f"b{i}") * 2 > F.col("__n"), F.lit(bit_val).cast("long")).otherwise(
                 F.lit(0).cast("long")
             )
         )
@@ -203,3 +203,56 @@ def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
 def hamming64(a: F.Column, b: F.Column) -> F.Column:
     """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sh_col: str = "sh",
+    max_hamming: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Multi-band simhash near-dup: split the 64-bit hash into ``bands``
+    equal bit-bands and bucket-join on EACH band (union via posexplode of
+    the band array — one join, band_idx in the key).
+
+    Pigeonhole guarantee: a pair at Hamming < ``bands`` always shares at
+    least one exact band, and pairs up to ``max_hamming`` are caught with
+    high probability (vs a single-prefix band, which silently misses any
+    pair whose differing bits fall inside the probed prefix AND
+    concentrates billions of docs into one band's 2^16 buckets — the
+    skew + recall failure at scale). Exact Hamming ≤ ``max_hamming``
+    verified on candidates only; pairs deduped across bands.
+
+    Returns (id_a, id_b, hamming).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = df.select(
+        F.col(id_col),
+        F.col(sh_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col(sh_col), i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col(f"a.{sh_col}"), F.col(f"b.{sh_col}")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -8,8 +8,11 @@ from __future__ import annotations
 
 from .base import REGISTRY, Query, oracle_sql, queries, register  # noqa: F401
 
-# Import order mirrors the SURVEY §7 build plan; each import registers rows.
-from . import extras, functions, lakehouse, llm, relational, streaming, udfs, windows  # noqa: E402,F401  (S4, P1-P4, J1-J8, A1-A6, O1-O4) + (W1-W6, J9)
+# Import order = registration order = the order the driver's (time-bounded)
+# correctness gate walks the registry. Cheap relational/window/function/udf
+# queries register first; the expensive streaming + LLM blocks last, so a
+# budget cut never costs a cheap query its driver row.
+from . import relational, windows, functions, udfs, extras, lakehouse, llm, streaming  # noqa: E402,F401
 
 
 def all_queries():

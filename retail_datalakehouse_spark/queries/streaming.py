@@ -166,36 +166,33 @@ GROUP BY user_id
     tags=("T6", "S7"),
 )
 def t6_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6: streaming upsert — each micro-batch MERGEs into a keyed state
-    table (latest value per (user_id, event_type)), via foreachBatch. The
-    oracle is the batch 'latest row per key': if per-batch MERGE ≡ global
-    last-writer-wins, the stream upsert is exactly-once-correct."""
+    """T6: streaming upsert — each micro-batch MERGEs into a durable
+    VersionedTable keyed on (user_id, event_type), update-if-newer by
+    (ts µs, event_id). State lives in the table's committed snapshots
+    (one MERGE version per micro-batch) — not in driver memory — so it
+    survives restarts and scales past executor RAM. The oracle is the
+    batch 'latest row per key': per-batch conditional MERGE ≡ global
+    last-writer-wins regardless of micro-batch arrival order."""
+    import tempfile
+
     from ..operators.dedup import dedup_keep_first
-    from ..operators.merge import merge_upsert
+    from ..sources.table_format import VersionedTable
 
     stream = events_stream(spark, sf_dir)
-    state = {"df": None}
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t6_vt_"))
+    # unix_micros keeps sub-second ordering (a plain long cast truncates
+    # to seconds and can pick a different survivor than the oracle's
+    # ORDER BY ts DESC on same-second keys).
+    latest_order = [F.unix_micros(F.col("ts")).desc(), F.col("event_id").desc()]
+    keys = ["user_id", "event_type"]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # within the batch: keep latest row per key (deterministic order)
-        b = (
-            batch_df.withColumn("__neg_ts", -F.col("ts").cast("long"))
-            .withColumn("__neg_id", -F.col("event_id"))
-        )
-        latest = dedup_keep_first(
-            b, keys=["user_id", "event_type"], order_by=["__neg_ts", "__neg_id"]
-        ).drop("__neg_ts", "__neg_id")
+        latest = dedup_keep_first(batch_df, keys=keys, order_by=latest_order)
         latest = latest.select("user_id", "event_type", "value", "ts", "event_id")
-        prev = state["df"]
-        if prev is None:
-            state["df"] = latest.localCheckpoint(eager=True)
-        else:
-            merged = merge_upsert(prev, latest, keys=["user_id", "event_type"])
-            state["df"] = merged.localCheckpoint(eager=True)
+        table.merge(latest, keys=keys, order_by=latest_order)
 
     run_foreach_batch(stream, apply_batch, output_mode="append")
-    final = state["df"]
-    return final.groupBy("user_id").agg(
+    return table.read().groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_types"),
         F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("sum_last_values"),
     )

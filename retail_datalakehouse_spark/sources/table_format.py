@@ -31,7 +31,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.merge import merge_upsert
+from ..operators.merge import merge_upsert, merge_upsert_latest
 
 
 class VersionedTable:
@@ -90,10 +90,22 @@ class VersionedTable:
         out = df if cur is None else cur.unionByName(df)
         return self._commit(out, "append")
 
-    def merge(self, updates: DataFrame, keys: list[str]) -> int:
-        """MERGE INTO: update matched keys, insert new (S7 on a table)."""
+    def merge(self, updates: DataFrame, keys: list[str], order_by: list | None = None) -> int:
+        """MERGE INTO: update matched keys, insert new (S7 on a table).
+
+        With ``order_by`` (names or Column expressions), the merge is
+        conditional — ``WHEN MATCHED AND update is first under order_by
+        THEN UPDATE`` — so replaying out-of-order micro-batches cannot
+        regress a key to an older row (the streaming-upsert contract)."""
+        from ..operators.dedup import dedup_keep_first
+
         cur = self.read()
-        merged = updates if cur is None else merge_upsert(cur, updates, keys)
+        if cur is None:
+            merged = dedup_keep_first(updates, keys, order_by) if order_by else updates
+        elif order_by:
+            merged = merge_upsert_latest(cur, updates, keys, order_by)
+        else:
+            merged = merge_upsert(cur, updates, keys)
         return self._commit(merged, "merge")
 
     # -------------------------------------------------------------- reads

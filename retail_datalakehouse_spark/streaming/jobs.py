@@ -22,12 +22,34 @@ which changes the declarative query below.
 from __future__ import annotations
 
 import itertools
+import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _sink_counter = itertools.count()
+
+
+@contextmanager
+def _stream_shuffle(spark: SparkSession):
+    """Run a stream with a small shuffle-partition count, restoring the
+    session setting afterwards.
+
+    Stateful operators instantiate one state store (+ checkpoint dir) per
+    shuffle partition, so at test scale the per-partition setup dominates
+    the actual work; a handful of partitions cuts stream wall time ~2-3×.
+    On a real cluster this knob is sized to executor count — the override
+    env var is the same one."""
+    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, n)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def read_file_stream(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
@@ -42,14 +64,15 @@ def run_to_memory(
     """Execute a streaming DataFrame with AvailableNow into a memory sink;
     returns the sink table name (unique per call, so re-runs don't clash)."""
     sink = name or f"stream_sink_{next(_sink_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_shuffle(df.sparkSession):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return sink
 
 
@@ -57,8 +80,9 @@ def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
     """T6 harness: run a stream through ``foreachBatch(fn)`` to completion.
     ``fn(batch_df, batch_id)`` applies the per-micro-batch action (MERGE,
     idempotent upsert into a sink table, ...)."""
-    q = df.writeStream.foreachBatch(fn).outputMode(output_mode).trigger(availableNow=True).start()
-    q.awaitTermination()
+    with _stream_shuffle(df.sparkSession):
+        q = df.writeStream.foreachBatch(fn).outputMode(output_mode).trigger(availableNow=True).start()
+        q.awaitTermination()
 
 
 def _as_stream_dir(sf_dir: str, table: str) -> str:

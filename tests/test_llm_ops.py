@@ -75,6 +75,26 @@ def test_simhash_hamming_reflects_similarity(spark, docs_df):
     assert h01 < h02  # near-dup is closer in hamming space than unrelated
 
 
+def test_simhash_multiband_catches_top_bit_diffs(spark):
+    """A pair whose only differing bits sit in the TOP 16 bits is invisible
+    to a single 16-bit-prefix band but must be caught by 4-band probing
+    (the lower three bands match exactly)."""
+    from retail_datalakehouse_spark.operators.minhash import simhash_near_dup_pairs
+
+    base = 0x0123456789ABCDEF
+    top_diff = base ^ (0b101 << 60)  # 2 bits flipped, both in bits 60-62
+    low_diff = base ^ 0b11  # 2 bits flipped in the lowest band
+    far = base ^ ((1 << 50) - 1)  # hamming 50 — never a near-dup
+    df = spark.createDataFrame(
+        [(0, base), (1, top_diff), (2, low_diff), (3, far)], ["doc_id", "sh"]
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dup_pairs(df, max_hamming=12).collect()}
+    assert got[(0, 1)] == 2  # top-band diff: missed by prefix banding, caught here
+    assert got[(0, 2)] == 2
+    assert got[(1, 2)] == 4  # differs from each other in both bands
+    assert not any(3 in p for p in got)  # far hash excluded by hamming verify
+
+
 def test_topk_cosine_matches_numpy(spark):
     import numpy as np
 

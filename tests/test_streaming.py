@@ -55,6 +55,46 @@ def test_watermark_dedup_drops_duplicate_within_horizon(spark, tmp_path):
     assert ids == [1, 2]
 
 
+def test_foreachbatch_merge_state_in_table_log(spark, tmp_path):
+    """T6: streaming upsert state lives in a VersionedTable — one MERGE
+    version per micro-batch in the manifest log, final state = latest row
+    per key across ALL batches (update-if-newer, so an out-of-order later
+    batch cannot regress a key)."""
+    from retail_datalakehouse_spark.operators.dedup import dedup_keep_first
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+    from retail_datalakehouse_spark.streaming.jobs import run_foreach_batch
+
+    d = tmp_path / "stream"
+    t0 = datetime(2024, 6, 6, 10, 0, 0)
+    t1 = datetime(2024, 6, 6, 11, 0, 0)
+    # file 1: key (7, click) @ t1 value 1.0 — the NEWER row arrives FIRST
+    _write_batch(spark, d, [(1, t1, 7, "click", 1.0)])
+    # file 2: stale (7, click) @ t0 must NOT win; (8, view) is a new key
+    _write_batch(spark, d, [(2, t0, 7, "click", 99.0), (3, t0, 8, "view", 3.0)])
+    schema = spark.read.parquet(str(d)).schema
+    # maxFilesPerTrigger=1 → each file is its own micro-batch
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(str(d))
+
+    table = VersionedTable(spark, str(tmp_path / "state_tbl"))
+    keys = ["user_id", "event_type"]
+    order = [F.unix_micros(F.col("ts")).desc(), F.col("event_id").desc()]
+
+    def apply_batch(batch_df, batch_id):
+        latest = dedup_keep_first(batch_df, keys=keys, order_by=order)
+        table.merge(latest.select("user_id", "event_type", "value", "ts", "event_id"), keys=keys, order_by=order)
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+
+    hist = table.history()
+    assert len(hist) >= 2, "one MERGE version per micro-batch expected"
+    assert all(h["operation"] == "merge" for h in hist)
+    final = {(r.user_id, r.event_type): r.value for r in table.read().collect()}
+    assert final == {(7, "click"): 1.0, (8, "view"): 3.0}  # stale row lost
+    # time travel: the first batch's state is still readable
+    v1 = {(r.user_id, r.event_type): r.value for r in table.read_version(hist[0]["version"]).collect()}
+    assert v1 == {(7, "click"): 1.0}
+
+
 def test_tumbling_stream_equals_batch(spark, tmp_path):
     """T2 equivalence on crafted data: streaming tumbling agg ≡ batch
     groupBy(date_trunc) on the same rows."""

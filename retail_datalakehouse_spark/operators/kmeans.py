@@ -56,19 +56,18 @@ def kmeans_fit(
     tol: float = 1e-6,
 ) -> list[list[float]]:
     """Lloyd's algorithm; returns k centroid vectors (list of lists)."""
-    # Strided init: k vectors at evenly spaced ranks of the id order —
-    # deterministic AND spread across the data (taking the first k is
-    # degenerate when storage order correlates with cluster structure;
-    # k-means++ would be the probabilistic upgrade).
-    from pyspark.sql import Window
-
+    # Strided init: k vectors at evenly spaced ids — deterministic AND
+    # spread across the data (taking the first k is degenerate when storage
+    # order correlates with cluster structure). The modulo filter + top-k
+    # keeps this fully distributed (TakeOrderedAndProject); a global
+    # row_number window would drag every row through one partition.
+    # Assumes a numeric id column (the engine's vec_id contract).
     n = df.count()
     stride = max(n // k, 1)
-    w = Window.orderBy(id_col)
     init_rows = (
-        df.select(F.col(vec_col), F.row_number().over(w).alias("__rn"))
-        .filter(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * k))
-        .orderBy("__rn")
+        df.filter(F.col(id_col) % stride == 0)
+        .orderBy(id_col)
+        .limit(k)
         .select(vec_col)
         .collect()
     )

@@ -71,17 +71,28 @@ def merge_into_path(
     keys: Sequence[str],
     fmt: str = "parquet",
 ) -> None:
-    """MERGE against a stored table: read → merge → write temp → swap.
+    """MERGE against a stored table: read → merge → write temp → dir-swap.
 
-    Without Delta's transaction log this is the standard overwrite-swap:
-    readers see either the old or the new table, never a partial write.
+    The swap is two ``os.rename`` calls (atomic per-call on POSIX): a
+    crash between them leaves the target momentarily absent but never
+    partial, and the previous snapshot survives at ``__merge_old`` until
+    the swap completes. For real multi-writer/multi-reader isolation use
+    :class:`..sources.table_format.VersionedTable.merge`, which commits
+    through a CAS'd manifest instead of renaming in place.
     """
+    import os
+    import shutil
+
     target = spark.read.format(fmt).load(target_path)
     merged = merge_upsert(target, updates, keys)
-    tmp = target_path.rstrip("/") + "__merge_tmp"
+    base = target_path.rstrip("/")
+    tmp, old = base + "__merge_tmp", base + "__merge_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     merged.write.mode("overwrite").format(fmt).save(tmp)
-    # swap: re-point by overwriting target from the temp copy
-    spark.read.format(fmt).load(tmp).write.mode("overwrite").format(fmt).save(target_path)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def merge_cdc(
@@ -90,6 +101,7 @@ def merge_cdc(
     keys: Sequence[str],
     op_col: str = "op",
     order_by: Sequence[str] = (),
+    broadcast_changes: bool = True,
 ) -> DataFrame:
     """Full CDC fold (S7 extended): apply a change batch containing
     upserts AND deletes.
@@ -99,6 +111,9 @@ def merge_cdc(
     wins (fold within the batch first — deterministic, replay-safe). Then:
     delete tombstones remove the key from the target; upserts replace or
     insert. Single anti-join + union — same shuffle profile as plain MERGE.
+    Leave ``broadcast_changes`` True only while the change batch is small
+    (CDC correction files); a bulk backfill batch must shuffle, not
+    broadcast, or it OOMs the executors.
     """
     from .dedup import dedup_keep_first
 
@@ -115,7 +130,10 @@ def merge_cdc(
         )
     else:
         changes = dedup_keep_first(changes, keys=keys, order_by=keys)
-    survivors = target.join(F.broadcast(changes.select(*keys)), on=keys, how="left_anti")
+    change_keys = changes.select(*keys)
+    if broadcast_changes:
+        change_keys = F.broadcast(change_keys)
+    survivors = target.join(change_keys, on=keys, how="left_anti")
     # project upserts onto the target schema (CDC metadata cols dropped)
     inserts = changes.filter(F.col(op_col) == "upsert").select(*target.columns)
     return survivors.unionByName(inserts)

@@ -115,19 +115,30 @@ def jaccard_pairs(
     w: int = 1,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    quadratic_limit: int = 10_000,
 ) -> DataFrame:
     """Exact w-gram Jaccard similarity for pairs above ``threshold``.
 
     With ``candidates`` (from LSH) — the scale path — each candidate pair
     is scored by joining the two docs' distinct-shingle ARRAYS and taking
     ``array_intersect`` per pair: cost is O(|candidates| · shingles/doc),
-    never a corpus-wide shingle self-join. Without candidates, falls back
-    to the explode + self-join-on-shingle formulation (only pairs sharing
-    ≥1 shingle surface — fine for small/diverse corpora, quadratic on
-    boilerplate-heavy ones; always pass candidates at scale).
+    never a corpus-wide shingle self-join. Without candidates, the
+    explode + self-join-on-shingle fallback surfaces pairs sharing ≥1
+    shingle — quadratic on boilerplate-heavy corpora, so it is gated:
+    above ``quadratic_limit`` rows the call AUTO-ROUTES through
+    MinHash-LSH (64 perms, 16×4 bands, same shingle width) to produce
+    candidates first. The quadratic path cannot be reached accidentally
+    at scale.
 
     Returns (id_a, id_b, jaccard).
     """
+    if candidates is None and quadratic_limit is not None:
+        # cheap bounded count: scans at most limit+1 rows, not the corpus
+        if df.select(id_col).limit(quadratic_limit + 1).count() > quadratic_limit:
+            sig = minhash_signature(
+                df.select(id_col, text_col), text_col, k=64, w=w, id_cols=[id_col]
+            )
+            candidates = lsh_candidate_pairs(sig, id_col, bands=16, rows=4)
     sh_arrays = df.select(
         F.col(id_col), F.array_distinct(shingles(text_col, w)).alias("shs")
     )

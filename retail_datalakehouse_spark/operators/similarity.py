@@ -121,6 +121,52 @@ def ivf_topk(
     return topk_cosine(probed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
 
 
+def build_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index ONCE: every vector assigned to its nearest
+    centroid, written partitioned by ``centroid_id``.
+
+    At 100 TB the assignment is a write-once narrow column, not per-query
+    work: queries prune to the probed clusters' partitions at the parquet
+    scan (PartitionFilters), so a probe reads nprobe/C of the corpus from
+    disk — the difference between an index and a recomputation."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a persisted index: score the C centroids, read
+    ONLY the nprobe winning clusters' partitions (partition-pruned scan),
+    brute-force inside them."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    idx = spark.read.parquet(index_path)
+    probed = idx.filter(F.col("centroid_id").isin(probe_ids))
+    return topk_cosine(probed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
 def seeded_centroids(
     df: DataFrame, c: int = 8, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

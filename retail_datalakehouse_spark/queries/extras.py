@@ -374,3 +374,23 @@ def x_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zed.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
         F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue")
     )
+
+
+@register(
+    "x_approx_percentiles",
+    oracle=None,  # sketch-based estimates are engine-specific → rows-only
+    tags=("A3", "A1"),
+)
+def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch, accuracy 10000) per
+    status — the 100 TB profile-job substitute for `x_percentiles`: the
+    sketch is partial-mergeable (no per-group sort, bounded memory per
+    partition). Estimates are engine-specific → rows-only; the error-
+    bound-vs-exact test lives in tests/test_llm_ops.py."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        ).alias("approx_p"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -148,6 +148,106 @@ def t5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _write_single_parquet(df: DataFrame, dest: str) -> None:
+    """Write df as exactly ONE parquet file at ``dest`` (the file-stream
+    source wants plain files, not part-file directories)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="rdl_onefile_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+@register(
+    "t5_watermark_admission",
+    oracle="""
+WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+b AS (SELECT date_trunc('hour', MIN(ts)) AS t0 FROM e),
+f1 AS (SELECT e.* FROM e, b WHERE ts < t0 + INTERVAL 24 HOUR),
+f2 AS (SELECT e.* FROM e, b
+       WHERE ts >= t0 + INTERVAL 72 HOUR AND ts < t0 + INTERVAL 96 HOUR),
+f2b AS (SELECT e.* FROM e, b
+        WHERE (ts >= t0 + INTERVAL 96 HOUR AND ts < t0 + INTERVAL 97 HOUR)
+           OR (ts >= t0 + INTERVAL 100 HOUR AND ts < t0 + INTERVAL 109 HOUR)),
+wf AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm
+       FROM (SELECT ts FROM f1 UNION ALL SELECT ts FROM f2) u),
+f3 AS (SELECT e.* FROM e, b
+       WHERE (ts >= t0 + INTERVAL 24 HOUR AND ts < t0 + INTERVAL 72 HOUR)
+          OR (ts >= t0 + INTERVAL 97 HOUR AND ts < t0 + INTERVAL 100 HOUR)),
+admitted AS (
+  SELECT event_id, ts FROM f1
+  UNION ALL SELECT event_id, ts FROM f2
+  UNION ALL SELECT event_id, ts FROM f2b
+  UNION ALL SELECT f3.event_id, f3.ts FROM f3, wf WHERE f3.ts > wf.wm),
+final_wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM admitted),
+agg AS (SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events
+        FROM admitted GROUP BY 1)
+SELECT window_start, n_events
+FROM agg, final_wm
+WHERE window_start + INTERVAL 1 HOUR <= final_wm.wm
+""",
+    tags=("T5",),
+)
+def t5_watermark_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 hash-checked: event-time watermark admission on deliberately
+    OUT-OF-ORDER arrival, via a windowed aggregation in append mode.
+
+    Four files arrive as separate micro-batches (mtime-ordered,
+    maxFilesPerTrigger=1): day 1; day 4; a day-5 'advancer' slice carrying
+    the global max event time; then a mix of STALE day-2/3 rows and FRESH
+    hours-97-100 rows. Spark drops the stale block (far below the
+    watermark in effect for that batch) and aggregates the fresh block;
+    append mode then emits exactly the windows closed by the final
+    watermark. The DuckDB oracle computes the identical admitted set and
+    emitted-window set from the watermark rule.
+
+    Empirically pinned Spark semantics this construction respects (and
+    keeps every boundary far from any row so conventions can't diverge):
+    the late-row filter for micro-batch N uses the watermark derived from
+    batches ≤ N−2 (one batch of lag vs state eviction), and a window is
+    emitted once window_end <= final watermark (final no-data batch)."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    t0 = e.agg(F.date_trunc("hour", F.min("ts")).alias("t0")).head()[0]
+    c = {h: F.lit(t0 + timedelta(hours=h)) for h in (24, 72, 96, 97, 100, 109)}
+    ts = F.col("ts")
+    f1 = e.filter(ts < c[24])
+    f2 = e.filter((ts >= c[72]) & (ts < c[96]))
+    f2b = e.filter(
+        ((ts >= c[96]) & (ts < c[97])) | ((ts >= c[100]) & (ts < c[109]))
+    )
+    f3 = e.filter(
+        ((ts >= c[24]) & (ts < c[72])) | ((ts >= c[97]) & (ts < c[100]))
+    )
+
+    d = tempfile.mkdtemp(prefix="rdl_t5_ooo_")
+    for i, part in enumerate((f1, f2, f2b, f3)):
+        dest = os.path.join(d, f"batch{i}.parquet")
+        _write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))  # arrival order
+
+    schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    sink = run_to_memory(agg, output_mode="append")
+    return spark.table(sink)
+
+
 @register(
     "t6_foreachbatch_merge",
     oracle="""

@@ -4,34 +4,44 @@ parquet (SURVEY §2.1 S6/S7; BASELINE.json "table format operations").
 Delta/Iceberg are not on this classpath, so the engine ships a minimal
 log-structured table format with the same *operational* surface:
 
-- every write is a new immutable **snapshot** (parquet under
-  ``_v<N>/``) committed by atomically writing a manifest entry;
+- every write is a new immutable **snapshot** (parquet under a per-commit
+  directory) committed by atomically linking a manifest entry;
 - readers resolve the manifest → **snapshot isolation** (a reader never
-  sees a half-written version) and **time travel**
-  (``read_version(n)``);
+  sees a half-written version) and **time travel** (``read_version(n)``);
 - ``append`` / ``overwrite`` / ``merge`` (upsert on keys) are the three
   commit types, mirroring Delta's write modes + MERGE INTO;
 - the manifest records per-version lineage (parent, operation, row count)
   — the audit trail a lakehouse needs for reproducible training-data
   snapshots.
 
-The commit protocol is write-data-then-rename-manifest: the manifest file
-``_manifest/v<N>.json`` is created only after the snapshot directory is
-fully written, and the "current" version is simply the highest committed N
-(rename/create is atomic on POSIX and object stores with atomic put).
-This is exactly Delta's log-append idea minus optimistic-concurrency
-conflict checking (single-writer assumption — document it, don't fake it).
+**Optimistic concurrency** (Delta's log-CAS, minus the JVM): each writer
+stages its snapshot in a private directory ``_v<N>-<token>`` and then
+tries to commit manifest ``_manifest/v<N>.json`` via ``os.link`` of a
+fully-written temp file — link fails atomically if version N is already
+committed (POSIX; object stores use put-if-absent). The loser gets
+:class:`CommitConflict`, and the write paths **retry with rebase**:
+re-read the now-current snapshot, re-derive the result, try N+1. Staged
+data of a lost race is removed; readers only ever resolve directories
+through committed manifests, so a crash mid-write leaves garbage, never
+corruption.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.merge import merge_upsert, merge_upsert_latest
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the version this writer raced for."""
 
 
 class VersionedTable:
@@ -55,40 +65,69 @@ class VersionedTable:
         vs = self._versions()
         return vs[-1] if vs else None
 
-    def history(self) -> list[dict]:
-        return [
-            json.load(open(os.path.join(self._manifest_dir, f"v{v}.json")))
-            for v in self._versions()
-        ]
+    def _manifest(self, version: int) -> dict:
+        return json.load(open(os.path.join(self._manifest_dir, f"v{version}.json")))
 
-    def _commit(self, df: DataFrame, op: str) -> int:
-        v = (self.current_version() or 0) + 1
-        data_dir = os.path.join(self.path, f"_v{v}")
-        df.write.mode("overwrite").parquet(data_dir)  # data first …
+    def history(self) -> list[dict]:
+        return [self._manifest(v) for v in self._versions()]
+
+    def _try_commit(self, df: DataFrame, op: str, parent: int | None) -> int:
+        """Stage the snapshot in a private dir, then CAS the manifest for
+        version parent+1. Raises :class:`CommitConflict` (after cleaning
+        up the staged data) if another writer committed that version."""
+        v = (parent or 0) + 1
+        token = uuid.uuid4().hex[:8]
+        data_dirname = f"_v{v}-{token}"
+        data_dir = os.path.join(self.path, data_dirname)
+        df.write.mode("overwrite").parquet(data_dir)  # private staging dir …
         os.makedirs(self._manifest_dir, exist_ok=True)
         n_rows = self.spark.read.parquet(data_dir).count()
         entry = {
             "version": v,
             "operation": op,
-            "parent": v - 1 if v > 1 else None,
+            "parent": parent,
             "n_rows": n_rows,
+            "data_dir": data_dirname,
             "committed_at": time.time(),
         }
-        tmp = os.path.join(self._manifest_dir, f".v{v}.json.tmp")
+        tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
-        os.rename(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))  # … commit last
+        final = os.path.join(self._manifest_dir, f"v{v}.json")
+        try:
+            os.link(tmp, final)  # … CAS commit: fails iff v already exists
+        except FileExistsError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise CommitConflict(f"version {v} already committed at {self.path}") from None
+        finally:
+            os.unlink(tmp)
         return v
+
+    def _commit_with_retry(
+        self, build: Callable[[DataFrame | None], DataFrame], op: str, max_retries: int = 5
+    ) -> int:
+        """Optimistic-concurrency loop: derive the new snapshot from the
+        CURRENT one, try the CAS commit, and on conflict rebase onto the
+        winner's snapshot and retry."""
+        for _ in range(max_retries):
+            parent = self.current_version()
+            try:
+                return self._try_commit(build(self.read()), op, parent)
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"lost {max_retries} consecutive commit races at {self.path}"
+        )
 
     # ------------------------------------------------------------- writes
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, "overwrite")
+        return self._commit_with_retry(lambda cur: df, "overwrite")
 
     def append(self, df: DataFrame) -> int:
-        cur = self.read()
-        out = df if cur is None else cur.unionByName(df)
-        return self._commit(out, "append")
+        return self._commit_with_retry(
+            lambda cur: df if cur is None else cur.unionByName(df), "append"
+        )
 
     def merge(self, updates: DataFrame, keys: list[str], order_by: list | None = None) -> int:
         """MERGE INTO: update matched keys, insert new (S7 on a table).
@@ -99,14 +138,14 @@ class VersionedTable:
         regress a key to an older row (the streaming-upsert contract)."""
         from ..operators.dedup import dedup_keep_first
 
-        cur = self.read()
-        if cur is None:
-            merged = dedup_keep_first(updates, keys, order_by) if order_by else updates
-        elif order_by:
-            merged = merge_upsert_latest(cur, updates, keys, order_by)
-        else:
-            merged = merge_upsert(cur, updates, keys)
-        return self._commit(merged, "merge")
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return dedup_keep_first(updates, keys, order_by) if order_by else updates
+            if order_by:
+                return merge_upsert_latest(cur, updates, keys, order_by)
+            return merge_upsert(cur, updates, keys)
+
+        return self._commit_with_retry(build, "merge")
 
     # -------------------------------------------------------------- reads
 
@@ -115,10 +154,13 @@ class VersionedTable:
         return None if v is None else self.read_version(v)
 
     def read_version(self, version: int) -> DataFrame:
-        """Time travel: read any committed snapshot."""
+        """Time travel: read any committed snapshot (dir resolved through
+        the manifest — staged/orphaned dirs are invisible)."""
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
-        return self.spark.read.parquet(os.path.join(self.path, f"_v{version}"))
+        entry = self._manifest(version)
+        data_dirname = entry.get("data_dir", f"_v{version}")
+        return self.spark.read.parquet(os.path.join(self.path, data_dirname))
 
 
 def compact(table: VersionedTable, target_partitions: int = 8) -> int:
@@ -132,7 +174,8 @@ def compact(table: VersionedTable, target_partitions: int = 8) -> int:
     scans then pay per-file open + footer costs. Compaction restores
     scan-efficient file sizes without changing table contents.
     """
-    cur = table.read()
-    if cur is None:
+    if table.read() is None:
         raise ValueError("cannot compact an empty table")
-    return table._commit(cur.repartition(target_partitions), "compact")
+    return table._commit_with_retry(
+        lambda cur: cur.repartition(target_partitions), "compact"
+    )

@@ -66,9 +66,14 @@ def test_compaction_preserves_contents_and_history(spark, tmp_path):
     # simulate micro-batch ingest: a deliberately fragmented snapshot
     df = spark.createDataFrame([(i, i * 1.0) for i in range(1000)], ["id", "v"]).repartition(64)
     t.overwrite(df)
-    v1_files = len([f for f in os.listdir(str(tmp_path / "tbl" / "_v1")) if f.endswith(".parquet")])
+
+    def n_files(version: int) -> int:
+        d = tmp_path / "tbl" / t._manifest(version)["data_dir"]
+        return len([f for f in os.listdir(str(d)) if f.endswith(".parquet")])
+
+    v1_files = n_files(1)
     v2 = compact(t, target_partitions=4)
-    v2_files = len([f for f in os.listdir(str(tmp_path / "tbl" / f"_v{v2}")) if f.endswith(".parquet")])
+    v2_files = n_files(v2)
     assert v2_files < v1_files and v2_files <= 4
     # contents identical; pre-compaction snapshot still readable
     assert t.read().agg(F.sum("v")).collect()[0][0] == t.read_version(1).agg(F.sum("v")).collect()[0][0]

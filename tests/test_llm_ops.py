@@ -61,6 +61,17 @@ def test_minhash_lsh_finds_near_dups(spark, docs_df):
     assert got == {(0, 1), (0, 4), (1, 4)}
 
 
+def test_jaccard_autoroutes_through_lsh_above_limit(spark, docs_df):
+    """Without candidates, jaccard_pairs must NOT run its quadratic
+    shingle self-join once the corpus exceeds quadratic_limit — it
+    auto-routes through MinHash-LSH and still finds the true near-dups."""
+    pairs = jaccard_pairs(
+        docs_df, "doc_id", "text", w=3, threshold=0.5, quadratic_limit=3
+    )  # 5 docs > limit of 3 → LSH route
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1), (0, 4), (1, 4)}  # same verified set as the LSH pipeline
+
+
 def test_simhash_hamming_reflects_similarity(spark, docs_df):
     from retail_datalakehouse_spark.operators.minhash import hamming64
 
@@ -154,6 +165,24 @@ def test_approx_count_distinct_within_bound(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     assert math.isclose(row.approx, row.exact, rel_tol=0.05)
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """GK-sketch percentiles must land within 1% relative error of the
+    exact interpolated percentiles at accuracy 10000."""
+    from retail_datalakehouse_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
+        ).alias("approx"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("e50"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("e90"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("e99"),
+    ).collect()[0]
+    for got, exact in zip(row.approx, (row.e50, row.e90, row.e99)):
+        assert math.isclose(got, exact, rel_tol=0.01)
 
 
 def test_kmeans_recovers_blob_centers(spark):

@@ -43,6 +43,40 @@ def test_versioned_table_merge_idempotent(spark, tmp_path):
     assert sorted(map(tuple, t.read().collect())) == before
 
 
+def test_versioned_table_concurrent_writers_cas(spark, tmp_path):
+    """OCC: two writers racing for the same version — the CAS manifest
+    commit lets exactly one win; the loser raises CommitConflict at the
+    primitive level and succeeds via rebase-retry at the API level."""
+    from retail_datalakehouse_spark.sources.table_format import CommitConflict
+
+    import pytest
+
+    path = str(tmp_path / "tbl")
+    wa, wb = VersionedTable(spark, path), VersionedTable(spark, path)
+    wa.overwrite(spark.createDataFrame([(1, "a")], ["id", "s"]))  # v1
+    assert wa.current_version() == wb.current_version() == 1
+
+    # both writers derive from v1; A commits v2 first
+    da = spark.createDataFrame([(2, "from_a")], ["id", "s"])
+    db = spark.createDataFrame([(3, "from_b")], ["id", "s"])
+    assert wa._try_commit(wa.read().unionByName(da), "append", parent=1) == 2
+    # B's stale commit for v2 must fail atomically, cleaning up its staging dir
+    with pytest.raises(CommitConflict):
+        wb._try_commit(wb.read_version(1).unionByName(db), "append", parent=1)
+    import os
+
+    staged = [d for d in os.listdir(path) if d.startswith("_v2-")]
+    assert len(staged) == 1, "loser's staged snapshot dir must be removed"
+
+    # the API-level retry rebases onto v2 and lands as v3 with BOTH writes
+    assert wb.append(db) == 3
+    ids = {r.id for r in wb.read().collect()}
+    assert ids == {1, 2, 3}
+    assert [h["operation"] for h in wb.history()] == ["overwrite", "append", "append"]
+    # time travel still intact across the race
+    assert {r.id for r in wb.read_version(2).collect()} == {1, 2}
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting changes the shuffle layout, never the result."""
     large = spark.createDataFrame(

@@ -73,13 +73,24 @@ def main() -> int:
     df = Q.all_queries()["p1_projection_computed"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     scan_line = next((ln for ln in plan.splitlines() if "ReadSchema" in ln), "")
+    pruning_ok = True
     for should_be_absent in ("l_shipdate", "l_partkey", "l_suppkey", "l_returnflag"):
         if should_be_absent in scan_line:
             failures.append(("p1_projection_computed", should_be_absent, "column pruning"))
             print(f"FAIL  p1 scan reads unneeded column {should_be_absent}")
-    else:
+            pruning_ok = False
+    if pruning_ok:
         print("PASS  p1_projection_computed: ReadSchema pruned to used columns")
-    print(f"\n{len(CHECKS) + 1 - len(failures)}/{len(CHECKS) + 1} plan checks pass")
+    # IVF probe: the persisted-index scan must be partition-pruned to the
+    # probed clusters (PartitionFilters on centroid_id), not a full read
+    plan = plan_of(spark, "l3_ivf_kmeans_topk")
+    if "PartitionFilters: [centroid_id" in plan and " IN (" in plan:
+        print("PASS  l3_ivf_kmeans_topk: probe scan partition-pruned on centroid_id")
+    else:
+        failures.append(("l3_ivf_kmeans_topk", "PartitionFilters centroid_id", "IVF probe pruning"))
+        print("FAIL  l3_ivf_kmeans_topk: probe scan not partition-pruned")
+    n_total = len(CHECKS) + 2
+    print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 
 

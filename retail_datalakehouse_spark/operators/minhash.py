@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .parallelism import fan_out
 from .text import tokens
 
 # 2^31 − 1: keeps a·h + b < 2^62, safely inside int64 (no overflow in the
@@ -67,6 +68,9 @@ def minhash_signature(
     (measured 100×+ slower at sf0.1).
     """
     id_cols = list(id_cols or [c for c in df.columns if c != text_col])
+    # Shingling+hashing is compute-bound: a byte-sized corpus arrives as
+    # one scan split, which would serialize the whole signature pass.
+    df = fan_out(df)
     exploded = df.select(
         *id_cols, F.explode(F.array_distinct(shingles(text_col, w))).alias("__sh")
     ).withColumn("__h", F.abs(F.xxhash64("__sh")) % _MERSENNE)
@@ -139,7 +143,7 @@ def jaccard_pairs(
                 df.select(id_col, text_col), text_col, k=64, w=w, id_cols=[id_col]
             )
             candidates = lsh_candidate_pairs(sig, id_col, bands=16, rows=4)
-    sh_arrays = df.select(
+    sh_arrays = fan_out(df).select(
         F.col(id_col), F.array_distinct(shingles(text_col, w)).alias("shs")
     )
     if candidates is not None:
@@ -190,7 +194,7 @@ def simhash64_df(df: DataFrame, id_col: str, text_col: str = "text") -> DataFram
 
     Returns (id_col, sh: long).
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     # sum of ±1 contributions ≡ 2·(count of 1-bits) − n: plain bit-sums

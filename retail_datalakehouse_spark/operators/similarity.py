@@ -68,6 +68,43 @@ def topk_cosine(
     return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
 
 
+def topk_cosine_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 8,
+) -> DataFrame:
+    """Similarity JOIN: exact top-k corpus neighbors for EVERY query
+    vector (the batch shape of cross-corpus dedup / retrieval eval).
+
+    The query set broadcasts (it is the small side by construction), each
+    corpus partition scores its rows against all queries JVM-side, and a
+    per-query window keeps k — so the shuffle carries only ``n_queries·k``
+    survivors per partition after WindowGroupLimit pushdown, never the
+    full ``n_queries × corpus`` score matrix. For query sets too large to
+    broadcast, route the corpus through :func:`build_ivf_index` and join
+    per-cluster instead.
+
+    Returns (q_id, vec_id, cos_sim) with deterministic tie-breaks."""
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec)), round_to).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(q_id, id_col, "cos_sim")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

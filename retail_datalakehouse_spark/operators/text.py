@@ -80,6 +80,31 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    every char k-gram, then keep the MINIMUM hash in each window of ``w``
+    consecutive k-grams, distinct. Guarantees: any shared substring of
+    length ≥ k + w − 1 contributes at least one shared fingerprint, so
+    partial overlap (plagiarism / boilerplate reuse) is detectable from a
+    fingerprint set ~1/w the size of the full hash stream.
+
+    Column-native: ``substring`` + ``xxhash64`` per position and
+    ``array_min`` over sliding slices — all codegen, no UDF. (A
+    literal rolling hash saves the O(k) re-hash per position; at Spark's
+    layer the per-position xxhash64 stays JVM-side and parallelizes,
+    which wins over any Python-side O(n) loop.)"""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    n_grams = F.greatest(n - F.lit(k - 1), F.lit(1))
+    gram_pos = F.sequence(F.lit(1), n_grams)
+    hashes = F.transform(gram_pos, lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    n_windows = F.greatest(n_grams - F.lit(w - 1), F.lit(1))
+    win_pos = F.sequence(F.lit(1), n_windows)
+    return F.array_distinct(
+        F.transform(win_pos, lambda i: F.array_min(F.slice(hashes, i, w)))
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard text-analysis column block."""
     return (

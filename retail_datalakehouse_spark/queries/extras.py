@@ -394,3 +394,117 @@ def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_p"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "x_bucketed_colocated_join",
+    oracle=f"""
+SELECT o.o_orderpriority AS priority,
+       COUNT(*) AS n_items,
+       {sql_dsum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+    tags=("J1", "S3"),
+)
+def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-shuffle fact⋈fact: orders and lineitem are written ONCE as
+    co-bucketed tables (8 buckets on the order key, sorted), then joined —
+    the SortMergeJoin's children are bare bucketed scans with no Exchange
+    and no Sort (tools/explain_audit.py asserts it). At 100 TB this is the
+    difference between shuffling two fact tables on every daily join and
+    paying the shuffle once at ingest. Result ≡ the plain join (oracle)."""
+    import shutil
+
+    from ..sources.bucketing import bucketed_join, write_bucketed
+    from .lakehouse import _scratch
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    for tbl, src, key in (
+        (f"rdl_orders_b_{tag}", "orders", "o_orderkey"),
+        (f"rdl_lineitem_b_{tag}", "lineitem", "l_orderkey"),
+    ):
+        path = _scratch(tbl)
+        shutil.rmtree(path, ignore_errors=True)
+        df = T(spark, sf_dir, src).withColumnRenamed(key, "orderkey")
+        write_bucketed(df, tbl, ["orderkey"], n_buckets=8, path=path)
+    joined = bucketed_join(
+        spark, f"rdl_orders_b_{tag}", f"rdl_lineitem_b_{tag}", on=["orderkey"]
+    )
+    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@register(
+    "x_salted_skew_join",
+    oracle=f"""
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o.o_totalprice", 2)} AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+""",
+    tags=("J1", "A1"),
+)
+def x_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via explicit salting (operators/skew.py): the
+    hot-key side is salted with a deterministic xxhash64-derived salt, the
+    compact side exploded n_salts× — each hot key's rows spread over 8
+    shuffle partitions instead of one straggler. Salting changes ONLY the
+    shuffle layout; the oracle (plain join) proves the result is
+    identical. This is the explicit fallback for skew AQE can't split
+    (broadcast-ineligible medium dims on power-law keys)."""
+    from ..operators.skew import salted_join
+
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    joined = salted_join(o, c, on="o_custkey", n_salts=8)
+    return (
+        joined.join(F.broadcast(n), "c_nationkey")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "x_statistical_aggs",
+    oracle="""
+SELECT l_returnflag AS flag,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       ROUND(covar_pop(l_quantity, l_extendedprice), 4) AS qty_price_covar,
+       ROUND(stddev_pop(l_quantity), 6) AS qty_stddev,
+       ROUND(var_pop(l_quantity), 6) AS qty_var,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+""",
+    tags=("A1",),
+)
+def x_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: correlation, population
+    covariance/stddev/variance, and the regression slope — single-pass
+    moment aggregates (all partial-mergeable, so two-phase at 100 TB;
+    population variants chosen because their definitions are identical
+    across engines). 6 dp rounding bounds float-order drift."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("qty_price_covar"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_pop("l_quantity"), 6).alias("qty_var"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

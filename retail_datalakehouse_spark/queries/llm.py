@@ -135,6 +135,44 @@ def l3_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l3_similarity_join",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+),
+agg AS (
+  SELECT q_id, vec_id,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cos_sim
+  FROM scored GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+  FROM agg
+)
+SELECT q_id, vec_id, cos_sim FROM ranked WHERE rn <= 5
+""",
+    tags=("L3", "W6"),
+)
+def l3_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 batch shape: similarity JOIN — exact top-5 corpus neighbors for
+    each of 5 query vectors in ONE pass (cross-corpus dedup / retrieval
+    eval). Queries broadcast; scoring is JVM zip_with/aggregate folds;
+    per-query WindowGroupLimit keeps k before any shuffle."""
+    from ..operators.similarity import topk_cosine_join
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return topk_cosine_join(q, e, k=5, round_to=6)
+
+
+@register(
     "l3_ivf_topk",
     oracle=None,  # approximate path (probe subset) → rows-only
     tags=("L3",),
@@ -275,6 +313,30 @@ def l4_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(fingerprint("text").alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@register(
+    "l4_winnowing_fingerprints",
+    oracle=None,  # engine-internal xxhash64 k-gram hashes → rows-only
+    tags=("L4", "L2"),
+)
+def l4_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: winnowing rolling-hash fingerprints (k=8 char-grams, window 4)
+    — the partial-overlap detector exact md5 fingerprints can't be: any
+    shared substring ≥ 11 chars yields a shared fingerprint. Per-doc
+    fingerprint stats here; the pair-sharing guarantee is pinned by
+    tests/test_llm_ops.py on planted overlapping docs."""
+    from ..operators.parallelism import fan_out
+    from ..operators.text import winnow_fingerprints
+
+    d = fan_out(T(spark, sf_dir, "documents"))
+    fps = d.select("doc_id", winnow_fingerprints(F.col("text")).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
 
 

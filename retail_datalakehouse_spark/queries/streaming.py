@@ -289,7 +289,9 @@ def t6_foreachbatch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         latest = dedup_keep_first(batch_df, keys=keys, order_by=latest_order)
         latest = latest.select("user_id", "event_type", "value", "ts", "event_id")
-        table.merge(latest, keys=keys, order_by=latest_order)
+        # txn watermark = exactly-once: a restarted stream replaying this
+        # micro-batch commits nothing the second time.
+        table.merge(latest, keys=keys, order_by=latest_order, txn=("t6_merge", batch_id))
 
     run_foreach_batch(stream, apply_batch, output_mode="append")
     return table.read().groupBy("user_id").agg(

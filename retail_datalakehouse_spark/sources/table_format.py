@@ -44,6 +44,20 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+def _parquet_num_rows(data_dir: str) -> int:
+    """Row count from parquet footers (driver-side metadata read — no
+    Spark job). Exactly what Delta stores in its commit stats: the
+    footers are written with the data, so this is free relative to a
+    re-scan."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(os.path.join(data_dir, f)).num_rows
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+
+
 class VersionedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -71,7 +85,20 @@ class VersionedTable:
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
-    def _try_commit(self, df: DataFrame, op: str, parent: int | None) -> int:
+    def _txn_state(self, version: int | None) -> dict:
+        """Per-writer transaction watermarks as of ``version`` (Delta's
+        ``txn`` action): {writer_id: last committed batch id}."""
+        if not version:
+            return {}
+        return self._manifest(version).get("txn", {})
+
+    def last_txn_batch(self, writer_id: str) -> int | None:
+        got = self._txn_state(self.current_version()).get(writer_id)
+        return None if got is None else int(got)
+
+    def _try_commit(
+        self, df: DataFrame, op: str, parent: int | None, txn: dict | None = None
+    ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
         up the staged data) if another writer committed that version."""
@@ -81,7 +108,7 @@ class VersionedTable:
         data_dir = os.path.join(self.path, data_dirname)
         df.write.mode("overwrite").parquet(data_dir)  # private staging dir …
         os.makedirs(self._manifest_dir, exist_ok=True)
-        n_rows = self.spark.read.parquet(data_dir).count()
+        n_rows = _parquet_num_rows(data_dir)
         entry = {
             "version": v,
             "operation": op,
@@ -89,6 +116,8 @@ class VersionedTable:
             "n_rows": n_rows,
             "data_dir": data_dirname,
             "committed_at": time.time(),
+            # transaction watermarks carry forward: {writer_id: last batch}
+            "txn": dict(self._txn_state(parent), **(txn or {})),
         }
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
         with open(tmp, "w") as f:
@@ -104,15 +133,34 @@ class VersionedTable:
         return v
 
     def _commit_with_retry(
-        self, build: Callable[[DataFrame | None], DataFrame], op: str, max_retries: int = 5
+        self,
+        build: Callable[[DataFrame | None], DataFrame],
+        op: str,
+        max_retries: int = 5,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
-        winner's snapshot and retry."""
+        winner's snapshot and retry.
+
+        ``txn=(writer_id, batch_id)`` makes the commit IDEMPOTENT per
+        writer (Delta's txn action): a batch at or below the writer's
+        recorded watermark is skipped — the exactly-once guard that lets
+        a restarted ``foreachBatch`` stream replay its last micro-batch
+        without double-applying it. The check re-runs after every lost
+        race, so a replay racing a fresh writer still commits at most
+        once."""
         for _ in range(max_retries):
             parent = self.current_version()
+            if txn is not None:
+                last = self._txn_state(parent).get(txn[0])
+                if last is not None and int(last) >= txn[1]:
+                    return parent  # already applied — idempotent no-op
             try:
-                return self._try_commit(build(self.read()), op, parent)
+                return self._try_commit(
+                    build(self.read()), op, parent,
+                    txn=None if txn is None else {txn[0]: txn[1]},
+                )
             except CommitConflict:
                 continue
         raise CommitConflict(
@@ -124,12 +172,18 @@ class VersionedTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit_with_retry(lambda cur: df, "overwrite")
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         return self._commit_with_retry(
-            lambda cur: df if cur is None else cur.unionByName(df), "append"
+            lambda cur: df if cur is None else cur.unionByName(df), "append", txn=txn
         )
 
-    def merge(self, updates: DataFrame, keys: list[str], order_by: list | None = None) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        keys: list[str],
+        order_by: list | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         """MERGE INTO: update matched keys, insert new (S7 on a table).
 
         With ``order_by`` (names or Column expressions), the merge is
@@ -145,7 +199,30 @@ class VersionedTable:
                 return merge_upsert_latest(cur, updates, keys, order_by)
             return merge_upsert(cur, updates, keys)
 
-        return self._commit_with_retry(build, "merge")
+        return self._commit_with_retry(build, "merge", txn=txn)
+
+    # -------------------------------------------------------- maintenance
+
+    def vacuum(self, retain_last: int | None = None) -> list[str]:
+        """Garbage-collect data directories no committed manifest points
+        at — the residue of crashes mid-stage and lost commit races.
+        With ``retain_last=N``, additionally expires snapshots older than
+        the newest N (their manifests AND data), Delta's
+        ``VACUUM``/log-retention combined. Never touches the current
+        version. Returns the removed directory names."""
+        versions = self._versions()
+        keep_versions = versions if retain_last is None else versions[-retain_last:]
+        live_dirs = {self._manifest(v).get("data_dir", f"_v{v}") for v in keep_versions}
+        removed = []
+        for d in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, d)
+            if d.startswith("_v") and os.path.isdir(full) and d not in live_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(d)
+        for v in versions:
+            if v not in keep_versions:
+                os.unlink(os.path.join(self._manifest_dir, f"v{v}.json"))
+        return removed
 
     # -------------------------------------------------------------- reads
 

@@ -232,3 +232,53 @@ def test_ivf_with_kmeans_improves_over_seeded(spark):
     }
     assert len(got_trained & truth) >= len(got_seeded & truth)
     assert len(got_trained & truth) == 5  # with clean blobs, trained IVF is exact
+
+
+def test_winnowing_detects_partial_overlap(spark):
+    """Winnowing guarantee: docs sharing a substring >= k+w-1 chars share
+    at least one fingerprint; disjoint docs share none."""
+    from retail_datalakehouse_spark.operators.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, "AAAA " + shared + " BBBB"),
+        (1, "CCCCCCC " + shared + " DDDDDDDD"),
+        (2, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r.doc_id: set(r.fps)
+        for r in df.select("doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps")).collect()
+    }
+    assert fps[0] & fps[1], "overlapping docs must share a fingerprint"
+    assert not (fps[0] & fps[2]), "disjoint docs must not share fingerprints"
+
+
+def test_topk_cosine_join_matches_per_query_topk(spark):
+    """The batch similarity join must equal running topk_cosine per query."""
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.similarity import (
+        topk_cosine,
+        topk_cosine_join,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)], ["vec_id", "embedding"]
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(3)], ["q_id", "q_vec"]
+    )
+    joined = topk_cosine_join(queries, corpus, k=4)
+    got = {
+        q: [(r.vec_id, r.cos_sim) for r in joined.filter(F.col("q_id") == q).orderBy(F.desc("cos_sim"), "vec_id").collect()]
+        for q in range(3)
+    }
+    for q in range(3):
+        want = [
+            (r.vec_id, r.cos_sim)
+            for r in topk_cosine(corpus, [float(x) for x in vecs[q]], k=4).collect()
+        ]
+        assert got[q] == want

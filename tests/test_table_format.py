@@ -144,3 +144,55 @@ def test_zorder_tightens_per_file_ranges(spark):
         assert avg_span(zed, c) < avg_span(plain, c) * 0.6  # much tighter boxes
     # clustering is a layout change only — contents identical
     assert sorted(map(tuple, zed.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_vacuum_removes_orphans_and_expired_versions(spark, tmp_path):
+    """vacuum(): orphaned staging dirs (crash residue) go; committed
+    history goes only when retention says so; current version survives."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    t = VersionedTable(spark, path)
+    t.overwrite(spark.createDataFrame([(1,)], ["id"]))  # v1
+    t.append(spark.createDataFrame([(2,)], ["id"]))     # v2
+    t.append(spark.createDataFrame([(3,)], ["id"]))     # v3
+    # plant crash residue: a staged dir no manifest references
+    orphan = os.path.join(path, "_v9-deadbeef")
+    os.makedirs(orphan)
+
+    removed = t.vacuum()  # no retention: only the orphan goes
+    assert removed == ["_v9-deadbeef"]
+    assert {r.id for r in t.read_version(1).collect()} == {1}
+
+    removed = t.vacuum(retain_last=1)  # expire v1+v2
+    assert len(removed) == 2
+    assert t.current_version() == 3
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read_version(1)
+
+
+def test_txn_batch_id_makes_commits_idempotent(spark, tmp_path):
+    """Delta-style txn watermark: replaying a micro-batch (same writer_id
+    + batch_id) is a no-op; the next batch id commits normally."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    b0 = spark.createDataFrame([(1, "a", 1)], ["id", "s", "seq"])
+    b1 = spark.createDataFrame([(1, "b", 2)], ["id", "s", "seq"])
+    latest = [F.col("seq").desc()]
+
+    v = t.merge(b0, keys=["id"], order_by=latest, txn=("w1", 0))
+    assert v == 1
+    # replay of batch 0 → skipped, version unchanged, data unchanged
+    assert t.merge(b0, keys=["id"], order_by=latest, txn=("w1", 0)) == 1
+    assert t.current_version() == 1
+    # batch 1 commits; watermark advances; replaying batch 0 again still no-ops
+    assert t.merge(b1, keys=["id"], order_by=latest, txn=("w1", 1)) == 2
+    assert t.merge(b0, keys=["id"], order_by=latest, txn=("w1", 0)) == 2
+    assert [r.s for r in t.read().collect()] == ["b"]
+    assert t.last_txn_batch("w1") == 1
+    # a different writer id is independent
+    assert t.append(spark.createDataFrame([(9, "z", 9)], ["id", "s", "seq"]), txn=("w2", 0)) == 3

@@ -89,7 +89,21 @@ def main() -> int:
     else:
         failures.append(("l3_ivf_kmeans_topk", "PartitionFilters centroid_id", "IVF probe pruning"))
         print("FAIL  l3_ivf_kmeans_topk: probe scan not partition-pruned")
-    n_total = len(CHECKS) + 2
+    # Bucketed co-located join: after the query materializes its tables,
+    # the bare join must be SortMergeJoin with NO Exchange and NO Sort —
+    # the pre-shuffled, pre-sorted layout does both jobs at scan time.
+    from retail_datalakehouse_spark.sources.bucketing import bucketed_join
+
+    Q.all_queries()["x_bucketed_colocated_join"].fn(spark, SF).collect()
+    tag = SF.strip("/").replace("/", "_").replace(".", "_")
+    j = bucketed_join(spark, f"rdl_orders_b_{tag}", f"rdl_lineitem_b_{tag}", on=["orderkey"])
+    jplan = j._jdf.queryExecution().executedPlan().toString()
+    if "SortMergeJoin" in jplan and "Exchange" not in jplan and "Sort " not in jplan:
+        print("PASS  x_bucketed_colocated_join: SMJ over bucketed scans, no Exchange/Sort")
+    else:
+        failures.append(("x_bucketed_colocated_join", "exchange-free SMJ", "bucketed layout"))
+        print("FAIL  x_bucketed_colocated_join: join plan still shuffles or sorts")
+    n_total = len(CHECKS) + 3
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

@@ -104,6 +104,54 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l2_neardup_clusters",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM documents WHERE doc_id < 1000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+),
+edges_sym AS (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.m AS node, r.lbl FROM reach r JOIN edges_sym e ON r.node = e.n
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
+SELECT component, COUNT(*) AS n_docs FROM comp GROUP BY 1
+""",
+    tags=("L2", "L1"),
+)
+def l2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 cluster resolution: pairs are not enough for dedup — the keep/
+    drop decision needs CONNECTED COMPONENTS of the similarity graph
+    (keep min doc_id per component). Edges: exact word-Jaccard ≥ 0.9 on
+    the deterministic 1000-doc slice (same arithmetic the l2_word_jaccard
+    oracle pins); components via min-label propagation (operators/
+    graph.py) — O(diameter) shuffles. The DuckDB oracle recomputes the
+    components with a recursive CTE. Returns per-component doc counts."""
+    from ..operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9)
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
     "l3_topk_cosine",
     oracle="""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -282,3 +282,16 @@ def test_topk_cosine_join_matches_per_query_topk(spark):
             for r in topk_cosine(corpus, [float(x) for x in vecs[q]], k=4).collect()
         ]
         assert got[q] == want
+
+
+def test_connected_components_labels_min_id(spark):
+    """Two chains + a singleton: every node gets its component's min id."""
+    from retail_datalakehouse_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    #  0-1-2 chain, 3-4 pair plus 4-5, 6 isolated
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (3, 4), (5, 4)], ["src", "dst"]
+    )
+    got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}

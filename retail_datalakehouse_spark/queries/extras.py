@@ -508,3 +508,43 @@ def x_statistical_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias("price_per_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "x_constraint_quarantine",
+    oracle="""
+SELECT 'custkey_not_null' AS rule,
+       COUNT(*) FILTER (WHERE o_custkey IS NULL) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'price_positive' AS rule,
+       COUNT(*) FILTER (WHERE NOT (o_totalprice > 0)) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'valid' AS rule,
+       COUNT(*) FILTER (WHERE o_custkey IS NOT NULL AND o_totalprice > 0) AS n_rows
+FROM orders
+""",
+    tags=("S1", "A6"),
+)
+def x_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CHECK constraints with quarantine (sources/constraints.py):
+    the dirty bronze batch splits into valid rows and quarantined rows
+    tagged with every violated rule — one scan, no UDF. Mirrors Delta's
+    CHECK constraints, with the quarantine side the reference's dirty
+    CSVs actually need (NULL custkeys ship in its datasets)."""
+    from ..sources.constraints import quarantine, violation_counts
+
+    o = T(spark, sf_dir, "orders")
+    rules = {
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "price_positive": F.col("o_totalprice") > 0,
+    }
+    valid, _bad = quarantine(o, rules)
+    per_rule = violation_counts(o, rules).select(
+        F.col("constraint").alias("rule"), F.col("n_bad").alias("n_rows")
+    )
+    valid_row = valid.agg(
+        F.lit("valid").alias("rule"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return per_rule.unionByName(valid_row)

@@ -201,6 +201,23 @@ class VersionedTable:
 
         return self._commit_with_retry(build, "merge", txn=txn)
 
+    def delete(self, condition, txn: tuple[str, int] | None = None) -> int:
+        """DELETE FROM table WHERE condition — the right-to-be-forgotten
+        op: commits a new snapshot without the matching rows (old versions
+        still hold them until :meth:`vacuum` expires the history; complete
+        erasure = delete + vacuum(retain_last=1), exactly Delta's
+        documented GDPR recipe)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                raise ValueError(f"cannot delete from empty table at {self.path}")
+            return cur.filter(~cond)
+
+        return self._commit_with_retry(build, "delete", txn=txn)
+
     # -------------------------------------------------------- maintenance
 
     def vacuum(self, retain_last: int | None = None) -> list[str]:

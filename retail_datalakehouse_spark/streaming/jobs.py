@@ -76,12 +76,22 @@ def run_to_memory(
     return sink
 
 
-def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
+def run_foreach_batch(
+    df: DataFrame, fn, output_mode: str = "update", checkpoint: str | None = None
+) -> None:
     """T6 harness: run a stream through ``foreachBatch(fn)`` to completion.
     ``fn(batch_df, batch_id)`` applies the per-micro-batch action (MERGE,
-    idempotent upsert into a sink table, ...)."""
+    idempotent upsert into a sink table, ...).
+
+    With ``checkpoint``, offsets persist across runs: a NEW invocation
+    over the same source resumes after the last committed batch (restart
+    recovery), and batch ids keep increasing — pair with the sink's
+    txn=(writer, batch_id) guard for end-to-end exactly-once."""
     with _stream_shuffle(df.sparkSession):
-        q = df.writeStream.foreachBatch(fn).outputMode(output_mode).trigger(availableNow=True).start()
+        writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
 
 

@@ -117,3 +117,47 @@ def test_tumbling_stream_equals_batch(spark, tmp_path):
     )
     expected = {(r.ws, r.event_type): (r.n, r.tv) for r in batch.collect()}
     assert streamed == expected
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
+    """Restart recovery, end-to-end exactly-once: run 1 processes file A
+    into a VersionedTable via foreachBatch MERGE with txn batch ids; a NEW
+    stream over the same checkpoint processes ONLY the later file B, and
+    replays (same checkpoint, no new data) commit nothing."""
+    from retail_datalakehouse_spark.operators.dedup import dedup_keep_first
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+    from retail_datalakehouse_spark.streaming.jobs import run_foreach_batch
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    t0 = datetime(2024, 6, 6, 10, 0, 0)
+    t1 = datetime(2024, 6, 6, 11, 0, 0)
+    _write_batch(spark, src, [(1, t0, 7, "click", 1.0), (2, t0, 8, "view", 2.0)])
+
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    keys = ["user_id", "event_type"]
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+
+    def mk_stream():
+        schema = spark.read.parquet(str(src)).schema
+        return spark.readStream.schema(schema).parquet(str(src))
+
+    def apply_batch(batch_df, batch_id):
+        latest = dedup_keep_first(batch_df, keys=keys, order_by=order)
+        table.merge(latest, keys=keys, order_by=order, txn=("ckpt_test", batch_id))
+
+    run_foreach_batch(mk_stream(), apply_batch, checkpoint=ckpt)
+    v_after_first = table.current_version()
+    assert {r.user_id for r in table.read().collect()} == {7, 8}
+
+    # restart with NEW data: only file B processed, batch id advances
+    _write_batch(spark, src, [(3, t1, 7, "click", 9.0)])
+    run_foreach_batch(mk_stream(), apply_batch, checkpoint=ckpt)
+    got = {(r.user_id, r.event_type): r.value for r in table.read().collect()}
+    assert got[(7, "click")] == 9.0 and got[(8, "view")] == 2.0
+
+    # restart with NO new data: nothing commits (offsets + txn guard)
+    v_before_replay = table.current_version()
+    run_foreach_batch(mk_stream(), apply_batch, checkpoint=ckpt)
+    assert table.current_version() == v_before_replay
+    assert v_before_replay == v_after_first + 1

@@ -196,3 +196,22 @@ def test_txn_batch_id_makes_commits_idempotent(spark, tmp_path):
     assert t.last_txn_batch("w1") == 1
     # a different writer id is independent
     assert t.append(spark.createDataFrame([(9, "z", 9)], ["id", "s", "seq"]), txn=("w2", 0)) == 3
+
+
+def test_delete_commits_new_version_and_vacuum_erases(spark, tmp_path):
+    """DELETE WHERE + vacuum(retain_last=1) = the GDPR erasure recipe."""
+    from pyspark.sql import functions as F
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(i, f"u{i}") for i in range(10)], ["id", "user"]))
+    v = t.delete(F.col("user") == "u3")
+    assert v == 2
+    assert {r.id for r in t.read().collect()} == set(range(10)) - {3}
+    # pre-delete snapshot still holds the row until history expires
+    assert {r.id for r in t.read_version(1).collect()} == set(range(10))
+    t.vacuum(retain_last=1)
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.read_version(1)
+    assert t.history()[-1]["operation"] == "delete"

@@ -1,0 +1,483 @@
+"""Advanced scale-path queries: binned band joins, runtime bloom filters,
+mergeable sketches, quantized ANN, ranking/scoring text ops, unpivot,
+histograms, and statistical anomaly detection.
+
+These target the 100 TB design brief directly: every operator here is the
+scale-safe formulation of something a naive engine does quadratically or
+with an unmergeable single-pass structure —
+
+- ``x_binned_band_join``: a pure |a-b| <= w theta-join with NO equi key,
+  rewritten as an equi-join on floor(v/w) bins (explode one side to the 3
+  candidate bins). A cartesian BroadcastNestedLoopJoin becomes a hash
+  shuffle join: O(n^2) -> O(n + candidate pairs).
+- ``x_runtime_bloom_join``: Spark's runtime bloom-filter injection
+  (InjectRuntimeFilter) — the selective dimension side builds a bloom
+  filter that prunes the fact scan BEFORE the shuffle, the same job a
+  Delta/Iceberg DPP does for partition keys but for arbitrary join keys.
+- ``x_hll_sketch_union``: two-phase approximate COUNT DISTINCT via Apache
+  DataSketches HLL — per-slice sketches are MERGEABLE, so a 100 TB profile
+  job computes per-partition sketches map-side and unions k bytes, never
+  re-scanning (the exact pass in ``a2_count_distinct`` shuffles every
+  distinct value).
+- ``l3_sq8_topk``: int8 scalar-quantized ANN — 4x smaller vectors for the
+  scan-bound candidate pass, exact float rescoring only on the top
+  candidates (memory-bandwidth is the binding constraint at corpus scale).
+- ``l4_bm25`` / ``l4_unigram_loglik``: corpus-statistics text scoring
+  (search ranking, LM-based quality filtering) as two-phase aggregations +
+  broadcast of the (bounded) statistics table.
+
+Reference parity: the reference has no analytics engine (SURVEY §0); these
+extend the lakehouse the way its Athena/Glue consumers would query it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import register
+from .helpers import T, sql_dsum
+
+# --------------------------------------------------------------- unpivot
+
+
+@register(
+    "x_unpivot",
+    oracle="""
+WITH wide AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus='F') AS BIGINT) AS status_F,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus='O') AS BIGINT) AS status_O,
+         CAST(COUNT(*) FILTER (WHERE o_orderstatus='P') AS BIGINT) AS status_P
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, status_col, n_orders
+FROM wide UNPIVOT (n_orders FOR status_col IN (status_F, status_O, status_P))
+""",
+    tags=("A6",),
+)
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (the inverse of ``x_pivot``): conditional-agg a wide
+    per-customer status matrix, then ``unpivot`` back to (key, variable,
+    value) rows. Narrow transform after the agg — no extra shuffle."""
+    o = T(spark, sf_dir, "orders")
+    wide = o.groupBy("o_custkey").agg(
+        *[
+            F.sum(F.when(F.col("o_orderstatus") == s, 1).otherwise(0))
+            .cast("long")
+            .alias(f"status_{s}")
+            for s in ("F", "O", "P")
+        ]
+    )
+    return wide.unpivot(
+        ["o_custkey"], ["status_F", "status_O", "status_P"], "status_col", "n_orders"
+    )
+
+
+# ------------------------------------------------------------- histogram
+
+
+@register(
+    "x_histogram",
+    oracle=f"""
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS bucket_revenue
+FROM orders
+GROUP BY CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT)
+""",
+    tags=("A1",),
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (25k-wide buckets over order totals): the
+    profile primitive for choosing partition bounds / detecting skew.
+    floor() keeps bucketing in codegen; one two-phase agg, no sort."""
+    o = T(spark, sf_dir, "orders")
+    from .helpers import dsum
+
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 25000.0).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("bucket_revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------- z-score anomaly
+
+
+_Z_SQL_STATS = """
+  SELECT c_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(30,10))) AS DOUBLE) AS s2
+  FROM customer GROUP BY c_nationkey
+"""
+
+
+@register(
+    "x_anomaly_zscore",
+    oracle=f"""
+WITH stats AS ({_Z_SQL_STATS})
+SELECT c_custkey, c.c_nationkey, c_acctbal,
+       ROUND((c_acctbal - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4) AS z
+FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
+WHERE abs((c_acctbal - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n))) > 1.6
+""",
+    tags=("A1", "J2"),
+)
+def x_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection (anomalous account balances per
+    nation). Group moments (n, sum, sum-of-squares) are ONE two-phase agg —
+    sum-of-squares makes variance single-pass — then broadcast back; no
+    window over the full table, no second scan. Decimal-exact sums keep the
+    moments bit-identical across engines."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    stats = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast("decimal(25,6)")).cast("double").alias("s1"),
+        F.sum((F.col("c_acctbal") * F.col("c_acctbal")).cast("decimal(30,10)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    j = c.join(F.broadcast(stats), "c_nationkey")
+    mean = F.col("s1") / F.col("n")
+    z = (F.col("c_acctbal") - mean) / F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    return (
+        j.filter(F.abs(z) > 1.6)
+        .select("c_custkey", "c_nationkey", "c_acctbal", F.round(z, 4).alias("z"))
+    )
+
+
+# ------------------------------------------------------ binned band join
+
+
+@register(
+    "x_binned_band_join",
+    oracle="""
+SELECT c1.c_custkey AS k1, c2.c_custkey AS k2,
+       ROUND(abs(c1.c_acctbal - c2.c_acctbal), 2) AS bal_diff
+FROM customer c1 JOIN customer c2
+  ON c1.c_custkey < c2.c_custkey
+ AND abs(c1.c_acctbal - c2.c_acctbal) <= 0.5
+""",
+    tags=("J8",),
+)
+def x_binned_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure band join (|a.bal - b.bal| <= w) with NO equi key — naively a
+    cartesian BroadcastNestedLoopJoin, O(n^2) at scale. Rewritten: bin both
+    sides by floor(v/w); any qualifying pair sits in the same or adjacent
+    bins, so exploding ONE side to its 3 candidate bins turns the theta-join
+    into a hash equi-join on bin + a residual predicate. 3x replication of
+    one side buys a shuffle-partitionable plan; each qualifying pair is
+    emitted exactly once (the probe targets the build row's own bin)."""
+    w = 0.5
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    binned = c.withColumn("bin", F.floor(F.col("c_acctbal") / w).cast("long"))
+    probes = binned.withColumn(
+        "probe_bin",
+        F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)),
+    ).select(
+        F.col("c_custkey").alias("k1"),
+        F.col("c_acctbal").alias("bal1"),
+        "probe_bin",
+    )
+    build = binned.select(
+        F.col("c_custkey").alias("k2"), F.col("c_acctbal").alias("bal2"), "bin"
+    )
+    return (
+        probes.join(build, probes.probe_bin == build.bin)
+        .filter(
+            (F.col("k1") < F.col("k2"))
+            & (F.abs(F.col("bal1") - F.col("bal2")) <= w)
+        )
+        .select(
+            "k1", "k2", F.round(F.abs(F.col("bal1") - F.col("bal2")), 2).alias("bal_diff")
+        )
+    )
+
+
+# ---------------------------------------------------- runtime bloom join
+
+
+@register(
+    "x_runtime_bloom_join",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'F'
+GROUP BY o.o_orderpriority
+""",
+    tags=("J1", "P2"),
+)
+def x_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter pruned fact join: the selective dimension side
+    (urgent finished orders) builds a bloom filter over its join keys that
+    is pushed into the fact scan BEFORE the shuffle
+    (spark.sql.optimizer.runtime.bloomFilter.* / InjectRuntimeFilter) —
+    row-level DPP for arbitrary keys. At 100 TB this cuts the shuffled fact
+    rows to ~the selectivity of the dim predicate. The result is persisted
+    under the bloom configs so later collects replay the materialized
+    partitions (configs are session-scoped; thresholds are lowered because
+    the local test corpus is far below the 10 GB default application-side
+    threshold — on a real cluster the defaults fire on their own)."""
+    from .helpers import dsum
+
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    # InjectRuntimeFilter only fires for probably-shuffle joins: a broadcast-
+    # able creation side suppresses it (the broadcast join IS the filter).
+    # At test scale the dim side fits the 10 MB broadcast default, so force a
+    # shuffle join while materializing, then restore the session value.
+    saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = T(spark, sf_dir, "lineitem")
+        o = T(spark, sf_dir, "orders").filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+        )
+        res = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                    "revenue"
+                ),
+            )
+        )
+        res = res.persist()
+        res.count()  # materialize while the bloom configs are in force
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
+    return res
+
+
+# ------------------------------------------------------- HLL sketch union
+
+
+@register(
+    "x_hll_sketch_union",
+    oracle=None,  # rows-only: sketch estimates are engine-specific
+    tags=("A3",),
+)
+def x_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate COUNT DISTINCT via DataSketches HLL: phase 1
+    builds one sketch of active customers PER ORDER-YEAR (map-side partial
+    agg), phase 2 merges the year sketches with hll_union_agg into the
+    global estimate WITHOUT rescanning. This is the 100 TB profile-job
+    shape: per-partition sketches are k bytes each; the exact alternative
+    re-shuffles every distinct value. Error bound pinned by
+    tests/test_advanced.py (lgConfigK=12 -> ~1.6% rse)."""
+    o = T(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_custkey"
+    )
+    per_year = o.groupBy("yr").agg(
+        F.hll_sketch_agg("o_custkey", 12).alias("sk")
+    )
+    yearly = per_year.select(
+        F.col("yr").cast("string").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    total = per_year.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("total").alias("scope"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    return yearly.unionByName(total)
+
+
+# --------------------------------------------------------- SQ8 quantized ANN
+
+
+@register(
+    "l3_sq8_topk",
+    oracle=None,  # rows-only: quantization grid is engine-specific
+    tags=("L3",),
+)
+def l3_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN: vectors are mapped to tinyint on a
+    symmetric grid (x -> round(127*x/maxabs)), the candidate pass scores
+    int8 dot products (4x less memory bandwidth than float32 — the binding
+    constraint for a scan-bound 100 TB corpus), and only the top-50
+    candidates are rescored with exact float cosine for the final top-10.
+    All JVM (transform/zip_with/aggregate folds); the only collects are the
+    scalar scale factor and the 1 query vector. Recall vs exact brute force
+    pinned by tests/test_advanced.py."""
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scale = emb.select(
+        F.max(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+            )
+        ).alias("s")
+    ).collect()[0]["s"]
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q8 = [int(round(127.0 * float(x) / scale)) for x in qrow]
+
+    quant = emb.filter(F.col("vec_id") != 0).withColumn(
+        "q",
+        F.transform(
+            "embedding", lambda x: F.round(F.lit(127.0) * x / F.lit(scale)).cast("int")
+        ),
+    )
+    qlit = F.array(*[F.lit(v) for v in q8])
+    approx = quant.withColumn(
+        "approx_dot",
+        F.aggregate(
+            F.zip_with("q", qlit, lambda a, b: a * b), F.lit(0), lambda acc, x: acc + x
+        ),
+    )
+    cand = approx.orderBy(F.desc("approx_dot"), "vec_id").limit(50)
+
+    qf = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with("embedding", qf, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(col, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qnorm = sum(float(x) * float(x) for x in qrow) ** 0.5
+    cos = dot / (norm(F.col("embedding")) * F.lit(qnorm))
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select("vec_id", "cosine")
+    )
+
+
+# ----------------------------------------------------------------- BM25
+
+
+_BM25_TERMS = ("join", "window", "spark")
+
+
+def _bm25_sql() -> str:
+    tf = {
+        t: f"len(list_filter(toks, t -> t = '{t}'))" for t in _BM25_TERMS
+    }
+    dfc = ", ".join(
+        f"COUNT(*) FILTER (WHERE {tf[t]} > 0) AS df_{t}" for t in _BM25_TERMS
+    )
+    contribs = " + ".join(
+        f"(ln(1 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * ({tf[t]} * 2.2) / ({tf[t]} + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        for t in _BM25_TERMS
+    )
+    anyhit = " + ".join(tf[t] for t in _BM25_TERMS)
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS dl
+  FROM documents),
+g AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {dfc}
+  FROM d)
+SELECT doc_id, ROUND({contribs}, 4) AS bm25
+FROM d CROSS JOIN g
+WHERE {anyhit} > 0
+"""
+
+
+@register(
+    "l4_bm25",
+    oracle=_bm25_sql(),
+    tags=("L4",),
+)
+def l4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance scoring (k1=1.2, b=0.75, Lucene idf) for a fixed
+    term set — the ranking primitive for corpus search / retrieval-based
+    dedup. Corpus statistics (N, avgdl, per-term df) are ONE agg broadcast
+    back to the scoring scan; tf stays in JVM array functions. Contributions
+    are summed in fixed term order so the float result is reproducible."""
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).withColumn("dl", F.size("toks"))
+
+    def tf(term: str):
+        return F.size(F.filter("toks", lambda t: t == F.lit(term)))
+
+    g = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(tf(t) > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    j = d.crossJoin(F.broadcast(g))
+
+    def contrib(t: str):
+        idf = F.log(
+            F.lit(1)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        return idf * (tf(t) * F.lit(2.2)) / (
+            tf(t) + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+
+    score = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + contrib(t)
+    anyhit = tf(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        anyhit = anyhit + tf(t)
+    return j.filter(anyhit > 0).select("doc_id", F.round(score, 4).alias("bm25"))
+
+
+# -------------------------------------------------------- unigram log-lik
+
+
+@register(
+    "l4_unigram_loglik",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+v AS (SELECT tok, COUNT(*) AS c FROM d GROUP BY tok),
+tot AS (SELECT SUM(c) AS total FROM v)
+SELECT doc_id,
+       ROUND(CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(25,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_loglik
+FROM d JOIN v USING (tok) CROSS JOIN tot
+GROUP BY doc_id
+""",
+    tags=("L4",),
+)
+def l4_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality score: train token probabilities on
+    the corpus itself (two-phase count agg), score each document by its mean
+    token log-likelihood — the classic LM-based quality filter for training
+    data (gibberish / boilerplate scores low). The vocab join broadcasts
+    here (bounded vocab); at open-vocab scale it becomes a shuffle join on
+    token, still linear. Decimal-exact sum of log-probs keeps the reduction
+    order-independent."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    v = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = v.agg(F.sum("c").alias("total"))
+    return (
+        toks.join(F.broadcast(v), "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("c").cast("double") / F.col("total")).alias("ll"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.col("ll").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_loglik")
+        )
+    )

@@ -481,3 +481,121 @@ def l4_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_loglik")
         )
     )
+
+
+# ------------------------------------------------- SQL subquery surface
+#
+# Correlated subqueries are their own operator class: Catalyst decorrelates
+# them (RewritePredicateSubquery / RewriteCorrelatedScalarSubquery) into the
+# semi/anti/aggregate-join plans a user would otherwise hand-write. These
+# run through the raw spark.sql front door over catalog views so the
+# decorrelation path itself is what is being exercised; the identical SQL
+# text is the oracle (both dialects agree on these shapes).
+
+
+_EXISTS_SQL = """
+SELECT o.o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= DATE '1995-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("x_exists_subquery", oracle=_EXISTS_SQL, tags=("J5",))
+def x_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS predicate subquery (TPC-H Q4 shape): orders with at least one
+    returned lineitem. Catalyst decorrelates to a left-semi hash join on the
+    correlation key — no per-row re-execution; verify with .explain()."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+_NOT_EXISTS_SQL = """
+SELECT c.c_nationkey, COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(25,4))), 2) AS DOUBLE) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > 0
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= DATE '1998-01-01')
+GROUP BY c.c_nationkey
+"""
+
+
+@register("x_not_exists_subquery", oracle=_NOT_EXISTS_SQL, tags=("J6",))
+def x_not_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-subquery (TPC-H Q22 shape): positive-balance
+    customers with no recent (1998+) order, per nation. Decorrelates to a left-anti
+    join; at scale the anti side shuffles on the correlation key exactly
+    like the hand-written j6 plan."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NOT_EXISTS_SQL)
+
+
+_SCALAR_SUBQ_SQL = """
+SELECT p.p_partkey, p.p_retailprice
+FROM part p
+WHERE p.p_retailprice > 1.05 * (
+  SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+  FROM part p2)
+"""
+
+
+@register("x_scalar_subquery", oracle=_SCALAR_SUBQ_SQL, tags=("A1",))
+def x_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced >5% above the global
+    mean. Catalyst evaluates the subquery once (ReusedSubquery / scalar
+    subquery broadcast), not per row — the mean is computed decimal-exact
+    so both engines filter on the identical double."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
+_CORR_SCALAR_SQL = """
+SELECT l1.l_orderkey, l1.l_partkey, l1.l_linenumber, l1.l_quantity
+FROM lineitem l1
+WHERE l1.l_quantity < 0.5 * (
+  SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+@register("x_correlated_scalar_subquery", oracle=_CORR_SCALAR_SQL, tags=("A1", "J1"))
+def x_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (TPC-H Q17 shape): lineitems
+    below half their part's mean quantity. Decorrelates to an aggregate on
+    l_partkey joined back to the fact — ONE extra shuffle over the fact,
+    not one subquery execution per row."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SCALAR_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_nationkey, t.c_custkey, t.c_acctbal
+FROM nation n, LATERAL (
+  SELECT c.c_custkey, c.c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c.c_acctbal DESC, c.c_custkey LIMIT 2) t
+"""
+
+
+@register("x_lateral_topk", oracle=_LATERAL_SQL, tags=("W6", "J1"))
+def x_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated table subquery with per-group ORDER BY + LIMIT —
+    the SQL-standard spelling of top-k per group (w6's window rn<=k is the
+    DataFrame spelling). Spark plans the correlated limit as a partitioned
+    window/limit, not a per-outer-row loop."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)

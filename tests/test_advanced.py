@@ -128,3 +128,25 @@ def test_unigram_loglik_penalizes_rare_tokens(spark):
     n_docs = T(spark, SF, "documents").count()
     assert len(rows) == n_docs
     assert all(r["avg_loglik"] < 0 for r in rows)
+
+
+def test_subqueries_decorrelate_to_joins(spark, sf_dir):
+    """EXISTS / NOT EXISTS must decorrelate to semi/anti hash joins, and the
+    correlated scalar subquery to an aggregate+join — never a per-row
+    subquery loop."""
+    q = all_queries()
+    plan = (
+        q["x_exists_subquery"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftSemi" in plan
+    plan = (
+        q["x_not_exists_subquery"].fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan
+    plan = (
+        q["x_correlated_scalar_subquery"].fn(spark, sf_dir)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Aggregate" in plan and "Join" in plan

@@ -599,3 +599,148 @@ def x_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+# ------------------------------------------- event analytics at scale
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t_view GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click GROUP BY e.user_id)
+SELECT 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL SELECT 'view>click', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 'view>click>purchase', (SELECT COUNT(*) FROM s3)
+"""
+
+
+@register("x_funnel_analysis", oracle=_FUNNEL_SQL, tags=("A1", "J1", "W2"))
+def x_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage is
+    the min event time STRICTLY AFTER the previous stage's time, per user.
+    Three shuffles on user_id, all reusing the same hash partitioning; at
+    100 TB the events scan is filtered per stage to one event_type before
+    the shuffle (predicate pushdown), so each stage moves only its own
+    type's rows."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click").alias("stage"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click>purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_COHORT_SQL = """
+WITH first_order AS (
+  SELECT o_custkey, MIN(o_orderdate) AS d0 FROM orders GROUP BY o_custkey)
+SELECT CAST(date_trunc('month', f.d0) AS DATE) AS cohort_month,
+       (year(o.o_orderdate) - year(f.d0)) * 12
+         + (month(o.o_orderdate) - month(f.d0)) AS months_since,
+       COUNT(DISTINCT o.o_custkey) AS active_customers
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("x_cohort_retention", oracle=_COHORT_SQL, tags=("A1", "A2", "J1"))
+def x_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers grouped by first-order month,
+    activity counted by whole months since. The first-order table is a
+    keyed agg reused via the same user-key partitioning as the join back;
+    month arithmetic stays integer (identical across engines). The
+    COUNT(DISTINCT) is per (cohort, offset) — bounded cardinality, safe
+    two-phase expand."""
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    f = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("d0"))
+    j = o.join(f, "o_custkey")
+    months_since = (F.year("o_orderdate") - F.year("d0")) * 12 + (
+        F.month("o_orderdate") - F.month("d0")
+    )
+    return (
+        j.select(
+            F.date_trunc("month", "d0").cast("date").alias("cohort_month"),
+            months_since.alias("months_since"),
+            "o_custkey",
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("active_customers"))
+    )
+
+
+_GAPFILL_SQL = f"""
+WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d_lo,
+                CAST(MAX(o_orderdate) AS DATE) AS d_hi FROM orders),
+spine AS (SELECT unnest(generate_series(d_lo, d_hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY CAST(o_orderdate AS DATE))
+SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+"""
+
+
+@register("x_gapfill_timeseries", oracle=_GAPFILL_SQL, tags=("A1", "J3", "F2"))
+def x_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily revenue series: a generated date spine
+    (sequence/explode — tiny, broadcast) left-joins the daily agg so silent
+    zero-activity days appear explicitly — the prerequisite for any
+    window/trend computation over time. The spine derives from a 2-value
+    global agg, never a full-table sort."""
+    from .helpers import dsum
+
+    o = T(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    bounds = o.agg(
+        F.min("o_orderdate").cast("date").alias("d_lo"),
+        F.max("o_orderdate").cast("date").alias("d_hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d_lo", "d_hi")).alias("day")
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue")
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+    )

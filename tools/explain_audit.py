@@ -55,6 +55,12 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "relational spine must compile to codegen (the *(n) star marker)"),
     ("w1_ranking", "WindowGroupLimit", True,
      "rank<=k must push the group-limit below the sort (Spark 3.5+)"),
+    ("x_binned_band_join", "BroadcastNestedLoopJoin", False,
+     "bin rewrite must eliminate the cartesian nested-loop join"),
+    ("x_binned_band_join", "CartesianProduct", False,
+     "bin rewrite must eliminate the cartesian product"),
+    ("x_exists_subquery", "LeftSemi", True,
+     "EXISTS must decorrelate to a semi join, not a per-row subquery"),
 ]
 
 

@@ -60,3 +60,65 @@ def connected_components(
         if stepped.filter("chg").limit(1).count() == 0:  # cheap scan, no joins
             break
     return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """PageRank over a directed edge list as iterative DataFrame joins —
+    the standard power iteration:
+
+        pr(v) <- (1-d)/N + d * sum over in-neighbors u of pr(u)/outdeg(u)
+
+    Each iteration is one shuffle (join ranks to edges on src, groupBy dst).
+    Dangling nodes (no out-edges) redistribute their mass uniformly via a
+    scalar aggregate (metadata-sized collect), keeping the total mass 1 so
+    ranks are comparable across iterations. The out-degree table and edge
+    list are checkpointed once and re-joined per round; lineage is cut per
+    iteration exactly as in :func:`connected_components`.
+
+    Returns (node, pagerank) for every node appearing as src or dst.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out = edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    # (src node, dst, outdeg) — re-joined every round
+    e = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("dst"))
+        .join(out, "node")
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    for _ in range(iters):
+        # one join+shuffle per round, materialized ONCE (checkpoint), then
+        # reused by both the dangling-mass scalar and the rank update
+        contribs = (
+            e.join(ranks, "node")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("in_mass"))
+            .localCheckpoint(eager=True)
+        )
+        # total rank is 1 and every non-dangling node's rank was fully
+        # distributed, so dangling mass = 1 - sum of distributed mass —
+        # a scalar agg over the checkpointed contribs, no anti-join rescan
+        distributed = contribs.agg(F.sum("in_mass").alias("m")).collect()[0]["m"] or 0.0
+        dangling = max(0.0, 1.0 - distributed)
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))).alias(
+                "pr"
+            ),
+        )
+    return ranks.select("node", F.col("pr").alias("pagerank"))

@@ -744,3 +744,69 @@ def x_gapfill_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------- heavy hitters (Misra-Gries)
+
+
+_HH_SQL = """
+WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+tot AS (SELECT COUNT(*) AS n_total FROM t)
+SELECT tok, COUNT(*) AS n
+FROM t CROSS JOIN tot
+GROUP BY tok, n_total
+HAVING COUNT(*) > n_total / 30.0
+"""
+
+
+@register("l4_heavy_hitters", oracle=_HH_SQL, tags=("L4", "A1"))
+def l4_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with count > n/30) via the Misra-Gries
+    mergeable sketch: per-partition summaries of <= 29 counters (bounded
+    memory at ANY token cardinality — a plain groupBy-count shuffles every
+    distinct token), weighted-MG merge of the tiny summaries, then an exact
+    recount of only the surviving candidates. Two linear passes,
+    O(k * partitions) intermediate state; the final counts are exact (MG
+    guarantees no item above threshold is dropped).
+    Operator: operators/sketches.py."""
+    from ..operators.sketches import mg_heavy_hitters
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    return mg_heavy_hitters(toks, "tok", 30)
+
+
+# ------------------------------------------------------------- PageRank
+
+
+@register("x_pagerank_influence", oracle=None, tags=("J1", "A1"))
+def x_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (an edge per
+    distinct (customer, supplier) pair traded through orders x lineitem):
+    influence of suppliers in the trade network. Iterative DataFrame joins,
+    one shuffle per round, lineage cut per iteration; dangling mass (all
+    suppliers — the graph is bipartite) is redistributed via a scalar agg
+    so total rank stays 1. Rows-only: iterative float ranks have no SQL
+    equivalent; numpy power-iteration parity is pinned in
+    tests/test_advanced.py. Operator: operators/graph.py::pagerank."""
+    from ..operators.graph import pagerank
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=6)
+    return (
+        pr.filter(F.col("node").startswith("s"))
+        .select("node", F.round("pagerank", 8).alias("pagerank"))
+        .orderBy(F.desc("pagerank"), "node")
+        .limit(20)
+    )

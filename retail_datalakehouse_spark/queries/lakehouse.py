@@ -290,3 +290,32 @@ def sql_interface_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY revenue DESC, nation
         """
     )
+
+
+@register(
+    "s9_orc_roundtrip",
+    oracle="""
+SELECT s_nationkey, COUNT(*) AS n_suppliers,
+       CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(25,4))), 2) AS DOUBLE) AS total_bal
+FROM supplier
+GROUP BY s_nationkey
+""",
+    tags=("S4", "S3"),
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar source format: write supplier to ORC
+    (zlib, Spark-native writer), read it back, aggregate. The oracle reads
+    the ORIGINAL parquet — a hash match proves the ORC round-trip is
+    lossless including decimals/doubles. Same vectorized reader, pushdown
+    and pruning semantics as parquet; at scale, formats interop per-table
+    behind the same catalog."""
+    src = T(spark, sf_dir, "supplier")
+    path = _scratch(f"s9_orc_{sf_dir.replace('/', '_')}")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum(F.col("s_acctbal").cast("decimal(25,4)")), 2)
+        .cast("double")
+        .alias("total_bal"),
+    )

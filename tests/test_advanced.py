@@ -150,3 +150,49 @@ def test_subqueries_decorrelate_to_joins(spark, sf_dir):
         ._jdf.queryExecution().optimizedPlan().toString()
     )
     assert "Aggregate" in plan and "Join" in plan
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """Spark PageRank must match a dense numpy power iteration with the
+    same damping/iterations/dangling handling to float tolerance."""
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")],
+        ["src", "dst"],
+    )
+    got = {r["node"]: r["pagerank"] for r in pagerank(edges, iters=10).collect()}
+
+    nodes = sorted(got)
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = {"a": 2, "b": 1, "c": 1, "d": 1}
+    pr = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(10):
+        nxt = np.zeros(n)
+        for s, t in [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]:
+            nxt[idx[t]] += pr[idx[s]] / out[s]
+        dangling = 1.0 - sum(pr[idx[s]] for s in out)
+        pr = (1 - d) / n + d * dangling / n + d * nxt
+    for name in nodes:
+        assert abs(got[name] - pr[idx[name]]) < 1e-9, name
+
+
+def test_mg_heavy_hitters_exact(spark):
+    """MG candidates + exact recount must equal the exact groupBy answer
+    (items with count strictly above n/k), at any partitioning."""
+    from retail_datalakehouse_spark.operators.sketches import mg_heavy_hitters
+
+    data = (
+        [("x",)] * 40 + [("y",)] * 25 + [("z",)] * 10
+        + [(f"r{i}",) for i in range(25)]
+    )
+    df = spark.createDataFrame(data, ["v"]).repartition(7)
+    n = len(data)
+    k = 4
+    got = {(r["v"], r["n"]) for r in mg_heavy_hitters(df, "v", k).collect()}
+    exact = {("x", 40), ("y", 25)} if 25 > n / k else {("x", 40)}
+    assert got == exact

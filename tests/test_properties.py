@@ -80,3 +80,35 @@ def test_window_sum_equals_group_sum(spark, rows):
     assert sorted(map(tuple, last_running.collect())) == sorted(
         map(tuple, group_total.collect())
     )
+
+
+@given(
+    vals=st.lists(st.floats(-100, 100, allow_nan=False, width=32), min_size=0, max_size=25),
+    w=st.sampled_from([0.3, 1.0, 2.5]),
+)
+@SETTINGS
+def test_binned_band_join_matches_naive(spark, vals, w):
+    """The floor(v/w) bin rewrite of |a-b| <= w finds EXACTLY the naive
+    theta-join pairs for arbitrary values and band widths (adjacent-bin
+    coverage is sufficient and non-duplicating)."""
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)] or [(0, 0.0)], ["k", "v"]
+    )
+    binned = df.withColumn("bin", F.floor(F.col("v") / w).cast("long"))
+    probes = binned.withColumn(
+        "pb", F.explode(F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1))
+    ).select(F.col("k").alias("k1"), F.col("v").alias("v1"), "pb")
+    build = binned.select(F.col("k").alias("k2"), F.col("v").alias("v2"), "bin")
+    fast = {
+        (r["k1"], r["k2"])
+        for r in probes.join(build, probes.pb == build.bin)
+        .filter((F.col("k1") < F.col("k2")) & (F.abs(F.col("v1") - F.col("v2")) <= w))
+        .collect()
+    }
+    naive = {
+        (i, j)
+        for i, a in enumerate(vals)
+        for j, b in enumerate(vals)
+        if i < j and abs(a - b) <= w
+    }
+    assert fast == naive

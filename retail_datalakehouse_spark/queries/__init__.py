@@ -12,7 +12,7 @@ from .base import REGISTRY, Query, oracle_sql, queries, register  # noqa: F401
 # correctness gate walks the registry. Cheap relational/window/function/udf
 # queries register first; the expensive streaming + LLM blocks last, so a
 # budget cut never costs a cheap query its driver row.
-from . import relational, windows, functions, udfs, extras, advanced, lakehouse, llm, streaming  # noqa: E402,F401
+from . import relational, windows, functions, udfs, extras, advanced, analytics, lakehouse, llm, streaming  # noqa: E402,F401
 
 
 def all_queries():

@@ -1,0 +1,711 @@
+"""Event/entity analytics over the lakehouse: slowly-changing dimensions,
+sessionization, windowed funnels, graph triangle statistics, blocked
+edit-distance near-dup, deterministic stratified sampling, bigram language
+statistics, and single-pass column profiling.
+
+Scale notes (the 100 TB brief):
+
+- SCD2 / sessionization are per-entity window computations: ONE shuffle on
+  the entity key, then linear per-partition passes — no self-joins, no
+  driver state. The entity key is the natural partitioner at any scale.
+- The funnel's 7-day window variant filters each stage to its event type
+  BEFORE the user-key shuffle (predicate pushdown into the scan).
+- Triangle counting materializes the distinct co-occurrence edge list
+  (bounded by entity-pair cardinality, not fact rows) and joins edges on
+  shared vertices — the standard 2-path + closing-edge plan; at web scale
+  you'd pre-order by degree, here the a<b<c orientation already gives each
+  triangle exactly once.
+- Edit-distance near-dup runs Levenshtein only WITHIN blocks (same head
+  noun) over DISTINCT names — blocking is what keeps pairwise string
+  comparison off the O(n^2) cliff, same design as the LSH band join in
+  `operators/minhash.py`.
+- The stratified sample uses a content hash (md5 of the key), not rand():
+  deterministic, engine-independent, and at scale it samples each partition
+  independently with zero coordination.
+- The column profiler computes every column's stats in ONE scan (a single
+  multi-aggregate), then explodes the 1-row result into (column, stats)
+  rows — the schema-profiling job you run before choosing partition keys.
+
+Reference parity: the reference (431 LoC of provisioning, SURVEY §0) has no
+analytics engine; these are the consumer-side queries its Glue/Athena users
+would run on the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .base import register
+from .helpers import T, sql_dsum
+
+# ----------------------------------------------------------------- SCD2
+
+
+_SCD2_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+c AS (SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+ch AS (SELECT user_id, event_type, ts, event_id FROM c
+       WHERE prev IS NULL OR prev <> event_type)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM ch
+"""
+
+
+@register("x_scd2_dimension", oracle=_SCD2_SQL, tags=("W2", "S7"), doc="")
+def x_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build: compress each user's event
+    stream into validity intervals [valid_from, valid_to) over their
+    current event_type, open interval = current row. Run-compression is a
+    lag() filter, interval close is a lead() — two window passes over ONE
+    user-key shuffle; (ts, event_id) is a total order so survivors are
+    deterministic."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+# -------------------------------------------------------- sessionization
+
+
+_SESSION_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+g AS (SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+s AS (SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM g)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+@register("x_sessionization", oracle=_SESSION_SQL, tags=("W3", "T4"), doc="")
+def x_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit session-id assignment (30-min inactivity gap): flag gap
+    starts with lag(), running-sum the flags into session ids, aggregate
+    per session. The batch spelling of t4's session_window — but it EMITS
+    the id, which downstream joins need. One user-key shuffle, linear
+    window passes; the groupBy reuses the same hash partitioning."""
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    g = e.withColumn(
+        "new_sess",
+        F.when(F.lag("ts").over(w).isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ------------------------------------------------------ windowed funnel
+
+
+_FUNNEL_WINDOWED_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t_view FROM e WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM e JOIN s1 ON e.user_id = s1.user_id
+       WHERE e.event_type = 'click' AND e.ts > s1.t_view
+         AND e.ts <= s1.t_view + INTERVAL 7 DAY
+       GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM e JOIN s2 ON e.user_id = s2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+         AND e.ts <= s2.t_click + INTERVAL 7 DAY
+       GROUP BY e.user_id)
+SELECT 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+UNION ALL SELECT 'view>click(7d)', (SELECT COUNT(*) FROM s2)
+UNION ALL SELECT 'view>click>purchase(7d)', (SELECT COUNT(*) FROM s3)
+"""
+
+
+@register("x_funnel_windowed", oracle=_FUNNEL_WINDOWED_SQL, tags=("A1", "J1", "F2"), doc="")
+def x_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel with a 7-day conversion window per stage (the
+    production form — unbounded funnels count year-later conversions).
+    Same shape as x_funnel_analysis: per-stage event-type filters push into
+    the scan, stages shuffle on user_id only. Timestamp + INTERVAL
+    arithmetic is exact integer microseconds on both engines."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    week = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t_view")) & (F.col("ts") <= F.col("t_view") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t_click")) & (F.col("ts") <= F.col("t_click") + week))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    parts = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("stage"), "n_users"),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click(7d)").alias("stage"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("view>click>purchase(7d)").alias("stage"), "n_users"
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ------------------------------------------------------ triangle counting
+
+
+_TRIANGLE_SQL = """
+WITH pe AS (
+  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+deg AS (SELECT k, COUNT(*) AS d
+        FROM (SELECT a AS k FROM pe UNION ALL SELECT b AS k FROM pe) GROUP BY k),
+tri AS (SELECT COUNT(*) AS n_triangles
+        FROM pe e1 JOIN pe e2 ON e1.b = e2.a
+        JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT COUNT(*) FROM pe) AS n_edges,
+       (SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles,
+       ROUND(3.0 * (SELECT n_triangles FROM tri)
+             / ((SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) FROM deg)), 6) AS clustering
+"""
+
+
+@register("x_triangle_count", oracle=_TRIANGLE_SQL, tags=("J1", "A1"), doc="")
+def x_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient of the supplier
+    co-purchase graph (suppliers co-occurring in an order). The fact
+    self-join builds DISTINCT oriented edges (a<b) — edge cardinality is
+    bounded by entity pairs, not fact rows — then the classic wedge-close
+    plan: edges joined on the shared middle vertex, closed against a third
+    edge. The a<b<c orientation counts each triangle exactly once and cuts
+    the wedge join to half the degree product. At web scale the next step
+    is degree-ordering the orientation; the plan shape is unchanged."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    pe = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") < F.col("l2.l_suppkey")),
+        )
+        .select(F.col("l1.l_suppkey").alias("a"), F.col("l2.l_suppkey").alias("b"))
+        .distinct()
+    )
+    deg = (
+        pe.select(F.col("a").alias("k"))
+        .unionAll(pe.select(F.col("b").alias("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = pe.alias("e1")
+    e2 = pe.alias("e2")
+    e3 = pe.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    edges = pe.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    return (
+        nodes.crossJoin(edges)
+        .crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6).alias("clustering"),
+        )
+    )
+
+
+# --------------------------------------------- blocked edit-distance dedup
+
+
+_EDIT_DIST_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+b AS (SELECT p_name, string_split(p_name, ' ')[2] AS blk FROM names)
+SELECT b1.p_name AS name1, b2.p_name AS name2,
+       CAST(levenshtein(b1.p_name, b2.p_name) AS BIGINT) AS dist
+FROM b b1 JOIN b b2 ON b1.blk = b2.blk AND b1.p_name < b2.p_name
+WHERE levenshtein(b1.p_name, b2.p_name) <= 2
+"""
+
+
+@register("l2_edit_distance_neardup", oracle=_EDIT_DIST_SQL, tags=("L2", "J1"), doc="")
+def l2_edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate candidates over DISTINCT part names,
+    blocked by head noun: Levenshtein runs only within a block (equi-join
+    on the blocking key), never all-pairs — the blocking discipline every
+    entity-resolution pipeline needs to survive scale. Distinct-first
+    matters: raw rows are heavily duplicated and would multiply every
+    comparison. dist <= 2 emitted with a p_name1 < p_name2 orientation."""
+    names = T(spark, sf_dir, "part").select("p_name").distinct()
+    b = names.withColumn("blk", F.split("p_name", " ").getItem(1))
+    b1 = b.select(F.col("p_name").alias("name1"), F.col("blk").alias("blk1"))
+    b2 = b.select(F.col("p_name").alias("name2"), F.col("blk").alias("blk2"))
+    return (
+        b1.join(
+            b2,
+            (F.col("blk1") == F.col("blk2")) & (F.col("name1") < F.col("name2")),
+        )
+        .withColumn("dist", F.levenshtein("name1", "name2").cast("long"))
+        .filter(F.col("dist") <= 2)
+        .select("name1", "name2", "dist")
+    )
+
+
+# -------------------------------------------- deterministic stratified sample
+
+
+_STRAT_SAMPLE_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_sampled,
+       {sql_dsum('c_acctbal')} AS sample_bal
+FROM customer
+WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY c_nationkey
+"""
+
+
+@register("x_stratified_sample", oracle=_STRAT_SAMPLE_SQL, tags=("P2", "A1"), doc="")
+def x_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~1/8 stratified sample via content hashing: keep rows
+    whose md5(key) starts with 0 or 1, then per-stratum counts. Unlike
+    rand()-based sampling this is reproducible across engines, retries,
+    and re-partitioning, needs no coordination (each partition samples
+    independently), and the SAME predicate selects the SAME rows in any
+    downstream system — the property training-data holdout splits need."""
+    from .helpers import dsum
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    sampled = c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1).isin("0", "1")
+    )
+    return sampled.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_sampled"), dsum("c_acctbal").alias("sample_bal")
+    )
+
+
+# ------------------------------------------------------------- bigrams
+
+
+_BIGRAM_SQL = """
+WITH toks AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+bg AS (SELECT unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+       FROM toks WHERE len(l) >= 2)
+SELECT p[1] || ' ' || p[2] AS bigram, COUNT(*) AS n
+FROM bg GROUP BY p[1] || ' ' || p[2]
+ORDER BY n DESC, bigram LIMIT 20
+"""
+
+
+@register("l4_bigrams", oracle=_BIGRAM_SQL, tags=("L4", "F6"), doc="")
+def l4_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams via array-shift zipping: zip the token array
+    against itself offset by one (NARROW — no window, no self-join, no
+    positional shuffle), explode, count. The n-gram statistics pass for
+    contamination screens / boilerplate detection; at 100 TB the only
+    shuffle is the two-phase count on the bigram key. Tie-break: count
+    desc, bigram asc."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.lower("text"), " ").alias("l")).filter(F.size("l") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, F.size("l") - 1).alias("t1"),
+                F.expr("slice(l, 2, size(l) - 1)").alias("t2"),
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.concat_ws(" ", F.col("p.t1"), F.col("p.t2")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------- change data feed
+
+
+_CDF_SQL = """
+WITH base AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 = 0),
+upd AS (SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice FROM orders
+        WHERE o_orderkey % 14 = 0),
+ins AS (SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+SELECT 'delete' AS op, o_orderkey, o_totalprice FROM base WHERE o_orderkey % 21 = 0
+UNION ALL
+SELECT 'update' AS op, o_orderkey, o_totalprice FROM upd WHERE o_orderkey % 21 <> 0
+UNION ALL
+SELECT 'insert' AS op, o_orderkey, o_totalprice FROM ins
+"""
+
+
+@register("x_cdf_version_diff", oracle=_CDF_SQL, tags=("S6", "S7", "J4"), doc="")
+def x_cdf_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between table versions (Delta CDF semantics on the
+    engine's VersionedTable): commit base (v1), MERGE updates+inserts
+    (v2), DELETE a slice (v3), then DIFF v1 -> current as a full outer
+    join on the key, classifying each row insert / update / delete. The
+    oracle derives the expected feed from the raw table, so the hash
+    checks commit resolution, merge, delete, AND the diff logic. At scale
+    the diff shuffles both snapshots once on the key — or reads Delta's
+    recorded CDF files instead of recomputing; this is the recompute
+    fallback every format supports."""
+    import shutil
+
+    from ..sources.table_format import VersionedTable
+
+    from .lakehouse import _scratch
+
+    path = _scratch(f"x_cdf_{sf_dir.strip('/').replace('/', '_')}")
+    shutil.rmtree(path, ignore_errors=True)
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(spark, path)
+    v1 = t.overwrite(o.filter(F.col("o_orderkey") % 7 == 0))
+    updates = o.filter(F.col("o_orderkey") % 14 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + 10.0
+    )
+    inserts = o.filter((F.col("o_orderkey") % 11 == 0) & (F.col("o_orderkey") % 7 != 0))
+    t.merge(updates.unionByName(inserts), keys=["o_orderkey"])
+    t.delete(F.col("o_orderkey") % 21 == 0)
+
+    old = t.read_version(v1).select(
+        F.col("o_orderkey").alias("k_old"), F.col("o_totalprice").alias("p_old")
+    )
+    new = t.read().select(
+        F.col("o_orderkey").alias("k_new"), F.col("o_totalprice").alias("p_new")
+    )
+    diff = old.join(new, old.k_old == new.k_new, "full_outer")
+    return (
+        diff.withColumn(
+            "op",
+            F.when(F.col("k_old").isNull(), "insert")
+            .when(F.col("k_new").isNull(), "delete")
+            .when(F.col("p_old") != F.col("p_new"), "update"),
+        )
+        .filter(F.col("op").isNotNull())
+        .select(
+            "op",
+            F.coalesce("k_new", "k_old").alias("o_orderkey"),
+            F.coalesce("p_new", "p_old").alias("o_totalprice"),
+        )
+    )
+
+
+# ------------------------------------------------------ column profiling
+
+
+_PROFILE_NUMERIC = ("o_orderkey", "o_custkey", "o_totalprice")
+_PROFILE_OTHER = ("o_orderstatus", "o_orderpriority")
+
+
+def _profile_sql() -> str:
+    selects = []
+    for c in _PROFILE_NUMERIC:
+        selects.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" CAST(MIN({c}) AS DOUBLE) AS min_val,"
+            f" CAST(MAX({c}) AS DOUBLE) AS max_val FROM orders"
+        )
+    for c in _PROFILE_OTHER:
+        selects.append(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" CAST(NULL AS DOUBLE) AS min_val,"
+            f" CAST(NULL AS DOUBLE) AS max_val FROM orders"
+        )
+    return "\nUNION ALL ".join(selects)
+
+
+@register("x_profile_summary", oracle=_profile_sql(), tags=("A1", "A2"), doc="")
+def x_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler: null counts, distinct counts, and
+    numeric min/max for every profiled column computed in ONE
+    multi-aggregate scan, then the 1-row result exploded into per-column
+    rows. The oracle spells it as per-column UNION ALL scans; Spark does
+    the same work in one pass — the profile job that picks partition and
+    z-order keys before laying out 100 TB."""
+    o = T(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_NUMERIC + _PROFILE_OTHER:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    for c in _PROFILE_NUMERIC:
+        aggs.append(F.min(F.col(c)).cast("double").alias(f"min_{c}"))
+        aggs.append(F.max(F.col(c)).cast("double").alias(f"max_{c}"))
+    g = o.agg(*aggs)
+    structs = []
+    for c in _PROFILE_NUMERIC:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_val"),
+                F.col(f"max_{c}").alias("max_val"),
+            )
+        )
+    for c in _PROFILE_OTHER:
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_val"),
+                F.lit(None).cast("double").alias("max_val"),
+            )
+        )
+    return g.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+# ------------------------------------------------------- skyline / pareto
+
+
+_SKYLINE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+  FROM orders),
+w AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice, day,
+         MAX(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY day DESC
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxp_later,
+         MAX(o_totalprice) OVER (PARTITION BY o_orderpriority, day) AS maxp_same
+  FROM o)
+SELECT o_orderkey, o_orderpriority, o_totalprice, CAST(day AS BIGINT) AS day
+FROM w
+WHERE (maxp_later IS NULL OR maxp_later < o_totalprice) AND maxp_same <= o_totalprice
+"""
+
+
+@register("x_skyline_pareto", oracle=_SKYLINE_SQL, tags=("W4", "O1"), doc="")
+def x_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Pareto skyline (maximize price AND recency): a row is
+    dominated iff some row has a strictly later date with >= price, or the
+    same date with > price. Two window passes over ONE partition-key
+    shuffle — never the quadratic NOT-EXISTS self-join. The range frame
+    (day DESC, up to 1 PRECEDING) reads 'max price among strictly later
+    days'; the per-(priority, day) max handles same-day domination.
+    Partitioned skylines stay distributed; a global skyline is the same
+    plan after a local-skyline-per-partition pre-filter."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).alias("day"),
+    )
+    w_later = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("day").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("o_orderpriority", "day")
+    w = o.withColumn("maxp_later", F.max("o_totalprice").over(w_later)).withColumn(
+        "maxp_same", F.max("o_totalprice").over(w_same)
+    )
+    return (
+        w.filter(
+            (F.col("maxp_later").isNull() | (F.col("maxp_later") < F.col("o_totalprice")))
+            & (F.col("maxp_same") <= F.col("o_totalprice"))
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", F.col("day").cast("long").alias("day"))
+    )
+
+
+# --------------------------------------------------- event-type transitions
+
+
+_TRANSITIONS_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+seq AS (SELECT user_id, event_type AS next_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM e),
+c AS (SELECT prev_type, next_type, COUNT(*) AS n FROM seq
+      WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type),
+tot AS (SELECT prev_type, SUM(n) AS total FROM c GROUP BY prev_type)
+SELECT c.prev_type, c.next_type, c.n,
+       CAST(c.n AS DOUBLE) / tot.total AS p
+FROM c JOIN tot ON c.prev_type = tot.prev_type
+"""
+
+
+@register("x_event_transitions", oracle=_TRANSITIONS_SQL, tags=("W2", "A1"), doc="")
+def x_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event types: lag() per
+    user gives (prev, next) pairs — one user-key shuffle — then a count
+    agg on the (tiny) type-pair key and a broadcast-joined row
+    normalization. The behavioral-model / anomaly-baseline primitive;
+    transition probabilities are exact integer ratios, bit-identical
+    across engines."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy("prev_type").agg(F.sum("n").alias("total"))
+    return c.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("total")).alias("p"),
+    )
+
+
+# ------------------------------------------------------- TF-IDF top terms
+
+
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS s
+  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, term, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, ROUND(s, 4) AS tfidf
+FROM ranked WHERE rn <= 3
+"""
+
+
+@register("l4_tfidf_topterms", oracle=_TFIDF_SQL, tags=("L4", "W6"), doc="")
+def l4_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf: term frequency
+    and document frequency are two-phase count aggs, idf joins back as a
+    broadcast (vocab-sized), per-doc top-k is a WindowGroupLimit rank.
+    The keyword-extraction / topic-drift primitive. Scores round to 4 dp
+    to absorb cross-engine ln() ulps; ranking tie-breaks on term so equal
+    (tf, df) terms order identically everywhere."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("s", 4).alias("tfidf"))
+    )
+
+
+# ------------------------------------------- multi-resolution rollup
+
+
+_MULTIRES_SQL = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket, COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(25,6))) AS sx
+  FROM e GROUP BY date_trunc('hour', ts)),
+daily AS (
+  SELECT date_trunc('day', bucket) AS bucket, CAST(SUM(n) AS BIGINT) AS n, SUM(sx) AS sx
+  FROM hourly GROUP BY date_trunc('day', bucket))
+SELECT 'hour' AS grain, bucket, n, CAST(ROUND(sx, 2) AS DOUBLE) AS total_value FROM hourly
+UNION ALL
+SELECT 'day' AS grain, bucket, n, CAST(ROUND(sx, 2) AS DOUBLE) AS total_value FROM daily
+"""
+
+
+@register("x_multires_rollup", oracle=_MULTIRES_SQL, tags=("A1", "F2", "T2"), doc="")
+def x_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution time rollup (continuous-aggregate style): the
+    daily grain is derived FROM the hourly partials — sums stay exact
+    decimals until the final round, so re-aggregating partials is
+    bit-identical to aggregating raw (the invariant that lets a 100 TB
+    hypertable serve any coarser grain from its finest materialized
+    rollup instead of rescanning raw events). One scan, one agg shuffle,
+    then a partials-only re-agg."""
+    e = T(spark, sf_dir, "events").select("ts", "value")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sx"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("sx").alias("sx")
+    )
+    out_h = hourly.select(
+        F.lit("hour").alias("grain"),
+        "bucket",
+        "n",
+        F.round("sx", 2).cast("double").alias("total_value"),
+    )
+    out_d = daily.select(
+        F.lit("day").alias("grain"),
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        F.round("sx", 2).cast("double").alias("total_value"),
+    )
+    return out_h.unionByName(out_d)

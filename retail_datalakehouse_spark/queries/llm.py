@@ -507,3 +507,54 @@ def l2_word_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The MinHash-LSH pipeline is the unbounded-scale path."""
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     return jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9)
+
+
+@register(
+    "l3_pq_topk",
+    oracle=None,  # approximate (trained codebooks, quantization grid) → rows-only
+    tags=("L3",),
+)
+def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): 8 subspaces × 16-code
+    codebooks trained with the DataFrame k-means, vectors stored as 8
+    one-byte codes (32× smaller scan set than float32), candidates scored
+    by asymmetric LUT lookups in cosine form (pure codegen — element_at
+    on broadcast literal tables, no vector access), top-120 rescored with
+    exact float cosine for the final top-10. The candidate pool exceeds
+    the corpus blob size — within-cluster ordering is reconstruction-
+    noise-dominated for ANY quantizer, so recall comes from pool width +
+    exact rescoring, not from trusting ADC's in-cluster ranking. Recall vs exact brute force
+    pinned by tests/test_advanced.py. Composes with the IVF partition
+    layout as IVF-PQ at corpus scale."""
+    from ..operators.pq import pq_adc_cosine, pq_encode, pq_train
+
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # Codebooks train on a deterministic half-sample: quantizer quality
+    # needs representative cluster structure, not every row — the standard
+    # PQ practice (train on ~100k of a billion). Halves the interpreted
+    # higher-order-function distance evals per Lloyd pass locally.
+    train = emb.filter(F.col("vec_id") % 2 == 0)
+    codebooks = pq_train(train, m=8, k=16, max_iters=2)
+    qrow = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    encoded = pq_encode(emb.filter(F.col("vec_id") != 0), codebooks)
+    cand = (
+        encoded.withColumn("adc_cos", pq_adc_cosine(codebooks, qrow))
+        .orderBy(F.desc("adc_cos"), "vec_id")
+        .limit(120)
+    )
+
+    qf = F.array(*[F.lit(x) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with("embedding", qf, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    vnorm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    qnorm = sum(x * x for x in qrow) ** 0.5
+    return (
+        cand.withColumn("cosine", F.round(dot / (vnorm * F.lit(qnorm)), 6))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+        .select("vec_id", "cosine")
+    )

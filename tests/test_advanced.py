@@ -196,3 +196,29 @@ def test_mg_heavy_hitters_exact(spark):
     got = {(r["v"], r["n"]) for r in mg_heavy_hitters(df, "v", k).collect()}
     exact = {("x", 40), ("y", 25)} if 25 > n / k else {("x", 40)}
     assert got == exact
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ ADC candidates + exact rescoring must recover >= 7 of the exact
+    float top-10 (same query vector, same tie-break). Looser than SQ8's
+    bound: PQ quantizes to 4 codes, a far harsher compression."""
+    approx = [r["vec_id"] for r in all_queries()["l3_pq_topk"].fn(spark, SF).collect()]
+
+    emb = T(spark, SF, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qf = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with("embedding", qf, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    qnorm = sum(float(x) ** 2 for x in qrow) ** 0.5
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", (dot / (norm * F.lit(qnorm))).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert len(approx) == 10
+    assert len(set(approx) & set(exact)) >= 7

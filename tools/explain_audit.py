@@ -31,7 +31,10 @@ def plan_of(spark, name: str) -> str:
     if name not in _plan_cache:
         df = Q.all_queries()[name].fn(spark, SF)
         df.collect()  # finalize THIS df's AQE plan (a noop write runs a copy)
-        _plan_cache[name] = df._jdf.queryExecution().executedPlan().toString()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # AdaptiveSparkPlan prints "Final Plan" followed by "Initial Plan";
+        # keep only the final section so substring counts aren't doubled.
+        _plan_cache[name] = plan.split("== Initial Plan ==")[0]
     return _plan_cache[name]
 
 
@@ -61,6 +64,18 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "bin rewrite must eliminate the cartesian product"),
     ("x_exists_subquery", "LeftSemi", True,
      "EXISTS must decorrelate to a semi join, not a per-row subquery"),
+    ("x_triangle_count", "CartesianProduct", False,
+     "triangle closure must join on vertex keys, never cross-join"),
+    ("l2_edit_distance_neardup", "CartesianProduct", False,
+     "levenshtein must run only inside blocks (equi-join on blocking key)"),
+    ("l2_edit_distance_neardup", "BroadcastNestedLoopJoin", False,
+     "blocking key must give a hash join, not an all-pairs nested loop"),
+    ("l4_bigrams", "EvalPython", False,
+     "bigram zip/explode/count must stay JVM-side"),
+    ("l3_pq_topk", "EvalPython", False,
+     "PQ encode + ADC scoring must stay JVM-side (literal LUT lookups)"),
+    ("l3_pq_topk", "TakeOrderedAndProject", True,
+     "ADC candidate top-k must be heap-based, not a global sort"),
 ]
 
 
@@ -109,7 +124,27 @@ def main() -> int:
     else:
         failures.append(("x_bucketed_colocated_join", "exchange-free SMJ", "bucketed layout"))
         print("FAIL  x_bucketed_colocated_join: join plan still shuffles or sorts")
-    n_total = len(CHECKS) + 3
+    # Sessionization: the lag-window, the running-sum window, AND the
+    # session aggregation must all reuse ONE user-key hash exchange
+    # (HashPartitioning(user_id) satisfies the (user_id, session_id)
+    # clustering) — the single-shuffle property that makes it linear.
+    plan = plan_of(spark, "x_sessionization")
+    n_ex = plan.count("Exchange hashpartitioning")
+    if n_ex == 1:
+        print("PASS  x_sessionization: one user-key exchange feeds windows + agg")
+    else:
+        failures.append(("x_sessionization", "single exchange", f"found {n_ex}"))
+        print(f"FAIL  x_sessionization: expected 1 hash exchange, found {n_ex}")
+    # Column profiler: all per-column stats must come from ONE scan of the
+    # table (a single multi-aggregate), not one scan per profiled column.
+    plan = plan_of(spark, "x_profile_summary")
+    n_scans = plan.count("FileScan parquet")
+    if n_scans == 1:
+        print("PASS  x_profile_summary: one scan feeds all column stats")
+    else:
+        failures.append(("x_profile_summary", "single scan", f"found {n_scans}"))
+        print(f"FAIL  x_profile_summary: expected 1 FileScan, found {n_scans}")
+    n_total = len(CHECKS) + 5
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

@@ -709,3 +709,121 @@ def x_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sx", 2).cast("double").alias("total_value"),
     )
     return out_h.unionByName(out_d)
+
+
+# -------------------------------------------------- rolling active users
+
+
+_ROLLING_AU_SQL = """
+WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+du AS (SELECT DISTINCT user_id, d FROM e),
+exp AS (SELECT user_id, d + CAST(i AS INTEGER) AS day
+        FROM du, (SELECT unnest(generate_series(0, 6)) AS i) g)
+SELECT day, COUNT(DISTINCT user_id) AS active_users_7d
+FROM exp GROUP BY day
+"""
+
+
+@register("x_rolling_active_users", oracle=_ROLLING_AU_SQL, tags=("A2", "W4", "F2"), doc="")
+def x_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day — the canonical engagement
+    metric. Sliding COUNT(DISTINCT) has no mergeable window form, so each
+    (user, day) activation CONTRIBUTES to the 7 days it covers (explode a
+    0..6 offset — bounded ×7 amplification of the already-deduped
+    user-day table, not of raw events), then one exact distinct-count per
+    day. At extreme scale swap the exact distinct for per-day HLL
+    sketches over the same expansion."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    du = e.distinct()
+    exp = du.select(
+        "user_id", "d", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i")
+    ).select("user_id", F.date_add("d", F.col("i")).alias("day"))
+    return exp.groupBy("day").agg(F.count_distinct("user_id").alias("active_users_7d"))
+
+
+# ------------------------------------------------------- inverted index
+
+
+_INVIDX_SQL = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents)
+SELECT term, COUNT(*) AS df,
+       list(doc_id ORDER BY doc_id)[1:20] AS postings_head
+FROM tok GROUP BY term
+"""
+
+
+@register("l4_inverted_index", oracle=_INVIDX_SQL, tags=("L4", "F6"), doc="")
+def l4_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> document frequency + the first 20
+    postings (sorted doc_ids). The retrieval-side complement of l4_bm25;
+    posting lists are collect_set + sort + slice per term — one shuffle
+    on the term key, bounded output per term (full postings would be
+    written to a term-bucketed table instead of returned)."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).distinct()
+    return tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).alias("postings_head"),
+    )
+
+
+# ------------------------------------------------- contamination screen
+
+
+_CONTAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                                    FOR i IN generate_series(1, len(l) - 2)])) AS s
+       FROM toks WHERE len(l) >= 3),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id < 450),
+eval_ AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450)
+SELECT t.doc_id AS train_doc_id,
+       COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+       COUNT(DISTINCT t.s) AS n_shared_shingles
+FROM train t JOIN eval_ e ON t.s = e.s
+GROUP BY t.doc_id
+"""
+
+
+@register("l4_contamination", oracle=_CONTAM_SQL, tags=("L4", "L2", "J5"), doc="")
+def l4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination screen (the decontamination pass every
+    benchmark-clean training corpus needs): word-trigram shingles of the
+    held-out slice (doc_id >= 450) are joined against the training
+    slice's shingles; any shared shingle flags the training doc with how
+    many eval docs and distinct shingles it collides with. The join is on
+    the shingle hash key — linear, bucketed by shingle, never
+    doc-pairwise; at 100 TB the eval side is tiny and broadcasts."""
+    docs = T(spark, sf_dir, "documents")
+    sh = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("l"))
+        .filter(F.size("l") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    # NB: Spark's l[i] is 0-based (the DuckDB oracle's is 1-based)
+                    F.expr("transform(sequence(0, size(l) - 3), i -> concat_ws(' ', l[i], l[i+1], l[i+2]))")
+                )
+            ).alias("s"),
+        )
+    )
+    train = sh.filter(F.col("doc_id") < 450)
+    ev = sh.filter(F.col("doc_id") >= 450).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        train.join(F.broadcast(ev), "s")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.count_distinct("eval_doc_id").alias("n_eval_docs"),
+            F.count_distinct("s").alias("n_shared_shingles"),
+        )
+    )

@@ -137,3 +137,37 @@ def merge_cdc(
     # project upserts onto the target schema (CDC metadata cols dropped)
     inserts = changes.filter(F.col(op_col) == "upsert").select(*target.columns)
     return survivors.unionByName(inserts)
+
+
+def merge_additive(
+    target: DataFrame,
+    partials: DataFrame,
+    keys: Sequence[str],
+    add_cols: Sequence[str],
+) -> DataFrame:
+    """Additive MERGE for incremental aggregate maintenance: matched keys
+    ADD their measure columns (``WHEN MATCHED THEN UPDATE SET c = t.c +
+    p.c``), unmatched keys insert. Measures must be partial-mergeable
+    (counts, exact-decimal sums, sketch unions would go through their own
+    merge fn) — the property that lets a streamed micro-batch refresh a
+    materialized aggregate without rescanning history.
+
+    One full-outer join on the aggregate key: at scale the mart is keyed
+    and bucketed on ``keys``, so the join co-locates and the update never
+    touches more rows than the batch's key set.
+    """
+    keys = list(keys)
+    t = target.alias("t")
+    p = partials.alias("p")
+    cond = None
+    for k in keys:
+        c = F.col(f"t.{k}") == F.col(f"p.{k}")
+        cond = c if cond is None else (cond & c)
+    out_keys = [F.coalesce(F.col(f"t.{k}"), F.col(f"p.{k}")).alias(k) for k in keys]
+    out_adds = [
+        (
+            F.coalesce(F.col(f"t.{c}"), F.lit(0)) + F.coalesce(F.col(f"p.{c}"), F.lit(0))
+        ).alias(c)
+        for c in add_cols
+    ]
+    return t.join(p, cond, "full_outer").select(*out_keys, *out_adds)

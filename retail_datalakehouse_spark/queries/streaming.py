@@ -414,3 +414,67 @@ def t8_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(F.count(F.lit(1)).alias("n_clicks_before"))
     )
+
+
+@register(
+    "t9_streaming_mart_refresh",
+    oracle="""
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+""",
+    tags=("T6", "S7", "A1"),
+)
+def t9_streaming_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized-view maintenance: the orders
+    'arrive' as three micro-batch files; each batch is partially
+    aggregated (count + exact-decimal revenue per month) and ADDITIVELY
+    merged into a durable VersionedTable via `merge_aggregate` — the
+    streamed mart. The oracle is the full batch recompute: a hash match
+    proves per-batch partial-merge ≡ global aggregate regardless of how
+    history was sliced into batches (the invariant that lets a 100 TB
+    gold mart refresh from each day's arrivals instead of rescanning).
+    The txn batch-id guard keeps replayed micro-batches exactly-once;
+    state lives in table snapshots, never driver memory."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.table_format import VersionedTable
+    from ..streaming.jobs import run_foreach_batch
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice", "o_orderkey")
+    d = tempfile.mkdtemp(prefix="rdl_t9_mart_")
+    for i in range(3):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(o.filter(F.col("o_orderkey") % 3 == i), dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t9_vt_"))
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partials = batch_df.groupBy(
+            F.trunc(F.col("o_orderdate").cast("date"), "month").alias("order_month")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,2)")).alias("rev_exact"),
+        )
+        table.merge_aggregate(
+            partials,
+            keys=["order_month"],
+            add_cols=["n_orders", "rev_exact"],
+            txn=("t9_mart", batch_id),
+        )
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+    shutil.rmtree(d, ignore_errors=True)
+    return table.read().select(
+        "order_month",
+        "n_orders",
+        F.round("rev_exact", 2).cast("double").alias("revenue"),
+    )

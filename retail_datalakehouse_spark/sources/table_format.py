@@ -201,6 +201,35 @@ class VersionedTable:
 
         return self._commit_with_retry(build, "merge", txn=txn)
 
+    def merge_aggregate(
+        self,
+        partials: DataFrame,
+        keys: list[str],
+        add_cols: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Additive MERGE (incremental materialized-aggregate refresh):
+        matched keys ADD their partial-aggregate measures, new keys
+        insert — ``operators.merge.merge_additive`` committed as a new
+        snapshot. Measures are cast back to the partials' dtypes so the
+        table schema stays fixed across versions (decimal addition would
+        otherwise widen precision every commit)."""
+        from ..operators.merge import merge_additive
+
+        ptypes = dict(partials.dtypes)
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return partials
+            merged = merge_additive(cur, partials, keys, add_cols)
+            from pyspark.sql import functions as F
+
+            return merged.select(
+                *keys, *[F.col(c).cast(ptypes[c]).alias(c) for c in add_cols]
+            )
+
+        return self._commit_with_retry(build, "merge_aggregate", txn=txn)
+
     def delete(self, condition, txn: tuple[str, int] | None = None) -> int:
         """DELETE FROM table WHERE condition — the right-to-be-forgotten
         op: commits a new snapshot without the matching rows (old versions

@@ -215,3 +215,19 @@ def test_delete_commits_new_version_and_vacuum_erases(spark, tmp_path):
     with pytest.raises(ValueError):
         t.read_version(1)
     assert t.history()[-1]["operation"] == "delete"
+
+
+def test_merge_aggregate_adds_and_replay_is_noop(spark, tmp_path):
+    """Additive merge must sum matched measures, insert new keys, keep a
+    stable schema across commits, and skip a replayed txn batch id."""
+    t = VersionedTable(spark, str(tmp_path / "agg"))
+    p1 = spark.createDataFrame([("a", 2, 10.0), ("b", 1, 5.0)], ["k", "n", "s"])
+    t.merge_aggregate(p1, keys=["k"], add_cols=["n", "s"], txn=("w", 0))
+    p2 = spark.createDataFrame([("a", 3, 7.0), ("c", 1, 1.0)], ["k", "n", "s"])
+    t.merge_aggregate(p2, keys=["k"], add_cols=["n", "s"], txn=("w", 1))
+    v_after = t.current_version()
+    t.merge_aggregate(p2, keys=["k"], add_cols=["n", "s"], txn=("w", 1))  # replay
+    assert t.current_version() == v_after  # no new commit
+    rows = {r["k"]: (r["n"], r["s"]) for r in t.read().collect()}
+    assert rows == {"a": (5, 17.0), "b": (1, 5.0), "c": (1, 1.0)}
+    assert dict(t.read().dtypes) == {"k": "string", "n": "bigint", "s": "double"}

@@ -827,3 +827,49 @@ def l4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("s").alias("n_shared_shingles"),
         )
     )
+
+
+# ----------------------------------------- dynamic partition pruning
+
+
+_DPP_SQL = f"""
+WITH dim AS (
+  SELECT DISTINCT year(o_orderdate) AS yr FROM orders
+  WHERE year(o_orderdate) % 3 = 1)
+SELECT o.yr, COUNT(*) AS n_orders, {sql_dsum('o.o_totalprice')} AS revenue
+FROM (SELECT year(o_orderdate) AS yr, o_totalprice FROM orders) o
+JOIN dim ON o.yr = dim.yr
+GROUP BY o.yr
+"""
+
+
+@register("x_dynamic_partition_pruning", oracle=_DPP_SQL, tags=("P4", "J2"), doc="")
+def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is STORED partitioned by
+    year; the probe side's qualifying years are only known after filtering
+    the dimension, so Catalyst injects a dynamicpruning subquery that
+    prunes fact PARTITIONS at runtime (the join-driven cousin of p4's
+    static pruning — and what the runtime bloom filter does for
+    non-partition keys). tests/test_advanced.py asserts the
+    dynamicpruningexpression in the plan. At 100 TB this is the difference
+    between scanning 3 year-partitions and scanning the whole fact."""
+    import os
+
+    from .helpers import dsum
+    from .lakehouse import _scratch
+
+    path = _scratch(f"x_dpp_{sf_dir.strip('/').replace('/', '_')}")
+    o = T(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    if not os.path.isdir(os.path.join(path, "_SUCCESS")) and not os.path.isfile(
+        os.path.join(path, "_SUCCESS")
+    ):
+        o.write.mode("overwrite").partitionBy("yr").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        o.select("yr").distinct().filter(F.col("yr") % 3 == 1)
+    )
+    return (
+        fact.join(F.broadcast(dim), "yr")
+        .groupBy("yr")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
+    )

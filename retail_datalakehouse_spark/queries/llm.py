@@ -558,3 +558,149 @@ def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("vec_id", "cosine")
     )
+
+
+_CORPUS_Q_SQL = """
+0.4 * LEAST(len(list_filter(string_split(text,' '), t -> t != '')) / 100.0, 1.0)
++ 0.3 * (len(list_distinct(list_filter(string_split(text,' '), t -> t != '')))
+         / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
++ 0.3 * (1.0 - len(list_filter(string_split(text,' '),
+                               t -> t IN ('the','a','of','and','to','in','is')))
+               / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+"""
+
+_CORPUS_PIPELINE_SQL = f"""
+WITH RECURSIVE pool AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 450),
+scored AS (
+  SELECT doc_id, text,
+         CASE WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['the','and','of'])) > 0 THEN 'en'
+              WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['el','la','de','y'])) > 0 THEN 'es'
+              WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['der','die','und'])) > 0 THEN 'de'
+              ELSE 'unknown' END AS lang_pred,
+         {_CORPUS_Q_SQL} AS q
+  FROM pool),
+gated AS (SELECT * FROM scored WHERE q >= 0.6 AND lang_pred <> 'unknown'),
+exact AS (
+  SELECT doc_id, text, lang_pred, q,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
+           ORDER BY doc_id) AS rn
+  FROM gated),
+ex_surv AS (SELECT doc_id, text, lang_pred, q FROM exact WHERE rn = 1),
+tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM ex_surv),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+edges_sym AS (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM ex_surv
+  UNION
+  SELECT e.m AS node, r.lbl FROM reach r JOIN edges_sym e ON r.node = e.n),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1),
+near_surv AS (
+  SELECT s.* FROM ex_surv s JOIN comp ON s.doc_id = comp.node
+  WHERE s.doc_id = (SELECT MIN(c2.node) FROM comp c2 WHERE c2.component = comp.component)),
+esh AS (
+  SELECT DISTINCT s FROM (
+    SELECT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                   FOR i IN generate_series(1, len(l) - 2)]) AS s
+    FROM (SELECT string_split(lower(text), ' ') AS l FROM documents WHERE doc_id >= 450)
+    WHERE len(l) >= 3)),
+clean AS (
+  SELECT n.* FROM near_surv n
+  WHERE NOT EXISTS (
+    SELECT 1 FROM (
+      SELECT unnest([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                     FOR i IN generate_series(1, len(l) - 2)]) AS s
+      FROM (SELECT string_split(lower(n.text), ' ') AS l)
+      WHERE len(l) >= 3) t
+    JOIN esh ON t.s = esh.s))
+SELECT lang_pred, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text,' '), t -> t != ''))) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM clean GROUP BY lang_pred
+"""
+
+
+@register("l6_corpus_pipeline", oracle=_CORPUS_PIPELINE_SQL, tags=("L1", "L2", "L4"))
+def l6_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation — the composition the individual
+    L* operators exist for, as ONE dataflow:
+
+      1. quality + language gate (closed-form column math, q >= 0.6);
+      2. exact dedup on the normalized fingerprint (keep min doc_id);
+      3. near-dup collapse: word-Jaccard >= 0.9 edges -> connected
+         components -> keep the min doc per cluster;
+      4. contamination screen: drop any survivor sharing a word-trigram
+         shingle with the held-out slice (doc_id >= 450);
+      5. corpus stats per predicted language.
+
+    Every stage is a shuffle on a content key (fingerprint, token,
+    shingle, component label) — nothing pairwise, nothing driver-side.
+    The DuckDB oracle recomputes all five stages (recursive CTE for the
+    components), so the hash pins the whole pipeline end to end."""
+    from ..operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 450)
+    scored = d.select(
+        "doc_id",
+        "text",
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+    )
+    gated = scored.filter((F.col("q") >= 0.6) & (F.col("lang_pred") != "unknown"))
+
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    ex_surv = (
+        gated.withColumn("rn", F.row_number().over(w_fp))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+    edges = jaccard_pairs(ex_surv, "doc_id", "text", w=1, threshold=0.9)
+    comp = connected_components(
+        ex_surv.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    keep = comp.groupBy("component").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    near_surv = ex_surv.join(keep, "doc_id")
+
+    trigrams = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(l) - 3), i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
+        )
+    )
+    eval_sh = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") >= 450)
+        .select(F.split(F.lower("text"), " ").alias("l"))
+        .filter(F.size("l") >= 3)
+        .select(F.explode(trigrams).alias("s"))
+        .distinct()
+    )
+    surv_sh = (
+        near_surv.select("doc_id", F.split(F.lower("text"), " ").alias("l"))
+        .filter(F.size("l") >= 3)
+        .select("doc_id", F.explode(trigrams).alias("s"))
+    )
+    contaminated = surv_sh.join(F.broadcast(eval_sh), "s").select("doc_id").distinct()
+    clean = near_surv.join(contaminated, "doc_id", "left_anti")
+
+    n_tokens = F.size(tokens("text")).cast("long")
+    return clean.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        davg("q", scale=8, out_round=6).alias("avg_quality"),
+    )

@@ -222,3 +222,12 @@ def test_pq_topk_recall_vs_exact(spark):
     ]
     assert len(approx) == 10
     assert len(set(approx) & set(exact)) >= 7
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The year-partitioned fact scan must carry a dynamicpruning subquery
+    fed by the filtered dimension — partitions are pruned at runtime, not
+    scanned and discarded."""
+    df = all_queries()["x_dynamic_partition_pruning"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()

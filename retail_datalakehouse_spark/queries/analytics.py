@@ -873,3 +873,127 @@ def x_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("yr")
         .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("revenue"))
     )
+
+
+# --------------------------------------------------- market basket / lift
+
+
+_BASKET_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+cnt AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_ab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+scored AS (
+  SELECT p1, p2, n_ab,
+         CAST(n_ab AS DOUBLE) * n.n_orders / (c1.n_item * c2.n_item) AS lift
+  FROM pairs JOIN cnt c1 ON p1 = c1.l_partkey
+             JOIN cnt c2 ON p2 = c2.l_partkey
+             CROSS JOIN n)
+SELECT p1, p2, n_ab, ROUND(lift, 6) AS lift
+FROM scored ORDER BY lift DESC, p1, p2 LIMIT 20
+"""
+
+
+@register("x_market_basket", oracle=_BASKET_SQL, tags=("J1", "A1", "O1"), doc="")
+def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (the retail-lakehouse classic):
+    parts co-purchased in the same order, scored by lift = P(ab)/P(a)P(b)
+    with min-support 2. The pair space is generated by the order-key
+    self-join of the DEDUPED (order, part) table — bounded by basket
+    sizes, never the part-catalog cross product; item counts broadcast
+    back. Lift is an exact integer ratio in double (identical across
+    engines); ranking ties break on the pair keys."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()
+    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, (a.ok == b.ok) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    c1 = cnt.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    c2 = cnt.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    scored = (
+        pairs.join(F.broadcast(c1), "p1")
+        .join(F.broadcast(c2), "p2")
+        .withColumn(
+            "lift", F.col("n_ab").cast("double") * F.lit(n_orders) / (F.col("n1") * F.col("n2"))
+        )
+    )
+    return (
+        scored.orderBy(F.desc("lift"), "p1", "p2")
+        .limit(20)
+        .select("p1", "p2", "n_ab", F.round("lift", 6).alias("lift"))
+    )
+
+
+# ---------------------------------------------- write-audit-publish
+
+
+_WAP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE NOT (o_orderkey % 2 = 1 AND o_orderkey % 5 = 0)
+GROUP BY 1
+"""
+
+
+@register("x_write_audit_publish", oracle=_WAP_SQL, tags=("S6", "S7", "P2"), doc="")
+def x_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (the Iceberg/Netflix WAP pattern on the
+    engine's VersionedTable): each batch is STAGED, audited against
+    CHECK constraints, and only a passing batch is committed — a failing
+    batch (here: rows with corrupted negative prices) never becomes a
+    visible version, so readers can never observe bad data. Batch 1
+    (clean) publishes; batch 2 (corrupted) is rejected — the audit
+    raises, nothing commits; batch 3 (the corrupted batch repaired by
+    filtering) publishes. The oracle aggregates exactly the
+    clean-or-repaired rows, so the hash proves the reject actually kept
+    batch 2 out."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    half1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    half2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    corrupted = half2.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 5 == 0, -F.col("o_totalprice")).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_wap_"))
+
+    def audit_and_publish(batch: DataFrame) -> bool:
+        bad = batch.filter(
+            (F.col("o_totalprice") <= 0) | F.col("o_orderkey").isNull()
+        ).count()
+        if bad > 0:
+            return False  # reject: stage is discarded, no version commits
+        table.append(batch)
+        return True
+
+    assert audit_and_publish(half1) is True
+    assert audit_and_publish(corrupted) is False
+    repaired = corrupted.filter(F.col("o_totalprice") > 0)
+    # repair drops ONLY the corrupted rows; the oracle's WHERE mirrors it
+    assert audit_and_publish(repaired) is True
+
+    return table.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)"))
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -997,3 +997,137 @@ def x_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# ------------------------------------------------ higher moments profile
+
+
+_MOMENTS_SQL = """
+WITH s AS (
+  SELECT c_nationkey, COUNT(*) AS n,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(c_acctbal * c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(c_acctbal * c_acctbal * c_acctbal AS DECIMAL(38,4))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(c_acctbal * c_acctbal * c_acctbal * c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS s4
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey, n,
+       ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+       ROUND((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+              - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+             / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3.0, 6) AS excess_kurtosis
+FROM s
+"""
+
+
+@register("x_higher_moments", oracle=_MOMENTS_SQL, tags=("A1",), doc="")
+def x_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness / excess kurtosis from raw power sums — the
+    single-pass distribution profile (detects heavy tails before choosing
+    salting or clipping strategies). Four decimal-exact power sums in ONE
+    two-phase agg; the moment formulas then run in identical IEEE double
+    arithmetic on both engines. Built-in skewness()/kurtosis() differ in
+    bias conventions across engines — power sums don't."""
+    c = T(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    b = F.col("c_acctbal")
+    s = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(b.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((b * b).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((b * b * b).cast("decimal(38,4)")).cast("double").alias("s3"),
+        F.sum((b * b * b * b).cast("decimal(38,2)")).cast("double").alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    m4 = F.col("s4") / F.col("n")
+    var = m2 - m * m
+    skew = (m3 - 3 * m * m2 + 2 * m * m * m) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m * m3 + 6 * m * m * m2 - 3 * m * m * m * m) / F.pow(var, 2.0) - 3.0
+    return s.select(
+        "c_nationkey",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    )
+
+
+# ------------------------------------------------------- EWMA smoothing
+
+
+_EWMA_SQL = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(MAX(o_orderdate) AS DATE) - 180 AS d_lo FROM orders),
+daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS rev
+  FROM orders, bounds WHERE CAST(o_orderdate AS DATE) >= d_lo GROUP BY 1, 2),
+idx AS (
+  SELECT pri, day, rev,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) AS rn
+  FROM daily),
+ew AS (
+  SELECT pri, day, rev, rn, rev AS ewma FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.pri, i.day, i.rev, i.rn, 0.3 * i.rev + 0.7 * e.ewma
+  FROM idx i JOIN ew e ON i.pri = e.pri AND i.rn = e.rn + 1)
+SELECT pri, day, rev, ewma FROM ew
+"""
+
+
+@register("x_ewma_smoothing", oracle=_EWMA_SQL, tags=("W3", "F6"), doc="")
+def x_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha=0.3) of daily revenue
+    per priority — a RECURRENCE no window aggregate expresses. Spark
+    spelling: collect each (small) series into a sorted array and fold it
+    with `aggregate`, emitting the running EWMA list — pure JVM, no UDF;
+    the per-series state is the array, sharded by the series key (fine
+    whenever one series fits a row — the norm for per-entity daily
+    series; an unbounded series would go through applyInPandasWithState).
+    The oracle is a recursive CTE; both run the identical fold order, so
+    raw doubles hash-match with no rounding."""
+    from .helpers import dsum
+
+    o = T(spark, sf_dir, "orders")
+    # trailing 180 days: the fold's array concat is O(series²) — bound the
+    # series the way a production job windows its smoothing history
+    d_lo = o.agg((F.max("o_orderdate").cast("date") - F.expr("INTERVAL 180 DAYS")).alias("d")).head()["d"]
+    daily = (
+        o.filter(F.col("o_orderdate").cast("date") >= F.lit(d_lo))
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(dsum("o_totalprice", scale=2).alias("rev"))
+    )
+    series = daily.groupBy("pri").agg(
+        F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("s")
+    )
+    folded = series.withColumn(
+        "ew",
+        F.aggregate(
+            "s",
+            F.expr("CAST(array() AS ARRAY<STRUCT<day: DATE, rev: DOUBLE, ewma: DOUBLE>>)"),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x.getField("day").alias("day"),
+                        x.getField("rev").alias("rev"),
+                        F.when(
+                            F.size(acc) == 0, x.getField("rev")
+                        ).otherwise(
+                            F.lit(0.3) * x.getField("rev")
+                            + F.lit(0.7) * F.element_at(acc, -1).getField("ewma")
+                        ).alias("ewma"),
+                    )
+                ),
+            ),
+        ),
+    )
+    return folded.select("pri", F.explode("ew").alias("e")).select(
+        "pri",
+        F.col("e.day").alias("day"),
+        F.col("e.rev").alias("rev"),
+        F.col("e.ewma").alias("ewma"),
+    )

@@ -704,3 +704,31 @@ def l6_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(n_tokens).alias("total_tokens"),
         davg("q", scale=8, out_round=6).alias("avg_quality"),
     )
+
+
+@register(
+    "l5_image_thumbnail",
+    oracle=None,  # pixel kernels are engine-specific → rows-only + exact unit tests
+    tags=("L5", "U3"),
+)
+def l5_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 with a REAL pixel kernel (no codec needed): each document's
+    bytes are tiled into a 16x16 rgb8 raw image JVM-side (repeat/encode/
+    binary-substring — deterministic), then an Arrow-batched mapInPandas
+    stage decodes (reshape), nearest-neighbor-resizes to 4x4, and emits
+    exact pixel sums. The decode→resize→stat path is the production
+    media-pipeline shape end-to-end; only compressed-codec decode remains
+    stubbed (operators/multimodal.py). Exact pixel math pinned by
+    tests/test_llm_ops.py on crafted gradients."""
+    from ..operators.multimodal import thumbnail_frame
+
+    need = 16 * 16 * 3
+    reps = need // 8 + 1  # min text length is ~8 chars; tile well past `need`
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = d.select(
+        "doc_id",
+        F.expr(f"substring(encode(repeat(text, {reps}), 'UTF-8'), 1, {need})").alias(
+            "payload"
+        ),
+    ).filter(F.octet_length("payload") == need)
+    return thumbnail_frame(payloads, src_w=16, src_h=16, out_w=4, out_h=4)

@@ -147,13 +147,55 @@ def test_multimodal_feature_extraction_deterministic(spark):
     assert feats[2].n_bytes == 0 and feats[2].features[2] == 0.0
 
 
-def test_multimodal_decode_stubs_raise():
+def test_multimodal_codec_stubs_raise():
+    """Compressed/container formats stay honest stubs (no codecs here)."""
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"x")
     with pytest.raises(NotImplementedError):
-        multimodal.resize_image(b"x", 2, 2)
-    with pytest.raises(NotImplementedError):
         multimodal.sample_frames(b"x", 40)
+
+
+def test_raw_rgb_decode_resize_exact():
+    """Raw-format kernels are REAL: decode is a reshape, nearest-neighbor
+    resize picks the exact floor(dst*scale) source pixels."""
+    import numpy as np
+
+    # 4x4 gradient image: pixel (r, c) has value 16*r + c in all channels
+    img = np.stack(
+        [(np.arange(4, dtype=np.uint8)[:, None] * 16 + np.arange(4, dtype=np.uint8))] * 3,
+        axis=-1,
+    )
+    payload = img.tobytes()
+    back = multimodal.decode_raw_rgb(payload, 4, 4)
+    assert (back == img).all()
+    thumb = multimodal.resize_nearest(back, 2, 2)
+    # nearest grid: rows/cols [0, 2] → values 0, 2, 32, 34
+    assert thumb[:, :, 0].tolist() == [[0, 2], [32, 34]]
+
+
+def test_raw_frame_sampling_exact():
+    import numpy as np
+
+    frames = np.arange(5 * 2 * 2 * 3, dtype=np.uint8).reshape(5, 2, 2, 3)
+    sampled = multimodal.sample_frames_raw(frames.tobytes(), w=2, h=2, every=2)
+    assert sampled.shape == (3, 2, 2, 3)
+    assert (sampled == frames[::2]).all()
+
+
+def test_thumbnail_frame_pipeline(spark):
+    """End-to-end mapInPandas thumbnail: known gradient payloads produce
+    exact pixel sums and corners."""
+    import numpy as np
+
+    img = np.stack(
+        [(np.arange(4, dtype=np.uint8)[:, None] * 16 + np.arange(4, dtype=np.uint8))] * 3,
+        axis=-1,
+    )
+    df = spark.createDataFrame([(1, bytearray(img.tobytes()))], ["doc_id", "payload"])
+    out = multimodal.thumbnail_frame(df, src_w=4, src_h=4, out_w=2, out_h=2).collect()[0]
+    assert (out["out_w"], out["out_h"]) == (2, 2)
+    assert out["px_sum"] == 3 * (0 + 2 + 32 + 34)
+    assert out["top_left"] == 0 and out["bottom_right"] == 34
 
 
 def test_approx_count_distinct_within_bound(spark, sf_dir):

@@ -76,6 +76,12 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "PQ encode + ADC scoring must stay JVM-side (literal LUT lookups)"),
     ("l3_pq_topk", "TakeOrderedAndProject", True,
      "ADC candidate top-k must be heap-based, not a global sort"),
+    ("x_market_basket", "CartesianProduct", False,
+     "pair generation must stay on the basket-key equi-join"),
+    ("x_market_basket", "TakeOrderedAndProject", True,
+     "top-lift must be heap-based, not a global sort"),
+    ("x_ewma_smoothing", "EvalPython", False,
+     "the EWMA fold must stay a JVM aggregate expression"),
 ]
 
 

@@ -1131,3 +1131,169 @@ def x_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.rev").alias("rev"),
         F.col("e.ewma").alias("ewma"),
     )
+
+
+# -------------------------------------------------- RFM segmentation
+
+
+_RFM_SQL = """
+WITH rfm AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT o_custkey,
+         NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, o_custkey) AS m_score
+  FROM rfm)
+SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score, COUNT(*) AS n_customers
+FROM scored GROUP BY 1, 2, 3
+"""
+
+
+@register("x_rfm_segmentation", oracle=_RFM_SQL, tags=("W5", "A1"), doc="")
+def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) customer segmentation — the
+    retail-marketing classic: per-customer aggregates, quintile scores
+    via ntile, segment cell counts. Quintiles are a global sort at this
+    granularity (customers, already aggregated — 1000x smaller than the
+    fact); at extreme scale swap ntile for approx-percentile cutpoints
+    joined back. ntile ties broken by customer key so both engines cut
+    identically."""
+    o = T(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(25,2)")), 2)
+        .cast("double")
+        .alias("monetary"),
+    )
+    scored = rfm.select(
+        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("long").alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+# ------------------------------------------------------- event paths
+
+
+_PATHS_SQL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+seq AS (
+  SELECT user_id, event_type AS e3,
+         LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1
+  FROM e)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM seq WHERE e1 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 15
+"""
+
+
+@register("x_event_paths", oracle=_PATHS_SQL, tags=("W2", "O1"), doc="")
+def x_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step behavioral paths (the Sankey-diagram feed): two lag()
+    taps over one user-key shuffle turn each event into the path ending
+    at it; the path-string count is a two-phase agg on a tiny key space
+    and the top-k is heap-based. The generalization of
+    x_event_transitions to longer n-grams of behavior."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).filter(F.col("e1").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )
+
+
+# ------------------------------------------------------- winsorization
+
+
+_WINSOR_SQL = """
+WITH cuts AS (
+  SELECT c_nationkey,
+         quantile_cont(c_acctbal, 0.05) AS p05,
+         quantile_cont(c_acctbal, 0.95) AS p95
+  FROM customer GROUP BY c_nationkey)
+SELECT c.c_nationkey, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(LEAST(GREATEST(c.c_acctbal, p05), p95) AS DECIMAL(25,6))), 4) AS DOUBLE)
+         AS winsorized_sum,
+       COUNT(*) FILTER (WHERE c.c_acctbal < p05 OR c.c_acctbal > p95) AS n_clipped
+FROM customer c JOIN cuts ON c.c_nationkey = cuts.c_nationkey
+GROUP BY c.c_nationkey
+"""
+
+
+@register("x_winsorize", oracle=_WINSOR_SQL, tags=("A1", "J2", "W5"), doc="")
+def x_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (clip at p5/p95) — the robust-scaling
+    feature-engineering primitive: group cutpoints are ONE agg broadcast
+    back to the scan, clipping is codegen least/greatest, then the
+    clipped re-aggregate. Both engines use (n-1)q linear interpolation
+    for the exact percentile; at 100 TB the cutpoints come from
+    approx_percentile instead (same join-back shape)."""
+    c = T(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    cuts = c.groupBy("c_nationkey").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("p05"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("p95"),
+    )
+    j = c.join(F.broadcast(cuts), "c_nationkey")
+    clipped = F.least(F.greatest(F.col("c_acctbal"), F.col("p05")), F.col("p95"))
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(clipped.cast("decimal(25,6)")), 4).cast("double").alias("winsorized_sum"),
+        F.sum(
+            F.when((F.col("c_acctbal") < F.col("p05")) | (F.col("c_acctbal") > F.col("p95")), 1).otherwise(0)
+        ).cast("long").alias("n_clipped"),
+    )
+
+
+# ------------------------------------------------------- Benford screen
+
+
+_BENFORD_SQL = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(25,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1),
+tot AS (SELECT COUNT(*) AS n FROM d)
+SELECT digit, COUNT(*) AS observed,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / n, 6) AS observed_p,
+       ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_p
+FROM d CROSS JOIN tot
+GROUP BY digit, n
+"""
+
+
+@register("x_benford_screen", oracle=_BENFORD_SQL, tags=("A1", "F3"), doc="")
+def x_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals (the classic
+    fraud/fabrication audit): leading digit extracted from the exact
+    decimal's string form (no float log tricks near power-of-ten
+    boundaries), observed vs expected log10(1+1/d) frequency. One scan,
+    one 9-key agg."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(25,2)").cast("string"), 1, 1
+    ).cast("long")
+    d = o.select(digit.alias("digit"))
+    tot = d.count()
+    return d.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("observed"),
+        F.round(F.count(F.lit(1)).cast("double") / F.lit(tot), 6).alias("observed_p"),
+        F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+    )

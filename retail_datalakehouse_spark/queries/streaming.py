@@ -478,3 +478,99 @@ def t9_streaming_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.round("rev_exact", 2).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "t9_streaming_cohort_refresh",
+    oracle="""
+WITH first_order AS (
+  SELECT o_custkey, MIN(o_orderdate) AS d0 FROM orders GROUP BY o_custkey)
+SELECT CAST(date_trunc('month', f.d0) AS DATE) AS cohort_month,
+       (year(o.o_orderdate) - year(f.d0)) * 12
+         + (month(o.o_orderdate) - month(f.d0)) AS months_since,
+       COUNT(DISTINCT o.o_custkey) AS active_customers
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY 1, 2
+""",
+    tags=("T6", "S7", "A2"),
+)
+def t9_streaming_cohort_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cohort-retention maintenance — the HARD incremental-view
+    case: a late-arriving EARLIER order changes a customer's cohort, so
+    per-(cohort, offset) counts are NOT additive. Design: maintain a
+    per-CUSTOMER state table instead (first-order date folded with MIN,
+    active-month set folded with array_union — both mergeable), one
+    MERGE per micro-batch; the cohort matrix is then derived from the
+    state table (customer-cardinality, ~1000x smaller than the fact —
+    re-deriving it is cheap at any scale). Batches arrive keyed on
+    o_orderkey % 3, so most customers span batches and many get their
+    cohort month reassigned mid-stream; the oracle is the global batch
+    recompute — a hash match proves the fold is order-insensitive."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.table_format import VersionedTable
+    from ..streaming.jobs import run_foreach_batch
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey"
+    )
+    d = tempfile.mkdtemp(prefix="rdl_t9c_src_")
+    for i in range(3):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(o.filter(F.col("o_orderkey") % 3 == i), dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t9c_vt_"))
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("o_custkey").agg(
+            F.min("o_orderdate").alias("d0"),
+            F.array_distinct(
+                F.collect_list(F.date_trunc("month", "o_orderdate").cast("date"))
+            ).alias("months"),
+        )
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return partial
+            c = cur.alias("c")
+            p = partial.alias("p")
+            return c.join(p, F.col("c.o_custkey") == F.col("p.o_custkey"), "full_outer").select(
+                F.coalesce(F.col("c.o_custkey"), F.col("p.o_custkey")).alias("o_custkey"),
+                F.least(F.col("c.d0"), F.col("p.d0")).alias("d0"),  # least skips nulls
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce(F.col("c.months"), F.array()),
+                        F.coalesce(F.col("p.months"), F.array()),
+                    )
+                ).alias("months"),
+            )
+
+        table._commit_with_retry(build, "cohort_fold", txn=("t9_cohort", batch_id))
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+    shutil.rmtree(d, ignore_errors=True)
+
+    state = table.read()
+    return (
+        state.select(
+            "o_custkey",
+            F.date_trunc("month", "d0").cast("date").alias("cohort_month"),
+            F.col("d0"),
+            F.explode("months").alias("m"),
+        )
+        .select(
+            "o_custkey",
+            "cohort_month",
+            (
+                (F.year("m") - F.year("d0")) * 12 + (F.month("m") - F.month("d0"))
+            ).alias("months_since"),
+        )
+        .groupBy("cohort_month", "months_since")
+        .agg(F.count_distinct("o_custkey").alias("active_customers"))
+    )

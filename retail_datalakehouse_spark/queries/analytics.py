@@ -1297,3 +1297,42 @@ def x_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.lit(1)).cast("double") / F.lit(tot), 6).alias("observed_p"),
         F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
     )
+
+
+# ------------------------------------------------- multiset set ops
+
+
+_SETOPS_ALL_SQL = """
+WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+b AS (SELECT event_type FROM events WHERE value > 50),
+ia AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b),
+ea AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+SELECT 'intersect_all' AS op, event_type, COUNT(*) AS n FROM ia GROUP BY 2
+UNION ALL
+SELECT 'except_all' AS op, event_type, COUNT(*) AS n FROM ea GROUP BY 2
+"""
+
+
+@register("x_set_ops_all", oracle=_SETOPS_ALL_SQL, tags=("O3",), doc="")
+def x_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the multiset (bag) semantics o3's
+    distinct variants don't cover: each duplicate participates with its
+    multiplicity (min for intersect, difference for except). Spark plans
+    both as a count-aggregated join (generate replicated rows), so the
+    shuffle carries one row per distinct value + counts, not the bag."""
+    e = T(spark, sf_dir, "events")
+    a = e.filter(F.col("user_id") % 2 == 0).select("event_type")
+    b = e.filter(F.col("value") > 50).select("event_type")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "event_type", "n")
+    )
+    ea = (
+        a.exceptAll(b)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "event_type", "n")
+    )
+    return ia.unionByName(ea)

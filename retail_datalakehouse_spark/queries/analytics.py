@@ -1336,3 +1336,104 @@ def x_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("except_all").alias("op"), "event_type", "n")
     )
     return ia.unionByName(ea)
+
+
+# ---------------------------------------------------- calendar dimension
+
+
+_CALENDAR_SQL = """
+WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d_lo,
+                       CAST(MAX(o_orderdate) AS DATE) AS d_hi FROM orders),
+spine AS (SELECT unnest(generate_series(d_lo, d_hi, INTERVAL 1 DAY))::DATE AS day FROM bounds)
+SELECT day,
+       CAST(year(day) AS INT) AS yr,
+       CAST(quarter(day) AS INT) AS qtr,
+       CAST(month(day) AS INT) AS mo,
+       CAST(dayofmonth(day) AS INT) AS dom,
+       CAST(dayofweek(day) + 1 AS INT) AS dow,
+       dayofweek(day) IN (0, 6) AS is_weekend,
+       CAST(date_trunc('month', day) AS DATE) AS month_start,
+       CAST(last_day(day) AS DATE) AS month_end
+FROM spine
+"""
+
+
+@register("x_calendar_dim", oracle=_CALENDAR_SQL, tags=("F2", "S3"), doc="")
+def x_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension build over the fact's date span — the
+    conformed date dim every star schema joins through (and always a
+    broadcast join: a century is ~37k rows). Generated from a 2-value
+    bounds agg + sequence/explode; no table scan beyond the bounds.
+    NB DuckDB dayofweek is 0-based, Spark 1-based — oracle shifts."""
+    o = T(spark, sf_dir, "orders").select("o_orderdate")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d_lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("d_hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d_lo", "d_hi")).alias("day"))
+    return spine.select(
+        "day",
+        F.year("day").cast("int").alias("yr"),
+        F.quarter("day").cast("int").alias("qtr"),
+        F.month("day").cast("int").alias("mo"),
+        F.dayofmonth("day").cast("int").alias("dom"),
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.dayofweek("day").isin(1, 7).alias("is_weekend"),
+        F.date_trunc("month", "day").cast("date").alias("month_start"),
+        F.last_day("day").alias("month_end"),
+    )
+
+
+# ------------------------------------------------------- Pareto 80/20
+
+
+_PARETO_SQL = """
+WITH part_rev AS (
+  SELECT l_partkey,
+         CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))), 2) AS DOUBLE) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT CAST(SUM(CAST(rev AS DECIMAL(25,2))) AS DOUBLE) AS total FROM part_rev),
+ranked AS (
+  SELECT l_partkey, rev,
+         CAST(SUM(CAST(rev AS DECIMAL(25,2))) OVER (ORDER BY rev DESC, l_partkey) AS DOUBLE) AS cum_rev
+  FROM part_rev)
+SELECT (cum_rev / total) <= 0.8 OR (cum_rev - rev) / total < 0.8 AS in_top80,
+       COUNT(*) AS n_parts,
+       CAST(ROUND(SUM(CAST(rev AS DECIMAL(25,2))), 2) AS DOUBLE) AS segment_rev
+FROM ranked CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+@register("x_pareto_8020", oracle=_PARETO_SQL, tags=("W3", "A1"), doc="")
+def x_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 contribution analysis: parts ranked by revenue, the
+    running decimal-exact share computed with a cumulative window, and
+    the catalog split into the set covering the first 80% of revenue vs
+    the tail (a part straddling the boundary counts as top-80). The
+    window is global but runs over the PART-level aggregate (catalog
+    cardinality, not fact rows) — at larger catalogs, range-partition
+    the ranked sort. The assortment-planning primitive."""
+    from .helpers import revenue_expr
+
+    li = T(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(revenue_expr().cast("decimal(25,4)")), 2).cast("double").alias("rev")
+    )
+    tot = part_rev.agg(
+        F.sum(F.col("rev").cast("decimal(25,2)")).cast("double").alias("total")
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = part_rev.withColumn(
+        "cum_rev", F.sum(F.col("rev").cast("decimal(25,2)")).over(w).cast("double")
+    )
+    j = ranked.crossJoin(F.broadcast(tot))
+    in_top80 = ((F.col("cum_rev") / F.col("total")) <= 0.8) | (
+        (F.col("cum_rev") - F.col("rev")) / F.col("total") < 0.8
+    )
+    return j.groupBy(in_top80.alias("in_top80")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum(F.col("rev").cast("decimal(25,2)")), 2).cast("double").alias("segment_rev"),
+    )

@@ -551,7 +551,7 @@ def t9_streaming_cohort_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("months"),
             )
 
-        table._commit_with_retry(build, "cohort_fold", txn=("t9_cohort", batch_id))
+        table.fold(build, "cohort_fold", txn=("t9_cohort", batch_id))
 
     run_foreach_batch(stream, apply_batch, output_mode="append")
     shutil.rmtree(d, ignore_errors=True)

@@ -201,6 +201,19 @@ class VersionedTable:
 
         return self._commit_with_retry(build, "merge", txn=txn)
 
+    def fold(
+        self,
+        build: Callable[[DataFrame | None], DataFrame],
+        op: str = "fold",
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """General custom-merge commit: ``build(current_snapshot_or_None)
+        -> new_snapshot``, committed under the same OCC/rebase-retry and
+        txn-idempotence machinery as the built-in write modes. The
+        public escape hatch for folds the fixed modes can't express
+        (e.g. t9's cohort state: MIN-date + array_union months)."""
+        return self._commit_with_retry(build, op, txn=txn)
+
     def merge_aggregate(
         self,
         partials: DataFrame,

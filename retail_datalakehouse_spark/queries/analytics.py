@@ -1437,3 +1437,41 @@ def x_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.round(F.sum(F.col("rev").cast("decimal(25,2)")), 2).cast("double").alias("segment_rev"),
     )
+
+
+# ---------------------------------------------- merge-on-read delete
+
+
+_MOR_DELETE_SQL = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderkey % 13 <> 0 AND o_orderkey % 17 <> 0
+GROUP BY 1
+"""
+
+
+@register("x_merge_on_read_delete", oracle=_MOR_DELETE_SQL, tags=("S6", "S7", "J6"), doc="")
+def x_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (deletion-vector semantics on the engine's
+    VersionedTable): two stacked deletes commit ONLY O(deleted) tombstone
+    files — the base snapshot is never rewritten (same data_dir across
+    versions) — and readers resolve base ANTI-JOIN tombstones in one
+    join. The aggregate over the resolved table must hash-match the
+    logical deletes; the O(table)-rewrite alternative is `delete`
+    (x_cdf_version_diff exercises it). tests/test_table_format.py pins
+    the mechanics: time travel, stacking, replay, materialize-on-write,
+    vacuum."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_mor_"))
+    t.overwrite(o)
+    t.delete_mor(F.col("o_orderkey") % 13 == 0, keys=["o_orderkey"])
+    t.delete_mor(F.col("o_orderkey") % 17 == 0, keys=["o_orderkey"])
+    return t.read().groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("revenue"),
+    )

@@ -260,6 +260,74 @@ class VersionedTable:
 
         return self._commit_with_retry(build, "delete", txn=txn)
 
+    def delete_mor(
+        self,
+        condition,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Merge-on-read DELETE (deletion-vector style): instead of
+        rewriting the snapshot (O(table), what :meth:`delete` does), the
+        commit writes ONLY a tombstone file of the matched rows' keys —
+        O(deleted) — and the manifest points at the PARENT's data
+        directory plus the accumulated tombstones. Readers resolve
+        data ANTI-JOIN tombstones (:meth:`read_version`); the next
+        copy-on-write commit (append/merge/overwrite/compact) reads
+        through the tombstones and materializes, clearing them.
+
+        ``keys`` must identify rows uniquely (the same contract MERGE
+        has). Same CAS/rebase-retry + txn idempotence as other writes.
+        """
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _ in range(max_retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot delete from empty table at {self.path}")
+            if txn is not None:
+                last = self._txn_state(parent).get(txn[0])
+                if last is not None and int(last) >= txn[1]:
+                    return parent  # replay — already applied
+            p_entry = self._manifest(parent)
+            parent_keys = p_entry.get("dv_keys")
+            if parent_keys and list(parent_keys) != list(keys):
+                raise ValueError(
+                    f"stacked merge-on-read deletes must share key columns: "
+                    f"parent used {parent_keys}, got {keys}"
+                )
+            v = parent + 1
+            token = uuid.uuid4().hex[:8]
+            dv_dirname = f"_dv{v}-{token}"
+            dv_dir = os.path.join(self.path, dv_dirname)
+            self.read().filter(cond).select(*keys).write.mode("overwrite").parquet(dv_dir)
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            entry = {
+                "version": v,
+                "operation": "delete_mor",
+                "parent": parent,
+                "n_rows": p_entry["n_rows"] - _parquet_num_rows(dv_dir),
+                "data_dir": p_entry.get("data_dir", f"_v{parent}"),
+                "dv_dirs": p_entry.get("dv_dirs", []) + [dv_dirname],
+                "dv_keys": keys,
+                "committed_at": time.time(),
+                "txn": dict(self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})),
+            }
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            final = os.path.join(self._manifest_dir, f"v{v}.json")
+            try:
+                os.link(tmp, final)
+                return v
+            except FileExistsError:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                continue  # rebase: re-evaluate condition on the winner's snapshot
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(f"lost {max_retries} consecutive commit races at {self.path}")
+
     # -------------------------------------------------------- maintenance
 
     def vacuum(self, retain_last: int | None = None) -> list[str]:
@@ -271,11 +339,15 @@ class VersionedTable:
         version. Returns the removed directory names."""
         versions = self._versions()
         keep_versions = versions if retain_last is None else versions[-retain_last:]
-        live_dirs = {self._manifest(v).get("data_dir", f"_v{v}") for v in keep_versions}
+        live_dirs = set()
+        for v in keep_versions:
+            entry = self._manifest(v)
+            live_dirs.add(entry.get("data_dir", f"_v{v}"))
+            live_dirs.update(entry.get("dv_dirs", []))
         removed = []
         for d in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, d)
-            if d.startswith("_v") and os.path.isdir(full) and d not in live_dirs:
+            if d.startswith(("_v", "_dv")) and os.path.isdir(full) and d not in live_dirs:
                 shutil.rmtree(full, ignore_errors=True)
                 removed.append(d)
         for v in versions:
@@ -291,12 +363,22 @@ class VersionedTable:
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read any committed snapshot (dir resolved through
-        the manifest — staged/orphaned dirs are invisible)."""
+        the manifest — staged/orphaned dirs are invisible). Merge-on-read
+        versions resolve as base data ANTI-JOIN the accumulated deletion
+        tombstones (one anti-join regardless of how many deletes stacked —
+        the tombstone files union first)."""
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         entry = self._manifest(version)
         data_dirname = entry.get("data_dir", f"_v{version}")
-        return self.spark.read.parquet(os.path.join(self.path, data_dirname))
+        df = self.spark.read.parquet(os.path.join(self.path, data_dirname))
+        dv_dirs = entry.get("dv_dirs", [])
+        if dv_dirs:
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in dv_dirs]
+            ).distinct()
+            df = df.join(dv, on=entry["dv_keys"], how="left_anti")
+        return df
 
 
 def compact(table: VersionedTable, target_partitions: int = 8) -> int:

@@ -231,3 +231,33 @@ def test_merge_aggregate_adds_and_replay_is_noop(spark, tmp_path):
     rows = {r["k"]: (r["n"], r["s"]) for r in t.read().collect()}
     assert rows == {"a": (5, 17.0), "b": (1, 5.0), "c": (1, 1.0)}
     assert dict(t.read().dtypes) == {"k": "string", "n": "bigint", "s": "double"}
+
+
+def test_delete_mor_merge_on_read(spark, tmp_path):
+    """Merge-on-read DELETE: O(deleted) tombstone commits, shared base
+    data dir, time travel intact, stacked DVs, txn replay no-op, the
+    next copy-on-write commit materializes, vacuum keeps shared dirs."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "g"])
+    v1 = t.overwrite(df)
+    v2 = t.delete_mor(F.col("g") == 0, keys=["id"])
+    assert t.read().count() == 20
+    assert t.read_version(v1).count() == 30  # time travel unaffected
+    assert t._manifest(v2)["data_dir"] == t._manifest(v1)["data_dir"]  # no rewrite
+
+    t.delete_mor(F.col("g") == 1, keys=["id"], txn=("w", 7))
+    assert t.read().count() == 10
+    v_now = t.current_version()
+    t.delete_mor(F.col("g") == 1, keys=["id"], txn=("w", 7))  # replay
+    assert t.current_version() == v_now
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="share key columns"):
+        t.delete_mor(F.col("g") == 2, keys=["g"])
+
+    v5 = t.append(spark.createDataFrame([(100, 9)], ["id", "g"]))
+    assert not t._manifest(v5).get("dv_dirs")  # copy-on-write cleared DVs
+    assert t.read().count() == 11
+    t.vacuum(retain_last=1)
+    assert t.read().count() == 11  # survivors unaffected by GC

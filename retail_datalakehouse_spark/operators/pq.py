@@ -174,3 +174,68 @@ def pq_adc_cosine(codebooks: list[list[list[float]]], query: list[float]) -> Col
     for t in norm_terms[1:]:
         nrm = nrm + t
     return dot / F.sqrt(nrm)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ composition: assign each vector to its nearest IVF centroid
+    AND store its PQ codes, written once partitioned by centroid_id. A
+    probe then (a) prunes to nprobe partitions, and (b) scans m bytes of
+    codes per vector for the candidate pass — the two reductions
+    multiply: nprobe/C of the corpus × codes instead of floats. The full
+    vector rides along for exact rescoring of the survivors (at extreme
+    scale it would live in a separate id-keyed store)."""
+    from .similarity import ivf_assign
+
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    encoded = pq_encode(assigned, codebooks, vec_col=vec_col)
+    encoded.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    n_candidates: int = 120,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search the IVF-PQ index: centroid scores pick nprobe partitions
+    (partition-pruned scan), cosine-form ADC over the stored codes picks
+    n_candidates, exact cosine rescoring over only those survivors
+    returns the top-k. No stage touches more than nprobe/C of the corpus
+    and only the rescore reads vectors."""
+    from .similarity import cosine
+
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    probe_ids = [
+        r.centroid_id
+        for r in centroids.select(
+            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
+        )
+        .orderBy(F.desc("s"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .collect()
+    ]
+    idx = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
+    cand = (
+        idx.withColumn("adc_cos", pq_adc_cosine(codebooks, query_vec))
+        .orderBy(F.desc("adc_cos"), id_col)
+        .limit(n_candidates)
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine(F.col(vec_col), q), 6))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+        .select(id_col, "cosine")
+    )

@@ -526,15 +526,10 @@ def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact rescoring, not from trusting ADC's in-cluster ranking. Recall vs exact brute force
     pinned by tests/test_advanced.py. Composes with the IVF partition
     layout as IVF-PQ at corpus scale."""
-    from ..operators.pq import pq_adc_cosine, pq_encode, pq_train
+    from ..operators.pq import pq_adc_cosine, pq_encode
 
     emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # Codebooks train on a deterministic half-sample: quantizer quality
-    # needs representative cluster structure, not every row — the standard
-    # PQ practice (train on ~100k of a billion). Halves the interpreted
-    # higher-order-function distance evals per Lloyd pass locally.
-    train = emb.filter(F.col("vec_id") % 2 == 0)
-    codebooks = pq_train(train, m=8, k=16, max_iters=2)
+    codebooks = _pq_codebooks_for(spark, sf_dir)
     qrow = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
 
     encoded = pq_encode(emb.filter(F.col("vec_id") != 0), codebooks)
@@ -732,3 +727,69 @@ def l5_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).filter(F.octet_length("payload") == need)
     return thumbnail_frame(payloads, src_w=16, src_h=16, out_w=4, out_h=4)
+
+
+_PQ_CODEBOOK_CACHE: dict[str, list[list[list[float]]]] = {}
+
+
+def _pq_codebooks_for(spark: SparkSession, sf_dir: str):
+    """Train PQ codebooks ONCE per corpus (shared by l3_pq_topk and the
+    IVF-PQ index). Trains on a deterministic half-sample: quantizer
+    quality needs representative cluster structure, not every row — the
+    standard PQ practice (train on ~100k of a billion)."""
+    from ..operators.pq import pq_train
+
+    got = _PQ_CODEBOOK_CACHE.get(sf_dir)
+    if got is not None:
+        return got
+    emb = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_train(emb.filter(F.col("vec_id") % 2 == 0), m=8, k=16, max_iters=2)
+    _PQ_CODEBOOK_CACHE[sf_dir] = cb
+    return cb
+
+
+_IVFPQ_CACHE: dict[str, tuple[str, list[list[float]], list[list[list[float]]]]] = {}
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
+    """Train (k-means centroids + PQ codebooks) and materialize the
+    IVF-PQ index ONCE per corpus; cached by sf_dir like _ivf_index_for."""
+    import os
+    import tempfile
+
+    from ..operators.pq import build_ivfpq_index
+
+    got = _IVFPQ_CACHE.get(sf_dir)
+    if got is not None and os.path.isdir(got[0]):
+        return got
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path, cents = _ivf_index_for(spark, sf_dir)  # reuse the trained centroids
+    codebooks = _pq_codebooks_for(spark, sf_dir)  # reuse the trained codebooks
+    pq_path = tempfile.mkdtemp(prefix="rdl_ivfpq_idx_")
+    build_ivfpq_index(e, _centroids_df(spark, cents), codebooks, pq_path)
+    _IVFPQ_CACHE[sf_dir] = (pq_path, cents, codebooks)
+    return _IVFPQ_CACHE[sf_dir]
+
+
+@register(
+    "l3_ivfpq_topk",
+    oracle=None,  # approximate (probe subset + quantized candidates) → rows-only
+    tags=("L3",),
+)
+def l3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 full scale path — IVF-PQ composition (operators/pq.py): the
+    persisted index is partitioned by trained IVF centroid AND stores
+    8-byte PQ codes per vector; a probe prunes to nprobe=2 partitions,
+    ADC-scores the codes (cosine-form LUTs, pure codegen), and only the
+    top-120 candidates get exact rescoring. The two reductions multiply:
+    nprobe/C of the corpus scanned × 32x smaller candidate rows. Recall
+    vs exact brute force pinned in tests/test_advanced.py; the partition
+    filter is plan-audited."""
+    from ..operators.pq import ivfpq_topk
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    pq_path, cents, codebooks = _ivfpq_index_for(spark, sf_dir)
+    return ivfpq_topk(
+        spark, pq_path, _centroids_df(spark, cents), codebooks, qvec, k=10, nprobe=2
+    )

@@ -231,3 +231,29 @@ def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
     df = all_queries()["x_dynamic_partition_pruning"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
+
+
+def test_ivfpq_topk_recall_vs_exact(spark):
+    """IVF-PQ (partition-pruned probe + ADC candidates + exact rescore)
+    must recover >= 6 of the exact float top-10 — looser than flat PQ:
+    nprobe=2 of 8 clusters can exclude true neighbors entirely."""
+    approx = [r["vec_id"] for r in all_queries()["l3_ivfpq_topk"].fn(spark, SF).collect()]
+
+    emb = T(spark, SF, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    qf = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with("embedding", qf, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x))
+    qnorm = sum(float(x) ** 2 for x in qrow) ** 0.5
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", (dot / (norm * F.lit(qnorm))).alias("cos"))
+        .orderBy(F.desc("cos"), "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    assert len(approx) == 10
+    assert len(set(approx) & set(exact)) >= 6

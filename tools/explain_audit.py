@@ -116,6 +116,13 @@ def main() -> int:
     else:
         failures.append(("l3_ivf_kmeans_topk", "PartitionFilters centroid_id", "IVF probe pruning"))
         print("FAIL  l3_ivf_kmeans_topk: probe scan not partition-pruned")
+    # IVF-PQ probe: same partition-pruning contract as the plain IVF index
+    plan = plan_of(spark, "l3_ivfpq_topk")
+    if "PartitionFilters: [centroid_id" in plan and " IN (" in plan:
+        print("PASS  l3_ivfpq_topk: probe scan partition-pruned on centroid_id")
+    else:
+        failures.append(("l3_ivfpq_topk", "PartitionFilters centroid_id", "IVF-PQ probe pruning"))
+        print("FAIL  l3_ivfpq_topk: probe scan not partition-pruned")
     # Bucketed co-located join: after the query materializes its tables,
     # the bare join must be SortMergeJoin with NO Exchange and NO Sort —
     # the pre-shuffled, pre-sorted layout does both jobs at scan time.
@@ -150,7 +157,7 @@ def main() -> int:
     else:
         failures.append(("x_profile_summary", "single scan", f"found {n_scans}"))
         print(f"FAIL  x_profile_summary: expected 1 FileScan, found {n_scans}")
-    n_total = len(CHECKS) + 5
+    n_total = len(CHECKS) + 6
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

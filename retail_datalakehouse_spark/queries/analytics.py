@@ -1475,3 +1475,62 @@ def x_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("revenue"),
     )
+
+
+# ----------------------------------------------------- string aggregation
+
+
+_STRAGG_SQL = """
+SELECT r_name AS region,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("x_string_agg", oracle=_STRAGG_SQL, tags=("A1", "F1", "F6"), doc="")
+def x_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): member names per
+    group, sorted then joined — the report-formatting aggregate. Spark
+    spelling: sort_array(collect_list) + array_join (explicit order —
+    collect_list alone is partition-order-nondeterministic, the bug this
+    query's determinism discipline exists to catch)."""
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy(F.col("r_name").alias("region")).agg(
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# ------------------------------------------------ median absolute deviation
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT o_orderstatus, median(o_totalprice) AS m
+  FROM orders GROUP BY o_orderstatus)
+SELECT o.o_orderstatus AS status,
+       ROUND(m, 4) AS med,
+       ROUND(median(abs(o.o_totalprice - m)), 4) AS mad
+FROM orders o JOIN med ON o.o_orderstatus = med.o_orderstatus
+GROUP BY o.o_orderstatus, m
+"""
+
+
+@register("x_median_abs_deviation", oracle=_MAD_SQL, tags=("A1", "J2"), doc="")
+def x_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    (stddev is outlier-dominated; MAD is what production anomaly
+    thresholds should use). Two passes: group medians broadcast back,
+    then the median of absolute residuals. Both engines interpolate
+    percentiles identically; at 100 TB both medians become
+    approx_percentile with the same shape."""
+    o = T(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    med = o.groupBy("o_orderstatus").agg(F.median("o_totalprice").alias("m"))
+    j = o.join(F.broadcast(med), "o_orderstatus")
+    return j.groupBy(F.col("o_orderstatus").alias("status"), F.col("m")).agg(
+        F.round(F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4).alias("mad")
+    ).select("status", F.round("m", 4).alias("med"), "mad")

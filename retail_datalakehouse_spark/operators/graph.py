@@ -43,6 +43,7 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iters):
         # min neighbor label per node, one shuffle
         msgs = (
@@ -58,7 +59,17 @@ def connected_components(
         stepped = stepped.localCheckpoint(eager=True)  # one job materializes step+flag
         labels = stepped.drop("chg")
         if stepped.filter("chg").limit(1).count() == 0:  # cheap scan, no joins
+            converged = True
             break
+    if not converged:
+        # Partially-propagated labels are WRONG components (a long path can
+        # need O(diameter) rounds); callers doing dedup would silently keep
+        # the wrong survivors. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations; "
+            "graph diameter exceeds max_iters — raise max_iters or switch to "
+            "the large-star/small-star variant"
+        )
     return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("component"))
 
 

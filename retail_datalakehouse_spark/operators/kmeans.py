@@ -61,7 +61,10 @@ def kmeans_fit(
     # order correlates with cluster structure). The modulo filter + top-k
     # keeps this fully distributed (TakeOrderedAndProject); a global
     # row_number window would drag every row through one partition.
-    # Assumes a numeric id column (the engine's vec_id contract).
+    # The stride assumes dense 0-based numeric ids; with sparse or hashed
+    # ids the filter may select < k rows, so fall back to the first k by
+    # id (still deterministic, still TakeOrderedAndProject) rather than
+    # padding with duplicate centroids.
     n = df.count()
     stride = max(n // k, 1)
     init_rows = (
@@ -71,8 +74,10 @@ def kmeans_fit(
         .select(vec_col)
         .collect()
     )
+    if len(init_rows) < k:
+        init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init_rows[:k]]
-    while len(centroids) < k:  # tiny-input fallback
+    while len(centroids) < k:  # fewer than k rows exist at all
         centroids.append(centroids[-1])
 
     for _ in range(max_iters):

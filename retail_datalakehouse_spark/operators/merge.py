@@ -161,7 +161,10 @@ def merge_additive(
     p = partials.alias("p")
     cond = None
     for k in keys:
-        c = F.col(f"t.{k}") == F.col(f"p.{k}")
+        # eqNullSafe: a NULL aggregate key must match itself, or the target
+        # row and the partial row both survive the full-outer join as two
+        # separate rows and the measure is double-counted forever after
+        c = F.col(f"t.{k}").eqNullSafe(F.col(f"p.{k}"))
         cond = c if cond is None else (cond & c)
     out_keys = [F.coalesce(F.col(f"t.{k}"), F.col(f"p.{k}")).alias(k) for k in keys]
     out_adds = [

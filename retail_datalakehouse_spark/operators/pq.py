@@ -79,10 +79,14 @@ def pq_train(
     init_rows = (
         sliced.filter(F.col(id_col) % stride == 0).orderBy(id_col).limit(k).collect()
     )
+    if len(init_rows) < k:
+        # sparse/hashed ids defeat the stride — first k by id instead of
+        # silently padding duplicate codes (degenerate codebooks)
+        init_rows = sliced.orderBy(id_col).limit(k).collect()
     codebooks = []
     for s in range(m):
         cb = [[float(x) for x in r[f"sub_{s}"]] for r in init_rows[:k]]
-        while len(cb) < k:  # tiny-input fallback
+        while len(cb) < k:  # fewer than k rows exist at all
             cb.append(cb[-1])
         codebooks.append(cb)
 

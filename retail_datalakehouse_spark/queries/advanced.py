@@ -225,6 +225,13 @@ def x_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — on a real cluster the defaults fire on their own)."""
     from .helpers import dsum
 
+    saved_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+    )
+    saved_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "10GB",
+    )
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
@@ -232,7 +239,9 @@ def x_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # InjectRuntimeFilter only fires for probably-shuffle joins: a broadcast-
     # able creation side suppresses it (the broadcast join IS the filter).
     # At test scale the dim side fits the 10 MB broadcast default, so force a
-    # shuffle join while materializing, then restore the session value.
+    # shuffle join while materializing, then restore the session values —
+    # the result is persisted first, so later collects replay materialized
+    # partitions and none of these configs leak into subsequent queries.
     saved_abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -254,6 +263,11 @@ def x_runtime_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         res.count()  # materialize while the bloom configs are in force
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_abt)
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", saved_bloom)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            saved_thresh,
+        )
     return res
 
 

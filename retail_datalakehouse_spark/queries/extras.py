@@ -428,13 +428,25 @@ def x_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(path, ignore_errors=True)
         df = T(spark, sf_dir, src).withColumnRenamed(key, "orderkey")
         write_bucketed(df, tbl, ["orderkey"], n_buckets=8, path=path)
-    joined = bucketed_join(
-        spark, f"rdl_orders_b_{tag}", f"rdl_lineitem_b_{tag}", on=["orderkey"]
-    )
-    return joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count(F.lit(1)).alias("n_items"),
-        dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
-    )
+    # bucketed_join enables the legacy one-file-per-bucket ordering conf so
+    # the scan reports its sort order; materialize under it, then restore so
+    # the extra file-listing cost doesn't leak into every later query.
+    saved = spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    try:
+        joined = bucketed_join(
+            spark, f"rdl_orders_b_{tag}", f"rdl_lineitem_b_{tag}", on=["orderkey"]
+        )
+        res = joined.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+        res = res.persist()
+        res.count()
+    finally:
+        spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", saved)
+    return res
 
 
 @register(

@@ -68,7 +68,8 @@ def bucketed_join(
     side isn't broadcast, which would hide the layout win being tested."""
     # One-file-per-bucket sorted scans can report their ordering (drops the
     # join-side Sorts); Spark gates this behind a legacy conf because the
-    # one-file check costs a listing. Safe to leave on session-wide.
+    # one-file check costs a listing. Left set for the lazy plan's sake —
+    # callers that materialize should save/restore it around the action.
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     left = spark.table(left_table).hint("merge")
     right = spark.table(right_table)

@@ -330,26 +330,50 @@ class VersionedTable:
 
     # -------------------------------------------------------- maintenance
 
-    def vacuum(self, retain_last: int | None = None) -> list[str]:
+    def vacuum(
+        self,
+        retain_last: int | None = None,
+        orphan_retention_s: float = 24 * 3600,
+    ) -> list[str]:
         """Garbage-collect data directories no committed manifest points
         at — the residue of crashes mid-stage and lost commit races.
         With ``retain_last=N``, additionally expires snapshots older than
         the newest N (their manifests AND data), Delta's
         ``VACUUM``/log-retention combined. Never touches the current
-        version. Returns the removed directory names."""
+        version. Returns the removed directory names.
+
+        An *unreferenced* directory younger than ``orphan_retention_s``
+        is skipped (mtime-based, Delta-style): it may be a concurrent
+        writer's fully-staged snapshot whose manifest hard-link hasn't
+        landed yet — deleting it would let that writer's CAS succeed and
+        commit a version whose data is gone. Directories referenced by an
+        *expired* manifest are committed history and removed regardless
+        of age. Pass ``orphan_retention_s=0`` only when no concurrent
+        writers exist (tests, single-writer maintenance windows)."""
         versions = self._versions()
         keep_versions = versions if retain_last is None else versions[-retain_last:]
         live_dirs = set()
-        for v in keep_versions:
+        expired_dirs = set()
+        for v in versions:
             entry = self._manifest(v)
-            live_dirs.add(entry.get("data_dir", f"_v{v}"))
-            live_dirs.update(entry.get("dv_dirs", []))
+            dirs = {entry.get("data_dir", f"_v{v}"), *entry.get("dv_dirs", [])}
+            (live_dirs if v in keep_versions else expired_dirs).update(dirs)
+        expired_dirs -= live_dirs  # a dir shared with a live version stays
+        now = time.time()
         removed = []
         for d in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, d)
-            if d.startswith(("_v", "_dv")) and os.path.isdir(full) and d not in live_dirs:
-                shutil.rmtree(full, ignore_errors=True)
-                removed.append(d)
+            if not (d.startswith(("_v", "_dv")) and os.path.isdir(full)) or d in live_dirs:
+                continue
+            if d not in expired_dirs:
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue  # raced with its writer's cleanup
+                if age < orphan_retention_s:
+                    continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(d)
         for v in versions:
             if v not in keep_versions:
                 os.unlink(os.path.join(self._manifest_dir, f"v{v}.json"))

@@ -160,7 +160,10 @@ def test_vacuum_removes_orphans_and_expired_versions(spark, tmp_path):
     orphan = os.path.join(path, "_v9-deadbeef")
     os.makedirs(orphan)
 
-    removed = t.vacuum()  # no retention: only the orphan goes
+    # a young unreferenced dir could be a concurrent writer's staged
+    # snapshot mid-commit — default retention must leave it alone
+    assert t.vacuum() == []
+    removed = t.vacuum(orphan_retention_s=0)  # no concurrent writers: orphan goes
     assert removed == ["_v9-deadbeef"]
     assert {r.id for r in t.read_version(1).collect()} == {1}
 

@@ -32,14 +32,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir}/{name}.parquet"
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every top-level TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Testdata parquet stores timestamps without a timezone annotation
+    (isAdjustedToUTC=false), which Spark 4 reads as TIMESTAMP_NTZ by default
+    (``spark.sql.parquet.inferTimestampNTZ.enabled=true``). Event-time
+    operators (``withWatermark``, ``unix_micros``) require TIMESTAMP; with
+    the session timezone pinned to UTC the cast preserves the wall-clock
+    instant, so values and DuckDB oracle hashes are unchanged.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan (SURVEY §2.1 S4): predicate pushdown + column pruning
     come free from the parquet source once filters/selects are applied.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as nanos-since-epoch
-    long, converted here to a microsecond TimestampType (floor division —
-    matching DuckDB's TIMESTAMP_NS → TIMESTAMP truncation).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (read as long via
+    ``nanosAsLong`` + converted) and as TIMESTAMP(MICROS, ntz) (read as
+    TIMESTAMP_NTZ); both are normalized to a microsecond TimestampType here
+    so downstream event-time operators see one type in every environment.
     """
     # Runtime-set so the contract also works on a caller-built session (the
     # driver constructs its own SparkSession without our builder): UTC keeps
@@ -51,7 +69,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -116,13 +116,15 @@ def _as_stream_dir(sf_dir: str, table: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical event stream: testdata events as a file-source stream,
     with the nanos→micros timestamp conversion applied stream-side."""
+    from ..catalog import normalize_ntz
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # window boundaries ≡ DuckDB naive ts
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = read_file_stream(spark, _as_stream_dir(sf_dir, "events"), raw_schema)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_ntz(stream)
 
 
 def tumbling_agg(stream: DataFrame, window_size: str = "1 hour") -> DataFrame:

@@ -7,10 +7,12 @@ happens in Arrow-batched `mapInPandas` stages at the edges.
 
 Raw-format kernels (rgb8 decode = reshape, nearest-neighbor resize, frame
 sampling over stacked frames) are REAL, numpy-only, and exact-pixel
-tested. Only compressed/container decode (png/jpeg/mp4) needs codec
-libraries (PIL/ffmpeg) that are NOT in this container — those two entry
-points stay stubbed behind `NotImplementedError`; every Spark-side piece
-(schemas, Arrow batch iteration, partition behavior) runs for real.
+tested. PNG encode/decode is ALSO real — a complete stdlib-zlib codec
+(chunk framing + all five scanline filters, `encode_png`/`decode_png`),
+so the compressed bytes→pixels path runs end-to-end with no third-party
+library. Motion-PNG containers (concatenated frames) get keyframe-style
+sampling via `sample_frames`. Only codecs that genuinely need native
+libraries (JPEG/mp4) raise ValueError at dispatch.
 
 At 100 TB: binaries ride in parquet with `spark.sql.files.maxPartitionBytes`
 sizing partitions; metadata-only queries never touch the payload bytes
@@ -64,17 +66,181 @@ def attach_media(df: DataFrame, payload_from: str = "text") -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB for COMPRESSED formats (png/jpeg): requires an image codec
-    (PIL/turbojpeg), not present in this environment. Raw-format media is
-    fully supported — see `decode_raw_rgb` below."""
-    raise NotImplementedError("image decode requires a codec library (PIL); not in container")
+# ------------------------- PNG codec (REAL — stdlib zlib + numpy) ----------
+#
+# A complete 8-bit PNG encoder/decoder with no third-party codec: IHDR/IDAT/
+# IEND chunk framing, zlib deflate, and all five scanline filters (None/Sub/
+# Up/Average/Paeth) unfiltered per the PNG spec §9. Grayscale (0),
+# grayscale+alpha (4), RGB (2) and RGBA (6) at bit depth 8; no interlacing.
+# This is the compressed-decode path a training-data pipeline runs on real
+# image corpora — bytes → pixels with nothing stubbed.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def sample_frames(payload: bytes, every_ms: int):  # pragma: no cover - stub
-    """STUB for CONTAINER formats (mp4/webm): requires ffmpeg. Raw frame
-    stacks are fully supported — see `sample_frames_raw` below."""
-    raise NotImplementedError("frame sampling requires ffmpeg; not in container")
+def encode_png(arr) -> bytes:
+    """Encode an (h, w[, channels]) uint8 array as a PNG (filter 0 rows,
+    stdlib zlib deflate). Inverse of `decode_png` — byte-exact roundtrip."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or arr.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (h, w[, 1|2|3|4]) uint8 array, got shape {arr.shape}")
+    channels = arr.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    h, w = arr.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    # filter byte 0 (None) prepended to every scanline
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _parse_png(payload: bytes, offset: int = 0, decode: bool = True):
+    """Parse ONE PNG stream starting at ``offset``; returns
+    ``(pixels, next_offset)`` where next_offset points just past IEND —
+    the safe way to walk concatenated-PNG containers (a byte scan for the
+    signature could false-match inside compressed IDAT data). With
+    ``decode=False`` only the chunk framing is walked (pixels is None) —
+    the cheap skip path for frame sampling."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[offset : offset + 8] != _PNG_SIG:
+        raise ValueError("not a PNG stream (bad signature)")
+    pos = offset + 8
+    idat: list[bytes] = []
+    w = h = color_type = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8:
+                raise ValueError(f"only 8-bit PNG supported, got bit depth {bit_depth}")
+            if interlace != 0:
+                raise ValueError("interlaced PNG not supported")
+            if color_type not in _PNG_CHANNELS:
+                raise ValueError(f"unsupported color type {color_type} (palette needs PLTE)")
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR/IDAT)")
+    if not decode:
+        return None, pos
+
+    channels = _PNG_CHANNELS[color_type]
+    bpp = channels  # bytes per pixel at depth 8
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"decompressed to {len(raw)} bytes, expected {h * (stride + 1)}")
+
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        fbyte = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, offset=y * (stride + 1) + 1).astype(
+            np.int64
+        )
+        if fbyte == 0:  # None
+            cur = line
+        elif fbyte == 1:  # Sub: prefix sum per byte-position-mod-bpp
+            cur = line.copy()
+            for c in range(bpp):
+                cur[c::bpp] = np.cumsum(cur[c::bpp])
+            cur &= 0xFF
+        elif fbyte == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif fbyte == 3:  # Average — sequential in x (depends on left neighbor)
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif fbyte == 4:  # Paeth — sequential in x
+            cur = line.copy()
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0  # left
+                b = prev[x]  # up
+                c = prev[x - bpp] if x >= bpp else 0  # up-left
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter byte {fbyte} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    pixels = out.reshape(h, w, channels)
+    return pixels, pos
+
+
+def decode_png(payload: bytes):
+    """Decode a PNG payload to an (h, w, channels) uint8 array."""
+    pixels, _ = _parse_png(payload, 0)
+    return pixels
+
+
+def decode_image(payload: bytes):
+    """Decode a compressed image payload. PNG is decoded natively (stdlib
+    zlib + numpy — see `decode_png`); other codecs (JPEG) would need a
+    library not present in this container and raise ValueError."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise ValueError("unsupported image codec (PNG supported natively; JPEG needs libjpeg)")
+
+
+def sample_frames(payload: bytes, every: int = 2):
+    """Keyframe-style sampler over a motion-PNG container (concatenated
+    PNG frames): walks the chunk structure frame-by-frame (never a raw
+    signature scan — compressed IDAT bytes can false-match), decodes every
+    ``every``-th frame, skips the rest cheaply (header parse only), and
+    returns a stacked (n_sampled, h, w, channels) array."""
+    import numpy as np
+
+    frames = []
+    offset, i = 0, 0
+    while offset < len(payload):
+        want = i % every == 0
+        pixels, offset = _parse_png(payload, offset, decode=want)
+        if want:
+            frames.append(pixels)
+        i += 1
+    if not frames:
+        raise ValueError("no PNG frames in payload")
+    return np.stack(frames)
 
 
 # ------------------------- raw-format kernels (REAL — numpy only) ----------
@@ -142,6 +308,61 @@ def thumbnail_frame(df: DataFrame, src_w: int, src_h: int, out_w: int, out_h: in
             out = {"doc_id": [], "out_w": [], "out_h": [], "px_sum": [], "top_left": [], "bottom_right": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_raw_rgb(payload, src_w, src_h)
+                thumb = resize_nearest(img, out_w, out_h)
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["px_sum"].append(int(thumb.astype("int64").sum()))
+                out["top_left"].append(int(thumb[0, 0, 0]))
+                out["bottom_right"].append(int(thumb[-1, -1, -1]))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def encode_rgb_png(df: DataFrame, src_w: int, src_h: int) -> DataFrame:
+    """Arrow-batched PNG ENCODE stage: (doc_id, payload=raw rgb8 bytes) →
+    (doc_id, payload=PNG bytes). The corpus-preparation half of a real
+    image pipeline — pixels in, compressed artifacts out."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            encoded = [
+                encode_png(decode_raw_rgb(p, src_w, src_h)) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": encoded})
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def png_thumbnail(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Arrow-batched compressed-image pipeline: PNG DECODE (stdlib zlib +
+    unfilter) → nearest-neighbor resize → per-thumbnail stats. Same output
+    schema as `thumbnail_frame`, but the input column holds real PNG bytes
+    — the bytes→pixels step is no longer a reshape but a codec."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("out_w", T.IntegerType()),
+            T.StructField("out_h", T.IntegerType()),
+            T.StructField("px_sum", T.LongType()),
+            T.StructField("top_left", T.IntegerType()),
+            T.StructField("bottom_right", T.IntegerType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "out_w", "out_h", "px_sum", "top_left", "bottom_right")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
                 thumb = resize_nearest(img, out_w, out_h)
                 out["doc_id"].append(doc_id)
                 out["out_w"].append(out_w)

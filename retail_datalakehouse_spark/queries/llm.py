@@ -29,7 +29,6 @@ from ..operators.minhash import (
 from ..operators.multimodal import attach_media, extract_features
 from ..operators.similarity import (
     build_ivf_index,
-    ivf_topk,
     ivf_topk_indexed,
     lsh_near_dup_pairs,
     seeded_centroids,
@@ -144,7 +143,14 @@ def l2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9)
+    # candidates-first (the shape the docstring preaches): MinHash → banded
+    # LSH → exact-Jaccard verify ONLY on candidates → components. At 16×4
+    # bands a j≥0.9 pair escapes candidacy with prob (1−0.9⁴)¹⁶ ≈ 4e-8, so
+    # the edge set ≡ the oracle's exact recursive-CTE edges; the corpus-wide
+    # quadratic shingle self-join never runs.
+    sig = minhash_signature(d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"])
+    cands = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
+    edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cands)
     comp = connected_components(
         d.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
     )
@@ -226,12 +232,53 @@ def l3_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L3",),
 )
 def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: IVF top-10 — 8 seeded centroids, nprobe=2; scans
-    only the probed clusters (≈ nprobe/C of the corpus at scale)."""
+    """L3 scale path: IVF top-10 over a PERSISTED seeded-centroid index —
+    the corpus is assigned and written partitioned by centroid_id ONCE
+    (cached per sf_dir), and each query reads only the nprobe=2 probed
+    clusters' partitions (partition-pruned scan, ≈ nprobe/C of the corpus
+    at scale). The assign-per-query `ivf_topk` remains in
+    operators/similarity.py as the explicitly build-step-free baseline."""
     e = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    path = _ivf_seeded_index_for(spark, sf_dir)
     cents = seeded_centroids(e, c=8)
-    return ivf_topk(e, cents, qvec, k=10, nprobe=2)
+    return ivf_topk_indexed(spark, path, cents, qvec, k=10, nprobe=2)
+
+
+_IVF_SEEDED_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_seeded_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the seeded-centroid IVF index once per corpus (write-
+    once partitioned layout; probes prune partitions — never re-assign)."""
+    import os
+    import tempfile
+
+    got = _IVF_SEEDED_INDEX_CACHE.get(sf_dir)
+    if got is not None and os.path.isdir(got):
+        return got
+    e = T(spark, sf_dir, "embeddings")
+    cents = seeded_centroids(e, c=8)
+    path = tempfile.mkdtemp(prefix="rdl_ivf_seed_idx_")
+    build_ivf_index(e, cents, path)
+    _IVF_SEEDED_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+def _with_planted_neardups(e: DataFrame, n_pairs: int = 20, id_offset: int = 1_000_000) -> DataFrame:
+    """Union the corpus with ``n_pairs`` PLANTED near-duplicates: for each
+    vec_id < n_pairs, a clone at id+offset with a deterministic ±3%
+    per-coordinate multiplicative jitter (cosine ≈ 0.9995 to its source —
+    a true near-dup; cosine to everything else stays random ≈ 0). JVM-side
+    transform, no UDF; the planted ids are the known ground truth for the
+    production-threshold recall check."""
+    clones = e.filter(F.col("vec_id") < n_pairs).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x * (1.0 + 0.03 * sin(CAST(i AS DOUBLE) + CAST(vec_id AS DOUBLE))) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    return e.select("vec_id", "embedding").unionByName(clones)
 
 
 @register(
@@ -240,12 +287,18 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L3", "L2"),
 )
 def l3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: hyperplane-LSH buckets, exact cosine
-    verified within buckets only. (Synthetic embeddings are random — no
-    true near-dups — so the threshold is set low enough to exercise the
-    verify stage; production would use ≥0.9.)"""
+    """Embedding-cosine near-dup AT THE PRODUCTION THRESHOLD (cos ≥ 0.9):
+    the synthetic corpus is random (no true near-dups), so 20 genuine
+    near-duplicate pairs are PLANTED (deterministic ±3% jitter clones,
+    cosine ≈ 0.9995) and must all be recovered — banded hyperplane LSH
+    (3 bands × 8 bits: any-band match → candidate) with exact-cosine
+    verification inside candidates only. tests/test_llm_ops.py pins
+    recall = 1.0 on exactly the planted set with zero false positives."""
     e = T(spark, sf_dir, "embeddings")
-    return lsh_near_dup_pairs(e, n_planes=8, threshold=0.2, dim=64).orderBy("id_a", "id_b")
+    corpus = _with_planted_neardups(e)
+    return lsh_near_dup_pairs(
+        corpus, n_planes=24, n_bands=3, threshold=0.9, dim=64
+    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -707,15 +760,16 @@ def l6_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("L5", "U3"),
 )
 def l5_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5 with a REAL pixel kernel (no codec needed): each document's
-    bytes are tiled into a 16x16 rgb8 raw image JVM-side (repeat/encode/
-    binary-substring — deterministic), then an Arrow-batched mapInPandas
-    stage decodes (reshape), nearest-neighbor-resizes to 4x4, and emits
-    exact pixel sums. The decode→resize→stat path is the production
-    media-pipeline shape end-to-end; only compressed-codec decode remains
-    stubbed (operators/multimodal.py). Exact pixel math pinned by
-    tests/test_llm_ops.py on crafted gradients."""
-    from ..operators.multimodal import thumbnail_frame
+    """L5 with a REAL compressed-image pipeline (stdlib PNG codec): each
+    document's bytes are tiled into a 16x16 rgb8 raw image JVM-side
+    (repeat/encode/binary-substring — deterministic), an Arrow-batched
+    encode stage compresses each to real PNG bytes (zlib deflate + chunk
+    framing), and a second mapInPandas stage DECODES the PNG (inflate +
+    scanline unfilter), nearest-neighbor-resizes to 4x4, and emits exact
+    pixel sums. bytes→PNG→pixels end-to-end, no codec library, nothing
+    stubbed. Exact pixel math + filter unfiltering pinned by
+    tests/test_llm_ops.py / tests/test_png.py."""
+    from ..operators.multimodal import encode_rgb_png, png_thumbnail
 
     need = 16 * 16 * 3
     reps = need // 8 + 1  # min text length is ~8 chars; tile well past `need`
@@ -726,7 +780,8 @@ def l5_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload"
         ),
     ).filter(F.octet_length("payload") == need)
-    return thumbnail_frame(payloads, src_w=16, src_h=16, out_w=4, out_h=4)
+    pngs = encode_rgb_png(payloads, src_w=16, src_h=16)
+    return png_thumbnail(pngs, out_w=4, out_h=4)
 
 
 _PQ_CODEBOOK_CACHE: dict[str, list[list[list[float]]]] = {}

@@ -216,38 +216,72 @@ def seeded_centroids(
 
 def lsh_near_dup_pairs(
     df: DataFrame,
-    n_planes: int = 16,
+    n_planes: int = 24,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    n_bands: int = 3,
 ) -> DataFrame:
-    """Embedding near-dup: random-hyperplane LSH signature (n sign bits)
-    → bucket join → exact cosine ≥ threshold within buckets only."""
+    """Embedding near-dup: random-hyperplane LSH signature (n sign bits),
+    split into ``n_bands`` bands (mirroring MinHash banding) — a pair is a
+    candidate if ANY band's bits match exactly; exact cosine ≥ threshold is
+    verified within candidates only.
+
+    Banding is the recall lever: with r = n_planes / n_bands bits per band
+    and per-bit agreement p = 1 − θ/π, a true near-dup (θ small) misses
+    with probability (1 − p^r)^n_bands — e.g. ≈1e-4 at cos 0.995 with
+    3×8 bands — while random pairs (p ≈ 0.5) collide on a band with
+    probability ~2^−r each, keeping the verify stage ~1% of all pairs.
+    A single concatenated bucket (n_bands=1) forfeits that recall."""
     import random
 
+    if n_planes % n_bands != 0:
+        raise ValueError(f"n_planes={n_planes} not divisible by n_bands={n_bands}")
+    r = n_planes // n_bands
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
-    sig = F.concat_ws(
-        "",
+    bits = [
+        F.when(dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0, "1").otherwise("0")
+        for plane in planes
+    ]
+    bands = F.array(
         *[
-            F.when(dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0, "1").otherwise("0")
-            for plane in planes
-        ],
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.concat_ws("", *bits[i * r : (i + 1) * r]).alias("band_val"),
+            )
+            for i in range(n_bands)
+        ]
     )
-    bucketed = df.select(F.col(id_col), F.col(vec_col), sig.alias("bucket"))
-    a, b = bucketed.alias("a"), bucketed.alias("b")
-    return (
+    vecs = df.select(F.col(id_col), F.col(vec_col))
+    banded = df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_idx", "b.band_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 8).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 8).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

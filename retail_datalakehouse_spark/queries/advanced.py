@@ -393,7 +393,7 @@ WITH d AS (
 g AS (
   SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {dfc}
   FROM d)
-SELECT doc_id, ROUND({contribs}, 4) AS bm25
+SELECT doc_id, CAST(ROUND(({contribs}) * 10000) AS BIGINT) AS bm25_fp4
 FROM d CROSS JOIN g
 WHERE {anyhit} > 0
 """
@@ -409,7 +409,9 @@ def l4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     term set — the ranking primitive for corpus search / retrieval-based
     dedup. Corpus statistics (N, avgdl, per-term df) are ONE agg broadcast
     back to the scoring scan; tf stays in JVM array functions. Contributions
-    are summed in fixed term order so the float result is reproducible."""
+    are summed in fixed term order so the float result is reproducible; the
+    emitted score is int64 fixed-point (score × 10⁴, rounded) so the gate
+    hashes integers — no double-formatting sensitivity in the oracle."""
     docs = T(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
@@ -444,7 +446,9 @@ def l4_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     anyhit = tf(_BM25_TERMS[0])
     for t in _BM25_TERMS[1:]:
         anyhit = anyhit + tf(t)
-    return j.filter(anyhit > 0).select("doc_id", F.round(score, 4).alias("bm25"))
+    return j.filter(anyhit > 0).select(
+        "doc_id", F.round(score * F.lit(10000)).cast("long").alias("bm25_fp4")
+    )
 
 
 # -------------------------------------------------------- unigram log-lik
@@ -458,8 +462,8 @@ WITH d AS (
 v AS (SELECT tok, COUNT(*) AS c FROM d GROUP BY tok),
 tot AS (SELECT SUM(c) AS total FROM v)
 SELECT doc_id,
-       ROUND(CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(25,12))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_loglik
+       CAST(ROUND(CAST(SUM(CAST(ln(CAST(c AS DOUBLE) / total) AS DECIMAL(25,12))) AS DOUBLE)
+             / COUNT(*) * 1000000) AS BIGINT) AS avg_loglik_fp6
 FROM d JOIN v USING (tok) CROSS JOIN tot
 GROUP BY doc_id
 """,
@@ -472,7 +476,8 @@ def l4_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
     data (gibberish / boilerplate scores low). The vocab join broadcasts
     here (bounded vocab); at open-vocab scale it becomes a shuffle join on
     token, still linear. Decimal-exact sum of log-probs keeps the reduction
-    order-independent."""
+    order-independent; the emitted score is int64 fixed-point (× 10⁶) so the
+    gate hashes integers, not formatted doubles."""
     docs = T(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
@@ -490,9 +495,11 @@ def l4_unigram_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(
                 F.sum(F.col("ll").cast("decimal(25,12)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
-            ).alias("avg_loglik")
+                / F.count(F.lit(1))
+                * F.lit(1000000)
+            )
+            .cast("long")
+            .alias("avg_loglik_fp6")
         )
     )
 

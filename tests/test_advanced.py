@@ -110,12 +110,12 @@ def test_bm25_ranks_term_density(spark):
     docs = T(spark, SF, "documents").select("doc_id", "text")
     j = df.join(docs, "doc_id").collect()
     assert len(j) > 0
-    best = max(j, key=lambda r: r["bm25"])
-    worst = min(j, key=lambda r: r["bm25"])
+    best = max(j, key=lambda r: r["bm25_fp4"])
+    worst = min(j, key=lambda r: r["bm25_fp4"])
     n_hits = lambda t: sum(  # noqa: E731
         t.lower().split().count(w) for w in ("join", "window", "spark")
     )
-    assert best["bm25"] > worst["bm25"]
+    assert best["bm25_fp4"] > worst["bm25_fp4"]
     assert n_hits(best["text"]) >= 1
 
 
@@ -127,7 +127,7 @@ def test_unigram_loglik_penalizes_rare_tokens(spark):
     rows = res.collect()
     n_docs = T(spark, SF, "documents").count()
     assert len(rows) == n_docs
-    assert all(r["avg_loglik"] < 0 for r in rows)
+    assert all(r["avg_loglik_fp6"] < 0 for r in rows)
 
 
 def test_subqueries_decorrelate_to_joins(spark, sf_dir):

@@ -337,3 +337,40 @@ def test_connected_components_labels_min_id(spark):
     )
     got = {r.id: r.component for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_planted_neardup_recall_at_production_threshold(spark, sf_dir):
+    """l3_embedding_neardup at cos >= 0.9 must recover EXACTLY the 20
+    planted near-dup pairs (jitter clones) — recall 1.0, zero false
+    positives among the random corpus."""
+    from retail_datalakehouse_spark.queries.llm import l3_embedding_neardup
+
+    rows = l3_embedding_neardup(spark, sf_dir).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    expected = {(i, i + 1_000_000) for i in range(20)}
+    assert got == expected
+    assert all(r.cos_sim >= 0.99 for r in rows)  # jitter clones are ~0.9995
+
+
+def test_banded_lsh_beats_single_bucket_recall(spark):
+    """The banding rationale: near-identical vectors split across a single
+    24-bit bucket more often than across 3x8 bands (any-band match)."""
+    import math
+
+    from retail_datalakehouse_spark.operators.similarity import lsh_near_dup_pairs
+
+    # 40 base vectors + jitter clones => 40 true near-dup pairs
+    n, dim = 40, 16
+    rows = []
+    for i in range(n):
+        base = [math.sin(0.7 * i * (j + 1)) + 0.1 * j for j in range(dim)]
+        clone = [x * (1.0 + 0.04 * math.sin(i + j)) for j, x in enumerate(base)]
+        rows.append((i, base))
+        rows.append((i + 1000, clone))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    banded = lsh_near_dup_pairs(df, n_planes=24, n_bands=3, threshold=0.9, dim=dim)
+    single = lsh_near_dup_pairs(df, n_planes=24, n_bands=1, threshold=0.9, dim=dim)
+    n_banded = banded.count()
+    n_single = single.count()
+    assert n_banded >= n_single
+    assert n_banded >= 38  # ~all 40 planted pairs survive banding

@@ -31,6 +31,12 @@ HEADLINE = [
     "l2_minhash_lsh_neardup",
     "l3_topk_cosine",
     "t2_tumbling_window",
+    # the expensive tail (r2 verdict item 5): the engine's costliest
+    # registered paths, tracked so regressions there are visible
+    "l6_corpus_pipeline",
+    "l2_neardup_clusters",
+    "x_market_basket",
+    "t9_streaming_mart_refresh",
 ]
 
 

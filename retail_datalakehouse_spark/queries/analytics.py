@@ -1133,6 +1133,83 @@ def x_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_UNBOUNDED_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2),
+idx AS (
+  SELECT pri, day, rev,
+         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) AS rn
+  FROM daily),
+ew AS (
+  SELECT pri, day, rev, rn, rev AS ewma FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.pri, i.day, i.rev, i.rn, 0.3 * i.rev + 0.7 * e.ewma
+  FROM idx i JOIN ew e ON i.pri = e.pri AND i.rn = e.rn + 1)
+SELECT pri, day, rev, ewma FROM ew
+"""
+
+
+@register("x_ewma_unbounded", oracle=_EWMA_UNBOUNDED_SQL, tags=("W3", "T6", "U3"), doc="")
+def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED-series EWMA via applyInPandasWithState — the scale path
+    the bounded array-fold (`x_ewma_smoothing`) names: per-key state is
+    just (last_ewma, last_day), O(1) in series length, so the FULL daily
+    history streams through (no 180-day bound, no O(series²) concat).
+    The daily series arrives as three time-ordered micro-batch files;
+    the stateful fold carries last_ewma across batches. Identical literal
+    arithmetic (0.3·rev + 0.7·prev, doubles) to the recursive-CTE oracle
+    — raw doubles hash-match over the whole multi-year history."""
+    import os
+    import shutil
+    import tempfile
+
+    from .helpers import dsum
+    from ..streaming.jobs import ewma_stateful, run_to_memory
+
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(dsum("o_totalprice", scale=2).alias("rev"))
+
+    lo, hi = daily.agg(F.min("day"), F.max("day")).head()
+    span = (hi - lo).days
+    c1 = F.lit(lo + __import__("datetime").timedelta(days=span // 3))
+    c2 = F.lit(lo + __import__("datetime").timedelta(days=2 * span // 3))
+    chunks = (
+        daily.filter(F.col("day") < c1),
+        daily.filter((F.col("day") >= c1) & (F.col("day") < c2)),
+        daily.filter(F.col("day") >= c2),
+    )
+    d = tempfile.mkdtemp(prefix="rdl_ewma_src_")
+    for i, part in enumerate(chunks):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_one_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sink = run_to_memory(ewma_stateful(stream, alpha=0.3), output_mode="append")
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.table(sink)
+
+
+def _write_one_parquet(df: DataFrame, dest: str) -> None:
+    """Write df as exactly one parquet file (file-stream micro-batch unit)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="rdl_onefile_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 # -------------------------------------------------- RFM segmentation
 
 

@@ -131,6 +131,99 @@ def t4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t4_session_window_bounded",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+agg AS (
+  SELECT MIN(ts) AS session_start,
+         MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         user_id,
+         COUNT(*) AS n_events
+  FROM sessions
+  GROUP BY user_id, session_id
+),
+wm AS (SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w FROM events)
+SELECT session_start, session_end, user_id, n_events
+FROM agg, wm
+WHERE session_end <= wm.w
+""",
+    tags=("T4", "T5", "T6"),
+)
+def t4_session_window_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 in the PRODUCTION shape: session windows with a WATERMARK and
+    bounded state (the r2 verdict's named gap — complete mode holds every
+    session in state forever). Spark restricts session-window aggregation
+    to append/complete output (update raises
+    STREAMING_OUTPUT_MODE.UNSUPPORTED_OPERATION — verified), so the
+    bounded-state production shape is APPEND: a session lives in the
+    state store only until the watermark passes its end, then it is
+    EVICTED and emitted exactly once.
+
+    Events arrive as three time-ordered micro-batch files (cross-batch
+    sessions must survive in state between files); the final watermark is
+    max(event time) − 1 h, so sessions ending in the last hour are still
+    open and correctly withheld. The oracle is the batch lag-gap session
+    computation RESTRICTED by the same watermark rule (session_end ≤
+    max_ts − 1 h) — a hash match pins both the session semantics and the
+    emission/eviction rule. State-store eviction metrics
+    (numRowsRemoved > 0, bounded numRowsTotal) are pinned in
+    tests/test_streaming.py."""
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    t0 = e.agg(F.min("ts").alias("t0")).head()[0]
+    c40 = F.lit(t0 + timedelta(hours=40))
+    c80 = F.lit(t0 + timedelta(hours=80))
+    chunks = (
+        e.filter(F.col("ts") < c40),
+        e.filter((F.col("ts") >= c40) & (F.col("ts") < c80)),
+        e.filter(F.col("ts") >= c80),
+    )
+    d = tempfile.mkdtemp(prefix="rdl_t4u_src_")
+    for i, part in enumerate(chunks):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    sink = run_to_memory(sessions, output_mode="append")
+    shutil.rmtree(d, ignore_errors=True)
+    return spark.table(sink)
+
+
+@register(
     "t5_watermark_dedup",
     oracle=None,  # watermark admission semantics are stream-internal → rows-only
     tags=("T5", "T6"),

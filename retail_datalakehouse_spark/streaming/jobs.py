@@ -59,10 +59,12 @@ def read_file_stream(spark: SparkSession, path: str, schema: StructType, fmt: st
 
 
 def run_to_memory(
-    df: DataFrame, output_mode: str = "complete", name: str | None = None
-) -> str:
+    df: DataFrame, output_mode: str = "complete", name: str | None = None, return_query: bool = False
+):
     """Execute a streaming DataFrame with AvailableNow into a memory sink;
-    returns the sink table name (unique per call, so re-runs don't clash)."""
+    returns the sink table name (unique per call, so re-runs don't clash).
+    With ``return_query`` also returns the terminated StreamingQuery, whose
+    ``recentProgress`` carries per-batch state-store metrics."""
     sink = name or f"stream_sink_{next(_sink_counter)}"
     with _stream_shuffle(df.sparkSession):
         q = (
@@ -73,12 +75,12 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
-    return sink
+    return (sink, q) if return_query else sink
 
 
 def run_foreach_batch(
     df: DataFrame, fn, output_mode: str = "update", checkpoint: str | None = None
-) -> None:
+):
     """T6 harness: run a stream through ``foreachBatch(fn)`` to completion.
     ``fn(batch_df, batch_id)`` applies the per-micro-batch action (MERGE,
     idempotent upsert into a sink table, ...).
@@ -86,13 +88,31 @@ def run_foreach_batch(
     With ``checkpoint``, offsets persist across runs: a NEW invocation
     over the same source resumes after the last committed batch (restart
     recovery), and batch ids keep increasing — pair with the sink's
-    txn=(writer, batch_id) guard for end-to-end exactly-once."""
+    txn=(writer, batch_id) guard for end-to-end exactly-once.
+
+    Returns the (terminated) StreamingQuery — its ``recentProgress``
+    carries per-batch state-store metrics (rows updated / removed /
+    dropped-by-watermark), the observability surface for bounded state."""
     with _stream_shuffle(df.sparkSession):
         writer = df.writeStream.foreachBatch(fn).outputMode(output_mode)
         if checkpoint is not None:
             writer = writer.option("checkpointLocation", checkpoint)
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+    return q
+
+
+def state_metrics(query) -> dict[str, int]:
+    """Sum state-operator metrics across a finished query's progress
+    events: rows dropped below the watermark, state rows evicted, and
+    total state rows — the numbers that prove state stays bounded."""
+    totals = {"numRowsDroppedByWatermark": 0, "numRowsRemoved": 0, "numRowsTotal": 0}
+    for p in query.recentProgress:  # StreamingQueryProgress supports [] access
+        for op in p["stateOperators"]:
+            totals["numRowsDroppedByWatermark"] += op["numRowsDroppedByWatermark"]
+            totals["numRowsRemoved"] += op["numRowsRemoved"]
+            totals["numRowsTotal"] = op["numRowsTotal"]  # last batch's state size
+    return totals
 
 
 def _as_stream_dir(sf_dir: str, table: str) -> str:
@@ -217,6 +237,65 @@ def stateful_user_counter(stream: DataFrame):
 
     return stream.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def ewma_stateful(stream: DataFrame, alpha: float = 0.3, key_col: str = "pri"):
+    """Unbounded-series EWMA via applyInPandasWithState (the alternative
+    the bounded array-fold in queries/analytics.py names): state per key =
+    (last_ewma, last_day) — O(1) regardless of series length, so the
+    recurrence never materializes history (the array fold's O(series²)
+    concat is gone and a 10-year daily series costs the same per batch as
+    a 10-day one).
+
+    Input stream rows: (key, day, rev), each key's rows arriving in day
+    order across micro-batches. Emits (key, day, rev, ewma) exactly once
+    per row (append). The fold uses literal ``alpha`` and ``1-alpha``
+    double constants in fixed order, so results are bit-identical to the
+    batch fold / recursive-CTE oracle."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("day", DateType()),
+            StructField("rev", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ewma", DoubleType()), StructField("last_day", DateType())]
+    )
+    beta = 1.0 - alpha  # bit-equal to the oracle's 0.7 literal for alpha=0.3
+
+    def fold(key, pdf_iter, state):
+        import pandas as pd
+
+        last_ewma, last_day = state.get if state.exists else (None, None)
+        frames = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("day")
+            ewmas = []
+            for rev in pdf["rev"]:
+                rev = float(rev)
+                last_ewma = rev if last_ewma is None else alpha * rev + beta * last_ewma
+                ewmas.append(last_ewma)
+            pdf = pdf.assign(ewma=ewmas)
+            if len(pdf):
+                last_day = pdf["day"].iloc[-1]
+            frames.append(pdf[[key_col, "day", "rev", "ewma"]])
+        state.update((last_ewma, last_day))
+        yield from frames if frames else iter([pd.DataFrame(columns=[key_col, "day", "rev", "ewma"])])
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
 
 

@@ -161,3 +161,118 @@ def test_checkpoint_restart_resumes_without_reprocessing(spark, tmp_path):
     run_foreach_batch(mk_stream(), apply_batch, checkpoint=ckpt)
     assert table.current_version() == v_before_replay
     assert v_before_replay == v_after_first + 1
+
+
+def test_session_window_state_eviction_and_late_drop(spark, tmp_path):
+    """Bounded-state session windows (t4_session_window_bounded shape):
+    the watermark must (a) EVICT closed sessions from the state store
+    (numRowsRemoved > 0, numRowsTotal stays at open-session count) and
+    (b) DROP rows arriving below the watermark (numRowsDroppedByWatermark
+    > 0), with the dropped row absent from the emitted sessions.
+
+    Arrival order (maxFilesPerTrigger=1, mtime-ordered): a 12-event
+    session at hours 0-2; an advancer at hour 50; another at hour 51;
+    then a STALE row at hour 3 — Spark's late-row filter for batch N uses
+    the watermark from batches <= N-2 (one batch of lag), so the stale
+    row meets the hour-49 watermark and must be dropped."""
+    import os
+    from datetime import timedelta
+
+    from retail_datalakehouse_spark.streaming.jobs import run_to_memory
+
+    base = datetime(2024, 1, 1)
+    batches = [
+        [(i, base + timedelta(minutes=10 * i), 1) for i in range(12)],
+        [(100, base + timedelta(hours=50), 2)],
+        [(101, base + timedelta(hours=51), 4)],
+        [(200, base + timedelta(hours=3), 3)],  # stale: wm is already 49h
+    ]
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        import glob
+        import shutil
+
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60,) * 2)
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("s"), F.col("w.end").alias("e"), "user_id", "n_events")
+    )
+    sink, q = run_to_memory(sessions, output_mode="append", return_query=True)
+    emitted = spark.table(sink).collect()
+
+    # only user 1's closed session is emitted; the stale user-3 row is gone
+    assert {r.user_id for r in emitted} == {1}
+    assert emitted[0].n_events == 12
+
+    dropped = removed = 0
+    final_total = None
+    for p in q.recentProgress:
+        for op in p["stateOperators"]:
+            dropped += op["numRowsDroppedByWatermark"]
+            removed += op["numRowsRemoved"]
+            final_total = op["numRowsTotal"]
+    assert dropped >= 1  # the stale row was rejected at the state operator
+    assert removed >= 1  # the closed session left the state store
+    assert final_total == 2  # only the two still-open advancer sessions remain
+
+
+def test_ewma_stateful_split_invariant(spark, tmp_path):
+    """The stateful EWMA fold must be arrival-slicing-invariant: folding a
+    series in 1 micro-batch vs 4 yields bit-identical results, and both
+    equal the plain recurrence computed locally (state carries exactly
+    (last_ewma, last_day))."""
+    import os
+    from datetime import date, timedelta
+
+    from retail_datalakehouse_spark.streaming.jobs import ewma_stateful, run_to_memory
+
+    base = date(2024, 1, 1)
+    series = [("A", base + timedelta(days=i), float(10 + (i * 7) % 13)) for i in range(40)]
+    series += [("B", base + timedelta(days=i), float(5 + (i * 3) % 11)) for i in range(40)]
+
+    def run_chunked(n_chunks: int, sub: str):
+        d = str(tmp_path / f"src_{sub}")
+        os.makedirs(d)
+        per = 40 // n_chunks
+        for i in range(n_chunks):
+            days = {base + timedelta(days=j) for j in range(i * per, (i + 1) * per)}
+            rows = [r for r in series if r[1] in days]
+            df = spark.createDataFrame(rows, "pri string, day date, rev double")
+            stage = str(tmp_path / f"stage_{sub}_{i}")
+            df.coalesce(1).write.parquet(stage)
+            import glob
+            import shutil
+
+            part = glob.glob(stage + "/part-*.parquet")[0]
+            dest = os.path.join(d, f"chunk{i}.parquet")
+            shutil.move(part, dest)
+            os.utime(dest, (1_000_000_000 + i * 60,) * 2)
+        schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        sink = run_to_memory(ewma_stateful(stream, alpha=0.3), output_mode="append")
+        return {(r.pri, r.day): r.ewma for r in spark.table(sink).collect()}
+
+    one = run_chunked(1, "one")
+    four = run_chunked(4, "four")
+    assert one == four  # bit-identical, not approximately
+
+    # and both equal the local recurrence
+    expected = {}
+    for key in ("A", "B"):
+        last = None
+        for pri, day, rev in sorted([r for r in series if r[0] == key], key=lambda r: r[1]):
+            last = rev if last is None else 0.3 * rev + 0.7 * last
+            expected[(pri, day)] = last
+    assert one == expected

@@ -848,3 +848,233 @@ def l3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         spark, pq_path, _centroids_df(spark, cents), codebooks, qvec, k=10, nprobe=2
     )
+
+
+# ---------------------------------------------- corpus preparation (L7)
+#
+# The last mile of a training-data pipeline after filter/dedup: split the
+# corpus deterministically, pack documents into fixed token budgets, scrub
+# PII, and score pathological repetition. All four are pure column math /
+# window arithmetic — SQL-checked against DuckDB.
+
+
+@register(
+    "l7_corpus_split",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(md5(text), 1, 1) AS b,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN b BETWEEN '0' AND '9' OR b IN ('a', 'b') THEN 'train'
+              WHEN b IN ('c', 'd') THEN 'val'
+              ELSE 'test' END AS split
+  FROM d)
+SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM s GROUP BY split
+""",
+    tags=("L4", "F1"),
+)
+def l7_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash corpus split (train/val/test ≈ 12/2/2 of
+    16 md5 nibble buckets). Hash-of-CONTENT, not row number or RNG: the
+    assignment is stable under re-ingestion, reshuffling, and cluster
+    topology — the property that keeps eval sets fixed as a 100 TB corpus
+    is rebuilt. One narrow scan, one two-phase agg; both engines compute
+    the identical md5 nibble so the gate hash-checks the split exactly."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 1).alias("b"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("n_tokens"),
+    )
+    split = (
+        F.when(F.col("b").between("0", "9") | F.col("b").isin("a", "b"), "train")
+        .when(F.col("b").isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_tokens", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "l7_sequence_packing",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM d)
+SELECT shard, CAST(FLOOR(start_offset / 512) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY shard, bin_id
+""",
+    tags=("W3", "L4"),
+)
+def l7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): documents stream in stable
+    doc_id order within each shard; a running token offset assigns each
+    doc to the 512-token training bin its first token falls in — the
+    standard LLM pretraining packing layout. Spark spelling: one window
+    running-sum per shard (single hash exchange on shard), no UDF; at
+    100 TB shards are the parallelism unit and each bin is one packed
+    training sequence. Bin manifests (doc counts, token counts, first
+    doc) are hash-checked against the identical window arithmetic."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = d.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        packed.select(
+            "shard",
+            F.floor(F.col("start_offset") / 512).alias("bin_id"),
+            "n_tokens",
+            "doc_id",
+        )
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@register(
+    "l4_pii_redaction",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or 555-0142'
+              ELSE text END AS text
+  FROM documents),
+red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM aug)
+SELECT doc_id, n_emails, n_phones, LENGTH(redacted) AS redacted_len
+FROM red
+WHERE n_emails > 0 OR n_phones > 0
+""",
+    tags=("L4", "F1"),
+)
+def l4_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training corpus runs:
+    regex-detect emails and phone-shaped strings, count them, and redact
+    with typed placeholders. (The synthetic corpus is PII-free, so every
+    7th doc is AUGMENTED with a deterministic email + phone in both
+    engines — the detector must find exactly those.) Pure JVM
+    regexp_count/regexp_replace — patterns chosen in the regex subset
+    where Java and RE2 agree; counts, and the redacted lengths, are
+    hash-checked."""
+    aug = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-0142"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = aug.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+    return red.filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0)).select(
+        "doc_id", "n_emails", "n_phones", F.length("redacted").alias("redacted_len")
+    )
+
+
+@register(
+    "l4_repetition_score",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t != '') AS toks
+  FROM documents),
+t3 AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 for i in range(1, len(toks) - 1)]) AS tri
+  FROM d WHERE len(toks) >= 3),
+cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM t3 GROUP BY doc_id, tri),
+agg AS (
+  SELECT doc_id, MAX(c) AS max_tri, SUM(c) AS n_tris FROM cnt GROUP BY doc_id)
+SELECT doc_id, max_tri, n_tris,
+       CAST(max_tri AS DOUBLE) / n_tris AS rep_ratio,
+       CASE WHEN CAST(max_tri AS DOUBLE) / n_tris > 0.2 THEN 1 ELSE 0 END AS flagged
+FROM agg
+""",
+    tags=("L4",),
+)
+def l4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (the Gopher/MassiveText quality rule family):
+    fraction of a document's trigrams taken by its single most-repeated
+    trigram — boilerplate and degenerate generations score high and get
+    flagged (> 0.2). JVM-side trigram expansion (sequence+transform, no
+    UDF), two hash aggs keyed (doc_id, tri) then doc_id; the ratio is an
+    exact integer division in both engines so the hash is
+    ulp-insensitive."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda t: t != F.lit("")).alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    tris = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 2),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+            )
+        ).alias("tri"),
+    )
+    cnt = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("max_tri"), F.sum("c").alias("n_tris")
+    )
+    ratio = F.col("max_tri").cast("double") / F.col("n_tris")
+    return agg.select(
+        "doc_id",
+        "max_tri",
+        "n_tris",
+        ratio.alias("rep_ratio"),
+        F.when(ratio > 0.2, 1).otherwise(0).alias("flagged"),
+    )

@@ -147,12 +147,18 @@ def test_multimodal_feature_extraction_deterministic(spark):
     assert feats[2].n_bytes == 0 and feats[2].features[2] == 0.0
 
 
-def test_multimodal_codec_stubs_raise():
-    """Compressed/container formats stay honest stubs (no codecs here)."""
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"x")
-    with pytest.raises(NotImplementedError):
-        multimodal.sample_frames(b"x", 40)
+def test_multimodal_codec_dispatch():
+    """PNG decodes natively (stdlib codec — tests/test_png.py pins the
+    pixel math); codecs that genuinely need native libraries (JPEG) raise
+    ValueError at dispatch, as does a non-PNG frame container."""
+    import numpy as np
+
+    arr = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(multimodal.decode_image(multimodal.encode_png(arr)), arr)
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xffjpeg-ish")
+    with pytest.raises(ValueError):
+        multimodal.sample_frames(b"not-a-png-container", 2)
 
 
 def test_raw_rgb_decode_resize_exact():

@@ -82,6 +82,14 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "top-lift must be heap-based, not a global sort"),
     ("x_ewma_smoothing", "EvalPython", False,
      "the EWMA fold must stay a JVM aggregate expression"),
+    ("l3_embedding_neardup", "CartesianProduct", False,
+     "banded hyperplane LSH must candidate via band equi-join, never all-pairs"),
+    ("l3_embedding_neardup", "BroadcastNestedLoopJoin", False,
+     "band match must compile to a hash join, not a nested loop"),
+    ("l3_embedding_neardup", "EvalPython", False,
+     "sign-bit signatures + cosine verify must stay JVM-side"),
+    ("l2_neardup_clusters", "CartesianProduct", False,
+     "candidates-first clustering must never expand the corpus-wide pair space"),
 ]
 
 
@@ -157,7 +165,15 @@ def main() -> int:
     else:
         failures.append(("x_profile_summary", "single scan", f"found {n_scans}"))
         print(f"FAIL  x_profile_summary: expected 1 FileScan, found {n_scans}")
-    n_total = len(CHECKS) + 6
+    # Seeded-IVF index (r2 verdict item 6): the registered l3_ivf_topk must
+    # now read the persisted index partition-pruned, like its siblings.
+    plan = plan_of(spark, "l3_ivf_topk")
+    if "PartitionFilters: [centroid_id" in plan and " IN (" in plan:
+        print("PASS  l3_ivf_topk: probe scan partition-pruned on centroid_id")
+    else:
+        failures.append(("l3_ivf_topk", "PartitionFilters centroid_id", "seeded IVF probe pruning"))
+        print("FAIL  l3_ivf_topk: probe scan not partition-pruned")
+    n_total = len(CHECKS) + 7
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

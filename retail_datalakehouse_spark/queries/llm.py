@@ -283,7 +283,32 @@ def _with_planted_neardups(e: DataFrame, n_pairs: int = 20, id_offset: int = 1_0
 
 @register(
     "l3_embedding_neardup",
-    oracle=None,  # hyperplane-LSH bucketing (seeded RNG) → rows-only
+    # The LSH bucketing is engine-internal, but the VERIFIED OUTPUT is an
+    # exact property of the data: the pair set with true cosine >= 0.9.
+    # DuckDB rebuilds the planted clones (same jitter formula) and scores
+    # all pairs exactly — so the gate hash-checks that banded LSH +
+    # verification finds precisely the ground-truth set (recall 1.0, no
+    # false positives), not merely the row count. Scores are withheld from
+    # the output (float32-vs-float64 clone quantization shifts them ~1e-8;
+    # the >=0.9 decision sits 0.1 away from the boundary on planted pairs
+    # and ~0.5 away on random ones, so membership is ulp-insensitive).
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         [CAST(embedding[i+1] AS DOUBLE)
+            * (1.0 + 0.03 * sin(CAST(i AS DOUBLE) + CAST(vec_id AS DOUBLE)))
+          for i in range(0, len(embedding))]
+  FROM embeddings WHERE vec_id < 20),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v)+1)])
+           / (sqrt(list_sum([x*x for x in a.v]))
+              * sqrt(list_sum([x*x for x in b.v]))) AS cs
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b FROM pairs WHERE cs >= 0.9
+""",
     tags=("L3", "L2"),
 )
 def l3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,13 +317,17 @@ def l3_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-duplicate pairs are PLANTED (deterministic ±3% jitter clones,
     cosine ≈ 0.9995) and must all be recovered — banded hyperplane LSH
     (3 bands × 8 bits: any-band match → candidate) with exact-cosine
-    verification inside candidates only. tests/test_llm_ops.py pins
-    recall = 1.0 on exactly the planted set with zero false positives."""
+    verification inside candidates only. The DuckDB oracle recomputes the
+    ground-truth pair set by exact all-pairs cosine, so the hash check IS
+    the recall/precision proof; tests/test_llm_ops.py additionally pins
+    the planted ids."""
     e = T(spark, sf_dir, "embeddings")
     corpus = _with_planted_neardups(e)
-    return lsh_near_dup_pairs(
-        corpus, n_planes=24, n_bands=3, threshold=0.9, dim=64
-    ).orderBy("id_a", "id_b")
+    return (
+        lsh_near_dup_pairs(corpus, n_planes=24, n_bands=3, threshold=0.9, dim=64)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    )
 
 
 @register(
@@ -469,13 +498,24 @@ def l5_multimodal_carry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l5_feature_extraction",
-    oracle=None,  # python-side deterministic fake decoder → rows-only
+    oracle="""
+SELECT doc_id,
+       LENGTH(text) AS n_bytes,
+       CAST(list_sum([ord(substr(text, i, 1)) for i in range(1, LENGTH(text)+1)])
+            % 2147483648 AS BIGINT) AS checksum,
+       CAST(CAST(list_sum([ord(substr(text, i, 1)) for i in range(1, LENGTH(text)+1)])
+            % 997 AS BIGINT) AS DOUBLE) AS f1
+FROM documents
+""",
     tags=("L5", "U2"),
 )
 def l5_feature_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L5: Arrow-batched mapInPandas feature extraction over binary
-    payloads (deterministic stub decoder — real codecs not in container;
-    the Spark-side schema/batching/partitioning is the real thing)."""
+    payloads (deterministic byte-arithmetic features; a real encoder
+    slots into the same mapInPandas shape). The payload is the utf-8
+    text (ASCII corpus), so the byte checksums are re-derivable in pure
+    SQL — the Python decode path is hash-checked against DuckDB
+    character arithmetic, not just row-counted."""
     d = T(spark, sf_dir, "documents")
     media = attach_media(d)
     feats = extract_features(media)
@@ -756,7 +796,25 @@ def l6_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "l5_image_thumbnail",
-    oracle=None,  # pixel kernels are engine-specific → rows-only + exact unit tests
+    # The full pipeline is byte-deterministic: payload = first 768 bytes of
+    # repeat(text); PNG encode→decode is lossless; the 16x16→4x4 nearest
+    # resize keeps rows/cols {0,4,8,12}. So px_sum/corners are re-derivable
+    # in SQL as character arithmetic at the 48 surviving byte positions —
+    # the codec + resize output is hash-checked, not just row-counted.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(repeat(text, 97), 1, 768) AS pay FROM documents
+  WHERE LENGTH(repeat(text, 97)) >= 768)
+SELECT doc_id, 4 AS out_w, 4 AS out_h,
+       CAST(list_sum([ord(substr(pay, p, 1)) for p in
+         [1,2,3,13,14,15,25,26,27,37,38,39,193,194,195,205,206,207,
+          217,218,219,229,230,231,385,386,387,397,398,399,409,410,411,
+          421,422,423,577,578,579,589,590,591,601,602,603,613,614,615]])
+         AS BIGINT) AS px_sum,
+       ord(substr(pay, 1, 1)) AS top_left,
+       ord(substr(pay, 615, 1)) AS bottom_right
+FROM p
+""",
     tags=("L5", "U3"),
 )
 def l5_image_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -355,7 +355,6 @@ def test_planted_neardup_recall_at_production_threshold(spark, sf_dir):
     got = {(r.id_a, r.id_b) for r in rows}
     expected = {(i, i + 1_000_000) for i in range(20)}
     assert got == expected
-    assert all(r.cos_sim >= 0.99 for r in rows)  # jitter clones are ~0.9995
 
 
 def test_banded_lsh_beats_single_bucket_recall(spark):

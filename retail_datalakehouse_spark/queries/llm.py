@@ -1136,3 +1136,131 @@ def l4_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio.alias("rep_ratio"),
         F.when(ratio > 0.2, 1).otherwise(0).alias("flagged"),
     )
+
+
+@register(
+    "l7_quality_topp",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+         0.4 * LEAST(len(list_filter(string_split(text,' '), t -> t != '')) / 100.0, 1.0)
+         + 0.3 * (len(list_distinct(list_filter(string_split(text,' '), t -> t != '')))
+                  / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+         + 0.3 * (1.0 - len(list_filter(string_split(text,' '),
+                                        t -> t IN ('the','a','of','and','to','in','is')))
+                        / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+           AS q
+  FROM documents),
+tot AS (SELECT lang, SUM(n_tokens) AS total_tokens FROM scored GROUP BY lang),
+ranked AS (
+  SELECT s.doc_id, s.lang, s.n_tokens, t.total_tokens,
+         SUM(s.n_tokens) OVER (PARTITION BY s.lang ORDER BY s.q DESC, s.doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - s.n_tokens AS cum_before
+  FROM scored s JOIN tot t USING (lang))
+SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens,
+       MIN(total_tokens) AS total_tokens
+FROM ranked
+WHERE cum_before * 10 < total_tokens * 6
+GROUP BY lang
+""",
+    tags=("L4", "W3"),
+)
+def l7_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-budget (top-p) selection — data curation under a token
+    budget: per language, take documents best-quality-first until 60% of
+    that language's tokens are spent (a doc is kept if it STARTS inside
+    the budget). Ranking uses the closed-form quality score: IEEE basic
+    ops with the identical expression tree in both engines, so the order
+    — and therefore the kept set — is bit-deterministic (the budget test
+    is integer cross-multiplication; the output is integers only). One
+    window cumsum per lang partition; at 100 TB lang is the shard key and
+    the scan is one pass."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).alias("n_tokens"),
+        quality_score("text").alias("q"),
+    )
+    tot = scored.groupBy("lang").agg(F.sum("n_tokens").alias("total_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("q"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = (
+        scored.join(F.broadcast(tot), "lang")
+        .withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    return (
+        ranked.filter(F.col("cum_before") * 10 < F.col("total_tokens") * 6)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.min("total_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "l7_mixture_rebalance",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+         (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS h256
+  FROM documents),
+tot AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM d GROUP BY lang),
+m AS (SELECT MIN(lang_tokens) AS min_tokens FROM tot),
+thr AS (
+  SELECT lang, lang_tokens, CAST((256 * min_tokens) // lang_tokens AS BIGINT) AS t256
+  FROM tot, m)
+SELECT d.lang, thr.t256,
+       COUNT(*) FILTER (WHERE d.h256 < thr.t256) AS n_kept,
+       SUM(d.n_tokens) FILTER (WHERE d.h256 < thr.t256) AS kept_tokens,
+       MIN(thr.lang_tokens) AS lang_tokens
+FROM d JOIN thr USING (lang)
+GROUP BY d.lang, thr.t256
+""",
+    tags=("L4", "F1"),
+)
+def l7_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture rebalancing — downsample every language toward the
+    smallest language's token count with a DETERMINISTIC content-hash
+    sampler: keep a doc iff its 256-level md5 bucket falls under the
+    per-lang threshold t = floor(256·min_tokens/lang_tokens) (integer
+    division end-to-end). Content-hash selection means the same doc makes
+    the same cut on every rebuild and on any cluster layout — the
+    reproducibility property RNG sampling lacks. One agg for the token
+    histogram (broadcast back), one scan to select."""
+    hexd = "0123456789abcdef"
+    h256 = (
+        (F.instr(F.lit(hexd), F.substring(F.md5(F.col("text").cast("binary")), 1, 1)) - 1) * 16
+        + (F.instr(F.lit(hexd), F.substring(F.md5(F.col("text").cast("binary")), 2, 1)) - 1)
+    )
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(tokens("text")).alias("n_tokens"), h256.alias("h256")
+    )
+    tot = d.groupBy("lang").agg(F.sum("n_tokens").alias("lang_tokens"))
+    min_tokens = tot.agg(F.min("lang_tokens").alias("m"))
+    thr = tot.crossJoin(F.broadcast(min_tokens)).select(
+        "lang",
+        "lang_tokens",
+        F.expr("(256 * m) div lang_tokens").cast("long").alias("t256"),
+    )
+    keep = F.col("h256") < F.col("t256")
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "t256")
+        .agg(
+            F.sum(F.when(keep, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_tokens"))).alias("kept_tokens"),
+            F.min("lang_tokens").alias("lang_tokens"),
+        )
+    )

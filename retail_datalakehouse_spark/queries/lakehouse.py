@@ -319,3 +319,57 @@ def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_bal"),
     )
+
+
+@register(
+    "s7_change_data_feed",
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000),
+u AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000),
+v2 AS (
+  SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+  UNION ALL SELECT * FROM u),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey % 7 != 0),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_totalprice AS pre_price, b.o_totalprice AS post_price,
+         a.o_orderkey IS NOT NULL AS in_a, b.o_orderkey IS NOT NULL AS in_b
+  FROM v1 a FULL OUTER JOIN v3 b ON a.o_orderkey = b.o_orderkey)
+SELECT o_orderkey, post_price AS o_totalprice, 'insert' AS _change_type
+FROM j WHERE NOT in_a AND in_b
+UNION ALL
+SELECT o_orderkey, pre_price, 'delete' FROM j WHERE in_a AND NOT in_b
+UNION ALL
+SELECT o_orderkey, pre_price, 'update_preimage'
+FROM j WHERE in_a AND in_b AND pre_price IS DISTINCT FROM post_price
+UNION ALL
+SELECT o_orderkey, post_price, 'update_postimage'
+FROM j WHERE in_a AND in_b AND pre_price IS DISTINCT FROM post_price
+""",
+    tags=("S7", "S6", "J4"),
+)
+def s7_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed (Delta CDF analogue) over the snapshot-versioned
+    table: v1 = orders slice, v2 = MERGE of a +10-price correction batch
+    (updates existing keys, inserts new ones), v3 = DELETE of keys
+    divisible by 7. `VersionedTable.changes(v1→v3)` classifies every key
+    as insert / delete / update_preimage / update_postimage with ONE
+    full-outer key join between the two snapshots — the incremental
+    contract a downstream mart consumes instead of re-diffing. The
+    oracle reconstructs both snapshots relationally and classifies with
+    the same join."""
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_cdf_"))
+    table.overwrite(o.filter(F.col("o_orderkey") < 2000))  # v1
+    updates = (
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+    )
+    table.merge(updates, keys=["o_orderkey"])  # v2
+    table.delete(F.col("o_orderkey") % 7 == 0)  # v3
+    return table.changes(1, 3, keys=["o_orderkey"])

@@ -264,3 +264,31 @@ def test_delete_mor_merge_on_read(spark, tmp_path):
     assert t.read().count() == 11
     t.vacuum(retain_last=1)
     assert t.read().count() == 11  # survivors unaffected by GC
+
+
+def test_change_data_feed_classifies_all_types(spark, tmp_path):
+    """changes(v_from, v_to) must emit exactly insert/delete/
+    update_preimage+postimage per key, with null-safe value comparison
+    (a NULL->value change is an update, an unchanged key emits nothing)."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "cdf"))
+    v1 = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0), (4, 40.0)], "k long, val double"
+    )
+    t.overwrite(v1)  # v1
+    v2 = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None), (5, 50.0)], "k long, val double"
+    )
+    t.overwrite(v2)  # v2
+    rows = {(r.k, r._change_type): r.val for r in t.changes(1, 2, keys=["k"]).collect()}
+    assert rows == {
+        (2, "update_preimage"): None,   # NULL -> 20 is an update (null-safe)
+        (2, "update_postimage"): 20.0,
+        (3, "update_preimage"): 30.0,   # 30 -> NULL is an update
+        (3, "update_postimage"): None,
+        (4, "delete"): 40.0,
+        (5, "insert"): 50.0,
+    }  # key 1 unchanged -> absent

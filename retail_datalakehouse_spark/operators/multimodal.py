@@ -251,6 +251,96 @@ def sample_frames(payload: bytes, every: int = 2):
 # pipeline runs AFTER codec decode; here they run end-to-end real.
 
 
+# ------------------------- WAV codec (REAL — stdlib struct + numpy) --------
+#
+# RIFF/WAVE with 16-bit PCM: encode writes RIFF/fmt/data chunks; decode
+# walks the chunk structure (not a byte scan), validates PCM16, and returns
+# the sample array + rate. The audio analogue of the PNG codec above —
+# bytes→samples with no third-party library.
+
+
+def encode_wav(samples, sample_rate: int = 16000, n_channels: int = 1) -> bytes:
+    """Encode an int16 sample array as a PCM16 WAV file."""
+    import struct
+
+    import numpy as np
+
+    samples = np.ascontiguousarray(samples, dtype=np.int16)
+    data = samples.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    riff_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_wav(payload: bytes):
+    """Decode a PCM16 WAV payload → (int16 sample array, sample_rate,
+    n_channels). Walks RIFF chunks; rejects compressed formats."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+        elif tag == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    return np.frombuffer(data, dtype="<i2"), rate, channels
+
+
+def wav_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature stage: (doc_id, payload=WAV bytes) →
+    (doc_id, n_samples, duration_ms, peak, abs_sum). The production shape
+    for audio corpora — decode + per-clip stats, one Arrow batch at a
+    time; integer features so results are engine-exact."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("abs_sum", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_samples", "duration_ms", "peak", "abs_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate, _ch = decode_wav(bytes(payload))
+                a = np.abs(samples.astype(np.int64))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(samples))
+                out["duration_ms"].append(len(samples) * 1000 // rate)
+                out["peak"].append(int(a.max()) if len(a) else 0)
+                out["abs_sum"].append(int(a.sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def decode_raw_rgb(payload: bytes, w: int, h: int):
     """Decode an rgb8 payload to an (h, w, 3) uint8 array (zero-copy view)."""
     import numpy as np

@@ -1264,3 +1264,69 @@ def l7_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lang_tokens").alias("lang_tokens"),
         )
     )
+
+
+@register(
+    "l5_audio_features",
+    # Like l5_image_thumbnail: the WAV encode→decode roundtrip is lossless
+    # and the PCM16 samples are a fixed function of the text bytes (pairs,
+    # little-endian), so DuckDB re-derives every feature as character
+    # arithmetic — the audio codec path is hash-checked, not row-counted.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(repeat(text, 33), 1, 256) AS pay FROM documents
+  WHERE LENGTH(repeat(text, 33)) >= 256),
+s AS (
+  SELECT doc_id,
+         [CASE WHEN ord(substr(pay, 2*i-1, 1)) + 256 * ord(substr(pay, 2*i, 1)) >= 32768
+               THEN ord(substr(pay, 2*i-1, 1)) + 256 * ord(substr(pay, 2*i, 1)) - 65536
+               ELSE ord(substr(pay, 2*i-1, 1)) + 256 * ord(substr(pay, 2*i, 1)) END
+          for i in range(1, 129)] AS sm
+  FROM p)
+SELECT doc_id,
+       CAST(128 AS BIGINT) AS n_samples,
+       CAST(8 AS BIGINT) AS duration_ms,
+       CAST(list_max([abs(x) for x in sm]) AS BIGINT) AS peak,
+       CAST(list_sum([abs(x) for x in sm]) AS BIGINT) AS abs_sum
+FROM s
+""",
+    tags=("L5", "U3"),
+)
+def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 audio: a REAL stdlib WAV pipeline — each document's bytes become
+    128 little-endian PCM16 samples, an Arrow-batched stage wraps them in
+    a RIFF/WAVE container (encode_wav), and a second mapInPandas stage
+    parses the RIFF chunks back (decode_wav) and emits per-clip integer
+    features (sample count, duration, peak, abs-sum). Together with the
+    PNG pipeline this makes image AND audio bytes→payload→features real
+    end-to-end; tests/test_png.py-style roundtrip pinning lives in
+    tests/test_llm_ops.py."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T_
+
+    from ..operators.multimodal import encode_wav, wav_features
+
+    need = 256
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(encode(repeat(text, 33), 'UTF-8'), 1, {need})").alias("raw"),
+    ).filter(F.octet_length("raw") == need)
+
+    wav_schema = T_.StructType(
+        [T_.StructField("doc_id", T_.LongType()), T_.StructField("payload", T_.BinaryType())]
+    )
+
+    def to_wav(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                encode_wav(np.frombuffer(bytes(r), dtype="<i2"), sample_rate=16000)
+                for r in pdf["raw"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = d.mapInPandas(to_wav, wav_schema)
+    return wav_features(wavs)

@@ -379,3 +379,39 @@ def test_banded_lsh_beats_single_bucket_recall(spark):
     n_single = single.count()
     assert n_banded >= n_single
     assert n_banded >= 38  # ~all 40 planted pairs survive banding
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    """WAV codec: encode->decode is sample-exact; decoder walks RIFF
+    chunks (tolerates an extra chunk before data), rejects non-PCM16."""
+    import numpy as np
+    import struct
+
+    from retail_datalakehouse_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(11)
+    samples = rng.integers(-32768, 32768, size=333, dtype=np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    got, rate, ch = decode_wav(payload)
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(got, samples)
+
+    # odd-sized LIST chunk between fmt and data (word-alignment path)
+    head, data_chunk = payload[:12], payload[12:]
+    fmt_size = struct.unpack("<I", data_chunk[4:8])[0]
+    fmt_chunk = data_chunk[: 8 + fmt_size]
+    rest = data_chunk[8 + fmt_size:]
+    extra = b"LIST" + struct.pack("<I", 3) + b"ab\x00" + b"\x00"  # padded to even
+    with_extra = head + fmt_chunk + extra + rest
+    got2, _, _ = decode_wav(with_extra)
+    assert np.array_equal(got2, samples)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE")
+    # non-PCM fmt tag must be rejected
+    bad_fmt = bytearray(payload)
+    bad_fmt[20] = 3  # IEEE float
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(bad_fmt))

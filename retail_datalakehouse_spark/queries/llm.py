@@ -1330,3 +1330,93 @@ def l5_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = d.mapInPandas(to_wav, wav_schema)
     return wav_features(wavs)
+
+
+@register(
+    "l5_video_framesample",
+    # Sampled frames 0 and 2 of the 4-frame 8x8 rgb8 stack are byte ranges
+    # [0,192) and [384,576) of the tiled text — PNG framing is lossless, so
+    # DuckDB re-derives the sampled-pixel sums as character arithmetic and
+    # the container walk + keyframe sampling is hash-checked end-to-end.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(repeat(text, 97), 1, 768) AS pay FROM documents
+  WHERE LENGTH(repeat(text, 97)) >= 768)
+SELECT doc_id,
+       4 AS n_frames,
+       2 AS n_sampled,
+       CAST(list_sum([ord(substr(pay, i, 1)) for i in range(1, 193)])
+          + list_sum([ord(substr(pay, i, 1)) for i in range(385, 577)]) AS BIGINT)
+         AS sampled_px_sum,
+       ord(substr(pay, 1, 1)) AS f0_first,
+       ord(substr(pay, 385, 1)) AS f2_first
+FROM p
+""",
+    tags=("L5", "U3"),
+)
+def l5_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 video: motion-PNG container pipeline — each document's bytes
+    become a 4-frame 8x8 rgb8 stack, every frame is PNG-encoded and the
+    frames concatenated into one container payload (stage 1); stage 2
+    walks the container chunk-by-chunk, decodes every 2nd frame
+    (keyframe-style sampling — skipped frames are header-walked only, not
+    unfiltered), and emits per-clip frame stats. With the PNG thumbnail
+    and WAV features this makes image, audio, AND video bytes→features
+    pipelines real and SQL-verified."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T_
+
+    from ..operators.multimodal import encode_png, sample_frames
+
+    w = h = 8
+    frame_bytes = w * h * 3  # 192
+    need = 4 * frame_bytes  # 768
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(encode(repeat(text, 97), 'UTF-8'), 1, {need})").alias("raw"),
+    ).filter(F.octet_length("raw") == need)
+
+    container_schema = T_.StructType(
+        [T_.StructField("doc_id", T_.LongType()), T_.StructField("payload", T_.BinaryType())]
+    )
+
+    def to_container(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = []
+            for raw in pdf["raw"]:
+                stack = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(4, h, w, 3)
+                payloads.append(b"".join(encode_png(f) for f in stack))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    out_schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("n_frames", T_.IntegerType()),
+            T_.StructField("n_sampled", T_.IntegerType()),
+            T_.StructField("sampled_px_sum", T_.LongType()),
+            T_.StructField("f0_first", T_.IntegerType()),
+            T_.StructField("f2_first", T_.IntegerType()),
+        ]
+    )
+
+    def sample(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "n_frames", "n_sampled", "sampled_px_sum", "f0_first", "f2_first")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = sample_frames(bytes(payload), every=2)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(4)
+                out["n_sampled"].append(len(frames))
+                out["sampled_px_sum"].append(int(frames.astype("int64").sum()))
+                out["f0_first"].append(int(frames[0, 0, 0, 0]))
+                out["f2_first"].append(int(frames[1, 0, 0, 0]))
+            yield pd.DataFrame(out)
+
+    containers = d.mapInPandas(to_container, container_schema)
+    return containers.mapInPandas(sample, out_schema)

@@ -4,10 +4,14 @@ The scale rationale for each operator lives in the operator modules
 (`operators/text.py`, `operators/minhash.py`, `operators/similarity.py`,
 `operators/multimodal.py`). Oracle notes:
 
-- exact dedup, token stats, word freq, quality/lang, fingerprints, and the
-  multimodal carry-through are SQL-checked;
-- MinHash-LSH, SimHash, IVF, and hyperplane-LSH near-dup are algorithm-
-  specific (engine-internal hashes) → rows-only, pinned by unit tests;
+- exact dedup, token stats, word freq, quality/lang, fingerprints, the
+  multimodal carry-through, ALL five L5 media pipelines (PNG/WAV/motion-PNG
+  outputs re-derived in DuckDB as character arithmetic), embedding near-dup
+  (planted ground-truth pair set), and the l7 corpus-preparation family are
+  SQL-checked;
+- MinHash-LSH, SimHash, and the approximate ANN paths (IVF/PQ probes) are
+  algorithm-specific (engine-internal hashes / probe subsets) → rows-only,
+  pinned by unit tests;
 - brute-force cosine top-k is SQL-checked via DuckDB's positional
   multi-unnest zip (scores rounded to 6 dp — cross-engine sum-order noise
   is ~1e-15, far below the rounding grain).

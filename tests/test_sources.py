@@ -74,3 +74,19 @@ def test_partitioned_write_layout(spark, tmp_path):
     assert back.count() == 2
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or back.count() == 2  # pruning visible in scan
+
+
+def test_load_table_normalizes_ntz_timestamps(spark, sf_dir):
+    """Driver testdata parquet stores timestamps without a timezone
+    annotation (read as TIMESTAMP_NTZ by Spark 4's default inference);
+    load_table must surface TIMESTAMP so watermarks/unix_micros work on
+    any session — the round-3 driver-gate regression."""
+    from retail_datalakehouse_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    assert dict(events.dtypes)["ts"] == "timestamp"
+    # and the stream side sees the same type
+    from retail_datalakehouse_spark.streaming.jobs import events_stream
+
+    stream = events_stream(spark, sf_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"

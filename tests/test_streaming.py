@@ -216,16 +216,12 @@ def test_session_window_state_eviction_and_late_drop(spark, tmp_path):
     assert {r.user_id for r in emitted} == {1}
     assert emitted[0].n_events == 12
 
-    dropped = removed = 0
-    final_total = None
-    for p in q.recentProgress:
-        for op in p["stateOperators"]:
-            dropped += op["numRowsDroppedByWatermark"]
-            removed += op["numRowsRemoved"]
-            final_total = op["numRowsTotal"]
-    assert dropped >= 1  # the stale row was rejected at the state operator
-    assert removed >= 1  # the closed session left the state store
-    assert final_total == 2  # only the two still-open advancer sessions remain
+    from retail_datalakehouse_spark.streaming.jobs import state_metrics
+
+    m = state_metrics(q)
+    assert m["numRowsDroppedByWatermark"] >= 1  # stale row rejected at the operator
+    assert m["numRowsRemoved"] >= 1  # the closed session left the state store
+    assert m["numRowsTotal"] == 2  # only the two still-open advancer sessions remain
 
 
 def test_ewma_stateful_split_invariant(spark, tmp_path):

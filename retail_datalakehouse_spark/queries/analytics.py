@@ -1191,7 +1191,9 @@ def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
-    sink = run_to_memory(ewma_stateful(stream, alpha=0.3), output_mode="append")
+    # 5 priority keys: 2 shuffle partitions ≈ halves wall time vs the
+    # default 8 (state store + python worker setup is per-partition/batch)
+    sink = run_to_memory(ewma_stateful(stream, alpha=0.3), output_mode="append", shuffle=2)
     shutil.rmtree(d, ignore_errors=True)
     return spark.table(sink)
 

@@ -33,16 +33,17 @@ _sink_counter = itertools.count()
 
 
 @contextmanager
-def _stream_shuffle(spark: SparkSession):
+def _stream_shuffle(spark: SparkSession, shuffle: int | None = None):
     """Run a stream with a small shuffle-partition count, restoring the
     session setting afterwards.
 
     Stateful operators instantiate one state store (+ checkpoint dir) per
     shuffle partition, so at test scale the per-partition setup dominates
     the actual work; a handful of partitions cuts stream wall time ~2-3×.
-    On a real cluster this knob is sized to executor count — the override
-    env var is the same one."""
-    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    ``shuffle`` lets a job with known-small key cardinality go lower
+    still. On a real cluster this knob is sized to executor count — the
+    override env var is the same one."""
+    n = str(shuffle) if shuffle is not None else os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     spark.conf.set(key, n)
@@ -59,14 +60,18 @@ def read_file_stream(spark: SparkSession, path: str, schema: StructType, fmt: st
 
 
 def run_to_memory(
-    df: DataFrame, output_mode: str = "complete", name: str | None = None, return_query: bool = False
+    df: DataFrame,
+    output_mode: str = "complete",
+    name: str | None = None,
+    return_query: bool = False,
+    shuffle: int | None = None,
 ):
     """Execute a streaming DataFrame with AvailableNow into a memory sink;
     returns the sink table name (unique per call, so re-runs don't clash).
     With ``return_query`` also returns the terminated StreamingQuery, whose
     ``recentProgress`` carries per-batch state-store metrics."""
     sink = name or f"stream_sink_{next(_sink_counter)}"
-    with _stream_shuffle(df.sparkSession):
+    with _stream_shuffle(df.sparkSession, shuffle):
         q = (
             df.writeStream.format("memory")
             .queryName(sink)

@@ -373,3 +373,42 @@ def s7_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.merge(updates, keys=["o_orderkey"])  # v2
     table.delete(F.col("o_orderkey") % 7 == 0)  # v3
     return table.changes(1, 3, keys=["o_orderkey"])
+
+
+@register(
+    "s8_jsonl_roundtrip",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY lang
+""",
+    tags=("S8", "S3", "F7"),
+)
+def s8_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 in the training-corpus shape: JSON-LINES round-trip. The
+    documents table is written as .jsonl (one JSON object per line — the
+    de-facto LLM corpus interchange format), read back with an explicit
+    schema (no inference pass at scale), and aggregated. A hash match
+    against the ORIGINAL table proves the serialize→parse cycle is
+    lossless for ids, unicode text, and lang tags. At 100 TB jsonl files
+    shard trivially (line-splittable) and the explicit schema keeps the
+    reader single-pass."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    path = _scratch(f"docs_jsonl_{os.path.basename(sf_dir.rstrip('/'))}")
+    d.coalesce(4).write.mode("overwrite").json(path)
+    schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("lang", T_.StringType()),
+            T_.StructField("text", T_.StringType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -16,6 +16,37 @@ from .base import REGISTRY, Query, oracle_sql, queries, register  # noqa: F401
 # window finally lands on them; the already-driver-green blocks go last.
 from . import streaming, lakehouse, llm, relational, windows, functions, udfs, extras, advanced, analytics  # noqa: E402,F401
 
+# Round-4 rotation: promote queries that are NEW or materially rewritten
+# this round (no driver row on current code) to the head of the registry,
+# so the driver's ~50-row gate window verifies them first; everything else
+# keeps its cumulative driver-green rows from r1-r3.
+_PROMOTE_R4 = [
+    "t4_session_window_bounded",
+    "s7_change_data_feed",
+    "s8_jsonl_roundtrip",
+    "l3_embedding_neardup",
+    "l3_ivf_topk",
+    "l2_neardup_clusters",
+    "l5_feature_extraction",
+    "l5_image_thumbnail",
+    "l5_audio_features",
+    "l5_video_framesample",
+    "l7_corpus_split",
+    "l7_sequence_packing",
+    "l4_pii_redaction",
+    "l4_repetition_score",
+    "l7_quality_topp",
+    "l7_mixture_rebalance",
+    "l4_bm25",
+    "l4_unigram_loglik",
+    "x_ewma_unbounded",
+]
+_head = {n: REGISTRY[n] for n in _PROMOTE_R4 if n in REGISTRY}
+_rest = {k: v for k, v in REGISTRY.items() if k not in _head}
+REGISTRY.clear()
+REGISTRY.update(_head)
+REGISTRY.update(_rest)
+
 
 def all_queries():
     return dict(REGISTRY)

@@ -1,0 +1,138 @@
+"""Distributed BPE (byte-pair encoding) tokenizer training (SURVEY §2.10
+L4 extension — the tokenizer-construction step of a training-data
+pipeline, cf. Sennrich et al. 2016 subword-nmt).
+
+Spark-first formulation:
+
+- Training operates on the **distinct-word frequency table** (classic BPE),
+  which is vocabulary-sized — orders of magnitude smaller than the corpus —
+  so each merge iteration is a small DataFrame job no matter how large the
+  underlying corpus is.
+- **Pair counting** is a JVM-side transform: zip each word's token array
+  with its own tail (`slice`+`zip_with`), explode, weight by word
+  frequency, two-phase aggregate. No Python in the loop.
+- **Best pair selection** is a metadata-sized collect (one row: the argmax
+  with a lexicographic tie-break for determinism).
+- **Merge application** is a left-to-right greedy fold (`F.aggregate`):
+  append each token, or fuse it into the accumulator's last element when
+  (last, current) equals the merge pair — exactly subword-nmt's regex
+  left-to-right semantics, as a pure columnar expression.
+- Each iteration persists its tokenization and unpersists the previous one
+  (k-means-style), keeping lineage flat across iterations.
+
+Encoding a corpus replays the learned merges in order — a chain of the
+same columnar folds — then counts tokens; no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _chars(w):
+    """Split a word into single-character tokens (Spark's split keeps a
+    trailing empty string at the end-of-string split point — drop it)."""
+    return F.filter(F.split(w, "(?!^)"), lambda c: c != F.lit(""))
+
+
+def _merge_fold(tokens_col, a: str, b: str):
+    """Greedy left-to-right application of merge (a, b) → a+b over a token
+    array, as a pure JVM fold: acc + [tok], except when acc's last element
+    is `a` and tok is `b` — then the last element becomes the fused token."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        tokens_col,
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, tok: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (tok == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(tok))),
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over the word-frequency table: pairs from each
+    word's token array (zip with tail), weighted by word frequency."""
+    pairs = F.when(
+        F.size("toks") >= 2,
+        F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"))
+    return (
+        words.select("freq", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 12
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a corpus. Returns the ordered
+    merge list. Deterministic: ties on pair count break lexicographically.
+    """
+    words = (
+        df.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", _chars(F.col("w")).alias("toks"))
+    ).persist()
+    words.count()  # materialize the base tokenization
+
+    merges: list[tuple[str, str]] = []
+    current = words
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(current)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        nxt = current.select("freq", _merge_fold(F.col("toks"), a, b).alias("toks")).persist()
+        nxt.count()
+        current.unpersist()
+        current = nxt
+    current.unpersist()
+    return merges
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned merges to every document and count resulting tokens:
+    (id, n_chars, n_bpe_tokens). The merge replay is a chain of columnar
+    folds over per-word character arrays — no UDF, fully distributed."""
+    word_toks = F.transform(
+        F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit("")),
+        _chars,
+    )
+    d = df.select(F.col(id_col), word_toks.alias("words"))
+
+    def apply_merge(a: str, b: str):
+        # closure factory: PySpark counts lambda params, so default-arg
+        # capture (lambda toks, a=a, b=b) would read as a 3-arg lambda
+        return lambda toks: _merge_fold(toks, a, b)
+
+    col = F.col("words")
+    for a, b in merges:
+        col = F.transform(col, apply_merge(a, b))
+    return d.select(
+        id_col,
+        F.aggregate(
+            F.transform(col, lambda toks: F.size(toks)), F.lit(0), lambda acc, n: acc + n
+        ).alias("n_bpe_tokens"),
+    )

@@ -1424,3 +1424,33 @@ def l5_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     containers = d.mapInPandas(to_container, container_schema)
     return containers.mapInPandas(sample, out_schema)
+
+
+@register(
+    "l4_bpe_tokenize",
+    oracle=None,  # iterative trainer (argmax per round) → rows-only; exact
+    # merge-sequence + token-count parity vs the classic in-memory BPE is
+    # pinned by tests/test_llm_ops.py::test_bpe_train_matches_reference
+    tags=("L4", "F6"),
+)
+def l4_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training + encoding (operators/bpe.py):
+    learn 12 merges from the corpus's word-frequency table (each round =
+    one vocabulary-sized DataFrame job: JVM pair-zip counts, one-row
+    argmax collect, columnar greedy merge fold), then replay the merges
+    over every document and count tokens. The training table is
+    vocabulary-sized regardless of corpus size — the property that makes
+    BPE training feasible at 100 TB; the encode pass is pure columnar
+    folds, no UDF. Exact parity with the in-memory reference algorithm is
+    unit-pinned."""
+    from ..operators.bpe import bpe_encode_counts, bpe_train
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(d, "text", n_merges=12)
+    enc = bpe_encode_counts(d, merges, "text", "doc_id")
+    n_chars = F.length(F.regexp_replace(F.lower("text"), " ", ""))
+    return (
+        enc.join(d, "doc_id")
+        .select("doc_id", n_chars.alias("n_chars"), "n_bpe_tokens")
+        .withColumn("compression", F.col("n_chars") / F.col("n_bpe_tokens"))
+    )

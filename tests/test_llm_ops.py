@@ -415,3 +415,69 @@ def test_wav_roundtrip_and_chunk_walk():
     bad_fmt[20] = 3  # IEEE float
     with _pytest.raises(ValueError):
         decode_wav(bytes(bad_fmt))
+
+
+def _ref_bpe(word_freqs: dict, n_merges: int):
+    """Pure-Python reference BPE (subword-nmt semantics): max-count pair
+    with lexicographic tie-break, greedy left-to-right merge application."""
+    toks = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            t = toks[w]
+            for i in range(len(t) - 1):
+                counts[(t[i], t[i + 1])] = counts.get((t[i], t[i + 1]), 0) + f
+        if not counts:
+            break
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if best[1] < 2:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        for w, t in toks.items():
+            out = []
+            for tok in t:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            toks[w] = out
+    return merges, toks
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE must learn the exact merge sequence (and produce
+    the exact token counts) of the classic in-memory algorithm."""
+    from collections import Counter
+
+    from retail_datalakehouse_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    texts = [
+        (0, "low low low low low lower lower newest newest newest"),
+        (1, "newest newest newest widest widest lowest lower new"),
+        (2, "the the the the lowest newest wider low low"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    merges = bpe_train(df, "text", n_merges=8)
+
+    word_freqs = Counter(w for _, t in texts for w in t.lower().split() if w)
+    ref_merges, ref_toks = _ref_bpe(dict(word_freqs), 8)
+    assert merges == ref_merges
+
+    enc = {r.doc_id: r.n_bpe_tokens for r in bpe_encode_counts(df, merges).collect()}
+    for doc_id, text in texts:
+        expected = sum(len(ref_toks[w]) for w in text.lower().split() if w)
+        assert enc[doc_id] == expected, (doc_id, enc[doc_id], expected)
+
+
+def test_bpe_merge_fold_greedy_left_to_right(spark):
+    """The columnar fold must implement greedy non-overlapping merging:
+    (a,a) over 'aaa' gives [aa, a], never [a, aa] or [aa, aa]."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame([(["a", "a", "a"],)], "toks array<string>")
+    out = df.select(_merge_fold(F.col("toks"), "a", "a").alias("m")).head()[0]
+    assert out == ["aa", "a"]

@@ -465,15 +465,16 @@ def png_thumbnail(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
-def extract_features(df: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
+def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
     `mapInPandas` — THE production shape for media kernels: the pandas
     iterator sees one Arrow batch at a time (bounded memory), output schema
     is explicit, and partitioning is inherited (no shuffle).
 
-    With ``use_stub_decoder`` the 'features' are a deterministic function
-    of the bytes (length, additive checksum, 4 byte-histogram moments) —
-    a stand-in with the same schema/shape a real encoder would produce.
+    Features are a deterministic function of the bytes (length, additive
+    checksum, byte probes) — SQL-re-derivable, so the whole Python path is
+    hash-checked (l5_feature_extraction); a learned encoder slots into the
+    same batch loop with only the output schema changing.
     """
 
     def batches(it: Iterator) -> Iterator:
@@ -481,8 +482,6 @@ def extract_features(df: DataFrame, use_stub_decoder: bool = True) -> DataFrame:
 
         for pdf in it:
             payloads = pdf["payload"]
-            if not use_stub_decoder:  # pragma: no cover - needs codecs
-                decode_image(payloads.iloc[0])
             n_bytes = payloads.map(len)
             checksum = payloads.map(lambda b: sum(b) % (1 << 31))
             feats = payloads.map(

@@ -401,17 +401,19 @@ class VersionedTable:
 
         from pyspark.sql import functions as F
 
-        pre = self.read_version(v_from)
-        post = self.read_version(v_to)
-        cols = [c for c in pre.columns if c not in keys]
+        pre = self.read_version(v_from).withColumn("__pa", F.lit(True))
+        post = self.read_version(v_to).withColumn("__pb", F.lit(True))
+        cols = [c for c in pre.columns if c not in keys and c != "__pa"]
         a = pre.alias("a")
         b = post.alias("b")
         cond = reduce(
             lambda x, y: x & y, [F.col(f"a.{k}").eqNullSafe(F.col(f"b.{k}")) for k in keys]
         )
         j = a.join(b, cond, "full_outer")
-        in_a = reduce(lambda x, y: x | y, [F.col(f"a.{k}").isNotNull() for k in keys])
-        in_b = reduce(lambda x, y: x | y, [F.col(f"b.{k}").isNotNull() for k in keys])
+        # presence markers, not key-null checks: a legitimately NULL key
+        # (matched null-safely) must still classify correctly
+        in_a = F.col("a.__pa").isNotNull()
+        in_b = F.col("b.__pb").isNotNull()
         same = reduce(
             lambda x, y: x & y,
             [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols],

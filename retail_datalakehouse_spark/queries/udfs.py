@@ -209,3 +209,47 @@ def a3_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
+
+
+@register(
+    "u6_sql_registered_udf",
+    oracle="""
+SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'large' END AS bucket,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+""",
+    tags=("U1", "F4"),
+)
+def u6_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDF surface via the SQL front door: `spark.udf.register` makes a
+    Python function callable from SQL text — the path BI tools and SQL
+    users hit (vs the DataFrame-side F.udf of u1). The function is the
+    order-size bucketer; the oracle is the same logic as a SQL CASE.
+    Registered per-call with an idempotent name; at scale the same
+    registration serves every query in the session."""
+    from pyspark.sql import types as T_
+
+    from ..catalog import register_views
+
+    def bucket(price: float) -> str:
+        if price < 50000:
+            return "small"
+        if price < 200000:
+            return "mid"
+        return "large"
+
+    spark.udf.register("order_bucket", bucket, T_.StringType())
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT order_bucket(o_totalprice) AS bucket,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY 1
+        """
+    )

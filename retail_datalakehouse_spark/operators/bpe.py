@@ -114,7 +114,7 @@ def bpe_encode_counts(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Apply learned merges to every document and count resulting tokens:
-    (id, n_chars, n_bpe_tokens). The merge replay is a chain of columnar
+    returns (id, n_bpe_tokens). The merge replay is a chain of columnar
     folds over per-word character arrays — no UDF, fully distributed."""
     word_toks = F.transform(
         F.filter(F.split(F.lower(text_col), " "), lambda w: w != F.lit("")),

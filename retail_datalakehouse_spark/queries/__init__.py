@@ -39,9 +39,11 @@ _PROMOTE_R4 = [
     "l7_mixture_rebalance",
     "l4_bm25",
     "l4_unigram_loglik",
-    # x_ewma_unbounded deliberately NOT promoted: ~30 s of stream machinery
-    # would eat a third of the external gate's wall budget; it is SQL-green
-    # in the full local gate (tools/check_oracle.py) every round.
+    "u6_sql_registered_udf",
+    # Deliberately NOT promoted (both covered by the full local gate every
+    # round): x_ewma_unbounded (~30 s of stream machinery) and
+    # l4_bpe_tokenize (~20 s iterative trainer, rows-only anyway) would
+    # together eat half the external gate's wall budget.
 ]
 _head = {n: REGISTRY[n] for n in _PROMOTE_R4 if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}

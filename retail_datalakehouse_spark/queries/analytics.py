@@ -1183,10 +1183,12 @@ def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.filter((F.col("day") >= c1) & (F.col("day") < c2)),
         daily.filter(F.col("day") >= c2),
     )
+    from ..streaming.jobs import write_single_parquet
+
     d = tempfile.mkdtemp(prefix="rdl_ewma_src_")
     for i, part in enumerate(chunks):
         dest = os.path.join(d, f"chunk{i}.parquet")
-        _write_one_parquet(part, dest)
+        write_single_parquet(part, dest)
         os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
 
     schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
@@ -1196,20 +1198,6 @@ def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_to_memory(ewma_stateful(stream, alpha=0.3), output_mode="append", shuffle=2)
     shutil.rmtree(d, ignore_errors=True)
     return spark.table(sink)
-
-
-def _write_one_parquet(df: DataFrame, dest: str) -> None:
-    """Write df as exactly one parquet file (file-stream micro-batch unit)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="rdl_onefile_")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    shutil.move(part, dest)
-    shutil.rmtree(stage, ignore_errors=True)
 
 
 # -------------------------------------------------- RFM segmentation

@@ -361,10 +361,16 @@ def s7_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract a downstream mart consumes instead of re-diffing. The
     oracle reconstructs both snapshots relationally and classifies with
     the same join."""
+    import shutil
+
     from ..sources.table_format import VersionedTable
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_cdf_"))
+    # fixed scratch path, cleared up-front: version numbering restarts at
+    # v1 every run and repeated executions don't accumulate snapshots
+    path = _scratch(f"cdf_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    table = VersionedTable(spark, path)
     table.overwrite(o.filter(F.col("o_orderkey") < 2000))  # v1
     updates = (
         o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))

@@ -244,29 +244,33 @@ def l3_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.py as the explicitly build-step-free baseline."""
     e = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    path = _ivf_seeded_index_for(spark, sf_dir)
-    cents = seeded_centroids(e, c=8)
+    path, cents = _ivf_seeded_index_for(spark, sf_dir)
     return ivf_topk_indexed(spark, path, cents, qvec, k=10, nprobe=2)
 
 
-_IVF_SEEDED_INDEX_CACHE: dict[str, str] = {}
+_IVF_SEEDED_INDEX_CACHE: dict[str, tuple[str, list]] = {}
 
 
-def _ivf_seeded_index_for(spark: SparkSession, sf_dir: str) -> str:
+def _ivf_seeded_index_for(spark: SparkSession, sf_dir: str):
     """Materialize the seeded-centroid IVF index once per corpus (write-
-    once partitioned layout; probes prune partitions — never re-assign)."""
+    once partitioned layout; probes prune partitions — never re-assign).
+    Returns (index_path, centroids_df); centroid ROWS are cached alongside
+    the path so an index hit costs zero centroid recomputation."""
     import os
     import tempfile
 
     got = _IVF_SEEDED_INDEX_CACHE.get(sf_dir)
-    if got is not None and os.path.isdir(got):
-        return got
+    if got is not None and os.path.isdir(got[0]):
+        path, rows = got
+        return path, spark.createDataFrame(rows, ["centroid_id", "centroid_vec"])
     e = T(spark, sf_dir, "embeddings")
     cents = seeded_centroids(e, c=8)
+    rows = [(r["centroid_id"], list(r["centroid_vec"])) for r in cents.collect()]
     path = tempfile.mkdtemp(prefix="rdl_ivf_seed_idx_")
-    build_ivf_index(e, cents, path)
-    _IVF_SEEDED_INDEX_CACHE[sf_dir] = path
-    return path
+    cents_df = spark.createDataFrame(rows, ["centroid_id", "centroid_vec"])
+    build_ivf_index(e, cents_df, path)
+    _IVF_SEEDED_INDEX_CACHE[sf_dir] = (path, rows)
+    return path, cents_df
 
 
 def _with_planted_neardups(e: DataFrame, n_pairs: int = 20, id_offset: int = 1_000_000) -> DataFrame:

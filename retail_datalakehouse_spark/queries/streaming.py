@@ -241,19 +241,7 @@ def t5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _write_single_parquet(df: DataFrame, dest: str) -> None:
-    """Write df as exactly ONE parquet file at ``dest`` (the file-stream
-    source wants plain files, not part-file directories)."""
-    import glob
-    import os
-    import shutil
-    import tempfile
-
-    stage = tempfile.mkdtemp(prefix="rdl_onefile_")
-    df.coalesce(1).write.mode("overwrite").parquet(stage)
-    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
-    shutil.move(part, dest)
-    shutil.rmtree(stage, ignore_errors=True)
+from ..streaming.jobs import write_single_parquet as _write_single_parquet  # noqa: E402
 
 
 @register(

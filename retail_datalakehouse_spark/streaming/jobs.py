@@ -53,6 +53,22 @@ def _stream_shuffle(spark: SparkSession, shuffle: int | None = None):
         spark.conf.set(key, old)
 
 
+def write_single_parquet(df: DataFrame, dest: str) -> None:
+    """Write ``df`` as exactly ONE parquet file at ``dest`` — the unit of
+    arrival for file-stream sources (one file = one micro-batch under
+    maxFilesPerTrigger=1)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="rdl_onefile_")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+    shutil.move(part, dest)
+    shutil.rmtree(stage, ignore_errors=True)
+
+
 def read_file_stream(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
     """T1: file-source stream — watch ``path``, ingest files as they appear.
     Schema must be explicit (file streams don't infer)."""
@@ -284,20 +300,23 @@ def ewma_stateful(stream: DataFrame, alpha: float = 0.3, key_col: str = "pri"):
         import pandas as pd
 
         last_ewma, last_day = state.get if state.exists else (None, None)
-        frames = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("day")
-            ewmas = []
-            for rev in pdf["rev"]:
-                rev = float(rev)
-                last_ewma = rev if last_ewma is None else alpha * rev + beta * last_ewma
-                ewmas.append(last_ewma)
-            pdf = pdf.assign(ewma=ewmas)
-            if len(pdf):
-                last_day = pdf["day"].iloc[-1]
-            frames.append(pdf[[key_col, "day", "rev", "ewma"]])
+        # A group's rows within ONE micro-batch can arrive as several
+        # unordered Arrow chunks (split at arrow.maxRecordsPerBatch) —
+        # concat and sort ONCE before folding, or the recurrence would
+        # apply days out of order across chunk boundaries.
+        chunks = [pdf for pdf in pdf_iter]
+        pdf = pd.concat(chunks) if chunks else pd.DataFrame(columns=[key_col, "day", "rev"])
+        pdf = pdf.sort_values("day")
+        ewmas = []
+        for rev in pdf["rev"]:
+            rev = float(rev)
+            last_ewma = rev if last_ewma is None else alpha * rev + beta * last_ewma
+            ewmas.append(last_ewma)
+        pdf = pdf.assign(ewma=ewmas) if len(pdf) else pdf.assign(ewma=[])
+        if len(pdf):
+            last_day = pdf["day"].iloc[-1]
         state.update((last_ewma, last_day))
-        yield from frames if frames else iter([pd.DataFrame(columns=[key_col, "day", "rev", "ewma"])])
+        yield pdf[[key_col, "day", "rev", "ewma"]]
 
     return stream.groupBy(key_col).applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

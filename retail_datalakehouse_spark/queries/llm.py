@@ -1430,6 +1430,9 @@ def l5_video_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containers.mapInPandas(sample, out_schema)
 
 
+_BPE_MERGES_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
 @register(
     "l4_bpe_tokenize",
     oracle=None,  # iterative trainer (argmax per round) → rows-only; exact
@@ -1450,7 +1453,10 @@ def l4_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_encode_counts, bpe_train
 
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = bpe_train(d, "text", n_merges=12)
+    merges = _BPE_MERGES_CACHE.get(sf_dir)
+    if merges is None:
+        merges = bpe_train(d, "text", n_merges=12)
+        _BPE_MERGES_CACHE[sf_dir] = merges  # train once per corpus, like the PQ/IVF caches
     enc = bpe_encode_counts(d, merges, "text", "doc_id")
     n_chars = F.length(F.regexp_replace(F.lower("text"), " ", ""))
     return (

@@ -1464,3 +1464,113 @@ def l4_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", n_chars.alias("n_chars"), "n_bpe_tokens")
         .withColumn("compression", F.col("n_chars") / F.col("n_bpe_tokens"))
     )
+
+
+@register(
+    "l2_dedup_keep_best",
+    oracle="""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM documents WHERE doc_id < 1000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+),
+edges_sym AS (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM nodes
+  UNION
+  SELECT e.m AS node, r.lbl FROM reach r JOIN edges_sym e ON r.node = e.n
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY 1),
+scored AS (
+  SELECT d.doc_id, c.component,
+         0.4 * LEAST(len(list_filter(string_split(text,' '), t -> t != '')) / 100.0, 1.0)
+         + 0.3 * (len(list_distinct(list_filter(string_split(text,' '), t -> t != '')))
+                  / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+         + 0.3 * (1.0 - len(list_filter(string_split(text,' '),
+                                        t -> t IN ('the','a','of','and','to','in','is')))
+                        / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+           AS q
+  FROM documents d JOIN comp c USING (doc_id) WHERE d.doc_id < 1000),
+ranked AS (
+  SELECT component, doc_id, q,
+         ROW_NUMBER() OVER (PARTITION BY component ORDER BY q DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY component) AS n_docs
+  FROM scored)
+SELECT component, doc_id AS keep_id, CAST(n_docs AS BIGINT) AS n_docs
+FROM ranked WHERE rn = 1
+""",
+    tags=("L2", "L1", "L4"),
+)
+def l2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup with the KEEP-BEST survivor policy — what real
+    curation runs instead of keep-min-id: cluster near-duplicates
+    (candidates-first LSH → Jaccard verify → connected components), then
+    keep the highest-QUALITY document per cluster (doc_id tiebreak).
+    Quality ranking reuses the IEEE-deterministic closed-form score, so
+    the survivor choice is bit-stable and the full policy — clustering
+    AND survivor selection — hash-checks against the recursive-CTE +
+    window oracle."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import connected_components
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sig = minhash_signature(d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"])
+    cands = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
+    edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cands)
+    comp = connected_components(
+        d.select("doc_id"), edges, id_col="doc_id", src="id_a", dst="id_b"
+    )
+    scored = d.select("doc_id", quality_score("text").alias("q")).join(comp, "doc_id")
+    w = Window.partitionBy("component").orderBy(F.desc("q"), F.asc("doc_id"))
+    wc = Window.partitionBy("component")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("doc_id").alias("keep_id"), "n_docs")
+    )
+
+
+@register(
+    "l7_eval_sample",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(text), doc_id) AS rk
+  FROM documents)
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20
+""",
+    tags=("L4", "W1"),
+)
+def l7_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum eval-set sampling: 20 documents per language,
+    selected by ranking on the md5 of the CONTENT (doc_id tiebreak) — a
+    deterministic pseudo-random draw that is reproducible across
+    rebuilds, reshufflings, and engines (both sides rank the same hex
+    strings), unlike RNG sampling. The complement of l7_mixture_rebalance
+    (fractional thresholds): this one guarantees exact per-stratum
+    counts, the shape eval-set construction needs."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("h")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "rk")
+    )

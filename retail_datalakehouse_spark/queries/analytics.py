@@ -1601,3 +1601,31 @@ def x_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("o_orderstatus").alias("status"), F.col("m")).agg(
         F.round(F.median(F.abs(F.col("o_totalprice") - F.col("m"))), 4).alias("mad")
     ).select("status", F.round("m", 4).alias("med"), "mad")
+
+
+@register(
+    "x_exact_median",
+    oracle="""
+SELECT o_orderpriority AS pri,
+       COUNT(*) AS n,
+       quantile_cont(o_totalprice, 0.5) AS median_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price
+FROM orders
+GROUP BY 1
+""",
+    tags=("A1", "W5"),
+)
+def x_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT interpolated percentiles (median, p90) per group — the
+    non-sketch counterpart of x_approx_percentiles. Both engines use the
+    same continuous-quantile definition (linear interpolation at rank
+    (n−1)·q over the sorted values): identical sorted inputs + identical
+    IEEE interpolation arithmetic ⇒ raw doubles hash-match with no
+    rounding. Exact percentiles need the full sorted group (one shuffle);
+    the approx variant is the 100 TB default, this is the auditor."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+    )

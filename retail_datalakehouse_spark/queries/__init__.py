@@ -40,10 +40,13 @@ _PROMOTE_R4 = [
     "l4_bm25",
     "l4_unigram_loglik",
     "u6_sql_registered_udf",
-    # Deliberately NOT promoted (both covered by the full local gate every
-    # round): x_ewma_unbounded (~30 s of stream machinery) and
-    # l4_bpe_tokenize (~20 s iterative trainer, rows-only anyway) would
-    # together eat half the external gate's wall budget.
+    "l7_eval_sample",
+    "x_exact_median",
+    # Deliberately NOT promoted (all covered by the full local gate every
+    # round): x_ewma_unbounded (~30 s of stream machinery),
+    # l4_bpe_tokenize (~20 s iterative trainer, rows-only anyway), and
+    # l2_dedup_keep_best (~22 s recursive-CTE oracle) would together eat
+    # most of the external gate's wall budget.
 ]
 _head = {n: REGISTRY[n] for n in _PROMOTE_R4 if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}

@@ -1629,3 +1629,66 @@ def x_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
         F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
     )
+
+
+@register(
+    "x_gaps_islands",
+    oracle="""
+WITH m AS (
+  SELECT DISTINCT o_custkey,
+         year(CAST(o_orderdate AS DATE)) * 12 + month(CAST(o_orderdate AS DATE)) AS mn
+  FROM orders),
+grp AS (
+  SELECT o_custkey, mn,
+         mn - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mn) AS island
+  FROM m),
+islands AS (
+  SELECT o_custkey, island, MIN(mn) AS start_mn, MAX(mn) AS end_mn,
+         COUNT(*) AS run_len
+  FROM grp GROUP BY o_custkey, island)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(MIN(start_mn) AS BIGINT) AS first_month,
+       CAST(MAX(end_mn) AS BIGINT) AS last_month
+FROM islands
+GROUP BY o_custkey
+HAVING MAX(run_len) >= 3
+""",
+    tags=("W1", "W3", "A5"),
+)
+def x_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active months per
+    customer via the row_number-difference trick (month_no − rank is
+    constant within a consecutive run) — the classic pattern for streak /
+    churn-window analysis that needs no self-join and no iteration: two
+    window passes over one customer-key exchange. Emits customers with a
+    3+-month streak (count of islands, longest streak, active span)."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    m = (
+        o.select(
+            "o_custkey",
+            (F.year(F.col("o_orderdate").cast("date")) * 12
+             + F.month(F.col("o_orderdate").cast("date"))).alias("mn"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mn")
+    grp = m.withColumn("island", F.col("mn") - F.row_number().over(w))
+    islands = grp.groupBy("o_custkey", "island").agg(
+        F.min("mn").alias("start_mn"),
+        F.max("mn").alias("end_mn"),
+        F.count(F.lit(1)).alias("run_len"),
+    )
+    return (
+        islands.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_islands"),
+            F.max("run_len").cast("long").alias("longest_streak"),
+            F.min("start_mn").cast("long").alias("first_month"),
+            F.max("end_mn").cast("long").alias("last_month"),
+        )
+        .filter(F.col("longest_streak") >= 3)
+    )

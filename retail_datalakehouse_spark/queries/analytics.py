@@ -1692,3 +1692,50 @@ def x_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("longest_streak") >= 3)
     )
+
+
+@register(
+    "x_scd2_asof_snapshot",
+    oracle="""
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+c AS (SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM e),
+ch AS (SELECT user_id, event_type, ts, event_id FROM c
+       WHERE prev IS NULL OR prev <> event_type),
+scd AS (
+  SELECT user_id, event_type, ts AS valid_from,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM ch),
+d AS (SELECT MIN(CAST(ts AS TIMESTAMP)) + INTERVAL 72 HOUR AS asof FROM e)
+SELECT s.user_id, s.event_type AS state_at_asof, s.valid_from
+FROM scd s, d
+WHERE s.valid_from <= d.asof AND (s.valid_to IS NULL OR s.valid_to > d.asof)
+""",
+    tags=("W2", "S7", "J9"),
+)
+def x_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-as-of-date over the SCD2 build (time travel on a type-2
+    dimension): reconstruct every user's state exactly 72 h into the
+    stream by interval containment (valid_from ≤ t < valid_to, open
+    current interval) — the query a bitemporal mart answers without
+    storing daily snapshots. Same two-window SCD2 build, then one
+    filter; at most one row per user by construction."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    asof = e.agg((F.min("ts") + F.expr("INTERVAL 72 HOURS")).alias("a")).head()[0]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    scd = ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    a = F.lit(asof)
+    return scd.filter(
+        (F.col("valid_from") <= a) & (F.col("valid_to").isNull() | (F.col("valid_to") > a))
+    ).select("user_id", F.col("event_type").alias("state_at_asof"), "valid_from")

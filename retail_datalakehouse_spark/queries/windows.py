@@ -223,3 +223,53 @@ def j9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["event_id"],
     )
     return out.select("event_id", "user_id", "ts", "ts_asof", "event_id_asof")
+
+
+@register(
+    "w7_first_last_nth",
+    oracle="""
+WITH w AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_totalprice,
+         FIRST_VALUE(o_orderkey) OVER win AS first_order,
+         LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND UNBOUNDED FOLLOWING) AS last_order,
+         NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS second_order
+  FROM orders
+  WINDOW win AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+)
+SELECT o_custkey, first_order, last_order, second_order, COUNT(*) AS n_orders
+FROM w
+GROUP BY 1, 2, 3, 4
+HAVING COUNT(*) >= 3
+""",
+    tags=("W2", "W1"),
+)
+def w7_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value — positional window
+    navigation (first, latest, and second order per customer). The frame
+    matters and is pinned explicitly: last/nth need UNBOUNDED FOLLOWING
+    (the default frame stops at CURRENT ROW and silently returns the
+    running last — a classic window bug both engines share identically).
+    (o_orderdate, o_orderkey) is a total order, so values are
+    deterministic."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    base = Window.partitionBy("o_custkey").orderBy(d, "o_orderkey")
+    running = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    full = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w = o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(running).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
+    return (
+        w.groupBy("o_custkey", "first_order", "last_order", "second_order")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )

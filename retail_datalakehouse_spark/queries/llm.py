@@ -1574,3 +1574,76 @@ def l7_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "rk")
     )
+
+
+@register(
+    "l2_weighted_jaccard",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM documents WHERE doc_id < 300),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM d),
+idf AS (
+  SELECT w, CAST(ln(CAST(nd AS DOUBLE) / COUNT(DISTINCT doc_id)) AS DECIMAL(18,9)) AS iw
+  FROM d, n GROUP BY w, nd),
+doc_w AS (
+  SELECT doc_id, SUM(iw) AS s FROM d JOIN idf USING (w) GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(idf.iw) AS inter_w
+  FROM d a JOIN d b ON a.w = b.w AND a.doc_id < b.doc_id
+  JOIN idf ON idf.w = a.w
+  GROUP BY 1, 2),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(inter_w AS DOUBLE) / CAST(sa.s + sb.s - inter_w AS DOUBLE) AS wj
+  FROM shared
+  JOIN doc_w sa ON sa.doc_id = id_a
+  JOIN doc_w sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, wj FROM scored WHERE wj >= 0.9
+""",
+    tags=("L2", "L4"),
+)
+def l2_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-WEIGHTED Jaccard near-dup — rare-token overlap counts more
+    than boilerplate overlap (two docs sharing template words are not
+    near-dups; two sharing a rare passage are): wj = Σ_{A∩B} idf /
+    (Σ_A + Σ_B − Σ_{A∩B}). idf values are quantized to DECIMAL(18,9)
+    before summation so the reductions are exact and order-independent
+    in both engines — the final ratio is a deterministic double. Exact
+    all-pairs on a deterministic 300-doc slice (the scale path pairs
+    this scorer with MinHash-LSH candidates, like `jaccard_pairs`)."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w"))
+    )
+    nd = d.select("doc_id").distinct().count()
+    idf = d.groupBy("w").agg(
+        F.log(F.lit(float(nd)) / F.count_distinct("doc_id"))
+        .cast("decimal(18,9)")
+        .alias("iw")
+    )
+    dw = d.join(idf, "w")
+    doc_w = dw.groupBy("doc_id").agg(F.sum("iw").alias("s"))
+    a = dw.select(F.col("doc_id").alias("id_a"), "w", "iw")
+    b = dw.select(F.col("doc_id").alias("id_b"), "w")
+    shared = (
+        a.join(b, (a["w"] == b["w"]) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum("iw").alias("inter_w"))
+    )
+    sa = doc_w.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    sb = doc_w.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter_w").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter_w")).cast("double")
+            ).alias("wj"),
+        )
+        .filter(F.col("wj") >= 0.9)
+    )

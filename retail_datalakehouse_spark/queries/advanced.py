@@ -831,3 +831,64 @@ def x_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pagerank"), "node")
         .limit(20)
     )
+
+
+_LOCF_SQL = f"""
+WITH bounds AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS d_lo,
+                CAST(MAX(o_orderdate) AS DATE) AS d_hi FROM orders),
+spine AS (SELECT unnest(generate_series(d_lo, d_hi, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+pris AS (SELECT DISTINCT o_orderpriority AS pri FROM orders),
+grid AS (SELECT pri, day FROM pris CROSS JOIN spine),
+daily AS (
+  SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+         {sql_dsum('o_totalprice')} AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT g.pri, g.day,
+       last_value(d.revenue IGNORE NULLS)
+         OVER (PARTITION BY g.pri ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_locf,
+       CAST(d.revenue IS NOT NULL AS INTEGER) AS observed
+FROM grid g LEFT JOIN daily d ON g.pri = d.pri AND g.day = d.day
+"""
+
+
+@register("x_locf_forward_fill", oracle=_LOCF_SQL, tags=("W3", "J3", "F4"))
+def x_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a per-priority daily spine —
+    the forward-fill primitive every time-series feature pipeline needs
+    (sensor droputs, sparse prices, sparse state): `last(col,
+    ignorenulls=True)` over a running frame carries the most recent
+    non-null value through gap days. The spine is a broadcast
+    dims×dates grid; one window pass per priority partition. Leading
+    days before a priority's first observation stay NULL — pinned by the
+    oracle's identical IGNORE NULLS window."""
+    from pyspark.sql import Window
+
+    from .helpers import dsum
+
+    o = T(spark, sf_dir, "orders").select("o_orderpriority", "o_orderdate", "o_totalprice")
+    bounds = o.agg(
+        F.min("o_orderdate").cast("date").alias("d_lo"),
+        F.max("o_orderdate").cast("date").alias("d_hi"),
+    )
+    spine = bounds.select(F.explode(F.sequence("d_lo", "d_hi")).alias("day"))
+    pris = o.select(F.col("o_orderpriority").alias("pri")).distinct()
+    grid = pris.crossJoin(F.broadcast(spine))
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(dsum("o_totalprice").alias("revenue"))
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["pri", "day"], "left")
+        .select(
+            "pri",
+            "day",
+            F.last("revenue", ignorenulls=True).over(w).alias("revenue_locf"),
+            F.col("revenue").isNotNull().cast("int").alias("observed"),
+        )
+    )

@@ -71,11 +71,58 @@ def _pair_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _apply_merge_local(toks: list[str], a: str, b: str) -> list[str]:
+    """Driver-local twin of :func:`_merge_fold` — the identical greedy
+    left-to-right fold, so both training paths learn the same merges."""
+    out: list[str] = []
+    for t in toks:
+        if out and out[-1] == a and t == b:
+            out[-1] = a + b
+        else:
+            out.append(t)
+    return out
+
+
+def _local_merge_loop(
+    vocab: list[tuple[int, list[str]]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Classic subword-nmt merge loop over a collected (freq, tokens)
+    vocabulary. Same argmax + lexicographic tie-break + support>=2 stop as
+    the distributed loop."""
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for freq, toks in vocab:
+            for pair in zip(toks, toks[1:]):
+                counts[pair] = counts.get(pair, 0) + freq
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        merges.append((a, b))
+        vocab = [(freq, _apply_merge_local(toks, a, b)) for freq, toks in vocab]
+    return merges
+
+
 def bpe_train(
-    df: DataFrame, text_col: str = "text", n_merges: int = 12
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 12,
+    vocab_driver_threshold: int = 1_000_000,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus. Returns the ordered
     merge list. Deterministic: ties on pair count break lexicographically.
+
+    Scale shape: the corpus-sized work is ONE distributed job — the
+    distinct-word frequency aggregation — after which training state is
+    vocabulary-sized, independent of corpus size. When the vocabulary fits
+    the driver (``<= vocab_driver_threshold`` distinct words, the common
+    case even at 100 TB: natural-language vocabularies grow ~ Heaps' law,
+    and 1M words x ~60 B is tens of MB) the merge loop runs locally —
+    O(1) Spark jobs instead of 2 per merge. Larger vocabularies fall back
+    to the distributed per-merge loop with identical semantics (same
+    argmax, tie-break, and stop rule — pinned by a path-equivalence test).
     """
     words = (
         df.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
@@ -84,7 +131,12 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("freq"))
         .select("freq", _chars(F.col("w")).alias("toks"))
     ).persist()
-    words.count()  # materialize the base tokenization
+    n_vocab = words.count()  # materialize the base tokenization
+
+    if n_vocab <= vocab_driver_threshold:
+        vocab = [(r["freq"], list(r["toks"])) for r in words.collect()]
+        words.unpersist()
+        return _local_merge_loop(vocab, n_merges)
 
     merges: list[tuple[str, str]] = []
     current = words

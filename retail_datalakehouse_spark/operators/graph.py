@@ -41,7 +41,13 @@ def connected_components(
     # materialize the edge list ONCE — it is re-joined every iteration, and
     # an expensive upstream (LSH, Jaccard verify) must not re-run per round
     sym = sym.localCheckpoint(eager=True)
-    labels = nodes.select(F.col(id_col).alias("n"), F.col(id_col).alias("lbl"))
+    # Only edge-incident nodes participate in propagation; isolated nodes
+    # are singleton components by definition and skip the loop entirely. In
+    # a near-dup graph over a large corpus almost every doc is isolated, so
+    # this shrinks every per-iteration join/agg to the (tiny) incident set.
+    endpoints = sym.select("n").distinct()
+    all_nodes = nodes.select(F.col(id_col).alias("n"))
+    labels = all_nodes.join(endpoints, "n").select("n", F.col("n").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):
@@ -70,7 +76,12 @@ def connected_components(
             "graph diameter exceeds max_iters — raise max_iters or switch to "
             "the large-star/small-star variant"
         )
-    return labels.select(F.col("n").alias(id_col), F.col("lbl").alias("component"))
+    isolated = all_nodes.join(endpoints, "n", "left_anti").select(
+        "n", F.col("n").alias("lbl")
+    )
+    return labels.unionByName(isolated).select(
+        F.col("n").alias(id_col), F.col("lbl").alias("component")
+    )
 
 
 def pagerank(

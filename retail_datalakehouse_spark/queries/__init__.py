@@ -16,39 +16,84 @@ from .base import REGISTRY, Query, oracle_sql, queries, register  # noqa: F401
 # window finally lands on them; the already-driver-green blocks go last.
 from . import streaming, lakehouse, llm, relational, windows, functions, udfs, extras, advanced, analytics  # noqa: E402,F401
 
-# Round-4 rotation: promote queries that are NEW or materially rewritten
-# this round (no driver row on current code) to the head of the registry,
-# so the driver's ~50-row gate window verifies them first; everything else
-# keeps its cumulative driver-green rows from r1-r3.
-_PROMOTE_R4 = [
-    "t4_session_window_bounded",
-    "s7_change_data_feed",
-    "s8_jsonl_roundtrip",
-    "l3_embedding_neardup",
-    "l3_ivf_topk",
-    "l2_neardup_clusters",
-    "l5_feature_extraction",
-    "l5_image_thumbnail",
-    "l5_audio_features",
-    "l5_video_framesample",
+# Round-5 rotation (driver gate = FIRST 50 registry entries, a hard cap in
+# r1-r4). Slots 1-5: the five r4 hash-FAIL queries, re-checked first with
+# their CAST(... AS BIGINT) oracle fixes (R5_PLAN.md item 1). Slot 6: s1,
+# upgraded rows-only → SQL oracle this round. Slots 7-50: 44 of the 61
+# queries that have NEVER had a driver row (VERDICT r4 item 3) — the
+# cheapest SQL-oracle ones by measured sf0.01 gate time, plus the two that
+# were materially changed this round (x_market_basket single-job lift,
+# l2_dedup_keep_best via the CC incident-node trim). Estimated prefix cost
+# ≈45 s at sf0.01.
+_PROMOTE_R5 = [
     "l7_corpus_split",
     "l7_sequence_packing",
-    "l4_pii_redaction",
     "l4_repetition_score",
     "l7_quality_topp",
     "l7_mixture_rebalance",
-    "l4_bm25",
-    "l4_unigram_loglik",
-    "u6_sql_registered_udf",
-    "l7_eval_sample",
-    "x_exact_median",
-    # Deliberately NOT promoted (all covered by the full local gate every
-    # round): x_ewma_unbounded (~30 s of stream machinery),
-    # l4_bpe_tokenize (~20 s iterative trainer, rows-only anyway), and
-    # l2_dedup_keep_best (~22 s recursive-CTE oracle) would together eat
-    # most of the external gate's wall budget.
+    "s1_csv_scan_inferred",
+    "x_market_basket",
+    "l2_dedup_keep_best",
+    "x_histogram",
+    "x_binned_band_join",
+    "x_stratified_sample",
+    "x_unpivot",
+    "x_anomaly_zscore",
+    "l4_bigrams",
+    "l4_inverted_index",
+    "x_calendar_dim",
+    "w7_first_last_nth",
+    "x_statistical_aggs",
+    "x_constraint_quarantine",
+    "x_scd2_dimension",
+    "l2_edit_distance_neardup",
+    "x_higher_moments",
+    "x_winsorize",
+    "x_string_agg",
+    "x_gapfill_timeseries",
+    "x_multires_rollup",
+    "x_rolling_active_users",
+    "x_dynamic_partition_pruning",
+    "x_event_paths",
+    "x_set_ops_all",
+    "x_median_abs_deviation",
+    "x_salted_skew_join",
+    "x_cohort_retention",
+    "x_locf_forward_fill",
+    "x_event_transitions",
+    "l4_contamination",
+    "x_rfm_segmentation",
+    "x_pareto_8020",
+    "x_scd2_asof_snapshot",
+    "x_funnel_analysis",
+    "l4_heavy_hitters",
+    "x_funnel_windowed",
+    "x_benford_screen",
+    "x_gaps_islands",
+    "x_sessionization",
+    "x_profile_summary",
+    "x_runtime_bloom_join",
+    "x_skyline_pareto",
+    "l4_tfidf_topterms",
+    "x_triangle_count",
+    # Slots 51+: queries changed this round that already hold r4-green
+    # driver rows — next in line if the cap ever widens, re-verified by
+    # the full local gate either way.
+    "s7_change_data_feed",
+    "l2_neardup_clusters",
+    "l6_corpus_pipeline",
+    # Still never driver-gated after r5 (17, all local-gate green every
+    # round): the 5 rows-only-by-design (l4_bpe_tokenize,
+    # x_approx_percentiles, x_hll_sketch_union, l3_sq8_topk,
+    # x_pagerank_influence), the deliberately slow x_ewma_unbounded
+    # (~40 s of real micro-batch machinery), and 11 SQL stragglers
+    # queued for the r6 window: l2_weighted_jaccard,
+    # x_bucketed_colocated_join, x_exists_subquery, x_not_exists_subquery,
+    # x_scalar_subquery, x_correlated_scalar_subquery, x_lateral_topk,
+    # x_cdf_version_diff, x_write_audit_publish, x_ewma_smoothing,
+    # x_merge_on_read_delete.
 ]
-_head = {n: REGISTRY[n] for n in _PROMOTE_R4 if n in REGISTRY}
+_head = {n: REGISTRY[n] for n in _PROMOTE_R5 if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -908,7 +908,9 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. Lift is an exact integer ratio in double (identical across
     engines); ranking ties break on the pair keys."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()
+    # one-row aggregate broadcast into the plan — NOT a separate .count()
+    # action, so the whole query is a single Spark job
+    n_orders = li.select(F.count_distinct("l_orderkey").alias("n_orders"))
     cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
     a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
     b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
@@ -923,8 +925,10 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         pairs.join(F.broadcast(c1), "p1")
         .join(F.broadcast(c2), "p2")
+        .crossJoin(F.broadcast(n_orders))
         .withColumn(
-            "lift", F.col("n_ab").cast("double") * F.lit(n_orders) / (F.col("n1") * F.col("n2"))
+            "lift",
+            F.col("n_ab").cast("double") * F.col("n_orders") / (F.col("n1") * F.col("n2")),
         )
     )
     return (

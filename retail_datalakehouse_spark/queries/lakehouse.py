@@ -30,16 +30,33 @@ def _scratch(name: str) -> str:
 
 @register(
     "s1_csv_scan_inferred",
-    oracle=None,  # env-local: round-trips through a scratch CSV file
+    # Oracle runs on the ORIGINAL parquet table: the hash only matches if the
+    # CSV round-trip + schema inference re-derived the exact typed values
+    # (int keys summed, strings min'd) — the Glue-crawler inference semantics
+    # of `glue_infra.py:95-106`, value-checked instead of rows-only.
+    oracle="""
+SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+       COUNT(*) AS n_nations,
+       CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+       MIN(n_name) AS first_name
+FROM nation
+GROUP BY 1
+""",
     tags=("S1",),
 )
 def s1_csv_scan_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: write a CSV sample of `nation`, read back with header +
-    inferSchema (the Glue-crawler analogue), aggregate per region."""
+    inferSchema (the Glue-crawler analogue), aggregate per region over the
+    INFERRED types — a mis-typed column (string key, truncated int) breaks
+    the sum/min values and fails the hash against the original table."""
     path = _scratch("s1_nation_csv")
     T(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     df = read_csv_inferred(spark, path)
-    return df.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n_nations"))
+    return df.groupBy(F.col("n_regionkey").cast("long").alias("n_regionkey")).agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("long").alias("key_sum"),
+        F.min("n_name").alias("first_name"),
+    )
 
 
 @register(

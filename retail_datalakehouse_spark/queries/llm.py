@@ -938,7 +938,8 @@ s AS (
               WHEN b IN ('c', 'd') THEN 'val'
               ELSE 'test' END AS split
   FROM d)
-SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc
 FROM s GROUP BY split
 """,
@@ -986,7 +987,7 @@ packed AS (
            - n_tokens AS start_offset
   FROM d)
 SELECT shard, CAST(FLOOR(start_offset / 512) AS BIGINT) AS bin_id,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc
 FROM packed
 GROUP BY shard, bin_id
@@ -1103,7 +1104,8 @@ t3 AS (
   FROM d WHERE len(toks) >= 3),
 cnt AS (SELECT doc_id, tri, COUNT(*) AS c FROM t3 GROUP BY doc_id, tri),
 agg AS (
-  SELECT doc_id, MAX(c) AS max_tri, SUM(c) AS n_tris FROM cnt GROUP BY doc_id)
+  SELECT doc_id, MAX(c) AS max_tri, CAST(SUM(c) AS BIGINT) AS n_tris
+  FROM cnt GROUP BY doc_id)
 SELECT doc_id, max_tri, n_tris,
        CAST(max_tri AS DOUBLE) / n_tris AS rep_ratio,
        CASE WHEN CAST(max_tri AS DOUBLE) / n_tris > 0.2 THEN 1 ELSE 0 END AS flagged
@@ -1160,14 +1162,16 @@ WITH scored AS (
                         / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
            AS q
   FROM documents),
-tot AS (SELECT lang, SUM(n_tokens) AS total_tokens FROM scored GROUP BY lang),
+tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        FROM scored GROUP BY lang),
 ranked AS (
   SELECT s.doc_id, s.lang, s.n_tokens, t.total_tokens,
          SUM(s.n_tokens) OVER (PARTITION BY s.lang ORDER BY s.q DESC, s.doc_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            - s.n_tokens AS cum_before
   FROM scored s JOIN tot t USING (lang))
-SELECT lang, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens,
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
        MIN(total_tokens) AS total_tokens
 FROM ranked
 WHERE cum_before * 10 < total_tokens * 6
@@ -1224,14 +1228,15 @@ WITH d AS (
          (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
            + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS h256
   FROM documents),
-tot AS (SELECT lang, SUM(n_tokens) AS lang_tokens FROM d GROUP BY lang),
+tot AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+        FROM d GROUP BY lang),
 m AS (SELECT MIN(lang_tokens) AS min_tokens FROM tot),
 thr AS (
   SELECT lang, lang_tokens, CAST((256 * min_tokens) // lang_tokens AS BIGINT) AS t256
   FROM tot, m)
 SELECT d.lang, thr.t256,
        COUNT(*) FILTER (WHERE d.h256 < thr.t256) AS n_kept,
-       SUM(d.n_tokens) FILTER (WHERE d.h256 < thr.t256) AS kept_tokens,
+       CAST(SUM(d.n_tokens) FILTER (WHERE d.h256 < thr.t256) AS BIGINT) AS kept_tokens,
        MIN(thr.lang_tokens) AS lang_tokens
 FROM d JOIN thr USING (lang)
 GROUP BY d.lang, thr.t256

@@ -385,7 +385,9 @@ class VersionedTable:
         v = self.current_version()
         return None if v is None else self.read_version(v)
 
-    def changes(self, v_from: int, v_to: int, keys: list[str]) -> DataFrame:
+    def changes(
+        self, v_from: int, v_to: int, keys: list[str], verify_keys: bool = True
+    ) -> DataFrame:
         """Change data feed between two committed snapshots (the Delta
         CDF analogue): classify every key as insert / delete /
         update_preimage+update_postimage by a single full-outer join of
@@ -396,13 +398,49 @@ class VersionedTable:
         ``_change_type`` — the contract downstream incremental consumers
         (streaming upserts, mart refresh) read instead of re-diffing
         snapshots. Cost is one key-partitioned join regardless of how
-        many commits separate the versions."""
+        many commits separate the versions.
+
+        Requires (and verifies) that ``keys`` is unique within EACH
+        snapshot — duplicate keys would turn the full-outer join into a
+        per-key cross product silently misclassified as updates — and that
+        both snapshots share one schema (schema evolution between the two
+        versions must be resolved by the caller, e.g. via
+        ``sources.evolution`` before diffing)."""
         from functools import reduce
 
         from pyspark.sql import functions as F
 
-        pre = self.read_version(v_from).withColumn("__pa", F.lit(True))
-        post = self.read_version(v_to).withColumn("__pb", F.lit(True))
+        pre_raw = self.read_version(v_from)
+        post_raw = self.read_version(v_to)
+        if set(pre_raw.columns) != set(post_raw.columns):
+            drift = set(pre_raw.columns) ^ set(post_raw.columns)
+            raise ValueError(
+                f"changes(v{v_from}→v{v_to}): snapshot schemas differ on "
+                f"{sorted(drift)}; align schemas (schema evolution) before "
+                "computing a change feed"
+            )
+        pre = pre_raw.withColumn("__pa", F.lit(True))
+        post = post_raw.withColumn("__pb", F.lit(True))
+        if verify_keys:
+            # one job for both sides: a (side, key) group with >1 row means
+            # duplicate keys in that snapshot. Writers that maintain the
+            # key-unique invariant themselves (e.g. every commit goes
+            # through merge() on the same keys) may pass verify_keys=False
+            # to skip this key-projected scan.
+            dup = (
+                pre_raw.select(F.lit(f"v{v_from}").alias("__side"), *keys)
+                .unionByName(post_raw.select(F.lit(f"v{v_to}").alias("__side"), *keys))
+                .groupBy("__side", *keys)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"changes(): join keys {keys} are not unique in snapshot "
+                    f"{dup[0]['__side']}; a change feed requires one row per key"
+                )
         cols = [c for c in pre.columns if c not in keys and c != "__pa"]
         a = pre.alias("a")
         b = post.alias("b")

@@ -126,13 +126,26 @@ def run_foreach_batch(
 def state_metrics(query) -> dict[str, int]:
     """Sum state-operator metrics across a finished query's progress
     events: rows dropped below the watermark, state rows evicted, and
-    total state rows — the numbers that prove state stays bounded."""
+    total state rows — the numbers that prove state stays bounded.
+
+    ``numRowsTotal`` is a POINT-IN-TIME state size, not a per-batch delta:
+    it is taken from the FINAL progress event only, summed across all of
+    that event's state operators (a multi-operator query keeps state in
+    each). The dropped/removed counters ARE per-batch deltas and sum over
+    ``recentProgress`` — which Spark caps at
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100) events,
+    so for streams longer than that the sums are lower bounds; the
+    availableNow runs in this package finish in far fewer batches."""
     totals = {"numRowsDroppedByWatermark": 0, "numRowsRemoved": 0, "numRowsTotal": 0}
-    for p in query.recentProgress:  # StreamingQueryProgress supports [] access
+    progress = list(query.recentProgress)  # StreamingQueryProgress supports []
+    for p in progress:
         for op in p["stateOperators"]:
             totals["numRowsDroppedByWatermark"] += op["numRowsDroppedByWatermark"]
             totals["numRowsRemoved"] += op["numRowsRemoved"]
-            totals["numRowsTotal"] = op["numRowsTotal"]  # last batch's state size
+    if progress:
+        totals["numRowsTotal"] = sum(
+            op["numRowsTotal"] for op in progress[-1]["stateOperators"]
+        )
     return totals
 
 

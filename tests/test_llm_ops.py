@@ -481,3 +481,48 @@ def test_bpe_merge_fold_greedy_left_to_right(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "toks array<string>")
     out = df.select(_merge_fold(F.col("toks"), "a", "a").alias("m")).head()[0]
     assert out == ["aa", "a"]
+
+
+def test_documents_text_ascii_invariant():
+    """TESTDATA invariant pinning the l5 media oracles' byte arithmetic.
+
+    The four l5 oracles (l5_feature_extraction / image_thumbnail /
+    audio_features / video_framesample, queries/llm.py) equate DuckDB
+    CHARACTER arithmetic (LENGTH/substr/ord on text) with Spark's UTF-8
+    BYTE arithmetic on encode(text) — identical only while documents.text
+    is pure ASCII. If a testdata refresh introduces non-ASCII text this
+    fails HERE with a clear message instead of as four silent driver
+    hash mismatches; the fix then is switching those oracles to
+    octet-based functions."""
+    import pyarrow.parquet as pq
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = (
+            pq.read_table(f"{sf}/documents.parquet", columns=["text"])
+            .column("text")
+            .to_pylist()
+        )
+        non_ascii = [t for t in texts if t is not None and not t.isascii()]
+        assert not non_ascii, (
+            f"{sf}/documents.parquet: {len(non_ascii)} non-ASCII text values — "
+            "the l5 byte-arithmetic oracles' ASCII assumption no longer holds; "
+            "switch them to octet-based DuckDB functions"
+        )
+
+
+def test_bpe_local_and_distributed_paths_agree(spark):
+    """bpe_train's driver-local merge loop (vocab fits driver) and the
+    distributed per-merge loop (vocab_driver_threshold=0 forces it) must
+    learn the identical merge sequence — same argmax, lexicographic
+    tie-break, and support>=2 stop rule."""
+    from retail_datalakehouse_spark.operators.bpe import bpe_train
+
+    texts = [
+        (0, "low low low low low lower lower newest newest newest"),
+        (1, "newest newest newest widest widest lowest lower new"),
+        (2, "the the the the lowest newest wider low low"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    local = bpe_train(df, "text", n_merges=8)
+    distributed = bpe_train(df, "text", n_merges=8, vocab_driver_threshold=0)
+    assert local == distributed

@@ -33,11 +33,17 @@ def _norm(v):
     if isinstance(v, bool):
         return str(int(v))
     if isinstance(v, float):
+        # Type-faithful: never collapse integral floats to ints. The driver's
+        # hasher distinguishes int64 from float (r4 post-mortem: DuckDB HUGEINT
+        # reached the driver as float and hash-failed while the old collapsing
+        # _norm reported green locally). A float always renders with ".0" so an
+        # int-vs-float column drift fails HERE, before a driver round is spent.
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        s = f"{v:.6g}"
+        if "." not in s and "e" not in s and "inf" not in s:
+            s += ".0"
+        return s
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(v, date):
@@ -91,6 +97,23 @@ def main() -> int:
             n_rows_only += 1
             continue
         try:
+            # Type lint BEFORE hashing: DuckDB widens SUM(BIGINT) to HUGEINT
+            # (int128) and the driver renders HUGEINT/DECIMAL differently than
+            # Spark's int64/double even when values agree (the r4 failure
+            # class). Every integer aggregate in an oracle must be CAST to
+            # BIGINT at the output; fail loudly here instead of on the driver.
+            rel = con.sql(q.oracle)
+            bad = [
+                f"{c}:{t}"
+                for c, t in zip(rel.columns, (str(t) for t in rel.types))
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            ]
+            if bad:
+                print(f"FAIL  {name}: oracle type lint — wrap in CAST(... AS "
+                      f"BIGINT/DOUBLE): {', '.join(bad)}")
+                n_fail += 1
+                failures.append(name)
+                continue
             res = con.execute(q.oracle)
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()

@@ -219,18 +219,10 @@ def ivfpq_topk(
     n_candidates, exact cosine rescoring over only those survivors
     returns the top-k. No stage touches more than nprobe/C of the corpus
     and only the rescore reads vectors."""
-    from .similarity import cosine
+    from .similarity import cosine, select_probe_ids
 
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_ids = [
-        r.centroid_id
-        for r in centroids.select(
-            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
-        )
-        .orderBy(F.desc("s"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    ]
+    probe_ids = select_probe_ids(centroids, query_vec, nprobe)
     idx = spark.read.parquet(index_path).filter(F.col("centroid_id").isin(probe_ids))
     cand = (
         idx.withColumn("adc_cos", pq_adc_cosine(codebooks, query_vec))

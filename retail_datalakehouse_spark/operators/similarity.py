@@ -50,6 +50,59 @@ def cosine(a, b) -> F.Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    import math
+
+    m = 10**nd
+    return math.copysign(math.floor(abs(x) * m + 0.5), x) / m
+
+
+def select_probe_ids(centroids, query_vec: list[float], nprobe: int) -> list:
+    """Pick the ``nprobe`` centroids closest (cosine) to the query.
+
+    ``centroids`` is either a DataFrame[(centroid_id, centroid_vec)] — one
+    metadata-sized collect, as before — or an ALREADY-COLLECTED list
+    ([(centroid_id, vec), ...] or bare [vec, ...] with ids = positions).
+    The list form costs zero Spark jobs, so repeated probes against a
+    cached index reuse the collected centroids instead of re-running a
+    C-row job per query (r4 review item). Both paths order identically:
+    round(cos, 8) desc, centroid_id asc — the Python fold mirrors the
+    JVM's left-to-right double accumulation, so scores are bit-equal."""
+    import math
+
+    if isinstance(centroids, DataFrame):
+        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        return [
+            r.centroid_id
+            for r in centroids.select(
+                "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
+            )
+            .orderBy(F.desc("s"), F.asc("centroid_id"))
+            .limit(nprobe)
+            .collect()
+        ]
+    rows = [
+        c if isinstance(c, tuple) else (i, c) for i, c in enumerate(centroids)
+    ]
+    qv = [float(x) for x in query_vec]
+    dq = 0.0
+    for y in qv:
+        dq += y * y
+    dq = math.sqrt(dq)
+
+    def score(vec) -> float:
+        num = 0.0
+        dv = 0.0
+        for x, y in zip(vec, qv):
+            num += float(x) * y
+        for x in vec:
+            dv += float(x) * float(x)
+        return _round_half_up(num / (math.sqrt(dv) * dq), 8)
+
+    ranked = sorted(((-score(v), cid) for cid, v in rows))
+    return [cid for _, cid in ranked[:nprobe]]
+
+
 def topk_cosine(
     df: DataFrame,
     query_vec: list[float],
@@ -143,16 +196,7 @@ def ivf_topk(
     """IVF search: score centroids against the query, keep nprobe clusters,
     brute-force only inside them. Approximate (recall < 1 when true
     neighbors live outside probed clusters) — the standard IVF tradeoff."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_ids = [
-        r.centroid_id
-        for r in centroids.select(
-            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
-        )
-        .orderBy(F.desc("s"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    ]
+    probe_ids = select_probe_ids(centroids, query_vec, nprobe)
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     probed = assigned.filter(F.col("centroid_id").isin(probe_ids))
     return topk_cosine(probed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
@@ -188,17 +232,10 @@ def ivf_topk_indexed(
 ) -> DataFrame:
     """IVF search against a persisted index: score the C centroids, read
     ONLY the nprobe winning clusters' partitions (partition-pruned scan),
-    brute-force inside them."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    probe_ids = [
-        r.centroid_id
-        for r in centroids.select(
-            "centroid_id", F.round(cosine(F.col("centroid_vec"), q), 8).alias("s")
-        )
-        .orderBy(F.desc("s"), F.asc("centroid_id"))
-        .limit(nprobe)
-        .collect()
-    ]
+    brute-force inside them. Pass ``centroids`` as the already-collected
+    list (see :func:`select_probe_ids`) to make probe selection a pure
+    driver computation — zero Spark jobs before the pruned scan."""
+    probe_ids = select_probe_ids(centroids, query_vec, nprobe)
     idx = spark.read.parquet(index_path)
     probed = idx.filter(F.col("centroid_id").isin(probe_ids))
     return topk_cosine(probed, query_vec, k=k, id_col=id_col, vec_col=vec_col)

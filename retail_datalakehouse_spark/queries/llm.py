@@ -254,15 +254,15 @@ _IVF_SEEDED_INDEX_CACHE: dict[str, tuple[str, list]] = {}
 def _ivf_seeded_index_for(spark: SparkSession, sf_dir: str):
     """Materialize the seeded-centroid IVF index once per corpus (write-
     once partitioned layout; probes prune partitions — never re-assign).
-    Returns (index_path, centroids_df); centroid ROWS are cached alongside
-    the path so an index hit costs zero centroid recomputation."""
+    Returns (index_path, centroid_rows); the LOCAL centroid rows feed
+    ``select_probe_ids`` directly, so a probe against a cached index runs
+    zero Spark jobs before the partition-pruned scan."""
     import os
     import tempfile
 
     got = _IVF_SEEDED_INDEX_CACHE.get(sf_dir)
     if got is not None and os.path.isdir(got[0]):
-        path, rows = got
-        return path, spark.createDataFrame(rows, ["centroid_id", "centroid_vec"])
+        return got
     e = T(spark, sf_dir, "embeddings")
     cents = seeded_centroids(e, c=8)
     rows = [(r["centroid_id"], list(r["centroid_vec"])) for r in cents.collect()]
@@ -270,7 +270,7 @@ def _ivf_seeded_index_for(spark: SparkSession, sf_dir: str):
     cents_df = spark.createDataFrame(rows, ["centroid_id", "centroid_vec"])
     build_ivf_index(e, cents_df, path)
     _IVF_SEEDED_INDEX_CACHE[sf_dir] = (path, rows)
-    return path, cents_df
+    return path, rows
 
 
 def _with_planted_neardups(e: DataFrame, n_pairs: int = 20, id_offset: int = 1_000_000) -> DataFrame:
@@ -574,7 +574,9 @@ def l3_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     path, cents = _ivf_index_for(spark, sf_dir)
-    return ivf_topk_indexed(spark, path, _centroids_df(spark, cents), qvec, k=10, nprobe=2)
+    # cents is the driver-local trained-centroid list: probe selection is
+    # pure driver math, only the pruned scan touches the cluster
+    return ivf_topk_indexed(spark, path, cents, qvec, k=10, nprobe=2)
 
 
 @register(
@@ -911,9 +913,7 @@ def l3_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     pq_path, cents, codebooks = _ivfpq_index_for(spark, sf_dir)
-    return ivfpq_topk(
-        spark, pq_path, _centroids_df(spark, cents), codebooks, qvec, k=10, nprobe=2
-    )
+    return ivfpq_topk(spark, pq_path, cents, codebooks, qvec, k=10, nprobe=2)
 
 
 # ---------------------------------------------- corpus preparation (L7)

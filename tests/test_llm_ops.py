@@ -526,3 +526,23 @@ def test_bpe_local_and_distributed_paths_agree(spark):
     local = bpe_train(df, "text", n_merges=8)
     distributed = bpe_train(df, "text", n_merges=8, vocab_driver_threshold=0)
     assert local == distributed
+
+
+def test_select_probe_ids_local_matches_dataframe_path(spark):
+    """Driver-side probe selection (collected centroid list, zero Spark
+    jobs) must pick exactly the centroids the DataFrame path picks — same
+    cosine fold order, same round(·, 8), same (score desc, id asc)
+    ordering."""
+    from retail_datalakehouse_spark.operators.kmeans import centroids_df
+    from retail_datalakehouse_spark.operators.similarity import select_probe_ids
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = seeded_centroids(e, c=8)
+    rows = [(r["centroid_id"], list(r["centroid_vec"])) for r in cents.collect()]
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 3).select("embedding").head()[0]]
+    df_path = select_probe_ids(
+        centroids_df(spark, [v for _, v in sorted(rows)]), qvec, nprobe=3
+    )
+    local_tuples = select_probe_ids(sorted(rows), qvec, nprobe=3)
+    local_bare = select_probe_ids([v for _, v in sorted(rows)], qvec, nprobe=3)
+    assert df_path == local_tuples == local_bare

@@ -21,6 +21,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _union_find_labels(pairs: list[tuple]) -> dict:
+    """Driver-local exact connected components over an edge list: classic
+    union-find (path halving + union by size), then every member labeled
+    with its component's MINIMUM node id — the identical labeling the
+    distributed min-label propagation converges to."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            parent[root] = parent[parent[root]]  # path halving
+            root = parent[root]
+        return root
+
+    for a, b in pairs:
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    return {v: comp_min[find(v)] for v in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -28,25 +62,64 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 30,
+    driver_edge_threshold: int | None = 1_000_000,
 ) -> DataFrame:
     """Label each node with its component id (= the component's minimum
     node id). ``nodes``: one column ``id_col``; ``edges``: undirected
     pairs in (src, dst). Isolated nodes form singleton components.
 
+    Scale shape: ``nodes`` may be corpus-sized and never leaves the
+    cluster. The EDGE set of a near-dup graph is the sliver of the corpus
+    with at least one high-similarity pair; when it is bounded
+    (``<= driver_edge_threshold`` edges, default 1M ≈ tens of MB) the
+    components are solved exactly with driver-side union-find — one
+    bounded count + one collect + ONE broadcast join over the nodes, no
+    iteration at all. Larger edge sets fall back to distributed min-label
+    propagation over only the edge-incident nodes (isolated nodes join
+    back as singletons), one shuffle per round for O(diameter) rounds —
+    identical labeling, pinned by a path-equivalence test.
+
     Returns (``id_col``, component).
     """
-    sym = edges.select(F.col(src).alias("n"), F.col(dst).alias("m")).unionByName(
-        edges.select(F.col(dst).alias("n"), F.col(src).alias("m"))
+    all_nodes = nodes.select(F.col(id_col).alias("n"))
+    # materialize the edge list ONCE, before any branch — it is re-scanned
+    # by the bounded count, the collect-or-loop, and (in the loop) every
+    # iteration; an expensive upstream (LSH, Jaccard verify) must not
+    # re-run per consumer
+    raw_e = edges.select(F.col(src).alias("ea"), F.col(dst).alias("eb")).localCheckpoint(
+        eager=True
     )
-    # materialize the edge list ONCE — it is re-joined every iteration, and
-    # an expensive upstream (LSH, Jaccard verify) must not re-run per round
+    if (
+        driver_edge_threshold is not None
+        and raw_e.limit(driver_edge_threshold + 1).count() <= driver_edge_threshold
+    ):
+        # Propagation flows only through declared nodes (the loop enforces
+        # this inherently via its label joins); mirror it here with
+        # semi-joins on the — bounded — edge set before collecting.
+        valid = raw_e.join(
+            all_nodes.withColumnRenamed("n", "ea"), "ea", "left_semi"
+        ).join(all_nodes.withColumnRenamed("n", "eb"), "eb", "left_semi")
+        mapping = _union_find_labels([(r["ea"], r["eb"]) for r in valid.collect()])
+        if not mapping:
+            return all_nodes.select(
+                F.col("n").alias(id_col), F.col("n").alias("component")
+            )
+        map_df = nodes.sparkSession.createDataFrame(
+            list(mapping.items()), ["n", "lbl"]
+        )
+        return all_nodes.join(F.broadcast(map_df), "n", "left").select(
+            F.col("n").alias(id_col),
+            F.coalesce("lbl", F.col("n")).alias("component"),
+        )
+    sym = raw_e.select(F.col("ea").alias("n"), F.col("eb").alias("m")).unionByName(
+        raw_e.select(F.col("eb").alias("n"), F.col("ea").alias("m"))
+    )
     sym = sym.localCheckpoint(eager=True)
     # Only edge-incident nodes participate in propagation; isolated nodes
     # are singleton components by definition and skip the loop entirely. In
     # a near-dup graph over a large corpus almost every doc is isolated, so
     # this shrinks every per-iteration join/agg to the (tiny) incident set.
     endpoints = sym.select("n").distinct()
-    all_nodes = nodes.select(F.col(id_col).alias("n"))
     labels = all_nodes.join(endpoints, "n").select("n", F.col("n").alias("lbl"))
     labels = labels.localCheckpoint(eager=True)
     converged = False

@@ -546,3 +546,32 @@ def test_select_probe_ids_local_matches_dataframe_path(spark):
     local_tuples = select_probe_ids(sorted(rows), qvec, nprobe=3)
     local_bare = select_probe_ids([v for _, v in sorted(rows)], qvec, nprobe=3)
     assert df_path == local_tuples == local_bare
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver-side union-find shortcut (bounded edge set) and the
+    distributed min-label loop (driver_edge_threshold=None forces it) must
+    produce the identical (node → min-id component) labeling, including
+    isolated singletons and edges referencing undeclared nodes (ignored
+    by both paths)."""
+    from retail_datalakehouse_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    # chain 0-1-2-3, triangle 4-5-6, pair 7-8, 9 isolated,
+    # plus an edge to undeclared node 99 (must not merge anything through it)
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (4, 5), (5, 6), (6, 4), (8, 7), (3, 99), (99, 9)],
+        ["src", "dst"],
+    )
+    local = {
+        r.id: r.component for r in connected_components(nodes, edges).collect()
+    }
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            nodes, edges, driver_edge_threshold=None
+        ).collect()
+    }
+    assert local == dist == {
+        0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9
+    }

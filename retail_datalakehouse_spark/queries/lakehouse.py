@@ -1,10 +1,13 @@
 """Lakehouse-semantics queries (SURVEY §2.1 S1–S8).
 
-S1/S2 (CSV ingest) and S5/S6 (catalog DDL) are env-local — they write/read
-scratch files or touch the session catalog — so they carry rows-only checks;
-their exact-value behavior is pinned by unit tests instead
-(`tests/test_sources.py`). S3 (partitioned write), S7 (MERGE) and S8 (JSON
-ingestion) are SQL-expressible and hash-checked.
+All hash-checked (r5): the env-local queries pin their expected values
+against constants the environment can't change — S1 oracles the ORIGINAL
+table the CSV round-trip must reproduce, S2 recomputes the deterministic
+generated file from ``range()``, S5 pins the exact registered-table name
+set — while S3 (partitioned write), S7 (MERGE) and S8 (JSON ingestion)
+are directly SQL-expressible. Unit tests in ``tests/test_sources.py``
+additionally pin parse-level behavior (positional malformed-header read,
+inference types).
 """
 
 from __future__ import annotations
@@ -61,7 +64,17 @@ def s1_csv_scan_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "s2_csv_malformed_header",
-    oracle=None,  # env-local: reads a generated products.csv-shaped file
+    # The generated file's content is fully deterministic (pids 1..20), so
+    # the oracle recomputes the expected POSITIONAL parse from range() —
+    # the hash only matches if the 4-name header was skipped and all five
+    # fields landed in the right (full-width) schema slots.
+    oracle="""
+WITH rows AS (SELECT range AS pid FROM range(1, 21))
+SELECT 'dept_' || CAST(pid % 21 AS VARCHAR) AS department,
+       COUNT(*) AS n_products,
+       MIN(pid) AS min_pid
+FROM rows GROUP BY 1
+""",
     tags=("S2",),
 )
 def s2_csv_malformed_header(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +128,16 @@ def s3_partitioned_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "s5_catalog_register_list",
-    oracle=None,  # session-catalog state, env-local
+    # The expected catalog state IS a constant: all ten testdata tables
+    # registered. Pinning the exact name set turns "some tables listed"
+    # (rows-only) into "every table registered and none lost on the
+    # idempotent second pass" (hash-checked).
+    oracle="""
+SELECT * FROM (VALUES
+  ('customer'), ('documents'), ('embeddings'), ('events'), ('lineitem'),
+  ('nation'), ('orders'), ('part'), ('region'), ('supplier')
+) AS t(table_name)
+""",
     tags=("S5", "S6"),
 )
 def s5_catalog_register_list(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -231,3 +231,53 @@ def test_sessionization_partitions_events_at_gaps(spark, events):
         for s, (lo, hi, n) in enumerate(runs, start=1):
             want[(u, s)] = (lo, hi, n)
     assert got == want
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=0, max_size=25
+)
+
+
+@given(edges=EDGES)
+@SETTINGS
+def test_connected_components_paths_match_bfs_reference(spark, edges):
+    """On arbitrary graphs (self-loops, multi-edges, duplicates included),
+    the driver-side union-find path and the distributed min-label loop
+    must both equal a pure-Python BFS min-label reference."""
+    from retail_datalakehouse_spark.operators.graph import connected_components
+
+    n = 15
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges_df = spark.createDataFrame(edges or [(0, 0)], ["src", "dst"])
+
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    ref = {}
+    for start in range(n):
+        if start in ref:
+            continue
+        seen = {start}
+        stack = [start]
+        while stack:
+            v = stack.pop()
+            for u in adj[v]:
+                if u not in seen:
+                    seen.add(u)
+                    stack.append(u)
+        m = min(seen)
+        for v in seen:
+            ref[v] = m
+
+    local = {
+        r.id: r.component for r in connected_components(nodes_df, edges_df).collect()
+    }
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            nodes_df, edges_df, driver_edge_threshold=None
+        ).collect()
+    }
+    assert local == ref
+    assert dist == ref

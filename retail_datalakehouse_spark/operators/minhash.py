@@ -84,12 +84,15 @@ def minhash_signature(
     )
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
 ) -> DataFrame:
-    """Band the signature and self-join on band hashes → candidate pairs
-    (id_a < id_b, distinct). bands·rows must equal the signature length."""
-    banded = sig_df.select(
+    """Band a minhash signature into ``bands`` hashes of ``rows`` values
+    each → (id, band_idx, band_hash). This IS the persistable LSH index:
+    write it partitioned/bucketed by (band_idx, band_hash) and incremental
+    batches probe it with a plain equi-join — no re-signing of the existing
+    corpus (see :func:`probe_lsh_index`)."""
+    return sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
@@ -98,6 +101,36 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def probe_lsh_index(
+    new_banded: DataFrame, index_banded: DataFrame, id_col: str
+) -> DataFrame:
+    """Incremental LSH probe: join a NEW batch's banded signatures against a
+    persisted corpus index (both from :func:`banded_signatures`) → candidate
+    (new_id, corpus_id) pairs. This is the 100 TB incremental-dedup shape:
+    signing cost is O(|new batch|), the probe is an equi-join on
+    (band_idx, band_hash) that prunes to the index buckets the new bands
+    land in — the existing corpus is never re-shingled."""
+    a = new_banded.select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    ).alias("a")
+    b = index_banded.select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    ).alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, bands: int = 16, rows: int = 4
+) -> DataFrame:
+    """Band the signature and self-join on band hashes → candidate pairs
+    (id_a < id_b, distinct). bands·rows must equal the signature length."""
+    banded = banded_signatures(sig_df, id_col, bands, rows)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -183,6 +216,133 @@ def jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingle_arrays(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    return fan_out(df).select(
+        F.col(id_col), F.array_distinct(shingles(text_col, w)).alias("shs")
+    )
+
+
+def bipartite_jaccard_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact w-gram Jaccard between a NEW batch and an EXISTING corpus —
+    the incremental-dedup verify step. With ``candidates`` (new_id,
+    corpus_id — from :func:`probe_lsh_index` against a persisted banded
+    index) each pair is scored by `array_intersect` on the two docs'
+    distinct-shingle arrays: O(|candidates|), the corpus is touched only to
+    fetch the candidate docs' shingles. Without candidates, the exact
+    shared-shingle bipartite join (cost O(pairs sharing a shingle) — fine
+    for bounded batches, LSH-probe at scale).
+
+    Returns (new_id, corpus_id, jaccard ≥ threshold).
+    """
+    a_arr = _shingle_arrays(new_df, id_col, text_col, w)
+    b_arr = _shingle_arrays(corpus_df, id_col, text_col, w)
+    if candidates is not None:
+        a = a_arr.select(F.col(id_col).alias("new_id"), F.col("shs").alias("shs_a"))
+        b = b_arr.select(F.col(id_col).alias("corpus_id"), F.col("shs").alias("shs_b"))
+        scored = (
+            candidates.join(a, "new_id")
+            .join(b, "corpus_id")
+            .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
+            .withColumn(
+                "jaccard",
+                (
+                    F.col("n_common")
+                    / (F.size("shs_a") + F.size("shs_b") - F.col("n_common"))
+                ).cast("double"),
+            )
+        )
+        return scored.filter(F.col("jaccard") >= threshold).select(
+            "new_id", "corpus_id", "jaccard"
+        )
+    a = a_arr.select(F.col(id_col).alias("new_id"), F.explode("shs").alias("sh"))
+    b = b_arr.select(F.col(id_col).alias("corpus_id"), F.explode("shs").alias("sh"))
+    common = a.join(b, "sh").groupBy("new_id", "corpus_id").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    sa = a_arr.select(F.col(id_col).alias("new_id"), F.size("shs").alias("n_a"))
+    sb = b_arr.select(F.col(id_col).alias("corpus_id"), F.size("shs").alias("n_b"))
+    return (
+        common.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn(
+            "jaccard",
+            (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.6,
+    candidates: DataFrame | None = None,
+    quadratic_limit: int = 10_000,
+) -> DataFrame:
+    """Directional shingle containment |S(A)∩S(B)| / |S(A)| ≥ threshold:
+    catches quote/superset near-dups that symmetric Jaccard misses (a short
+    doc fully embedded in a long one has high containment but low Jaccard).
+
+    IMPORTANT scale note: Jaccard-LSH candidates do NOT bound containment
+    recall (the contained doc's shingles can be a tiny minority of the
+    container's), so this op does not auto-route through MinHash. Pass
+    ``candidates`` (id_a, id_b — DIRECTIONAL, e.g. from a prefix-filtering
+    index or a bounded blocking key) for corpora above ``quadratic_limit``;
+    the exact shared-shingle path refuses to run unbounded.
+
+    Returns (id_a, id_b, containment) where id_a is the contained doc.
+    """
+    sh_arrays = _shingle_arrays(df, id_col, text_col, w)
+    if candidates is not None:
+        a = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
+        b = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+        scored = (
+            candidates.join(a, "id_a")
+            .join(b, "id_b")
+            .withColumn(
+                "containment",
+                (F.size(F.array_intersect("shs_a", "shs_b")) / F.size("shs_a")).cast("double"),
+            )
+        )
+        return scored.filter(F.col("containment") >= threshold).select(
+            "id_a", "id_b", "containment"
+        )
+    if quadratic_limit is not None:
+        if df.select(id_col).limit(quadratic_limit + 1).count() > quadratic_limit:
+            raise ValueError(
+                f"containment_pairs: corpus exceeds quadratic_limit={quadratic_limit} "
+                "rows and Jaccard-LSH cannot guarantee containment recall — supply "
+                "`candidates` from a containment-safe blocking index"
+            )
+    sh = sh_arrays.select(F.col(id_col), F.explode("shs").alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sh_arrays.select(F.col(id_col).alias("id_a"), F.size("shs").alias("n_a"))
+    return (
+        common.join(sa, "id_a")
+        .withColumn("containment", (F.col("n_common") / F.col("n_a")).cast("double"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
     )
 
 

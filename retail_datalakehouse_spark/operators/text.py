@@ -105,6 +105,32 @@ def winnow_fingerprints(col: Column | str, k: int = 8, w: int = 4) -> Column:
     )
 
 
+def segments(col: Column | str, seg_len: int = 3) -> Column:
+    """Consecutive non-overlapping ``seg_len``-token segments as an array of
+    token arrays (the C4/RefinedWeb boilerplate-removal unit: a segment that
+    recurs across many documents is template text, not content). The final
+    segment keeps the remainder (< seg_len tokens). All JVM-side: one
+    `sequence` + `transform(slice)` per row, no UDF."""
+    t = tokens(col)
+    n_segs = F.ceil(F.size(t) / F.lit(float(seg_len))).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_segs, F.lit(1)) - F.lit(1))
+    return F.transform(idx, lambda i: F.slice(t, i * F.lit(seg_len) + F.lit(1), seg_len))
+
+
+def chunks(col: Column | str, size: int = 32, stride: int = 24) -> Column:
+    """Overlapping sliding token windows (RAG-style chunking) as an array of
+    token arrays: chunk i covers tokens [i·stride+1, i·stride+size]. A doc of
+    n ≤ size tokens yields one chunk; otherwise 1 + ceil((n−size)/stride), so
+    every token is covered and consecutive chunks overlap by size−stride
+    tokens. JVM-side `sequence` + `transform(slice)` — at 100 TB the explode
+    that usually follows is a narrow map, no shuffle."""
+    t = tokens(col)
+    extra = F.ceil((F.size(t) - F.lit(size)) / F.lit(float(stride))).cast("int")
+    n_chunks = F.lit(1) + F.greatest(F.lit(0), extra)
+    idx = F.sequence(F.lit(0), n_chunks - F.lit(1))
+    return F.transform(idx, lambda i: F.slice(t, i * F.lit(stride) + F.lit(1), size))
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard text-analysis column block."""
     return (

@@ -32,6 +32,15 @@ _PROMOTE_R5 = [
     "l7_quality_topp",
     "l7_mixture_rebalance",
     "s1_csv_scan_inferred",
+    # Slots 7-11: the five round-5 additions (boilerplate removal, RAG
+    # chunking, deterministic corpus shuffle, incremental near-dup,
+    # containment near-dup) — brand-new queries gate first so their SQL
+    # oracles are externally hash-checked the round they ship.
+    "l4_boilerplate_removal",
+    "l7_chunking",
+    "l7_corpus_shuffle",
+    "l2_incremental_neardup",
+    "l2_containment_neardup",
     "x_market_basket",
     "l2_dedup_keep_best",
     "x_histogram",
@@ -71,12 +80,14 @@ _PROMOTE_R5 = [
     "x_benford_screen",
     "x_gaps_islands",
     "x_sessionization",
+    # Slots 51+ (pushed past the ~50-row cap by the five round-5 additions;
+    # first in line for the r6 window, full local gate covers them now):
     "x_profile_summary",
     "x_runtime_bloom_join",
     "x_skyline_pareto",
     "l4_tfidf_topterms",
     "x_triangle_count",
-    # Slots 51+: queries changed this round that already hold r4-green
+    # Queries changed in round 4 that already hold r4-green
     # driver rows — next in line if the cap ever widens, re-verified by
     # the full local gate either way.
     "s7_change_data_feed",

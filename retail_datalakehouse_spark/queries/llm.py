@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import dedup_exact_content
 from ..operators.minhash import (
+    bipartite_jaccard_pairs,
+    containment_pairs,
     jaccard_pairs,
     lsh_candidate_pairs,
     minhash_signature,
@@ -1652,3 +1654,265 @@ def l2_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("wj") >= 0.9)
     )
+
+
+# ---------------------------------------------------------------- round 5:
+# corpus-prep additions — boilerplate removal, RAG chunking, deterministic
+# global shuffle, incremental near-dup, containment near-dup.
+
+
+@register(
+    "l4_boilerplate_removal",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents),
+seg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(ceil(len(toks) / 3.0) AS INT)),
+                i -> struct_pack(h := md5(array_to_string(toks[i*3+1:i*3+3], ' ')),
+                                 l := len(toks[i*3+1:i*3+3])))) AS s
+  FROM tok),
+seg2 AS (SELECT doc_id, s.h AS h, s.l AS l FROM seg),
+freq AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM seg2 GROUP BY 1)
+SELECT doc_id, COUNT(*) AS n_segs,
+       COUNT(*) FILTER (WHERE nd >= 5) AS n_boiler,
+       CAST(COALESCE(SUM(l) FILTER (WHERE nd < 5), 0) AS BIGINT) AS kept_tokens
+FROM seg2 JOIN freq USING (h)
+GROUP BY doc_id
+""",
+    tags=("L4", "L2"),
+)
+def l4_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal: split each doc into
+    consecutive 3-token segments, hash each, and mark a segment as
+    boilerplate when it recurs in ≥5 distinct documents (template text, not
+    content). Per-doc manifest: segment count, boilerplate count, tokens
+    kept after removal. Shape at 100 TB: segmenting is a narrow map
+    (`sequence` + `slice`, no UDF); the recurrence count is ONE two-phase
+    groupBy on the 16-byte hash; the join back is hash-partitioned on the
+    same key, AQE-splittable on skewed template segments. The md5 segment
+    hash is computed identically by DuckDB, so manifests are value-checked
+    end to end."""
+    from ..operators.text import segments
+
+    d = T(spark, sf_dir, "documents")
+    seg = d.select("doc_id", F.explode(segments("text", 3)).alias("st")).select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", "st").cast("binary")).alias("h"),
+        F.size("st").alias("l"),
+    )
+    freq = seg.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        seg.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum((F.col("nd") >= 5).cast("long")).alias("n_boiler"),
+            F.sum(F.when(F.col("nd") < 5, F.col("l")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+    )
+
+
+@register(
+    "l7_chunking",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1 + greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS INT))),
+                i -> struct_pack(idx := i,
+                                 n := len(toks[i*24+1:i*24+32]),
+                                 h := md5(array_to_string(toks[i*24+1:i*24+32], ' '))))) AS c
+  FROM tok)
+SELECT doc_id, CAST(c.idx AS BIGINT) AS chunk_idx,
+       CAST(c.n AS BIGINT) AS chunk_tokens, c.h AS chunk_hash
+FROM ch
+""",
+    tags=("L4", "F6"),
+)
+def l7_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: sliding 32-token windows at stride 24
+    (8-token overlap), one output row per chunk with its token count and an
+    md5 content hash — the manifest a retrieval indexer consumes. The window
+    arithmetic (`sequence` + `slice`) is a narrow JVM map; chunk explosion
+    multiplies rows ~n_tokens/stride with NO shuffle, so at 100 TB this
+    pipelines straight into the downstream embed/index stage. Chunk count,
+    coverage, and hashes are value-checked against identical DuckDB window
+    arithmetic."""
+    from ..operators.text import chunks
+
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(chunks("text", 32, 24)).alias("chunk_idx", "ct")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("ct").cast("long").alias("chunk_tokens"),
+        F.md5(F.concat_ws(" ", "ct").cast("binary")).alias("chunk_hash"),
+    )
+
+
+@register(
+    "l7_corpus_shuffle",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+s AS (
+  SELECT doc_id, h,
+         (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 AS shard
+  FROM h)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM s
+""",
+    tags=("L4", "W1"),
+)
+def l7_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: seed-keyed md5 of the
+    doc id gives every document a pseudo-random rank; the first hash nibble
+    (mod 8) assigns the output shard and a per-shard window assigns the
+    read position. No RNG state — the order is a pure function of
+    (seed, doc_id), so it is reproducible across reruns and cluster
+    topologies, and resharding for a different epoch is just a new seed.
+    Scale shape: NO global sort — shard assignment is a narrow map and each
+    shard orders independently (one hash exchange, 8-way parallel sort),
+    which is how a 100 TB corpus is laid out for data-parallel training
+    readers."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit("s42:"), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("h"),
+    )
+    s = d.withColumn(
+        "shard", (F.conv(F.substring("h", 1, 1), 16, 10).cast("int") % 8).cast("long")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos_in_shard")
+    )
+
+
+@register(
+    "l2_incremental_neardup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents WHERE doc_id < 5000),
+sh AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
+                i -> array_to_string(toks[i+1:i+3], ' ')))) AS s
+  FROM tok),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS na, b.doc_id AS eb, COUNT(*) AS c
+  FROM (SELECT * FROM sh WHERE source = 'src0') a
+  JOIN (SELECT * FROM sh WHERE source <> 'src0') b ON a.s = b.s
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT na, eb, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+  FROM common JOIN sizes sa ON sa.doc_id = na JOIN sizes sb ON sb.doc_id = eb
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.8),
+best AS (
+  SELECT na, eb AS best_match, j AS best_jaccard
+  FROM (SELECT na, eb, j,
+               ROW_NUMBER() OVER (PARTITION BY na ORDER BY j DESC, eb) AS rn
+        FROM pairs)
+  WHERE rn = 1),
+cnt AS (SELECT na, COUNT(*) AS n_dups FROM pairs GROUP BY 1)
+SELECT n.doc_id AS new_id,
+       CAST(COALESCE(cnt.n_dups, 0) AS BIGINT) AS n_dups,
+       best.best_match, best.best_jaccard
+FROM (SELECT doc_id FROM documents WHERE source = 'src0' AND doc_id < 5000) n
+LEFT JOIN cnt ON cnt.na = n.doc_id
+LEFT JOIN best ON best.na = n.doc_id
+""",
+    tags=("L2",),
+)
+def l2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: an arriving batch (source src0) is checked
+    against the EXISTING corpus for trigram-shingle Jaccard ≥ 0.8 — one row
+    per new doc with its duplicate-partner count and best match. This
+    SQL-checked query runs the exact bipartite verify on a bounded slice;
+    the 100 TB path is `minhash.banded_signatures` persisted once as the
+    corpus index + `probe_lsh_index` per batch (sign ONLY the new docs,
+    equi-join probe into the banded index, exact verify on candidates) —
+    recall equivalence of probe vs exact is pinned by
+    tests/test_llm_ops.py::test_incremental_probe_matches_exact."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
+    new = d.filter(F.col("source") == "src0").select("doc_id", "text")
+    corpus = d.filter(F.col("source") != "src0").select("doc_id", "text")
+    pairs = bipartite_jaccard_pairs(new, corpus, "doc_id", w=3, threshold=0.8)
+    pairs = pairs.withColumn("j", F.round("jaccard", 6))
+    w = Window.partitionBy("new_id").orderBy(F.col("j").desc(), F.col("corpus_id"))
+    best = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "new_id",
+            F.col("corpus_id").alias("best_match"),
+            F.col("j").alias("best_jaccard"),
+        )
+    )
+    cnt = pairs.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (
+        new.select(F.col("doc_id").alias("new_id"))
+        .join(cnt, "new_id", "left")
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+            "best_match",
+            "best_jaccard",
+        )
+    )
+
+
+@register(
+    "l2_containment_neardup",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents WHERE doc_id < 5000),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(greatest(len(toks) - 2, 1)),
+                i -> array_to_string(toks[i+1:i+3], ' ')))) AS s
+  FROM tok),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(c * 1.0 / sa.n, 6) AS containment
+FROM common JOIN sizes sa ON sa.doc_id = id_a
+WHERE c * 1.0 / sa.n >= 0.6
+""",
+    tags=("L2",),
+)
+def l2_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup: |shingles(A) ∩ shingles(B)| /
+    |shingles(A)| ≥ 0.6 flags docs whose content is (mostly) embedded in
+    another — quotes, supersets, wrapper pages — which symmetric Jaccard
+    misses when the container is much longer. Exact shared-shingle join on
+    a deterministic bounded slice; `containment_pairs` REFUSES unbounded
+    exact runs (Jaccard-LSH candidates cannot guarantee containment
+    recall — see its docstring for the scale-safe blocking contract)."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 5000)
+        .select("doc_id", "text")
+    )
+    p = containment_pairs(d, "doc_id", w=3, threshold=0.6)
+    return p.select("id_a", "id_b", F.round("containment", 6).alias("containment"))

@@ -575,3 +575,136 @@ def test_connected_components_paths_agree(spark):
     assert local == dist == {
         0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7, 8: 7, 9: 9
     }
+
+
+# ---------------------------------------------------------------- round 5:
+# boilerplate removal, chunking, incremental near-dup, containment
+
+
+def test_incremental_probe_matches_exact(spark):
+    """The 100 TB incremental path (sign new batch, probe persisted banded
+    index, exact-verify candidates) must find the same ≥-threshold pairs as
+    the exact bipartite join."""
+    from retail_datalakehouse_spark.operators.minhash import (
+        banded_signatures,
+        bipartite_jaccard_pairs,
+        minhash_signature,
+        probe_lsh_index,
+    )
+
+    corpus = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog near the river bank today"),
+            (101, "totally novel text with no counterpart in the existing corpus at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in bipartite_jaccard_pairs(new, corpus, "doc_id", w=3, threshold=0.5).collect()
+    }
+    index = banded_signatures(
+        minhash_signature(corpus, "text", k=64, w=3, id_cols=["doc_id"]), "doc_id"
+    )
+    probe = banded_signatures(
+        minhash_signature(new, "text", k=64, w=3, id_cols=["doc_id"]), "doc_id"
+    )
+    cand = probe_lsh_index(probe, index, "doc_id")
+    probed = {
+        (r.new_id, r.corpus_id): r.jaccard
+        for r in bipartite_jaccard_pairs(
+            new, corpus, "doc_id", w=3, threshold=0.5, candidates=cand
+        ).collect()
+    }
+    assert exact == probed
+    assert (100, 0) in probed and probed[(100, 0)] == 1.0  # exact dup found
+    assert all(k[0] != 101 for k in probed)  # novel doc matches nothing
+
+
+def test_containment_finds_embedded_doc(spark):
+    """A doc fully embedded in a longer one has containment 1.0 in that
+    direction and < 1.0 the other way; unrelated docs never pair."""
+    from retail_datalakehouse_spark.operators.minhash import containment_pairs
+
+    df = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "prefix words alpha beta gamma delta epsilon suffix words here"),
+            (2, "entirely unrelated tokens about something else whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.containment
+        for r in containment_pairs(df, "doc_id", w=3, threshold=0.0).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # every trigram of 0 appears in 1
+    assert pairs[(1, 0)] < 1.0  # but 1 has many trigrams 0 lacks
+    assert (0, 2) not in pairs and (2, 0) not in pairs
+
+
+def test_containment_refuses_unbounded_exact(spark):
+    from retail_datalakehouse_spark.operators.minhash import containment_pairs
+
+    df = spark.range(30).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e f").alias("text")
+    )
+    with pytest.raises(ValueError, match="quadratic_limit"):
+        containment_pairs(df, "doc_id", threshold=0.5, quadratic_limit=10).collect()
+
+
+def test_chunks_cover_and_overlap(spark):
+    """Chunks must cover every token, overlap by size−stride, and
+    reconstruct the doc by concatenating each chunk's non-overlapping
+    tail."""
+    from retail_datalakehouse_spark.operators.text import chunks, tokens
+
+    text = " ".join(f"t{i}" for i in range(75))  # 75 tokens: 3 chunks of 32@24
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = df.select(
+        F.posexplode(chunks("text", 32, 24)).alias("idx", "ct"),
+        F.size(tokens("text")).alias("n"),
+    ).collect()
+    assert len(rows) == 3
+    toks = text.split(" ")
+    rebuilt = list(rows[0].ct)
+    for r in rows[1:]:
+        assert list(r.ct[:8]) == rebuilt[-8:]  # 8-token overlap (32-24)
+        rebuilt.extend(r.ct[8:])
+    assert rebuilt == toks
+    # short doc: exactly one whole-doc chunk
+    short = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    srows = short.select(F.posexplode(chunks("text", 32, 24)).alias("idx", "ct")).collect()
+    assert len(srows) == 1 and list(srows[0].ct) == ["a", "b", "c"]
+
+
+def test_segments_partition_tokens_exactly(spark):
+    """Non-overlapping segments partition the token list: concatenation
+    reconstructs the doc, remainder segment keeps the tail."""
+    from retail_datalakehouse_spark.operators.text import segments
+
+    df = spark.createDataFrame([(0, "a b c d e f g h")], ["doc_id", "text"])
+    segs = df.select(segments("text", 3).alias("s")).collect()[0].s
+    assert [list(x) for x in segs] == [["a", "b", "c"], ["d", "e", "f"], ["g", "h"]]
+
+
+def test_boilerplate_removal_flags_recurring_segments(spark, sf_dir):
+    """Segments repeated across ≥5 docs are removed; unique docs keep all
+    their tokens (kept_tokens == n_tokens when n_boiler == 0)."""
+    from retail_datalakehouse_spark.queries.base import REGISTRY
+
+    out = REGISTRY["l4_boilerplate_removal"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) > 0
+    clean = [r for r in rows if r.n_boiler == 0]
+    assert clean, "expected at least one boilerplate-free doc"
+    # spot-check token accounting on a clean doc against the raw text
+    docs = {r.doc_id: r for r in rows}
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in raw[:20]:
+        n_tokens = len([t for t in d.text.split(" ") if t])
+        r = docs[d.doc_id]
+        assert r.kept_tokens <= n_tokens
+        if r.n_boiler == 0:
+            assert r.kept_tokens == n_tokens

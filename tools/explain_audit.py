@@ -90,6 +90,20 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "sign-bit signatures + cosine verify must stay JVM-side"),
     ("l2_neardup_clusters", "CartesianProduct", False,
      "candidates-first clustering must never expand the corpus-wide pair space"),
+    ("l4_boilerplate_removal", "EvalPython", False,
+     "segmenting + recurrence count must stay JVM-side column math"),
+    ("l4_boilerplate_removal", "partial", True,
+     "segment recurrence count must be two-phase (map-side partial)"),
+    ("l7_chunking", "Exchange", False,
+     "chunk explosion is a narrow map — any shuffle here multiplies at 100 TB"),
+    ("l7_chunking", "EvalPython", False,
+     "chunk slicing + hashing must stay JVM-side"),
+    ("l7_corpus_shuffle", "rangepartitioning", False,
+     "training-order shuffle must NOT global-sort; per-shard windows only"),
+    ("l2_incremental_neardup", "CartesianProduct", False,
+     "new-batch verify must join on shingle/candidate keys, never all-pairs"),
+    ("l2_containment_neardup", "CartesianProduct", False,
+     "containment pairing must stay on the shared-shingle equi-join"),
 ]
 
 

@@ -41,6 +41,7 @@ _PROMOTE_R5 = [
     "l7_corpus_shuffle",
     "l2_incremental_neardup",
     "l2_containment_neardup",
+    "t10_streaming_corpus_ingest",
     "x_market_basket",
     "l2_dedup_keep_best",
     "x_histogram",

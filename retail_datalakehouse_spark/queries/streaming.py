@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.jobs import (
+    documents_stream_drops,
     events_stream,
     run_foreach_batch,
     run_to_memory,
@@ -654,4 +655,90 @@ def t9_streaming_cohort_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort_month", "months_since")
         .agg(F.count_distinct("o_custkey").alias("active_customers"))
+    )
+
+
+_T10_Q_SQL = """
+0.4 * LEAST(len(list_filter(string_split(text,' '), t -> t != '')) / 100.0, 1.0)
++ 0.3 * (len(list_distinct(list_filter(string_split(text,' '), t -> t != '')))
+         / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
++ 0.3 * (1.0 - len(list_filter(string_split(text,' '),
+                               t -> t IN ('the','a','of','and','to','in','is')))
+               / GREATEST(CAST(len(list_filter(string_split(text,' '), t -> t != '')) AS DOUBLE), 1.0))
+"""
+
+
+@register(
+    "t10_streaming_corpus_ingest",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['the','and','of'])) > 0 THEN 'en'
+              WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['el','la','de','y'])) > 0 THEN 'es'
+              WHEN len(list_intersect(list_filter(string_split(text,' '), t -> t != ''),
+                                      ['der','die','und'])) > 0 THEN 'de'
+              ELSE 'unknown' END AS lang_pred,
+         {_T10_Q_SQL} AS q
+  FROM documents),
+gated AS (SELECT * FROM scored WHERE q >= 0.6 AND lang_pred <> 'unknown'),
+exact AS (
+  SELECT doc_id, text, lang, lang_pred, q,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
+           ORDER BY doc_id) AS rn
+  FROM gated)
+SELECT lang_pred, lang, COUNT(*) AS n_docs,
+       CAST(SUM(len(list_filter(string_split(text,' '), t -> t != ''))) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM exact WHERE rn = 1
+GROUP BY lang_pred, lang
+""",
+    tags=("T1", "T6", "L1", "L4"),
+)
+def t10_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: the streaming CORPUS pipeline — documents arrive as three
+    crawl drops (maxFilesPerTrigger=1 → three real micro-batches); each
+    batch is quality+language gated, exact-deduped within the batch, and
+    MERGEd into a durable VersionedTable keyed on the normalized-text
+    fingerprint with keep-min-doc_id survivor order. The conditional MERGE
+    makes ingest order irrelevant (a later drop carrying a smaller doc_id
+    replaces the provisional survivor), so the final table ≡ the batch
+    quality-gate + global dedup — which is exactly what the oracle
+    computes. State lives in committed table snapshots, not driver
+    memory: at 100 TB each crawl drop is one bounded MERGE whose cost
+    scales with the drop, not the corpus."""
+    import tempfile
+
+    from ..operators.dedup import dedup_keep_first
+    from ..operators.text import fingerprint, language_id, quality_score, tokens
+    from ..sources.table_format import VersionedTable
+    from .helpers import davg
+
+    stream = documents_stream_drops(spark, sf_dir, n_drops=3)
+    scored = (
+        stream.select(
+            "doc_id",
+            "text",
+            "lang",
+            language_id("text").alias("lang_pred"),
+            quality_score("text").alias("q"),
+            fingerprint("text").alias("fp"),
+            F.size(tokens("text")).cast("long").alias("n_tokens"),
+        )
+        .filter((F.col("q") >= 0.6) & (F.col("lang_pred") != "unknown"))
+    )
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t10_vt_"))
+    keep_min = [F.col("doc_id").asc()]
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_surv = dedup_keep_first(batch_df, keys=["fp"], order_by=keep_min)
+        table.merge(batch_surv, keys=["fp"], order_by=keep_min, txn=("t10_ingest", batch_id))
+
+    run_foreach_batch(scored, apply_batch, output_mode="append")
+    return table.read().groupBy("lang_pred", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        davg("q", scale=8, out_round=6).alias("avg_quality"),
     )

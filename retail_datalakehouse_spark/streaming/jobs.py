@@ -181,6 +181,32 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_ntz(stream)
 
 
+def documents_stream_drops(
+    spark: SparkSession, sf_dir: str, n_drops: int = 3, stage_dir: str | None = None
+) -> DataFrame:
+    """The corpus-arrival stream: documents staged as ``n_drops`` parquet
+    files (deterministic ``doc_id % n_drops`` split) in a fresh scratch
+    dir, read back as a file stream with ``maxFilesPerTrigger=1`` — so a
+    corpus-ingest job really processes MULTIPLE micro-batches, the arrival
+    pattern of a production crawl (each drop = one crawl dump). Staging is
+    per-call (tempdir), so re-runs never double-ingest."""
+    import tempfile
+
+    d = stage_dir or tempfile.mkdtemp(prefix="rdl_doc_drops_")
+    os.makedirs(d, exist_ok=True)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for i in range(n_drops):
+        write_single_parquet(
+            batch.filter(F.col("doc_id") % n_drops == i), os.path.join(d, f"drop_{i}.parquet")
+        )
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(d)
+    )
+
+
 def tumbling_agg(stream: DataFrame, window_size: str = "1 hour") -> DataFrame:
     """T2: tumbling-window aggregation (revenue per window per type)."""
     return (

@@ -272,3 +272,70 @@ def test_ewma_stateful_split_invariant(spark, tmp_path):
             last = rev if last is None else 0.3 * rev + 0.7 * last
             expected[(pri, day)] = last
     assert one == expected
+
+
+def test_streaming_corpus_ingest_multibatch_equals_batch(spark):
+    """t10: three crawl-drop micro-batches through the quality gate +
+    fingerprint MERGE must equal the one-shot batch computation, and the
+    stream must actually run multiple micro-batches (maxFilesPerTrigger=1
+    over 3 staged drops)."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.text import (
+        fingerprint,
+        language_id,
+        quality_score,
+        tokens,
+    )
+    from retail_datalakehouse_spark.queries.base import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = {
+        (r.lang_pred, r.lang): (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in REGISTRY["t10_streaming_corpus_ingest"].fn(spark, sf_dir).collect()
+    }
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        "lang",
+        language_id("text").alias("lang_pred"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    gated = d.filter((F.col("q") >= 0.6) & (F.col("lang_pred") != "unknown"))
+    surv = (
+        gated.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    batch = {
+        (r.lang_pred, r.lang): (r.n_docs, r.total_tokens, r.avg_quality)
+        for r in surv.groupBy("lang_pred", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(25,8)")).cast("double") / F.count("q"), 6
+            ).alias("avg_quality"),
+        )
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
+def test_documents_stream_drops_stages_n_files(spark, tmp_path):
+    import glob
+
+    from retail_datalakehouse_spark.streaming.jobs import documents_stream_drops
+
+    d = str(tmp_path / "drops")
+    stream = documents_stream_drops(spark, "/root/testdata/sf0.001", n_drops=3, stage_dir=d)
+    assert stream.isStreaming
+    files = glob.glob(d + "/drop_*.parquet")
+    assert len(files) == 3
+    # the split is a partition: drops are disjoint and cover the corpus
+    total = sum(spark.read.parquet(f).count() for f in files)
+    assert total == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()

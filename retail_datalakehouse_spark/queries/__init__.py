@@ -42,6 +42,8 @@ _PROMOTE_R5 = [
     "l2_incremental_neardup",
     "l2_containment_neardup",
     "t10_streaming_corpus_ingest",
+    "l7_weighted_sample",
+    "l7_length_batching",
     "x_market_basket",
     "l2_dedup_keep_best",
     "x_histogram",

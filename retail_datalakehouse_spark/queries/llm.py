@@ -1916,3 +1916,121 @@ def l2_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = containment_pairs(d, "doc_id", w=3, threshold=0.6)
     return p.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
+@register(
+    "l7_weighted_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS s FROM d),
+keyed AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS v
+  FROM d)
+SELECT doc_id, n_tokens,
+       ROUND(LEAST(50.0 * n_tokens / s, 1.0), 6) AS p_include
+FROM keyed, tot
+WHERE (2 * v + 1)::HUGEINT * s < 50::HUGEINT * n_tokens * 8589934592
+""",
+    tags=("L4", "A1"),
+)
+def l7_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted Bernoulli corpus sampling (expected k=50 docs,
+    inclusion probability k·wᵢ/Σw — the Horvitz-Thompson design for
+    token-budget-proportional subcorpora). Randomness is a pure function
+    of the doc id (first 8 md5 nibbles → 32-bit uniform), so the sample
+    is REPRODUCIBLE and rebuild-stable, and the inclusion test is spelled
+    in pure integer arithmetic ((2v+1)·Σw < k·w·2³³) — no float/libm
+    divergence between engines, no RNG state to coordinate across 1000
+    executors. One narrow scan + a broadcast 1-row total; the filter
+    prunes at scan speed. The products are evaluated in exact wide
+    decimals (decimal(38,0) / HUGEINT) because at 100 TB token totals
+    (Σw ≈ 2⁴⁴) the int64 product (2v+1)·Σw ≈ 2⁷⁷ would overflow —
+    decimal38 holds it with ~60 bits to spare, and only the comparison
+    is wide (output columns stay BIGINT/DOUBLE for the gate hasher)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).cast("long").alias("n_tokens"),
+    )
+    tot = d.agg(F.sum("n_tokens").cast("long").alias("s"))
+    keyed = d.withColumn(
+        "v",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return (
+        keyed.crossJoin(F.broadcast(tot))
+        .filter(
+            (2 * F.col("v") + 1).cast("decimal(38,0)") * F.col("s")
+            < F.lit(50).cast("decimal(38,0)") * F.col("n_tokens") * F.lit(8589934592)
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.least(F.lit(50.0) * F.col("n_tokens") / F.col("s"), F.lit(1.0)), 6).alias(
+                "p_include"
+            ),
+        )
+    )
+
+
+@register(
+    "l7_length_batching",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents),
+b AS (
+  SELECT doc_id, n_tokens, n_tokens // 16 AS bucket,
+         ROW_NUMBER() OVER (PARTITION BY n_tokens // 16 ORDER BY doc_id) AS rn
+  FROM d)
+SELECT bucket, (rn - 1) // 8 AS batch_id,
+       COUNT(*) AS n_docs,
+       MAX(n_tokens) AS max_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+FROM (SELECT bucket, rn, n_tokens FROM b)
+GROUP BY bucket, batch_id
+""",
+    tags=("L4", "W1"),
+)
+def l7_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed micro-batching: docs grouped into 16-token length
+    buckets, then packed into batches of 8 by stable doc_id order — the
+    standard padding-waste minimization for LLM training/inference (a
+    batch pads every member to its max length; batching similar lengths
+    makes the per-batch padding_waste column small). One hash exchange on
+    the bucket key + a per-bucket window; batch manifests (doc count, max
+    length, padding waste) are value-checked. At 100 TB buckets are the
+    parallelism unit — no global sort, no skew (bucket population is
+    bounded by the length distribution, AQE splits hot buckets)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).cast("long").alias("n_tokens"),
+    )
+    b = d.withColumn("bucket", F.floor(F.col("n_tokens") / 16)).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("bucket").orderBy("doc_id"))
+    )
+    return (
+        b.withColumn("batch_id", F.floor((F.col("rn") - 1) / 8))
+        .groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("n_tokens").alias("max_tokens"),
+            (F.count(F.lit(1)) * F.max("n_tokens") - F.sum("n_tokens"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+    )

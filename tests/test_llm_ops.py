@@ -708,3 +708,35 @@ def test_boilerplate_removal_flags_recurring_segments(spark, sf_dir):
         assert r.kept_tokens <= n_tokens
         if r.n_boiler == 0:
             assert r.kept_tokens == n_tokens
+
+
+def test_weighted_sample_reproducible_and_calibrated(spark, sf_dir):
+    """Sampling is a pure function of doc_id (two runs identical), biased
+    toward long docs (avg sampled length > corpus avg), with inclusion
+    count in the k ± 4σ band for k=50."""
+    from retail_datalakehouse_spark.queries.base import REGISTRY
+
+    fn = REGISTRY["l7_weighted_sample"].fn
+    a = {r.doc_id: r.p_include for r in fn(spark, sf_dir).collect()}
+    b = {r.doc_id: r.p_include for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    assert 50 - 4 * 50**0.5 <= len(a) <= 50 + 4 * 50**0.5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lens = {r.doc_id: len([t for t in r.text.split(" ") if t]) for r in docs.collect()}
+    corpus_avg = sum(lens.values()) / len(lens)
+    sample_avg = sum(lens[i] for i in a) / len(a)
+    assert sample_avg > corpus_avg  # token-weighted ⇒ long docs overrepresented
+
+
+def test_length_batching_invariants(spark, sf_dir):
+    """Batches hold ≤8 docs of one 16-token bucket; padding_waste is
+    n_docs·max_tokens − Σtokens and every doc lands in exactly one batch."""
+    from retail_datalakehouse_spark.queries.base import REGISTRY
+
+    rows = REGISTRY["l7_length_batching"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == docs
+    for r in rows:
+        assert 1 <= r.n_docs <= 8
+        assert 0 <= r.padding_waste <= r.n_docs * 15  # bucket width bounds waste
+        assert r.max_tokens // 16 == r.bucket

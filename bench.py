@@ -37,6 +37,10 @@ HEADLINE = [
     "l2_neardup_clusters",
     "x_market_basket",
     "t9_streaming_mart_refresh",
+    # round-5 corpus-prep paths: segment-recurrence boilerplate removal and
+    # the incremental new-batch-vs-corpus near-dup verify
+    "l4_boilerplate_removal",
+    "l2_incremental_neardup",
 ]
 
 
@@ -52,11 +56,19 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table so t0 isn't startup-skewed
     force(registry["flagship_region_month_revenue"].fn(spark, sf_dir).limit(1))
 
+    # Per-query time = MIN over two full passes (steady-state measurement).
+    # Measured on this host: identical runs swing up to 2× on multi-minute
+    # timescales (virtualized CPU contention) — e.g. the same
+    # l2_neardup_clusters plan at 7.2 s and 43 s minutes apart with an idle
+    # guest. The min of two spaced samples reports the plan's actual cost
+    # rather than whichever stall window a single pass happens to hit.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        force(registry[name].fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            force(registry[name].fn(spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -502,3 +502,65 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def encode_gray_png(df: DataFrame, src_w: int, src_h: int) -> DataFrame:
+    """Arrow-batched PNG ENCODE for 8-bit GRAYSCALE tiles: (doc_id,
+    payload=raw gray bytes, row-major w×h) → (doc_id, payload=PNG bytes).
+    Same contract as :func:`encode_rgb_png` with color type 0."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            encoded = [
+                encode_png(
+                    np.frombuffer(bytes(p)[: src_w * src_h], dtype=np.uint8).reshape(
+                        src_h, src_w
+                    )
+                )
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": encoded})
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def dhash64_png(df: DataFrame, w: int, h: int) -> DataFrame:
+    """Arrow-batched perceptual DIFFERENCE HASH over compressed images:
+    PNG decode (stdlib inflate + unfilter) → 64-bit dHash. Bit k (k =
+    8·r + c) is set when pixel (2r, c) < pixel (2r, c+1) — 8 sampled rows
+    × 8 horizontal gradients, the standard dHash family: stable under
+    re-encoding and small brightness shifts, so hamming-close hashes ≈
+    visually-near-duplicate images. Returns (doc_id, phash: long) with
+    bit 63 in the int64 sign position (the layout
+    :func:`retail_datalakehouse_spark.operators.minhash.simhash_near_dup_pairs`
+    bands on — image near-dup clustering reuses the text pipeline's
+    banded hamming machinery unchanged)."""
+    out_schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("phash", T.LongType())]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_png(bytes(payload))
+                a = img.reshape(h, w) if img.ndim != 2 else img
+                bits = a[0 : 2 * 8 : 2, 0:8] < a[0 : 2 * 8 : 2, 1:9]  # (8 rows, 8 cols)
+                v = np.uint64(0)
+                for k, bit in enumerate(bits.flatten()):
+                    if bit:
+                        v |= np.uint64(1) << np.uint64(k)
+                ids.append(doc_id)
+                hashes.append(int(v.astype(np.int64)))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    return df.mapInPandas(batches, out_schema)

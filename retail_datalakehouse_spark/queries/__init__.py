@@ -44,6 +44,7 @@ _PROMOTE_R5 = [
     "t10_streaming_corpus_ingest",
     "l7_weighted_sample",
     "l7_length_batching",
+    "l5_phash_neardup",
     "x_market_basket",
     "l2_dedup_keep_best",
     "x_histogram",

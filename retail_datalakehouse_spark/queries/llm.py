@@ -2034,3 +2034,55 @@ def l7_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("padding_waste"),
         )
     )
+
+
+@register(
+    "l5_phash_neardup",
+    # The tile is byte-deterministic (first 257 bytes of repeat(text)), so
+    # the oracle recomputes the SAME 64 dHash bits as character arithmetic
+    # and does the exact all-pairs hamming join — while the Spark side goes
+    # raw→PNG→decode→dHash→banded hamming. 8 bands over 64 bits catch every
+    # pair at hamming ≤ 7 by pigeonhole, so the ≤6 result set is EXACT and
+    # the two sides hash-match.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(repeat(text, 33), 1, 257) AS pay FROM documents
+  WHERE LENGTH(repeat(text, 33)) >= 257 AND doc_id < 2000),
+bits AS (
+  SELECT doc_id,
+         [CASE WHEN ord(substr(pay, ((i//8)*2)*16 + (i%8) + 1, 1)) <
+                    ord(substr(pay, ((i//8)*2)*16 + (i%8) + 2, 1))
+               THEN 1 ELSE 0 END
+          FOR i IN range(64)] AS b
+  FROM p)
+SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(list_sum([CASE WHEN a.b[i+1] <> b2.b[i+1] THEN 1 ELSE 0 END FOR i IN range(64)]) AS BIGINT) AS hamming
+FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
+WHERE list_sum([CASE WHEN a.b[i+1] <> b2.b[i+1] THEN 1 ELSE 0 END FOR i IN range(64)]) <= 6
+""",
+    tags=("L5", "L2"),
+)
+def l5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5×L2: PERCEPTUAL image dedup — each document's deterministic
+    16×16 gray tile goes through the REAL stdlib PNG codec (encode →
+    decode), a 64-bit difference hash (8 sampled rows × 8 horizontal
+    gradients) is computed from the DECODED pixels, and near-duplicate
+    images are found by banded hamming search (8×8-bit bands — exact for
+    hamming ≤ 7 by pigeonhole, verified ≤ 6). This is the image-corpus
+    dedup shape at 100 TB: hashing is an Arrow-batched kernel over binary
+    payloads (O(corpus)), pairing is the same banded equi-join the text
+    SimHash path uses — never an all-pairs image comparison. Bounded to a
+    deterministic 2000-doc slice only because the ORACLE must do the
+    quadratic exact join; the Spark side is the unbounded-scale path."""
+    from ..operators.multimodal import dhash64_png, encode_gray_png
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    payloads = d.select(
+        "doc_id",
+        F.expr("substring(encode(repeat(text, 33), 'UTF-8'), 1, 257)").alias("payload"),
+    ).filter(F.octet_length("payload") == 257)
+    pngs = encode_gray_png(payloads, src_w=16, src_h=16)
+    phashes = dhash64_png(pngs, w=16, h=16)
+    return simhash_near_dup_pairs(
+        phashes, id_col="doc_id", sh_col="phash", max_hamming=6, bands=8
+    )

@@ -740,3 +740,44 @@ def test_length_batching_invariants(spark, sf_dir):
         assert 1 <= r.n_docs <= 8
         assert 0 <= r.padding_waste <= r.n_docs * 15  # bucket width bounds waste
         assert r.max_tokens // 16 == r.bucket
+
+
+def test_dhash_png_detects_perceptual_neardups(spark):
+    """A re-encoded identical tile hashes identically (hamming 0); a tile
+    with one flipped gradient differs by exactly that bit; an unrelated
+    tile is far. The banded search returns exactly the ≤6 pairs."""
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.minhash import simhash_near_dup_pairs
+    from retail_datalakehouse_spark.operators.multimodal import (
+        dhash64_png,
+        encode_gray_png,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 255, size=(16, 16)).astype("uint8")
+    twin = base.copy()  # identical content, separately encoded
+    nudged = base.copy()
+    # flip the (r=0, c=0) gradient: bit 0 compares px[0,0] < px[0,1]
+    nudged[0, 0], nudged[0, 1] = nudged[0, 1], nudged[0, 0]
+    if base[0, 0] == base[0, 1]:  # equal pixels → swap is a no-op; force it
+        nudged[0, 1] = base[0, 0] + 1
+    other = rng.randint(0, 255, size=(16, 16)).astype("uint8")
+    df = spark.createDataFrame(
+        [(0, base.tobytes()), (1, twin.tobytes()), (2, nudged.tobytes()), (3, other.tobytes())],
+        ["doc_id", "payload"],
+    )
+    phashes = dhash64_png(encode_gray_png(df, 16, 16), w=16, h=16)
+    h = {r.doc_id: r.phash for r in phashes.collect()}
+    assert h[0] == h[1]  # codec roundtrip is lossless → identical hash
+    assert h[0] != h[3]
+    assert bin(h[0] ^ h[2]).count("1") <= 2  # one swapped gradient: ≤2 bits
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup_pairs(
+            phashes, id_col="doc_id", sh_col="phash", max_hamming=6, bands=8
+        ).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 2
+    assert (0, 3) not in pairs

@@ -220,6 +220,29 @@ def build_ivf_index(
     assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF maintenance: assign ONLY the new vectors to their
+    nearest (unchanged) centroids and APPEND them into the persisted
+    index's partition layout — no rebuild, no touch of existing rows.
+
+    This is how a 100 TB vector index absorbs a new crawl batch: the
+    append costs O(|batch|) assignment + a partition-aligned write, while
+    a rebuild costs O(corpus). Because the centroids are fixed, an
+    appended index is IDENTICAL (same rows per partition) to a full
+    rebuild over the union — pinned by
+    tests/test_llm_ops.py::test_ivf_append_equals_rebuild. Re-clustering
+    (when drift degrades balance) is a separate offline job, exactly as
+    in production IVF systems."""
+    assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
 def ivf_topk_indexed(
     spark,
     index_path: str,

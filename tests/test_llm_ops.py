@@ -781,3 +781,35 @@ def test_dhash_png_detects_perceptual_neardups(spark):
     assert pairs[(0, 1)] == 0
     assert (0, 2) in pairs and pairs[(0, 2)] <= 2
     assert (0, 3) not in pairs
+
+
+def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending a new batch into a persisted IVF index (fixed centroids)
+    must produce the identical index content — and identical probe
+    results — as a full rebuild over the union."""
+    from retail_datalakehouse_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    old = e.filter(F.col("vec_id") % 10 != 0)
+    new = e.filter(F.col("vec_id") % 10 == 0)
+
+    inc_path = str(tmp_path / "ivf_inc")
+    full_path = str(tmp_path / "ivf_full")
+    build_ivf_index(old, cents, inc_path)
+    append_to_ivf_index(new, cents, inc_path)
+    build_ivf_index(e, cents, full_path)
+
+    inc = {(r.vec_id, r.centroid_id) for r in spark.read.parquet(inc_path).select("vec_id", "centroid_id").collect()}
+    full = {(r.vec_id, r.centroid_id) for r in spark.read.parquet(full_path).select("vec_id", "centroid_id").collect()}
+    assert inc == full and len(inc) == e.count()
+
+    q = e.filter(F.col("vec_id") == 3).collect()[0].embedding
+    a = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, inc_path, cents, list(q), k=5, nprobe=2).collect()]
+    b = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, full_path, cents, list(q), k=5, nprobe=2).collect()]
+    assert a == b

@@ -176,9 +176,7 @@ def jaccard_pairs(
                 df.select(id_col, text_col), text_col, k=64, w=w, id_cols=[id_col]
             )
             candidates = lsh_candidate_pairs(sig, id_col, bands=16, rows=4)
-    sh_arrays = fan_out(df).select(
-        F.col(id_col), F.array_distinct(shingles(text_col, w)).alias("shs")
-    )
+    sh_arrays = _shingle_arrays(df, id_col, text_col, w)
     if candidates is not None:
         a = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
         b = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))

@@ -549,16 +549,15 @@ def dhash64_png(df: DataFrame, w: int, h: int) -> DataFrame:
         import numpy as np
         import pandas as pd
 
+        weights = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
         for pdf in it:
             ids, hashes = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 img = decode_png(bytes(payload))
                 a = img.reshape(h, w) if img.ndim != 2 else img
                 bits = a[0 : 2 * 8 : 2, 0:8] < a[0 : 2 * 8 : 2, 1:9]  # (8 rows, 8 cols)
-                v = np.uint64(0)
-                for k, bit in enumerate(bits.flatten()):
-                    if bit:
-                        v |= np.uint64(1) << np.uint64(k)
+                # bit k (= 8r + c) weighted-summed in one vectorized dot
+                v = np.dot(bits.flatten().astype(np.uint64), weights)
                 ids.append(doc_id)
                 hashes.append(int(v.astype(np.int64)))
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})

@@ -1669,7 +1669,7 @@ WITH tok AS (
   FROM documents),
 seg AS (
   SELECT doc_id,
-         unnest(list_transform(range(CAST(ceil(len(toks) / 3.0) AS INT)),
+         unnest(list_transform(range(greatest(CAST(ceil(len(toks) / 3.0) AS INT), 1)),
                 i -> struct_pack(h := md5(array_to_string(toks[i*3+1:i*3+3], ' ')),
                                  l := len(toks[i*3+1:i*3+3])))) AS s
   FROM tok),
@@ -2073,7 +2073,11 @@ def l5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads (O(corpus)), pairing is the same banded equi-join the text
     SimHash path uses — never an all-pairs image comparison. Bounded to a
     deterministic 2000-doc slice only because the ORACLE must do the
-    quadratic exact join; the Spark side is the unbounded-scale path."""
+    quadratic exact join; the Spark side is the unbounded-scale path.
+    Like the other l5 media oracles, the character-arithmetic mirror
+    (ord/substr as pixel values) relies on documents.text being pure
+    ASCII — pinned by tests/test_llm_ops.py::
+    test_documents_text_ascii_invariant."""
     from ..operators.multimodal import dhash64_png, encode_gray_png
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)

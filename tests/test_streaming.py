@@ -274,7 +274,7 @@ def test_ewma_stateful_split_invariant(spark, tmp_path):
     assert one == expected
 
 
-def test_streaming_corpus_ingest_multibatch_equals_batch(spark):
+def test_streaming_corpus_ingest_multibatch_equals_batch(spark, sf_dir):
     """t10: three crawl-drop micro-batches through the quality gate +
     fingerprint MERGE must equal the one-shot batch computation, and the
     stream must actually run multiple micro-batches (maxFilesPerTrigger=1
@@ -289,7 +289,6 @@ def test_streaming_corpus_ingest_multibatch_equals_batch(spark):
     )
     from retail_datalakehouse_spark.queries.base import REGISTRY
 
-    sf_dir = "/root/testdata/sf0.001"
     streamed = {
         (r.lang_pred, r.lang): (r.n_docs, r.total_tokens, r.avg_quality)
         for r in REGISTRY["t10_streaming_corpus_ingest"].fn(spark, sf_dir).collect()
@@ -326,16 +325,16 @@ def test_streaming_corpus_ingest_multibatch_equals_batch(spark):
     assert streamed == batch and len(streamed) > 0
 
 
-def test_documents_stream_drops_stages_n_files(spark, tmp_path):
+def test_documents_stream_drops_stages_n_files(spark, sf_dir, tmp_path):
     import glob
 
     from retail_datalakehouse_spark.streaming.jobs import documents_stream_drops
 
     d = str(tmp_path / "drops")
-    stream = documents_stream_drops(spark, "/root/testdata/sf0.001", n_drops=3, stage_dir=d)
+    stream = documents_stream_drops(spark, sf_dir, n_drops=3, stage_dir=d)
     assert stream.isStreaming
     files = glob.glob(d + "/drop_*.parquet")
     assert len(files) == 3
     # the split is a partition: drops are disjoint and cover the corpus
     total = sum(spark.read.parquet(f).count() for f in files)
-    assert total == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count()
+    assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()

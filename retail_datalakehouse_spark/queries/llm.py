@@ -2090,3 +2090,83 @@ def l5_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(
         phashes, id_col="doc_id", sh_col="phash", max_hamming=6, bands=8
     )
+
+
+@register(
+    "l6_rag_pipeline",
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+scored AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS y
+  FROM embeddings e),
+agg AS (
+  SELECT vec_id, ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs
+  FROM scored GROUP BY vec_id),
+top AS (SELECT vec_id AS doc_id, cs FROM agg ORDER BY cs DESC, vec_id LIMIT 5),
+tok AS (
+  SELECT d.doc_id, cs, list_filter(string_split(text, ' '), t -> t != '') AS toks
+  FROM documents d JOIN top USING (doc_id)),
+ch AS (
+  SELECT doc_id, cs,
+         unnest(list_transform(range(1 + greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS INT))),
+                i -> struct_pack(idx := i,
+                                 sc := len(list_filter(toks[i*24+1:i*24+32],
+                                                       t -> t IN ('table', 'scan', 'merge')))))) AS c
+  FROM tok),
+ranked AS (
+  SELECT doc_id, cs, c.idx AS idx, c.sc AS sc,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c.sc DESC, c.idx) AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS nch
+  FROM ch)
+SELECT doc_id, cs AS cos_sim, CAST(nch AS BIGINT) AS n_chunks,
+       CAST(idx AS BIGINT) AS best_chunk_idx, CAST(sc AS BIGINT) AS best_chunk_score
+FROM ranked WHERE rn = 1
+""",
+    tags=("L3", "L4", "W1"),
+)
+def l6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed RETRIEVAL pipeline (hybrid RAG shape): (1) vector recall —
+    exact top-5 docs by cosine to the vec_id=7 embedding (the production
+    swap-in is the partition-pruned IVF probe, same contract); (2) fetch
+    the hit docs and chunk them (32-token windows, stride 24); (3) lexical
+    rerank — score each chunk by query-term hits ('table scan merge') and
+    keep the best chunk per doc. One broadcast of the 5-row hit list, a
+    narrow chunk explosion, one per-doc window: retrieve → chunk → rerank
+    with no extra corpus scans. Top-k, chunk arithmetic, and rerank are
+    all value-checked end to end."""
+    from pyspark.sql import Window
+
+    from ..operators.text import chunks
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).select("embedding").head()[0]]
+    top = topk_cosine(e, qvec, k=5, round_to=6).select(
+        F.col("vec_id").alias("doc_id"), "cos_sim"
+    )
+    docs = T(spark, sf_dir, "documents").join(F.broadcast(top), "doc_id")
+    ch = docs.select(
+        "doc_id",
+        "cos_sim",
+        F.posexplode(chunks("text", 32, 24)).alias("idx", "ct"),
+    ).withColumn(
+        "sc",
+        F.size(F.filter(F.col("ct"), lambda t: t.isin("table", "scan", "merge"))).cast(
+            "long"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("sc").desc(), F.col("idx"))
+    wc = Window.partitionBy("doc_id")
+    return (
+        ch.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_chunks", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "cos_sim",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            F.col("idx").cast("long").alias("best_chunk_idx"),
+            F.col("sc").alias("best_chunk_score"),
+        )
+    )

@@ -813,3 +813,51 @@ def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
     a = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, inc_path, cents, list(q), k=5, nprobe=2).collect()]
     b = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, full_path, cents, list(q), k=5, nprobe=2).collect()]
     assert a == b
+
+
+def test_chunk_and_segment_arithmetic_sweep(spark):
+    """One Spark pass over synthetic docs of every token count 1..100:
+    chunk count matches 1+ceil((n-32)/24), chunks cover all tokens with
+    exactly size-stride overlap, and segments partition the tokens."""
+    import math
+
+    from retail_datalakehouse_spark.operators.text import chunks, segments
+
+    df = spark.createDataFrame(
+        [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 101)],
+        ["n", "text"],
+    )
+    rows = df.select(
+        "n", chunks("text", 32, 24).alias("ch"), segments("text", 3).alias("sg")
+    ).collect()
+    for r in rows:
+        n = r.n
+        want_chunks = 1 + max(0, math.ceil((n - 32) / 24))
+        assert len(r.ch) == want_chunks, (n, len(r.ch))
+        rebuilt = list(r.ch[0])
+        for c in r.ch[1:]:
+            assert list(c[:8]) == rebuilt[-8:], n  # size-stride overlap
+            rebuilt.extend(c[8:])
+        assert rebuilt == [f"w{i}" for i in range(n)], n  # full coverage
+        assert len(r.sg) == max(1, math.ceil(n / 3)), n
+        flat = [t for seg in r.sg for t in seg]
+        assert flat == [f"w{i}" for i in range(n)], n  # exact partition
+
+
+def test_weighted_sample_always_includes_dominant_doc(spark):
+    """When k·w_i ≥ Σw the integer inclusion test is unconditionally true
+    (probability capped at 1) — a corpus-dominating document can never be
+    sampled out, matching the Horvitz-Thompson min(1, k·w/Σw) design."""
+    from retail_datalakehouse_spark.queries.base import REGISTRY
+    import tempfile, os
+
+    big = " ".join(f"t{i}" for i in range(5000))
+    rows = [(0, big, "en", "src0", len(big))] + [
+        (i, "tiny doc here", "en", "src0", 13) for i in range(1, 40)
+    ]
+    d = tempfile.mkdtemp(prefix="rdl_ws_dom_")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r.p_include for r in REGISTRY["l7_weighted_sample"].fn(spark, d).collect()}
+    assert 0 in out and out[0] == 1.0

@@ -180,9 +180,15 @@ def jaccard_pairs(
     if candidates is not None:
         a = sh_arrays.select(F.col(id_col).alias("id_a"), F.col("shs").alias("shs_a"))
         b = sh_arrays.select(F.col(id_col).alias("id_b"), F.col("shs").alias("shs_b"))
+        na, nb = F.size("shs_a"), F.size("shs_b")
         scored = (
             candidates.join(a, "id_a")
             .join(b, "id_b")
+            # size-compatibility prefilter — EXACT: c ≤ min(na,nb) and
+            # na+nb−c ≥ max(na,nb), so j ≥ t forces min/max ≥ t; pruned
+            # pairs can never reach the threshold, and the (expensive)
+            # array_intersect below only runs on survivors.
+            .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
             .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
             .withColumn(
                 "jaccard",
@@ -248,9 +254,12 @@ def bipartite_jaccard_pairs(
     if candidates is not None:
         a = a_arr.select(F.col(id_col).alias("new_id"), F.col("shs").alias("shs_a"))
         b = b_arr.select(F.col(id_col).alias("corpus_id"), F.col("shs").alias("shs_b"))
+        na, nb = F.size("shs_a"), F.size("shs_b")
         scored = (
             candidates.join(a, "new_id")
             .join(b, "corpus_id")
+            # exact size-compatibility prune (see jaccard_pairs)
+            .filter(F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb))
             .withColumn("n_common", F.size(F.array_intersect("shs_a", "shs_b")))
             .withColumn(
                 "jaccard",
@@ -313,6 +322,8 @@ def containment_pairs(
         scored = (
             candidates.join(a, "id_a")
             .join(b, "id_b")
+            # exact prune: c ≤ |B|, so containment ≥ t forces |B| ≥ t·|A|
+            .filter(F.size("shs_b") >= F.lit(threshold) * F.size("shs_a"))
             .withColumn(
                 "containment",
                 (F.size(F.array_intersect("shs_a", "shs_b")) / F.size("shs_a")).cast("double"),

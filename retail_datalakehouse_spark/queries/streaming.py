@@ -742,3 +742,138 @@ def t10_streaming_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         davg("q", scale=8, out_round=6).alias("avg_quality"),
     )
+
+
+@register(
+    "t11_streaming_neardup_index",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id < 333 THEN 0 WHEN doc_id < 666 THEN 1 ELSE 2 END AS drp
+  FROM documents WHERE doc_id < 1000),
+tok AS (
+  SELECT doc_id, drp,
+         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM d),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS na, b.doc_id AS eb, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND b.drp < a.drp
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT na, eb, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+  FROM common JOIN sizes sa ON sa.doc_id = na JOIN sizes sb ON sb.doc_id = eb
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+best AS (
+  SELECT na, eb AS best_match, j AS best_jaccard
+  FROM (SELECT na, eb, j,
+               ROW_NUMBER() OVER (PARTITION BY na ORDER BY j DESC, eb) AS rn
+        FROM pairs)
+  WHERE rn = 1),
+cnt AS (SELECT na, COUNT(*) AS n_prior FROM pairs GROUP BY 1)
+SELECT d.doc_id AS new_id,
+       CAST(COALESCE(cnt.n_prior, 0) AS BIGINT) AS n_prior,
+       best.best_match, best.best_jaccard
+FROM d
+LEFT JOIN cnt ON cnt.na = d.doc_id
+LEFT JOIN best ON best.na = d.doc_id
+""",
+    tags=("T6", "T1", "L2"),
+)
+def t11_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: STREAMING near-dedup against an accumulating LSH index — the
+    closing piece of the incremental story. Three crawl drops arrive in
+    order (doc_id ranges, maxFilesPerTrigger=1); each micro-batch (1)
+    minhash-signs ONLY its own documents, (2) probes the banded index
+    built by all PRIOR batches (`probe_lsh_index` equi-join), (3) exact-
+    verifies candidates at word-Jaccard ≥ 0.9 and records the matches,
+    then (4) appends its own bands into the index — both tables are
+    durable `VersionedTable`s with per-batch txn guards (replay-safe).
+    Per-batch cost is O(drop), never O(corpus); the index is never
+    re-signed. The oracle is the batch rewrite: every ≥0.9 pair whose
+    partner sits in a STRICTLY earlier drop — at 16×4 bands a 0.9-pair
+    escapes candidacy with prob ≈4e-8 (same config the SQL-green
+    l2_neardup_clusters pins), so streaming ≡ batch hash-exactly."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.minhash import (
+        banded_signatures,
+        bipartite_jaccard_pairs,
+        minhash_signature,
+        probe_lsh_index,
+    )
+    from ..sources.table_format import VersionedTable
+    from ..streaming.jobs import write_single_parquet
+    from .helpers import T
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    stage = tempfile.mkdtemp(prefix="rdl_t11_drops_")
+    splits = (
+        docs.filter(F.col("doc_id") < 333),
+        docs.filter((F.col("doc_id") >= 333) & (F.col("doc_id") < 666)),
+        docs.filter(F.col("doc_id") >= 666),
+    )
+    for i, part in enumerate(splits):
+        dest = os.path.join(stage, f"drop_{i}.parquet")
+        write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60,) * 2)  # arrival order = drop order
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    index = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t11_idx_"))
+    matches = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t11_m_"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sig = minhash_signature(
+            batch_df.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
+        )
+        banded = banded_signatures(sig, "doc_id").localCheckpoint(eager=True)
+        idx = index.read()
+        if idx is not None:
+            cands = probe_lsh_index(banded, idx, "doc_id")
+            pairs = bipartite_jaccard_pairs(
+                batch_df.select("doc_id", "text"), docs, "doc_id",
+                w=1, threshold=0.9, candidates=cands,
+            )
+            matches.append(pairs, txn=("t11_matches", batch_id))
+        index.append(banded, txn=("t11_index", batch_id))
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+
+    m = matches.read()
+    if m is None:
+        return docs.select(
+            F.col("doc_id").alias("new_id"),
+            F.lit(0).cast("long").alias("n_prior"),
+            F.lit(None).cast("long").alias("best_match"),
+            F.lit(None).cast("double").alias("best_jaccard"),
+        )
+    p = m.withColumn("j", F.round("jaccard", 6))
+    w = Window.partitionBy("new_id").orderBy(F.col("j").desc(), F.col("corpus_id"))
+    best = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("best_match"), F.col("j").alias("best_jaccard"))
+    )
+    cnt = p.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_prior"))
+    return (
+        docs.select(F.col("doc_id").alias("new_id"))
+        .join(cnt, "new_id", "left")
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("n_prior", F.lit(0)).cast("long").alias("n_prior"),
+            "best_match",
+            "best_jaccard",
+        )
+    )

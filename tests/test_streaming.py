@@ -338,3 +338,19 @@ def test_documents_stream_drops_stages_n_files(spark, sf_dir, tmp_path):
     # the split is a partition: drops are disjoint and cover the corpus
     total = sum(spark.read.parquet(f).count() for f in files)
     assert total == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+
+def test_streaming_neardup_index_matches_only_prior_drops(spark, sf_dir):
+    """t11: every recorded match partner must come from a STRICTLY earlier
+    crawl drop (the index only ever holds prior batches' bands), and docs
+    with near-dups inside their own drop only are unmatched."""
+    from retail_datalakehouse_spark.queries.base import REGISTRY
+
+    def drop_of(doc_id):
+        return 0 if doc_id < 333 else (1 if doc_id < 666 else 2)
+
+    rows = REGISTRY["t11_streaming_neardup_index"].fn(spark, sf_dir).collect()
+    assert rows and any(r.n_prior > 0 for r in rows)
+    for r in rows:
+        if r.best_match is not None:
+            assert drop_of(r.best_match) < drop_of(r.new_id), (r.new_id, r.best_match)

@@ -560,3 +560,60 @@ def x_constraint_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("valid").alias("rule"), F.count(F.lit(1)).alias("n_rows")
     )
     return per_rule.unionByName(valid_row)
+
+
+@register(
+    "x_pseudonymize_join",
+    oracle="""
+WITH mc AS (
+  SELECT md5('pz1:' || CAST(c_custkey AS VARCHAR)) AS pid,
+         substr(md5('pz1:' || c_name), 1, 12) AS masked_name,
+         c_mktsegment
+  FROM customer),
+mo AS (
+  SELECT md5('pz1:' || CAST(o_custkey AS VARCHAR)) AS pid, o_totalprice
+  FROM orders WHERE o_custkey IS NOT NULL)
+SELECT c.c_mktsegment AS segment,
+       COUNT(DISTINCT c.pid) AS n_customers,
+       COUNT(o.o_totalprice) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE)
+         AS total_spend,
+       MIN(c.masked_name) AS sample_mask
+FROM mc c JOIN mo o ON c.pid = o.pid
+GROUP BY 1
+""",
+    tags=("DQ", "F1", "J1"),
+)
+def x_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-style pseudonymization that PRESERVES analytics: customer keys
+    and names are replaced by salted-hash pseudonyms (a pure column map —
+    the salt rotates per release, re-identification needs the salt), and
+    the masked fact⋈dim join still works because the same deterministic
+    pseudonym function is applied on both sides of the key. The oracle
+    recomputes the identical masking and proves segment-level spend over
+    the PSEUDONYMIZED join matches exactly — masking loses no referential
+    integrity. At 100 TB this is a narrow map on both inputs followed by
+    the normal hash join on the pseudonym (same partitioning behavior as
+    the raw key: md5 is uniform), so the governance layer costs one
+    projection, not a new join strategy."""
+    pz = lambda c: F.md5(F.concat(F.lit("pz1:"), c.cast("string")).cast("binary"))  # noqa: E731
+    cust = T(spark, sf_dir, "customer").select(
+        pz(F.col("c_custkey")).alias("pid"),
+        F.substring(pz(F.col("c_name")), 1, 12).alias("masked_name"),
+        "c_mktsegment",
+    )
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull())
+        .select(pz(F.col("o_custkey")).alias("pid"), "o_totalprice")
+    )
+    return (
+        cust.join(orders, "pid")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count_distinct("pid").alias("n_customers"),
+            F.count("o_totalprice").alias("n_orders"),
+            dsum("o_totalprice", scale=2, out_round=2).alias("total_spend"),
+            F.min("masked_name").alias("sample_mask"),
+        )
+    )

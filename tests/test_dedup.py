@@ -29,3 +29,19 @@ def test_dedup_exact_content_min_id_survives(spark):
     out = dedup_exact_content(df, content_col="text", id_col="doc_id")
     got = {(r.text, r.doc_id) for r in out.collect()}
     assert got == {("hello", 3), ("world", 7), ("x", 1)}
+
+
+def test_fan_out_repairs_narrow_plans_and_preserves_rows(spark):
+    """fan_out widens a single-split plan to >= defaultParallelism
+    partitions without adding/dropping/duplicating rows, and is a strict
+    no-op (same plan object) when the input is already wide enough."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.parallelism import fan_out
+
+    narrow = spark.range(1000).coalesce(1).select(F.col("id"))
+    widened = fan_out(narrow)
+    assert widened.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in widened.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(64)
+    assert fan_out(wide) is wide  # already parallel enough: no shuffle inserted

@@ -107,9 +107,9 @@ _PROMOTE_R5 = [
     # Still never driver-gated after r5 (29, all local-gate green every
     # round): the 12 slot-51+ entries above, the 5 rows-only-by-design
     # (l4_bpe_tokenize, x_approx_percentiles, x_hll_sketch_union,
-    # l3_sq8_topk, x_pagerank_influence), the deliberately slow
-    # x_ewma_unbounded (~40 s of real micro-batch machinery), and 11 SQL
-    # stragglers queued for the r6 window: l2_weighted_jaccard,
+    # l3_sq8_topk, x_pagerank_influence), and 12 SQL stragglers queued
+    # for the r6 window: x_ewma_unbounded (16 s now that its recursive
+    # oracle materializes its CTEs — was 40 s), l2_weighted_jaccard,
     # x_bucketed_colocated_join, x_exists_subquery, x_not_exists_subquery,
     # x_scalar_subquery, x_correlated_scalar_subquery, x_lateral_topk,
     # x_cdf_version_diff, x_write_audit_publish, x_ewma_smoothing,

@@ -1138,11 +1138,11 @@ def x_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EWMA_UNBOUNDED_SQL = """
-WITH RECURSIVE daily AS (
+WITH RECURSIVE daily AS MATERIALIZED (
   SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
          CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS rev
   FROM orders GROUP BY 1, 2),
-idx AS (
+idx AS MATERIALIZED (
   SELECT pri, day, rev,
          ROW_NUMBER() OVER (PARTITION BY pri ORDER BY day) AS rn
   FROM daily),

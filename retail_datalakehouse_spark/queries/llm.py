@@ -111,23 +111,23 @@ def l2_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l2_neardup_clusters",
     oracle="""
-WITH RECURSIVE tok AS (
+WITH RECURSIVE tok AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
   FROM documents WHERE doc_id < 1000
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM common
   JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
 ),
-edges_sym AS (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000),
+edges_sym AS MATERIALIZED (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000),
 reach AS (
   SELECT doc_id AS node, doc_id AS lbl FROM nodes
   UNION
@@ -670,7 +670,7 @@ _CORPUS_Q_SQL = """
 """
 
 _CORPUS_PIPELINE_SQL = f"""
-WITH RECURSIVE pool AS (
+WITH RECURSIVE pool AS MATERIALIZED (
   SELECT doc_id, text FROM documents WHERE doc_id < 450),
 scored AS (
   SELECT doc_id, text,
@@ -690,19 +690,19 @@ exact AS (
            PARTITION BY md5(array_to_string(list_filter(string_split(lower(text), ' '), t -> t != ''), ' '))
            ORDER BY doc_id) AS rn
   FROM gated),
-ex_surv AS (SELECT doc_id, text, lang_pred, q FROM exact WHERE rn = 1),
-tok AS (
+ex_surv AS MATERIALIZED (SELECT doc_id, text, lang_pred, q FROM exact WHERE rn = 1),
+tok AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
   FROM ex_surv),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM common
   JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
-edges_sym AS (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+edges_sym AS MATERIALIZED (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
 reach AS (
   SELECT doc_id AS node, doc_id AS lbl FROM ex_surv
   UNION
@@ -1476,23 +1476,23 @@ def l4_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "l2_dedup_keep_best",
     oracle="""
-WITH RECURSIVE tok AS (
+WITH RECURSIVE tok AS MATERIALIZED (
   SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
   FROM documents WHERE doc_id < 1000
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
 common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT id_a, id_b FROM common
   JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
 ),
-edges_sym AS (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
-nodes AS (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000),
+edges_sym AS MATERIALIZED (SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT doc_id FROM documents WHERE doc_id < 1000),
 reach AS (
   SELECT doc_id AS node, doc_id AS lbl FROM nodes
   UNION

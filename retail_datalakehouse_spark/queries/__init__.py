@@ -19,8 +19,8 @@ from . import streaming, lakehouse, llm, relational, windows, functions, udfs, e
 # Round-5 rotation (driver gate = FIRST 50 registry entries, a hard cap in
 # r1-r4). Slots 1-5: the five r4 hash-FAIL queries, re-checked first with
 # their CAST(... AS BIGINT) oracle fixes (R5_PLAN.md item 1). Slot 6: s1,
-# upgraded rows-only → SQL oracle this round. Slots 7-18: the TWELVE
-# queries BUILT this round (new code gates first). Slots 19-50: 32 of the
+# upgraded rows-only → SQL oracle this round. Slots 7-19: the THIRTEEN
+# queries BUILT this round (new code gates first). Slots 20-50: 31 of the
 # 61 queries that had never had a driver row entering r5 (VERDICT r4 item 3)
 # — the cheapest SQL-oracle ones by measured sf0.01 gate time, plus the
 # two materially changed pre-round (x_market_basket single-job lift,
@@ -32,13 +32,14 @@ _PROMOTE_R5 = [
     "l7_quality_topp",
     "l7_mixture_rebalance",
     "s1_csv_scan_inferred",
-    # Slots 7-18: the TWELVE round-5 additions (boilerplate removal, RAG
+    # Slots 7-19: the THIRTEEN round-5 additions (boilerplate removal, RAG
     # chunking, deterministic corpus shuffle, incremental near-dup,
     # containment near-dup, streaming corpus ingest, weighted sampling,
     # length batching, perceptual-hash image dedup, hybrid retrieval
     # pipeline, streaming near-dup vs accumulating LSH index, join-
-    # preserving pseudonymization) — brand-new queries gate first so
-    # their SQL oracles are externally hash-checked the round they ship.
+    # preserving pseudonymization, dataset card) — brand-new queries gate
+    # first so their SQL oracles are externally hash-checked the round
+    # they ship.
     "l4_boilerplate_removal",
     "l7_chunking",
     "l7_corpus_shuffle",
@@ -51,6 +52,7 @@ _PROMOTE_R5 = [
     "l6_rag_pipeline",
     "t11_streaming_neardup_index",
     "x_pseudonymize_join",
+    "l7_dataset_card",
     "x_market_basket",
     "l2_dedup_keep_best",
     "x_histogram",
@@ -82,10 +84,10 @@ _PROMOTE_R5 = [
     "x_event_transitions",
     "l4_contamination",
     "x_rfm_segmentation",
-    "x_pareto_8020",
-    # Slots 51+ (pushed past the ~50-row cap by the twelve round-5
+    # Slots 51+ (pushed past the ~50-row cap by the thirteen round-5
     # additions; first in line for the r6 window, full local gate covers
     # them every round):
+    "x_pareto_8020",
     "x_scd2_asof_snapshot",
     "x_funnel_analysis",
     "l4_heavy_hitters",
@@ -104,8 +106,8 @@ _PROMOTE_R5 = [
     "s7_change_data_feed",
     "l2_neardup_clusters",
     "l6_corpus_pipeline",
-    # Still never driver-gated after r5 (29, all local-gate green every
-    # round): the 12 slot-51+ entries above, the 5 rows-only-by-design
+    # Still never driver-gated after r5 (30, all local-gate green every
+    # round): the 13 slot-51+ entries above, the 5 rows-only-by-design
     # (l4_bpe_tokenize, x_approx_percentiles, x_hll_sketch_union,
     # l3_sq8_topk, x_pagerank_influence), and 12 SQL stragglers queued
     # for the r6 window: x_ewma_unbounded (16 s now that its recursive

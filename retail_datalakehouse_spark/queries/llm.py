@@ -2170,3 +2170,58 @@ def l6_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sc").alias("best_chunk_score"),
         )
     )
+
+
+@register(
+    "l7_dataset_card",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, lang, source, text,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens,
+         {_CORPUS_Q_SQL} AS q
+  FROM documents)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       COUNT(DISTINCT lang) AS n_langs,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS exact_dup_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens,
+       ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4)
+         AS mean_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(25,8))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_quality
+FROM s
+""",
+    tags=("L4", "A1", "A2"),
+)
+def l7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row datasheet a corpus release ships — doc
+    and token counts, language/source diversity, exact-duplicate count,
+    token-length range/mean, mean quality. ONE scan, one agg: the
+    distincts are two-phase (partial per-partition sets), the duplicate
+    count piggybacks on COUNT DISTINCT over the text (at 100 TB swap the
+    exact text-distinct for the md5 fingerprint — same answer, 16-byte
+    shuffle rows — or the HLL sketch the engine also ships). Every number
+    hash-checked, so the published card can't drift from the data."""
+    from ..operators.text import quality_score, tokens
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.size(tokens("text")).alias("n_tokens"),
+        quality_score("text").alias("q"),
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.count_distinct("text")).cast("long").alias("exact_dup_docs"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+        davg("n_tokens", scale=6, out_round=4).alias("mean_tokens"),
+        davg("q", scale=8, out_round=6).alias("mean_quality"),
+    )

@@ -158,6 +158,37 @@ def topk_cosine_join(
     )
 
 
+def radius_search_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold: float,
+    q_id: str = "q_id",
+    q_vec: str = "q_vec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 8,
+) -> DataFrame:
+    """Radius (range) search: ALL corpus neighbors with cosine ≥
+    ``threshold`` for every query — the fixed-similarity companion to
+    top-k (dedup sweeps and recall evaluation want "everything this
+    close", not "the closest k"). Same broadcast-queries shape as
+    :func:`topk_cosine_join`, but the filter replaces the window: each
+    corpus partition emits only its ≥-threshold rows, so the shuffle-free
+    scan output is the result itself. Self-pairs (same id) are excluded.
+
+    Returns (q_id, vec_id, cos_sim ≥ threshold)."""
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(q_id))
+        .select(
+            F.col(q_id),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col(q_vec)), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

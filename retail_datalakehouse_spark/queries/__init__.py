@@ -106,11 +106,13 @@ _PROMOTE_R5 = [
     "s7_change_data_feed",
     "l2_neardup_clusters",
     "l6_corpus_pipeline",
-    # Still never driver-gated after r5 (30, all local-gate green every
+    # Still never driver-gated after r5 (32, all local-gate green every
     # round): the 13 slot-51+ entries above, the 5 rows-only-by-design
     # (l4_bpe_tokenize, x_approx_percentiles, x_hll_sketch_union,
-    # l3_sq8_topk, x_pagerank_influence), and 12 SQL stragglers queued
-    # for the r6 window: x_ewma_unbounded (16 s now that its recursive
+    # l3_sq8_topk, x_pagerank_influence), and 14 SQL stragglers queued
+    # for the r6 window: l3_radius_search + l3_knn_classify (built late
+    # in r5 after the 50-slot prefix froze, 3-scale green),
+    # x_ewma_unbounded (16 s now that its recursive
     # oracle materializes its CTEs — was 40 s), l2_weighted_jaccard,
     # x_bucketed_colocated_join, x_exists_subquery, x_not_exists_subquery,
     # x_scalar_subquery, x_correlated_scalar_subquery, x_lateral_topk,

@@ -2225,3 +2225,113 @@ def l7_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("n_tokens", scale=6, out_round=4).alias("mean_tokens"),
         davg("q", scale=8, out_round=6).alias("mean_quality"),
     )
+
+
+@register(
+    "l3_radius_search",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id),
+agg AS (
+  SELECT q_id, vec_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos_sim
+  FROM scored GROUP BY 1, 2)
+SELECT q_id, vec_id, cos_sim FROM agg WHERE cos_sim >= 0.25
+""",
+    tags=("L3",),
+)
+def l3_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 radius (range) search: every corpus neighbor with cosine ≥ 0.25
+    for each of 3 query vectors — the fixed-similarity companion to top-k
+    (near-dup sweeps want "everything this close", not "the closest k").
+    Broadcast query set, per-partition JVM scoring, and the threshold
+    filter IS the reduction (no window, no heap): at 100 TB the scan
+    emits only qualifying rows. Threshold applied to the 6-dp rounded
+    score on BOTH engines so the boundary is bit-identical."""
+    from ..operators.similarity import radius_search_join
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return radius_search_join(q, e, threshold=0.25, round_to=6)
+
+
+@register(
+    "l3_knn_classify",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, label AS true_label, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, q.true_label, e.vec_id, e.label,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id),
+agg AS (
+  SELECT q_id, true_label, vec_id, label,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cs
+  FROM scored GROUP BY 1, 2, 3, 4),
+nn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM agg),
+votes AS (
+  SELECT q_id, true_label, label, COUNT(*) AS n_votes
+  FROM nn WHERE rn <= 10 GROUP BY 1, 2, 3),
+winner AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS vr
+  FROM votes)
+SELECT q_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS predicted_label, n_votes
+FROM winner WHERE vr = 1
+""",
+    tags=("L3", "W1", "A1"),
+)
+def l3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification over the embedding table's label column: each
+    of 5 query vectors takes the majority label of its 10 exact nearest
+    neighbors (ties → smaller label; self excluded). The evaluation shape
+    behind every embedding-quality report: scoring is the broadcast
+    similarity join (WindowGroupLimit keeps 10 before any shuffle), the
+    vote is one tiny groupBy — swap the exact join for the IVF probe at
+    corpus scale, the vote logic is unchanged. Neighbor sets, vote
+    counts, and tie-breaks are value-checked end to end."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import topk_cosine_join
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    corpus = e.select("vec_id", "label", "embedding")
+    nn = topk_cosine_join(
+        q.select("q_id", "q_vec"), corpus.select("vec_id", "embedding"), k=11, round_to=6
+    )
+    # k=11 then drop self: the query vector is its own perfect neighbor
+    nn = nn.filter(F.col("vec_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    nn10 = nn.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    votes = (
+        nn10.join(corpus.select("vec_id", "label"), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vw = Window.partitionBy("q_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    winner = votes.withColumn("vr", F.row_number().over(vw)).filter(F.col("vr") == 1)
+    return (
+        winner.join(q.select("q_id", "true_label"), "q_id")
+        .select(
+            "q_id",
+            F.col("true_label").cast("long").alias("true_label"),
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+        )
+    )

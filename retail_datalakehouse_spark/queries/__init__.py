@@ -16,15 +16,58 @@ from .base import REGISTRY, Query, oracle_sql, queries, register  # noqa: F401
 # window finally lands on them; the already-driver-green blocks go last.
 from . import streaming, lakehouse, llm, relational, windows, functions, udfs, extras, advanced, analytics  # noqa: E402,F401
 
-# Round-5 rotation (driver gate = FIRST 50 registry entries, a hard cap in
-# r1-r4). Slots 1-5: the five r4 hash-FAIL queries, re-checked first with
-# their CAST(... AS BIGINT) oracle fixes (R5_PLAN.md item 1). Slot 6: s1,
-# upgraded rows-only → SQL oracle this round. Slots 7-19: the THIRTEEN
-# queries BUILT this round (new code gates first). Slots 20-50: 31 of the
-# 61 queries that had never had a driver row entering r5 (VERDICT r4 item 3)
-# — the cheapest SQL-oracle ones by measured sf0.01 gate time, plus the
-# two materially changed pre-round (x_market_basket single-job lift,
-# l2_dedup_keep_best via the CC incident-node trim).
+# Round-6 rotation (driver gate = FIRST ~50 registry entries, hard cap).
+# Slot 1: l4_inverted_index — r5's ONLY red row (top-level array<long>
+# output column broke the driver's pandas canonicalizer), now emitting a
+# comma-joined string in both query and oracle; re-check it first.
+# Slots 2-3: s2/s5 — their latest driver rows are STALE r4 `no_oracle`
+# ERRs from before their r5 SQL-oracle upgrades; VERDICT r5 flagged that
+# the queued rotation forgot them.
+# Slots 4-30: ALL 27 remaining never-driver-gated SQL-oracle queries (13
+# slot-51+ entries + 14 stragglers from the r5 queue), every one
+# local-gate green at sf0.01 and swept at sf0.1. After r6 every
+# SQL-oracle query in the registry should hold a green driver row.
+# Slots 31-50: the queries BUILT this round (new code gates the round it
+# ships — the r5 pattern).
+_PROMOTE_R6 = [
+    "l4_inverted_index",
+    "s2_csv_malformed_header",
+    "s5_catalog_register_list",
+    # 13 slot-51+ entries (never gated; pushed past the cap in r5):
+    "x_pareto_8020",
+    "x_scd2_asof_snapshot",
+    "x_funnel_analysis",
+    "l4_heavy_hitters",
+    "x_funnel_windowed",
+    "x_benford_screen",
+    "x_gaps_islands",
+    "x_sessionization",
+    "x_profile_summary",
+    "x_runtime_bloom_join",
+    "x_skyline_pareto",
+    "l4_tfidf_topterms",
+    "x_triangle_count",
+    # 14 SQL stragglers (never gated):
+    "l3_radius_search",
+    "l3_knn_classify",
+    "x_ewma_unbounded",
+    "l2_weighted_jaccard",
+    "x_bucketed_colocated_join",
+    "x_exists_subquery",
+    "x_not_exists_subquery",
+    "x_scalar_subquery",
+    "x_correlated_scalar_subquery",
+    "x_lateral_topk",
+    "x_cdf_version_diff",
+    "x_write_audit_publish",
+    "x_ewma_smoothing",
+    "x_merge_on_read_delete",
+    # Slots 31+: round-6 additions are appended here as they ship.
+]
+
+# Round-5 rotation, kept for the record (every name below already holds a
+# green driver row in CORRECTNESS_r05.json or earlier; they now gate
+# after the r6 prefix and are re-verified by the full local gate).
 _PROMOTE_R5 = [
     "l7_corpus_split",
     "l7_sequence_packing",
@@ -119,7 +162,8 @@ _PROMOTE_R5 = [
     # x_cdf_version_diff, x_write_audit_publish, x_ewma_smoothing,
     # x_merge_on_read_delete.
 ]
-_head = {n: REGISTRY[n] for n in _PROMOTE_R5 if n in REGISTRY}
+# Dict insertion order dedupes: a name in both lists keeps its R6 slot.
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -751,7 +751,7 @@ WITH tok AS (
   SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS term
   FROM documents)
 SELECT term, COUNT(*) AS df,
-       list(doc_id ORDER BY doc_id)[1:20] AS postings_head
+       array_to_string(list(doc_id ORDER BY doc_id)[1:20], ',') AS postings_head
 FROM tok GROUP BY term
 """
 
@@ -762,14 +762,23 @@ def l4_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings (sorted doc_ids). The retrieval-side complement of l4_bm25;
     posting lists are collect_set + sort + slice per term — one shuffle
     on the term key, bounded output per term (full postings would be
-    written to a term-bucketed table instead of returned)."""
+    written to a term-bucketed table instead of returned). The posting
+    head is emitted as a comma-joined STRING: the external gate's
+    canonicalizer hashes scalar columns only (top-level arrays raise
+    ``unhashable type: 'list'`` in its pandas sort — r5 post-mortem)."""
     docs = T(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).distinct()
     return tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("df"),
-        F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20).alias("postings_head"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings_head"),
     )
 
 

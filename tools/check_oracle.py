@@ -96,6 +96,23 @@ def main() -> int:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
+        # Schema lint BEFORE hashing: the driver's canonicalizer sorts result
+        # columns with pandas, which raises `TypeError: unhashable type:
+        # 'list'` on list cells (r5's only red row, l4_inverted_index — a
+        # top-level array<long> column that OUR _norm serialized fine, so
+        # local green hid driver red). Gated SQL-oracle outputs must be
+        # scalar columns only; stringify arrays with concat_ws/array_join.
+        complex_cols = [
+            f"{fld.name}:{fld.dataType.simpleString()}"
+            for fld in sdf.schema.fields
+            if fld.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if complex_cols:
+            print(f"FAIL  {name}: complex-type lint — driver hasher cannot "
+                  f"canonicalize list cells; stringify: {', '.join(complex_cols)}")
+            n_fail += 1
+            failures.append(name)
+            continue
         try:
             # Type lint BEFORE hashing: DuckDB widens SUM(BIGINT) to HUGEINT
             # (int128) and the driver renders HUGEINT/DECIMAL differently than

@@ -48,11 +48,16 @@ def _perm_coeffs(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingles(text_col: str, w: int = 3) -> F.Column:
     """w-token shingles as strings: slice the token array at every offset.
-    Docs shorter than w tokens yield their whole text as one shingle."""
+    Docs shorter than w tokens yield their whole text as one shingle;
+    zero-token (empty / whitespace-only) docs yield an EMPTY array so a
+    downstream explode drops them — two empty docs must not pair at
+    jaccard 1.0 on an empty-string shingle (the DuckDB oracles unnest an
+    empty list and never see such docs; advice r5)."""
     t = tokens(text_col)
     n = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(w - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, w)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, w)))
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(sh)
 
 
 def minhash_signature(

@@ -257,7 +257,8 @@ def append_to_ivf_index(
     path: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> None:
+    txn: tuple[str, int] | None = None,
+) -> bool:
     """Incremental IVF maintenance: assign ONLY the new vectors to their
     nearest (unchanged) centroids and APPEND them into the persisted
     index's partition layout — no rebuild, no touch of existing rows.
@@ -269,9 +270,40 @@ def append_to_ivf_index(
     rebuild over the union — pinned by
     tests/test_llm_ops.py::test_ivf_append_equals_rebuild. Re-clustering
     (when drift degrades balance) is a separate offline job, exactly as
-    in production IVF systems."""
+    in production IVF systems.
+
+    ``txn=(writer_id, batch_id)`` makes the append IDEMPOTENT per writer
+    (the VersionedTable discipline): a replayed or retried ingest batch at
+    or below the writer's last committed batch id is a no-op instead of a
+    silent double-append of its vectors. Returns True if the batch was
+    written, False if it was a replay. Without ``txn`` the caller must
+    guarantee single delivery."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_txn_state.json")
+    if txn is not None:
+        writer_id, batch_id = txn
+        state: dict = {}
+        if os.path.exists(marker):
+            with open(marker) as f:
+                state = json.load(f)
+        last = state.get(writer_id)
+        if last is not None and int(last) >= batch_id:
+            return False
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+    if txn is not None:
+        # Record AFTER the data write (same ordering as VersionedTable
+        # commits): a crash between write and marker re-appends on retry,
+        # which exactly-once callers handle by routing through
+        # VersionedTable; the marker guards the common replay case.
+        state[writer_id] = batch_id
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, marker)
+    return True
 
 
 def ivf_topk_indexed(

@@ -50,7 +50,9 @@ def test_query_index_doc_is_current():
     """QUERIES.md is generated from the registry — every registered name
     must appear (stale docs misreport coverage to reviewers)."""
     m = _entry_mod()
-    with open("QUERIES.md") as f:
+    from pathlib import Path
+
+    with open(Path(__file__).resolve().parents[1] / "QUERIES.md") as f:
         doc = f.read()
     missing = [n for n in m.queries() if f"`{n}`" not in doc]
     assert not missing, f"QUERIES.md stale — run tools/gen_query_index.py: {missing}"

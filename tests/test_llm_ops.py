@@ -644,6 +644,46 @@ def test_containment_finds_embedded_doc(spark):
     assert (0, 2) not in pairs and (2, 0) not in pairs
 
 
+def test_empty_docs_never_pair(spark):
+    """Empty / whitespace-only docs must yield ZERO shingles, so they pair
+    with nothing — not even each other. The DuckDB oracles unnest an empty
+    shingle list and drop such docs entirely; an '' shingle on the Spark
+    side would pair two empty docs at jaccard 1.0 (advice r5)."""
+    from retail_datalakehouse_spark.operators.minhash import (
+        bipartite_jaccard_pairs,
+        containment_pairs,
+        shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "alpha beta gamma delta epsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    shs = {r.doc_id: r.s for r in df.select("doc_id", shingles("text").alias("s")).collect()}
+    assert shs[0] == [] and shs[1] == []
+    assert len(shs[2]) == 3  # 5 tokens, w=3
+
+    jac = {
+        (r.new_id, r.corpus_id)
+        for r in bipartite_jaccard_pairs(df, df, "doc_id", w=3, threshold=0.5).collect()
+    }
+    assert (0, 1) not in jac and (1, 0) not in jac
+    assert (0, 0) not in jac  # empty docs match nothing, not even themselves
+    assert (2, 3) in jac  # real dups still found
+
+    cont = {
+        (r.id_a, r.id_b)
+        for r in containment_pairs(df, "doc_id", w=3, threshold=0.0).collect()
+    }
+    assert all(0 not in p and 1 not in p for p in cont)
+    assert (2, 3) in cont
+
+
 def test_containment_refuses_unbounded_exact(spark):
     from retail_datalakehouse_spark.operators.minhash import containment_pairs
 
@@ -813,6 +853,34 @@ def test_ivf_append_equals_rebuild(spark, sf_dir, tmp_path):
     a = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, inc_path, cents, list(q), k=5, nprobe=2).collect()]
     b = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, full_path, cents, list(q), k=5, nprobe=2).collect()]
     assert a == b
+
+
+def test_ivf_append_replay_is_noop(spark, sf_dir, tmp_path):
+    """A retried/replayed ingest batch (same writer, same batch id) must
+    NOT double-append its vectors into the persisted IVF index — the
+    txn=(writer, batch_id) guard makes the second delivery a no-op, the
+    same exactly-once discipline VersionedTable.append uses (advice r5)."""
+    from retail_datalakehouse_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        seeded_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    old = e.filter(F.col("vec_id") % 10 != 0)
+    new = e.filter(F.col("vec_id") % 10 == 0)
+
+    path = str(tmp_path / "ivf_txn")
+    build_ivf_index(old, cents, path)
+    assert append_to_ivf_index(new, cents, path, txn=("ingest", 1)) is True
+    n_after_first = spark.read.parquet(path).count()
+    # replay of batch 1 and a stale batch 0: both no-ops
+    assert append_to_ivf_index(new, cents, path, txn=("ingest", 1)) is False
+    assert append_to_ivf_index(new, cents, path, txn=("ingest", 0)) is False
+    assert spark.read.parquet(path).count() == n_after_first == e.count()
+    # the NEXT batch id still commits
+    assert append_to_ivf_index(new.limit(0), cents, path, txn=("ingest", 2)) is True
 
 
 def test_chunk_and_segment_arithmetic_sweep(spark):

@@ -63,6 +63,7 @@ _PROMOTE_R6 = [
     "x_ewma_smoothing",
     "x_merge_on_read_delete",
     # Slots 31+: round-6 additions are appended here as they ship.
+    "x_serializable_merge",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

@@ -617,3 +617,84 @@ def x_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("masked_name").alias("sample_mask"),
         )
     )
+
+
+# ------------------------------------- serializable concurrent MERGE
+
+
+_SER_MERGE_SQL = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 20 = 0 THEN 200000.0 + c_custkey
+            WHEN c_custkey % 10 = 0 THEN 100000.0 + c_custkey
+            WHEN c_custkey % 10 = 3 THEN 300000.0 + c_custkey
+            WHEN c_custkey % 10 = 5 THEN 500000.0 + c_custkey
+            ELSE c_acctbal END AS balance
+FROM customer WHERE c_custkey <= 200
+"""
+
+
+@register("x_serializable_merge", oracle=_SER_MERGE_SQL, tags=("S7", "S6"), doc="")
+def x_serializable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolated concurrent MERGE conflict detection (the Delta
+    ConcurrentModificationException contract on VersionedTable): each
+    serializable merge records its key fingerprints in the manifest; a
+    writer that loses the CAS race checks the intervening commits' write
+    sets before rebasing — overlap aborts (the losing update must NOT
+    appear in any committed version), disjoint writers rebase and ALL
+    commit. The query replays a deterministic 3-race history and returns
+    the final snapshot; the oracle recomputes it from the winners alone,
+    so the hash proves the aborted overlap merge really left no trace.
+    At 100 TB the check is manifest-metadata-only: O(|batch keys|)
+    fingerprints per commit, no data-file reads."""
+    import tempfile
+
+    from ..sources.table_format import ConcurrentMergeConflict, VersionedTable
+
+    base = (
+        T(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 200)
+        .select("c_custkey", F.col("c_acctbal").alias("balance"))
+    )
+    path = tempfile.mkdtemp(prefix="rdl_sermerge_")
+    table = VersionedTable(spark, path)
+    table.overwrite(base)  # v1
+
+    def upd(mod: int, rem: int, base_val: float) -> DataFrame:
+        return base.filter(F.col("c_custkey") % mod == rem).select(
+            "c_custkey", (F.lit(base_val) + F.col("c_custkey")).alias("balance")
+        )
+
+    # v2: plain serializable merge, no race — %10==0 -> 100000+key
+    table.merge(upd(10, 0, 100000.0), ["c_custkey"], isolation="serializable")
+
+    # race 1 — OVERLAP: rival commits %20==0 -> 200000+key between our
+    # read and CAS; our %20==0 -> 999999 merge must abort untraced.
+    rival_tbl = VersionedTable(spark, path)
+
+    def race(rival_updates: DataFrame, my_updates: DataFrame):
+        state = {"fired": False}
+
+        class Racing(VersionedTable):
+            def _try_commit(self, df, op, parent, txn=None, modified_keys=None):
+                if not state["fired"]:
+                    state["fired"] = True
+                    rival_tbl.merge(
+                        rival_updates, ["c_custkey"], isolation="serializable"
+                    )
+                return super()._try_commit(
+                    df, op, parent, txn=txn, modified_keys=modified_keys
+                )
+
+        Racing(spark, path).merge(my_updates, ["c_custkey"], isolation="serializable")
+
+    try:
+        race(upd(20, 0, 200000.0), upd(20, 0, 999999.0))
+        raise AssertionError("overlapping serializable merges both committed")
+    except ConcurrentMergeConflict:
+        pass  # loser aborted; rival's 200000+key stands
+
+    # race 2 — DISJOINT: rival takes %10==3, we take %10==5; the loser
+    # detects no overlap, rebases, and both land.
+    race(upd(10, 3, 300000.0), upd(10, 5, 500000.0))
+
+    return table.read().select("c_custkey", F.col("balance").cast("double"))

@@ -44,6 +44,14 @@ class CommitConflict(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+class ConcurrentMergeConflict(CommitConflict):
+    """Serializable-isolation MERGE abort: between this writer's read
+    snapshot and its commit attempt, another writer committed a change
+    whose modified-key set overlaps (or is unknown) — rebasing would
+    silently re-derive over a conflicting write, so the merge fails
+    instead (Delta's ConcurrentModificationException contract)."""
+
+
 def _parquet_num_rows(data_dir: str) -> int:
     """Row count from parquet footers (driver-side metadata read — no
     Spark job). Exactly what Delta stores in its commit stats: the
@@ -97,11 +105,22 @@ class VersionedTable:
         return None if got is None else int(got)
 
     def _try_commit(
-        self, df: DataFrame, op: str, parent: int | None, txn: dict | None = None
+        self,
+        df: DataFrame,
+        op: str,
+        parent: int | None,
+        txn: dict | None = None,
+        modified_keys: list[int] | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
-        up the staged data) if another writer committed that version."""
+        up the staged data) if another writer committed that version.
+
+        ``modified_keys`` — fingerprints (xxhash64 of the key tuple) of
+        the rows this commit touched; recorded in the manifest so later
+        serializable writers can detect overlap. None = unknown write set
+        (conservatively conflicts with every serializable merge); [] =
+        touches no existing keys (blind append — never conflicts)."""
         v = (parent or 0) + 1
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
@@ -116,6 +135,7 @@ class VersionedTable:
             "n_rows": n_rows,
             "data_dir": data_dirname,
             "committed_at": time.time(),
+            "modified_keys": modified_keys,
             # transaction watermarks carry forward: {writer_id: last batch}
             "txn": dict(self._txn_state(parent), **(txn or {})),
         }
@@ -132,12 +152,44 @@ class VersionedTable:
             os.unlink(tmp)
         return v
 
+    def _check_serializable(
+        self, read_version: int | None, modified_keys: list[int] | None
+    ) -> None:
+        """Raise :class:`ConcurrentMergeConflict` if any version committed
+        AFTER ``read_version`` touched keys overlapping ``modified_keys``.
+
+        Rules (Delta's conflict matrix, reduced to this format's ops):
+        blind appends (recorded ``modified_keys == []``) never conflict;
+        a commit with an unknown write set (None — overwrite, delete,
+        fold, pre-feature manifests) always conflicts; two merges
+        conflict iff their key-fingerprint sets intersect. Our own
+        unknown write set (None — updates wider than the fingerprint cap)
+        conflicts with everything but appends."""
+        current = self.current_version()
+        for v in range((read_version or 0) + 1, (current or 0) + 1):
+            m = self._manifest(v)
+            theirs = m.get("modified_keys")
+            if theirs == []:
+                continue  # blind append
+            if theirs is None or modified_keys is None:
+                raise ConcurrentMergeConflict(
+                    f"serializable merge aborted: version {v} "
+                    f"({m['operation']}) has an unknown write set"
+                )
+            if set(theirs) & set(modified_keys):
+                raise ConcurrentMergeConflict(
+                    f"serializable merge aborted: version {v} "
+                    f"({m['operation']}) modified overlapping keys"
+                )
+
     def _commit_with_retry(
         self,
         build: Callable[[DataFrame | None], DataFrame],
         op: str,
         max_retries: int = 5,
         txn: tuple[str, int] | None = None,
+        modified_keys: list[int] | None = None,
+        serializable: bool = False,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -149,7 +201,14 @@ class VersionedTable:
         a restarted ``foreachBatch`` stream replay its last micro-batch
         without double-applying it. The check re-runs after every lost
         race, so a replay racing a fresh writer still commits at most
-        once."""
+        once.
+
+        ``serializable=True`` (merges only): before rebasing onto a race
+        winner, check the intervening commits' recorded write sets — if
+        any overlaps this writer's ``modified_keys`` (or is unknown), the
+        rebase would silently re-apply conflicting logic, so raise
+        :class:`ConcurrentMergeConflict` to the caller instead. Disjoint
+        writers still rebase-retry and all commit."""
         for _ in range(max_retries):
             parent = self.current_version()
             if txn is not None:
@@ -160,8 +219,13 @@ class VersionedTable:
                 return self._try_commit(
                     build(self.read()), op, parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
+                    modified_keys=modified_keys,
                 )
+            except ConcurrentMergeConflict:
+                raise
             except CommitConflict:
+                if serializable:
+                    self._check_serializable(parent, modified_keys)
                 continue
         raise CommitConflict(
             f"lost {max_retries} consecutive commit races at {self.path}"
@@ -173,9 +237,30 @@ class VersionedTable:
         return self._commit_with_retry(lambda cur: df, "overwrite")
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        # modified_keys=[]: a blind append touches no existing keys, so it
+        # never conflicts with a serializable merge (WriteSerializable).
         return self._commit_with_retry(
-            lambda cur: df if cur is None else cur.unionByName(df), "append", txn=txn
+            lambda cur: df if cur is None else cur.unionByName(df),
+            "append", txn=txn, modified_keys=[],
         )
+
+    # Fingerprint cap: above this many distinct keys the write set is
+    # recorded as unknown (None), which conservatively conflicts with any
+    # concurrent serializable merge. Keeps manifests bounded.
+    _KEY_FP_CAP = 100_000
+
+    def _key_fingerprints(self, df: DataFrame, keys: list[str]) -> list[int] | None:
+        from pyspark.sql import functions as F
+
+        rows = (
+            df.select(F.xxhash64(*keys).alias("h"))
+            .distinct()
+            .limit(self._KEY_FP_CAP + 1)
+            .collect()
+        )
+        if len(rows) > self._KEY_FP_CAP:
+            return None
+        return sorted(r.h for r in rows)
 
     def merge(
         self,
@@ -183,14 +268,30 @@ class VersionedTable:
         keys: list[str],
         order_by: list | None = None,
         txn: tuple[str, int] | None = None,
+        isolation: str = "snapshot",
     ) -> int:
         """MERGE INTO: update matched keys, insert new (S7 on a table).
 
         With ``order_by`` (names or Column expressions), the merge is
         conditional — ``WHEN MATCHED AND update is first under order_by
         THEN UPDATE`` — so replaying out-of-order micro-batches cannot
-        regress a key to an older row (the streaming-upsert contract)."""
+        regress a key to an older row (the streaming-upsert contract).
+
+        ``isolation``: ``"snapshot"`` (default) rebase-retries every lost
+        race — correct when merges are commutative per key (disjoint
+        writers, or last-writer-wins with ``order_by``). ``"serializable"``
+        additionally records this merge's key fingerprints in the manifest
+        and, on a lost race, raises :class:`ConcurrentMergeConflict` if
+        any intervening commit touched an overlapping (or unknown) key
+        set — two writers MERGEing the same keys cannot both commit, the
+        Delta conflict-detection contract. Disjoint-key writers still all
+        commit via rebase."""
+        if isolation not in ("snapshot", "serializable"):
+            raise ValueError(f"unknown isolation level: {isolation!r}")
         from ..operators.dedup import dedup_keep_first
+
+        serializable = isolation == "serializable"
+        modified = self._key_fingerprints(updates, keys) if serializable else None
 
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
@@ -199,7 +300,10 @@ class VersionedTable:
                 return merge_upsert_latest(cur, updates, keys, order_by)
             return merge_upsert(cur, updates, keys)
 
-        return self._commit_with_retry(build, "merge", txn=txn)
+        return self._commit_with_retry(
+            build, "merge", txn=txn,
+            modified_keys=modified, serializable=serializable,
+        )
 
     def fold(
         self,

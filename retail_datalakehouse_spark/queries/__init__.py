@@ -64,6 +64,7 @@ _PROMOTE_R6 = [
     "x_merge_on_read_delete",
     # Slots 31+: round-6 additions are appended here as they ship.
     "x_serializable_merge",
+    "t12_coldstart_neardup_resume",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

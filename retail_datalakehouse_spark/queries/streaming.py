@@ -877,3 +877,174 @@ def t11_streaming_neardup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_jaccard",
         )
     )
+
+
+@register(
+    "t12_coldstart_neardup_resume",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, text,
+         CASE WHEN doc_id < 333 THEN 0 WHEN doc_id < 666 THEN 1 ELSE 2 END AS drp
+  FROM documents WHERE doc_id < 1000),
+tok AS (
+  SELECT doc_id, drp,
+         unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM d),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS na, b.doc_id AS eb, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND b.drp < a.drp
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT na, eb, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS j
+  FROM common JOIN sizes sa ON sa.doc_id = na JOIN sizes sb ON sb.doc_id = eb
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9),
+best AS (
+  SELECT na, eb AS best_match, j AS best_jaccard
+  FROM (SELECT na, eb, j,
+               ROW_NUMBER() OVER (PARTITION BY na ORDER BY j DESC, eb) AS rn
+        FROM pairs)
+  WHERE rn = 1),
+cnt AS (SELECT na, COUNT(*) AS n_prior FROM pairs GROUP BY 1)
+SELECT d.doc_id AS new_id,
+       CAST(COALESCE(cnt.n_prior, 0) AS BIGINT) AS n_prior,
+       best.best_match, best.best_jaccard
+FROM d
+LEFT JOIN cnt ON cnt.na = d.doc_id
+LEFT JOIN best ON best.na = d.doc_id
+""",
+    tags=("T6", "T1", "L2", "S7"),
+)
+def t12_coldstart_neardup_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: COLD-RESTART resume of the streaming near-dup index — the
+    durability proof the T11 shape implies. Run 1 (the "first process")
+    ingests crawl drops 0-1 into a PERSISTED banded index + match table
+    (VersionedTables at fixed paths, stream checkpointed), then
+    terminates. Drop 2 arrives while no process is running. Run 2 is a
+    cold restart: brand-new table handles and a brand-new stream over
+    the SAME checkpoint — Spark resumes at batch id 2, the restarted
+    process minhash-signs ONLY drop 2 (asserted: the one batch it sees
+    is drop 2, and the index grew by exactly drop 2's bands — the
+    drops-0/1 corpus is never re-shingled), probes the index it finds on
+    disk, and appends. A manual duplicate delivery of batch 2 after the
+    restart is a txn-guarded no-op (replay-safe across restarts). The
+    oracle is the uninterrupted batch rewrite (identical to T11's):
+    hash-equality proves crash + resume loses and invents nothing.
+    At 100 TB this is the operational contract: the index outlives any
+    worker process, and restart cost is O(new data), never O(corpus)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.minhash import (
+        banded_signatures,
+        bipartite_jaccard_pairs,
+        minhash_signature,
+        probe_lsh_index,
+    )
+    from ..sources.table_format import VersionedTable
+    from ..streaming.jobs import run_foreach_batch, write_single_parquet
+    from .helpers import T
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1000)
+        .select("doc_id", "text")
+    )
+    root = tempfile.mkdtemp(prefix="rdl_t12_")
+    stage = os.path.join(root, "drops")
+    ckpt = os.path.join(root, "ckpt")
+    idx_path = os.path.join(root, "index")
+    m_path = os.path.join(root, "matches")
+    os.makedirs(stage, exist_ok=True)
+
+    splits = (
+        docs.filter(F.col("doc_id") < 333),
+        docs.filter((F.col("doc_id") >= 333) & (F.col("doc_id") < 666)),
+        docs.filter(F.col("doc_id") >= 666),
+    )
+    for i in (0, 1):  # only drops 0-1 exist before the crash
+        dest = os.path.join(stage, f"drop_{i}.parquet")
+        write_single_parquet(splits[i], dest)
+        os.utime(dest, (1_000_000_000 + i * 60,) * 2)
+
+    def make_apply(index: VersionedTable, matches: VersionedTable, seen: list):
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            seen.append(batch_id)
+            sig = minhash_signature(
+                batch_df.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
+            )
+            banded = banded_signatures(sig, "doc_id").localCheckpoint(eager=True)
+            idx = index.read()
+            if idx is not None:
+                cands = probe_lsh_index(banded, idx, "doc_id")
+                pairs = bipartite_jaccard_pairs(
+                    batch_df.select("doc_id", "text"), docs, "doc_id",
+                    w=1, threshold=0.9, candidates=cands,
+                )
+                matches.append(pairs, txn=("t12_matches", batch_id))
+            index.append(banded, txn=("t12_index", batch_id))
+        return apply_batch
+
+    def stream():
+        return (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(stage)
+        )
+
+    # -------- run 1: the first process ingests drops 0-1, then "crashes"
+    seen1: list[int] = []
+    run_foreach_batch(
+        stream(), make_apply(VersionedTable(spark, idx_path), VersionedTable(spark, m_path), seen1),
+        output_mode="append", checkpoint=ckpt,
+    )
+    assert seen1 == [0, 1], f"run 1 saw batches {seen1}"
+
+    # -------- drop 2 arrives while nothing is running
+    dest = os.path.join(stage, "drop_2.parquet")
+    write_single_parquet(splits[2], dest)
+    os.utime(dest, (1_000_000_000 + 120,) * 2)
+
+    # -------- run 2: cold restart — new handles, same checkpoint
+    index2 = VersionedTable(spark, idx_path)
+    matches2 = VersionedTable(spark, m_path)
+    rows_before = index2._manifest(index2.current_version())["n_rows"]
+    seen2: list[int] = []
+    run_foreach_batch(
+        stream(), make_apply(index2, matches2, seen2),
+        output_mode="append", checkpoint=ckpt,
+    )
+    assert seen2 == [2], f"cold restart replayed old batches: {seen2}"
+    # index grew by EXACTLY drop 2's bands (16 per doc): no re-signing
+    rows_after = index2._manifest(index2.current_version())["n_rows"]
+    n_drop2 = splits[2].count()
+    assert rows_after - rows_before == 16 * n_drop2, (rows_before, rows_after, n_drop2)
+
+    # -------- duplicate delivery of batch 2 after the restart: no-op
+    v_before = index2.current_version()
+    make_apply(index2, matches2, [])(splits[2], 2)
+    assert index2.current_version() == v_before, "replayed batch re-appended"
+
+    m = matches2.read()
+    p = m.withColumn("j", F.round("jaccard", 6))
+    w = Window.partitionBy("new_id").orderBy(F.col("j").desc(), F.col("corpus_id"))
+    best = (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", F.col("corpus_id").alias("best_match"), F.col("j").alias("best_jaccard"))
+    )
+    cnt = p.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_prior"))
+    return (
+        docs.select(F.col("doc_id").alias("new_id"))
+        .join(cnt, "new_id", "left")
+        .join(best, "new_id", "left")
+        .select(
+            "new_id",
+            F.coalesce("n_prior", F.lit(0)).cast("long").alias("n_prior"),
+            "best_match",
+            "best_jaccard",
+        )
+    )

@@ -322,9 +322,43 @@ def ivf_topk_indexed(
     list (see :func:`select_probe_ids`) to make probe selection a pure
     driver computation — zero Spark jobs before the pruned scan."""
     probe_ids = select_probe_ids(centroids, query_vec, nprobe)
-    idx = spark.read.parquet(index_path)
+    idx = read_ivf_index(spark, index_path, id_col=id_col)
     probed = idx.filter(F.col("centroid_id").isin(probe_ids))
     return topk_cosine(probed, query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def delete_from_ivf_index(ids_df: DataFrame, path: str, id_col: str = "vec_id") -> None:
+    """Vector UNLEARNING, merge-on-read: append the ids to a tombstone
+    table under ``_tombstones/`` (Spark hides ``_``-prefixed dirs from the
+    main scan) — an O(deleted) commit that never rewrites the index's
+    data files. Readers (:func:`read_ivf_index`, and every probe through
+    :func:`ivf_topk_indexed`) anti-join the tombstones, so a deleted
+    vector can never be returned by any subsequent search. The GDPR path
+    for a 100 TB vector store: erase-by-id costs O(|erased|), not a
+    corpus rebuild; a later compaction (rewrite partitions reading
+    through the tombstones) reclaims the bytes offline."""
+    import os
+
+    ids_df.select(id_col).write.mode("append").parquet(
+        os.path.join(path, "_tombstones")
+    )
+
+
+def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
+    """Resolve the live rows of a persisted IVF index: the partitioned
+    data anti-joined against any accumulated tombstones. Centroid filters
+    still prune partitions — Catalyst pushes the probe's partition
+    predicate through the left side of the anti-join."""
+    import os
+
+    df = spark.read.parquet(path)
+    ts_dir = os.path.join(path, "_tombstones")
+    if os.path.isdir(ts_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(ts_dir)
+    ):
+        ts = spark.read.parquet(ts_dir)
+        df = df.join(F.broadcast(ts), id_col, "left_anti")
+    return df
 
 
 def seeded_centroids(

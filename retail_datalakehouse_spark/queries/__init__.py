@@ -65,6 +65,8 @@ _PROMOTE_R6 = [
     # Slots 31+: round-6 additions are appended here as they ship.
     "x_serializable_merge",
     "t12_coldstart_neardup_resume",
+    "x_file_skipping",
+    "l3_ivf_delete",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

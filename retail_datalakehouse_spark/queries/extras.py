@@ -698,3 +698,52 @@ def x_serializable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     race(upd(10, 3, 300000.0), upd(10, 5, 500000.0))
 
     return table.read().select("c_custkey", F.col("balance").cast("double"))
+
+
+# ------------------------------------------- file-level data skipping
+
+
+_FILE_SKIP_SQL = """
+WITH b AS (SELECT MAX(o_orderkey) // 20 AS lo FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders, b
+WHERE o_orderkey BETWEEN b.lo AND 3 * b.lo
+GROUP BY o_orderpriority
+"""
+
+
+@register("x_file_skipping", oracle=_FILE_SKIP_SQL, tags=("S4", "P4", "P2"), doc="")
+def x_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max data skipping (sources/skipping.py — the Delta
+    file-stats mechanism on plain parquet): orders are written
+    range-clustered on o_orderkey into 16 files, per-file [min,max] is
+    collected from parquet FOOTERS (driver metadata read, no Spark job),
+    and a selective range query receives an explicitly pruned file list —
+    asserted to open fewer than half the files. At 100 TB this is the
+    difference between touching ~10% of the keyspace's files and listing/
+    opening all of them; the oracle recomputes the same range aggregate
+    from the full table, so the hash proves pruning lost no rows."""
+    import tempfile
+
+    from ..sources.skipping import collect_file_stats, skipping_scan, write_clustered
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rdl_skip_")
+    write_clustered(o, path, "o_orderkey", n_files=16)
+    stats = collect_file_stats(path, ["o_orderkey"])
+
+    mx = max(s["o_orderkey_max"] for s in stats)
+    lo = mx // 20
+    hi = 3 * lo
+    df, n_read, n_total = skipping_scan(spark, path, stats, "o_orderkey", lo, hi)
+    # the pruning must actually engage: a ~10%-of-keyspace predicate over
+    # 16 range-clustered files cannot need more than half of them
+    assert n_read < n_total / 2, f"skipping read {n_read}/{n_total} files"
+
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+    )

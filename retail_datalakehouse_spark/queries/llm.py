@@ -2335,3 +2335,64 @@ def l3_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+@register(
+    "l3_ivf_delete",
+    oracle="""
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 1 AND e.vec_id % 7 <> 0),
+agg AS (
+  SELECT vec_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos_sim
+  FROM scored GROUP BY 1)
+SELECT vec_id, cos_sim FROM agg ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    tags=("L3", "S7"),
+)
+def l3_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector UNLEARNING from a persisted IVF index (the GDPR path for a
+    100 TB vector store): every vec_id % 7 == 0 is erased via an
+    O(deleted) tombstone commit — the index's partitioned data files are
+    never rewritten, and the assertion pins that — after which a probe
+    over ALL clusters (nprobe = C, making IVF + rescore EXACT) returns
+    the brute-force top-10 of the surviving corpus. Hash-equality against
+    the DuckDB oracle (which excludes the ids arithmetically) proves a
+    deleted vector can never surface from any probe. Erase cost is
+    O(|erased|); compaction reclaims bytes offline."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        read_ivf_index,
+        seeded_centroids,
+        topk_cosine,
+    )
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    path = tempfile.mkdtemp(prefix="rdl_ivfdel_")
+    build_ivf_index(e, cents, path)
+
+    files_before = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    delete_from_ivf_index(e.filter(F.col("vec_id") % 7 == 0), path)
+    files_after = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet") and "_tombstones" not in r
+    )
+    assert files_before == files_after, "delete rewrote index data files"
+
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 1).head()["embedding"]]
+    live = read_ivf_index(spark, path).filter(F.col("vec_id") != 1)
+    return topk_cosine(live, qvec, k=10, round_to=6)

@@ -929,3 +929,31 @@ def test_weighted_sample_always_includes_dominant_doc(spark):
     ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     out = {r.doc_id: r.p_include for r in REGISTRY["l7_weighted_sample"].fn(spark, d).collect()}
     assert 0 in out and out[0] == 1.0
+
+
+def test_ivf_delete_excludes_from_any_probe(spark, sf_dir, tmp_path):
+    """After delete_from_ivf_index, no probe (any nprobe) may return a
+    deleted id; undeleted results are unchanged vs a rebuilt-without-them
+    index. The data files must not be rewritten (O(deleted) commit)."""
+    from retail_datalakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_indexed,
+        seeded_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    p_mor = str(tmp_path / "ivf_mor")
+    p_rebuild = str(tmp_path / "ivf_rebuild")
+    build_ivf_index(e, cents, p_mor)
+    deleted = e.filter(F.col("vec_id") % 5 == 0)
+    delete_from_ivf_index(deleted, p_mor)
+    build_ivf_index(e.filter(F.col("vec_id") % 5 != 0), cents, p_rebuild)
+
+    q = list(e.filter(F.col("vec_id") == 3).head()["embedding"])
+    for nprobe in (1, 2, 8):
+        a = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, p_mor, cents, q, k=10, nprobe=nprobe).collect()]
+        b = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, p_rebuild, cents, q, k=10, nprobe=nprobe).collect()]
+        assert a == b
+        assert all(v % 5 != 0 for v, _ in a)

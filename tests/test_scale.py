@@ -83,3 +83,37 @@ def test_salting_and_aqe_agree(spark):
     assert sorted(map(tuple, plain.select("k", "payload", "attr").collect())) == sorted(
         map(tuple, salted.select("k", "payload", "attr").collect())
     )
+
+
+def test_file_skipping_prunes_and_preserves(spark, sf_dir, tmp_path):
+    """skipping_scan must return exactly the full-scan filter result while
+    opening a fraction of the files; an out-of-range predicate opens ZERO
+    files and returns empty."""
+    from retail_datalakehouse_spark.sources.skipping import (
+        collect_file_stats,
+        skipping_scan,
+        write_clustered,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = str(tmp_path / "orders_clustered")
+    write_clustered(o, path, "o_orderkey", n_files=16)
+    stats = collect_file_stats(path, ["o_orderkey"])
+    assert len(stats) == 16 and all(s["o_orderkey_min"] is not None for s in stats)
+    # files are range-disjoint (clustering worked)
+    spans = sorted((s["o_orderkey_min"], s["o_orderkey_max"]) for s in stats)
+    assert all(a[1] <= b[0] for a, b in zip(spans, spans[1:]))
+
+    mx = max(s["o_orderkey_max"] for s in stats)
+    lo, hi = mx // 10, mx // 10 * 2
+    df, n_read, n_total = skipping_scan(spark, path, stats, "o_orderkey", lo, hi)
+    expected = sorted(
+        map(tuple, o.filter((o.o_orderkey >= lo) & (o.o_orderkey <= hi)).collect())
+    )
+    assert sorted(map(tuple, df.collect())) == expected
+    assert 0 < n_read < n_total / 2
+
+    empty, n0, _ = skipping_scan(spark, path, stats, "o_orderkey", mx + 10, mx + 20)
+    assert n0 == 0 and empty.count() == 0

@@ -67,6 +67,9 @@ _PROMOTE_R6 = [
     "t12_coldstart_neardup_resume",
     "x_file_skipping",
     "l3_ivf_delete",
+    "t13_streaming_ivf_ingest",
+    "l7_epoch_reshard",
+    "x_zorder_skipping",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

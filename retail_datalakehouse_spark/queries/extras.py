@@ -747,3 +747,62 @@ def x_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
     )
+
+
+# -------------------------------------- Z-order multi-dimension skipping
+
+
+_ZORDER_SKIP_SQL = """
+WITH b AS (SELECT MAX(o_custkey) // 20 AS lo FROM orders)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders, b
+WHERE o_custkey BETWEEN b.lo AND 3 * b.lo
+GROUP BY o_orderpriority
+"""
+
+
+@register("x_zorder_skipping", oracle=_ZORDER_SKIP_SQL, tags=("S4", "P4", "P2"), doc="")
+def x_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional file skipping from ONE layout: orders written
+    along the Z-curve of (o_orderkey, o_custkey) into 16 files
+    (operators/zorder.py), per-file [min,max] footer stats collected for
+    BOTH columns — and a selective predicate on EITHER dimension prunes
+    files (asserted for both), which linear clustering can only do for
+    its sort column (every file would span the full secondary range).
+    This is why Z-order exists: the layout that lets a 100 TB table serve
+    selective scans on k dimensions from one copy of the data. The
+    returned aggregate filters on the SECONDARY dimension (o_custkey) and
+    hash-matches the full-table oracle — pruning lost nothing."""
+    import tempfile
+
+    from ..operators.zorder import z_order_by
+    from ..sources.skipping import collect_file_stats, skipping_scan
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rdl_zskip_")
+    z_order_by(o, ["o_orderkey", "o_custkey"], n_partitions=16).write.mode(
+        "overwrite"
+    ).parquet(path)
+    stats = collect_file_stats(path, ["o_orderkey", "o_custkey"])
+
+    # dimension 1: a ~10%-band o_orderkey predicate prunes files
+    mxk = max(s["o_orderkey_max"] for s in stats)
+    _, n1, n_total = skipping_scan(
+        spark, path, stats, "o_orderkey", mxk // 20, 3 * (mxk // 20)
+    )
+    assert n1 < n_total, f"orderkey dim unprunable: {n1}/{n_total}"
+
+    # dimension 2 (the one linear clustering cannot serve): same band on
+    # o_custkey — this is the scan the query returns
+    mxc = max(s["o_custkey_max"] for s in stats)
+    lo = mxc // 20
+    df, n2, _ = skipping_scan(spark, path, stats, "o_custkey", lo, 3 * lo)
+    assert n2 < n_total, f"custkey dim unprunable: {n2}/{n_total}"
+
+    return df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+    )

@@ -2396,3 +2396,60 @@ def l3_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 1).head()["embedding"]]
     live = read_ivf_index(spark, path).filter(F.col("vec_id") != 1)
     return topk_cosine(live, qvec, k=10, round_to=6)
+
+
+@register(
+    "l7_epoch_reshard",
+    oracle="""
+WITH epochs AS (SELECT unnest(generate_series(0, 2)) AS epoch),
+assigned AS (
+  SELECT e.epoch, d.doc_id,
+         CAST(('0x' || substr(md5('e' || e.epoch || ':' || d.doc_id), 1, 8)) AS BIGINT) AS h
+  FROM documents d CROSS JOIN epochs e),
+ranked AS (
+  SELECT epoch, h % 8 AS shard, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY epoch, h % 8 ORDER BY h, doc_id) AS pos
+  FROM assigned)
+SELECT epoch, shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_ids,
+       CAST(SUM(doc_id * pos) AS BIGINT) AS order_fingerprint
+FROM ranked GROUP BY epoch, shard
+""",
+    tags=("L7", "F1", "W1"),
+)
+def l7_epoch_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7 epoch resharding: every training epoch re-deals the corpus into
+    8 shards with a DIFFERENT deterministic permutation — shard and
+    within-shard order both derive from md5('e<epoch>:<doc_id>'), so any
+    worker can recompute its shard list for any epoch with zero
+    coordination and no stored shuffle state (the Pangu/Megatron
+    epoch-seed pattern). Assignment is pure column math (no rand(), no
+    global sort): at 100 TB each epoch is one hash projection + a write
+    partitioned by shard, and the order_fingerprint column
+    (sum(doc_id x within-shard-position)) pins the exact per-shard
+    SEQUENCE, not just membership, against the oracle."""
+    from pyspark.sql import Window
+
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("e"), F.col("epoch"), F.lit(":"), F.col("doc_id"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    assigned = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", h.alias("h")
+    )
+    w = Window.partitionBy("epoch", F.col("h") % 8).orderBy("h", "doc_id")
+    ranked = assigned.select(
+        "epoch", (F.col("h") % 8).alias("shard"), "doc_id",
+        F.row_number().over(w).alias("pos"),
+    )
+    return ranked.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("sum_doc_ids"),
+        F.sum(F.col("doc_id") * F.col("pos")).cast("long").alias("order_fingerprint"),
+    )

@@ -1048,3 +1048,81 @@ def t12_coldstart_neardup_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "best_jaccard",
         )
     )
+
+
+@register(
+    "t13_streaming_ivf_ingest",
+    oracle="""
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 2),
+scored AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 2),
+agg AS (
+  SELECT vec_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos_sim
+  FROM scored GROUP BY 1)
+SELECT vec_id, cos_sim FROM agg ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    tags=("T6", "T1", "L3"),
+)
+def t13_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: STREAMING vector-index ingest — embedding drops arrive as
+    micro-batches and each is appended into the persisted IVF index via
+    the txn-guarded `append_to_ivf_index` (O(batch) assignment, no
+    rebuild, centroids fixed). After the stream, a manual re-delivery of
+    the last batch is a no-op (the replay guard advice r5 asked for, here
+    exercised on the streaming path), and a probe over ALL clusters
+    (nprobe = C → exact) must hash-match the brute-force oracle over the
+    full corpus: a dropped batch would lose neighbors, a double-applied
+    replay would emit duplicate top-k rows — either breaks the hash. The
+    100 TB shape: crawl embeddings flow straight into the ANN index at
+    O(new data) per batch, restart-safe."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        append_to_ivf_index,
+        read_ivf_index,
+        seeded_centroids,
+        topk_cosine,
+    )
+    from ..streaming.jobs import run_foreach_batch, write_single_parquet
+    from .helpers import T
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    root = tempfile.mkdtemp(prefix="rdl_t13_")
+    stage = os.path.join(root, "drops")
+    idx_path = os.path.join(root, "ivf")
+    os.makedirs(stage, exist_ok=True)
+    drops = [e.filter(F.col("vec_id") % 3 == i) for i in range(3)]
+    for i, part in enumerate(drops):
+        dest = os.path.join(stage, f"drop_{i}.parquet")
+        write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60,) * 2)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        assert append_to_ivf_index(
+            batch_df, cents, idx_path, txn=("t13_ivf", int(batch_id))
+        ) is True
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+
+    # replayed delivery of the final batch: must be a no-op
+    n_rows = spark.read.parquet(idx_path).count()
+    assert append_to_ivf_index(drops[2], cents, idx_path, txn=("t13_ivf", 2)) is False
+    assert spark.read.parquet(idx_path).count() == n_rows == e.count()
+
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 2).head()["embedding"]]
+    live = read_ivf_index(spark, idx_path).filter(F.col("vec_id") != 2)
+    return topk_cosine(live, qvec, k=10, round_to=6)

@@ -1,0 +1,72 @@
+"""Broadcast Bloom-filter membership pre-screen (SURVEY L4 decontamination
+at scale; Bloom 1970; the Delta/Iceberg "bloom filter index" idea applied
+to corpus hygiene).
+
+The exact eval-vs-train contamination screen (`l4_contamination`) is a
+shuffle join on shared shingles — O(train shingles) shuffle rows. At
+100 TB the standard production shape is a PRE-SCREEN: the eval set is
+small by definition, so its shingle set compresses into a Bloom bit array
+(here m bits in m/64 int64 words) that ships to every executor as ONE
+literal array column. Each train shingle then probes k bit positions with
+pure JVM column math (xxhash64 → element_at → bit test) — no shuffle, no
+UDF — and only the surviving candidate docs enter the exact verify join.
+Bloom guarantees NO false negatives, so the pre-screen provably loses
+nothing (the oracle equality is exact-contamination, independent of the
+filter's false-positive rate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def build_bloom(hashes: list[int], m_bits: int = 1 << 17, k: int = 3) -> list[int]:
+    """Driver-side build from the SMALL side's element hashes (the same
+    bounded-collect contract a broadcast join's build side has). Returns
+    the bit array as m_bits/64 signed int64 words."""
+    words = [0] * (m_bits // 64)
+    for h in hashes:
+        # k derived positions from one 64-bit hash (Kirsch-Mitzenmacher:
+        # g_i(x) = h1 + i*h2). Reduce BOTH terms mod m before the
+        # multiply-add so the probe side's int64 column arithmetic can
+        # never overflow/wrap differently than Python's bignums.
+        h1 = h % m_bits  # Python % == Spark pmod for any sign
+        # logical (unsigned) shift to mirror shiftrightunsigned exactly,
+        # even for the abs(Long.MIN_VALUE) == Long.MIN_VALUE edge
+        h2 = (((h & 0xFFFFFFFFFFFFFFFF) >> 17) | 1) % m_bits
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 64] |= 1 << (pos % 64)
+    # to signed int64 so the literal round-trips through Spark LongType
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(words: list[int], hash_col: Column, m_bits: int = 1 << 17, k: int = 3) -> Column:
+    """True iff all k positions for ``hash_col`` are set — pure column
+    math over the ONE broadcast literal array (element_at + bit test),
+    whole-stage-codegen friendly."""
+    arr = F.lit(words)
+    h1 = F.pmod(hash_col, F.lit(m_bits))
+    h2 = F.pmod(
+        F.shiftrightunsigned(hash_col, 17).bitwiseOR(F.lit(1)), F.lit(m_bits)
+    )
+    hits = []
+    for i in range(k):
+        pos = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        # call_function: the python shiftrightunsigned wrapper only takes a
+        # literal shift amount, the SQL function itself accepts a column
+        bit = F.call_function(
+            "shiftrightunsigned", word, F.pmod(pos, F.lit(64)).cast("int")
+        ).bitwiseAND(F.lit(1))
+        hits.append(bit == 1)
+    out = hits[0]
+    for h in hits[1:]:
+        out = out & h
+    return out
+
+
+def shingle_hash(col: Column) -> Column:
+    """The one hash both build and probe share: non-negative xxhash64."""
+    return F.abs(F.xxhash64(col))

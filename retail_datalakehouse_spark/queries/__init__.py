@@ -70,6 +70,8 @@ _PROMOTE_R6 = [
     "t13_streaming_ivf_ingest",
     "l7_epoch_reshard",
     "x_zorder_skipping",
+    "l4_bloom_decontamination",
+    "l4_perplexity_filter",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

@@ -1752,3 +1752,130 @@ def x_scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.filter(
         (F.col("valid_from") <= a) & (F.col("valid_to").isNull() | (F.col("valid_to") > a))
     ).select("user_id", F.col("event_type").alias("state_at_asof"), "valid_from")
+
+
+# ------------------------------------- bloom-prescreened decontamination
+
+
+_BLOOM_CONTAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+sh AS (SELECT doc_id,
+              unnest(list_distinct([l[i] || ' ' || l[i+1] || ' ' || l[i+2]
+                                    FOR i IN generate_series(1, len(l) - 2)])) AS s
+       FROM toks WHERE len(l) >= 3),
+train AS (SELECT doc_id, s FROM sh WHERE doc_id < 450),
+eval_ AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450)
+SELECT t.doc_id AS train_doc_id,
+       COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+       COUNT(DISTINCT t.s) AS n_shared_shingles
+FROM train t JOIN eval_ e ON t.s = e.s
+GROUP BY t.doc_id
+"""
+
+
+@register("l4_bloom_decontamination", oracle=_BLOOM_CONTAM_SQL, tags=("L4", "L2", "J5"), doc="")
+def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a broadcast Bloom pre-screen (operators/
+    bloom.py) — the 100 TB form of `l4_contamination`: the eval split's
+    trigram shingles compress into ONE literal bit-array column (m=2^17
+    bits, k=3), every train shingle probes it with pure JVM column math
+    (no shuffle, no UDF), and only surviving candidates enter the exact
+    shared-shingle verify join. Bloom admits false positives (killed by
+    the verify) but NEVER false negatives — proven by hash-equality with
+    the exact-contamination oracle, which doesn't know the filter
+    exists. The assertion pins that the pre-screen actually pruned
+    shingles, so the verify join's shuffle is a fraction of the full
+    screen's. Reference shape: `l4_contamination` (same oracle), cost
+    shape: broadcast-filter-then-join."""
+    from ..operators.bloom import bloom_probe, build_bloom, shingle_hash
+    from ..operators.minhash import shingles
+
+    docs = T(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles("text", w=3))).alias("s")
+    ).filter(F.size(F.split(F.col("s"), " ")) == 3)  # whole-doc stub shingles excluded
+    train = sh.filter(F.col("doc_id") < 450)
+    evals = sh.filter(F.col("doc_id") >= 450)
+
+    # build side = the SMALL split (bounded collect, broadcast-join contract)
+    eval_hashes = [
+        r.h for r in evals.select(shingle_hash(F.col("s")).alias("h")).distinct().collect()
+    ]
+    words = build_bloom(eval_hashes)
+
+    candidates = train.filter(bloom_probe(words, shingle_hash(F.col("s"))))
+    n_train, n_cand = train.select(
+        bloom_probe(words, shingle_hash(F.col("s"))).alias("hit")
+    ).agg(F.count(F.lit(1)), F.count_if("hit")).first()
+    assert n_cand < n_train, f"bloom pruned nothing: {n_cand}/{n_train}"
+
+    return (
+        candidates.join(evals.select(F.col("doc_id").alias("eval_id"), "s"), "s")
+        .groupBy(F.col("doc_id").alias("train_doc_id"))
+        .agg(
+            F.count_distinct("eval_id").alias("n_eval_docs"),
+            F.count_distinct("s").alias("n_shared_shingles"),
+        )
+    )
+
+
+# ----------------------------------------------- perplexity filtering
+
+
+_PPL_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS w
+  FROM documents),
+train AS (SELECT w, COUNT(*) AS c FROM tok WHERE doc_id < 450 GROUP BY w),
+consts AS (SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+           FROM train),
+scored AS (
+  SELECT t.doc_id, ln((COALESCE(tr.c, 0) + 1.0) / (n + v + 1.0)) AS lp
+  FROM tok t LEFT JOIN train tr USING (w) CROSS JOIN consts),
+agg AS (SELECT doc_id, COUNT(*) AS n_tokens, SUM(lp) AS s
+        FROM scored GROUP BY doc_id)
+SELECT doc_id, n_tokens, ROUND(EXP(-s / n_tokens), 4) AS ppl
+FROM agg
+"""
+
+
+@register("l4_perplexity_filter", oracle=_PPL_SQL, tags=("L4", "A1", "J3"), doc="")
+def l4_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality gating (the KenLM-filter stage of CCNet/
+    RefinedWeb-style corpus pipelines, with the LM reduced to an add-one
+    unigram model so the oracle can recompute it exactly): token counts
+    from the train split (doc_id < 450) define P(w) = (c+1)/(N+V+1),
+    every document is scored with per-token cross-entropy, and
+    ppl = exp(−mean log P). Train counts broadcast-join onto the token
+    stream (the model IS a dimension table); the two model constants fold
+    in as a one-row cross join, so scoring is one scan + one broadcast
+    join at any corpus size. A real pipeline thresholds on ppl; returning
+    the scores hash-checks the whole model, not just the verdicts."""
+    from ..operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    train = tok.filter(F.col("doc_id") < 450).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    consts = train.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    scored = (
+        tok.join(F.broadcast(train), "w", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (F.col("n") + F.col("v") + 1.0)
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 4).alias("ppl"),
+    )

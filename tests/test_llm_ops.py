@@ -957,3 +957,28 @@ def test_ivf_delete_excludes_from_any_probe(spark, sf_dir, tmp_path):
         b = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, p_rebuild, cents, q, k=10, nprobe=nprobe).collect()]
         assert a == b
         assert all(v % 5 != 0 for v, _ in a)
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted element must probe true (Bloom's guarantee); a
+    disjoint probe set must see a low false-positive rate at these
+    parameters — and the Python build must agree with the Spark probe
+    bit-for-bit (the modular-arithmetic contract in operators/bloom.py)."""
+    from retail_datalakehouse_spark.operators.bloom import (
+        bloom_probe,
+        build_bloom,
+        shingle_hash,
+    )
+
+    inserted = spark.range(0, 2000).select(
+        shingle_hash(F.concat(F.lit("in-"), F.col("id"))).alias("h")
+    )
+    words = build_bloom([r.h for r in inserted.collect()])
+    n_in = inserted.filter(bloom_probe(words, F.col("h"))).count()
+    assert n_in == 2000  # zero false negatives, build/probe bit-parity
+
+    other = spark.range(0, 20000).select(
+        shingle_hash(F.concat(F.lit("out-"), F.col("id"))).alias("h")
+    )
+    fp = other.filter(bloom_probe(words, F.col("h"))).count()
+    assert fp / 20000 < 0.05, f"false-positive rate too high: {fp}/20000"

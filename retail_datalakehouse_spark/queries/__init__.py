@@ -72,6 +72,7 @@ _PROMOTE_R6 = [
     "x_zorder_skipping",
     "l4_bloom_decontamination",
     "l4_perplexity_filter",
+    "x_point_lookup_bloom",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

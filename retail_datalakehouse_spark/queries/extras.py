@@ -806,3 +806,60 @@ def x_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
     )
+
+
+# --------------------------------------- per-file bloom point lookup
+
+
+_BLOOM_LOOKUP_SQL = """
+WITH t AS (SELECT MAX(o_orderkey) // 2 AS half FROM orders),
+k AS (SELECT MAX(o_orderkey) AS key FROM orders, t WHERE o_orderkey <= t.half)
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders, k WHERE o_orderkey = k.key
+"""
+
+
+@register("x_point_lookup_bloom", oracle=_BLOOM_LOOKUP_SQL, tags=("S4", "P4", "P3"), doc="")
+def x_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-grain file skipping where zone maps FAIL: orders are
+    clustered by o_custkey, so a point lookup on o_orderkey (uncorrelated
+    with the layout) finds nearly every file's [min,max] spanning the
+    probe — min/max prunes nothing (asserted). The per-file Bloom stats
+    (sources/skipping.py — parquet's optional bloom-filter feature as a
+    reader-owned stats layer, built in ONE distributed bit_or pass) prune
+    the same lookup to at most a few candidate files (asserted), which
+    are the only ones opened. This is how a 100 TB table serves key
+    lookups on a non-clustering column without a secondary index copy of
+    the data. The oracle selects the same row arithmetically."""
+    import tempfile
+
+    from ..sources.skipping import (
+        bloom_lookup_files,
+        build_file_bloom_stats,
+        collect_file_stats,
+        write_clustered,
+    )
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="rdl_bloomlkp_")
+    write_clustered(o, path, "o_custkey", n_files=16)
+
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    key = o.filter(F.col("o_orderkey") <= mx // 2).agg(F.max("o_orderkey")).first()[0]
+
+    # zone maps are useless here: the probe key falls inside almost every
+    # file's o_orderkey span (uncorrelated with the custkey clustering)
+    mm = collect_file_stats(path, ["o_orderkey"])
+    n_mm = sum(1 for s in mm if s["o_orderkey_min"] <= key <= s["o_orderkey_max"])
+    assert n_mm > len(mm) / 2, f"zone maps unexpectedly selective: {n_mm}/{len(mm)}"
+
+    blooms = build_file_bloom_stats(spark, path, "o_orderkey")
+    cand = bloom_lookup_files(spark, blooms, key)
+    assert 1 <= len(cand) <= 3, f"bloom pruned to {len(cand)}/{len(mm)} files"
+
+    import os
+
+    df = spark.read.parquet(*[os.path.join(path, f) for f in cand])
+    return df.filter(F.col("o_orderkey") == key).select(
+        "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
+    )

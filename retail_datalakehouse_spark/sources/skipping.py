@@ -92,3 +92,75 @@ def skipping_scan(
         (F.col(col) >= lo) & (F.col(col) <= hi)
     )
     return df, len(keep), len(stats)
+
+
+def build_file_bloom_stats(
+    spark: SparkSession, path: str, col: str, m_bits: int = 1 << 16, k: int = 3
+) -> dict[str, list[int]]:
+    """Per-FILE Bloom filters over ``col`` — value-grain skipping where
+    zone maps fail: a point lookup on a column UNCORRELATED with the
+    clustering key finds every file's [min,max] spanning the whole domain
+    (no pruning), while a per-file bloom prunes to the files that can
+    contain the value (parquet's own optional bloom-filter feature,
+    implemented as a stats layer the reader owns). Built in ONE
+    distributed pass: hash per row, k bit positions, per-(file, word)
+    ``bit_or`` aggregation — the stats table is files x (m/64) int64
+    words, collected driver-side like the min/max stats."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bloom import shingle_hash
+
+    df = spark.read.parquet(path).select(
+        F.input_file_name().alias("__f"), F.col(col)
+    )
+    h = shingle_hash(F.col(col).cast("string"))
+    h1 = F.pmod(h, F.lit(m_bits))
+    h2 = F.pmod(F.shiftrightunsigned(h, 17).bitwiseOR(F.lit(1)), F.lit(m_bits))
+    pos = F.explode(
+        F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+    ).alias("pos")
+    words = (
+        df.select("__f", pos)
+        .groupBy("__f", (F.col("pos") / 64).cast("int").alias("w_idx"))
+        .agg(
+            F.bit_or(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), F.pmod("pos", F.lit(64)).cast("int")
+                )
+            ).alias("word")
+        )
+        .collect()
+    )
+    out: dict[str, list[int]] = {}
+    for r in words:
+        fname = os.path.basename(r["__f"])
+        out.setdefault(fname, [0] * (m_bits // 64))[r.w_idx] = r.word
+    return out
+
+
+def bloom_lookup_files(
+    spark: SparkSession,
+    blooms: dict[str, list[int]],
+    value,
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list[str]:
+    """Files that MAY contain ``value`` (no false negatives): compute the
+    probe's k bit positions with the same Spark hash the build used (one
+    driver-side 1-row job — xxhash64 has no Python twin), test each
+    file's words."""
+    from pyspark.sql import functions as F
+
+    from ..operators.bloom import shingle_hash
+
+    h = spark.range(1).select(
+        shingle_hash(F.lit(value).cast("string")).alias("h")
+    ).first()["h"]
+    h1 = h % m_bits
+    h2 = (((h & 0xFFFFFFFFFFFFFFFF) >> 17) | 1) % m_bits
+    positions = [(h1 + i * h2) % m_bits for i in range(k)]
+    keep = []
+    for fname, words in blooms.items():
+        if all((words[p // 64] >> (p % 64)) & 1 for p in positions):
+            keep.append(fname)
+    return sorted(keep)

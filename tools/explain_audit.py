@@ -104,6 +104,21 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "new-batch verify must join on shingle/candidate keys, never all-pairs"),
     ("l2_containment_neardup", "CartesianProduct", False,
      "containment pairing must stay on the shared-shingle equi-join"),
+    # round 6 additions
+    ("l4_bloom_decontamination", "EvalPython", False,
+     "bloom probe must be literal-array bit math, not a Python UDF"),
+    ("l4_bloom_decontamination", "CartesianProduct", False,
+     "verify join must stay on the shingle equi-join"),
+    ("l4_perplexity_filter", "EvalPython", False,
+     "LM scoring must stay JVM-side (log/exp column math)"),
+    ("l4_perplexity_filter", "BroadcastHashJoin", True,
+     "the unigram model is a dimension table — it must broadcast"),
+    ("l7_epoch_reshard", "EvalPython", False,
+     "epoch/shard assignment must be pure hash column math"),
+    ("l3_ivf_delete", "EvalPython", False,
+     "tombstone-resolved probe must stay JVM-side"),
+    ("l3_ivf_delete", "BroadcastHashJoin", True,
+     "tombstone anti-join must broadcast the (small) deleted-id set"),
 ]
 
 

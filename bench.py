@@ -41,6 +41,10 @@ HEADLINE = [
     # the incremental new-batch-vs-corpus near-dup verify
     "l4_boilerplate_removal",
     "l2_incremental_neardup",
+    # round-6 corpus-hygiene paths: broadcast-bloom decontamination
+    # pre-screen and the unigram-LM perplexity gate
+    "l4_bloom_decontamination",
+    "l4_perplexity_filter",
 ]
 
 

@@ -73,6 +73,9 @@ _PROMOTE_R6 = [
     "l4_bloom_decontamination",
     "l4_perplexity_filter",
     "x_point_lookup_bloom",
+    "x_compaction_rewrite",
+    "x_vacuum_gdpr",
+    "x_time_travel_agg",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

@@ -863,3 +863,167 @@ def x_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(F.col("o_orderkey") == key).select(
         "o_orderkey", "o_custkey", F.col("o_totalprice").cast("double")
     )
+
+
+# --------------------------------------------- compaction + file counts
+
+
+_COMPACT_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("x_compaction_rewrite", oracle=_COMPACT_SQL, tags=("S6", "S3"), doc="")
+def x_compaction_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files OPTIMIZE as a gated query: the table arrives
+    fragmented into 24 small files (the streaming-ingest residue);
+    `compact` rewrites the snapshot into 4 right-sized files as a NEW
+    version — asserted: file count drops, row count doesn't, and time
+    travel to the pre-compaction version still resolves. The returned
+    aggregate over the compacted table hash-matches the full-table
+    oracle, proving the rewrite changed layout only. At 100 TB this is
+    the scheduled maintenance job that keeps per-file open/footer costs
+    off every scan."""
+    import os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable, compact
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_compact_"))
+    # the streaming-ingest residue: one snapshot fragmented into 24 small
+    # files (repartition(24) at write — the file layout per-trigger
+    # ingest accumulates, without paying 24 commit rewrites here)
+    table.overwrite(o.repartition(24))
+    v_small = table.current_version()
+
+    def n_files(version: int) -> int:
+        d = os.path.join(table.path, table._manifest(version)["data_dir"])
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    v_compact = compact(table, target_partitions=4)
+    assert n_files(v_compact) < n_files(v_small) / 2, "compaction did not shrink files"
+    assert n_files(v_compact) <= 4
+    # time travel across the compaction boundary still works
+    assert table.read_version(v_small).count() == table.read().count()
+
+    return table.read().groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+    )
+
+
+# ------------------------------------------------ GDPR delete + vacuum
+
+
+_VACUUM_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,2))), 2) AS DOUBLE) AS total_balance
+FROM customer
+WHERE c_custkey % 10 <> 3
+GROUP BY c_mktsegment
+"""
+
+
+@register("x_vacuum_gdpr", oracle=_VACUUM_SQL, tags=("S6", "S7"), doc="")
+def x_vacuum_gdpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, END-TO-END: DELETE commits a snapshot
+    without the erased customers, then vacuum(retain_last=1) expires
+    every older snapshot — asserted: the erased keys are not just
+    invisible to readers but PHYSICALLY GONE from disk (no parquet file
+    under the table root contains them; pre-delete versions no longer
+    resolve). The oracle recomputes the surviving aggregate
+    arithmetically, proving the erasure was exact. Delta's documented
+    GDPR recipe (DELETE + VACUUM) on the engine's table format."""
+    import os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_gdpr_"))
+    table.overwrite(c)  # v1
+    v1 = table.current_version()
+    table.delete("c_custkey % 10 = 3")  # v2
+    removed = table.vacuum(retain_last=1, orphan_retention_s=0.0)
+    assert removed, "vacuum expired nothing"
+
+    # physical erasure: no parquet file under the table still holds an
+    # erased key (footer-only would not prove it; re-scan the survivors)
+    leftovers = (
+        spark.read.parquet(
+            *[
+                os.path.join(r, f)
+                for r, _, fs in os.walk(table.path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        )
+        .filter(F.col("c_custkey") % 10 == 3)
+        .count()
+    )
+    assert leftovers == 0, f"{leftovers} erased rows still on disk"
+    try:
+        table.read_version(v1)
+        raise AssertionError("pre-delete snapshot still readable after vacuum")
+    except (FileNotFoundError, ValueError):
+        pass  # manifest expired (ValueError) or data dir gone
+
+    return table.read().groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", scale=2, out_round=2).alias("total_balance"),
+    )
+
+
+# ------------------------------------------------- time-travel reads
+
+
+_TIME_TRAVEL_SQL = """
+SELECT 1 AS version, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+UNION ALL
+SELECT 2 AS version, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2 * o_totalprice
+                                 ELSE o_totalprice END AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+"""
+
+
+@register("x_time_travel_agg", oracle=_TIME_TRAVEL_SQL, tags=("S6", "S7"), doc="")
+def x_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a gated query: v1 snapshots the raw orders, v2
+    MERGEs a repricing (keys % 5 == 0 doubled), and the SAME aggregate is
+    read AT BOTH VERSIONS — the reproducible-training-snapshot contract:
+    any pipeline run can be re-executed against the exact table state it
+    saw, after arbitrary later writes. The oracle recomputes both
+    versions arithmetically from the raw table, so the hash proves
+    version isolation (v1 is untouched by v2's merge)."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_tt_"))
+    table.overwrite(o)  # v1
+    repriced = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    table.merge(repriced, ["o_orderkey"])  # v2
+
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            table.read_version(v).agg(
+                F.lit(v).alias("version"),
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

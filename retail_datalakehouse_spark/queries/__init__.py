@@ -76,6 +76,7 @@ _PROMOTE_R6 = [
     "x_compaction_rewrite",
     "x_vacuum_gdpr",
     "x_time_travel_agg",
+    "l6_retrieval_eval",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

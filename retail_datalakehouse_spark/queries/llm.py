@@ -2453,3 +2453,71 @@ def l7_epoch_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("long").alias("sum_doc_ids"),
         F.sum(F.col("doc_id") * F.col("pos")).cast("long").alias("order_fingerprint"),
     )
+
+
+@register(
+    "l6_retrieval_eval",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id),
+agg AS (
+  SELECT q_id, q_label, vec_id, label,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cs
+  FROM scored GROUP BY 1, 2, 3, 4),
+nn AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM agg)
+SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+       CAST(COUNT(*) FILTER (WHERE label = q_label) AS BIGINT) AS n_relevant_at_10,
+       CAST(COUNT(*) FILTER (WHERE label = q_label) * 1000 / 10 AS BIGINT)
+         AS precision_fp3
+FROM nn WHERE rn <= 10
+GROUP BY q_id, q_label
+""",
+    tags=("L6", "L3", "A6"),
+)
+def l6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVALUATION — the measurement loop a production
+    retrieval system runs before/after every index or embedding change:
+    for each query vector, take the exact cosine top-10 and score
+    precision@10 against label agreement (label = relevance proxy, the
+    standard eval when no click data exists). One broadcast of the query
+    set, per-partition JVM scoring, a WindowGroupLimit top-k per query,
+    one conditional aggregate — the same plan at 5 queries or 50k. The
+    precision column is emitted fixed-point so the gate hashes integers.
+    Companion to l3_knn_classify (same kernel, different contract: this
+    grades the RETRIEVER, that one labels the query)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cs").desc(), F.col("vec_id"))
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    rel = F.sum(F.when(F.col("label") == F.col("q_label"), 1).otherwise(0))
+    return top.groupBy("q_id", F.col("q_label").cast("long").alias("q_label")).agg(
+        rel.cast("long").alias("n_relevant_at_10"),
+        (rel * 1000 / 10).cast("long").alias("precision_fp3"),
+    )

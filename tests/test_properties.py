@@ -281,3 +281,49 @@ def test_connected_components_paths_match_bfs_reference(spark, edges):
     }
     assert local == ref
     assert dist == ref
+
+
+@given(
+    members=st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=60),
+)
+@SETTINGS
+def test_bloom_membership_property(spark, members):
+    """For ANY hash multiset, every inserted value must probe true on the
+    Spark side (build/probe bit-parity across the Python/JVM boundary is
+    the invariant that makes the decontamination pre-screen lossless)."""
+    from retail_datalakehouse_spark.operators.bloom import bloom_probe, build_bloom
+
+    words = build_bloom(members, m_bits=1 << 12, k=3)
+    if not members:
+        return
+    df = spark.createDataFrame([(h,) for h in members], ["h"])
+    n = df.filter(bloom_probe(words, F.col("h"), m_bits=1 << 12, k=3)).count()
+    assert n == len(members)
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=80),
+    lo=st.integers(min_value=-100, max_value=11_000),
+    span=st.integers(min_value=0, max_value=2_000),
+)
+@SETTINGS
+def test_skipping_scan_equals_full_filter(spark, tmp_path_factory, keys, lo, span):
+    """For ANY key set and ANY range (inside, straddling, or fully outside
+    the domain), the stats-pruned scan returns exactly the full-scan
+    filter result."""
+    from retail_datalakehouse_spark.sources.skipping import (
+        collect_file_stats,
+        skipping_scan,
+        write_clustered,
+    )
+
+    hi = lo + span
+    df = spark.createDataFrame([(k, k * 2) for k in keys], ["k", "payload"])
+    path = str(tmp_path_factory.mktemp("skip") / "t")
+    write_clustered(df, path, "k", n_files=4)
+    stats = collect_file_stats(path, ["k"])
+    got, _, _ = skipping_scan(spark, path, stats, "k", lo, hi)
+    expected = sorted(
+        map(tuple, df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).collect())
+    )
+    assert sorted(map(tuple, got.collect())) == expected

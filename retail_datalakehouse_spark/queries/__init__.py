@@ -77,6 +77,7 @@ _PROMOTE_R6 = [
     "x_vacuum_gdpr",
     "x_time_travel_agg",
     "l6_retrieval_eval",
+    "l2_semdedup",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

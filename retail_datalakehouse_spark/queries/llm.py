@@ -2521,3 +2521,73 @@ def l6_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel.cast("long").alias("n_relevant_at_10"),
         (rel * 1000 / 10).cast("long").alias("precision_fp3"),
     )
+
+
+@register(
+    "l2_semdedup",
+    oracle="""
+WITH RECURSIVE c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings WHERE vec_id < 8),
+asn AS MATERIALIZED (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec), 8) DESC,
+                      c.cid) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.9),
+edges_sym AS MATERIALIZED (
+  SELECT id_a AS n, id_b AS m FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+nodes AS MATERIALIZED (SELECT vec_id FROM embeddings),
+reach AS (
+  SELECT vec_id AS node, vec_id AS lbl FROM nodes
+  UNION
+  SELECT e.m AS node, r.lbl FROM reach r JOIN edges_sym e ON r.node = e.n),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY 1)
+SELECT component, COUNT(*) AS n_vecs FROM comp GROUP BY 1
+""",
+    tags=("L2", "L3", "L1"),
+)
+def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023 — the embedding-space dedup standard
+    for LLM corpora): cluster the embeddings (here the deterministic
+    seeded centroids; production swaps in the k-means fit, same
+    contract), compute pairwise cosine ONLY WITHIN each cluster, connect
+    components at cos ≥ 0.9, keep the min-id survivor per component. The
+    within-cluster restriction is the entire scale story: all-pairs is
+    O(N²) but clustered pairs are O(N²/C) — at 100 TB you pick C ~ N/1k
+    so each cluster's pair block fits one task, and the assignment is a
+    broadcast join (never N×N). Components reuse operators/graph.py; the
+    oracle recomputes assignment, pairs, and components exactly
+    (DuckDB's list_cosine_similarity matches the JVM fold at 6 dp —
+    thresholds compare ROUNDED values on both engines so the boundary is
+    bit-identical). Returns per-component sizes (singletons included:
+    the kept-set size is the component count)."""
+    from ..operators.graph import connected_components
+    from ..operators.similarity import cosine, ivf_assign, seeded_centroids
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    asn = ivf_assign(e, seeded_centroids(e, c=8))
+    a = asn.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "centroid_id"
+    )
+    b = asn.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "centroid_id"
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.9)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        e.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
+    )
+    return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_vecs"))

@@ -563,3 +563,21 @@ def dhash64_png(df: DataFrame, w: int, h: int) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "phash": hashes})
 
     return df.mapInPandas(batches, out_schema)
+
+
+def scene_cuts(payload: bytes, w: int, h: int, threshold: int) -> list[int]:
+    """Scene-cut detection over a raw rgb8 frame stack: the 1-based index
+    i is a cut iff the summed absolute pixel delta between frame i-1 and
+    frame i exceeds ``threshold``. Integer math end-to-end (uint8 deltas
+    summed in int64), so any engine recomputes it exactly — the
+    curation primitive for segmenting video corpora before per-scene
+    sampling/captioning."""
+    import numpy as np
+
+    frame_bytes = w * h * 3
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size % frame_bytes != 0:
+        raise ValueError("payload is not a whole number of frames")
+    frames = arr.reshape(-1, frame_bytes).astype(np.int64)
+    deltas = np.abs(frames[1:] - frames[:-1]).sum(axis=1)
+    return [int(i) + 1 for i in np.nonzero(deltas > threshold)[0]]

@@ -78,6 +78,7 @@ _PROMOTE_R6 = [
     "x_time_travel_agg",
     "l6_retrieval_eval",
     "l2_semdedup",
+    "l5_scene_cuts",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

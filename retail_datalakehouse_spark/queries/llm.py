@@ -2591,3 +2591,70 @@ def l2_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id"), pairs, id_col="vec_id", src="id_a", dst="id_b"
     )
     return comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+@register(
+    "l5_scene_cuts",
+    # Frames are 192-byte windows of the tiled text, so DuckDB re-derives
+    # every inter-frame pixel delta as character arithmetic — cuts are
+    # integer comparisons, exact on both engines.
+    oracle="""
+WITH p AS (SELECT doc_id, substr(repeat(text, 193), 1, 1536) AS pay
+           FROM documents WHERE LENGTH(repeat(text, 193)) >= 1536),
+d AS (SELECT doc_id, i,
+        list_sum([abs(ord(substr(pay, 192*(i-1)+j, 1)) - ord(substr(pay, 192*i+j, 1)))
+                  FOR j IN generate_series(1, 192)]) AS delta
+      FROM p, (SELECT unnest(generate_series(1, 7)) AS i) g)
+SELECT doc_id,
+       CAST(COUNT(*) FILTER (WHERE delta > 5400) AS BIGINT) AS n_cuts,
+       COALESCE(string_agg(CASE WHEN delta > 5400 THEN CAST(i AS VARCHAR) END,
+                           ',' ORDER BY i), '') AS cuts
+FROM d GROUP BY doc_id
+""",
+    tags=("L5", "U3"),
+)
+def l5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 video scene segmentation: each clip (an 8-frame 8x8 rgb8 stack
+    from the document's bytes) is scanned for scene cuts — frame i is a
+    cut when the summed absolute pixel delta vs frame i-1 exceeds the
+    threshold (operators/multimodal.py::scene_cuts, integer math
+    end-to-end). The curation primitive that segments raw video into
+    scenes before per-scene keyframe sampling/captioning; runs as an
+    Arrow-batched mapInPandas kernel over binary payloads — the same
+    batch shape a real decoder plugs into — and the oracle re-derives
+    every delta as character arithmetic, so the cut list is hash-exact."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T_
+
+    from ..operators.multimodal import scene_cuts
+
+    w = h = 8
+    need = 8 * w * h * 3  # 1536
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(encode(repeat(text, 193), 'UTF-8'), 1, {need})").alias("raw"),
+    ).filter(F.octet_length("raw") == need)
+
+    out_schema = T_.StructType(
+        [
+            T_.StructField("doc_id", T_.LongType()),
+            T_.StructField("n_cuts", T_.LongType()),
+            T_.StructField("cuts", T_.StringType()),
+        ]
+    )
+
+    def detect(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            cuts = [scene_cuts(bytes(r), w, h, threshold=5400) for r in pdf["raw"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_cuts": [len(c) for c in cuts],
+                    "cuts": [",".join(str(i) for i in c) for c in cuts],
+                }
+            )
+
+    return d.mapInPandas(detect, out_schema)

@@ -49,3 +49,48 @@ def dedup_exact_content(
     """
     hashed = df.withColumn("__h", F.sha2(F.col(content_col), 256))
     return dedup_keep_first(hashed, keys=["__h"], order_by=[id_col]).drop("__h")
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 10
+) -> DataFrame:
+    """Exact duplicate-span detection (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): slide a word ``n``-gram
+    window over every document and flag each position whose exact span text
+    occurs >= 2 times anywhere in the corpus (any document, any position —
+    including elsewhere in the same document). Returns one row per input
+    document: ``(id, n_spans, n_dup_spans)``; short documents (< n words)
+    report 0/0.
+
+    Scale shape: two shuffles — one groupBy for the corpus-wide span
+    frequency table, one groupBy back to documents — both on the span key.
+    Spans here group by the span STRING (exact, oracle-checkable); at
+    100 TB swap the grouping key for ``xxhash64(span)`` so the shuffle
+    moves 8-byte keys instead of ~60-byte strings (collisions at 2^-64 are
+    below corpus noise), and cap span explosion with a stride > 1 — the
+    standard suffix-array approximation trade-off.
+    """
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    npos = F.size(t) - F.lit(n - 1)
+    # sequence(1, k) DESCENDS when k < 1 — guard short docs to an empty list.
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+    spans = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    w = df.select(F.col(id_col), F.explode(spans).alias("span"))
+    counts = w.groupBy("span").agg(F.count(F.lit(1)).alias("__c"))
+    perdoc = (
+        w.join(counts, "span")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__c") >= 2).cast("long")).alias("n_dup_spans"),
+        )
+    )
+    return df.select(id_col).join(perdoc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+    )

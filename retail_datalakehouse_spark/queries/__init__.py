@@ -79,6 +79,10 @@ _PROMOTE_R6 = [
     "l6_retrieval_eval",
     "l2_semdedup",
     "l5_scene_cuts",
+    "l2_duplicate_spans",
+    "l7_temperature_sampling",
+    "x_partition_evolution",
+    "l5_audio_vad",
 ]
 
 # Round-5 rotation, kept for the record (every name below already holds a

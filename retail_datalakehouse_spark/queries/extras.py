@@ -675,14 +675,14 @@ def x_serializable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         state = {"fired": False}
 
         class Racing(VersionedTable):
-            def _try_commit(self, df, op, parent, txn=None, modified_keys=None):
+            def _try_commit(self, df, op, parent, txn=None, modified_keys=None, **kw):
                 if not state["fired"]:
                     state["fired"] = True
                     rival_tbl.merge(
                         rival_updates, ["c_custkey"], isolation="serializable"
                     )
                 return super()._try_commit(
-                    df, op, parent, txn=txn, modified_keys=modified_keys
+                    df, op, parent, txn=txn, modified_keys=modified_keys, **kw
                 )
 
         Racing(spark, path).merge(my_updates, ["c_custkey"], isolation="serializable")

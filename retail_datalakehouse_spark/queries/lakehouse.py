@@ -457,3 +457,54 @@ def s8_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "x_partition_evolution",
+    oracle=f"""
+SELECT CAST(1 AS BIGINT) AS version, 'order_year' AS layout,
+       COUNT(*) AS n_orders, {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders WHERE year(o_orderdate) = 1994
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'order_year,order_month',
+       COUNT(*), {sql_dsum("o_totalprice", scale=2)}
+FROM orders WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3
+""",
+    tags=("S3", "S6", "P4"),
+)
+def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style PARTITION EVOLUTION: the physical layout is
+    per-snapshot manifest metadata, not table schema. v1 writes orders
+    hive-partitioned by order_year; v2 rewrites the SAME logical table
+    partitioned by (order_year, order_month) — the grain change a table
+    gets when a partition becomes too large at scale. Time travel reads
+    each snapshot under its own layout and prunes by it (year filter on
+    v1 touches 1/7 of directories; year+month on v2 touches 1/84). The
+    oracle recomputes both aggregates from the raw table, so the hash
+    proves the two layout roundtrips are lossless AND version-isolated."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+    )
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_pe_"))
+    table.overwrite(o, partition_by=["order_year"])  # v1: coarse layout
+    table.overwrite(o, partition_by=["order_year", "order_month"])  # v2: evolved
+    v1 = (
+        table.read_version(1)
+        .filter(F.col("order_year") == 1994)
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue"))
+        .select(F.lit(1).cast("long").alias("version"), F.lit("order_year").alias("layout"), "n_orders", "revenue")
+    )
+    v2 = (
+        table.read_version(2)
+        .filter((F.col("order_year") == 1995) & (F.col("order_month") == 3))
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", scale=2).alias("revenue"))
+        .select(F.lit(2).cast("long").alias("version"), F.lit("order_year,order_month").alias("layout"), "n_orders", "revenue")
+    )
+    return v1.unionByName(v2)

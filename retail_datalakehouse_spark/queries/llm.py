@@ -2658,3 +2658,186 @@ def l5_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(detect, out_schema)
+
+
+# --- round 6 additions: exact duplicate spans + temperature sampling -------
+
+
+@register(
+    "l2_duplicate_spans",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 9), ' ') AS span
+  FROM tok, UNNEST(range(1, GREATEST(len(t) - 9, 0) + 1)) AS u(i)),
+c AS (SELECT span, COUNT(*) AS c FROM w GROUP BY span),
+p AS (SELECT doc_id, COUNT(*) AS n_spans,
+             SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+      FROM w JOIN c USING (span) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST((10000 * COALESCE(p.n_dup, 0))
+            // GREATEST(COALESCE(p.n_spans, 0), 1) AS BIGINT) AS dup_bp
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+    tags=("L2", "L4"),
+)
+def l2_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN detection (Lee et al. 2022): per document, how
+    many of its sliding word 10-grams occur verbatim >= 2 times anywhere in
+    the corpus — the sub-document complement to whole-doc L1/L2 dedup
+    (boilerplate, quoted chains, templated passages survive doc-level dedup
+    but still memorize). dup_bp = duplicated-position share in basis points,
+    integer arithmetic end-to-end. See operators/dedup.py
+    ``duplicate_span_stats`` for the 100 TB shape (hash the span key,
+    stride the window)."""
+    from ..operators.dedup import duplicate_span_stats
+
+    d = T(spark, sf_dir, "documents")
+    stats = duplicate_span_stats(d, "doc_id", "text", n=10)
+    return stats.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.expr(
+            "CAST((10000 * n_dup_spans) DIV GREATEST(n_spans, 1) AS BIGINT)"
+        ).alias("dup_bp"),
+    )
+
+
+@register(
+    "l7_temperature_sampling",
+    oracle="""
+WITH per AS (
+  SELECT source,
+         CAST(SUM(len(list_filter(string_split(text, ' '), t -> t != '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+r0 AS (SELECT source, n_tokens,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r
+       FROM per),
+r1 AS (SELECT source, n_tokens,
+              CASE WHEN (r + 1) * (r + 1) <= n_tokens THEN r + 1 ELSE r END AS r
+       FROM r0),
+s AS (SELECT source, n_tokens,
+             CASE WHEN r * r > n_tokens THEN r - 1 ELSE r END AS s
+      FROM r1),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_tok,
+               CAST(SUM(s) AS BIGINT) AS tot_s FROM s)
+SELECT source, n_tokens,
+       CAST((10000 * n_tokens) // tot_tok AS BIGINT) AS nat_bp,
+       CAST((10000 * s) // tot_s AS BIGINT) AS temp_bp,
+       CAST((100000 * s) // tot_s AS BIGINT) AS sampled_docs
+FROM s, tot
+""",
+    tags=("L4", "A1"),
+)
+def l7_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (mT5/XLM-R style): sample source i
+    with probability proportional to p_i^alpha, alpha = 0.5, flattening the
+    natural size distribution so small sources are seen more often. All
+    arithmetic is INTEGER-exact cross-engine: p_i^0.5 is an exact integer
+    sqrt (floor(sqrt) from the IEEE-correctly-rounded double sqrt, then a
+    +/-1 integer correction), weights are basis-point integer division, and
+    sampled_docs allocates a 100k-document budget. One corpus scan + one
+    5-row aggregate; the totals broadcast back as a one-row cross join."""
+    d = T(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("n")
+    )
+    per = d.groupBy("source").agg(F.sum("n").cast("long").alias("n_tokens"))
+    r = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    r = F.when((r + 1) * (r + 1) <= F.col("n_tokens"), r + 1).otherwise(r)
+    s = F.when(r * r > F.col("n_tokens"), r - 1).otherwise(r)
+    per = per.select("source", "n_tokens", s.alias("s"))
+    tot = per.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tok"),
+        F.sum("s").cast("long").alias("tot_s"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST((10000 * n_tokens) DIV tot_tok AS BIGINT)").alias("nat_bp"),
+        F.expr("CAST((10000 * s) DIV tot_s AS BIGINT)").alias("temp_bp"),
+        F.expr("CAST((100000 * s) DIV tot_s AS BIGINT)").alias("sampled_docs"),
+    )
+
+
+@register(
+    "l5_audio_vad",
+    # Same losslessness argument as l5_audio_features: the WAV roundtrip
+    # preserves the PCM16 samples, which are a fixed function of the text
+    # bytes — so DuckDB re-derives frame energies, the active mask, and
+    # the segment (run-start) count as pure character arithmetic, and the
+    # hash checks the whole codec+VAD path.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(repeat(text, 33), 1, 256) AS pay FROM documents
+  WHERE LENGTH(repeat(text, 33)) >= 256),
+s AS (
+  SELECT doc_id,
+         [abs(CASE WHEN ord(substr(pay, 2*i-1, 1)) + 256 * ord(substr(pay, 2*i, 1)) >= 32768
+               THEN ord(substr(pay, 2*i-1, 1)) + 256 * ord(substr(pay, 2*i, 1)) - 65536
+               ELSE ord(substr(pay, 2*i-1, 1)) + 256 * ord(substr(pay, 2*i, 1)) END)
+          for i in range(1, 129)] AS a
+  FROM p),
+act AS (
+  SELECT doc_id,
+         [CASE WHEN list_sum(list_slice(a, 16*j+1, 16*j+16)) >= 390000
+               THEN 1 ELSE 0 END for j in range(0, 8)] AS m
+  FROM s)
+SELECT doc_id,
+       CAST(8 AS BIGINT) AS n_frames,
+       CAST(list_sum(m) AS BIGINT) AS n_active,
+       CAST(m[1] + list_sum([CASE WHEN m[j] = 1 AND m[j-1] = 0 THEN 1 ELSE 0 END
+                             for j in range(2, 9)]) AS BIGINT) AS n_segments,
+       CAST((10000 * list_sum(m)) // 8 AS BIGINT) AS speech_bp
+FROM act
+""",
+    tags=("L5", "U3"),
+)
+def l5_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 audio VAD: encode each document's bytes as a PCM16 WAV clip
+    (real RIFF container), then run energy voice-activity detection over
+    16-sample frames — active-frame count, speech ratio in basis points,
+    and SEGMENT count (maximal active runs: the speech-burst structure a
+    silence trimmer or diarization pass consumes). Both stages are
+    Arrow-batched mapInPandas over binary columns — the multimodal scale
+    shape — and every output is integer-exact."""
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T_
+
+    from ..operators.multimodal import encode_wav, vad_stats
+
+    need = 256
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(encode(repeat(text, 33), 'UTF-8'), 1, {need})").alias("raw"),
+    ).filter(F.octet_length("raw") == need)
+
+    wav_schema = T_.StructType(
+        [T_.StructField("doc_id", T_.LongType()), T_.StructField("payload", T_.BinaryType())]
+    )
+
+    def to_wav(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            payloads = [
+                encode_wav(np.frombuffer(bytes(r), dtype="<i2"), sample_rate=16000)
+                for r in pdf["raw"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    wavs = d.mapInPandas(to_wav, wav_schema)
+    return vad_stats(wavs, frame=16, threshold=390_000).select(
+        "doc_id",
+        "n_frames",
+        "n_active",
+        "n_segments",
+        F.expr("CAST((10000 * n_active) DIV n_frames AS BIGINT)").alias("speech_bp"),
+    )

@@ -60,8 +60,9 @@ def _parquet_num_rows(data_dir: str) -> int:
     import pyarrow.parquet as pq
 
     return sum(
-        pq.read_metadata(os.path.join(data_dir, f)).num_rows
-        for f in os.listdir(data_dir)
+        pq.read_metadata(os.path.join(root, f)).num_rows
+        for root, _dirs, files in os.walk(data_dir)
+        for f in files
         if f.endswith(".parquet")
     )
 
@@ -111,6 +112,7 @@ class VersionedTable:
         parent: int | None,
         txn: dict | None = None,
         modified_keys: list[int] | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -125,7 +127,14 @@ class VersionedTable:
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
         data_dir = os.path.join(self.path, data_dirname)
-        df.write.mode("overwrite").parquet(data_dir)  # private staging dir …
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            # Iceberg-style partition EVOLUTION: the layout is per-snapshot
+            # manifest metadata, not table schema — each version may carry
+            # its own partitioning, and readers prune by whatever layout
+            # the snapshot they read was written with.
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)  # private staging dir …
         os.makedirs(self._manifest_dir, exist_ok=True)
         n_rows = _parquet_num_rows(data_dir)
         entry = {
@@ -134,6 +143,7 @@ class VersionedTable:
             "parent": parent,
             "n_rows": n_rows,
             "data_dir": data_dirname,
+            "partition_by": partition_by,
             "committed_at": time.time(),
             "modified_keys": modified_keys,
             # transaction watermarks carry forward: {writer_id: last batch}
@@ -190,6 +200,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         modified_keys: list[int] | None = None,
         serializable: bool = False,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -220,6 +231,7 @@ class VersionedTable:
                     build(self.read()), op, parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
                     modified_keys=modified_keys,
+                    partition_by=partition_by,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -233,8 +245,16 @@ class VersionedTable:
 
     # ------------------------------------------------------------- writes
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit_with_retry(lambda cur: df, "overwrite")
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Replace the table with ``df``. ``partition_by`` evolves the
+        snapshot's physical layout (hive-style directories) without
+        touching the logical schema — the Iceberg partition-evolution
+        semantics: old snapshots keep their old layout, time travel and
+        CDF still work across layout changes, and readers prune by the
+        layout of the snapshot they read."""
+        return self._commit_with_retry(
+            lambda cur: df, "overwrite", partition_by=partition_by
+        )
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
         # modified_keys=[]: a blind append touches no existing keys, so it

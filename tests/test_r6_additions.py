@@ -1,0 +1,116 @@
+"""Round-6 late additions: duplicate spans, VAD, partition evolution,
+integer-exact temperature sampling."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from retail_datalakehouse_spark.operators.dedup import duplicate_span_stats
+from retail_datalakehouse_spark.operators.multimodal import encode_wav, vad_stats
+from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+
+def _span_rows(spark, docs, n=3):
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    return {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_span_stats(df, "doc_id", "text", n=n).collect()
+    }
+
+
+def test_duplicate_spans_cross_doc_and_short_doc(spark):
+    got = _span_rows(
+        spark,
+        [
+            (1, "a b c d"),      # spans: "a b c", "b c d"
+            (2, "a b c x"),      # spans: "a b c", "b c x"
+            (3, "q r"),          # < n words -> 0 spans
+        ],
+        n=3,
+    )
+    # "a b c" occurs in docs 1 and 2 -> duplicated at both positions
+    assert got[1] == (2, 1)
+    assert got[2] == (2, 1)
+    assert got[3] == (0, 0)
+
+
+def test_duplicate_spans_within_same_doc(spark):
+    # "a b c" appears twice inside ONE doc: both positions count as dup
+    got = _span_rows(spark, [(1, "a b c z a b c")], n=3)
+    assert got[1] == (5, 2)
+
+
+def test_vad_stats_frames_and_segments(spark):
+    loud, quiet = 30000, 10
+    # frames(4 samples): active, silent, active, active -> 2 segments
+    samples = [loud] * 4 + [quiet] * 4 + [loud] * 4 + [loud] * 4 + [quiet]
+    payload = encode_wav(samples)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = vad_stats(df, frame=4, threshold=4 * 20000).collect()[0]
+    # the trailing lone sample is dropped (partial frame)
+    assert (row["n_frames"], row["n_active"], row["n_segments"]) == (4, 3, 2)
+
+
+def test_vad_stats_all_silent(spark):
+    payload = encode_wav([0] * 16)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = vad_stats(df, frame=4, threshold=1).collect()[0]
+    assert (row["n_active"], row["n_segments"]) == (0, 0)
+
+
+def test_partition_evolution_layouts_and_isolation(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("int").alias("y"),
+        (F.col("id") % 12).cast("int").alias("m"),
+    )
+    t = VersionedTable(spark, str(tmp_path / "pe"))
+    t.overwrite(df, partition_by=["y"])
+    t.overwrite(df, partition_by=["y", "m"])
+    # manifests record each snapshot's own layout
+    assert t._manifest(1)["partition_by"] == ["y"]
+    assert t._manifest(2)["partition_by"] == ["y", "m"]
+    # physical layout is hive-style per version
+    d1 = os.path.join(str(tmp_path / "pe"), t._manifest(1)["data_dir"])
+    d2 = os.path.join(str(tmp_path / "pe"), t._manifest(2)["data_dir"])
+    assert any(p.startswith("y=") for p in os.listdir(d1))
+    assert any(p.startswith("m=") for p in os.listdir(os.path.join(d2, "y=0")))
+    # both versions read back losslessly (count + key sum)
+    for v in (1, 2):
+        got = t.read_version(v).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")
+        ).collect()[0]
+        assert (got["n"], got["s"]) == (100, 4950)
+    # manifest row counts survived the partitioned write (os.walk fix)
+    assert t._manifest(1)["n_rows"] == 100
+    assert t._manifest(2)["n_rows"] == 100
+    # the partition filter prunes: only 1/4 of v1's files are scanned
+    plan = (
+        t.read_version(1).filter(F.col("y") == 2)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "y=2" in plan or "PartitionFilters" in plan
+
+
+def test_partition_evolution_changes_across_layouts(spark, tmp_path):
+    df = spark.range(10).select(F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("y"))
+    t = VersionedTable(spark, str(tmp_path / "pec"))
+    t.overwrite(df, partition_by=["y"])
+    t.overwrite(df.filter(F.col("k") < 8), partition_by=["y"])
+    ch = t.changes(1, 2, keys=["k"])
+    assert sorted(r["k"] for r in ch.filter(F.col("_change_type") == "delete").collect()) == [8, 9]
+
+
+def test_isqrt_expr_exact_against_math_isqrt(spark):
+    # the +/-1-corrected floor(sqrt) used by l7_temperature_sampling is an
+    # exact integer sqrt, including at perfect-square boundaries
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**6, 10**6 + 1, 10**12 - 1, 10**12, (2**26 - 1) ** 2]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    r = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    r = F.when((r + 1) * (r + 1) <= F.col("n"), r + 1).otherwise(r)
+    s = F.when(r * r > F.col("n"), r - 1).otherwise(r)
+    got = {row["n"]: row["s"] for row in df.select("n", s.alias("s")).collect()}
+    assert got == {v: math.isqrt(v) for v in vals}

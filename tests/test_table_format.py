@@ -135,11 +135,11 @@ def test_serializable_merge_conflict_matrix(spark, tmp_path):
     mine_overlap = spark.createDataFrame([(5, 666)], ["id", "v"])
 
     class RacingTable(VersionedTable):
-        def _try_commit(self, df, op, parent, txn=None, modified_keys=None):
+        def _try_commit(self, df, op, parent, txn=None, modified_keys=None, **kw):
             if not state["fired"]:
                 state["fired"] = True
                 wb.merge(rival, ["id"], isolation="serializable")
-            return super()._try_commit(df, op, parent, txn=txn, modified_keys=modified_keys)
+            return super()._try_commit(df, op, parent, txn=txn, modified_keys=modified_keys, **kw)
 
     wr = RacingTable(spark, path)
     with pytest.raises(ConcurrentMergeConflict):
@@ -151,11 +151,11 @@ def test_serializable_merge_conflict_matrix(spark, tmp_path):
     wb2 = VersionedTable(spark, path)
 
     class RacingTable2(VersionedTable):
-        def _try_commit(self, df, op, parent, txn=None, modified_keys=None):
+        def _try_commit(self, df, op, parent, txn=None, modified_keys=None, **kw):
             if not state["fired"]:
                 state["fired"] = True
                 wb2.merge(rival2, ["id"], isolation="serializable")
-            return super()._try_commit(df, op, parent, txn=txn, modified_keys=modified_keys)
+            return super()._try_commit(df, op, parent, txn=txn, modified_keys=modified_keys, **kw)
 
     mine_disjoint = spark.createDataFrame([(9, 900)], ["id", "v"])
     wr2 = RacingTable2(spark, path)

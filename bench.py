@@ -45,6 +45,9 @@ HEADLINE = [
     # pre-screen and the unigram-LM perplexity gate
     "l4_bloom_decontamination",
     "l4_perplexity_filter",
+    # round-6 late addition: corpus-wide exact duplicate-span detection
+    # (explode + two span-key shuffles — the heaviest new scan shape)
+    "l2_duplicate_spans",
 ]
 
 

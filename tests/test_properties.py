@@ -327,3 +327,64 @@ def test_skipping_scan_equals_full_filter(spark, tmp_path_factory, keys, lo, spa
         map(tuple, df.filter((F.col("k") >= lo) & (F.col("k") <= hi)).collect())
     )
     assert sorted(map(tuple, got.collect())) == expected
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    n=st.integers(2, 4),
+)
+@SETTINGS
+def test_duplicate_span_stats_matches_python_reference(spark, docs, n):
+    """duplicate_span_stats == brute-force reference: every window whose
+    exact text occurs >= 2 times anywhere in the corpus is a dup."""
+    from collections import Counter
+
+    from retail_datalakehouse_spark.operators.dedup import duplicate_span_stats
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_span_stats(df, "doc_id", "text", n=n).collect()
+    }
+    spans_by_doc = {
+        i: [
+            " ".join(toks[j : j + n])
+            for toks in [[t for t in text.split(" ") if t]]
+            for j in range(len(toks) - n + 1)
+        ]
+        for i, text in enumerate(docs)
+    }
+    freq = Counter(s for spans in spans_by_doc.values() for s in spans)
+    want = {
+        i: (len(spans), sum(1 for s in spans if freq[s] >= 2))
+        for i, spans in spans_by_doc.items()
+    }
+    assert got == want
+
+
+@given(
+    frames=st.lists(st.booleans(), min_size=1, max_size=12),
+    tail=st.integers(0, 3),
+)
+@SETTINGS
+def test_vad_stats_matches_run_length_reference(spark, frames, tail):
+    """vad_stats segments == run-length count of the active mask; trailing
+    partial frames are dropped."""
+    from retail_datalakehouse_spark.operators.multimodal import encode_wav, vad_stats
+
+    frame = 4
+    loud, quiet = 25000, 3
+    samples = [loud if a else quiet for a in frames for _ in range(frame)]
+    samples += [loud] * tail  # partial frame: must be ignored
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(samples)))], "doc_id long, payload binary"
+    )
+    row = vad_stats(df, frame=frame, threshold=frame * 10000).collect()[0]
+    segs = sum(1 for i, a in enumerate(frames) if a and (i == 0 or not frames[i - 1]))
+    assert row["n_frames"] == len(frames)
+    assert row["n_active"] == sum(frames)
+    assert row["n_segments"] == segs

@@ -119,6 +119,17 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "tombstone-resolved probe must stay JVM-side"),
     ("l3_ivf_delete", "BroadcastHashJoin", True,
      "tombstone anti-join must broadcast the (small) deleted-id set"),
+    # round 6 late additions
+    ("l2_duplicate_spans", "EvalPython", False,
+     "span slicing + frequency join must stay JVM-side column math"),
+    ("l2_duplicate_spans", "CartesianProduct", False,
+     "span matching must stay on the span-key equi-join, never all-pairs"),
+    ("l2_duplicate_spans", "partial", True,
+     "span frequency count must be two-phase (map-side partial)"),
+    ("l7_temperature_sampling", "EvalPython", False,
+     "integer sqrt + weight math must stay JVM-side"),
+    ("x_partition_evolution", "PartitionFilters: [isnotnull(order_year", True,
+     "the year filter must prune the evolved snapshot's hive directories"),
 ]
 
 

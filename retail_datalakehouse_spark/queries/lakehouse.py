@@ -508,3 +508,132 @@ def x_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(2).cast("long").alias("version"), F.lit("order_year,order_month").alias("layout"), "n_orders", "revenue")
     )
     return v1.unionByName(v2)
+
+
+@register(
+    "x_snapshot_metadata",
+    # The oracle recomputes every version's expected row count
+    # relationally — so the hash proves the MANIFEST stats (never a data
+    # scan on the query side) are exact through an overwrite → append →
+    # delete chain, including the per-snapshot partition layout.
+    oracle="""
+WITH o AS (SELECT o_orderkey AS k FROM orders)
+SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS operation,
+       CAST(0 AS BIGINT) AS parent,
+       (SELECT COUNT(*) FROM o WHERE k < 4000) AS n_rows,
+       'order_year' AS layout
+UNION ALL
+SELECT 2, 'append', 1,
+       (SELECT COUNT(*) FROM o WHERE k < 6000), ''
+UNION ALL
+SELECT 3, 'delete', 2,
+       (SELECT COUNT(*) FROM o WHERE k < 6000 AND k % 7 != 0), ''
+""",
+    tags=("S6", "S7"),
+)
+def x_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY query (Iceberg `snapshots` table / Delta DESCRIBE
+    HISTORY analogue): after an overwrite(partitioned) → append → delete
+    chain, answer version / operation / lineage / row count / partition
+    layout purely from the manifest — the query side never scans a data
+    file. At 100 TB this is the difference between a free answer and a
+    full-table count. The oracle recomputes each version's expected row
+    count from the raw table, value-checking the manifest stats."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_snapmeta_"))
+    t.overwrite(o.filter(F.col("k") < 4000), partition_by=["order_year"])  # v1
+    t.append(o.filter((F.col("k") >= 4000) & (F.col("k") < 6000)))  # v2
+    t.delete(F.col("k") % 7 == 0)  # v3
+    return t.snapshots().select("version", "operation", "parent", "n_rows", "layout")
+
+
+@register(
+    "x_incremental_mart_cdf",
+    # The oracle computes the mart by FULL recompute over the final
+    # relational state (v1 ∪ merge effect minus deletes) — so the hash
+    # proves delta maintenance (base mart + signed CDF rows) lands on
+    # exactly the recompute answer.
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey AS k, year(o_orderdate) AS y, o_totalprice AS p
+  FROM orders WHERE o_orderkey < 2000),
+u AS (
+  SELECT o_orderkey AS k, year(o_orderdate) AS y, o_totalprice + 10.0 AS p
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000),
+v2 AS (
+  SELECT * FROM v1 WHERE k NOT IN (SELECT k FROM u)
+  UNION ALL SELECT * FROM u),
+v3 AS (SELECT * FROM v2 WHERE k % 7 != 0)
+SELECT CAST(y AS BIGINT) AS order_year, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(p AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM v3 GROUP BY y
+""",
+    tags=("S7", "A1", "J4"),
+)
+def x_incremental_mart_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance off the change feed: a year-grain
+    revenue mart is built ONCE from snapshot v1, then maintained through a
+    MERGE (repricing + inserts) and a DELETE by applying ONLY the CDF
+    delta — +1 for insert/update_postimage rows, −1 for
+    delete/update_preimage — never re-aggregating the base table. This is
+    the 100 TB mart-refresh contract: refresh cost is O(|changes|), not
+    O(|table|). The oracle full-recomputes the final state, so the hash
+    proves delta maintenance ≡ recompute."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.col("o_totalprice").alias("p"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_ivm_"))
+    t.overwrite(o.filter(F.col("k") < 2000))  # v1
+    base_mart = (
+        t.read_version(1)
+        .groupBy("y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p").cast("decimal(25,2)")).alias("rev"),
+        )
+    )
+    upd = o.filter((F.col("k") >= 1000) & (F.col("k") < 3000)).withColumn(
+        "p", F.col("p") + 10.0
+    )
+    t.merge(upd, keys=["k"])  # v2
+    t.delete(F.col("k") % 7 == 0)  # v3
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        t.changes(1, 3, keys=["k"])
+        .select("y", sign.alias("s"), "p")
+        .groupBy("y")
+        .agg(
+            F.sum("s").alias("dn"),
+            F.sum(F.col("s") * F.col("p").cast("decimal(25,2)")).alias("drev"),
+        )
+    )
+    return (
+        base_mart.join(delta, "y", "full_outer")
+        .select(
+            F.col("y").cast("long").alias("order_year"),
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("rev"), F.lit(0).cast("decimal(25,2)"))
+                + F.coalesce(F.col("drev"), F.lit(0).cast("decimal(25,2)")),
+                2,
+            ).cast("double").alias("revenue"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )

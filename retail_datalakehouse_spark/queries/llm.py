@@ -2841,3 +2841,105 @@ def l5_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_segments",
         F.expr("CAST((10000 * n_active) DIV n_frames AS BIGINT)").alias("speech_bp"),
     )
+
+
+@register(
+    "l4_quality_classifier",
+    # The 256-bucket weight table is generated from the same closed-form
+    # both engines can compute (multiplicative-hash weights in [-8, 7]),
+    # so the score is integer-exact end-to-end. In production the weights
+    # come from training — the PLUMBING under grade (hash buckets,
+    # broadcast model join, per-doc integer fold) is identical either way.
+    oracle="""
+WITH w AS (
+  SELECT range AS b, CAST((range * 2654435761) % 16 - 8 AS BIGINT) AS wt
+  FROM range(0, 256)),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t != '')) AS tk
+  FROM documents),
+tb AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) AS b
+  FROM tok)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(wt) AS BIGINT) AS score,
+       CAST(CASE WHEN SUM(wt) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM tb JOIN w USING (b)
+GROUP BY doc_id
+""",
+    tags=("L4", "J2"),
+)
+def l4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText/DCLM-style linear quality classifier as a SCALE shape:
+    tokens hash into 256 feature buckets (md5 bucket — the hashing trick),
+    the model is a 256-row weight TABLE broadcast to every executor (the
+    way a trained classifier ships to a 1000-executor scoring pass), and
+    each document's score is an integer sum over its token-bucket weights
+    — one scan, one broadcast hash join, one two-phase aggregate; no UDF.
+    keep = (score >= 0) is the classifier gate a curation pipeline feeds
+    into its survivor filter."""
+    hexd = "0123456789abcdef"
+    weights = spark.range(0, 256).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % 16 - 8).cast("long").alias("wt"),
+    )
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens("text")).alias("tk")
+    )
+    md5c = F.md5(F.col("tk").cast("binary"))
+    tb = tok.select(
+        "doc_id",
+        (
+            (F.instr(F.lit(hexd), F.substring(md5c, 1, 1)) - 1) * 16
+            + (F.instr(F.lit(hexd), F.substring(md5c, 2, 1)) - 1)
+        ).cast("long").alias("b"),
+    )
+    return (
+        tb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("wt").cast("long").alias("score"),
+        )
+        .select(
+            "doc_id", "n_tokens", "score",
+            (F.col("score") >= 0).cast("long").alias("keep"),
+        )
+    )
+
+
+@register(
+    "l7_stratified_sample",
+    oracle="""
+SELECT doc_id, source, rk
+FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(text), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 20
+""",
+    tags=("L4", "W1"),
+)
+def l7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-k sampling without an RNG: within each source,
+    rank documents by content hash (md5 of the text) and keep the first
+    k=20 — a reproducible "random" sample (md5 order is uniform in
+    content, stable across reruns, clusters, and partition layouts, and
+    changes only if the content changes). The complement of Bernoulli
+    `l7_weighted_sample`: eval sets and ablation slices need exactly-k
+    per stratum, not k-in-expectation. One shuffle (the per-source
+    window); at 100 TB the window is a WindowGroupLimit (rank<=k pushes
+    the limit below the sort) — no stratum ever materializes fully
+    sorted."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("text").cast("binary")), F.col("doc_id"))
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )

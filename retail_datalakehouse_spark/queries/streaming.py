@@ -1126,3 +1126,81 @@ def t13_streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 2).head()["embedding"]]
     live = read_ivf_index(spark, idx_path).filter(F.col("vec_id") != 2)
     return topk_cosine(live, qvec, k=10, round_to=6)
+
+
+@register(
+    "t14_interval_join_outer",
+    # Batch-equivalence oracle: the LEFT OUTER interval join over the full
+    # event set — including the zero-click purchases the inner t8 variant
+    # can never emit. All real events arrive in ONE micro-batch (no late
+    # drops), and a far-future advancer batch pushes the watermark past
+    # every purchase's match window, so streaming emits exactly the batch
+    # join's rows.
+    oracle="""
+WITH p AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS c_id, user_id, CAST(ts AS TIMESTAMP) AS c_ts
+  FROM events WHERE event_type = 'click')
+SELECT p.event_id AS purchase_id, COUNT(c.c_id) AS n_clicks_before
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts <= p.ts
+ AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY 1
+""",
+    tags=("T8", "J3"),
+)
+def t14_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream LEFT OUTER interval join — the harder state semantics
+    t8's inner join avoids: an unmatched purchase is held in the state
+    store until the global watermark PROVES no qualifying click can still
+    arrive, then emitted null-padded. Two micro-batches: all real events,
+    then a +10-day advancer pair (one per stream side, synthetic user -1)
+    whose only job is to advance both event-time watermarks and flush the
+    trailing outer rows. Zero-click purchases therefore appear with
+    n_clicks_before = 0 — the rows the inner variant structurally drops."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from ..catalog import load_table
+    from ..streaming.jobs import stream_stream_join, write_single_parquet
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    t_max = e.agg(F.max("ts")).head()[0]
+    adv_ts = t_max + timedelta(days=10)
+    advancers = spark.createDataFrame(
+        [(-1, -1, "purchase", adv_ts), (-2, -1, "click", adv_ts)],
+        schema=e.schema,
+    )
+
+    d = tempfile.mkdtemp(prefix="rdl_t14_")
+    for i, part in enumerate((e, advancers)):
+        dest = os.path.join(d, f"batch{i}.parquet")
+        write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    joined = stream_stream_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="c_ts",
+        within="1 hour", how="left_outer",
+    )
+    pairs = joined.select(F.col("l.event_id").alias("purchase_id"), F.col("r.c_id"))
+    sink = run_to_memory(pairs, output_mode="append")
+    return (
+        spark.table(sink)
+        .filter(F.col("purchase_id") >= 0)  # drop the advancer row
+        .groupBy("purchase_id")
+        .agg(F.count("c_id").alias("n_clicks_before"))
+    )

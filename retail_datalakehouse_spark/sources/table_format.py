@@ -600,6 +600,42 @@ class VersionedTable:
         out = inserts.unionByName(deletes).unionByName(pre_img).unionByName(post_img)
         return out.drop("__in_a", "__in_b", "__same")
 
+    def snapshots(self) -> DataFrame:
+        """Iceberg-style ``snapshots`` metadata table: one row per
+        committed version, built ENTIRELY from manifests — no data file
+        is opened. At 100 TB this is what answers "how many rows, which
+        operation, what partition layout, how many files" for free; a
+        ``COUNT(*)`` served from here costs O(versions), not a scan
+        (Delta stores the same stats in its commit log for exactly this).
+        ``n_files`` counts the snapshot's parquet files (driver-side
+        directory walk — still metadata-only)."""
+        rows = []
+        for e in self.history():
+            data_dir = os.path.join(
+                self.path, e.get("data_dir", f"_v{e['version']}")
+            )
+            n_files = sum(
+                1
+                for _root, _dirs, files in os.walk(data_dir)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            rows.append(
+                (
+                    e["version"],
+                    e["operation"],
+                    e.get("parent") or 0,
+                    e["n_rows"],
+                    n_files,
+                    ",".join(e.get("partition_by") or []),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            schema="version long, operation string, parent long, "
+            "n_rows long, n_files long, layout string",
+        )
+
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read any committed snapshot (dir resolved through
         the manifest — staged/orphaned dirs are invisible). Merge-on-read

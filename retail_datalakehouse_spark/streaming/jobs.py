@@ -377,11 +377,18 @@ def stream_stream_join(
     right_ts: str,
     within: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """T-extension: stream⋈stream interval join. Both sides are
     watermarked (bounds the join state) and matched on key + a time band
     — right events within [left_ts - within, left_ts]. The state store
     holds only rows younger than watermark+within: bounded at any scale.
+
+    ``how='left_outer'`` adds the null-padded non-matches: a left row is
+    emitted unmatched only once the global watermark proves no matching
+    right row can still arrive (left_ts + within < watermark) — so a
+    finite stream must advance the watermark past its own tail (an
+    advancer batch) to flush trailing outer rows.
     """
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
@@ -390,4 +397,4 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)

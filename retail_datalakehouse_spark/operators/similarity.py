@@ -442,3 +442,31 @@ def lsh_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def mmr_select(
+    rel: dict, sims: dict, k: int = 5, lam_num: int = 7, lam_den: int = 10
+) -> list:
+    """Greedy Maximal Marginal Relevance selection over a BOUNDED candidate
+    pool (Carbonell & Goldstein 1998): pick argmax of
+    ``lam*rel(v) - (1-lam)*max_{s in S} sim(v, s)`` k times, first pick by
+    pure relevance. All-integer scoring — ``rel``/``sims`` carry fixed-point
+    ints and lambda is the rational lam_num/lam_den, so the argmax chain is
+    exact and reproducible (ties break on the candidate id). Driver-side by
+    design: the pool is the OUTPUT of a distributed top-k (tens of rows);
+    the corpus never reaches this function."""
+    a, b = lam_num, lam_den - lam_num
+    selected: list = []
+    for _ in range(min(k, len(rel))):
+        if not selected:
+            best = min(rel, key=lambda v: (-rel[v], v))
+        else:
+            best = min(
+                (v for v in rel if v not in selected),
+                key=lambda v: (
+                    -(a * rel[v] - b * max(sims[(v, s)] for s in selected)),
+                    v,
+                ),
+            )
+        selected.append(best)
+    return selected

@@ -182,6 +182,10 @@ _PROMOTE_R5 = [
     # x_cdf_version_diff, x_write_audit_publish, x_ewma_smoothing,
     # x_merge_on_read_delete.
 ]
+# Round-7 gate queue (registered AFTER the 50-slot r6 window; each already
+# 3-scale oracle-green, first in line for the r7 rotation):
+#   t14_interval_join_outer, l4_quality_classifier, x_snapshot_metadata,
+#   x_incremental_mart_cdf, l7_stratified_sample, l3_mmr_diversify.
 # Dict insertion order dedupes: a name in both lists keeps its R6 slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}

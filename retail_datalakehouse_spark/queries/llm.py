@@ -2943,3 +2943,116 @@ def l7_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+@register(
+    "l3_mmr_diversify",
+    # Greedy argmax chains are deterministic because every comparison is
+    # over fixed-point BIGINT scores (cosines rounded to 1e-6 before any
+    # ordering), with vec_id as the total-order tie-break — the oracle
+    # unrolls the same five steps relationally.
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sc AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS y
+  FROM embeddings e),
+rel AS (
+  SELECT vec_id,
+         CAST(ROUND(1000000 * SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y)))) AS BIGINT) AS r
+  FROM sc GROUP BY vec_id),
+pool AS (SELECT vec_id, r FROM rel ORDER BY r DESC, vec_id LIMIT 20),
+pe AS (SELECT p.vec_id, p.r, e.embedding FROM pool p JOIN embeddings e USING (vec_id)),
+pp AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM pe a CROSS JOIN pe b WHERE a.vec_id < b.vec_id),
+sim AS (
+  SELECT i, j,
+         CAST(ROUND(1000000 * SUM(xa*xb) / (SQRT(SUM(xa*xa)) * SQRT(SUM(xb*xb)))) AS BIGINT) AS s
+  FROM pp GROUP BY i, j),
+simb AS (SELECT i, j, s FROM sim UNION ALL SELECT j AS i, i AS j, s FROM sim),
+s1 AS (SELECT vec_id, r FROM pool ORDER BY r DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1),
+c2 AS (
+  SELECT p.vec_id, p.r, MAX(sb.s) AS ms
+  FROM pool p JOIN simb sb ON sb.i = p.vec_id JOIN sel1 ON sb.j = sel1.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel1)
+  GROUP BY p.vec_id, p.r),
+s2 AS (SELECT vec_id, r FROM c2 ORDER BY 7*r - 3*ms DESC, vec_id LIMIT 1),
+sel2 AS (SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2),
+c3 AS (
+  SELECT p.vec_id, p.r, MAX(sb.s) AS ms
+  FROM pool p JOIN simb sb ON sb.i = p.vec_id JOIN sel2 ON sb.j = sel2.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel2)
+  GROUP BY p.vec_id, p.r),
+s3 AS (SELECT vec_id, r FROM c3 ORDER BY 7*r - 3*ms DESC, vec_id LIMIT 1),
+sel3 AS (SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3),
+c4 AS (
+  SELECT p.vec_id, p.r, MAX(sb.s) AS ms
+  FROM pool p JOIN simb sb ON sb.i = p.vec_id JOIN sel3 ON sb.j = sel3.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel3)
+  GROUP BY p.vec_id, p.r),
+s4 AS (SELECT vec_id, r FROM c4 ORDER BY 7*r - 3*ms DESC, vec_id LIMIT 1),
+sel4 AS (SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4),
+c5 AS (
+  SELECT p.vec_id, p.r, MAX(sb.s) AS ms
+  FROM pool p JOIN simb sb ON sb.i = p.vec_id JOIN sel4 ON sb.j = sel4.vec_id
+  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel4)
+  GROUP BY p.vec_id, p.r),
+s5 AS (SELECT vec_id, r FROM c5 ORDER BY 7*r - 3*ms DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS rank, vec_id, r AS rel_fp FROM s1
+UNION ALL SELECT 2, vec_id, r FROM s2
+UNION ALL SELECT 3, vec_id, r FROM s3
+UNION ALL SELECT 4, vec_id, r FROM s4
+UNION ALL SELECT 5, vec_id, r FROM s5
+""",
+    tags=("L3", "W6"),
+)
+def l3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    from the top-20 cosine candidates, greedily pick 5 maximizing
+    lambda*rel − (1−lambda)*max-sim-to-selected (lambda = 0.7, as the
+    integer score 7*rel_fp − 3*maxsim_fp over 1e-6 fixed-point cosines) —
+    the diversity re-rank between ANN recall and answer assembly in a RAG
+    stack. Scale shape: the CORPUS-side work is the distributed top-k
+    scan; the greedy loop runs driver-side over the bounded pool (20
+    candidates, 190 pairwise sims — metadata-sized by construction, like
+    the union-find edge sets in graph.py), and the pairwise sims
+    themselves are computed by the JVM cosine kernel before the one
+    bounded collect."""
+    from ..operators.similarity import cosine
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    rel_fp = F.round(F.lit(1000000.0) * cosine(F.col("embedding"), q)).cast("long")
+    pool = (
+        e.select("vec_id", rel_fp.alias("r"), "embedding")
+        .orderBy(F.desc("r"), F.asc("vec_id"))
+        .limit(20)
+    )
+    a = pool.select(F.col("vec_id").alias("i"), F.col("embedding").alias("va"))
+    b = pool.select(F.col("vec_id").alias("j"), F.col("embedding").alias("vb"))
+    sim_fp = F.round(F.lit(1000000.0) * cosine(F.col("va"), F.col("vb"))).cast("long")
+    pairs = (
+        a.join(F.broadcast(b), F.col("i") < F.col("j"))
+        .select("i", "j", sim_fp.alias("s"))
+    )
+
+    rel = {row["vec_id"]: row["r"] for row in pool.select("vec_id", "r").collect()}
+    sims: dict[tuple[int, int], int] = {}
+    for row in pairs.collect():
+        sims[(row["i"], row["j"])] = row["s"]
+        sims[(row["j"], row["i"])] = row["s"]
+
+    from ..operators.similarity import mmr_select
+
+    selected = mmr_select(rel, sims, k=5, lam_num=7, lam_den=10)
+
+    return spark.createDataFrame(
+        [(i + 1, v, rel[v]) for i, v in enumerate(selected)],
+        "rank long, vec_id long, rel_fp long",
+    )

@@ -669,6 +669,11 @@ def compact(table: VersionedTable, target_partitions: int = 8) -> int:
     """
     if table.read() is None:
         raise ValueError("cannot compact an empty table")
+    # Compaction changes FILE sizing, not the snapshot's logical layout:
+    # a hive-partitioned snapshot stays partitioned the same way (its
+    # files are right-sized within each partition directory).
+    layout = table._manifest(table.current_version()).get("partition_by")
     return table._commit_with_retry(
-        lambda cur: cur.repartition(target_partitions), "compact"
+        lambda cur: cur.repartition(target_partitions), "compact",
+        partition_by=layout,
     )

@@ -114,3 +114,41 @@ def test_isqrt_expr_exact_against_math_isqrt(spark):
     s = F.when(r * r > F.col("n"), r - 1).otherwise(r)
     got = {row["n"]: row["s"] for row in df.select("n", s.alias("s")).collect()}
     assert got == {v: math.isqrt(v) for v in vals}
+
+
+def test_mmr_select_prefers_diverse_over_redundant():
+    from retail_datalakehouse_spark.operators.similarity import mmr_select
+
+    # 1 and 2 are near-twins (sim 0.99); 3 is less relevant but diverse.
+    rel = {1: 1000000, 2: 990000, 3: 800000}
+    sims = {}
+    for i, j, s in [(1, 2, 990000), (1, 3, 100000), (2, 3, 120000)]:
+        sims[(i, j)] = sims[(j, i)] = s
+    # pure relevance would give [1, 2, 3]; MMR (lam=0.7) skips the twin:
+    # step 2: cand 2 -> 7*990000-3*990000 = 3960000 < cand 3 -> 7*800000-3*100000 = 5300000
+    assert mmr_select(rel, sims, k=3) == [1, 3, 2]
+
+
+def test_mmr_select_ties_break_on_id_and_k_caps():
+    from retail_datalakehouse_spark.operators.similarity import mmr_select
+
+    rel = {5: 100, 2: 100, 9: 100}
+    sims = {(i, j): 0 for i in rel for j in rel if i != j}
+    assert mmr_select(rel, sims, k=2) == [2, 5]
+    assert mmr_select(rel, sims, k=10) == [2, 5, 9]
+
+
+def test_compact_preserves_partition_layout(spark, tmp_path):
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") % 3).cast("int").alias("y")
+    )
+    t = VersionedTable(spark, str(tmp_path / "cp"))
+    t.overwrite(df, partition_by=["y"])
+    v = compact(t, target_partitions=2)
+    assert t._manifest(v)["partition_by"] == ["y"]
+    d = os.path.join(str(tmp_path / "cp"), t._manifest(v)["data_dir"])
+    assert any(p.startswith("y=") for p in os.listdir(d))
+    got = t.read().agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")).collect()[0]
+    assert (got["n"], got["s"]) == (50, 1225)

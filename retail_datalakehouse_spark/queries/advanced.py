@@ -892,3 +892,47 @@ def x_locf_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue").isNotNull().cast("int").alias("observed"),
         )
     )
+
+
+@register(
+    "x_pivot_matrix",
+    oracle="""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+              FILTER (WHERE o_orderpriority = '1-URGENT'), 0), 2) AS DOUBLE) AS p_urgent,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+              FILTER (WHERE o_orderpriority = '2-HIGH'), 0), 2) AS DOUBLE) AS p_high,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+              FILTER (WHERE o_orderpriority = '3-MEDIUM'), 0), 2) AS DOUBLE) AS p_medium,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+              FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED'), 0), 2) AS DOUBLE) AS p_notspec,
+       CAST(ROUND(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,2)))
+              FILTER (WHERE o_orderpriority = '5-LOW'), 0), 2) AS DOUBLE) AS p_low
+FROM orders
+GROUP BY 1
+""",
+    tags=("A6", "A1"),
+)
+def x_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide PIVOT (the inverse of ``x_unpivot``): revenue matrix of
+    order_year × order priority via ``groupBy().pivot(values=...)`` with
+    the value list EXPLICIT — the scale-safe form: no extra distinct-scan
+    job to discover pivot columns, and the pivot compiles to the same
+    two-phase conditional aggregation a hand-written CASE matrix would
+    (one shuffle on the group key, map-side partials). Decimal-exact sums
+    cast back to double, empty cells coalesced to 0."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    names = ["p_urgent", "p_high", "p_medium", "p_notspec", "p_low"]
+    wide = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .pivot("o_orderpriority", prios)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)")))
+    )
+    return wide.select(
+        "order_year",
+        *[
+            F.coalesce(F.round(F.col(f"`{p}`"), 2).cast("double"), F.lit(0.0)).alias(n)
+            for p, n in zip(prios, names)
+        ],
+    )

@@ -1204,3 +1204,98 @@ def t14_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("purchase_id")
         .agg(F.count("c_id").alias("n_clicks_before"))
     )
+
+
+@register(
+    "t15_multi_sink_fanout",
+    # Oracle = full recompute of BOTH sinks from the raw events: the hash
+    # proves the half-delivered batch was not double-applied to the mart
+    # (its txn watermark skipped the replay) and not lost from the log.
+    oracle="""
+WITH e AS (SELECT event_id, event_type, value FROM events)
+SELECT 'mart' AS sink, event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE) AS v
+FROM e GROUP BY 2
+UNION ALL
+SELECT 'log', event_type, COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE)
+FROM e WHERE value > 100 GROUP BY 2
+""",
+    tags=("T6", "S7"),
+)
+def t15_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once fan-OUT: one stream feeds TWO independent sinks from
+    the same foreachBatch — a per-type additive mart and a filtered
+    high-value event log — each guarded by its OWN txn watermark
+    (sink_id, batch_id). Failure drill baked in: sink A receives batch 0
+    BEFORE the stream runs (a foreachBatch that crashed between its two
+    sink writes); the restarted stream replays batch 0 — the mart's txn
+    skips it, the log applies it — and a post-stream replay of the final
+    batch no-ops on BOTH sinks. This is the multi-table variant of t6's
+    exactly-once contract: per-sink watermarks, not a global one, are
+    what make partial fan-out failures replay-safe."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.table_format import VersionedTable
+    from ..streaming.jobs import run_foreach_batch
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="rdl_t15_")
+    for i in range(3):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(e.filter(F.col("event_id") % 3 == i), dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    mart = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t15_mart_"))
+    log = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t15_log_"))
+
+    def mart_partials(batch_df: DataFrame) -> DataFrame:
+        return batch_df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(25,2)")).alias("v_exact"),
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        mart.merge_aggregate(
+            mart_partials(batch_df), keys=["event_type"],
+            add_cols=["n", "v_exact"], txn=("sinkA", int(batch_id)),
+        )
+        log.append(
+            batch_df.filter(F.col("value") > 100), txn=("sinkB", int(batch_id))
+        )
+
+    # Half-delivered batch 0: the mart got it, the log did not (crash
+    # between the two sink writes of one foreachBatch invocation).
+    batch0 = spark.read.parquet(os.path.join(d, "chunk0.parquet"))
+    mart.merge_aggregate(
+        mart_partials(batch0), keys=["event_type"],
+        add_cols=["n", "v_exact"], txn=("sinkA", 0),
+    )
+
+    schema = batch0.schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+
+    # Replay of the final batch after the stream: both sinks must no-op.
+    va, vb = mart.current_version(), log.current_version()
+    apply_batch(spark.read.parquet(os.path.join(d, "chunk2.parquet")), 2)
+    assert (mart.current_version(), log.current_version()) == (va, vb)
+    shutil.rmtree(d, ignore_errors=True)
+
+    a = mart.read().select(
+        F.lit("mart").alias("sink"), "event_type", F.col("n").cast("long").alias("n"),
+        F.round(F.col("v_exact"), 2).cast("double").alias("v"),
+    )
+    b = (
+        log.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,2)")), 2).cast("double").alias("v"),
+        )
+        .select(F.lit("log").alias("sink"), "event_type", F.col("n").cast("long"), "v")
+    )
+    return a.unionByName(b)

@@ -127,6 +127,17 @@ class VersionedTable:
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
         data_dir = os.path.join(self.path, data_dirname)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            # Optimize-write (Delta's optimizeWrite analogue): cluster rows
+            # by the partition values first, so each hive directory is
+            # written by one task — one right-sized file per directory
+            # instead of (tasks × directories) small files. A heavily
+            # skewed partition would serialize on its one task; at real
+            # scale pair this with AQE rebalance or add a bucketing column
+            # to the repartition key.
+            df = df.repartition(*[F.col(c) for c in partition_by])
         writer = df.write.mode("overwrite")
         if partition_by:
             # Iceberg-style partition EVOLUTION: the layout is per-snapshot

@@ -152,3 +152,18 @@ def test_compact_preserves_partition_layout(spark, tmp_path):
     assert any(p.startswith("y=") for p in os.listdir(d))
     got = t.read().agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("s")).collect()[0]
     assert (got["n"], got["s"]) == (50, 1225)
+
+
+def test_partitioned_write_is_one_file_per_directory(spark, tmp_path):
+    """Optimize-write: a partitioned snapshot gets ONE file per hive dir,
+    not (tasks x dirs) small files."""
+    df = spark.range(1000).repartition(8).select(
+        F.col("id").alias("k"), (F.col("id") % 5).cast("int").alias("y")
+    )
+    t = VersionedTable(spark, str(tmp_path / "ow"))
+    t.overwrite(df, partition_by=["y"])
+    base = os.path.join(str(tmp_path / "ow"), t._manifest(1)["data_dir"])
+    for part in (p for p in os.listdir(base) if p.startswith("y=")):
+        files = [f for f in os.listdir(os.path.join(base, part)) if f.endswith(".parquet")]
+        assert len(files) == 1, f"{part}: {files}"
+    assert t._manifest(1)["n_rows"] == 1000

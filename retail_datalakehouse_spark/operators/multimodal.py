@@ -621,3 +621,42 @@ def vad_stats(df: DataFrame, frame: int = 16, threshold: int = 390_000) -> DataF
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, out_schema)
+
+
+def augment_stats(df: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
+    """Arrow-batched image AUGMENTATION stage: (doc_id, payload=raw rgb8)
+    → horizontal flip + 90° clockwise rotation, verified by ORDER-SENSITIVE
+    checksums (weighted row sums + corner bytes of each augmented image —
+    a plain sum would not notice a wrong permutation). The training-data
+    shape for vision corpora: deterministic per-item transforms in
+    mapInPandas, no Python round trip per pixel, engine-exact integer
+    outputs."""
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("fl_tl", T.LongType()),
+            T.StructField("fl_w", T.LongType()),
+            T.StructField("rot_tl", T.LongType()),
+            T.StructField("rot_w", T.LongType()),
+        ]
+    )
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        weights = np.arange(1, w + 1, dtype=np.int64)
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "fl_tl", "fl_w", "rot_tl", "rot_w")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = decode_raw_rgb(bytes(payload), w, h)
+                flip = a[:, ::-1, :]            # mirror left-right
+                rot = np.rot90(a, k=-1)         # 90° clockwise
+                out["doc_id"].append(doc_id)
+                out["fl_tl"].append(int(flip[0, 0, 0]))
+                out["fl_w"].append(int((weights * flip[0, :, 0].astype(np.int64)).sum()))
+                out["rot_tl"].append(int(rot[0, 0, 0]))
+                out["rot_w"].append(int((weights * rot[0, :, 0].astype(np.int64)).sum()))
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, out_schema)

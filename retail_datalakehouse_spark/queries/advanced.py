@@ -936,3 +936,72 @@ def x_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, n in zip(prios, names)
         ],
     )
+
+
+_H32 = (
+    "list_sum([ (strpos('0123456789abcdef', substr(md5({sig}), i, 1)) - 1)"
+    " * CAST(16 ** (8 - i) AS BIGINT) for i in range(1, 9)])"
+)
+
+
+@register(
+    "x_table_checksum",
+    oracle=f"""
+WITH o AS (
+  SELECT {_H32.format(sig="o_orderkey || '|' || CAST(CAST(CAST(o_totalprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS VARCHAR) || '|' || CAST(CAST(o_orderdate AS DATE) AS VARCHAR)")} AS h
+  FROM orders),
+l AS (
+  SELECT {_H32.format(sig="l_orderkey || '|' || CAST(l_linenumber AS VARCHAR) || '|' || CAST(CAST(CAST(l_extendedprice AS DECIMAL(25,2)) * 100 AS BIGINT) AS VARCHAR)")} AS h
+  FROM lineitem)
+SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+       CAST(SUM(h) AS BIGINT) AS sum32, CAST(bit_xor(h) AS BIGINT) AS xor32
+FROM o
+UNION ALL
+SELECT 'lineitem', COUNT(*), CAST(SUM(h) AS BIGINT), CAST(bit_xor(h) AS BIGINT)
+FROM l
+""",
+    tags=("F1", "A1"),
+)
+def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent TABLE FINGERPRINT (anti-entropy / replica
+    verification): every row serializes to a canonical string (keys,
+    money as exact cents, dates as ISO), hashes to a 32-bit integer, and
+    the table's identity is (count, SUM of hashes, XOR of hashes) —
+    comparing two copies of a 100 TB table costs one aggregate on each
+    side and moves three numbers, never data. Sum and xor are both
+    commutative, so the fingerprint is partition-order- and
+    layout-independent; at larger-than-2^31-row scale the sum would wrap
+    mod 2^63 (still a valid fingerprint). One scan per table, two-phase
+    aggregation, no shuffle beyond the final single-row combine."""
+    def h32(sig):
+        return F.conv(F.substring(F.md5(sig.cast("binary")), 1, 8), 16, 10).cast("long")
+
+    o = T(spark, sf_dir, "orders").select(
+        h32(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long"),
+                F.col("o_orderdate").cast("date").cast("string"),
+            )
+        ).alias("h")
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        h32(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey"),
+                F.col("l_linenumber"),
+                (F.col("l_extendedprice").cast("decimal(25,2)") * 100).cast("long"),
+            )
+        ).alias("h")
+    )
+
+    def fp(df, name):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("long").alias("sum32"),
+            F.expr("bit_xor(h)").cast("long").alias("xor32"),
+        ).select(F.lit(name).alias("tbl"), "n_rows", "sum32", "xor32")
+
+    return fp(o, "orders").unionByName(fp(li, "lineitem"))

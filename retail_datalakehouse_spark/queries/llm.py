@@ -3056,3 +3056,44 @@ def l3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, v, rel[v]) for i, v in enumerate(selected)],
         "rank long, vec_id long, rel_fp long",
     )
+
+
+@register(
+    "l5_image_augment",
+    # Closed-form positions (1-based, R channel of an 8x8 rgb8 tile):
+    # flip(0,c) = in(0, 7-c) -> byte (7-c)*3+1; rot90cw(0,c) = in(7-c, 0)
+    # -> byte ((7-c)*8)*3+1. The weighted sums are ORDER-sensitive, so a
+    # wrong permutation (flip vs rot, off-by-one, channel mixup) breaks
+    # the hash — the augmentation kernels are value-checked, not assumed.
+    oracle="""
+WITH p AS (
+  SELECT doc_id, substr(repeat(text, 25), 1, 192) AS pay FROM documents
+  WHERE LENGTH(repeat(text, 25)) >= 192)
+SELECT doc_id,
+       CAST(ord(substr(pay, 22, 1)) AS BIGINT) AS fl_tl,
+       CAST(list_sum([(c + 1) * ord(substr(pay, (7 - c) * 3 + 1, 1))
+                      for c in range(0, 8)]) AS BIGINT) AS fl_w,
+       CAST(ord(substr(pay, 169, 1)) AS BIGINT) AS rot_tl,
+       CAST(list_sum([(c + 1) * ord(substr(pay, (7 - c) * 8 * 3 + 1, 1))
+                      for c in range(0, 8)]) AS BIGINT) AS rot_w
+FROM p
+""",
+    tags=("L5", "U3"),
+)
+def l5_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 image augmentation: each document's bytes tile an 8x8 rgb8
+    image; an Arrow-batched stage applies the two canonical vision-corpus
+    augmentations (horizontal flip, 90° rotation) as REAL numpy kernels
+    and emits order-sensitive integer checksums of the results. The
+    oracle re-derives the same checksums as character arithmetic at the
+    closed-form source positions — so the hash proves the permutations
+    are exactly right, completing the L5 set (decode, features, resize,
+    phash, scene cuts, VAD, augment)."""
+    from ..operators.multimodal import augment_stats
+
+    need = 8 * 8 * 3
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(f"substring(encode(repeat(text, 25), 'UTF-8'), 1, {need})").alias("payload"),
+    ).filter(F.octet_length("payload") == need)
+    return augment_stats(d, w=8, h=8)

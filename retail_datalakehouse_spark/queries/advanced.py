@@ -1005,3 +1005,42 @@ def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("tbl"), "n_rows", "sum32", "xor32")
 
     return fp(o, "orders").unionByName(fp(li, "lineitem"))
+
+
+@register(
+    "x_k_anonymity",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS grp
+  FROM customer GROUP BY 1, 2)
+SELECT CAST(5 AS BIGINT) AS k,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN grp < 5 THEN 1 ELSE 0 END) AS BIGINT) AS violating_groups,
+       CAST(COALESCE(SUM(CASE WHEN grp < 5 THEN grp END), 0) AS BIGINT) AS rows_at_risk,
+       CAST(MIN(grp) AS BIGINT) AS min_group
+FROM g
+""",
+    tags=("A1", "A6"),
+)
+def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (privacy governance, the release gate next to
+    x_pseudonymize_join / x_vacuum_gdpr): group by the quasi-identifier
+    tuple (nation, market segment), count equivalence classes smaller
+    than k=5 and the rows they expose — the groups a release would have
+    to generalize or suppress. One two-phase aggregate over the
+    dimension; the audit output is constant-size regardless of table
+    size."""
+    g = (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("grp"))
+    )
+    return g.agg(
+        F.lit(5).cast("long").alias("k"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("grp") < 5).cast("long")).alias("violating_groups"),
+        F.coalesce(F.sum(F.when(F.col("grp") < 5, F.col("grp"))), F.lit(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("grp").cast("long").alias("min_group"),
+    )

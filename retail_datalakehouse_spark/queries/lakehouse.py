@@ -637,3 +637,67 @@ def x_incremental_mart_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+@register(
+    "x_write_time_cdf",
+    # Same relational classification oracle as s7_change_data_feed — but
+    # the Spark side serves it from WRITE-TIME recorded deltas composed
+    # across versions (changes_feed), never diffing snapshots. The hash
+    # proves per-commit recording + composition ≡ the net diff, including
+    # the nettings (insert→delete vanishes, chained updates collapse,
+    # no-op updates drop).
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000),
+u AS (
+  SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000),
+v2 AS (
+  SELECT * FROM v1 WHERE o_orderkey NOT IN (SELECT o_orderkey FROM u)
+  UNION ALL SELECT * FROM u),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey % 7 != 0),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_totalprice AS pre_price, b.o_totalprice AS post_price,
+         a.o_orderkey IS NOT NULL AS in_a, b.o_orderkey IS NOT NULL AS in_b
+  FROM v1 a FULL OUTER JOIN v3 b ON a.o_orderkey = b.o_orderkey)
+SELECT o_orderkey, post_price AS o_totalprice, 'insert' AS _change_type
+FROM j WHERE NOT in_a AND in_b
+UNION ALL
+SELECT o_orderkey, pre_price, 'delete' FROM j WHERE in_a AND NOT in_b
+UNION ALL
+SELECT o_orderkey, pre_price, 'update_preimage'
+FROM j WHERE in_a AND in_b AND pre_price IS DISTINCT FROM post_price
+UNION ALL
+SELECT o_orderkey, post_price, 'update_postimage'
+FROM j WHERE in_a AND in_b AND pre_price IS DISTINCT FROM post_price
+""",
+    tags=("S7", "S6"),
+)
+def x_write_time_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time change data feed (Delta's enableChangeDataFeed): each
+    MERGE/DELETE commit RECORDS its row-level delta next to the snapshot,
+    and `changes_feed(v1→v3)` composes the per-version deltas into the
+    net change set — O(|changes|) at any table size, where the diff-based
+    `changes()` (s7_change_data_feed) costs a full two-snapshot key join.
+    At 100 TB this is the difference between a mart refresh reading a few
+    delta files and re-joining two table-sized snapshots. Same chain and
+    oracle as s7: overwrite → +10 repricing MERGE → %7 DELETE."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_wtcdf_"),
+        record_cdf=True, cdf_keys=["o_orderkey"],
+    )
+    table.overwrite(o.filter(F.col("o_orderkey") < 2000))  # v1
+    updates = (
+        o.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+    )
+    table.merge(updates, keys=["o_orderkey"])  # v2 — delta recorded
+    table.delete(F.col("o_orderkey") % 7 == 0)  # v3 — delta recorded
+    return table.changes_feed(1, 3)

@@ -68,10 +68,26 @@ def _parquet_num_rows(data_dir: str) -> int:
 
 
 class VersionedTable:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        record_cdf: bool = False,
+        cdf_keys: list[str] | None = None,
+    ):
+        """``record_cdf=True`` makes append / plain merge / delete commits
+        WRITE their row-level deltas alongside the snapshot (Delta's
+        delta.enableChangeDataFeed): :meth:`changes_feed` then serves any
+        version range in O(|changes|) by composing the recorded deltas —
+        never diffing snapshots. ``cdf_keys`` (required with record_cdf)
+        is the row identity the feed classifies on."""
         self.spark = spark
         self.path = path
         self._manifest_dir = os.path.join(path, "_manifest")
+        if record_cdf and not cdf_keys:
+            raise ValueError("record_cdf=True requires cdf_keys")
+        self._record_cdf = record_cdf
+        self._cdf_keys = list(cdf_keys or [])
 
     # ----------------------------------------------------------- manifest
 
@@ -113,6 +129,7 @@ class VersionedTable:
         txn: dict | None = None,
         modified_keys: list[int] | None = None,
         partition_by: list[str] | None = None,
+        cdf_df: DataFrame | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -146,6 +163,14 @@ class VersionedTable:
             # the snapshot they read was written with.
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)  # private staging dir …
+        cdf_dirname = None
+        if cdf_df is not None:
+            # Write-time change feed: the delta rows stage next to the
+            # snapshot and commit (or vanish) atomically with it.
+            cdf_dirname = f"_cdf-v{v}-{token}"
+            cdf_df.write.mode("overwrite").parquet(
+                os.path.join(self.path, cdf_dirname)
+            )
         os.makedirs(self._manifest_dir, exist_ok=True)
         n_rows = _parquet_num_rows(data_dir)
         entry = {
@@ -155,6 +180,7 @@ class VersionedTable:
             "n_rows": n_rows,
             "data_dir": data_dirname,
             "partition_by": partition_by,
+            "cdf_dir": cdf_dirname,
             "committed_at": time.time(),
             "modified_keys": modified_keys,
             # transaction watermarks carry forward: {writer_id: last batch}
@@ -168,6 +194,8 @@ class VersionedTable:
             os.link(tmp, final)  # … CAS commit: fails iff v already exists
         except FileExistsError:
             shutil.rmtree(data_dir, ignore_errors=True)
+            if cdf_dirname:
+                shutil.rmtree(os.path.join(self.path, cdf_dirname), ignore_errors=True)
             raise CommitConflict(f"version {v} already committed at {self.path}") from None
         finally:
             os.unlink(tmp)
@@ -212,6 +240,7 @@ class VersionedTable:
         modified_keys: list[int] | None = None,
         serializable: bool = False,
         partition_by: list[str] | None = None,
+        cdf_build: Callable[[DataFrame | None], DataFrame] | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -238,11 +267,18 @@ class VersionedTable:
                 if last is not None and int(last) >= txn[1]:
                     return parent  # already applied — idempotent no-op
             try:
+                cur = self.read()
+                cdf_df = (
+                    cdf_build(cur)
+                    if (cdf_build is not None and self._record_cdf)
+                    else None
+                )
                 return self._try_commit(
-                    build(self.read()), op, parent,
+                    build(cur), op, parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
                     modified_keys=modified_keys,
                     partition_by=partition_by,
+                    cdf_df=cdf_df,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -268,12 +304,53 @@ class VersionedTable:
         )
 
     def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        from pyspark.sql import functions as F
+
         # modified_keys=[]: a blind append touches no existing keys, so it
         # never conflicts with a serializable merge (WriteSerializable).
         return self._commit_with_retry(
             lambda cur: df if cur is None else cur.unionByName(df),
             "append", txn=txn, modified_keys=[],
+            cdf_build=lambda cur: df.withColumn("_change_type", F.lit("insert")),
         )
+
+    @staticmethod
+    def _any_col_differs(a: str, b: str, cols: list[str]):
+        """Null-safe 'any value column differs' predicate between two
+        aliased sides — the same comparison :meth:`changes` uses."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        terms = [
+            ~F.col(f"{a}.{c}").eqNullSafe(F.col(f"{b}.{c}")) for c in cols
+        ]
+        return reduce(lambda x, y: x | y, terms) if terms else F.lit(False)
+
+    def _merge_cdf(self, cur: DataFrame | None, updates: DataFrame, keys: list[str]) -> DataFrame:
+        """Row-level delta of a plain MERGE against the current snapshot:
+        unmatched keys -> insert; matched keys whose value columns differ
+        -> update_preimage (current row) + update_postimage (update row).
+        Cost: one key-join of the UPDATE BATCH against the snapshot — the
+        work the merge itself already does, not an extra table diff."""
+        from pyspark.sql import functions as F
+
+        if cur is None:
+            return updates.withColumn("_change_type", F.lit("insert"))
+        val_cols = [c for c in updates.columns if c not in keys]
+        u, c = updates.alias("u"), cur.alias("c")
+        inserts = u.join(c, on=keys, how="left_anti").select(
+            *keys, *[F.col(f"u.{v}") for v in val_cols]
+        ).withColumn("_change_type", F.lit("insert"))
+        matched = u.join(c, on=keys, how="inner")
+        changed = matched.filter(self._any_col_differs("u", "c", val_cols))
+        pre = changed.select(
+            *keys, *[F.col(f"c.{v}").alias(v) for v in val_cols]
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        post = changed.select(
+            *keys, *[F.col(f"u.{v}").alias(v) for v in val_cols]
+        ).withColumn("_change_type", F.lit("update_postimage"))
+        return inserts.unionByName(pre).unionByName(post)
 
     # Fingerprint cap: above this many distinct keys the write set is
     # recorded as unknown (None), which conservatively conflicts with any
@@ -331,9 +408,16 @@ class VersionedTable:
                 return merge_upsert_latest(cur, updates, keys, order_by)
             return merge_upsert(cur, updates, keys)
 
+        cdf_build = None
+        if self._record_cdf and not order_by:
+            # write-time CDF covers the plain-merge path; conditional
+            # (order_by) merges may skip updates per-row, so their feed
+            # stays diff-based (changes()) rather than guessing.
+            cdf_build = lambda cur: self._merge_cdf(cur, updates, keys)  # noqa: E731
         return self._commit_with_retry(
             build, "merge", txn=txn,
             modified_keys=modified, serializable=serializable,
+            cdf_build=cdf_build,
         )
 
     def fold(
@@ -393,7 +477,12 @@ class VersionedTable:
                 raise ValueError(f"cannot delete from empty table at {self.path}")
             return cur.filter(~cond)
 
-        return self._commit_with_retry(build, "delete", txn=txn)
+        return self._commit_with_retry(
+            build, "delete", txn=txn,
+            cdf_build=lambda cur: cur.filter(cond).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+        )
 
     def delete_mor(
         self,
@@ -492,13 +581,15 @@ class VersionedTable:
         for v in versions:
             entry = self._manifest(v)
             dirs = {entry.get("data_dir", f"_v{v}"), *entry.get("dv_dirs", [])}
+            if entry.get("cdf_dir"):
+                dirs.add(entry["cdf_dir"])
             (live_dirs if v in keep_versions else expired_dirs).update(dirs)
         expired_dirs -= live_dirs  # a dir shared with a live version stays
         now = time.time()
         removed = []
         for d in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, d)
-            if not (d.startswith(("_v", "_dv")) and os.path.isdir(full)) or d in live_dirs:
+            if not (d.startswith(("_v", "_dv", "_cdf")) and os.path.isdir(full)) or d in live_dirs:
                 continue
             if d not in expired_dirs:
                 try:
@@ -610,6 +701,87 @@ class VersionedTable:
         post_img = side("b", "update_postimage").filter(both)
         out = inserts.unionByName(deletes).unionByName(pre_img).unionByName(post_img)
         return out.drop("__in_a", "__in_b", "__same")
+
+    def changes_feed(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed from WRITE-TIME recorded deltas (requires
+        ``record_cdf=True`` on every commit in the range): reads the
+        per-version delta files for versions (v_from, v_to] and COMPOSES
+        them into the net change set — cost O(|changes|), never touching
+        a snapshot. Semantics match :meth:`changes` (net diff): a key
+        inserted then deleted inside the range nets to nothing; chained
+        updates net to one preimage (the earliest) + one postimage (the
+        latest); an update whose final value equals the initial one nets
+        to nothing.
+
+        Composition rule per key: the EARLIEST event determines the
+        before-state (update_preimage/delete carry it; insert means
+        absent), the LATEST determines the after-state (insert/
+        update_postimage carry it; delete means absent); preimages order
+        before postimages within a version."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        keys = self._cdf_keys
+        if not keys:
+            raise ValueError("changes_feed requires record_cdf=True + cdf_keys")
+        parts = []
+        for v in range(v_from + 1, v_to + 1):
+            entry = self._manifest(v)
+            cdf_dir = entry.get("cdf_dir")
+            if cdf_dir is None:
+                raise ValueError(
+                    f"version {v} ({entry['operation']}) has no recorded "
+                    f"change feed at {self.path} — use changes() (snapshot diff)"
+                )
+            parts.append(
+                self.spark.read.parquet(os.path.join(self.path, cdf_dir))
+                .withColumn("_v", F.lit(v))
+            )
+        if not parts:
+            raise ValueError("empty version range")
+        deltas = parts[0]
+        for p in parts[1:]:
+            deltas = deltas.unionByName(p)
+        # preimages/deletes rank before postimages/inserts within a version
+        rank = F.when(
+            F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)
+        ).otherwise(F.lit(1))
+        d = deltas.withColumn("_rank", rank)
+        w_first = Window.partitionBy(*keys).orderBy(F.asc("_v"), F.asc("_rank"))
+        w_last = Window.partitionBy(*keys).orderBy(F.desc("_v"), F.desc("_rank"))
+        first = (
+            d.withColumn("_rn", F.row_number().over(w_first))
+            .filter(F.col("_rn") == 1).drop("_rn", "_v", "_rank")
+        )
+        last = (
+            d.withColumn("_rn", F.row_number().over(w_last))
+            .filter(F.col("_rn") == 1).drop("_rn", "_v", "_rank")
+        )
+        val_cols = [c for c in first.columns if c not in (*keys, "_change_type")]
+        f, l = first.alias("f"), last.alias("l")
+        j = f.join(l, on=keys, how="inner")  # same key set by construction
+        before = F.col("f._change_type").isin("update_preimage", "delete")
+        after = F.col("l._change_type").isin("insert", "update_postimage")
+
+        inserts = j.filter(~before & after)
+        deletes = j.filter(before & ~after)
+        updated = j.filter(before & after).filter(
+            self._any_col_differs("f", "l", val_cols)
+        )
+
+        def emit(dfj: DataFrame, prefix: str, ctype: str) -> DataFrame:
+            return dfj.select(
+                *keys,
+                *[F.col(f"{prefix}.{c}").alias(c) for c in val_cols],
+                F.lit(ctype).alias("_change_type"),
+            )
+
+        return (
+            emit(inserts, "l", "insert")
+            .unionByName(emit(deletes, "f", "delete"))
+            .unionByName(emit(updated, "f", "update_preimage"))
+            .unionByName(emit(updated, "l", "update_postimage"))
+        )
 
     def snapshots(self) -> DataFrame:
         """Iceberg-style ``snapshots`` metadata table: one row per

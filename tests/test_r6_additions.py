@@ -167,3 +167,52 @@ def test_partitioned_write_is_one_file_per_directory(spark, tmp_path):
         files = [f for f in os.listdir(os.path.join(base, part)) if f.endswith(".parquet")]
         assert len(files) == 1, f"{part}: {files}"
     assert t._manifest(1)["n_rows"] == 1000
+
+
+def test_changes_feed_matches_diff_based_changes(spark, tmp_path):
+    """Write-time recorded deltas composed across versions == the
+    snapshot-diff change feed, including all nettings."""
+    t = VersionedTable(
+        spark, str(tmp_path / "cdf"), record_cdf=True, cdf_keys=["k"]
+    )
+    t.overwrite(spark.createDataFrame([(i, i * 10) for i in range(10)], ["k", "v"]))
+    t.merge(
+        # update k=3, no-op update k=5, insert k=12 (deleted below: nets out)
+        spark.createDataFrame([(3, 999), (5, 50), (12, 120)], ["k", "v"]),
+        keys=["k"],
+    )
+    t.delete(F.col("k") % 4 == 0)
+    feed = sorted(map(tuple, t.changes_feed(1, 3).collect()))
+    diff = sorted(map(tuple, t.changes(1, 3, keys=["k"]).collect()))
+    assert feed == diff
+    types = [r[2] for r in feed]
+    assert "update_preimage" in types and "delete" in types
+    # k=12: inserted then deleted inside the range -> absent from the net
+    assert not any(r[0] == 12 for r in feed)
+    # k=5: no-op update -> absent
+    assert not any(r[0] == 5 for r in feed)
+
+
+def test_changes_feed_rejects_unrecorded_versions(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "cdf2"), record_cdf=True, cdf_keys=["k"])
+    t.overwrite(spark.createDataFrame([(1, 1)], ["k", "v"]))
+    t.overwrite(spark.createDataFrame([(2, 2)], ["k", "v"]))  # overwrite: no feed
+    with pytest.raises(ValueError, match="no recorded change feed"):
+        t.changes_feed(1, 2)
+
+
+def test_vacuum_expires_cdf_dirs_with_their_versions(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "cdf3"), record_cdf=True, cdf_keys=["k"])
+    t.overwrite(spark.createDataFrame([(i, i) for i in range(5)], ["k", "v"]))
+    t.merge(spark.createDataFrame([(1, 99)], ["k", "v"]), keys=["k"])  # v2 + feed
+    t.delete(F.col("k") == 2)  # v3 + feed
+    base = str(tmp_path / "cdf3")
+    assert any(d.startswith("_cdf-v2") for d in os.listdir(base))
+    removed = t.vacuum(retain_last=1, orphan_retention_s=0)
+    # v2's cdf dir expired with its version; v3's (current) survives
+    assert any(d.startswith("_cdf-v2") for d in removed)
+    assert any(d.startswith("_cdf-v3") for d in os.listdir(base))
+    # the surviving feed still serves the last hop
+    assert {r["k"] for r in t.changes_feed(2, 3).collect()} == {2}

@@ -130,6 +130,20 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "integer sqrt + weight math must stay JVM-side"),
     ("x_partition_evolution", "PartitionFilters: [isnotnull(order_year", True,
      "the year filter must prune the evolved snapshot's hive directories"),
+    ("x_pivot_matrix", "partial", True,
+     "explicit-values pivot must compile to a two-phase conditional agg"),
+    ("x_pivot_matrix", "Expand", False,
+     "pivot must not expand rows (that's rollup/cube); one row per input"),
+    ("l4_quality_classifier", "BroadcastHashJoin", True,
+     "the weight table is the model dimension — it must broadcast"),
+    ("l4_quality_classifier", "EvalPython", False,
+     "hash-bucket scoring must stay JVM-side"),
+    ("x_table_checksum", "EvalPython", False,
+     "row serialization + hash fold must stay JVM-side"),
+    ("x_table_checksum", "partial", True,
+     "fingerprint aggregate must be two-phase (map-side partial sums)"),
+    ("l7_stratified_sample", "WindowGroupLimit", True,
+     "rank<=k must push the group limit below the per-stratum sort"),
 ]
 
 

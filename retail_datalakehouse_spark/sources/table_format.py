@@ -303,14 +303,30 @@ class VersionedTable:
             lambda cur: df, "overwrite", partition_by=partition_by
         )
 
-    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+        merge_schema: bool = False,
+    ) -> int:
+        """Append rows as a new snapshot. ``merge_schema=True`` is Delta's
+        mergeSchema write option: a batch carrying NEW columns widens the
+        table schema (existing rows read the new columns as null, and a
+        batch missing existing columns nulls them) instead of failing —
+        additive evolution only, never a drop or retype."""
         from pyspark.sql import functions as F
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return df
+            if merge_schema:
+                return cur.unionByName(df, allowMissingColumns=True)
+            return cur.unionByName(df)
 
         # modified_keys=[]: a blind append touches no existing keys, so it
         # never conflicts with a serializable merge (WriteSerializable).
         return self._commit_with_retry(
-            lambda cur: df if cur is None else cur.unionByName(df),
-            "append", txn=txn, modified_keys=[],
+            build, "append", txn=txn, modified_keys=[],
             cdf_build=lambda cur: df.withColumn("_change_type", F.lit("insert")),
         )
 
@@ -741,7 +757,9 @@ class VersionedTable:
             raise ValueError("empty version range")
         deltas = parts[0]
         for p in parts[1:]:
-            deltas = deltas.unionByName(p)
+            # allowMissingColumns: feeds recorded before a schema
+            # evolution lack the newer columns — they read as null
+            deltas = deltas.unionByName(p, allowMissingColumns=True)
         # preimages/deletes rank before postimages/inserts within a version
         rank = F.when(
             F.col("_change_type").isin("update_preimage", "delete"), F.lit(0)

@@ -216,3 +216,22 @@ def test_vacuum_expires_cdf_dirs_with_their_versions(spark, tmp_path):
     assert any(d.startswith("_cdf-v3") for d in os.listdir(base))
     # the surviving feed still serves the last hop
     assert {r["k"] for r in t.changes_feed(2, 3).collect()} == {2}
+
+
+def test_append_merge_schema_widens_additively(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "ev"), record_cdf=True, cdf_keys=["k"])
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"]))
+    t.append(
+        spark.createDataFrame([(3, "c", 7)], ["k", "s", "score"]),
+        merge_schema=True,
+    )
+    cur = {r["k"]: (r["s"], r["score"]) for r in t.read().collect()}
+    assert cur == {1: ("a", None), 2: ("b", None), 3: ("c", 7)}
+    # time travel: v1 keeps its original, narrower schema
+    assert t.read_version(1).columns == ["k", "s"]
+    # the recorded feed spans the evolution (old feeds null the new col)
+    feed = {r["k"]: r["_change_type"] for r in t.changes_feed(1, 2).collect()}
+    assert feed == {3: "insert"}
+    # a batch MISSING a column nulls it rather than failing
+    t.append(spark.createDataFrame([(4, "d")], ["k", "s"]), merge_schema=True)
+    assert {r["k"]: r["score"] for r in t.read().collect()}[4] is None

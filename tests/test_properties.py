@@ -388,3 +388,42 @@ def test_vad_stats_matches_run_length_reference(spark, frames, tail):
     assert row["n_frames"] == len(frames)
     assert row["n_active"] == sum(frames)
     assert row["n_segments"] == segs
+
+
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["merge", "delete", "append"]), st.integers(0, 7)),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_changes_feed_equals_snapshot_diff_on_random_chains(spark, tmp_path_factory, ops):
+    """Write-time recorded deltas composed across an arbitrary
+    merge/delete/append chain == the snapshot-diff change feed."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    path = str(tmp_path_factory.mktemp("cdfprop") / "t")
+    t = VersionedTable(spark, path, record_cdf=True, cdf_keys=["k"])
+    t.overwrite(spark.createDataFrame([(i, i * 10) for i in range(12)], ["k", "v"]))
+    for step, (op, arg) in enumerate(ops):
+        if op == "merge":
+            t.merge(
+                spark.createDataFrame(
+                    [(arg, arg * 100 + 1), (arg + 10, arg)], ["k", "v"]
+                ),
+                keys=["k"],
+            )
+        elif op == "delete":
+            t.delete(F.col("k") % 5 == arg % 5)
+        else:
+            # unique key per step: duplicate keys would make key-based
+            # classification undefined on BOTH sides
+            t.append(spark.createDataFrame([(20 + 10 * step + arg, arg)], ["k", "v"]))
+    v = t.current_version()
+    feed = sorted(map(tuple, t.changes_feed(1, v).collect()))
+    diff = sorted(map(tuple, t.changes(1, v, keys=["k"]).collect()))
+    assert feed == diff

@@ -581,8 +581,9 @@ FROM v3 GROUP BY y
 def x_incremental_mart_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance off the change feed: a year-grain
     revenue mart is built ONCE from snapshot v1, then maintained through a
-    MERGE (repricing + inserts) and a DELETE by applying ONLY the CDF
-    delta — +1 for insert/update_postimage rows, −1 for
+    MERGE (repricing + inserts) and a DELETE by applying ONLY the
+    WRITE-TIME-recorded change feed (changes_feed — no snapshot is ever
+    diffed) — +1 for insert/update_postimage rows, −1 for
     delete/update_preimage — never re-aggregating the base table. This is
     the 100 TB mart-refresh contract: refresh cost is O(|changes|), not
     O(|table|). The oracle full-recomputes the final state, so the hash
@@ -596,7 +597,10 @@ def x_incremental_mart_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("y"),
         F.col("o_totalprice").alias("p"),
     )
-    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_ivm_"))
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_ivm_"),
+        record_cdf=True, cdf_keys=["k"],
+    )
     t.overwrite(o.filter(F.col("k") < 2000))  # v1
     base_mart = (
         t.read_version(1)
@@ -616,7 +620,7 @@ def x_incremental_mart_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
     delta = (
-        t.changes(1, 3, keys=["k"])
+        t.changes_feed(1, 3)  # write-time recorded deltas: O(|changes|)
         .select("y", sign.alias("s"), "p")
         .groupBy("y")
         .agg(

@@ -3097,3 +3097,129 @@ def l5_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"substring(encode(repeat(text, 25), 'UTF-8'), 1, {need})").alias("payload"),
     ).filter(F.octet_length("payload") == need)
     return augment_stats(d, w=8, h=8)
+
+
+@register(
+    "l6_curation_v2",
+    # One CTE chain = the three r6 operators composed: exact duplicate-span
+    # gate -> hashed-classifier gate -> sqrt-temperature budget over the
+    # survivors. Every stage integer-exact, so the 5-row funnel hashes.
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 9), ' ') AS span
+  FROM tok, UNNEST(range(1, GREATEST(len(t) - 9, 0) + 1)) AS u(i)),
+c AS (SELECT span, COUNT(*) AS c FROM w GROUP BY span),
+dup AS (SELECT doc_id, SUM(CASE WHEN c.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+        FROM w JOIN c USING (span) GROUP BY doc_id),
+d1 AS (  -- span gate: drop docs containing ANY corpus-duplicated 10-gram
+  SELECT tok.doc_id, tok.source, tok.t FROM tok
+  LEFT JOIN dup ON tok.doc_id = dup.doc_id
+  WHERE COALESCE(dup.n_dup, 0) = 0),
+wt AS (
+  SELECT range AS b, CAST((range * 2654435761) % 16 - 8 AS BIGINT) AS wgt
+  FROM range(0, 256)),
+tb AS (
+  SELECT d1.doc_id, d1.source,
+         (strpos('0123456789abcdef', substr(md5(tk), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(tk), 2, 1)) - 1) AS b
+  FROM d1, UNNEST(d1.t) AS u(tk)),
+scored AS (
+  SELECT doc_id, source, COUNT(*) AS n_tokens, SUM(wgt) AS score
+  FROM tb JOIN wt USING (b) GROUP BY doc_id, source),
+d2 AS (SELECT * FROM scored WHERE score >= 0),
+per AS (
+  SELECT d1.source,
+         COUNT(*) AS n_after_dedup,
+         CAST(COALESCE(SUM(CASE WHEN d2.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_after_quality,
+         CAST(COALESCE(SUM(d2.n_tokens), 0) AS BIGINT) AS kept_tokens
+  FROM d1 LEFT JOIN d2 ON d1.doc_id = d2.doc_id
+  GROUP BY d1.source),
+tot0 AS (SELECT source, COUNT(*) AS n_in FROM documents GROUP BY source),
+r0 AS (SELECT p.source, n_in, n_after_dedup, n_after_quality, kept_tokens,
+              CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT) AS r
+       FROM per p JOIN tot0 USING (source)),
+r1 AS (SELECT *, CASE WHEN (r + 1) * (r + 1) <= kept_tokens THEN r + 1 ELSE r END AS r2 FROM r0),
+s AS (SELECT source, n_in, n_after_dedup, n_after_quality, kept_tokens,
+             CASE WHEN r2 * r2 > kept_tokens THEN r2 - 1 ELSE r2 END AS sq
+      FROM r1),
+tots AS (SELECT CAST(SUM(sq) AS BIGINT) AS tot_s FROM s)
+SELECT source, CAST(n_in AS BIGINT) AS n_in,
+       CAST(n_after_dedup AS BIGINT) AS n_after_dedup,
+       n_after_quality, kept_tokens,
+       CAST(CASE WHEN tot_s > 0 THEN (10000 * sq) // tot_s ELSE 0 END AS BIGINT) AS temp_bp
+FROM s, tots
+""",
+    tags=("L6", "L2", "L4"),
+)
+def l6_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v2 — the round's new operators composed into one
+    funnel, per source: (1) exact duplicate-SPAN gate (drop any doc with
+    a corpus-duplicated word 10-gram — the Lee-et-al policy), (2) hashed
+    linear quality classifier (broadcast weight table, keep score >= 0),
+    (3) sqrt-temperature mixture weights over the SURVIVING token mass.
+    All three stages share one documents scan; every number is
+    integer-exact, so the whole funnel hash-checks against one DuckDB CTE
+    chain. The production shape: each gate is a column predicate over the
+    previous stage's frame — Catalyst pipelines them; nothing
+    materializes between stages."""
+    from ..operators.dedup import duplicate_span_stats
+
+    hexd = "0123456789abcdef"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    spans = duplicate_span_stats(docs, "doc_id", "text", n=10)
+    d1 = (
+        docs.join(spans, "doc_id")
+        .filter(F.col("n_dup_spans") == 0)
+        .select("doc_id", "source", "text")
+    )
+    weights = spark.range(0, 256).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % 16 - 8).cast("long").alias("wgt"),
+    )
+    md5c = F.md5(F.col("tk").cast("binary"))
+    tb = d1.select(
+        "doc_id", "source", F.explode(tokens("text")).alias("tk")
+    ).select(
+        "doc_id", "source",
+        (
+            (F.instr(F.lit(hexd), F.substring(md5c, 1, 1)) - 1) * 16
+            + (F.instr(F.lit(hexd), F.substring(md5c, 2, 1)) - 1)
+        ).cast("long").alias("b"),
+    )
+    scored = (
+        tb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("wgt").alias("score"))
+    )
+    d2 = scored.filter(F.col("score") >= 0)
+    per = (
+        d1.join(d2.select("doc_id", "n_tokens"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_after_dedup"),
+            F.sum(F.col("n_tokens").isNotNull().cast("long")).alias("n_after_quality"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+    tot0 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    r = F.floor(F.sqrt(F.col("kept_tokens").cast("double"))).cast("long")
+    r = F.when((r + 1) * (r + 1) <= F.col("kept_tokens"), r + 1).otherwise(r)
+    sq = F.when(r * r > F.col("kept_tokens"), r - 1).otherwise(r)
+    s = per.join(tot0, "source").select(
+        "source", "n_in", "n_after_dedup", "n_after_quality", "kept_tokens",
+        sq.alias("sq"),
+    )
+    tots = s.agg(F.sum("sq").cast("long").alias("tot_s"))
+    return s.crossJoin(F.broadcast(tots)).select(
+        "source",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.col("n_after_dedup").cast("long").alias("n_after_dedup"),
+        "n_after_quality",
+        "kept_tokens",
+        F.expr(
+            "CAST(CASE WHEN tot_s > 0 THEN (10000 * sq) DIV tot_s ELSE 0 END AS BIGINT)"
+        ).alias("temp_bp"),
+    )

@@ -102,10 +102,13 @@ def main() -> int:
         # top-level array<long> column that OUR _norm serialized fine, so
         # local green hid driver red). Gated SQL-oracle outputs must be
         # scalar columns only; stringify arrays with concat_ws/array_join.
+        # decimal joins the list (r4's HUGEINT class, Spark-side): the
+        # driver renders Decimal cells differently than float/int even
+        # when values agree — cast outputs to BIGINT/DOUBLE.
         complex_cols = [
             f"{fld.name}:{fld.dataType.simpleString()}"
             for fld in sdf.schema.fields
-            if fld.dataType.typeName() in ("array", "map", "struct")
+            if fld.dataType.typeName() in ("array", "map", "struct", "decimal")
         ]
         if complex_cols:
             print(f"FAIL  {name}: complex-type lint — driver hasher cannot "

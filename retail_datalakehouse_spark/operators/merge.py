@@ -174,3 +174,42 @@ def merge_additive(
         for c in add_cols
     ]
     return t.join(p, cond, "full_outer").select(*out_keys, *out_adds)
+
+
+def merge_partial(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    set_cols: Sequence[str],
+    broadcast_updates: bool = True,
+) -> DataFrame:
+    """Column-level MERGE (Delta's ``WHEN MATCHED THEN UPDATE SET col = …``
+    with an explicit column list): matched rows take ``set_cols`` from the
+    update and KEEP every other column from the target; keys absent from
+    the target are inserted (columns outside ``set_cols`` + keys must then
+    come from the update row too, which therefore carries the full row).
+
+    One left join on the keys — the update batch broadcasts when small
+    (the CDC-correction common case), so the target never shuffles.
+    ``updates`` must be unique per key, like :func:`merge_upsert`.
+    """
+    keys, set_cols = list(keys), list(set_cols)
+    keep_cols = [c for c in target.columns if c not in keys and c not in set_cols]
+    marked = updates.withColumn("__m", F.lit(1))
+    upd = F.broadcast(marked) if broadcast_updates else marked
+    u, t = upd.alias("u"), target.alias("t")
+    # explicit match marker: an update that legitimately SETS a column to
+    # NULL must not read as "unmatched" (a value-column null probe would)
+    matched = F.col("u.__m").isNotNull()
+    matched_or_kept = t.join(u, on=keys, how="left").select(
+        *keys,
+        *[
+            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in set_cols
+        ],
+        *[F.col(f"t.{c}").alias(c) for c in keep_cols],
+    )
+    inserts = u.join(t.select(*keys), on=keys, how="left_anti").select(
+        *keys, *[F.col(f"u.{c}").alias(c) for c in (*set_cols, *keep_cols)]
+    )
+    return matched_or_kept.unionByName(inserts.select(*matched_or_kept.columns))

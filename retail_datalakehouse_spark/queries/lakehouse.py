@@ -705,3 +705,66 @@ def x_write_time_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.merge(updates, keys=["o_orderkey"])  # v2 — delta recorded
     table.delete(F.col("o_orderkey") % 7 == 0)  # v3 — delta recorded
     return table.changes_feed(1, 3)
+
+
+@register(
+    "s7_merge_partial",
+    # The update rows deliberately carry a poisoned status ('X'): matched
+    # keys must IGNORE it (status is not in the SET list) while inserted
+    # keys must take it — so status-grouped counts + repriced revenue can
+    # only hash if the column-level semantics are exactly right.
+    oracle="""
+WITH upd AS (
+  SELECT o_orderkey, 'X' AS o_orderstatus,
+         o_totalprice + 100000.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'X', o_totalprice
+  FROM orders WHERE o_orderkey % 89 = 0),
+merged AS (
+  SELECT t.o_orderkey, t.o_orderstatus,
+         COALESCE(u.o_totalprice, t.o_totalprice) AS o_totalprice
+  FROM orders t LEFT JOIN upd u ON t.o_orderkey = u.o_orderkey
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders))
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM merged
+GROUP BY 1
+""",
+    tags=("S7", "J3"),
+)
+def s7_merge_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level MERGE (Delta's WHEN MATCHED THEN UPDATE SET with an
+    explicit column list): the correction batch SETS only o_totalprice on
+    matched keys — every other target column survives untouched, even
+    though the update rows carry (poisoned) values for them — while
+    genuinely new keys insert the full update row. One broadcast left
+    join; the target never shuffles. The complement of s7_merge_upsert's
+    whole-row replacement."""
+    from ..operators.merge import merge_partial
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            (F.col("o_totalprice") + 100000.0).alias("o_totalprice"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                F.lit("X").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    merged = merge_partial(o, upd, keys=["o_orderkey"], set_cols=["o_totalprice"])
+    return merged.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

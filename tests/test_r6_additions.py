@@ -235,3 +235,17 @@ def test_append_merge_schema_widens_additively(spark, tmp_path):
     # a batch MISSING a column nulls it rather than failing
     t.append(spark.createDataFrame([(4, "d")], ["k", "s"]), merge_schema=True)
     assert {r["k"]: r["score"] for r in t.read().collect()}[4] is None
+
+
+def test_merge_partial_null_set_value_and_kept_columns(spark):
+    from retail_datalakehouse_spark.operators.merge import merge_partial
+
+    t = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], ["k", "s", "v"])
+    # update SETS v to NULL for k=1 (legit), inserts k=3 with full row
+    u = spark.createDataFrame([(1, "POISON", None), (3, "c", 30)],
+                              "k long, s string, v long")
+    got = {r["k"]: (r["s"], r["v"]) for r in
+           merge_partial(t, u, keys=["k"], set_cols=["v"]).collect()}
+    # matched: v set (even to NULL), s KEPT; unmatched target untouched;
+    # insert takes the full update row
+    assert got == {1: ("a", None), 2: ("b", 20), 3: ("c", 30)}

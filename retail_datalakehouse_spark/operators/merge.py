@@ -212,4 +212,5 @@ def merge_partial(
     inserts = u.join(t.select(*keys), on=keys, how="left_anti").select(
         *keys, *[F.col(f"u.{c}").alias(c) for c in (*set_cols, *keep_cols)]
     )
-    return matched_or_kept.unionByName(inserts.select(*matched_or_kept.columns))
+    merged = matched_or_kept.unionByName(inserts.select(*matched_or_kept.columns))
+    return merged.select(*target.columns)  # preserve the target's schema order

@@ -645,7 +645,9 @@ def augment_stats(df: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        weights = np.arange(1, w + 1, dtype=np.int64)
+        w_flip = np.arange(1, w + 1, dtype=np.int64)
+        # the rotated image is h wide: its row 0 has h pixels, not w
+        w_rot = np.arange(1, h + 1, dtype=np.int64)
         for pdf in it:
             out = {k: [] for k in ("doc_id", "fl_tl", "fl_w", "rot_tl", "rot_w")}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -654,9 +656,9 @@ def augment_stats(df: DataFrame, w: int = 8, h: int = 8) -> DataFrame:
                 rot = np.rot90(a, k=-1)         # 90° clockwise
                 out["doc_id"].append(doc_id)
                 out["fl_tl"].append(int(flip[0, 0, 0]))
-                out["fl_w"].append(int((weights * flip[0, :, 0].astype(np.int64)).sum()))
+                out["fl_w"].append(int((w_flip * flip[0, :, 0].astype(np.int64)).sum()))
                 out["rot_tl"].append(int(rot[0, 0, 0]))
-                out["rot_w"].append(int((weights * rot[0, :, 0].astype(np.int64)).sum()))
+                out["rot_w"].append(int((w_rot * rot[0, :, 0].astype(np.int64)).sum()))
             yield pd.DataFrame(out)
 
     return df.mapInPandas(batches, out_schema)

@@ -57,3 +57,40 @@ def sql_davg(expr: str, scale: int = 6, out_round: int = 4) -> str:
 
 
 SQL_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+def isqrt_long(c: Column | str) -> Column:
+    """EXACT integer sqrt of a non-negative BIGINT column: floor(sqrt) from
+    the IEEE-correctly-rounded double sqrt, then a ±1 integer correction —
+    deterministic cross-engine where raw libm powers are not. Shared by
+    the temperature-sampling queries; any change must mirror their DuckDB
+    oracles' r0/r1/s CTE chain."""
+    n = F.col(c) if isinstance(c, str) else c
+    r = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    r = F.when((r + 1) * (r + 1) <= n, r + 1).otherwise(r)
+    return F.when(r * r > n, r - 1).otherwise(r)
+
+
+_HEXD = "0123456789abcdef"
+
+
+def md5_bucket256(c: Column | str) -> Column:
+    """256-level content bucket: the first two hex digits of md5 — the
+    hashing-trick feature bucket / deterministic sampler both engines can
+    compute (DuckDB: strpos over the same hex string)."""
+    col = F.col(c) if isinstance(c, str) else c
+    m = F.md5(col.cast("binary"))
+    return (
+        (F.instr(F.lit(_HEXD), F.substring(m, 1, 1)) - 1) * 16
+        + (F.instr(F.lit(_HEXD), F.substring(m, 2, 1)) - 1)
+    ).cast("long")
+
+
+def hash_weights256(spark: SparkSession):
+    """The 256-row hashed-classifier weight table (multiplicative-hash
+    weights in [-8, 7]) — broadcast as the model dimension. Must mirror
+    the oracles' `(range * 2654435761) % 16 - 8`."""
+    return spark.range(0, 256).select(
+        F.col("id").alias("b"),
+        ((F.col("id") * F.lit(2654435761)) % 16 - 8).cast("long").alias("wt"),
+    )

@@ -2747,11 +2747,10 @@ def l7_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").select(
         "source", F.size(tokens("text")).alias("n")
     )
+    from .helpers import isqrt_long
+
     per = d.groupBy("source").agg(F.sum("n").cast("long").alias("n_tokens"))
-    r = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
-    r = F.when((r + 1) * (r + 1) <= F.col("n_tokens"), r + 1).otherwise(r)
-    s = F.when(r * r > F.col("n_tokens"), r - 1).otherwise(r)
-    per = per.select("source", "n_tokens", s.alias("s"))
+    per = per.select("source", "n_tokens", isqrt_long("n_tokens").alias("s"))
     tot = per.agg(
         F.sum("n_tokens").cast("long").alias("tot_tok"),
         F.sum("s").cast("long").alias("tot_s"),
@@ -2879,22 +2878,13 @@ def l4_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     — one scan, one broadcast hash join, one two-phase aggregate; no UDF.
     keep = (score >= 0) is the classifier gate a curation pipeline feeds
     into its survivor filter."""
-    hexd = "0123456789abcdef"
-    weights = spark.range(0, 256).select(
-        F.col("id").alias("b"),
-        ((F.col("id") * F.lit(2654435761)) % 16 - 8).cast("long").alias("wt"),
-    )
+    from .helpers import hash_weights256, md5_bucket256
+
+    weights = hash_weights256(spark)
     tok = T(spark, sf_dir, "documents").select(
         "doc_id", F.explode(tokens("text")).alias("tk")
     )
-    md5c = F.md5(F.col("tk").cast("binary"))
-    tb = tok.select(
-        "doc_id",
-        (
-            (F.instr(F.lit(hexd), F.substring(md5c, 1, 1)) - 1) * 16
-            + (F.instr(F.lit(hexd), F.substring(md5c, 2, 1)) - 1)
-        ).cast("long").alias("b"),
-    )
+    tb = tok.select("doc_id", md5_bucket256("tk").alias("b"))
     return (
         tb.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
@@ -3167,7 +3157,8 @@ def l6_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes between stages."""
     from ..operators.dedup import duplicate_span_stats
 
-    hexd = "0123456789abcdef"
+    from .helpers import hash_weights256, isqrt_long, md5_bucket256
+
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
     spans = duplicate_span_stats(docs, "doc_id", "text", n=10)
     d1 = (
@@ -3175,20 +3166,10 @@ def l6_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dup_spans") == 0)
         .select("doc_id", "source", "text")
     )
-    weights = spark.range(0, 256).select(
-        F.col("id").alias("b"),
-        ((F.col("id") * F.lit(2654435761)) % 16 - 8).cast("long").alias("wgt"),
-    )
-    md5c = F.md5(F.col("tk").cast("binary"))
+    weights = hash_weights256(spark).withColumnRenamed("wt", "wgt")
     tb = d1.select(
         "doc_id", "source", F.explode(tokens("text")).alias("tk")
-    ).select(
-        "doc_id", "source",
-        (
-            (F.instr(F.lit(hexd), F.substring(md5c, 1, 1)) - 1) * 16
-            + (F.instr(F.lit(hexd), F.substring(md5c, 2, 1)) - 1)
-        ).cast("long").alias("b"),
-    )
+    ).select("doc_id", "source", md5_bucket256("tk").alias("b"))
     scored = (
         tb.join(F.broadcast(weights), "b")
         .groupBy("doc_id", "source")
@@ -3205,9 +3186,7 @@ def l6_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tot0 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
-    r = F.floor(F.sqrt(F.col("kept_tokens").cast("double"))).cast("long")
-    r = F.when((r + 1) * (r + 1) <= F.col("kept_tokens"), r + 1).otherwise(r)
-    sq = F.when(r * r > F.col("kept_tokens"), r - 1).otherwise(r)
+    sq = isqrt_long("kept_tokens")
     s = per.join(tot0, "source").select(
         "source", "n_in", "n_after_dedup", "n_after_quality", "kept_tokens",
         sq.alias("sq"),

@@ -268,13 +268,15 @@ class VersionedTable:
                     return parent  # already applied — idempotent no-op
             try:
                 cur = self.read()
+                new_df = build(cur)  # build first: its errors (e.g. delete
+                # on an empty table) must surface before the delta derives
                 cdf_df = (
                     cdf_build(cur)
                     if (cdf_build is not None and self._record_cdf)
                     else None
                 )
                 return self._try_commit(
-                    build(cur), op, parent,
+                    new_df, op, parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
                     modified_keys=modified_keys,
                     partition_by=partition_by,
@@ -694,11 +696,7 @@ class VersionedTable:
         # (matched null-safely) must still classify correctly
         in_a = F.col("a.__pa").isNotNull()
         in_b = F.col("b.__pb").isNotNull()
-        same = reduce(
-            lambda x, y: x & y,
-            [F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) for c in cols],
-            F.lit(True),
-        )
+        same = ~self._any_col_differs("a", "b", cols)
 
         def side(prefix: str, ctype: str) -> DataFrame:
             return j.select(
@@ -874,7 +872,14 @@ def compact(table: VersionedTable, target_partitions: int = 8) -> int:
     # a hive-partitioned snapshot stays partitioned the same way (its
     # files are right-sized within each partition directory).
     layout = table._manifest(table.current_version()).get("partition_by")
+    from pyspark.sql import functions as F
+
     return table._commit_with_retry(
         lambda cur: cur.repartition(target_partitions), "compact",
         partition_by=layout,
+        # a compaction changes ZERO rows: record an EMPTY delta so a
+        # record_cdf table's changes_feed spans maintenance commits
+        cdf_build=lambda cur: cur.limit(0).withColumn(
+            "_change_type", F.lit("insert")
+        ),
     )

@@ -108,11 +108,10 @@ def test_isqrt_expr_exact_against_math_isqrt(spark):
     # the +/-1-corrected floor(sqrt) used by l7_temperature_sampling is an
     # exact integer sqrt, including at perfect-square boundaries
     vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 17, 10**6, 10**6 + 1, 10**12 - 1, 10**12, (2**26 - 1) ** 2]
+    from retail_datalakehouse_spark.queries.helpers import isqrt_long
+
     df = spark.createDataFrame([(v,) for v in vals], "n long")
-    r = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
-    r = F.when((r + 1) * (r + 1) <= F.col("n"), r + 1).otherwise(r)
-    s = F.when(r * r > F.col("n"), r - 1).otherwise(r)
-    got = {row["n"]: row["s"] for row in df.select("n", s.alias("s")).collect()}
+    got = {row["n"]: row["s"] for row in df.select("n", isqrt_long("n").alias("s")).collect()}
     assert got == {v: math.isqrt(v) for v in vals}
 
 
@@ -249,3 +248,52 @@ def test_merge_partial_null_set_value_and_kept_columns(spark):
     # matched: v set (even to NULL), s KEPT; unmatched target untouched;
     # insert takes the full update row
     assert got == {1: ("a", None), 2: ("b", 20), 3: ("c", 30)}
+
+
+def test_changes_feed_spans_compaction(spark, tmp_path):
+    """compact() on a record_cdf table records an EMPTY delta, so the
+    feed composes across maintenance commits instead of erroring."""
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    t = VersionedTable(spark, str(tmp_path / "cc"), record_cdf=True, cdf_keys=["k"])
+    t.overwrite(spark.createDataFrame([(i, i) for i in range(6)], ["k", "v"]))
+    t.merge(spark.createDataFrame([(1, 99)], ["k", "v"]), keys=["k"])  # v2
+    compact(t, target_partitions=2)  # v3: zero logical changes
+    t.delete(F.col("k") == 4)  # v4
+    feed = sorted(map(tuple, t.changes_feed(1, 4).collect()))
+    diff = sorted(map(tuple, t.changes(1, 4, keys=["k"]).collect()))
+    assert feed == diff
+    assert {r[2] for r in feed} == {"update_preimage", "update_postimage", "delete"}
+
+
+def test_delete_on_empty_cdf_table_raises_value_error(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "de"), record_cdf=True, cdf_keys=["k"])
+    with pytest.raises(ValueError, match="cannot delete from empty table"):
+        t.delete(F.col("k") == 1)
+
+
+def test_augment_stats_non_square(spark):
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.multimodal import augment_stats
+
+    w, h = 6, 4
+    payload = bytes(range(w * h * 3))
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    row = augment_stats(df, w=w, h=h).collect()[0]
+    a = np.frombuffer(payload, dtype=np.uint8).reshape(h, w, 3)
+    flip, rot = a[:, ::-1, :], np.rot90(a, k=-1)
+    assert row["fl_tl"] == int(flip[0, 0, 0])
+    assert row["rot_tl"] == int(rot[0, 0, 0])
+    assert row["fl_w"] == int((np.arange(1, w + 1) * flip[0, :, 0].astype(np.int64)).sum())
+    assert row["rot_w"] == int((np.arange(1, h + 1) * rot[0, :, 0].astype(np.int64)).sum())
+
+
+def test_merge_partial_preserves_target_column_order(spark):
+    from retail_datalakehouse_spark.operators.merge import merge_partial
+
+    t = spark.createDataFrame([(1, "a", 10)], ["k", "s", "v"])
+    u = spark.createDataFrame([(1, "z", 99)], ["k", "s", "v"])
+    assert merge_partial(t, u, keys=["k"], set_cols=["v"]).columns == ["k", "s", "v"]

@@ -768,3 +768,51 @@ def s7_merge_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+@register(
+    "s10_python_datasource",
+    # Rows are a pure function of event_id, so DuckDB regenerates the
+    # identical table from range() — the hash proves the custom source's
+    # schema, option handling, partition planning, and per-slice
+    # generation are exact at any parallelism.
+    oracle="""
+WITH e AS (
+  SELECT range AS event_id,
+         (range * 2654435761) % 2147483648 AS h
+  FROM range(0, 5000)),
+t AS (SELECT event_id, h % 97 AS user_id, h % 10000 AS amount_cents FROM e)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(amount_cents) AS BIGINT) AS cents,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM t GROUP BY 1
+""",
+    tags=("S1", "S4"),
+)
+def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API: a
+    registered `synth_events` source declares its schema, parses options,
+    PLANS its own partitions (each task generates one event_id slice —
+    the fan-out contract a real connector uses against a sharded
+    upstream), and streams rows per slice. The aggregate runs over 16
+    planned partitions; determinism-in-event_id means the oracle can
+    regenerate the table from range() and the hash checks the whole
+    connector path."""
+    from ..sources.pydatasource import SynthEventsDataSource
+
+    try:
+        spark.dataSource.register(SynthEventsDataSource)
+    except Exception:
+        pass  # already registered on this session — idempotent re-run
+    df = (
+        spark.read.format("synth_events")
+        .option("rows", 5000)
+        .option("partitions", 16)
+        .load()
+    )
+    return df.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").cast("long").alias("cents"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )

@@ -1,0 +1,63 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API) —
+the connector surface for sources no built-in format covers (internal
+APIs, generators, bespoke wire formats).
+
+`synth_events` is a deterministic event generator exercising the full
+contract: schema declaration, option parsing, PARTITION PLANNING (the
+source tells Spark how to parallelize itself — each `InputPartition`
+generates only its slice, so a 1000-executor cluster fans the scan out
+with zero driver materialization), and per-partition iteration. Rows are
+a pure function of `event_id`, so any reader at any parallelism produces
+the identical table — the property the oracle checks.
+
+Cf. the reference's ad-hoc boto3 ingest scripts
+(`/root/reference/scripts/s3_bucket.py`): here ingestion is a first-class
+Spark source with planning and pushed-down row budgets instead of a
+driver-side loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+#: multiplicative hash constant shared with the DuckDB oracles
+_MULT = 2654435761
+
+
+class SynthEventsDataSource(DataSource):
+    """``spark.read.format("synth_events").option("rows", N)`` — N rows of
+    (event_id, user_id, amount_cents), deterministic in event_id."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount_cents bigint"
+
+    def reader(self, schema) -> "SynthEventsReader":
+        return SynthEventsReader(
+            n_rows=int(self.options.get("rows", 1000)),
+            n_partitions=int(self.options.get("partitions", 8)),
+        )
+
+
+class SynthEventsReader(DataSourceReader):
+    def __init__(self, n_rows: int, n_partitions: int):
+        self.n_rows = n_rows
+        self.n_partitions = max(1, min(n_partitions, n_rows or 1))
+
+    def partitions(self):
+        # contiguous event_id ranges: the planning step — Spark schedules
+        # one task per InputPartition, each generating only its slice
+        step = -(-self.n_rows // self.n_partitions)  # ceil div
+        return [
+            InputPartition((lo, min(lo + step, self.n_rows)))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for eid in range(lo, hi):
+            h = (eid * _MULT) % (2**31)
+            yield (eid, h % 97, h % 10_000)

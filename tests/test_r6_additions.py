@@ -297,3 +297,21 @@ def test_merge_partial_preserves_target_column_order(spark):
     t = spark.createDataFrame([(1, "a", 10)], ["k", "s", "v"])
     u = spark.createDataFrame([(1, "z", 99)], ["k", "s", "v"])
     assert merge_partial(t, u, keys=["k"], set_cols=["v"]).columns == ["k", "s", "v"]
+
+
+def test_python_datasource_partition_planning_and_determinism(spark):
+    from retail_datalakehouse_spark.sources.pydatasource import (
+        SynthEventsDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SynthEventsDataSource)
+    except Exception:
+        pass
+    df = spark.read.format("synth_events").option("rows", 100).option("partitions", 4).load()
+    assert df.rdd.getNumPartitions() == 4  # the source's own planning
+    rows = sorted(map(tuple, df.collect()))
+    assert len(rows) == 100 and rows[0][0] == 0 and rows[-1][0] == 99
+    # deterministic at ANY parallelism: 1 partition == 4 partitions
+    df1 = spark.read.format("synth_events").option("rows", 100).option("partitions", 1).load()
+    assert sorted(map(tuple, df1.collect())) == rows

@@ -1299,3 +1299,65 @@ def t15_multi_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("log").alias("sink"), "event_type", F.col("n").cast("long"), "v")
     )
     return a.unionByName(b)
+
+
+@register(
+    "t16_python_stream_source",
+    # 60 rows drain through a 20-row/batch custom source over FOUR
+    # start/stop cycles sharing one checkpoint (runs 1-3 advance the
+    # committed offset; run 4 finds no new data and must deliver zero
+    # rows). The oracle regenerates all 60 rows from range() — the hash
+    # proves offset-tracked exactly-once delivery across restarts.
+    oracle="""
+WITH e AS (
+  SELECT range AS event_id,
+         (range * 2654435761) % 2147483648 AS h
+  FROM range(0, 60)),
+t AS (SELECT event_id, h % 97 AS user_id, h % 10000 AS amount_cents FROM e)
+SELECT CAST(user_id % 5 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(amount_cents) AS BIGINT) AS cents,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM t GROUP BY 1
+""",
+    tags=("T1", "T6"),
+)
+def t16_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector (Spark 4 Python DataSource
+    simpleStreamReader) with offset-tracked exactly-once restarts: the
+    source serves 20-row micro-batches from an explicit offset; four
+    separate query runs share one checkpoint, so each restart resumes at
+    the COMMITTED offset (runs 1-3 drain the 60 rows, run 4 delivers
+    nothing — replay safety). The file sink accumulates across runs;
+    every row arrives exactly once or the id/cents sums cannot hash."""
+    import os
+    import tempfile
+
+    from ..sources.pydatasource import SynthEventsStreamDataSource
+
+    try:
+        spark.dataSource.register(SynthEventsStreamDataSource)
+    except Exception:
+        pass  # idempotent re-registration
+
+    base = tempfile.mkdtemp(prefix="rdl_t16_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    for _run in range(4):
+        q = (
+            spark.readStream.format("synth_events_stream")
+            .option("rows", 60).option("batch", 20).load()
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if q.isActive:
+            q.stop()
+
+    df = spark.read.parquet(out)
+    return df.groupBy((F.col("user_id") % 5).cast("long").alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").cast("long").alias("cents"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )

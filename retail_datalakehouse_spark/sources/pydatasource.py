@@ -18,7 +18,12 @@ driver-side loop.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 #: multiplicative hash constant shared with the DuckDB oracles
 _MULT = 2654435761
@@ -61,3 +66,47 @@ class SynthEventsReader(DataSourceReader):
         for eid in range(lo, hi):
             h = (eid * _MULT) % (2**31)
             yield (eid, h % 97, h % 10_000)
+
+
+class SynthEventsStreamDataSource(DataSource):
+    """Custom STREAMING source (``simpleStreamReader``): a bounded event
+    feed with explicit OFFSET tracking. Spark persists the committed
+    offset in the checkpoint; a restarted query resumes at exactly the
+    committed position — the exactly-once resume contract a Kafka-like
+    connector implements, here in its minimal auditable form. Rows are a
+    pure function of event_id (same arithmetic as `synth_events`)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_stream"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount_cents bigint"
+
+    def simpleStreamReader(self, schema) -> "SynthEventsStreamReader":
+        return SynthEventsStreamReader(
+            total=int(self.options.get("rows", 60)),
+            batch=int(self.options.get("batch", 20)),
+        )
+
+
+def _synth_row(eid: int) -> tuple:
+    h = (eid * _MULT) % (2**31)
+    return (eid, h % 97, h % 10_000)
+
+
+class SynthEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, total: int, batch: int):
+        self.total, self.batch = total, batch
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.total)
+        return iter([_synth_row(i) for i in range(pos, end)]), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        # replay path: a restarted query re-reads the uncommitted range
+        return iter([_synth_row(i) for i in range(start["pos"], end["pos"])])

@@ -597,49 +597,27 @@ def x_incremental_mart_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("y"),
         F.col("o_totalprice").alias("p"),
     )
+    from ..sources.ivm import IncrementalMart
+
+    base = tempfile.mkdtemp(prefix="rdl_ivm_")
     t = VersionedTable(
-        spark, tempfile.mkdtemp(prefix="rdl_ivm_"),
-        record_cdf=True, cdf_keys=["k"],
+        spark, os.path.join(base, "src"), record_cdf=True, cdf_keys=["k"]
     )
     t.overwrite(o.filter(F.col("k") < 2000))  # v1
-    base_mart = (
-        t.read_version(1)
-        .groupBy("y")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("p").cast("decimal(25,2)")).alias("rev"),
-        )
+    mart = IncrementalMart(
+        spark, t, os.path.join(base, "mart"), dims=["y"], measure="p"
     )
+    mart.refresh()  # full build at v1 — the LAST time the source is scanned
     upd = o.filter((F.col("k") >= 1000) & (F.col("k") < 3000)).withColumn(
         "p", F.col("p") + 10.0
     )
-    t.merge(upd, keys=["k"])  # v2
-    t.delete(F.col("k") % 7 == 0)  # v3
-
-    sign = F.when(
-        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-    ).otherwise(F.lit(-1))
-    delta = (
-        t.changes_feed(1, 3)  # write-time recorded deltas: O(|changes|)
-        .select("y", sign.alias("s"), "p")
-        .groupBy("y")
-        .agg(
-            F.sum("s").alias("dn"),
-            F.sum(F.col("s") * F.col("p").cast("decimal(25,2)")).alias("drev"),
-        )
-    )
-    return (
-        base_mart.join(delta, "y", "full_outer")
-        .select(
-            F.col("y").cast("long").alias("order_year"),
-            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_orders"),
-            F.round(
-                F.coalesce(F.col("rev"), F.lit(0).cast("decimal(25,2)"))
-                + F.coalesce(F.col("drev"), F.lit(0).cast("decimal(25,2)")),
-                2,
-            ).cast("double").alias("revenue"),
-        )
-        .filter(F.col("n_orders") > 0)
+    t.merge(upd, keys=["k"])  # v2 — delta recorded at write time
+    t.delete(F.col("k") % 7 == 0)  # v3 — delta recorded at write time
+    mart.refresh()  # applies ONLY changes_feed(v1, v3); replay-safe
+    return mart.read().select(
+        F.col("y").cast("long").alias("order_year"),
+        F.col("n_rows").alias("n_orders"),
+        F.col("measure_sum").alias("revenue"),
     )
 
 

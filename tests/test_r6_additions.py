@@ -315,3 +315,50 @@ def test_python_datasource_partition_planning_and_determinism(spark):
     # deterministic at ANY parallelism: 1 partition == 4 partitions
     df1 = spark.read.format("synth_events").option("rows", 100).option("partitions", 1).load()
     assert sorted(map(tuple, df1.collect())) == rows
+
+
+def _mart_state(mart):
+    return {
+        tuple(r[d] for d in ("g",)): (r["n_rows"], r["measure_sum"])
+        for r in mart.read().collect()
+    }
+
+
+def test_incremental_mart_refresh_equals_recompute(spark, tmp_path):
+    from retail_datalakehouse_spark.sources.ivm import IncrementalMart
+
+    src = VersionedTable(spark, str(tmp_path / "src"), record_cdf=True, cdf_keys=["k"])
+    src.overwrite(
+        spark.createDataFrame([(i, i % 3, float(i)) for i in range(12)], ["k", "g", "v"])
+    )
+    mart = IncrementalMart(spark, src, str(tmp_path / "mart"), dims=["g"], measure="v")
+    mart.refresh()  # full build
+
+    # source evolves: update, insert, delete — refresh applies ONLY deltas
+    src.merge(spark.createDataFrame([(1, 1, 100.0), (20, 0, 7.0)], ["k", "g", "v"]), keys=["k"])
+    src.delete(F.col("k") % 5 == 0)
+    v = mart.refresh()
+    # replay: same source version -> no new commit
+    assert mart.refresh() == v
+
+    expected = {
+        (r["g"]): (r["n"], r["s"])
+        for r in src.read()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("v").cast("decimal(25,2)")), 2).cast("double").alias("s"))
+        .collect()
+    }
+    got = {g[0]: ns for g, ns in _mart_state(mart).items()}
+    assert got == expected
+
+
+def test_incremental_mart_zero_count_group_disappears(spark, tmp_path):
+    from retail_datalakehouse_spark.sources.ivm import IncrementalMart
+
+    src = VersionedTable(spark, str(tmp_path / "src2"), record_cdf=True, cdf_keys=["k"])
+    src.overwrite(spark.createDataFrame([(1, 7, 5.0), (2, 8, 6.0)], ["k", "g", "v"]))
+    mart = IncrementalMart(spark, src, str(tmp_path / "mart2"), dims=["g"], measure="v")
+    mart.refresh()
+    src.delete(F.col("g") == 7)  # group 7 fully deleted upstream
+    mart.refresh()
+    assert {g[0] for g in _mart_state(mart)} == {8}

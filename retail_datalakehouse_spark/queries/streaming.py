@@ -1361,3 +1361,147 @@ def t16_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount_cents").cast("long").alias("cents"),
         F.sum("event_id").cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "t17_dedup_within_watermark",
+    # The re-delivered rows are exact copies of already-seen events, so the
+    # deduped stream ≡ the original event set: the oracle is the plain batch
+    # aggregate. A hash match proves every duplicate was dropped AND no
+    # original row was lost to the dedup state machinery.
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1
+""",
+    tags=("T5", "T6"),
+)
+def t17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` — the bounded-state dedup contract
+    Spark 3.5 added for at-least-once sources (Kafka redeliveries, crawler
+    re-fetches): duplicates are only guaranteed dropped if they arrive
+    within the watermark delay of the first copy, and in exchange the seen-
+    keys state is EVICTED once the watermark passes, so state is O(delay
+    window), never O(distinct keys ever seen) — the difference between this
+    and plain `dropDuplicates` is what keeps a perpetual 100 TB ingest from
+    growing state without bound. Two micro-batches: all events, then a
+    re-delivery of every event from the last hour before t_max (same
+    event_id, same payload — a source retry). The re-delivered rows sit
+    well inside the 2-hour delay, so all of them hit live dedup state and
+    are dropped; the state-metrics assertion pins that eviction actually
+    happened (numRowsRemoved > 0 — old keys aged out when the watermark
+    advanced)."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from ..catalog import load_table
+    from ..streaming.jobs import state_metrics
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    t_max = e.agg(F.max("ts")).head()[0]
+    redelivered = e.filter(F.col("ts") > F.lit(t_max - timedelta(hours=1)))
+
+    d = tempfile.mkdtemp(prefix="rdl_t17_")
+    for i, part in enumerate((e, redelivered)):
+        dest = os.path.join(d, f"batch{i}.parquet")
+        _write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    deduped = stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,2)")).cast("double").alias("total_value"),
+    )
+    sink, q = run_to_memory(agg, output_mode="complete", return_query=True)
+    metrics = state_metrics(q)
+    # Watermark-driven eviction is the point of the API: after batch 1 the
+    # watermark sits at t_max - 2h, so every key older than the delay
+    # horizon must have been aged out of the dedup state.
+    assert metrics["numRowsRemoved"] > 0, metrics
+    return spark.table(sink)
+
+
+@register(
+    "t18_chained_windows",
+    # Batch rewrite of the two-level rollup: hourly figures derived by
+    # re-aggregating the 15-minute grain ≡ aggregating raw (decimal
+    # partials), and n_subwindows = distinct 15-min buckets per (hour,
+    # type). The advancer row is filtered by its sentinel type.
+    oracle="""
+SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT CAST(FLOOR(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT)) AS BIGINT)
+         AS n_subwindows,
+       CAST(SUM(CAST(value AS DECIMAL(25,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("T2", "T5"),
+)
+def t18_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED stateful operators in one streaming query (Spark 3.5+): a
+    15-minute tumbling aggregate feeds a 1-hour window rollup via
+    `window_time()` — two state stores, one pass, append mode end-to-end.
+    This is the streaming form of the continuous-aggregate ladder
+    (x_multires_rollup): the coarse grain consumes the fine grain's CLOSED
+    windows instead of rescanning raw events, so a 100 TB/day feed pays
+    the raw-event shuffle once at the finest grain only. Late data is
+    handled once, at level 1 — a 15-min window flushes when the watermark
+    passes, and its single emitted row is what level 2 folds, so the two
+    grains can never disagree. A far-future advancer batch (sentinel type)
+    pushes the watermark past every real window to flush both levels."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
+    t_max = e.agg(F.max("ts")).head()[0]
+    advancer = spark.createDataFrame(
+        [("__advancer__", 0.0, t_max + timedelta(days=10))], schema=e.schema
+    )
+
+    d = tempfile.mkdtemp(prefix="rdl_t18_")
+    for i, part in enumerate((e, advancer)):
+        dest = os.path.join(d, f"batch{i}.parquet")
+        _write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+
+    fine = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "15 minutes").alias("w15"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n15"),
+            F.sum(F.col("value").cast("decimal(25,2)")).alias("v15"),
+        )
+    )
+    coarse = (
+        fine.groupBy(F.window(F.window_time("w15"), "1 hour").alias("w60"), "event_type")
+        .agg(
+            F.sum("n15").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subwindows"),
+            F.sum("v15").alias("v60"),
+        )
+        .select(
+            F.col("w60.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            "n_subwindows",
+            F.col("v60").cast("double").alias("total_value"),
+        )
+    )
+    sink = run_to_memory(coarse, output_mode="append")
+    return spark.table(sink).filter(F.col("event_type") != "__advancer__")

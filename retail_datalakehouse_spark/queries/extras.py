@@ -1027,3 +1027,132 @@ def x_time_travel_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+_BRANCH_TAGS_SQL = f"""
+SELECT 'branch:dev' AS ref, COUNT(*) AS n_rows,
+       {sql_dsum("CASE WHEN o_orderkey % 7 = 0 THEN 2 * o_totalprice ELSE o_totalprice END", scale=2)} AS revenue
+FROM orders
+UNION ALL
+SELECT 'main', COUNT(*) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 11 = 0),
+       {sql_dsum("CASE WHEN o_orderkey % 11 = 0 THEN 4 * o_totalprice ELSE o_totalprice END", scale=2)}
+FROM orders
+UNION ALL
+SELECT 'tag:train_v1', COUNT(*), {sql_dsum("o_totalprice", scale=2)}
+FROM orders
+"""
+
+
+@register("x_branch_tags", oracle=_BRANCH_TAGS_SQL, tags=("S6", "S7"), doc="")
+def x_branch_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style TABLE REFS: a tag pins v1 forever ('train_v1' — the
+    reproducible-training-snapshot pin), a branch forks an independent
+    dev lineage at v1, and the three lineages then diverge: dev MERGEs a
+    repricing (keys %7 doubled), main APPENDs late orders (keys %11
+    re-delivered at 3x as distinct negative keys). The hash proves full
+    three-way isolation — the tag still reads exactly v1 after both
+    writes, dev sees its merge but not main's append, main sees its
+    append but not dev's merge. Both refs are metadata-only (the branch
+    fork copies one manifest entry, zero data), which is what makes
+    branch-per-experiment viable on a 100 TB table. Version arithmetic
+    is asserted in-query; vacuum treats both refs as GC roots (pinned by
+    tests)."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_refs_"))
+    table.overwrite(o)  # v1
+    table.tag("train_v1")  # pin v1
+    dev = table.create_branch("dev")  # fork at v1
+
+    repriced = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    dev.merge(repriced, ["o_orderkey"])  # dev head = v2 (branch namespace)
+
+    late = o.filter(F.col("o_orderkey") % 11 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        (F.col("o_totalprice") * 3).alias("o_totalprice"),
+    )
+    table.append(late)  # main v2
+
+    # lineage isolation, asserted structurally before the value hash:
+    assert table.current_version() == 2 and dev.current_version() == 2
+    assert {r["name"]: r["type"] for r in table.refs()} == {
+        "dev": "branch", "train_v1": "tag",
+    }
+
+    def summarize(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("ref"),
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+        )
+
+    return (
+        summarize("branch:dev", table.read_ref("dev"))
+        .unionByName(summarize("main", table.read()))
+        .unionByName(summarize("tag:train_v1", table.read_ref("train_v1")))
+    )
+
+
+_ROLLBACK_SQL = f"""
+SELECT 1 AS version, 'overwrite' AS operation, COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+UNION ALL
+SELECT 2, 'overwrite', COUNT(*), {sql_dsum("100 * o_totalprice", scale=2)}
+FROM orders
+UNION ALL
+SELECT 3, 'restore', COUNT(*), {sql_dsum("o_totalprice", scale=2)}
+FROM orders
+UNION ALL
+SELECT 4, 'append', COUNT(*) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 13 = 0),
+       {sql_dsum("CASE WHEN o_orderkey % 13 = 0 THEN 3 * o_totalprice ELSE o_totalprice END", scale=2)}
+FROM orders
+"""
+
+
+@register("x_snapshot_rollback", oracle=_ROLLBACK_SQL, tags=("S6", "S7"), doc="")
+def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta RESTORE as a gated query: v2 is a corrupted ETL run (every
+    price 100x), v3 = restore(v1) rolls BACK by rolling FORWARD (the bad
+    version stays in history — auditable, still time-travelable — and no
+    reader ever sees a version vanish), v4 appends normally on top of the
+    restored state. The output reads ALL FOUR versions plus each commit's
+    recorded operation, so the hash proves the restore reproduced v1
+    bit-for-bit, the corruption remains visible at v2, and post-restore
+    writes build on the restored content."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_restore_"))
+    table.overwrite(o)  # v1: good load
+    table.overwrite(
+        o.select("o_orderkey", (F.col("o_totalprice") * 100).alias("o_totalprice"))
+    )  # v2: corrupted rerun
+    table.restore(1)  # v3: roll back to v1's content
+    late = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    table.append(late)  # v4: life goes on
+
+    outs = []
+    for entry in table.history():
+        outs.append(
+            table.read_version(entry["version"]).agg(
+                F.lit(entry["version"]).alias("version"),
+                F.lit(entry["operation"]).alias("operation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out

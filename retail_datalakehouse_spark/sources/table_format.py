@@ -88,6 +88,7 @@ class VersionedTable:
             raise ValueError("record_cdf=True requires cdf_keys")
         self._record_cdf = record_cdf
         self._cdf_keys = list(cdf_keys or [])
+        self._ref_name: str | None = None  # set on branch handles
 
     # ----------------------------------------------------------- manifest
 
@@ -570,6 +571,164 @@ class VersionedTable:
                 os.unlink(tmp)
         raise CommitConflict(f"lost {max_retries} consecutive commit races at {self.path}")
 
+    # --------------------------------------------------------------- refs
+    #
+    # Iceberg-style named references over the snapshot log: a TAG is an
+    # immutable pointer to one committed version (pin a training-data
+    # snapshot forever — vacuum honors it); a BRANCH is an independent
+    # lineage forked from a version (a dev/WAP line whose commits never
+    # disturb main). Refs are metadata-only: creating either copies ZERO
+    # data — a branch fork is one manifest-entry copy pointing at the
+    # fork version's existing data directory.
+
+    _REF_NAME_RE = r"[A-Za-z0-9][A-Za-z0-9._-]*"
+
+    def _refs_dir(self) -> str:
+        return os.path.join(self.path, "_refs")
+
+    def _branches_dir(self) -> str:
+        return os.path.join(self.path, "_branches")
+
+    def _validate_ref_name(self, name: str) -> None:
+        import re
+
+        if not re.fullmatch(self._REF_NAME_RE, name):
+            raise ValueError(f"invalid ref name: {name!r}")
+
+    def _write_ref(self, name: str, entry: dict) -> None:
+        """CAS-create ``_refs/<name>.json`` (atomic link, like commits):
+        a ref name can be claimed exactly once — re-tagging requires an
+        explicit :meth:`drop_ref` first, so a pinned snapshot can't be
+        silently repointed."""
+        os.makedirs(self._refs_dir(), exist_ok=True)
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(self._refs_dir(), f".{name}.{token}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, os.path.join(self._refs_dir(), f"{name}.json"))
+        except FileExistsError:
+            raise ValueError(f"ref {name!r} already exists at {self.path}") from None
+        finally:
+            os.unlink(tmp)
+
+    def _read_ref(self, name: str) -> dict:
+        p = os.path.join(self._refs_dir(), f"{name}.json")
+        if not os.path.exists(p):
+            raise ValueError(f"unknown ref {name!r} at {self.path}")
+        return json.load(open(p))
+
+    def refs(self) -> list[dict]:
+        """All named refs, each with its current resolved version (a
+        branch resolves to its own head, not its fork point)."""
+        if not os.path.isdir(self._refs_dir()):
+            return []
+        out = []
+        for f in sorted(os.listdir(self._refs_dir())):
+            if not f.endswith(".json"):
+                continue
+            e = self._read_ref(f[:-5])
+            if e["type"] == "branch":
+                e = dict(e, version=self.branch(e["name"]).current_version())
+            out.append(e)
+        return out
+
+    def drop_ref(self, name: str) -> None:
+        """Delete a ref. A dropped tag's snapshot becomes eligible for
+        expiry on the next :meth:`vacuum`; a dropped branch's commits
+        become unreferenced (its staged dirs age out as orphans)."""
+        e = self._read_ref(name)
+        os.unlink(os.path.join(self._refs_dir(), f"{name}.json"))
+        if e["type"] == "branch":
+            shutil.rmtree(os.path.join(self._branches_dir(), name), ignore_errors=True)
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an immutable tag at ``version`` (default: current).
+        Tags are retention roots: :meth:`vacuum` keeps a tagged snapshot's
+        manifest and data alive regardless of ``retain_last`` — the
+        'audit-2024' / 'train-v3' reproducibility pin."""
+        if self._ref_name is not None:
+            raise ValueError("tags live on the main table, not a branch handle")
+        self._validate_ref_name(name)
+        v = self.current_version() if version is None else version
+        if v not in self._versions():
+            raise ValueError(f"version {v} not committed at {self.path}")
+        self._write_ref(name, {"name": name, "type": "tag", "version": v})
+        return v
+
+    def _branch_handle(self, name: str) -> "VersionedTable":
+        h = VersionedTable(
+            self.spark,
+            self.path,
+            record_cdf=self._record_cdf,
+            cdf_keys=self._cdf_keys or None,
+        )
+        h._manifest_dir = os.path.join(self._branches_dir(), name)
+        h._ref_name = name
+        return h
+
+    def create_branch(self, name: str, version: int | None = None) -> "VersionedTable":
+        """Fork an independent lineage at ``version`` (default: current)
+        and return its table handle. The fork copies ONE manifest entry
+        — the branch's base snapshot IS the fork version's data directory
+        (zero data copied, exactly Iceberg's branch semantics). Branch
+        commits version-number from the fork point in their own manifest
+        namespace and never appear in main's history; main's writes never
+        appear in the branch. Data staged by branch commits lives in the
+        shared table directory, so main's :meth:`vacuum` treats branch
+        manifests as GC roots."""
+        if self._ref_name is not None:
+            raise ValueError("branch from the main table, not another branch")
+        self._validate_ref_name(name)
+        v = self.current_version() if version is None else version
+        if v not in self._versions():
+            raise ValueError(f"version {v} not committed at {self.path}")
+        bdir = os.path.join(self._branches_dir(), name)
+        os.makedirs(bdir, exist_ok=True)
+        # seed: the fork version's manifest verbatim (same data dir)
+        with open(os.path.join(bdir, f"v{v}.json"), "w") as f:
+            json.dump(dict(self._manifest(v), operation="branch_fork"), f)
+        try:
+            self._write_ref(
+                name, {"name": name, "type": "branch", "forked_at": v}
+            )
+        except ValueError:
+            shutil.rmtree(bdir, ignore_errors=True)
+            raise
+        return self._branch_handle(name)
+
+    def branch(self, name: str) -> "VersionedTable":
+        """Open an existing branch's table handle (reads and writes apply
+        to the branch lineage only)."""
+        e = self._read_ref(name)
+        if e["type"] != "branch":
+            raise ValueError(f"ref {name!r} is a {e['type']}, not a branch")
+        return self._branch_handle(name)
+
+    def read_ref(self, name: str) -> DataFrame:
+        """Read a ref: a tag resolves to its pinned snapshot, a branch to
+        the branch head."""
+        e = self._read_ref(name)
+        if e["type"] == "tag":
+            return self.read_version(e["version"])
+        return self.branch(name).read()
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... VERSION AS OF`` — roll the table
+        BACK by rolling FORWARD: commit a new version whose content is the
+        old snapshot, so the bad interval stays in history (auditable,
+        time-travelable) and concurrent readers never see a version
+        disappear. O(snapshot) rewrite, like Delta's restore.
+
+        No write-time change feed is recorded for the restore commit (its
+        delta is a whole-snapshot diff, not a row edit); a ``record_cdf``
+        table's :meth:`changes_feed` across it raises and the caller falls
+        back to :meth:`changes`, which handles exactly this case."""
+        if version not in self._versions():
+            raise ValueError(f"version {version} not committed at {self.path}")
+        snap = self.read_version(version)
+        return self._commit_with_retry(lambda cur: snap, "restore")
+
     # -------------------------------------------------------- maintenance
 
     def vacuum(
@@ -591,9 +750,20 @@ class VersionedTable:
         commit a version whose data is gone. Directories referenced by an
         *expired* manifest are committed history and removed regardless
         of age. Pass ``orphan_retention_s=0`` only when no concurrent
-        writers exist (tests, single-writer maintenance windows)."""
+        writers exist (tests, single-writer maintenance windows).
+
+        Refs are retention roots: a TAGGED version's manifest and data
+        survive ``retain_last`` (drop the tag to let it expire), and
+        every directory referenced by a BRANCH manifest (including the
+        shared fork-point data) stays live."""
+        if self._ref_name is not None:
+            raise ValueError("vacuum runs on the main table, not a branch handle")
         versions = self._versions()
-        keep_versions = versions if retain_last is None else versions[-retain_last:]
+        keep = set(versions if retain_last is None else versions[-retain_last:])
+        for ref in self.refs():  # tags pin their snapshot
+            if ref["type"] == "tag":
+                keep.add(ref["version"])
+        keep_versions = [v for v in versions if v in keep]
         live_dirs = set()
         expired_dirs = set()
         for v in versions:
@@ -602,6 +772,15 @@ class VersionedTable:
             if entry.get("cdf_dir"):
                 dirs.add(entry["cdf_dir"])
             (live_dirs if v in keep_versions else expired_dirs).update(dirs)
+        if os.path.isdir(self._branches_dir()):
+            for b in os.listdir(self._branches_dir()):
+                bh = self._branch_handle(b)
+                for v in bh._versions():
+                    e = bh._manifest(v)
+                    live_dirs.add(e.get("data_dir", f"_v{v}"))
+                    live_dirs.update(e.get("dv_dirs", []))
+                    if e.get("cdf_dir"):
+                        live_dirs.add(e["cdf_dir"])
         expired_dirs -= live_dirs  # a dir shared with a live version stays
         now = time.time()
         removed = []

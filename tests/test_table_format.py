@@ -379,3 +379,79 @@ def test_change_data_feed_classifies_all_types(spark, tmp_path):
         (4, "delete"): 40.0,
         (5, "insert"): 50.0,
     }  # key 1 unchanged -> absent
+
+
+def test_refs_tag_branch_isolation_and_restore(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "refs"))
+    base = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+    t.overwrite(base)  # v1
+    t.tag("pin")
+    dev = t.create_branch("dev")
+
+    # branch writes don't touch main; main writes don't touch the branch
+    dev.merge(spark.range(3).select(F.col("id").alias("k"), F.lit(999).alias("v")), ["k"])
+    t.append(spark.range(100, 105).select(F.col("id").alias("k"), F.lit(1).alias("v")))
+    assert t.read().count() == 15
+    assert dev.read().count() == 10
+    assert dev.read().filter("v = 999").count() == 3
+    assert t.read().filter("v = 999").count() == 0
+    # the tag still reads exactly v1
+    assert t.read_ref("pin").orderBy("k").collect() == base.orderBy("k").collect()
+    # re-opening the branch by name sees its head
+    assert t.branch("dev").current_version() == 2
+
+    # tags are immutable; ref names are single-claim
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("pin")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("dev")
+    # branch handles don't tag/branch/vacuum
+    with pytest.raises(ValueError):
+        dev.tag("x")
+    with pytest.raises(ValueError):
+        dev.create_branch("x")
+    with pytest.raises(ValueError):
+        dev.vacuum()
+
+    # restore: rolls back by rolling forward
+    t.restore(1)
+    assert t.current_version() == 3
+    assert t.read().orderBy("k").collect() == base.orderBy("k").collect()
+    assert [e["operation"] for e in t.history()] == ["overwrite", "append", "restore"]
+
+
+def test_vacuum_honors_tag_and_branch_roots(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "gc"))
+    v1_df = spark.range(5).select(F.col("id").alias("k"))
+    t.overwrite(v1_df)  # v1
+    t.tag("keep_v1")
+    dev = t.create_branch("dev")
+    dev.append(spark.range(5, 8).select(F.col("id").alias("k")))  # branch v2
+    t.overwrite(spark.range(20).select(F.col("id").alias("k")))  # main v2
+    t.overwrite(spark.range(30).select(F.col("id").alias("k")))  # main v3
+
+    removed = t.vacuum(retain_last=1, orphan_retention_s=0)
+    # v1 is tagged -> survives retain_last=1; branch data survives too
+    assert t.read_version(1).count() == 5
+    assert t.read_ref("keep_v1").count() == 5
+    assert dev.read().count() == 8
+    assert t.read().count() == 30
+    # v2 (untagged, unreferenced) was expired
+    assert 2 not in t._versions()
+    assert removed  # something actually got GC'd
+
+    # dropping the tag releases the pin: next vacuum expires v1
+    t.drop_ref("keep_v1")
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert 1 not in t._versions()
+    # the branch still reads (fork data dir is a branch GC root)
+    assert dev.read().count() == 8
+
+    # dropping the branch releases its manifests; its dirs age out as
+    # orphans (young ones are kept by the retention window)
+    t.drop_ref("dev")
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert [r["name"] for r in t.refs()] == []
+    assert t.read().count() == 30

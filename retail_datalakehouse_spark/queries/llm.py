@@ -3202,3 +3202,240 @@ def l6_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN tot_s > 0 THEN (10000 * sq) DIV tot_s ELSE 0 END AS BIGINT)"
         ).alias("temp_bp"),
     )
+
+
+@register(
+    "l4_dsir_resample",
+    # Hashed-feature importance weighting, integer-exact end to end:
+    # 256 md5 buckets, add-one smoothing, ratio in basis points via
+    # BIGINT floor division — no log/float anywhere, so both engines
+    # agree bit-for-bit. Weight per token instance:
+    # ((cnt_t+1)(N_r+256)·1e4) // ((cnt_r+1)(N_t+256)); doc score = sum.
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+  FROM documents),
+tb AS (
+  SELECT doc_id, lang,
+         CAST((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS BIGINT) AS bucket
+  FROM toks),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+         CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_r
+  FROM tb GROUP BY 1),
+totals AS (
+  SELECT CAST(SUM(cnt_t) AS BIGINT) AS n_t, CAST(SUM(cnt_r) AS BIGINT) AS n_r
+  FROM counts),
+w AS (
+  SELECT t.doc_id, t.lang,
+         ((c.cnt_t + 1) * (tt.n_r + 256) * 10000)
+           // ((c.cnt_r + 1) * (tt.n_t + 256)) AS w_bp
+  FROM tb t JOIN counts c USING (bucket) CROSS JOIN totals tt
+  WHERE t.lang <> 'en'),
+scored AS (
+  SELECT doc_id, lang, COUNT(*) AS n_tokens, CAST(SUM(w_bp) AS BIGINT) AS score_bp
+  FROM w GROUP BY 1, 2)
+SELECT doc_id, lang, n_tokens, score_bp
+FROM scored
+ORDER BY score_bp DESC, doc_id
+LIMIT 25
+""",
+    tags=("L4", "L7"),
+)
+def l4_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): score RAW
+    documents (non-en) by importance under a hashed bag-of-words model of
+    the TARGET distribution (en docs) vs the raw distribution, then keep
+    the top-25 — 'select web data that looks like the target domain'.
+    Features are 256 md5 token buckets (hashing trick); the per-token
+    target/raw probability ratio uses add-one smoothing and BIGINT
+    basis-point floor division instead of log-space floats, so the score
+    is integer-deterministic cross-engine (the repo's exact-arithmetic
+    rule; at production scale the same plan runs in log-space doubles).
+    Scale shape: ONE token pass builds both distributions (conditional
+    aggregation, 256-row result), the weight join is a broadcast of that
+    256-row table plus a one-row totals broadcast — the corpus is
+    re-read once and never shuffled on anything wider than doc_id."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("tok"),
+    )
+    tb = toks.withColumn(
+        "bucket",
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 2), 16, 10).cast("long"),
+    )
+    counts = tb.groupBy("bucket").agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("cnt_r"),
+    )
+    totals = counts.agg(
+        F.sum("cnt_t").cast("long").alias("n_t"), F.sum("cnt_r").cast("long").alias("n_r")
+    )
+    w = (
+        tb.filter(F.col("lang") != "en")
+        .join(F.broadcast(counts), "bucket")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "w_bp",
+            F.expr(
+                "((cnt_t + 1) * (n_r + 256) * 10000) DIV ((cnt_r + 1) * (n_t + 256))"
+            ),
+        )
+    )
+    scored = w.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("w_bp").cast("long").alias("score_bp"),
+    )
+    return scored.orderBy(F.desc("score_bp"), F.asc("doc_id")).limit(25)
+
+
+@register(
+    "l3_matryoshka_topk",
+    # Two-stage retrieval, both stages mirrored exactly: prefix-8 cosine
+    # shortlist (top-50, 6-dp round + id tie-break) then full-64 rescore
+    # (top-10). DuckDB slices the list, Spark slices the array.
+    oracle="""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+pref AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding[1:8]) AS DOUBLE) AS x,
+         CAST(unnest((SELECT qv[1:8] FROM q)) AS DOUBLE) AS y
+  FROM embeddings e),
+s8 AS (
+  SELECT vec_id, ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cos8
+  FROM pref GROUP BY 1),
+short AS (
+  SELECT vec_id, cos8, ROW_NUMBER() OVER (ORDER BY cos8 DESC, vec_id) AS rn
+  FROM s8),
+cand AS (SELECT vec_id, cos8 FROM short WHERE rn <= 50),
+fullv AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS y
+  FROM embeddings e
+  WHERE e.vec_id IN (SELECT vec_id FROM cand)),
+fs AS (
+  SELECT vec_id, ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cos_sim
+  FROM fullv GROUP BY 1)
+SELECT f.vec_id, c.cos8, f.cos_sim
+FROM fs f JOIN cand c USING (vec_id)
+ORDER BY f.cos_sim DESC, f.vec_id
+LIMIT 10
+""",
+    tags=("L3",),
+)
+def l3_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval (MRL, Kusupati et al. 2022, public): ANN over
+    nested-representation embeddings — stage 1 scans only the FIRST 8 of
+    64 dimensions (1/8th the arithmetic and, with a prefix-materialized
+    column, 1/8th the bytes read) to shortlist 50 candidates, stage 2
+    rescores just those 50 with the full vector. Both stages are JVM
+    zip_with/aggregate folds; stage 1 is a TakeOrderedAndProject top-k
+    (no global sort) and stage 2's candidate set joins back as a
+    broadcast. This is the third index-free ANN family next to IVF
+    (partition pruning) and PQ (byte codes): prefix-dim pruning composes
+    with either at 100 TB."""
+    from ..operators.similarity import cosine
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).head()["embedding"]]
+    q8 = F.array(*[F.lit(x) for x in qvec[:8]])
+    qfull = F.array(*[F.lit(x) for x in qvec])
+
+    shortlist = (
+        e.select(
+            "vec_id",
+            F.round(cosine(F.slice("embedding", 1, 8), q8), 6).alias("cos8"),
+        )
+        .orderBy(F.desc("cos8"), F.asc("vec_id"))
+        .limit(50)
+    )
+    rescored = (
+        e.join(F.broadcast(shortlist), "vec_id")
+        .select(
+            "vec_id",
+            "cos8",
+            F.round(cosine(F.col("embedding"), qfull), 6).alias("cos_sim"),
+        )
+    )
+    return rescored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(10)
+
+
+@register(
+    "l7_curriculum_order",
+    # Deterministic curriculum: difficulty = avg token length in milli-
+    # chars (integer floor division), fixed stage cuts (5300/5460), then
+    # a seed-keyed md5 shuffle WITHIN each stage. ord is the global
+    # training-read order: all of stage 0, then 1, then 2.
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         n_chars,
+         CAST(len(list_filter(string_split(lower(text), ' '), x -> x != '')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+d AS (
+  SELECT doc_id, n_tokens,
+         (1000 * n_chars) // (n_tokens + 1) AS difficulty_milli
+  FROM t),
+s AS (
+  SELECT doc_id, n_tokens, difficulty_milli,
+         CASE WHEN difficulty_milli < 5300 THEN 0
+              WHEN difficulty_milli < 5460 THEN 1
+              ELSE 2 END AS stage,
+         md5('cur17:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM d)
+SELECT doc_id, n_tokens, difficulty_milli, CAST(stage AS BIGINT) AS stage,
+       CAST(ROW_NUMBER() OVER (ORDER BY stage, h, doc_id) AS BIGINT) AS ord
+FROM s
+""",
+    tags=("L7", "W1"),
+)
+def l7_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: rank the corpus easy→hard (difficulty =
+    average token length, integer milli-chars — a closed-form proxy any
+    real pipeline swaps for a model score), bucket into three fixed
+    stages, and emit the exact global read order with a seed-keyed md5
+    shuffle inside each stage (same reproducible-shuffle contract as
+    l7_corpus_shuffle: the order is a pure function of (seed, doc_id)).
+    Scale shape: difficulty is a narrow per-row map; the only wide op is
+    the final rank. A production variant makes `ord` per-shard like
+    l7_epoch_reshard; here the single window keeps the oracle 1:1."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    t = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    d = t.withColumn(
+        "difficulty_milli", F.expr("(1000 * n_chars) DIV (n_tokens + 1)")
+    )
+    s = d.select(
+        "doc_id",
+        "n_tokens",
+        "difficulty_milli",
+        F.when(F.col("difficulty_milli") < 5300, 0)
+        .when(F.col("difficulty_milli") < 5460, 1)
+        .otherwise(2)
+        .cast("long")
+        .alias("stage"),
+        F.md5(
+            F.concat(F.lit("cur17:"), F.col("doc_id").cast("string")).cast("binary")
+        ).alias("h"),
+    )
+    w = Window.orderBy("stage", "h", "doc_id")
+    return s.select(
+        "doc_id", "n_tokens", "difficulty_milli", "stage",
+        F.row_number().over(w).cast("long").alias("ord"),
+    )

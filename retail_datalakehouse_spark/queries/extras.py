@@ -1156,3 +1156,55 @@ def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in outs[1:]:
         out = out.unionByName(df)
     return out
+
+
+_REPLACE_WHERE_SQL = f"""
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       COUNT(*) AS n_orders,
+       {sql_dsum("CASE WHEN date_trunc('month', o_orderdate) = DATE '1995-03-01'"
+                 " THEN 2 * o_totalprice ELSE o_totalprice END", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_replace_where", oracle=_REPLACE_WHERE_SQL, tags=("S3", "S6", "S7"), doc="")
+def x_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``replaceWhere`` — the idempotent backfill: the orders mart
+    is laid out hive-partitioned by month, a re-run of March 1995's
+    pipeline produces corrected rows (2x repricing), and ONE atomic
+    commit swaps exactly that month's slice. The hash over ALL months
+    proves the two replaceWhere guarantees at once: the target month is
+    fully replaced, and every other month is carried over untouched. The
+    guard clause (replacement rows must match the predicate) is asserted
+    in-query — a stray-row backfill must refuse to commit. At 100 TB
+    this plus partition pruning is the daily-reprocessing path: the
+    commit cost is O(slice), readers never see a half-replaced month."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    )
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_rw_"))
+    table.overwrite(o, partition_by=["month"])  # v1: monthly layout
+
+    target = F.col("month") == F.lit("1995-03-01").cast("date")
+    corrected = o.filter(target).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"), "month"
+    )
+    # guard: a backfill carrying rows outside its declared slice must fail
+    try:
+        table.overwrite_where(o.limit(5), target, partition_by=["month"])
+        raise AssertionError("stray-row backfill must be rejected")
+    except ValueError:
+        pass
+    table.overwrite_where(corrected, target, partition_by=["month"])  # v2
+
+    return table.read().groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+    )

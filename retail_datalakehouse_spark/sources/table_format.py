@@ -306,6 +306,41 @@ class VersionedTable:
             lambda cur: df, "overwrite", partition_by=partition_by
         )
 
+    def overwrite_where(
+        self,
+        df: DataFrame,
+        condition,
+        partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Delta's ``replaceWhere``: atomically replace ONLY the rows
+        matching ``condition`` with ``df`` — the idempotent-backfill
+        primitive (re-run a day's pipeline and swap exactly that day).
+        Every row of ``df`` must satisfy ``condition`` (enforced with one
+        driver-side existence check, as Delta does): otherwise a backfill
+        could silently leak rows into slices it claimed not to touch.
+        The untouched slice is carried over from the current snapshot, so
+        concurrent serializable merges treat this as an unknown write set
+        (conservative conflict), like overwrite."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        stray = df.filter(~cond).limit(1).collect()
+        if stray:
+            raise ValueError(
+                f"replaceWhere: replacement rows must all match {condition!r}; "
+                f"found {stray[0]}"
+            )
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                return df
+            return cur.filter(~cond).unionByName(df)
+
+        return self._commit_with_retry(
+            build, "replace_where", txn=txn, partition_by=partition_by
+        )
+
     def append(
         self,
         df: DataFrame,

@@ -455,3 +455,23 @@ def test_vacuum_honors_tag_and_branch_roots(spark, tmp_path):
     t.vacuum(retain_last=1, orphan_retention_s=0)
     assert [r["name"] for r in t.refs()] == []
     assert t.read().count() == 30
+
+
+def test_overwrite_where_replaces_only_matching_slice(spark, tmp_path):
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "rw"))
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("part"), F.lit(1).alias("v")
+    )
+    t.overwrite(base, partition_by=["part"])
+    # replace slice part=1 with corrected rows
+    fixed = base.filter("part = 1").withColumn("v", F.lit(99))
+    t.overwrite_where(fixed, F.col("part") == 1, partition_by=["part"])
+    got = {(r["k"], r["v"]) for r in t.read().collect()}
+    assert got == {(i, 99 if i % 2 else 1) for i in range(10)}
+    # stray rows refuse to commit, and the failed call committed nothing
+    v = t.current_version()
+    with pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(base, F.col("part") == 1)
+    assert t.current_version() == v

@@ -144,6 +144,18 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "fingerprint aggregate must be two-phase (map-side partial sums)"),
     ("l7_stratified_sample", "WindowGroupLimit", True,
      "rank<=k must push the group limit below the per-stratum sort"),
+    ("l4_dsir_resample", "EvalPython", False,
+     "hashed importance weighting must stay JVM-side"),
+    ("l4_dsir_resample", "BroadcastHashJoin", True,
+     "the 256-bucket distribution table must broadcast, never shuffle tokens"),
+    ("l3_matryoshka_topk", "TakeOrderedAndProject", True,
+     "both retrieval stages must be heap top-k, not global sorts"),
+    ("l3_matryoshka_topk", "BroadcastHashJoin", True,
+     "the 50-candidate shortlist must broadcast back onto the corpus"),
+    ("l3_matryoshka_topk", "EvalPython", False,
+     "prefix + full cosine folds must stay JVM-side"),
+    ("l7_curriculum_order", "EvalPython", False,
+     "difficulty scoring + staging must stay JVM-side"),
 ]
 
 

@@ -3439,3 +3439,121 @@ def l7_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "difficulty_milli", "stage",
         F.row_number().over(w).cast("long").alias("ord"),
     )
+
+
+@register(
+    "l2_cdc_chunks",
+    # Content-defined boundaries: cut AFTER token i when the md5 of the
+    # 3-gram ending at i starts with nibble '0' (p = 1/16 -> ~16-token
+    # chunks). chunk_id = running count of prior cuts; chunk identity =
+    # md5 of its ordered tokens; a chunk is duplicated if its hash occurs
+    # >= 2 times corpus-wide. Both engines mirror every step exactly.
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, source, i, t[i] AS tok,
+         CASE WHEN i >= 3 AND substr(md5(
+                array_to_string(list_slice(t, i - 2, i), ' ')), 1, 1) = '0'
+              THEN 1 ELSE 0 END AS b
+  FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
+ch AS (
+  SELECT doc_id, source, i, tok,
+         COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS chunk_id
+  FROM pos),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         md5(string_agg(tok, ' ' ORDER BY i)) AS chash
+  FROM ch GROUP BY 1, 2, 3),
+freq AS (SELECT chash, COUNT(*) AS c FROM chunks GROUP BY 1),
+per AS (
+  SELECT source, COUNT(*) AS n_chunks,
+         SUM(CASE WHEN f.c >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM chunks JOIN freq f USING (chash)
+  GROUP BY 1)
+SELECT source,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_dup AS BIGINT) AS n_dup_chunks,
+       CAST((10000 * n_dup) // n_chunks AS BIGINT) AS dup_bp
+FROM per
+""",
+    tags=("L2", "L4"),
+)
+def l2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the storage-dedup classic — Rabin-style
+    rolling cuts — applied to corpus prep): chunk boundaries depend only
+    on LOCAL token context (hash of the trailing 3-gram), so an insertion
+    early in a document shifts no downstream boundaries and near-identical
+    documents still share most chunk hashes — the property fixed-width
+    chunking (l7_chunking) lacks and exact span counting (l2_duplicate_
+    spans) pays O(n) spans per doc for. Per-source output: chunk count,
+    corpus-wide duplicated chunks, dup share in basis points. Scale
+    shape: the boundary pass is a per-doc window (parallel across docs,
+    one doc_id exchange), chunk identity is an md5 group-by, and the
+    frequency join shuffles 32-byte hashes — at 100 TB swap md5 for
+    xxhash64 and the shuffle moves 8-byte keys, same plan."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode("t").alias("i0", "tok"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("i0") + 1).alias("i"),
+        "tok",
+        F.when(
+            (F.col("i0") + 1 >= 3)
+            & (
+                F.substring(
+                    F.md5(F.expr("concat_ws(' ', slice(t, i0 - 1, 3))").cast("binary")),
+                    1,
+                    1,
+                )
+                == "0"
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ch = pos.withColumn("chunk_id", F.coalesce(F.sum("b").over(w), F.lit(0)))
+    chunks = ch.groupBy("doc_id", "source", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("chash")
+    )
+    freq = chunks.groupBy("chash").agg(F.count(F.lit(1)).alias("c"))
+    per = (
+        chunks.join(freq, "chash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("c") >= 2).cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    return per.select(
+        "source",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
+        F.expr("CAST((10000 * n_dup_chunks) DIV n_chunks AS BIGINT)").alias("dup_bp"),
+    )

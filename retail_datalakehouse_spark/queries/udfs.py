@@ -253,3 +253,84 @@ def u6_sql_registered_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
         """
     )
+
+
+@register(
+    "u7_polymorphic_udtf",
+    # Two LATERAL calls with DIFFERENT literal field lists -> two
+    # different UDTF output schemas in one query; the oracle re-derives
+    # both extractions with plain JSON path functions.
+    oracle="""
+SELECT 'k' AS fields,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(SUM(CAST(COALESCE(json_extract_string(props, '$.k'), '0') AS BIGINT))
+            AS BIGINT) AS k_sum
+FROM events
+UNION ALL
+SELECT 'k,q', COUNT(*),
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                       OR json_extract_string(props, '$.q') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(SUM(CAST(COALESCE(json_extract_string(props, '$.k'), '0') AS BIGINT))
+            AS BIGINT)
+FROM events
+""",
+    tags=("U5", "F7"),
+)
+def u7_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 3.5+/4 ``analyze``): the function's
+    output schema is computed AT PLAN TIME from a literal argument — here
+    ``parse_props('k')`` emits one typed column while ``parse_props('k,q')``
+    emits two, from the same registration. This is the schema-driven
+    semi-structured extraction shape (config-defined telemetry parsing)
+    that fixed-schema ``from_json`` can't express as one reusable
+    function. Each call runs as an Arrow-batched LATERAL table function;
+    the aggregate on top keeps the gate output scalar. Row-at-a-time
+    JSON parsing is the demo cost — production paths in this repo stay
+    with from_json (f7) when the schema is static."""
+    import json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from ..catalog import register_views
+
+    @udtf
+    class ParseProps:
+        @staticmethod
+        def analyze(
+            event_id: AnalyzeArgument, props: AnalyzeArgument, fields: AnalyzeArgument
+        ) -> AnalyzeResult:
+            names = [n.strip() for n in fields.value.split(",")]
+            st = T_.StructType(
+                [T_.StructField("event_id", T_.LongType())]
+                + [T_.StructField(n, T_.LongType()) for n in names]
+            )
+            return AnalyzeResult(schema=st)
+
+        def eval(self, event_id, props, fields):
+            try:
+                d = json.loads(props) if props else {}
+            except ValueError:
+                d = {}
+            yield (event_id, *[d.get(n.strip()) for n in fields.split(",")])
+
+    spark.udtf.register("parse_props", ParseProps)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT 'k' AS fields, COUNT(*) AS n_events,
+               CAST(SUM(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_present,
+               CAST(SUM(COALESCE(p.k, 0)) AS BIGINT) AS k_sum
+        FROM events e, LATERAL parse_props(e.event_id, e.props, 'k') p
+        UNION ALL
+        SELECT 'k,q', COUNT(*),
+               CAST(SUM(CASE WHEN p.k IS NOT NULL OR p.q IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(COALESCE(p.k, 0)) AS BIGINT)
+        FROM events e, LATERAL parse_props(e.event_id, e.props, 'k,q') p
+        """
+    )

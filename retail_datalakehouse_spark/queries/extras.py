@@ -1208,3 +1208,65 @@ def x_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
     )
+
+
+_WAP_BRANCH_SQL = f"""
+SELECT 1 AS version, 'overwrite' AS operation, COUNT(*) AS n_rows,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+UNION ALL
+SELECT 2, 'publish', COUNT(*) + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 17 = 0),
+       {sql_dsum("CASE WHEN o_orderkey % 17 = 0 THEN 3 * o_totalprice ELSE o_totalprice END", scale=2)}
+FROM orders
+"""
+
+
+@register("x_wap_branch", oracle=_WAP_BRANCH_SQL, tags=("S6", "S7"), doc="")
+def x_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch-based write-audit-publish with a ZERO-COPY publish (Iceberg
+    fast-forward): today's ingest appends to an isolated 'wap' branch —
+    main's readers are untouched while the audit runs — and the passing
+    audit publishes by committing a main manifest that POINTS AT the
+    branch head's data directory (metadata-only, asserted in-query: the
+    published version's data_dir equals the branch head's, no rewrite).
+    The per-version readback proves main served v1 throughout the audit
+    window and serves the audited content at v2. This is the refs-era
+    upgrade of x_write_audit_publish's staging-table swap: at 100 TB the
+    publish costs one manifest write instead of an O(snapshot) copy."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_wap_"))
+    table.overwrite(o)  # main v1
+    wap = table.create_branch("wap")
+    staged = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+    )
+    wap.append(staged)  # branch-only: main still serves v1
+
+    # the AUDIT, on the branch: no nulls, no zero prices, row math adds up
+    audited = wap.read()
+    bad = audited.filter(
+        F.col("o_orderkey").isNull() | (F.col("o_totalprice") <= 0)
+    ).limit(1).collect()
+    assert not bad and table.current_version() == 1
+
+    table.publish_branch("wap")  # main v2, zero-copy
+    m2 = table._manifest(2)
+    assert m2["data_dir"] == wap._manifest(wap.current_version())["data_dir"]
+    assert m2["published_from"] == {"branch": "wap", "version": 2}
+
+    outs = []
+    for v in (1, 2):
+        outs.append(
+            table.read_version(v).agg(
+                F.lit(v).alias("version"),
+                F.lit(table._manifest(v)["operation"]).alias("operation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                dsum("o_totalprice", scale=2, out_round=2).alias("revenue"),
+            )
+        )
+    return outs[0].unionByName(outs[1])

@@ -748,6 +748,53 @@ class VersionedTable:
             return self.read_version(e["version"])
         return self.branch(name).read()
 
+    def publish_branch(self, name: str) -> int:
+        """Iceberg fast-forward: commit the BRANCH head's snapshot onto
+        main as a METADATA-ONLY operation — the new main manifest points
+        at the branch head's existing data directory; zero rows are
+        copied or rewritten, whatever the snapshot size. This completes
+        the branch-based write-audit-publish loop: ingest commits land on
+        an isolated branch, audits read the branch, and a passing audit
+        publishes by pointer swap. The published commit's write set is
+        unknown (None) — it conservatively conflicts with concurrent
+        serializable merges, like overwrite."""
+        if self._ref_name is not None:
+            raise ValueError("publish_branch runs on the main table")
+        bh = self.branch(name)
+        v_branch = bh.current_version()
+        src = bh._manifest(v_branch)
+        for _ in range(5):
+            parent = self.current_version()
+            v = (parent or 0) + 1
+            token = uuid.uuid4().hex[:8]
+            entry = {
+                "version": v,
+                "operation": "publish",
+                "parent": parent,
+                "n_rows": src["n_rows"],
+                "data_dir": src.get("data_dir", f"_v{v_branch}"),
+                "dv_dirs": src.get("dv_dirs", []),
+                "dv_keys": src.get("dv_keys"),
+                "partition_by": src.get("partition_by"),
+                "cdf_dir": None,
+                "committed_at": time.time(),
+                "modified_keys": None,
+                "published_from": {"branch": name, "version": v_branch},
+                "txn": dict(self._txn_state(parent)),
+            }
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            try:
+                os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
+                return v
+            except FileExistsError:
+                continue  # racer took this version; fast-forward onto the winner
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
     def restore(self, version: int) -> int:
         """Delta ``RESTORE TABLE ... VERSION AS OF`` — roll the table
         BACK by rolling FORWARD: commit a new version whose content is the

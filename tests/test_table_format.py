@@ -475,3 +475,19 @@ def test_overwrite_where_replaces_only_matching_slice(spark, tmp_path):
     with pytest.raises(ValueError, match="replaceWhere"):
         t.overwrite_where(base, F.col("part") == 1)
     assert t.current_version() == v
+
+
+def test_publish_branch_is_metadata_only_fast_forward(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "wap"))
+    t.overwrite(spark.range(10).select(F.col("id").alias("k")))
+    b = t.create_branch("wap")
+    b.append(spark.range(10, 13).select(F.col("id").alias("k")))
+    assert t.read().count() == 10  # audit window: main untouched
+    v = t.publish_branch("wap")
+    assert v == 2 and t.read().count() == 13
+    # zero-copy: main's manifest references the branch head's data dir
+    assert t._manifest(2)["data_dir"] == b._manifest(b.current_version())["data_dir"]
+    # vacuum keeps the published dir even after the branch is dropped
+    t.drop_ref("wap")
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert t.read().count() == 13

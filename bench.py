@@ -48,6 +48,11 @@ HEADLINE = [
     # round-6 late addition: corpus-wide exact duplicate-span detection
     # (explode + two span-key shuffles — the heaviest new scan shape)
     "l2_duplicate_spans",
+    # round-6 continuation: hashed importance weighting (one token pass +
+    # 256-row broadcast) and content-defined chunk dedup (per-doc window
+    # + chunk-hash shuffles)
+    "l4_dsir_resample",
+    "l2_cdc_chunks",
 ]
 
 

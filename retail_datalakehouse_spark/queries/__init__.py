@@ -192,7 +192,9 @@ _PROMOTE_R5 = [
 #   t17_dedup_within_watermark, t18_chained_windows, x_branch_tags,
 #   x_snapshot_rollback, l4_dsir_resample, l3_matryoshka_topk,
 #   l7_curriculum_order, x_replace_where, l2_cdc_chunks,
-#   u7_polymorphic_udtf, x_wap_branch.
+#   u7_polymorphic_udtf, x_wap_branch, x_recursive_hierarchy,
+#   t19_custom_sessionizer (stream-heavy, ~18 s at sf0.01 — budget a
+#   late slot).
 # Dict insertion order dedupes: a name in both lists keeps its R6 slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}

@@ -1270,3 +1270,69 @@ def x_wap_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1])
+
+
+_RECURSIVE_SQL = f"""
+WITH RECURSIVE walk(node, a, depth) AS (
+  SELECT p_partkey AS node, p_partkey AS a, 1 AS depth FROM part
+  UNION ALL
+  SELECT node, a // 8 AS a, depth + 1 FROM walk WHERE a // 8 > 0
+),
+branch AS (
+  SELECT node, a AS root_child FROM walk WHERE a BETWEEN 1 AND 7
+),
+depths AS (
+  SELECT node, MAX(depth) AS chain_len FROM walk GROUP BY node
+)
+SELECT b.root_child,
+       COUNT(*) AS n_nodes,
+       CAST(MAX(d.chain_len) AS BIGINT) AS max_depth,
+       {sql_dsum("p.p_retailprice", scale=2)} AS subtree_value
+FROM branch b
+JOIN depths d USING (node)
+JOIN part p ON p.p_partkey = b.node
+GROUP BY 1
+"""
+
+
+@register("x_recursive_hierarchy", oracle=_RECURSIVE_SQL, tags=("A1", "J1"), doc="")
+def x_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (new SQL surface in Spark 4): walk a synthetic part
+    hierarchy (parent = key DIV 8, root 0) to its top-level branches and
+    roll up each branch's node count, max chain depth, and subtree value
+    — the BOM-explosion / org-chart shape that previously needed a
+    driver-side iteration loop (graph.py) or a bounded self-join ladder.
+    The oracle is the SAME recursive SQL in DuckDB (`//` for DIV), so
+    the hash pins Spark's recursion semantics — per-iteration UNION ALL
+    expansion with a termination predicate — against an independent
+    implementation. Scale note: each recursion step is one narrow
+    self-map (no joins); depth is log_8(keyspace), so a 100 TB part
+    catalog walks in ~10 micro-iterations; the rollup shuffles once on
+    the branch key."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+WITH RECURSIVE walk(node, a, depth) AS (
+  SELECT p_partkey AS node, p_partkey AS a, 1 AS depth FROM part
+  UNION ALL
+  SELECT node, a DIV 8 AS a, depth + 1 FROM walk WHERE a DIV 8 > 0
+),
+branch AS (
+  SELECT node, a AS root_child FROM walk WHERE a BETWEEN 1 AND 7
+),
+depths AS (
+  SELECT node, MAX(depth) AS chain_len FROM walk GROUP BY node
+)
+SELECT b.root_child,
+       COUNT(*) AS n_nodes,
+       CAST(MAX(d.chain_len) AS BIGINT) AS max_depth,
+       CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(25,2))), 2) AS DOUBLE)
+         AS subtree_value
+FROM branch b
+JOIN depths d USING (node)
+JOIN part p ON p.p_partkey = b.node
+GROUP BY 1
+"""
+    )

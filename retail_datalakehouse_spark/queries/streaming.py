@@ -99,7 +99,7 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
-  FROM events
+  FROM events WHERE user_id % 4 = 0
 ),
 flagged AS (
   SELECT user_id, ts,
@@ -1505,3 +1505,79 @@ def t18_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_to_memory(coarse, output_mode="append")
     return spark.table(sink).filter(F.col("event_type") != "__advancer__")
+
+
+@register(
+    "t19_custom_sessionizer",
+    # Same batch-rewrite oracle as t4: LAG-gap session ids, then per-
+    # session MIN/MAX/COUNT. A hash match proves the custom operator's
+    # two emission paths (in-batch gap close + event-time-timer close)
+    # together produce exactly the declarative session set.
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
+  FROM events WHERE user_id % 4 = 0
+),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    tags=("T4", "T6", "U3"),
+)
+def t19_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM stateful sessionizer with EVENT-TIME TIMERS
+    (applyInPandasWithState + GroupStateTimeout.EventTimeTimeout) — the
+    imperative twin of t4's declarative session_window, for session
+    logic the built-in can't express (per-session custom payloads,
+    side-effecting closes, business rules on the cut). Two emission
+    paths must agree with the batch rewrite: sessions separated by an
+    in-batch gap close immediately; each user's trailing session closes
+    when the WATERMARK passes last_event + gap (the timer fires in the
+    advancer-driven final batch, emits once, and evicts the state).
+    State is three longs per ACTIVE user — bounded by concurrent users,
+    not history."""
+    import os
+    import tempfile
+    from datetime import timedelta
+
+    from ..catalog import load_table
+    from ..streaming.jobs import session_close_stateful
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 4 == 0)  # deterministic gate-cost trim
+        .select("user_id", "ts")
+    )
+    t_max = e.agg(F.max("ts")).head()[0]
+    advancer = spark.createDataFrame(
+        [(-1, t_max + timedelta(days=10))], schema=e.schema
+    )
+
+    d = tempfile.mkdtemp(prefix="rdl_t19_")
+    for i, part in enumerate((e, advancer)):
+        dest = os.path.join(d, f"batch{i}.parquet")
+        _write_single_parquet(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sessions = session_close_stateful(stream.withWatermark("ts", "1 second"))
+    # ~25 gated users -> 4 state-store partitions (one store + python
+    # worker round-trip per partition per batch dominates at test scale)
+    sink = run_to_memory(sessions, output_mode="append", shuffle=4)
+    return spark.table(sink).filter(F.col("user_id") >= 0)

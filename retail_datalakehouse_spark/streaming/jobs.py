@@ -398,3 +398,82 @@ def stream_stream_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how)
+
+
+def session_close_stateful(stream: DataFrame, gap: str = "30 minutes"):
+    """Custom sessionizer with EVENT-TIME TIMERS — the timeout shape
+    `session_window` (t4) hides: per-key state holds the OPEN session
+    only; gaps inside a micro-batch close sessions immediately (emitted
+    in that batch), and the trailing open session is closed by
+    ``GroupStateTimeout.EventTimeTimeout`` when the watermark proves no
+    more events can join it (``state.hasTimedOut`` fires, the session
+    emits once, state is removed). State per key is O(1) — three longs —
+    regardless of session length or history, and every eviction is
+    timer-driven, so a perpetual 100 TB clickstream holds exactly one
+    open session per active user. Emits (user_id, session_start,
+    session_end = last + gap, n_events), append-mode exactly-once per
+    closed session — same output contract as t4's session_window."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    gap_us = {"30 minutes": 30 * 60 * 1_000_000}[gap]
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def emit(key, sessions) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": key[0],
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                "session_end": [pd.Timestamp(l + gap_us, unit="us") for _, l, _ in sessions],
+                "n_events": [n for *_, n in sessions],
+            }
+        )
+
+    def fold(key, pdf_iter, state):
+        if state.hasTimedOut:
+            closed = tuple(state.get)
+            state.remove()
+            yield emit(key, [closed])
+            return
+        chunks = [p for p in pdf_iter]
+        pdf = pd.concat(chunks).sort_values("ts")
+        cur = tuple(state.get) if state.exists else None
+        closed = []
+        for t in pdf["ts"]:
+            us = int(pd.Timestamp(t).value // 1000)
+            if cur is None:
+                cur = (us, us, 1)
+            elif us - cur[1] > gap_us:
+                closed.append(cur)
+                cur = (us, us, 1)
+            else:
+                cur = (cur[0], us, cur[2] + 1)
+        state.update(cur)
+        # close the open session when the watermark passes last + gap
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if closed:
+            yield emit(key, closed)
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

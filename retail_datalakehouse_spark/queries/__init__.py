@@ -193,6 +193,7 @@ _PROMOTE_R5 = [
 #   x_snapshot_rollback, l4_dsir_resample, l3_matryoshka_topk,
 #   l7_curriculum_order, x_replace_where, l2_cdc_chunks,
 #   u7_polymorphic_udtf, x_wap_branch, x_recursive_hierarchy,
+#   t20_streaming_packing,
 #   t19_custom_sessionizer (stream-heavy, ~18 s at sf0.01 — budget a
 #   late slot).
 # Dict insertion order dedupes: a name in both lists keeps its R6 slot.

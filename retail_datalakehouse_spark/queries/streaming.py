@@ -1581,3 +1581,62 @@ def t19_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # worker round-trip per partition per batch dominates at test scale)
     sink = run_to_memory(sessions, output_mode="append", shuffle=4)
     return spark.table(sink).filter(F.col("user_id") >= 0)
+
+
+@register(
+    "t20_streaming_packing",
+    # ARRIVAL-order packing: drops arrive as doc_id % 3, so the oracle's
+    # running offset orders by (drop_idx, doc_id) within each shard —
+    # the exact sequence the stream saw. Bin manifests must match the
+    # stateful cross-batch cumulative sum bit-for-bit.
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard, doc_id % 3 AS drop_idx,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens
+  FROM documents),
+packed AS (
+  SELECT shard, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY drop_idx, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM d)
+SELECT shard, CAST(FLOOR(start_offset / 512) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY shard, bin_id
+""",
+    tags=("T6", "L7", "W3"),
+)
+def t20_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data packing as a CONTINUOUS ingest job: the corpus
+    arrives in three crawl drops; per shard, ONE long of state (the
+    running token offset) persists across micro-batches and assigns
+    every arriving document its 512-token training bin in arrival order,
+    exactly once. This is l7_sequence_packing without the batch rescan:
+    a bin layout that grows monotonically with the crawl — the shape a
+    perpetual pretraining-data service needs (new data packs onto the
+    open tail; closed bins are immutable and shippable immediately).
+    Tokenization stays JVM-side in the stream projection; the stateful
+    fold is a cumulative sum."""
+    from ..streaming.jobs import documents_stream_drops, streaming_packer
+
+    drops = documents_stream_drops(spark, sf_dir, n_drops=3)
+    counted = drops.select(
+        (F.col("doc_id") % 8).alias("shard"),
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    assignments = streaming_packer(counted, bin_tokens=512)
+    sink = run_to_memory(assignments, output_mode="append", shuffle=4)
+    return (
+        spark.table(sink)
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

@@ -477,3 +477,47 @@ def session_close_stateful(stream: DataFrame, gap: str = "30 minutes"):
     return stream.groupBy("user_id").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
+
+
+def streaming_packer(doc_stream: DataFrame, bin_tokens: int = 512):
+    """Continuous sequence packing (the streaming form of
+    l7_sequence_packing's concat-then-chunk rule): per shard, a single
+    running token offset persists across micro-batches; each arriving
+    document is assigned the training bin its first token falls in,
+    exactly once, in ARRIVAL order. State per shard is ONE long — a
+    perpetual crawl packs forever without rereading anything. Expects
+    (shard, doc_id, n_tokens) rows — tokenization stays JVM-side
+    upstream; the Python fold only adds a cumulative sum."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType()),
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("bin_id", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("offset", LongType())])
+
+    def fold(key, pdf_iter, state):
+        (offset,) = state.get if state.exists else (0,)
+        chunks = [p for p in pdf_iter]
+        pdf = pd.concat(chunks).sort_values("doc_id")
+        starts = pdf["n_tokens"].cumsum().shift(fill_value=0) + offset
+        offset = int(offset + pdf["n_tokens"].sum())
+        state.update((offset,))
+        yield pd.DataFrame(
+            {
+                "shard": key[0],
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "bin_id": (starts // bin_tokens).astype("int64").to_numpy(),
+            }
+        )
+
+    return doc_stream.groupBy("shard").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

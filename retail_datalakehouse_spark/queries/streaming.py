@@ -99,7 +99,7 @@ def t3_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ordered AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev_ts
-  FROM events WHERE user_id % 4 = 0
+  FROM events
 ),
 flagged AS (
   SELECT user_id, ts,

@@ -470,3 +470,50 @@ def mmr_select(
             )
         selected.append(best)
     return selected
+
+
+def ivf_balance(spark, path: str) -> DataFrame:
+    """Cluster-balance report for a persisted IVF index: per-centroid row
+    counts plus the imbalance ratio (max/mean, 100 = perfectly balanced,
+    in integer percent). This is the drift monitor that decides WHEN to
+    re-cluster: appends assign against frozen centroids, so a shifting
+    ingest distribution piles rows into few clusters and probe cost
+    degrades toward a full scan. Metadata-sized output (C rows), one
+    count aggregate over the index."""
+    idx = read_ivf_index(spark, path)
+    per = idx.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.agg(
+        F.max("n").alias("mx"), F.avg("n").alias("avg"), F.count(F.lit(1)).alias("c")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n",
+        F.expr("CAST((100 * mx) / avg AS BIGINT)").alias("imbalance_pct"),
+    )
+
+
+def recluster_ivf_index(
+    spark,
+    path: str,
+    out_path: str,
+    c: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """OFFLINE re-clustering — the maintenance job `append_to_ivf_index`'s
+    frozen-centroid contract defers to: read the live index once, train
+    fresh centroids on the CURRENT vector distribution (distributed
+    Lloyd's, operators/kmeans.py), and rewrite the index partitioned by
+    the new assignment at ``out_path`` (build-then-swap, so readers keep
+    the old index until the new one is complete — the same
+    staging-directory discipline as VersionedTable commits). Returns the
+    new centroids (C rows, broadcastable). Cost is one corpus scan +
+    max_iters k·dim-sized aggregations — O(corpus), which is exactly why
+    it is a scheduled job and not part of the ingest path."""
+    from .kmeans import centroids_df, kmeans_fit
+
+    live = read_ivf_index(spark, path, id_col=id_col).select(id_col, vec_col)
+    cents = kmeans_fit(live, k=c, vec_col=vec_col, id_col=id_col)
+    cdf = centroids_df(spark, cents)
+    build_ivf_index(live, cdf, out_path, id_col=id_col, vec_col=vec_col)
+    return cdf

@@ -982,3 +982,56 @@ def test_bloom_no_false_negatives(spark):
     )
     fp = other.filter(bloom_probe(words, F.col("h"))).count()
     assert fp / 20000 < 0.05, f"false-positive rate too high: {fp}/20000"
+
+
+def test_ivf_recluster_restores_balance_and_loses_nothing(spark, sf_dir, tmp_path):
+    """Drift drill: skewed appends pile rows into one frozen centroid's
+    cluster; re-clustering must (a) keep exactly the same vector ids,
+    (b) reduce the imbalance ratio, and (c) leave all-probe search
+    exactly equal to brute force over the reclustered index."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.catalog import load_table
+    from retail_datalakehouse_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        ivf_balance,
+        ivf_topk_indexed,
+        read_ivf_index,
+        recluster_ivf_index,
+        seeded_centroids,
+        topk_cosine,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(e, cents, idx)
+
+    # skewed ingest: clones of ONE vector flood its cluster
+    hot = e.filter(F.col("vec_id") == 3).head()["embedding"]
+    clones = spark.range(100_000, 100_150).select(
+        F.col("id").alias("vec_id"),
+        F.lit([float(x) for x in hot]).cast("array<float>").alias("embedding"),
+    )
+    assert append_to_ivf_index(clones, cents, idx, txn=("skew", 0)) is True
+
+    before = ivf_balance(spark, idx).head()["imbalance_pct"]
+    new_cents = recluster_ivf_index(spark, idx, str(tmp_path / "ivf2"), c=8)
+    after = ivf_balance(spark, str(tmp_path / "ivf2")).head()["imbalance_pct"]
+    assert after < before  # drift repaired
+
+    old_ids = {r.vec_id for r in read_ivf_index(spark, idx).select("vec_id").collect()}
+    new_ids = {
+        r.vec_id
+        for r in read_ivf_index(spark, str(tmp_path / "ivf2")).select("vec_id").collect()
+    }
+    assert new_ids == old_ids  # nothing lost, nothing invented
+
+    # all-probe search over the new index == exact brute force
+    q = [float(x) for x in e.filter(F.col("vec_id") == 11).head()["embedding"]]
+    exact = topk_cosine(read_ivf_index(spark, str(tmp_path / "ivf2")), q, k=10).collect()
+    probed = ivf_topk_indexed(
+        spark, str(tmp_path / "ivf2"), new_cents, q, k=10, nprobe=8
+    ).collect()
+    assert [r.vec_id for r in probed] == [r.vec_id for r in exact]

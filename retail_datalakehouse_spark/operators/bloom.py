@@ -42,6 +42,48 @@ def build_bloom(hashes: list[int], m_bits: int = 1 << 17, k: int = 3) -> list[in
     return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
 
 
+def build_bloom_agg(
+    hashes_df, hash_col: str = "h", m_bits: int = 1 << 17, k: int = 3
+) -> list[int]:
+    """Distributed build: the SAME k Kirsch-Mitzenmacher positions as
+    :func:`build_bloom` / :func:`bloom_probe`, computed as JVM column math
+    over the build-side DataFrame, OR-folded per 64-bit word with a
+    two-phase ``groupBy(word_idx).agg(bit_or(...))``. Partial aggregation
+    collapses every task's contribution to ≤ ``m_bits/64`` rows before the
+    shuffle, and the driver collects only the ~2 KB word array — so the
+    build side can be any fraction of the corpus without a driver-side
+    collect that scales with it (the scale-killer `.distinct().collect()`
+    this replaces). No pre-distinct needed: bit_or is idempotent.
+
+    Path-equivalence with the literal builder is pinned by
+    tests/test_llm_ops.py::test_bloom_build_agg_equivalence."""
+    h = F.col(hash_col)
+    h1 = F.pmod(h, F.lit(m_bits))
+    h2 = F.pmod(F.shiftrightunsigned(h, 17).bitwiseOR(F.lit(1)), F.lit(m_bits))
+    pos = F.explode(
+        F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+    ).alias("pos")
+    rows = (
+        hashes_df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("b"),
+        )
+        # shiftleft via call_function: the python wrapper only takes a
+        # literal shift amount, the SQL function itself accepts a column
+        .select(
+            "w", F.call_function("shiftleft", F.lit(1).cast("long"), F.col("b")).alias("m")
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("word"))
+        .collect()
+    )
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
 def bloom_probe(words: list[int], hash_col: Column, m_bits: int = 1 << 17, k: int = 3) -> Column:
     """True iff all k positions for ``hash_col`` are set — pure column
     math over the ONE broadcast literal array (element_at + bit test),

@@ -182,22 +182,64 @@ _PROMOTE_R5 = [
     # x_cdf_version_diff, x_write_audit_publish, x_ewma_smoothing,
     # x_merge_on_read_delete.
 ]
-# Round-7 gate queue (registered AFTER the 50-slot r6 window; each already
-# 3-scale oracle-green, first in line for the r7 rotation):
-#   t14_interval_join_outer, l4_quality_classifier, x_snapshot_metadata,
-#   x_incremental_mart_cdf, l7_stratified_sample, l3_mmr_diversify,
-#   x_pivot_matrix, t15_multi_sink_fanout, l5_image_augment,
-#   x_table_checksum, x_k_anonymity, x_write_time_cdf, l6_curation_v2,
-#   s7_merge_partial, s10_python_datasource, t16_python_stream_source,
-#   t17_dedup_within_watermark, t18_chained_windows, x_branch_tags,
-#   x_snapshot_rollback, l4_dsir_resample, l3_matryoshka_topk,
-#   l7_curriculum_order, x_replace_where, l2_cdc_chunks,
-#   u7_polymorphic_udtf, x_wap_branch, x_recursive_hierarchy,
-#   t20_streaming_packing,
-#   t19_custom_sessionizer (stream-heavy, ~18 s at sf0.01 — budget a
-#   late slot).
-# Dict insertion order dedupes: a name in both lists keeps its R6 slot.
-_head = {n: REGISTRY[n] for n in (*_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
+# Round-8 rotation (driver gate = FIRST ~50 registry entries, hard cap).
+# Slots 1-30: the full round-7 queue — every never-driver-gated SQL-oracle
+# query in the registry (built late r6, 3-scale oracle-green at build time,
+# re-verified by the local mirror gate every round; r7 shipped no code so
+# the rotation never executed). After r8 every SQL-oracle query holds a
+# driver-green row. t19_custom_sessionizer (~18 s at sf0.01) gets the last
+# queue slot so its runtime lands late in the gate pass.
+# Slot 31: t4_session_window — its oracle was repaired in r6 (ea3391e)
+# AFTER its last driver row (r4); re-gate to prove the repair holds under
+# the driver's hasher (VERDICT r7 item 9).
+# Slot 32: l4_bloom_decontamination — re-gated because its build side is
+# rewritten this round from a driver-side collect to a distributed
+# groupBy+bit_or aggregation (VERDICT r7 item 2); the oracle is unchanged.
+# Slot 33: x_replace_where — re-gated because overwrite_where's NULL-
+# predicate semantics are fixed this round and the fixture now pins a
+# NULL-predicate row (VERDICT r7 item 3).
+# Slots 34+: queries BUILT this round (new code gates the round it ships).
+_PROMOTE_R8 = [
+    "t14_interval_join_outer",
+    "l4_quality_classifier",
+    "x_snapshot_metadata",
+    "x_incremental_mart_cdf",
+    "l7_stratified_sample",
+    "l3_mmr_diversify",
+    "x_pivot_matrix",
+    "t15_multi_sink_fanout",
+    "l5_image_augment",
+    "x_table_checksum",
+    "x_k_anonymity",
+    "x_write_time_cdf",
+    "l6_curation_v2",
+    "s7_merge_partial",
+    "s10_python_datasource",
+    "t16_python_stream_source",
+    "t17_dedup_within_watermark",
+    "t18_chained_windows",
+    "x_branch_tags",
+    "x_snapshot_rollback",
+    "l4_dsir_resample",
+    "l3_matryoshka_topk",
+    "l7_curriculum_order",
+    "l2_cdc_chunks",
+    "u7_polymorphic_udtf",
+    "x_wap_branch",
+    "x_recursive_hierarchy",
+    "t20_streaming_packing",
+    "t19_custom_sessionizer",
+    # Re-gates (code or oracle changed since their last driver row):
+    "t4_session_window",
+    "l4_bloom_decontamination",
+    "x_replace_where",
+    # Slots 34+: round-8 additions are appended here as they ship.
+    "x_multi_table_txn",
+    "x_manifest_pruning",
+]
+
+# Dict insertion order dedupes: a name in both lists keeps its earlier slot.
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -1788,7 +1788,7 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join's shuffle is a fraction of the full screen's on any
     realistic vocabulary. Reference shape: `l4_contamination` (same
     contract, relative split), cost shape: broadcast-filter-then-join."""
-    from ..operators.bloom import bloom_probe, build_bloom, shingle_hash
+    from ..operators.bloom import bloom_probe, build_bloom_agg, shingle_hash
     from ..operators.minhash import shingles
 
     docs = T(spark, sf_dir, "documents")
@@ -1802,11 +1802,12 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = sh.filter(F.col("doc_id") < cut)
     evals = sh.filter(F.col("doc_id") >= cut)
 
-    # build side = the SMALL split (bounded collect, broadcast-join contract)
-    eval_hashes = [
-        r.h for r in evals.select(shingle_hash(F.col("s")).alias("h")).distinct().collect()
-    ]
-    words = build_bloom(eval_hashes)
+    # build side = the SMALL split *by proportion* (10% of the corpus), so
+    # the bit array is OR-folded IN SPARK (groupBy word_idx + bit_or) and
+    # only the ~2 KB word array reaches the driver — a collect of the raw
+    # hash set would grow linearly with the corpus and OOM the driver at
+    # 100 TB (the r7 verdict's last scale-killer).
+    words = build_bloom_agg(evals.select(shingle_hash(F.col("s")).alias("h")))
 
     # selectivity (and the <5% false-positive rate that drives it) is
     # pinned by tests/test_llm_ops.py::test_bloom_no_false_negatives; an

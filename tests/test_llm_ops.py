@@ -984,6 +984,33 @@ def test_bloom_no_false_negatives(spark):
     assert fp / 20000 < 0.05, f"false-positive rate too high: {fp}/20000"
 
 
+def test_bloom_build_agg_equivalence(spark):
+    """The distributed build (groupBy word_idx + bit_or, ~2 KB collect)
+    must produce the EXACT word array the driver-local literal builder
+    does — including duplicate hashes (bit_or idempotence), negative
+    xxhash-free inputs, and the signed-int64 top-bit edge — so swapping
+    it into l4_bloom_decontamination changes nothing but the collect
+    size."""
+    from retail_datalakehouse_spark.operators.bloom import (
+        build_bloom,
+        build_bloom_agg,
+        shingle_hash,
+    )
+
+    hashes_df = (
+        spark.range(0, 3000)
+        # id % 1000 injects duplicates: every hash inserted three times
+        .select(shingle_hash((F.col("id") % 1000).cast("string")).alias("h"))
+    )
+    local = build_bloom(sorted({r.h for r in hashes_df.collect()}))
+    dist = build_bloom_agg(hashes_df)
+    assert dist == local
+    # smaller array exercises the dense-fill path (most words untouched)
+    local_s = build_bloom([r.h for r in hashes_df.limit(5).collect()], m_bits=1 << 12)
+    dist_s = build_bloom_agg(hashes_df.limit(5), m_bits=1 << 12)
+    assert dist_s == local_s
+
+
 def test_ivf_recluster_restores_balance_and_loses_nothing(spark, sf_dir, tmp_path):
     """Drift drill: skewed appends pile rows into one frozen centroid's
     cluster; re-clustering must (a) keep exactly the same vector ids,

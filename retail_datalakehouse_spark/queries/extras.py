@@ -1159,11 +1159,19 @@ def x_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REPLACE_WHERE_SQL = f"""
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-       COUNT(*) AS n_orders,
-       {sql_dsum("CASE WHEN date_trunc('month', o_orderdate) = DATE '1995-03-01'"
+WITH base AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+  FROM orders
+  UNION ALL
+  -- unknown-month rows: the predicate evaluates NULL on them, and Delta's
+  -- replaceWhere RETAINS such rows (they did not match the slice)
+  SELECT o_orderkey, o_totalprice, NULL FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT month, COUNT(*) AS n_orders,
+       {sql_dsum("CASE WHEN month = DATE '1995-03-01'"
                  " THEN 2 * o_totalprice ELSE o_totalprice END", scale=2)} AS revenue
-FROM orders
+FROM base
 GROUP BY 1
 """
 
@@ -1184,22 +1192,38 @@ def x_replace_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources.table_format import VersionedTable
 
-    o = T(spark, sf_dir, "orders").select(
+    base = T(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_totalprice",
         F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
     )
+    # unknown-month rows: `month == X` evaluates NULL on them, and Delta's
+    # replaceWhere contract keeps them (NULL is not-matched, not matched) —
+    # the slice they'd silently vanish from under a plain `~cond` filter
+    null_month = base.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(None).cast("date").alias("month")
+    )
+    o = base.unionByName(null_month)
     table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_rw_"))
     table.overwrite(o, partition_by=["month"])  # v1: monthly layout
 
     target = F.col("month") == F.lit("1995-03-01").cast("date")
-    corrected = o.filter(target).select(
+    corrected = base.filter(target).select(
         "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"), "month"
     )
     # guard: a backfill carrying rows outside its declared slice must fail
     try:
-        table.overwrite_where(o.limit(5), target, partition_by=["month"])
+        table.overwrite_where(base.limit(5), target, partition_by=["month"])
         raise AssertionError("stray-row backfill must be rejected")
+    except ValueError:
+        pass
+    # guard: a NULL-predicate replacement row is OUTSIDE the slice too —
+    # it must not leak into the commit (the stray check is NULL-safe)
+    try:
+        table.overwrite_where(
+            corrected.unionByName(null_month.limit(1)), target, partition_by=["month"]
+        )
+        raise AssertionError("NULL-predicate replacement row must be rejected")
     except ValueError:
         pass
     table.overwrite_where(corrected, target, partition_by=["month"])  # v2

@@ -325,7 +325,14 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        stray = df.filter(~cond).limit(1).collect()
+        # NULL-safe on BOTH sides of the predicate (Delta's replaceWhere
+        # contract): a row where ``cond`` evaluates NULL did NOT match, so
+        # it must be RETAINED in the table and REJECTED as a replacement
+        # row. Plain ``~cond`` is NULL for such rows — filter drops them
+        # from both slices, silently deleting them from the table and
+        # letting them leak past the stray guard.
+        not_matched = ~cond.eqNullSafe(F.lit(True))
+        stray = df.filter(not_matched).limit(1).collect()
         if stray:
             raise ValueError(
                 f"replaceWhere: replacement rows must all match {condition!r}; "
@@ -335,7 +342,7 @@ class VersionedTable:
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
                 return df
-            return cur.filter(~cond).unionByName(df)
+            return cur.filter(not_matched).unionByName(df)
 
         return self._commit_with_retry(
             build, "replace_where", txn=txn, partition_by=partition_by

@@ -477,6 +477,35 @@ def test_overwrite_where_replaces_only_matching_slice(spark, tmp_path):
     assert t.current_version() == v
 
 
+def test_overwrite_where_null_predicate_rows_retained_and_rejected(spark, tmp_path):
+    """Delta's replaceWhere contract on NULL predicates: a row where the
+    condition evaluates NULL did NOT match — it must survive the replace
+    (not be silently deleted by `~NULL`), and as a replacement row it must
+    be rejected by the stray guard (not leak past `filter(~cond)`)."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "rwnull"))
+    base = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 8, F.col("id") % 2).alias("part"),  # k=8,9 -> NULL
+        F.lit(1).alias("v"),
+    )
+    t.overwrite(base, partition_by=["part"])
+    fixed = base.filter("part = 1").withColumn("v", F.lit(99))
+    t.overwrite_where(fixed, F.col("part") == 1, partition_by=["part"])
+    got = {(r["k"], r["part"], r["v"]) for r in t.read().collect()}
+    # NULL-part rows k=8,9 retained untouched; part=1 replaced; part=0 kept
+    assert got == {(i, i % 2 if i < 8 else None, 99 if i < 8 and i % 2 else 1) for i in range(10)}
+    # a NULL-predicate replacement row is outside the declared slice
+    v = t.current_version()
+    with pytest.raises(ValueError, match="replaceWhere"):
+        t.overwrite_where(
+            fixed.unionByName(base.filter(F.col("part").isNull()).limit(1)),
+            F.col("part") == 1,
+        )
+    assert t.current_version() == v
+
+
 def test_publish_branch_is_metadata_only_fast_forward(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "wap"))
     t.overwrite(spark.range(10).select(F.col("id").alias("k")))

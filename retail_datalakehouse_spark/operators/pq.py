@@ -100,6 +100,23 @@ def pq_train(
         .select(vec_col)
         .collect()
     )
+    if len(sample) < min(n, k):
+        # The stride assumes roughly-dense ids; hashed/sparse ids can
+        # make `id % stride == 0` select few or ZERO rows (an IndexError
+        # at Xs[0] before this guard). Fall back to a HASH stride —
+        # xxhash64 is uniform over any id distribution, so this selects
+        # ~n/stride rows, deterministically, with no global sort.
+        sample = (
+            df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(stride)) == 0)
+            .orderBy(id_col)
+            .limit(sample_cap)
+            .select(vec_col)
+            .collect()
+        )
+    if len(sample) < min(n, k):
+        # tiny/degenerate inputs: take the first rows in id order (the
+        # pre-r6 graceful behavior) rather than raising
+        sample = df.orderBy(id_col).limit(sample_cap).select(vec_col).collect()
     X = np.asarray([r[0] for r in sample], dtype=np.float64)  # (ns, dim)
     ns = X.shape[0]
 

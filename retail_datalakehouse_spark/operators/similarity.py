@@ -278,17 +278,24 @@ def append_to_ivf_index(
     silent double-append of its vectors. Returns True if the batch was
     written, False if it was a replay. Without ``txn`` the caller must
     guarantee single delivery."""
+    import hashlib
     import json
     import os
 
-    marker = os.path.join(path, "_txn_state.json")
     if txn is not None:
         writer_id, batch_id = txn
-        state: dict = {}
+        # ONE marker file per writer (`_txn_state/<writer>.json`, the
+        # `_` prefix hides the dir from the index scan): concurrent
+        # writers never read-modify-write each other's watermark. The
+        # previous single shared `_txn_state.json` was last-writer-wins —
+        # a racing pair could clobber the other's marker and re-enable
+        # exactly the double-append this guard exists to prevent.
+        safe = hashlib.sha256(writer_id.encode()).hexdigest()[:16]
+        marker = os.path.join(path, "_txn_state", f"{safe}.json")
+        last = None
         if os.path.exists(marker):
             with open(marker) as f:
-                state = json.load(f)
-        last = state.get(writer_id)
+                last = json.load(f).get("batch_id")
         if last is not None and int(last) >= batch_id:
             return False
     assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
@@ -298,10 +305,10 @@ def append_to_ivf_index(
         # commits): a crash between write and marker re-appends on retry,
         # which exactly-once callers handle by routing through
         # VersionedTable; the marker guards the common replay case.
-        state[writer_id] = batch_id
-        tmp = marker + ".tmp"
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        tmp = marker + f".{os.getpid()}.tmp"
         with open(tmp, "w") as f:
-            json.dump(state, f)
+            json.dump({"writer_id": writer_id, "batch_id": batch_id}, f)
         os.replace(tmp, marker)
     return True
 

@@ -31,6 +31,39 @@ from pyspark.sql.types import StructType
 
 _sink_counter = itertools.count()
 
+_INTERVAL_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
+}
+
+
+def parse_interval_us(interval: str) -> int:
+    """Parse a Spark-style interval string ("30 minutes", "1 hour",
+    "90 seconds", "1 hour 30 minutes") to microseconds — the subset of
+    CalendarInterval syntax a session gap can use (fixed-length units
+    only; months/years are calendar-dependent and rejected, as
+    ``session_window`` itself rejects them for gaps)."""
+    import re
+
+    total, matched = 0, 0
+    for num, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", interval.strip()):
+        u = unit.lower().rstrip("s")
+        if u not in _INTERVAL_US:
+            raise ValueError(
+                f"unsupported interval unit {unit!r} in {interval!r}; "
+                f"supported: {sorted(_INTERVAL_US)}"
+            )
+        total += int(num) * _INTERVAL_US[u]
+        matched += 1
+    if not matched or total <= 0:
+        raise ValueError(f"cannot parse interval {interval!r}")
+    return total
+
 
 @contextmanager
 def _stream_shuffle(spark: SparkSession, shuffle: int | None = None):
@@ -422,7 +455,7 @@ def session_close_stateful(stream: DataFrame, gap: str = "30 minutes"):
         TimestampType,
     )
 
-    gap_us = {"30 minutes": 30 * 60 * 1_000_000}[gap]
+    gap_us = parse_interval_us(gap)
     out_schema = StructType(
         [
             StructField("user_id", LongType()),

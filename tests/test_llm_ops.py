@@ -883,6 +883,59 @@ def test_ivf_append_replay_is_noop(spark, sf_dir, tmp_path):
     assert append_to_ivf_index(new.limit(0), cents, path, txn=("ingest", 2)) is True
 
 
+def test_ivf_append_txn_markers_are_per_writer(spark, sf_dir, tmp_path):
+    """Two writers interleaving appends must not clobber each other's
+    watermark (advice r6: the shared _txn_state.json read-modify-write was
+    last-writer-wins, so writer B's commit could erase writer A's marker
+    and re-enable A's double-append)."""
+    from retail_datalakehouse_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        seeded_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=4)
+    batch = e.limit(5)
+    path = str(tmp_path / "ivf_two_writers")
+    build_ivf_index(e.limit(20), cents, path)
+
+    assert append_to_ivf_index(batch, cents, path, txn=("writer-a", 1)) is True
+    # B commits AFTER A — under the shared-file scheme B's state write
+    # started from a snapshot and could drop A's entry
+    assert append_to_ivf_index(batch, cents, path, txn=("writer-b", 1)) is True
+    n = spark.read.parquet(path).count()
+    # A's replay must STILL be a no-op; B's own replay likewise
+    assert append_to_ivf_index(batch, cents, path, txn=("writer-a", 1)) is False
+    assert append_to_ivf_index(batch, cents, path, txn=("writer-b", 1)) is False
+    assert spark.read.parquet(path).count() == n
+
+
+def test_pq_train_sparse_hashed_ids(spark):
+    """pq_train's strided sample assumed dense ids; hashed/sparse ids made
+    `id % stride == 0` select zero rows -> IndexError (advice r6). The
+    hash-stride fallback must train a usable codebook on any id
+    distribution."""
+    import random
+
+    from retail_datalakehouse_spark.operators.pq import pq_encode, pq_train
+
+    rnd = random.Random(7)
+    # sparse ids: huge, irregular, none divisible by small strides
+    rows = [
+        (rnd.randrange(10**14, 10**15) * 2 + 1, [rnd.random() for _ in range(8)])
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train(df, m=2, k=4, sample_cap=64)
+    assert len(cb) == 2 and all(len(c) == 4 for c in cb)
+    enc = pq_encode(df, cb)
+    assert (
+        enc.filter(F.col("code_0").isNotNull() & F.col("code_1").isNotNull()).count()
+        == 300
+    )
+
+
 def test_chunk_and_segment_arithmetic_sweep(spark):
     """One Spark pass over synthetic docs of every token count 1..100:
     chunk count matches 1+ceil((n-32)/24), chunks cover all tokens with

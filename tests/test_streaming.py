@@ -224,6 +224,67 @@ def test_session_window_state_eviction_and_late_drop(spark, tmp_path):
     assert m["numRowsTotal"] == 2  # only the two still-open advancer sessions remain
 
 
+def test_parse_interval_us():
+    """The session-gap parser must cover the fixed-length CalendarInterval
+    subset (advice r6: the gap kwarg resolved through a one-entry dict, so
+    any value but '30 minutes' was an opaque KeyError)."""
+    import pytest
+
+    from retail_datalakehouse_spark.streaming.jobs import parse_interval_us
+
+    assert parse_interval_us("30 minutes") == 30 * 60 * 1_000_000
+    assert parse_interval_us("1 minute") == 60 * 1_000_000
+    assert parse_interval_us("90 seconds") == 90 * 1_000_000
+    assert parse_interval_us("1 hour 30 minutes") == 5400 * 1_000_000
+    assert parse_interval_us("250 milliseconds") == 250_000
+    assert parse_interval_us("2 days") == 2 * 86_400 * 1_000_000
+    for bad in ("", "soon", "3 months", "0 seconds"):
+        with pytest.raises(ValueError):
+            parse_interval_us(bad)
+
+
+def test_custom_sessionizer_honors_nondefault_gap(spark, tmp_path):
+    """session_close_stateful(gap='2 minutes') must actually cut on a
+    2-minute gap: events at t0, t0+1m, t0+5m are two sessions under a
+    2-minute gap and ONE under the old hardwired 30-minute behavior."""
+    import os
+    from datetime import timedelta
+
+    from retail_datalakehouse_spark.streaming.jobs import session_close_stateful
+
+    base = datetime(2024, 1, 1)
+    rows = [(7, base), (7, base + timedelta(minutes=1)), (7, base + timedelta(minutes=5))]
+    advancer = [(-1, base + timedelta(days=2))]
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    for i, batch in enumerate((rows, advancer)):
+        df = spark.createDataFrame(batch, "user_id long, ts timestamp")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.parquet(stage)
+        import glob
+        import shutil
+
+        part = glob.glob(stage + "/part-*.parquet")[0]
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000_000 + i * 60,) * 2)
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sessions = session_close_stateful(
+        stream.withWatermark("ts", "1 second"), gap="2 minutes"
+    )
+    sink = run_to_memory(sessions, output_mode="append", shuffle=2)
+    got = sorted(
+        (r.session_start, r.session_end, r.n_events)
+        for r in spark.table(sink).filter("user_id = 7").collect()
+    )
+    assert got == [
+        (base, base + timedelta(minutes=3), 2),
+        (base + timedelta(minutes=5), base + timedelta(minutes=7), 1),
+    ]
+
+
 def test_ewma_stateful_split_invariant(spark, tmp_path):
     """The stateful EWMA fold must be arrival-slicing-invariant: folding a
     series in 1 micro-batch vs 4 yields bit-identical results, and both

@@ -1360,3 +1360,88 @@ JOIN part p ON p.p_partkey = b.node
 GROUP BY 1
 """
     )
+
+
+_MULTI_TXN_SQL = f"""
+SELECT 'month' AS src, CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS k,
+       COUNT(*) AS n, {sql_dsum("o_totalprice", scale=2)} AS val
+FROM orders GROUP BY 2
+UNION ALL
+SELECT 'segment', c_mktsegment, COUNT(*), {sql_dsum("c_acctbal", scale=2)}
+FROM customer GROUP BY 2
+"""
+
+
+@register("x_multi_table_txn", oracle=_MULTI_TXN_SQL, tags=("S6", "S7"), doc="")
+def x_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ATOMIC transaction (LakehouseTransaction, sources/
+    table_format.py): one ETL run publishes TWO marts — monthly revenue
+    and segment balances — with a single commit point, so a consumer
+    joining them can never see one refreshed and the other stale (the
+    per-sink-watermark gap t15_multi_sink_fanout documents). The query
+    runs the full drill in-line: v1 publishes both marts from a stale
+    slice atomically; a second transaction stages a NEW month mart and
+    then FAILS before its commit point — both marts must still read the
+    stale v1 (all-or-nothing, asserted); the third transaction publishes
+    both full marts atomically. Output = the two published marts, which
+    the oracle recomputes from the raw tables — hash-proof the committed
+    state is exactly the full refresh, nothing half-applied. Commit cost
+    is O(tables) driver-side metadata (one pending manifest each + one
+    marker link); snapshot writes stay distributed."""
+    import os
+    import tempfile
+
+    from ..sources.table_format import LakehouseTransaction, VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_totalprice", F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    )
+    c = T(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+
+    def month_mart(df: DataFrame) -> DataFrame:
+        return df.groupBy("month").agg(
+            F.count(F.lit(1)).alias("n"), dsum("o_totalprice", scale=2).alias("val")
+        )
+
+    def seg_mart(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n"), dsum("c_acctbal", scale=2).alias("val")
+        )
+
+    base = tempfile.mkdtemp(prefix="rdl_mtxn_")
+    mart_m = VersionedTable(spark, os.path.join(base, "mart_month"))
+    mart_s = VersionedTable(spark, os.path.join(base, "mart_segment"))
+    txn_root = os.path.join(base, "_txns")
+
+    stale = F.year("month") <= 1994
+    with LakehouseTransaction(txn_root) as tx:  # v1: both marts, stale slice
+        tx.overwrite(mart_m, month_mart(o.filter(stale)))
+        tx.overwrite(mart_s, seg_mart(c.limit(50)))
+    n_m1, n_s1 = mart_m.read().count(), mart_s.read().count()
+
+    # a refresh that dies AFTER staging one mart but BEFORE the commit
+    # point must leave BOTH marts at v1 — the atomicity this operator adds
+    try:
+        with LakehouseTransaction(txn_root) as tx:
+            tx.overwrite(mart_m, month_mart(o))
+            raise RuntimeError("injected failure before commit point")
+    except RuntimeError:
+        pass
+    assert mart_m.current_version() == 1 and mart_m.read().count() == n_m1
+    assert mart_s.current_version() == 1 and mart_s.read().count() == n_s1
+
+    with LakehouseTransaction(txn_root) as tx:  # v2: the real full refresh
+        tx.overwrite(mart_m, month_mart(o))
+        tx.overwrite(mart_s, seg_mart(c))
+    assert mart_m.current_version() == mart_s.current_version() == 2
+
+    m = mart_m.read().select(
+        F.lit("month").alias("src"),
+        F.col("month").cast("string").alias("k"),
+        "n",
+        "val",
+    )
+    s = mart_s.read().select(
+        F.lit("segment").alias("src"), F.col("c_mktsegment").alias("k"), "n", "val"
+    )
+    return m.unionByName(s)

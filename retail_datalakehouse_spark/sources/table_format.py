@@ -99,7 +99,37 @@ class VersionedTable:
         for f in os.listdir(self._manifest_dir):
             if f.startswith("v") and f.endswith(".json"):
                 out.append(int(f[1:-5]))
-        return sorted(out)
+        out.sort()
+        # Multi-table txn visibility: a manifest staged by an in-flight
+        # transaction claims its version slot but is INVISIBLE until the
+        # txn's one commit marker exists. Invariant: only the TAIL version
+        # can be unresolved (writers can't stack on an invisible version),
+        # so one metadata read resolves the whole listing. A committed
+        # pending entry is lazily rolled forward (finalized) by whichever
+        # reader sees it first — crash-safe publication.
+        while out:
+            m = self._manifest(out[-1])
+            marker = m.get("pending_txn_marker")
+            if marker is None:
+                break
+            if os.path.exists(marker + ".committed.json"):
+                self._finalize_pending(out[-1])
+                break
+            out.pop()  # in-flight or aborted: not a table version (yet)
+        return out
+
+    def _finalize_pending(self, version: int) -> None:
+        """Strip the pending flag from a txn-committed manifest (atomic
+        in-place replace; racing finalizers write identical content)."""
+        p = os.path.join(self._manifest_dir, f"v{version}.json")
+        m = json.load(open(p))
+        if "pending_txn_marker" not in m:
+            return
+        m.pop("pending_txn_marker")
+        tmp = f"{p}.{uuid.uuid4().hex[:8]}.fin.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, p)
 
     def current_version(self) -> int | None:
         vs = self._versions()
@@ -131,10 +161,16 @@ class VersionedTable:
         modified_keys: list[int] | None = None,
         partition_by: list[str] | None = None,
         cdf_df: DataFrame | None = None,
+        pending_txn_marker: str | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
         up the staged data) if another writer committed that version.
+
+        ``pending_txn_marker`` (multi-table transactions): the manifest is
+        linked as a PENDING claim — it owns the version slot but stays
+        invisible to readers until ``<marker>.committed.json`` exists
+        (see :class:`LakehouseTransaction`).
 
         ``modified_keys`` — fingerprints (xxhash64 of the key tuple) of
         the rows this commit touched; recorded in the manifest so later
@@ -187,20 +223,52 @@ class VersionedTable:
             # transaction watermarks carry forward: {writer_id: last batch}
             "txn": dict(self._txn_state(parent), **(txn or {})),
         }
+        if pending_txn_marker is not None:
+            entry["pending_txn_marker"] = pending_txn_marker
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
         final = os.path.join(self._manifest_dir, f"v{v}.json")
         try:
-            os.link(tmp, final)  # … CAS commit: fails iff v already exists
-        except FileExistsError:
-            shutil.rmtree(data_dir, ignore_errors=True)
-            if cdf_dirname:
-                shutil.rmtree(os.path.join(self.path, cdf_dirname), ignore_errors=True)
-            raise CommitConflict(f"version {v} already committed at {self.path}") from None
+            try:
+                os.link(tmp, final)  # … CAS commit: fails iff v already exists
+            except FileExistsError:
+                # The slot may be held by an ABORTED txn's stale claim —
+                # clear it and take the slot (one retry); any other holder
+                # (committed, or an in-flight txn) is a real conflict.
+                if not self._clear_aborted_claim(v):
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    if cdf_dirname:
+                        shutil.rmtree(
+                            os.path.join(self.path, cdf_dirname), ignore_errors=True
+                        )
+                    raise CommitConflict(
+                        f"version {v} already committed at {self.path}"
+                    ) from None
+                os.link(tmp, final)
         finally:
             os.unlink(tmp)
         return v
+
+    def _clear_aborted_claim(self, v: int) -> bool:
+        """True iff version ``v``'s manifest was a pending claim from an
+        ABORTED transaction and was removed (slot free again). The txn's
+        staged data dir is cleaned best-effort — abandoned data is
+        garbage, never corruption (readers resolve only via manifests)."""
+        p = os.path.join(self._manifest_dir, f"v{v}.json")
+        try:
+            m = json.load(open(p))
+        except FileNotFoundError:
+            return True  # claim vanished (racing cleaner) — slot free
+        marker = m.get("pending_txn_marker")
+        if marker is None or not os.path.exists(marker + ".aborted.json"):
+            return False
+        shutil.rmtree(os.path.join(self.path, m["data_dir"]), ignore_errors=True)
+        try:
+            os.unlink(p)
+        except FileNotFoundError:
+            pass
+        return True
 
     def _check_serializable(
         self, read_version: int | None, modified_keys: list[int] | None
@@ -1151,3 +1219,150 @@ def compact(table: VersionedTable, target_partitions: int = 8) -> int:
             "_change_type", F.lit("insert")
         ),
     )
+
+
+class LakehouseTransaction:
+    """Multi-table ATOMIC transaction: commit writes to N tables together
+    or not at all — the catalog-level ACID leg single-table optimistic
+    commits can't give (Iceberg gets this from a catalog/Nessie commit;
+    Delta from a shared commit coordinator). Same recipe here, reduced to
+    one filesystem primitive:
+
+    1. **Prepare** (per ``append``/``overwrite``/``replace`` call): the
+       table stages its snapshot data AND CAS-links its next-version
+       manifest carrying ``pending_txn_marker`` — the version slot is
+       CLAIMED (no other writer can take it) but INVISIBLE (readers skip
+       a pending tail whose marker doesn't exist). A lost slot race
+       aborts the whole transaction.
+    2. **Commit point** — ONE atomic ``os.link`` of
+       ``<txn_root>/<tid>.committed.json`` (object stores: put-if-absent).
+       Before it exists no table shows its staged version; the instant it
+       exists every staged version is durable and visible.
+    3. **Publish**: pending manifests are finalized eagerly, and — the
+       crash-safety half — LAZILY by whichever reader first meets a
+       committed pending tail (`_versions` rolls it forward). A crash
+       between 2 and 3 therefore publishes BOTH tables anyway.
+
+    Abort (explicit, or via the context manager on error) links
+    ``<tid>.aborted.json``; staged data is removed and any claim that
+    survives a crashed abort is cleared by the next writer that wants the
+    slot (``_clear_aborted_claim``). A coordinator crash BEFORE the
+    commit marker leaves in-flight claims that block their tables'
+    writers (never readers); :func:`recover_stale_txns` resolves them the
+    way 2PC recovery must — presume abort.
+
+    Scale note: everything here is O(1) driver-side metadata (one staged
+    manifest per table + one marker file); the data writes are the same
+    distributed snapshot writes the single-table commits do.
+    """
+
+    def __init__(self, txn_root: str):
+        os.makedirs(txn_root, exist_ok=True)
+        self.txn_root = txn_root
+        self.tid = f"txn-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        self._marker_base = os.path.join(txn_root, self.tid)
+        self._staged: list[tuple[VersionedTable, int]] = []
+        self._done = False
+        # begin record: the durable fact that this tid exists, so a
+        # coordinator crash during prepare leaves something for
+        # recover_stale_txns to find and presume-abort
+        with open(f"{self._marker_base}.begin.json", "w") as f:
+            json.dump({"tid": self.tid, "begun_at": time.time()}, f)
+
+    # ------------------------------------------------------------ prepare
+
+    def _stage(self, table: VersionedTable, op: str, build) -> int:
+        if self._done:
+            raise RuntimeError(f"transaction {self.tid} already finished")
+        parent = table.current_version()
+        cur = table.read() if parent else None
+        try:
+            v = table._try_commit(
+                build(cur), op, parent, pending_txn_marker=self._marker_base
+            )
+        except CommitConflict:
+            self.abort()
+            raise
+        self._staged.append((table, v))
+        return v
+
+    def append(self, table: VersionedTable, df: DataFrame) -> int:
+        return self._stage(
+            table, "append", lambda cur: df if cur is None else cur.unionByName(df)
+        )
+
+    def overwrite(self, table: VersionedTable, df: DataFrame) -> int:
+        return self._stage(table, "overwrite", lambda cur: df)
+
+    # ----------------------------------------------------- commit / abort
+
+    def _link_marker(self, kind: str, payload: dict) -> None:
+        tmp = f"{self._marker_base}.{kind}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(payload, f)
+        try:
+            os.link(tmp, f"{self._marker_base}.{kind}.json")
+        finally:
+            os.unlink(tmp)
+
+    def commit(self) -> None:
+        if self._done:
+            raise RuntimeError(f"transaction {self.tid} already finished")
+        self._done = True
+        self._link_marker(
+            "committed",
+            {
+                "tid": self.tid,
+                "committed_at": time.time(),
+                "tables": [{"path": t.path, "version": v} for t, v in self._staged],
+            },
+        )  # <-- THE commit point: all staged versions become visible here
+        for t, v in self._staged:  # eager publish; lazy roll-forward backs it up
+            t._finalize_pending(v)
+
+    def abort(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        self._link_marker("aborted", {"tid": self.tid, "aborted_at": time.time()})
+        for t, v in self._staged:
+            t._clear_aborted_claim(v)
+
+    def __enter__(self) -> "LakehouseTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+        else:
+            self.abort()
+
+
+def recover_stale_txns(txn_root: str, max_age_s: float = 3600.0) -> list[str]:
+    """2PC recovery (presume-abort): any transaction id in ``txn_root``
+    with NO committed/aborted marker older than ``max_age_s`` gets an
+    aborted marker, unblocking the version slots its claims hold. Run it
+    like VACUUM — from a maintenance job, with an age comfortably above
+    the longest legitimate prepare phase."""
+    now = time.time()
+    resolved = []
+    seen: dict[str, list[str]] = {}
+    for f in os.listdir(txn_root):
+        base = f.split(".", 1)[0]
+        seen.setdefault(base, []).append(f)
+    for tid, files in seen.items():
+        if any(f.endswith((".committed.json", ".aborted.json")) for f in files):
+            continue
+        ages = [now - os.path.getmtime(os.path.join(txn_root, f)) for f in files]
+        if ages and min(ages) > max_age_s:
+            tmp = os.path.join(txn_root, f"{tid}.aborted.tmp")
+            with open(tmp, "w") as fh:
+                json.dump({"tid": tid, "aborted_at": now, "recovered": True}, fh)
+            try:
+                os.link(tmp, os.path.join(txn_root, f"{tid}.aborted.json"))
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(tmp)
+            resolved.append(tid)
+    return resolved

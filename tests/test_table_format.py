@@ -520,3 +520,101 @@ def test_publish_branch_is_metadata_only_fast_forward(spark, tmp_path):
     t.drop_ref("wap")
     t.vacuum(retain_last=1, orphan_retention_s=0)
     assert t.read().count() == 13
+
+
+def test_multi_table_txn_atomic_commit_and_lazy_rollforward(spark, tmp_path):
+    """LakehouseTransaction: (a) nothing is visible before the commit
+    marker; (b) the marker alone publishes BOTH tables even if the
+    coordinator crashes before finalizing (lazy roll-forward by fresh
+    readers); (c) no interleaving of reads can ever observe one table
+    updated and the other not."""
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    a.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    b.overwrite(spark.range(3).select(F.col("id").alias("k")))
+
+    tx = LakehouseTransaction(str(tmp_path / "txns"))
+    tx.append(a, spark.range(100, 105).select(F.col("id").alias("k")))
+    tx.overwrite(b, spark.range(30).select(F.col("id").alias("k")))
+    # staged but uncommitted: both tables still serve v1
+    assert a.read().count() == 5 and b.read().count() == 3
+    assert a.current_version() == 1 and b.current_version() == 1
+
+    # CRASH INJECTION: write the commit marker but die before finalize
+    tx._done = True
+    tx._link_marker(
+        "committed",
+        {"tid": tx.tid, "tables": [{"path": t.path, "version": v} for t, v in tx._staged]},
+    )
+    # fresh handles (a restarted reader) must see BOTH new versions
+    a2 = VersionedTable(spark, str(tmp_path / "a"))
+    b2 = VersionedTable(spark, str(tmp_path / "b"))
+    assert a2.current_version() == 2 and a2.read().count() == 10
+    assert b2.current_version() == 2 and b2.read().count() == 30
+    # roll-forward finalized the manifests in place
+    assert "pending_txn_marker" not in a2._manifest(2)
+    assert "pending_txn_marker" not in b2._manifest(2)
+
+
+def test_multi_table_txn_abort_leaves_no_trace_and_frees_slots(spark, tmp_path):
+    """An aborted (or exception-unwound) transaction must leave every
+    table byte-identical and release its version-slot claims to later
+    plain writers."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    a.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    b.overwrite(spark.range(3).select(F.col("id").alias("k")))
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with LakehouseTransaction(str(tmp_path / "txns")) as tx:
+            tx.append(a, spark.range(9).select(F.col("id").alias("k")))
+            tx.append(b, spark.range(9).select(F.col("id").alias("k")))
+            raise RuntimeError("boom")
+    assert a.current_version() == 1 and a.read().count() == 5
+    assert b.current_version() == 1 and b.read().count() == 3
+    # the aborted claims don't block subsequent plain writes
+    assert a.append(spark.range(2).select(F.col("id").alias("k"))) == 2
+    assert b.append(spark.range(2).select(F.col("id").alias("k"))) == 2
+    assert a.read().count() == 7 and b.read().count() == 5
+
+
+def test_multi_table_txn_inflight_claim_blocks_then_recovers(spark, tmp_path):
+    """A coordinator that dies BEFORE the commit point leaves in-flight
+    claims: plain writers on the touched tables conflict (the slot is
+    owned), readers are unaffected, and recover_stale_txns presumes abort
+    and unblocks the slot."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        CommitConflict,
+        LakehouseTransaction,
+        VersionedTable,
+        recover_stale_txns,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    a.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    tx = LakehouseTransaction(str(tmp_path / "txns"))
+    tx.append(a, spark.range(9).select(F.col("id").alias("k")))
+    # coordinator "dies" here: no marker, claim on v2 remains
+    assert a.read().count() == 5  # readers never blocked
+    with pytest.raises(CommitConflict):
+        a.append(spark.range(2).select(F.col("id").alias("k")))
+    # a young txn is NOT recovered (prepare may still be running) …
+    assert recover_stale_txns(str(tmp_path / "txns"), max_age_s=3600) == []
+    # … a stale one is presumed aborted, freeing the slot
+    assert recover_stale_txns(str(tmp_path / "txns"), max_age_s=0) == [tx.tid]
+    assert a.append(spark.range(2).select(F.col("id").alias("k"))) == 2
+    assert a.read().count() == 7

@@ -1445,3 +1445,56 @@ def x_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("segment").alias("src"), F.col("c_mktsegment").alias("k"), "n", "val"
     )
     return m.unionByName(s)
+
+
+_MANIFEST_PRUNE_SQL = f"""
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+       COUNT(*) AS n_orders, {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate <= TIMESTAMP '1995-06-30'
+GROUP BY 1
+"""
+
+
+@register("x_manifest_pruning", oracle=_MANIFEST_PRUNE_SQL, tags=("S4", "S6", "P4"), doc="")
+def x_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level min/max scan planning (VersionedTable.read_pruned):
+    commits record per-file [min, max] from the parquet footers INTO the
+    snapshot manifest (the footer walk the row-count stat already paid),
+    and a range scan plans its file list from that one JSON — no
+    directory listing, no footer reads, Iceberg's manifest-pruning shape.
+    The table is written range-clustered on o_orderdate (16 files, each
+    covering ~1/16 of the date range), the scan asks for six months, and
+    the in-query audit asserts files were actually skipped at PLAN time.
+    The residual filter handles file-grain overlap; the oracle is the
+    plain relational answer, so the hash proves pruning lost nothing.
+    This upgrades x_file_skipping (stats collected file-side at query
+    time) to stats-at-commit: at 100 TB planning costs O(1) manifest
+    reads instead of O(files) object-store LIST+footer fetches."""
+    import datetime
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_mprune_"))
+    # range-clustered layout: each file covers a narrow o_orderdate slice
+    t.overwrite(o.repartitionByRange(16, "o_orderdate"))
+
+    lo = datetime.datetime(1995, 1, 1)
+    hi = datetime.datetime(1995, 6, 30)
+    df, n_read, n_total = t.read_pruned("o_orderdate", lo, hi)
+    # the whole point: planning (manifest-only) dropped files
+    assert 0 < n_read < n_total, (n_read, n_total)
+    # and a disjoint range reads NOTHING
+    _, n0, _ = t.read_pruned(
+        "o_orderdate", datetime.datetime(2099, 1, 1), datetime.datetime(2099, 12, 31)
+    )
+    assert n0 == 0
+
+    return df.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

@@ -67,6 +67,74 @@ def _parquet_num_rows(data_dir: str) -> int:
     )
 
 
+# Delta's dataSkippingNumIndexedCols default; stats beyond it buy little
+_STATS_MAX_COLS = 32
+# one JSON manifest per version: past this file count, per-file stats are
+# omitted (real Iceberg shards manifests + a manifest list; this format's
+# commits produce task-count files, far below the cap)
+_STATS_MAX_FILES = 10_000
+
+
+def _stats_norm(v):
+    """Footer min/max → JSON-storable, order-preserving scalar. ISO-8601
+    strings compare lexicographically in timestamp order, so pruning
+    comparisons stay correct after the round-trip."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, str, bool)):
+        return v
+    return None  # bytes/decimal/nested: no stats (conservatively kept)
+
+
+def _collect_manifest_stats(data_dir: str) -> tuple[int, list[dict] | None]:
+    """(total rows, per-file stats) from parquet FOOTERS — one driver-side
+    metadata pass, no Spark job, no data pages (the same numbers Delta
+    writes as per-file `stats` in its log, Iceberg in its manifests).
+    Each entry: {"path": rel_path, "n_rows": n, "stats": {col: [min, max]}}
+    with None bounds where the footer has no usable statistics."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    files: list[dict] | None = []
+    for root, _dirs, names in os.walk(data_dir):
+        for f in sorted(names):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(root, f))
+            total += md.num_rows
+            if files is None or len(files) >= _STATS_MAX_FILES:
+                files = None
+                continue
+            cols = md.schema.names[:_STATS_MAX_COLS]
+            stats: dict = {}
+            for ci, c in enumerate(md.schema.names):
+                if c not in cols:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = _stats_norm(st.min), _stats_norm(st.max)
+                    if mn is None or mx is None:
+                        lo = hi = None
+                        break
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                stats[c] = [lo, hi]
+            files.append(
+                {
+                    "path": os.path.relpath(os.path.join(root, f), data_dir),
+                    "n_rows": md.num_rows,
+                    "stats": stats,
+                }
+            )
+    return total, files
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -192,6 +260,13 @@ class VersionedTable:
             # scale pair this with AQE rebalance or add a bucketing column
             # to the repartition key.
             df = df.repartition(*[F.col(c) for c in partition_by])
+        # Spark's default parquet timestamp encoding is INT96, which
+        # carries NO column statistics — micros is the modern annotated
+        # type (what Delta/Iceberg require) and gives the footer min/max
+        # the manifest stats and read_pruned depend on.
+        df.sparkSession.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         writer = df.write.mode("overwrite")
         if partition_by:
             # Iceberg-style partition EVOLUTION: the layout is per-snapshot
@@ -209,7 +284,10 @@ class VersionedTable:
                 os.path.join(self.path, cdf_dirname)
             )
         os.makedirs(self._manifest_dir, exist_ok=True)
-        n_rows = _parquet_num_rows(data_dir)
+        # same footer walk that row counts always cost, now also recording
+        # per-file min/max in the manifest → scan PLANNING can prune files
+        # with zero listing and zero footer reads (Iceberg-style)
+        n_rows, file_stats = _collect_manifest_stats(data_dir)
         entry = {
             "version": v,
             "operation": op,
@@ -222,6 +300,7 @@ class VersionedTable:
             "modified_keys": modified_keys,
             # transaction watermarks carry forward: {writer_id: last batch}
             "txn": dict(self._txn_state(parent), **(txn or {})),
+            "files": file_stats,
         }
         if pending_txn_marker is not None:
             entry["pending_txn_marker"] = pending_txn_marker
@@ -965,6 +1044,54 @@ class VersionedTable:
         v = self.current_version()
         return None if v is None else self.read_version(v)
 
+    def read_pruned(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Range scan ``col BETWEEN lo AND hi`` planned from the MANIFEST's
+        per-file min/max — Iceberg-style scan planning: the driver never
+        lists the data directory and never opens a footer; it reads one
+        already-loaded JSON entry and hands Spark the exact file list
+        whose [min, max] overlaps the predicate. Returns
+        (df, n_files_read, n_files_total).
+
+        At 100 TB this is the difference between O(files) object-store
+        LIST/HEAD calls at plan time and O(1) manifest reads; the
+        residual filter still applies inside surviving files (file grain
+        is coarser than row grain), and a file with no usable stats is
+        conservatively kept. Pruning effectiveness comes from layout:
+        write the snapshot range-clustered on ``col`` (each file covers a
+        narrow slice) — a random layout keeps every file."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot scan empty table {self.path}")
+        entry = self._manifest(v)
+        data_dir = os.path.join(self.path, entry["data_dir"])
+        pred = lambda d: (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))  # noqa: E731
+        files = entry.get("files")
+        if files is None:  # stats omitted (huge commit / legacy manifest)
+            df = self.read_version(v).filter(pred(None))
+            return df, -1, -1
+        nlo, nhi = _stats_norm(lo), _stats_norm(hi)
+        keep = []
+        for f in files:
+            fmin, fmax = f["stats"].get(col, [None, None])
+            if fmin is None or fmax is None or not (fmax < nlo or fmin > nhi):
+                keep.append(f["path"])
+        if not keep:  # predicate outside the table's range: 0 files read
+            empty = self.read_version(v).filter(F.lit(False))
+            return empty, 0, len(files)
+        reader = self.spark.read
+        if entry.get("partition_by"):
+            # explicit file list under a hive layout: basePath keeps the
+            # partition columns in the schema
+            reader = reader.option("basePath", data_dir)
+        df = reader.parquet(*[os.path.join(data_dir, p) for p in keep]).filter(
+            pred(None)
+        )
+        return df, len(keep), len(files)
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str], verify_keys: bool = True
     ) -> DataFrame:
@@ -1146,15 +1273,18 @@ class VersionedTable:
         directory walk — still metadata-only)."""
         rows = []
         for e in self.history():
-            data_dir = os.path.join(
-                self.path, e.get("data_dir", f"_v{e['version']}")
-            )
-            n_files = sum(
-                1
-                for _root, _dirs, files in os.walk(data_dir)
-                for f in files
-                if f.endswith(".parquet")
-            )
+            if e.get("files") is not None:
+                n_files = len(e["files"])  # from the manifest: zero listing
+            else:
+                data_dir = os.path.join(
+                    self.path, e.get("data_dir", f"_v{e['version']}")
+                )
+                n_files = sum(
+                    1
+                    for _root, _dirs, files in os.walk(data_dir)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
             rows.append(
                 (
                     e["version"],

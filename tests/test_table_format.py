@@ -618,3 +618,53 @@ def test_multi_table_txn_inflight_claim_blocks_then_recovers(spark, tmp_path):
     assert recover_stale_txns(str(tmp_path / "txns"), max_age_s=0) == [tx.tid]
     assert a.append(spark.range(2).select(F.col("id").alias("k"))) == 2
     assert a.read().count() == 7
+
+
+def test_manifest_stats_pruning(spark, tmp_path):
+    """Commits record per-file min/max in the manifest; read_pruned plans
+    its file list from that JSON alone and must (a) actually skip files
+    on a clustered layout, (b) return exactly the rows a full-scan filter
+    returns, (c) read zero files for a disjoint range, and (d) keep
+    partition columns when the snapshot is hive-partitioned."""
+    t = VersionedTable(spark, str(tmp_path / "pr"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g"), (F.col("id") * 2.0).alias("v")
+    )
+    t.overwrite(df.repartitionByRange(8, "k"))
+
+    m = t._manifest(1)
+    assert m["files"] and all("k" in f["stats"] for f in m["files"])
+
+    got, n_read, n_total = t.read_pruned("k", 2000, 2999)
+    assert 0 < n_read < n_total == 8
+    expect = sorted(r.k for r in df.filter("k between 2000 and 2999").collect())
+    assert sorted(r.k for r in got.collect()) == expect
+
+    _, n0, _ = t.read_pruned("k", 50_000, 60_000)
+    assert n0 == 0
+
+    # hive-partitioned snapshot: file-list read keeps the partition column
+    t2 = VersionedTable(spark, str(tmp_path / "pr2"))
+    t2.overwrite(df, partition_by=["g"])
+    got2, nr2, nt2 = t2.read_pruned("k", 0, 100)
+    assert set(got2.columns) == {"k", "g", "v"}
+    assert got2.count() == 101 and nr2 <= nt2
+
+
+def test_manifest_stats_timestamps_prune(spark, tmp_path):
+    """Timestamp columns must carry manifest stats too (Spark's INT96
+    default writes none — commits force the annotated micros type), and
+    ISO-normalized bounds must prune correctly."""
+    import datetime
+
+    t = VersionedTable(spark, str(tmp_path / "ts"))
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.lit(base) + F.make_interval(hours=F.col("id"))).alias("ts"),
+    )
+    t.overwrite(df.repartitionByRange(8, "ts"))
+    lo, hi = base + datetime.timedelta(hours=100), base + datetime.timedelta(hours=199)
+    got, n_read, n_total = t.read_pruned("ts", lo, hi)
+    assert 0 < n_read < n_total
+    assert got.count() == 100

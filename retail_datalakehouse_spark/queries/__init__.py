@@ -236,6 +236,7 @@ _PROMOTE_R8 = [
     # Slots 34+: round-8 additions are appended here as they ship.
     "x_multi_table_txn",
     "x_manifest_pruning",
+    "t21_atomic_fanout",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

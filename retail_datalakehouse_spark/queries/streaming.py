@@ -1640,3 +1640,115 @@ def t20_streaming_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+@register(
+    "t21_atomic_fanout",
+    # Oracle = full recompute of both sinks from raw events, including
+    # each sink's distinct-batch count (batches arrive as event_id % 3):
+    # the hash proves the injected mid-fanout crash neither half-applied
+    # its batch (atomicity) nor lost/duplicated it across the restart.
+    oracle="""
+WITH e AS (SELECT event_id, event_type, value, event_id % 3 AS b FROM events)
+SELECT 'mart' AS sink, event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE) AS v,
+       COUNT(DISTINCT b) AS n_batches
+FROM e GROUP BY 2
+UNION ALL
+SELECT 'log', event_type, COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE),
+       COUNT(DISTINCT b)
+FROM e WHERE value > 100 GROUP BY 2
+""",
+    tags=("T6", "S6", "S7"),
+)
+def t21_atomic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC multi-sink fan-out: each micro-batch commits to BOTH sinks
+    (a partials mart and a high-value event log) through ONE
+    LakehouseTransaction — upgrading t15_multi_sink_fanout, where a
+    crash between the two sink writes leaves an observable half-applied
+    batch that only per-sink replay watermarks repair. Here the drill is
+    harsher and the guarantee stronger: batch 1's foreachBatch CRASHES
+    after staging the mart write but before the log write — the
+    transaction aborts, and the in-query audit asserts NEITHER sink
+    shows any trace of batch 1 (not 'mart has it, log will catch up').
+    The checkpoint-restarted stream replays batch 1, both sinks get it
+    in one commit, and a post-stream replay of the final batch no-ops on
+    both (txn watermarks, recorded atomically WITH the transaction).
+    At 100 TB this is the consumer-facing difference: a reader joining
+    mart and log can never see them disagree about which batches exist."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.errors import StreamingQueryException
+
+    from ..catalog import load_table
+    from ..sources.table_format import LakehouseTransaction, VersionedTable
+    from ..streaming.jobs import run_foreach_batch
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="rdl_t21_")
+    for i in range(3):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(e.filter(F.col("event_id") % 3 == i), dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    mart = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t21_mart_"))
+    log = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t21_log_"))
+    txn_root = tempfile.mkdtemp(prefix="rdl_t21_txns_")
+    state = {"crashed": False}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        with LakehouseTransaction(txn_root) as tx:
+            tx.append(
+                mart,
+                batch_df.groupBy("event_type").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("value").cast("decimal(25,2)")).alias("v_exact"),
+                ).withColumn("batch", F.lit(bid)),
+                txn=("sinkA", bid),
+            )
+            if bid == 1 and not state["crashed"]:
+                state["crashed"] = True
+                raise RuntimeError("injected crash between the two sink writes")
+            tx.append(
+                log,
+                batch_df.filter(F.col("value") > 100).withColumn("batch", F.lit(bid)),
+                txn=("sinkB", bid),
+            )
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    ckpt = tempfile.mkdtemp(prefix="rdl_t21_ckpt_")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    try:
+        run_foreach_batch(stream, apply_batch, output_mode="append", checkpoint=ckpt)
+        raise AssertionError("injected crash must fail the stream")
+    except StreamingQueryException:
+        pass
+    # ATOMICITY: after the mid-fanout crash, NEITHER sink has batch 1
+    assert {r.batch for r in mart.read().select("batch").distinct().collect()} == {0}
+    assert {r.batch for r in log.read().select("batch").distinct().collect()} == {0}
+
+    # restart from the same checkpoint: batch 1 replays, 2 follows
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    run_foreach_batch(stream2, apply_batch, output_mode="append", checkpoint=ckpt)
+
+    # replay of the final batch after the stream: both sinks no-op
+    va, vb = mart.current_version(), log.current_version()
+    apply_batch(spark.read.parquet(os.path.join(d, "chunk2.parquet")), 2)
+    assert (mart.current_version(), log.current_version()) == (va, vb)
+    shutil.rmtree(d, ignore_errors=True)
+
+    a = mart.read().groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("v_exact"), 2).cast("double").alias("v"),
+        F.count_distinct("batch").alias("n_batches"),
+    ).select(F.lit("mart").alias("sink"), "event_type", "n", "v", "n_batches")
+    b = log.read().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(25,2)")), 2).cast("double").alias("v"),
+        F.count_distinct("batch").alias("n_batches"),
+    ).select(F.lit("log").alias("sink"), "event_type", "n", "v", "n_batches")
+    return a.unionByName(b)

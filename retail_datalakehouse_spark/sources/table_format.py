@@ -1401,14 +1401,32 @@ class LakehouseTransaction:
 
     # ------------------------------------------------------------ prepare
 
-    def _stage(self, table: VersionedTable, op: str, build) -> int:
+    def _stage(
+        self,
+        table: VersionedTable,
+        op: str,
+        build,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         if self._done:
             raise RuntimeError(f"transaction {self.tid} already finished")
         parent = table.current_version()
+        if txn is not None:
+            # per-writer watermark (Delta's txn action), checked at stage
+            # time: a replayed batch no-ops for this table. Watermarks
+            # commit atomically WITH the transaction, so a replay skips
+            # every table of the original txn consistently.
+            last = table._txn_state(parent).get(txn[0])
+            if last is not None and int(last) >= txn[1]:
+                return parent
         cur = table.read() if parent else None
         try:
             v = table._try_commit(
-                build(cur), op, parent, pending_txn_marker=self._marker_base
+                build(cur),
+                op,
+                parent,
+                txn=None if txn is None else {txn[0]: txn[1]},
+                pending_txn_marker=self._marker_base,
             )
         except CommitConflict:
             self.abort()
@@ -1416,13 +1434,26 @@ class LakehouseTransaction:
         self._staged.append((table, v))
         return v
 
-    def append(self, table: VersionedTable, df: DataFrame) -> int:
+    def append(
+        self,
+        table: VersionedTable,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
         return self._stage(
-            table, "append", lambda cur: df if cur is None else cur.unionByName(df)
+            table,
+            "append",
+            lambda cur: df if cur is None else cur.unionByName(df),
+            txn=txn,
         )
 
-    def overwrite(self, table: VersionedTable, df: DataFrame) -> int:
-        return self._stage(table, "overwrite", lambda cur: df)
+    def overwrite(
+        self,
+        table: VersionedTable,
+        df: DataFrame,
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        return self._stage(table, "overwrite", lambda cur: df, txn=txn)
 
     # ----------------------------------------------------- commit / abort
 

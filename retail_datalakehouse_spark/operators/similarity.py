@@ -358,6 +358,7 @@ def read_ivf_index(spark, path: str, id_col: str = "vec_id") -> DataFrame:
     predicate through the left side of the anti-join."""
     import os
 
+    _heal_interrupted_compaction(path)
     df = spark.read.parquet(path)
     ts_dir = os.path.join(path, "_tombstones")
     if os.path.isdir(ts_dir) and any(
@@ -524,3 +525,73 @@ def recluster_ivf_index(
     cdf = centroids_df(spark, cents)
     build_ivf_index(live, cdf, out_path, id_col=id_col, vec_col=vec_col)
     return cdf
+
+
+def _heal_interrupted_compaction(path: str) -> None:
+    """Make a crashed compaction harmless: a partition dir renamed to
+    ``*.old`` whose replacement never landed is renamed back; leftover
+    ``*.old`` next to a landed replacement, and orphaned ``*.compact-*``
+    staging dirs, are removed. Idempotent; called by both the reader and
+    the next compaction run."""
+    import os
+    import shutil
+
+    for d in os.listdir(path):
+        full = os.path.join(path, d)
+        if d.endswith(".old"):
+            main = full[: -len(".old")]
+            if os.path.isdir(main):
+                shutil.rmtree(full, ignore_errors=True)  # swap completed
+            else:
+                os.rename(full, main)  # swap died mid-way: roll back
+        elif ".compact-" in d:
+            shutil.rmtree(full, ignore_errors=True)  # orphaned staging
+
+
+def compact_ivf_index(spark, path: str, id_col: str = "vec_id") -> dict:
+    """OFFLINE tombstone-reclaiming compaction — the maintenance job
+    `delete_from_ivf_index`'s merge-on-read contract defers to: rewrite
+    ONLY the partitions that actually contain tombstoned rows (found with
+    one broadcast semi-join — untouched clusters keep their files), then
+    drop the tombstone table. Search results are identical before and
+    after (pinned by test); only bytes and the per-probe anti-join cost
+    are reclaimed.
+
+    Crash-safety without multi-dir atomic rename: tombstones are removed
+    LAST, so a compaction that dies mid-run leaves every partition either
+    rewritten (live rows only) or original (dead rows still masked by the
+    still-present tombstones) — reads stay correct at every crash point.
+    The one non-atomic window (between the two renames of a partition
+    swap) is healed by `_heal_interrupted_compaction`, which the reader
+    also runs. Run it like VACUUM: one maintenance writer at a time.
+
+    Returns {"partitions_rewritten", "rows_removed"}."""
+    import os
+    import shutil
+    import uuid
+
+    _heal_interrupted_compaction(path)
+    ts_dir = os.path.join(path, "_tombstones")
+    if not (
+        os.path.isdir(ts_dir)
+        and any(f.endswith(".parquet") for f in os.listdir(ts_dir))
+    ):
+        return {"partitions_rewritten": 0, "rows_removed": 0}
+    ts = spark.read.parquet(ts_dir).select(id_col).distinct()
+    df = spark.read.parquet(path)
+    dead = df.join(F.broadcast(ts), id_col, "semi")
+    affected = dead.groupBy("centroid_id").count().collect()
+    rows_removed = int(sum(r["count"] for r in affected))
+
+    for r in affected:
+        cid = r["centroid_id"]
+        part_dir = os.path.join(path, f"centroid_id={cid}")
+        staging = os.path.join(path, f"centroid_id={cid}.compact-{uuid.uuid4().hex[:8]}")
+        live = spark.read.parquet(part_dir).join(F.broadcast(ts), id_col, "left_anti")
+        live.write.mode("overwrite").parquet(staging)
+        old = part_dir + ".old"
+        os.rename(part_dir, old)
+        os.rename(staging, part_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(ts_dir, ignore_errors=True)  # LAST: masks stay on until done
+    return {"partitions_rewritten": len(affected), "rows_removed": rows_removed}

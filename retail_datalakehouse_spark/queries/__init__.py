@@ -237,6 +237,7 @@ _PROMOTE_R8 = [
     "x_multi_table_txn",
     "x_manifest_pruning",
     "t21_atomic_fanout",
+    "l3_ivf_compact",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

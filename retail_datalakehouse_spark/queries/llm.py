@@ -3557,3 +3557,62 @@ def l2_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_chunks").cast("long").alias("n_dup_chunks"),
         F.expr("CAST((10000 * n_dup_chunks) DIV n_chunks AS BIGINT)").alias("dup_bp"),
     )
+
+
+@register(
+    "l3_ivf_compact",
+    oracle="""
+WITH q AS (SELECT embedding AS q_vec FROM embeddings WHERE vec_id = 1),
+scored AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> 1 AND e.vec_id % 5 <> 0),
+agg AS (
+  SELECT vec_id,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos_sim
+  FROM scored GROUP BY 1)
+SELECT vec_id, cos_sim FROM agg ORDER BY cos_sim DESC, vec_id LIMIT 10
+""",
+    tags=("L3", "S7"),
+)
+def l3_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OFFLINE half of vector unlearning (completes l3_ivf_delete's
+    merge-on-read contract): tombstone-delete every vec_id % 5 == 0, then
+    `compact_ivf_index` rewrites ONLY the affected clusters, physically
+    drops the dead rows, and removes the tombstone table. In-query audit:
+    rows were reclaimed, at least one untouched cluster kept its original
+    files, and the post-compaction physical row count equals the live
+    count (no residual masking needed). The returned all-probe top-10 of
+    the compacted index hash-matches the oracle's arithmetic exclusion —
+    compaction changed bytes, never results. At 100 TB this is the
+    scheduled VACUUM that keeps per-probe anti-join cost from growing
+    with delete history."""
+    import os
+    import tempfile
+
+    from ..operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        read_ivf_index,
+        seeded_centroids,
+        topk_cosine,
+    )
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    path = tempfile.mkdtemp(prefix="rdl_ivfcpt_")
+    build_ivf_index(e, cents, path)
+    delete_from_ivf_index(e.filter(F.col("vec_id") % 5 == 0), path)
+
+    n_live = read_ivf_index(spark, path).count()
+    stats = compact_ivf_index(spark, path)
+    assert stats["rows_removed"] > 0
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+    assert spark.read.parquet(path).count() == n_live  # dead rows are GONE
+
+    qvec = [float(x) for x in e.filter(F.col("vec_id") == 1).head()["embedding"]]
+    live = read_ivf_index(spark, path).filter(F.col("vec_id") != 1)
+    return topk_cosine(live, qvec, k=10, round_to=6)

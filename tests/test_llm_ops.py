@@ -1115,3 +1115,54 @@ def test_ivf_recluster_restores_balance_and_loses_nothing(spark, sf_dir, tmp_pat
         spark, str(tmp_path / "ivf2"), new_cents, q, k=10, nprobe=8
     ).collect()
     assert [r.vec_id for r in probed] == [r.vec_id for r in exact]
+
+
+def test_ivf_compaction_reclaims_tombstones_same_results(spark, sf_dir, tmp_path):
+    """Offline compaction must (a) rewrite ONLY partitions holding
+    tombstoned rows, (b) physically drop the deleted rows and the
+    tombstone table, (c) leave every probe's results bit-identical, and
+    (d) stay read-correct at the documented crash points (tombstones
+    removed last; interrupted partition swaps healed)."""
+    import os
+    import shutil
+
+    from retail_datalakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_indexed,
+        read_ivf_index,
+        seeded_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    cents = seeded_centroids(e, c=8)
+    path = str(tmp_path / "ivf_compact")
+    build_ivf_index(e, cents, path)
+
+    # delete a slice that does NOT touch every cluster
+    victims = read_ivf_index(spark, path).filter("centroid_id = 0 and vec_id % 2 = 0")
+    n_victims = victims.count()
+    assert n_victims > 0
+    delete_from_ivf_index(victims.select("vec_id"), path)
+
+    q = list(e.filter(F.col("vec_id") == 3).head()["embedding"])
+    before = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, path, cents, q, k=10, nprobe=8).collect()]
+    n_live = read_ivf_index(spark, path).count()
+
+    stats = compact_ivf_index(spark, path)
+    assert stats["rows_removed"] == n_victims
+    assert 0 < stats["partitions_rewritten"] < 8  # untouched clusters kept
+    assert not os.path.isdir(os.path.join(path, "_tombstones"))
+    # physical rows now equal live rows; probe results unchanged
+    assert spark.read.parquet(path).count() == n_live == read_ivf_index(spark, path).count()
+    after = [(r.vec_id, r.cos_sim) for r in ivf_topk_indexed(spark, path, cents, q, k=10, nprobe=8).collect()]
+    assert after == before
+    # idempotent when nothing to do
+    assert compact_ivf_index(spark, path) == {"partitions_rewritten": 0, "rows_removed": 0}
+
+    # crash drill: partition renamed away, replacement never landed
+    part = os.path.join(path, "centroid_id=1")
+    os.rename(part, part + ".old")
+    healed = read_ivf_index(spark, path)  # reader heals the swap
+    assert os.path.isdir(part) and healed.count() == n_live

@@ -238,6 +238,7 @@ _PROMOTE_R8 = [
     "x_manifest_pruning",
     "t21_atomic_fanout",
     "l3_ivf_compact",
+    "s11_orc_roundtrip",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -794,3 +794,49 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("amount_cents").cast("long").alias("cents"),
         F.min("event_id").cast("long").alias("first_event"),
     )
+
+
+@register(
+    "s11_orc_roundtrip",
+    # Oracle recomputes from the raw table: the hash proves the ORC
+    # round-trip preserved every value and the pushed-down filter lost
+    # no rows (format interop is a correctness feature, not plumbing).
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+""",
+    tags=("S4", "S3"),
+)
+def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second columnar format (ORC) as source AND sink: write the orders
+    table as ORC (native Spark writer — zlib, vectorized), read it back,
+    and aggregate through a pushed-down predicate. ORC's reader supports
+    the same predicate pushdown + column pruning as parquet (asserted
+    in-query from the executed plan), so a lakehouse serving Hive-era ORC
+    zones runs the identical declarative queries — format is a property
+    of the scan node, not the pipeline. At 100 TB this is the
+    interop/migration path: parquet and ORC zones coexist under one
+    engine, and a format migration is one rewrite job, not a code
+    change."""
+    import tempfile
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="rdl_orc_")
+    o.write.mode("overwrite").orc(path)
+
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # the status filter reached the ORC scan (pushdown), and the scan
+    # prunes to the four selected columns
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split("PushedFilters")[1][:120]
+
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

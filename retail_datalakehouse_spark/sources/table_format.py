@@ -683,7 +683,11 @@ class VersionedTable:
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
                 raise ValueError(f"cannot delete from empty table at {self.path}")
-            return cur.filter(~cond)
+            # SQL DELETE semantics: only rows where the predicate is TRUE
+            # go; a NULL-predicate row is KEPT (plain ~cond is NULL there,
+            # silently deleting it — and inconsistently with the recorded
+            # CDF delta below, which correctly captures TRUE rows only)
+            return cur.filter(~cond.eqNullSafe(F.lit(True)))
 
         return self._commit_with_retry(
             build, "delete", txn=txn,

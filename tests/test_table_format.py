@@ -668,3 +668,23 @@ def test_manifest_stats_timestamps_prune(spark, tmp_path):
     got, n_read, n_total = t.read_pruned("ts", lo, hi)
     assert 0 < n_read < n_total
     assert got.count() == 100
+
+
+def test_delete_null_predicate_rows_kept_and_cdf_consistent(spark, tmp_path):
+    """DELETE WHERE cond removes only cond=TRUE rows: a NULL-predicate row
+    is kept (SQL/Delta semantics), and the recorded CDF delete delta
+    matches the rows that actually left the table (pre-fix the table
+    dropped NULL rows the delta never recorded)."""
+    t = VersionedTable(spark, str(tmp_path / "delnull"), record_cdf=True, cdf_keys=["k"])
+    base = spark.range(10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 8, F.col("id") % 2).alias("flag"),  # k=8,9 -> NULL
+    )
+    t.overwrite(base)
+    t.delete(F.col("flag") == 1)
+    kept = sorted(r.k for r in t.read().collect())
+    assert kept == [0, 2, 4, 6, 8, 9]  # evens kept, NULL-flag rows kept
+    deleted = sorted(
+        r.k for r in t.changes_feed(1, 2).filter("_change_type = 'delete'").collect()
+    )
+    assert deleted == [1, 3, 5, 7]  # delta == exactly what left the table

@@ -239,6 +239,7 @@ _PROMOTE_R8 = [
     "t21_atomic_fanout",
     "l3_ivf_compact",
     "s11_orc_roundtrip",
+    "t22_cdf_stream",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1752,3 +1752,121 @@ def t21_atomic_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("batch").alias("n_batches"),
     ).select(F.lit("log").alias("sink"), "event_type", "n", "v", "n_batches")
     return a.unionByName(b)
+
+
+@register(
+    "t22_cdf_stream",
+    # Oracle = full recompute of the table's FINAL state from the raw
+    # rows: the hash proves the netted change stream (inserts + update
+    # pre/post images + deletes, signed) reconstructs the table exactly —
+    # nothing double-delivered, nothing lost across the three runs.
+    oracle="""
+WITH cuts AS (
+  SELECT MAX(o_orderkey) // 5 AS m_lo, (2 * MAX(o_orderkey)) // 5 AS m_hi
+  FROM orders),
+base AS (
+  SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS y,
+         o_totalprice AS p
+  FROM orders),
+repriced AS (
+  SELECT k, y, CASE WHEN k > m_lo AND k <= m_hi THEN p + 5.0 ELSE p END AS p
+  FROM base, cuts),
+fin AS (SELECT * FROM repriced WHERE k % 6 != 0)
+SELECT y, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(p AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM fin GROUP BY 1
+""",
+    tags=("T1", "T6", "S7"),
+)
+def t22_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM a VersionedTable's change feed (the `readStream.table` /
+    Delta CDF-streaming analogue): offsets are table VERSIONS — the
+    checkpoint commits the last delivered version, each run emits only
+    the write-time-recorded deltas of newer commits, and restarts resume
+    exactly there (sources/pydatasource.py::VersionedCdfStreamDataSource).
+    Drill: run 1 streams versions 1-2 (two appends); a MERGE repricing
+    and a DELETE commit while the stream is down; run 2 delivers exactly
+    those two versions' deltas; run 3 finds nothing. The consumer nets
+    the signed changes (+insert/postimage, −delete/preimage) into the
+    table's final state — hash-proof that change delivery across
+    restarts is exactly-once with zero snapshot diffing. At 100 TB this
+    is the mart-maintenance transport: downstream refresh cost is
+    O(|changes|), and the offset log is the table's own version log."""
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.pydatasource import VersionedCdfStreamDataSource
+    from ..sources.table_format import VersionedTable
+
+    try:
+        spark.dataSource.register(VersionedCdfStreamDataSource)
+    except Exception:
+        pass  # idempotent re-registration
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.col("o_totalprice").alias("p"),
+    )
+    # relative cuts (MAX-key arithmetic, mirrored in the oracle's CTE) so
+    # every slice is non-empty at every scale
+    mx = o.agg(F.max("k")).first()[0]
+    c1, m_lo, m_hi = (mx * 3) // 5, mx // 5, (2 * mx) // 5
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_t22_"), record_cdf=True, cdf_keys=["k"]
+    )
+    t.append(o.filter(F.col("k") <= c1))  # v1
+    t.append(o.filter(F.col("k") > c1))  # v2
+
+    base = tempfile.mkdtemp(prefix="rdl_t22_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("versioned_cdf_stream")
+            .option("path", t.path)
+            .option("tableSchema", "k bigint, y bigint, p double")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # delivers v1-v2
+    n_run1 = spark.read.parquet(out).count()
+
+    # the stream is DOWN while the table keeps committing
+    upd = o.filter((F.col("k") > m_lo) & (F.col("k") <= m_hi)).withColumn(
+        "p", F.col("p") + F.lit(5.0)
+    )
+    t.merge(upd, ["k"])  # v3: update pre/post images recorded
+    t.delete(F.col("k") % 6 == 0)  # v4: delete rows recorded
+
+    run_once()  # delivers exactly v3-v4
+    changes = spark.read.parquet(out)
+    assert set(
+        r._version for r in changes.select("_version").distinct().collect()
+    ) == {1, 2, 3, 4}
+
+    run_once()  # nothing new: exactly-once means zero fresh rows
+    assert spark.read.parquet(out).count() == changes.count()
+    assert n_run1 < changes.count()
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        spark.read.parquet(out)
+        .withColumn("s", sign)
+        .groupBy("y")
+        .agg(
+            F.sum("s").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("s") * F.col("p").cast("decimal(25,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

@@ -110,3 +110,105 @@ class SynthEventsStreamReader(SimpleDataSourceStreamReader):
     def readBetweenOffsets(self, start, end):
         # replay path: a restarted query re-reads the uncommitted range
         return iter([_synth_row(i) for i in range(start["pos"], end["pos"])])
+
+
+class VersionedCdfStreamDataSource(DataSource):
+    """Stream a :class:`VersionedTable`'s CHANGE FEED — the
+    ``spark.readStream.table`` / Delta CDF-streaming analogue, built on
+    the same Python DataSource streaming contract as
+    `synth_events_stream`: **offsets are table versions**. The committed
+    offset in the checkpoint is the last version whose changes were
+    delivered; each micro-batch emits the row-level deltas of the
+    versions committed since, and a restarted query resumes at exactly
+    the committed version — exactly-once change delivery with zero
+    snapshot diffing (the deltas were recorded at write time).
+
+    Options: ``path`` (table root), ``tableSchema`` (DDL of the table's
+    columns — the source appends ``_change_type string, _version int``).
+    Version 1 is delivered as its recorded feed too (a record_cdf
+    table's first commit records its rows as inserts), so a consumer
+    nets initial-load + changes uniformly.
+
+    Scale note: this is the *simple* (driver-iterating) reader — right
+    for bounded maintenance/test feeds. A production variant implements
+    the partition-planning ``streamReader`` so each micro-batch's CDF
+    files fan out as input partitions; offsets-as-versions and the
+    manifest walk are identical.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdf_stream"
+
+    def schema(self) -> str:
+        return f"{self.options['tableSchema']}, _change_type string, _version int"
+
+    def simpleStreamReader(self, schema) -> "VersionedCdfStreamReader":
+        return VersionedCdfStreamReader(self.options["path"])
+
+
+class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    # -- manifest walking (driver-side metadata, no Spark session here) --
+
+    def _versions(self):
+        import json
+        import os
+
+        mdir = os.path.join(self.path, "_manifest")
+        if not os.path.isdir(mdir):
+            return {}
+        out = {}
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    e = json.load(fh)
+                if "pending_txn_marker" not in e:  # txn-invisible tail
+                    out[e["version"]] = e
+        return out
+
+    def _rows_for(self, entry):
+        import os
+
+        import pyarrow.parquet as pq
+
+        cdf = entry.get("cdf_dir")
+        if cdf is None:
+            raise ValueError(
+                f"version {entry['version']} ({entry['operation']}) recorded no "
+                "change feed — stream only record_cdf tables (Delta's "
+                "readChangeFeed contract)"
+            )
+        d = os.path.join(self.path, cdf)
+        rows = []
+        for root, _dirs, files in os.walk(d):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(root, f))
+                for r in t.to_pylist():
+                    r["_version"] = entry["version"]
+                    rows.append(tuple(r.values()))
+        return rows
+
+    # ----------------------------------------------- offsets-as-versions
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def read(self, start):
+        entries = self._versions()
+        latest = max(entries, default=0)
+        rows = []
+        for v in range(start["v"] + 1, latest + 1):
+            rows.extend(self._rows_for(entries[v]))
+        return iter(rows), {"v": latest}
+
+    def readBetweenOffsets(self, start, end):
+        entries = self._versions()
+        rows = []
+        for v in range(start["v"] + 1, end["v"] + 1):
+            rows.extend(self._rows_for(entries[v]))
+        return iter(rows)

@@ -240,6 +240,7 @@ _PROMOTE_R8 = [
     "l3_ivf_compact",
     "s11_orc_roundtrip",
     "t22_cdf_stream",
+    "x_stats_agg",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1498,3 +1498,48 @@ def x_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_STATS_AGG_SQL = """
+SELECT 'o_orderkey' AS col,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS vmin,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS vmax,
+       COUNT(*) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(MIN(o_totalprice) AS DOUBLE),
+       CAST(MAX(o_totalprice) AS DOUBLE), COUNT(*)
+FROM orders
+"""
+
+
+@register("x_stats_agg", oracle=_STATS_AGG_SQL, tags=("S6", "A1"), doc="")
+def x_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY aggregates (VersionedTable.stats_agg): MIN / MAX /
+    COUNT answered purely from the manifest's per-file stats — the query
+    side runs ZERO Spark jobs over the data (the result DataFrame is
+    built from the driver-side dict). This is the Delta/Iceberg
+    metadata-query optimization: at 100 TB `SELECT MIN(ts), MAX(ts),
+    COUNT(*)` on an append-heavy table is an O(files-in-manifest) driver
+    read, not a scan. The oracle computes the same three aggregates
+    relationally — hash-equality proves the commit-time footer stats are
+    exact, not approximate."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_statsagg_"))
+    # two commits so the stats compose across files from different writes
+    half = o.agg((F.max("o_orderkey") / 2).cast("long")).first()[0]
+    t.overwrite(o.filter(F.col("o_orderkey") <= half))
+    t.append(o.filter(F.col("o_orderkey") > half))
+
+    rows = []
+    for c in ("o_orderkey", "o_totalprice"):
+        s = t.stats_agg(c)
+        assert s is not None, f"manifest stats missing for {c}"
+        rows.append((c, float(s["min"]), float(s["max"]), int(s["n_rows"])))
+    return spark.createDataFrame(
+        rows, "col string, vmin double, vmax double, n_rows long"
+    )

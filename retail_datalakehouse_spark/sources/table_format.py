@@ -1048,6 +1048,30 @@ class VersionedTable:
         v = self.current_version()
         return None if v is None else self.read_version(v)
 
+    def stats_agg(self, col: str, version: int | None = None) -> dict | None:
+        """O(1) metadata aggregate — MIN/MAX/COUNT of ``col`` answered
+        from the manifest's per-file stats, no scan, no footer reads (the
+        Delta/Iceberg metadata-only-query optimization: at 100 TB these
+        three aggregates are free). Returns ``{"min", "max", "n_rows"}``,
+        or None when any file lacks usable stats for the column (caller
+        falls back to a scan). NULL-count caveat: parquet min/max ignore
+        NULLs, matching SQL MIN/MAX semantics; n_rows counts all rows."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        entry = self._manifest(v)
+        files = entry.get("files")
+        if not files:
+            return None
+        los, his = [], []
+        for f in files:
+            lo, hi = f["stats"].get(col, [None, None])
+            if lo is None or hi is None:
+                return None
+            los.append(lo)
+            his.append(hi)
+        return {"min": min(los), "max": max(his), "n_rows": entry["n_rows"]}
+
     def read_pruned(
         self, col: str, lo, hi, version: int | None = None
     ) -> tuple[DataFrame, int, int]:

@@ -241,6 +241,7 @@ _PROMOTE_R8 = [
     "s11_orc_roundtrip",
     "t22_cdf_stream",
     "x_stats_agg",
+    "t23_stateful_processor",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1870,3 +1870,74 @@ def t22_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "t23_stateful_processor",
+    # Oracle = per-user batch totals over all events; integer cents make
+    # the stream's arrival-sliced accumulation bit-equal to the batch sum.
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1
+""",
+    tags=("T6", "U3"),
+)
+def t23_stateful_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful RUNNING totals (streaming/jobs.py::
+    running_user_totals): per-user cumulative count + integer-cents sum,
+    update-mode emission per micro-batch. The operator ships BOTH
+    arbitrary-state APIs — Spark 4's StatefulProcessor
+    (`transformWithStateInPandas`, typed ValueState) and the
+    `applyInPandasWithState` fold — selected by an import gate: the new
+    API's state-server protocol needs the `protobuf` package, absent
+    from this container, so the gated run exercises the fallback while
+    the StatefulProcessor path stays ready for clusters that have it
+    (same fold function, same output contract, API-independent oracle).
+    Events arrive as three mtime-ordered drops; the in-query audit pins
+    the cross-batch contract — a user seen in several batches emits
+    strictly increasing cumulative counts (state carried, not
+    recomputed). The final emission per user must equal the plain batch
+    aggregate: batch≡streaming equivalence, exact because state
+    accumulates integer cents, never floats."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.jobs import run_to_memory, running_user_totals
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="rdl_t23_")
+    for i in range(3):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(e.filter(F.col("event_id") % 3 == i), dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    sink = run_to_memory(running_user_totals(stream), output_mode="update", shuffle=4)
+    emissions = spark.table(sink)
+
+    # cross-batch state: users appearing in all 3 drops emit 3 strictly
+    # increasing cumulative rows (recompute-per-batch would emit 3 equal
+    # per-batch counts instead)
+    multi = (
+        emissions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_emits"),
+            F.count_distinct("n_events").alias("n_distinct"),
+            F.max("n_events").alias("mx"),
+            F.min("n_events").alias("mn"),
+        )
+        .filter(F.col("n_emits") == 3)
+    )
+    row = multi.orderBy(F.desc("mx")).first()
+    assert row is not None and row.n_distinct == 3 and row.mn < row.mx
+    shutil.rmtree(d, ignore_errors=True)
+
+    # the last (max-count) emission per user IS the batch aggregate
+    return emissions.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )

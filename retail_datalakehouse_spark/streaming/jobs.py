@@ -554,3 +554,93 @@ def streaming_packer(doc_stream: DataFrame, bin_tokens: int = 512):
     return doc_stream.groupBy("shard").applyInPandasWithState(
         fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+_TOTALS_OUT = "user_id bigint, n_events bigint, total_cents bigint"
+
+
+def _fold_totals(prev: tuple[int, int] | None, pdfs) -> tuple[int, int]:
+    """Shared accumulator for both stateful APIs: exact integer cents
+    (float accumulation would make the result depend on arrival slicing;
+    cents make stream ≡ batch bit-equal)."""
+    n, cents = prev or (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    return n, cents
+
+
+def running_user_totals(stream: DataFrame, force_api: str | None = None) -> DataFrame:
+    """Per-user RUNNING totals, update-mode emission per micro-batch.
+    State per user is two longs (count + integer-cents sum), so a
+    perpetual clickstream holds O(active users) state regardless of
+    history. Emits (user_id, n_events, total_cents) for every user seen
+    in each micro-batch, cumulative as of that batch.
+
+    Two implementations, same semantics (the path-equivalence the t23
+    oracle pins is API-independent):
+
+    - ``transformWithStateInPandas`` (Spark 4 StatefulProcessor — typed
+      ValueState declared against a schema). Its state-server protocol
+      needs the ``protobuf`` package, absent from this container, so the
+      path is import-gated.
+    - ``applyInPandasWithState`` fallback — the older arbitrary-state
+      API; identical fold, identical output.
+    """
+    import pandas as pd
+
+    api = force_api
+    if api is None:
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+
+            api = "tws"
+        except ImportError:
+            api = "apiws"
+
+    if api == "tws":
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._tot = handle.getValueState("tot", "n bigint, cents bigint")
+
+            def handleInputRows(self, key, rows, timer_values):
+                prev = self._tot.get()
+                n, cents = _fold_totals(
+                    None if prev is None else (int(prev[0]), int(prev[1])), rows
+                )
+                self._tot.update((n, cents))
+                yield pd.DataFrame(
+                    {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+                )
+
+            def close(self) -> None:
+                pass
+
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=_TOTALS_OUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType as ST
+
+    state_schema = ST([StructField("n", LongType()), StructField("cents", LongType())])
+
+    def fold(key, pdfs, state):
+        prev = tuple(state.get) if state.exists else None
+        n, cents = _fold_totals(prev, pdfs)
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        fold, _TOTALS_OUT, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

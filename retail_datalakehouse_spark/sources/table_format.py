@@ -1120,6 +1120,47 @@ class VersionedTable:
         )
         return df, len(keep), len(files)
 
+    def read_pruned_in(
+        self, col: str, values: list, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Point/IN-list scan planned from manifest stats: keep only the
+        files whose [min, max] contains at least one of ``values`` — the
+        key/id-lookup companion of :meth:`read_pruned` (zone maps answer
+        IN the same way they answer BETWEEN: membership in the range is
+        necessary for membership in the file). Residual ``isin`` filter
+        applies inside surviving files. Returns (df, n_read, n_total)."""
+        from pyspark.sql import functions as F
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot scan empty table {self.path}")
+        entry = self._manifest(v)
+        files = entry.get("files")
+        if files is None:
+            df = self.read_version(v).filter(F.col(col).isin(values))
+            return df, -1, -1
+        nvals = [_stats_norm(x) for x in values]
+        keep = []
+        for f in files:
+            fmin, fmax = f["stats"].get(col, [None, None])
+            if (
+                fmin is None
+                or fmax is None
+                or any(x is not None and fmin <= x <= fmax for x in nvals)
+            ):
+                keep.append(f["path"])
+        if not keep:
+            empty = self.read_version(v).filter(F.lit(False))
+            return empty, 0, len(files)
+        data_dir = os.path.join(self.path, entry["data_dir"])
+        reader = self.spark.read
+        if entry.get("partition_by"):
+            reader = reader.option("basePath", data_dir)
+        df = reader.parquet(*[os.path.join(data_dir, p) for p in keep]).filter(
+            F.col(col).isin(values)
+        )
+        return df, len(keep), len(files)
+
     def changes(
         self, v_from: int, v_to: int, keys: list[str], verify_keys: bool = True
     ) -> DataFrame:

@@ -688,3 +688,20 @@ def test_delete_null_predicate_rows_kept_and_cdf_consistent(spark, tmp_path):
         r.k for r in t.changes_feed(1, 2).filter("_change_type = 'delete'").collect()
     )
     assert deleted == [1, 3, 5, 7]  # delta == exactly what left the table
+
+
+def test_manifest_stats_in_list_pruning(spark, tmp_path):
+    """Point/IN lookups plan from manifest stats too: on a clustered
+    layout an IN-list touching two distant key neighborhoods reads only
+    the files whose range contains a probed value, and returns exactly
+    the matching rows."""
+    t = VersionedTable(spark, str(tmp_path / "prin"))
+    df = spark.range(8000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("v"))
+    t.overwrite(df.repartitionByRange(8, "k"))
+    got, n_read, n_total = t.read_pruned_in("k", [5, 7999, 4242])
+    assert n_total == 8 and 0 < n_read <= 3
+    assert sorted((r.k, r.v) for r in got.collect()) == [
+        (5, 15), (4242, 12726), (7999, 23997)
+    ]
+    _, n0, _ = t.read_pruned_in("k", [99_999])
+    assert n0 == 0

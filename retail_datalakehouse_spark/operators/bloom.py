@@ -57,13 +57,25 @@ def build_bloom_agg(
 
     Path-equivalence with the literal builder is pinned by
     tests/test_llm_ops.py::test_bloom_build_agg_equivalence."""
+    rows = bloom_words_df(hashes_df, hash_col, m_bits=m_bits, k=k).collect()
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["w"]] = r["word"]
+    return words
+
+
+def bloom_words_df(
+    hashes_df, hash_col: str = "h", m_bits: int = 1 << 17, k: int = 3
+):
+    """The pre-collect plan of :func:`build_bloom_agg` — exposed so the
+    physical-plan audit can assert the two-phase (partial bit_or) shape."""
     h = F.col(hash_col)
     h1 = F.pmod(h, F.lit(m_bits))
     h2 = F.pmod(F.shiftrightunsigned(h, 17).bitwiseOR(F.lit(1)), F.lit(m_bits))
     pos = F.explode(
         F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
     ).alias("pos")
-    rows = (
+    return (
         hashes_df.select(pos)
         .select(
             (F.col("pos") / 64).cast("int").alias("w"),
@@ -76,12 +88,7 @@ def build_bloom_agg(
         )
         .groupBy("w")
         .agg(F.bit_or("m").alias("word"))
-        .collect()
     )
-    words = [0] * (m_bits // 64)
-    for r in rows:
-        words[r["w"]] = r["word"]
-    return words
 
 
 def bloom_probe(words: list[int], hash_col: Column, m_bits: int = 1 << 17, k: int = 3) -> Column:

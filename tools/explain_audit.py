@@ -239,7 +239,47 @@ def main() -> int:
     else:
         failures.append(("l3_ivf_topk", "PartitionFilters centroid_id", "seeded IVF probe pruning"))
         print("FAIL  l3_ivf_topk: probe scan not partition-pruned")
-    n_total = len(CHECKS) + 7
+    # r8: the bloom build side (distributed bit-array fold) must be a
+    # TWO-PHASE aggregate — partial bit_or collapses each task's positions
+    # to <=2048 rows before the exchange, which is what makes the build's
+    # shuffle O(m_bits), independent of the eval split's size.
+    import pyspark.sql.functions as F
+
+    from retail_datalakehouse_spark.catalog import load_table
+    from retail_datalakehouse_spark.operators.bloom import bloom_words_df, shingle_hash
+    from retail_datalakehouse_spark.operators.minhash import shingles
+
+    docs = load_table(spark, SF, "documents")
+    sh = docs.select(F.explode(F.array_distinct(shingles("text", w=3))).alias("s"))
+    wdf = bloom_words_df(sh.select(shingle_hash(F.col("s")).alias("h")))
+    wdf.collect()
+    wplan = wdf._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    if "partial_bit_or" in wplan and "EvalPython" not in wplan:
+        print("PASS  bloom_build_agg: two-phase partial bit_or, JVM-side")
+    else:
+        failures.append(("bloom_build_agg", "partial_bit_or", "bloom build shape"))
+        print("FAIL  bloom_build_agg: build fold not two-phase / left JVM")
+    # r8: manifest-planned pruned scan — the residual range filter must
+    # still reach the parquet scan of the surviving file list.
+    import datetime
+    import tempfile
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_audit_prune_"))
+    vt.overwrite(o.repartitionByRange(16, "o_orderdate"))
+    pruned, n_read, n_total_files = vt.read_pruned(
+        "o_orderdate", datetime.datetime(1995, 1, 1), datetime.datetime(1995, 6, 30)
+    )
+    pruned.collect()
+    pplan = pruned._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+    if 0 < n_read < n_total_files and "PushedFilters: [IsNotNull(o_orderdate)" in pplan:
+        print(f"PASS  read_pruned: {n_read}/{n_total_files} files planned from manifest, residual filter pushed")
+    else:
+        failures.append(("read_pruned", "manifest pruning + pushdown", f"{n_read}/{n_total_files}"))
+        print("FAIL  read_pruned: pruning or residual pushdown missing")
+    n_total = len(CHECKS) + 9
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

@@ -242,6 +242,7 @@ _PROMOTE_R8 = [
     "t22_cdf_stream",
     "x_stats_agg",
     "t23_stateful_processor",
+    "x_point_lookup_manifest",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1543,3 +1543,46 @@ def x_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "col string, vmin double, vmax double, n_rows long"
     )
+
+
+_POINT_MANIFEST_SQL = """
+WITH probes AS (
+  SELECT MAX(o_orderkey) // 7 AS k FROM orders
+  UNION ALL SELECT MAX(o_orderkey) // 3 FROM orders
+  UNION ALL SELECT (2 * MAX(o_orderkey)) // 3 FROM orders
+  UNION ALL SELECT MAX(o_orderkey) FROM orders
+)
+SELECT o.o_orderkey AS k, o.o_totalprice,
+       CAST(year(o.o_orderdate) AS BIGINT) AS y
+FROM orders o JOIN probes p ON o.o_orderkey = p.k
+"""
+
+
+@register("x_point_lookup_manifest", oracle=_POINT_MANIFEST_SQL, tags=("S6", "P4"), doc="")
+def x_point_lookup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point/IN-list lookup planned from MANIFEST stats
+    (VersionedTable.read_pruned_in): on a key-clustered snapshot, an
+    IN-list of four derived keys reads only the files whose [min, max]
+    contains a probed key — planned with zero listing and zero footer
+    reads, asserted in-query. The companion of x_point_lookup_bloom
+    (value-grain bloom stats, collected file-side): zone maps in the
+    manifest are the FIRST line of point-lookup pruning at 100 TB; blooms
+    refine the survivors when the probe column is uncorrelated with the
+    clustering key. Probe keys derive from MAX-key arithmetic (mirrored
+    in the oracle), so the lookup is scale-independent; keys that don't
+    exist return no row in either engine."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.year("o_orderdate").cast("long").alias("y")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_pointman_"))
+    t.overwrite(o.repartitionByRange(16, "o_orderkey"))
+
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    probes = [mx // 7, mx // 3, (2 * mx) // 3, mx]
+    df, n_read, n_total = t.read_pruned_in("o_orderkey", probes)
+    assert 0 < n_read < n_total, (n_read, n_total)  # manifest really pruned
+    return df.select(F.col("o_orderkey").alias("k"), "o_totalprice", "y")

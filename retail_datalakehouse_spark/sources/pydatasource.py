@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     SimpleDataSourceStreamReader,
 )
@@ -212,3 +213,92 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
         for v in range(start["v"] + 1, end["v"] + 1):
             rows.extend(self._rows_for(entries[v]))
         return iter(rows)
+
+
+class VersionedCdfScaleStreamDataSource(DataSource):
+    """The PARTITION-PLANNING variant of `versioned_cdf_stream` — the
+    same offsets-are-table-versions contract, but implemented on the
+    full ``streamReader`` API: each micro-batch's change-feed files
+    become ``InputPartition``s, so EXECUTORS read the CDF parquet in
+    parallel and the driver touches only manifests (file paths + row
+    counts). This is the 100 TB shape: a version that recorded gigabytes
+    of deltas fans out as one task per delta file, exactly like a file
+    source; the simple variant (driver-iterating) remains the minimal
+    reference implementation. Format name: ``versioned_cdf_stream_scale``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "versioned_cdf_stream_scale"
+
+    def schema(self) -> str:
+        return f"{self.options['tableSchema']}, _change_type string, _version int"
+
+    def streamReader(self, schema) -> "VersionedCdfScaleStreamReader":
+        return VersionedCdfScaleStreamReader(self.options["path"])
+
+
+class _CdfFilePartition(InputPartition):
+    def __init__(self, file_path: str, version: int):
+        self.file_path = file_path
+        self.version = version
+
+
+class VersionedCdfScaleStreamReader(DataSourceStreamReader):
+    def __init__(self, path: str):
+        self.path = path
+
+    def _entries(self):
+        import json
+        import os
+
+        mdir = os.path.join(self.path, "_manifest")
+        if not os.path.isdir(mdir):
+            return {}
+        out = {}
+        for f in os.listdir(mdir):
+            if f.startswith("v") and f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    e = json.load(fh)
+                if "pending_txn_marker" not in e:
+                    out[e["version"]] = e
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"v": 0}
+
+    def latestOffset(self) -> dict:
+        return {"v": max(self._entries(), default=0)}
+
+    def partitions(self, start: dict, end: dict):
+        import os
+
+        parts = []
+        entries = self._entries()
+        for v in range(start["v"] + 1, end["v"] + 1):
+            e = entries[v]
+            cdf = e.get("cdf_dir")
+            if cdf is None:
+                raise ValueError(
+                    f"version {v} ({e['operation']}) recorded no change feed — "
+                    "stream only record_cdf tables"
+                )
+            d = os.path.join(self.path, cdf)
+            for root, _dirs, files in os.walk(d):
+                for f in sorted(files):
+                    if f.endswith(".parquet"):
+                        parts.append(_CdfFilePartition(os.path.join(root, f), v))
+        # a batch may cover only empty deltas: Spark requires >=1 partition
+        return parts or [_CdfFilePartition("", end["v"])]
+
+    def read(self, partition):
+        import pyarrow.parquet as pq
+
+        if not partition.file_path:
+            return iter(())
+        t = pq.read_table(partition.file_path)
+        v = partition.version
+        return iter([(*r.values(), v) for r in t.to_pylist()])
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in Spark's checkpoint; nothing table-side

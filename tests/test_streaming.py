@@ -454,3 +454,76 @@ def test_rocksdb_state_store_runs_engine_streams(spark, tmp_path):
         else:
             spark.conf.set(key, old)
     assert rocks == default and rocks
+
+
+def test_cdf_stream_scale_source_matches_simple(spark, tmp_path):
+    """Path equivalence of the two CDF stream sources: the
+    partition-planning reader (executor-parallel file reads) must deliver
+    exactly the row set the simple driver-iterating reader does, across
+    appends, a merge, and a delete — and resume exactly-once across a
+    restart with commits in between."""
+    from retail_datalakehouse_spark.sources.pydatasource import (
+        VersionedCdfScaleStreamDataSource,
+        VersionedCdfStreamDataSource,
+    )
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    for src in (VersionedCdfStreamDataSource, VersionedCdfScaleStreamDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"), record_cdf=True, cdf_keys=["k"])
+    df = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("p"))
+    t.append(df.filter("k < 60"))  # v1
+    t.append(df.filter("k >= 60"))  # v2
+
+    outs = {}
+    for fmt in ("versioned_cdf_stream", "versioned_cdf_stream_scale"):
+        out = str(tmp_path / f"out_{fmt}")
+        ckpt = str(tmp_path / f"ckpt_{fmt}")
+
+        def run(fmt=fmt, out=out, ckpt=ckpt):
+            q = (
+                spark.readStream.format(fmt)
+                .option("path", t.path)
+                .option("tableSchema", "k bigint, p double")
+                .load()
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run()
+        outs[fmt] = out
+
+    # commits while both streams are down
+    t.merge(df.filter("k >= 20 and k < 40").withColumn("p", F.col("p") + 1.0), ["k"])
+    t.delete(F.col("k") % 10 == 0)
+
+    rows = {}
+    for fmt, out in outs.items():
+        # restart: deliver v3-v4 exactly once
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", t.path)
+            .option("tableSchema", "k bigint, p double")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{fmt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows[fmt] = sorted(
+            map(tuple, spark.read.parquet(out).collect())
+        )
+
+    assert rows["versioned_cdf_stream"] == rows["versioned_cdf_stream_scale"]
+    versions = {r[-1] for r in rows["versioned_cdf_stream_scale"]}
+    assert versions == {1, 2, 3, 4}

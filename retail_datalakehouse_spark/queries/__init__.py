@@ -243,6 +243,7 @@ _PROMOTE_R8 = [
     "x_stats_agg",
     "t23_stateful_processor",
     "x_point_lookup_manifest",
+    "t24_stream_dim_join",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1941,3 +1941,103 @@ def t23_stateful_processor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_cents").alias("total_cents"),
     )
+
+
+@register(
+    "t24_stream_dim_join",
+    # Batches arrive as event_id % 2; the dimension is upgraded between
+    # them, so each event must join the tier its BATCH saw (v1 for even
+    # ids, v2 for odd) — the oracle recomputes both tier versions
+    # arithmetically and the hash pins snapshot-per-batch semantics.
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         event_id % 2 AS b
+  FROM events),
+tiers AS (
+  SELECT e.*, CASE WHEN b = 0 THEN user_id % 3
+                   WHEN user_id % 7 = 0 THEN user_id % 3 + 10
+                   ELSE user_id % 3 END AS tier
+  FROM e)
+SELECT tier, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM tiers GROUP BY 1
+""",
+    tags=("T6", "J2", "S7"),
+)
+def t24_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against a SLOWLY-CHANGING dimension served
+    from a VersionedTable: each micro-batch broadcast-joins the
+    dimension's CURRENT snapshot, and a dim upgrade landing between
+    batches (tier +10 for every user_id % 7 == 0) takes effect for the
+    NEXT batch only — snapshot-per-batch semantics, the lakehouse answer
+    to 'my enrichment table changed mid-stream' (a static DataFrame join
+    would freeze the dim at stream start; re-resolving the VersionedTable
+    inside foreachBatch picks up each new committed version, and snapshot
+    isolation guarantees a batch never sees a half-committed dim). The
+    in-query audit pins that the same user enriches differently across
+    the two batches; the oracle recomputes both tier versions
+    arithmetically. At 100 TB the dim read is a manifest resolve + scan
+    of a broadcast-sized table per batch — no stream restart to pick up
+    dimension changes."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.table_format import VersionedTable
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    d = tempfile.mkdtemp(prefix="rdl_t24_")
+    for i in range(2):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(e.filter(F.col("event_id") % 2 == i), dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+
+    users = e.select("user_id").distinct()
+    dim = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t24_dim_"))
+    dim.overwrite(users.select("user_id", (F.col("user_id") % 3).alias("tier")))  # v1
+
+    out = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t24_out_"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = dim.read()  # re-resolve the dim EVERY batch: snapshot-per-batch
+        enriched = batch_df.join(F.broadcast(cur), "user_id").select(
+            "event_id",
+            "tier",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        out.append(enriched, txn=("t24", int(batch_id)))
+        if int(batch_id) == 0:  # the dim upgrade lands between batches
+            dim.overwrite(
+                users.select(
+                    "user_id",
+                    (
+                        F.col("user_id") % 3
+                        + F.when(F.col("user_id") % 7 == 0, 10).otherwise(0)
+                    ).alias("tier"),
+                )
+            )  # v2
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    from ..streaming.jobs import run_foreach_batch
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+    shutil.rmtree(d, ignore_errors=True)
+
+    res = out.read()
+    # snapshot-per-batch really happened: a %7 user carries tier t in its
+    # even-id rows and t+10 in its odd-id rows
+    assert res.filter(F.col("tier") >= 10).limit(1).collect(), (
+        "dim upgrade never reached batch 1"
+    )
+    assert (
+        res.filter((F.col("event_id") % 2 == 0) & (F.col("tier") >= 10)).count() == 0
+    ), "batch 0 must have joined dim v1"
+
+    return res.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )

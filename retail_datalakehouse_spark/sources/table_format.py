@@ -1060,6 +1060,10 @@ class VersionedTable:
         if v is None:
             return None
         entry = self._manifest(v)
+        if entry.get("dv_dirs"):
+            # merge-on-read version: file stats still count tombstoned
+            # rows — MIN/MAX/COUNT from them would be wrong
+            return None
         files = entry.get("files")
         if not files:
             return None
@@ -1097,8 +1101,13 @@ class VersionedTable:
         entry = self._manifest(v)
         data_dir = os.path.join(self.path, entry["data_dir"])
         pred = lambda d: (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))  # noqa: E731
-        files = entry.get("files")
-        if files is None:  # stats omitted (huge commit / legacy manifest)
+        files = None if entry.get("dv_dirs") else entry.get("files")
+        if files is None:
+            # Stats omitted (huge commit / legacy manifest), or a
+            # merge-on-read version (dv_dirs): the file list alone would
+            # RESURRECT tombstoned rows, so route through read_version,
+            # which applies the anti-join. (delete_mor manifests never
+            # carry `files`; the dv_dirs guard makes that explicit.)
             df = self.read_version(v).filter(pred(None))
             return df, -1, -1
         nlo, nhi = _stats_norm(lo), _stats_norm(hi)
@@ -1135,7 +1144,9 @@ class VersionedTable:
         if v is None:
             raise ValueError(f"cannot scan empty table {self.path}")
         entry = self._manifest(v)
-        files = entry.get("files")
+        # dv guard: see read_pruned — a merge-on-read version's file list
+        # would resurrect tombstoned rows
+        files = None if entry.get("dv_dirs") else entry.get("files")
         if files is None:
             df = self.read_version(v).filter(F.col(col).isin(values))
             return df, -1, -1

@@ -705,3 +705,20 @@ def test_manifest_stats_in_list_pruning(spark, tmp_path):
     ]
     _, n0, _ = t.read_pruned_in("k", [99_999])
     assert n0 == 0
+
+
+def test_manifest_pruning_never_resurrects_mor_deletes(spark, tmp_path):
+    """A merge-on-read version's manifest must route pruned scans and
+    stats through the tombstone-aware read path — the raw file list
+    would resurrect deleted rows."""
+    t = VersionedTable(spark, str(tmp_path / "mordv"))
+    df = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    t.overwrite(df.repartitionByRange(4, "k"))
+    t.delete_mor(F.col("k") < 100, keys=["k"])
+
+    got, n_read, n_total = t.read_pruned("k", 0, 199)
+    assert (n_read, n_total) == (-1, -1)  # fell back to the dv-aware path
+    assert sorted(r.k for r in got.collect()) == list(range(100, 200))
+    got_in, ni, _ = t.read_pruned_in("k", [50, 150])
+    assert ni == -1 and [r.k for r in got_in.collect()] == [150]
+    assert t.stats_agg("k") is None  # file stats count tombstoned rows

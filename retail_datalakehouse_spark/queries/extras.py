@@ -1478,8 +1478,9 @@ def x_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_mprune_"))
-    # range-clustered layout: each file covers a narrow o_orderdate slice
-    t.overwrite(o.repartitionByRange(16, "o_orderdate"))
+    # declared clustering: each file covers a narrow o_orderdate slice
+    t.overwrite(o, cluster_by=["o_orderdate"])
+    assert t._manifest(1)["cluster_by"] == ["o_orderdate"]  # layout recorded
 
     lo = datetime.datetime(1995, 1, 1)
     hi = datetime.datetime(1995, 6, 30)
@@ -1579,7 +1580,7 @@ def x_point_lookup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", F.year("o_orderdate").cast("long").alias("y")
     )
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_pointman_"))
-    t.overwrite(o.repartitionByRange(16, "o_orderkey"))
+    t.overwrite(o, cluster_by=["o_orderkey"])
 
     mx = o.agg(F.max("o_orderkey")).first()[0]
     probes = [mx // 7, mx // 3, (2 * mx) // 3, mx]

@@ -230,6 +230,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         cdf_df: DataFrame | None = None,
         pending_txn_marker: str | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -301,6 +302,9 @@ class VersionedTable:
             # transaction watermarks carry forward: {writer_id: last batch}
             "txn": dict(self._txn_state(parent), **(txn or {})),
             "files": file_stats,
+            # declared layout metadata (Iceberg sort-order analogue):
+            # which columns this snapshot is range-clustered on
+            "cluster_by": cluster_by,
         }
         if pending_txn_marker is not None:
             entry["pending_txn_marker"] = pending_txn_marker
@@ -389,6 +393,7 @@ class VersionedTable:
         serializable: bool = False,
         partition_by: list[str] | None = None,
         cdf_build: Callable[[DataFrame | None], DataFrame] | None = None,
+        cluster_by: list[str] | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -429,6 +434,7 @@ class VersionedTable:
                     modified_keys=modified_keys,
                     partition_by=partition_by,
                     cdf_df=cdf_df,
+                    cluster_by=cluster_by,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -442,15 +448,37 @@ class VersionedTable:
 
     # ------------------------------------------------------------- writes
 
-    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+    def overwrite(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int = 16,
+    ) -> int:
         """Replace the table with ``df``. ``partition_by`` evolves the
         snapshot's physical layout (hive-style directories) without
         touching the logical schema — the Iceberg partition-evolution
         semantics: old snapshots keep their old layout, time travel and
         CDF still work across layout changes, and readers prune by the
-        layout of the snapshot they read."""
+        layout of the snapshot they read.
+
+        ``cluster_by`` (Delta liquid-clustering / Iceberg sort-order
+        analogue): range-cluster the snapshot on the given columns into
+        ``cluster_files`` files, so each file covers a narrow key slice
+        and the manifest's per-file min/max actually PRUNE
+        (:meth:`read_pruned` / :meth:`read_pruned_in`). Recorded in the
+        manifest as declared layout metadata. Orthogonal to
+        ``partition_by`` — clustering shapes files, partitioning shapes
+        directories."""
+        if cluster_by:
+            from pyspark.sql import functions as F
+
+            df = df.repartitionByRange(
+                cluster_files, *[F.col(c) for c in cluster_by]
+            )
         return self._commit_with_retry(
-            lambda cur: df, "overwrite", partition_by=partition_by
+            lambda cur: df, "overwrite", partition_by=partition_by,
+            cluster_by=cluster_by,
         )
 
     def overwrite_where(

@@ -1563,6 +1563,26 @@ class LakehouseTransaction:
     ) -> int:
         return self._stage(table, "overwrite", lambda cur: df, txn=txn)
 
+    def merge(
+        self,
+        table: VersionedTable,
+        updates: DataFrame,
+        keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> int:
+        """Upsert ``updates`` into ``table`` inside the transaction —
+        MERGE's snapshot derives from the table's current version at
+        stage time; the version-slot claim makes that read stable until
+        the commit point (any concurrent writer conflicts on the slot,
+        so a staged merge can never be silently based on a stale
+        snapshot)."""
+        return self._stage(
+            table,
+            "merge",
+            lambda cur: updates if cur is None else merge_upsert(cur, updates, keys),
+            txn=txn,
+        )
+
     # ----------------------------------------------------- commit / abort
 
     def _link_marker(self, kind: str, payload: dict) -> None:

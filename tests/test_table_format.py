@@ -722,3 +722,33 @@ def test_manifest_pruning_never_resurrects_mor_deletes(spark, tmp_path):
     got_in, ni, _ = t.read_pruned_in("k", [50, 150])
     assert ni == -1 and [r.k for r in got_in.collect()] == [150]
     assert t.stats_agg("k") is None  # file stats count tombstoned rows
+
+
+def test_multi_table_txn_merge(spark, tmp_path):
+    """Transactional MERGE: an upsert staged with an append to a second
+    table commits atomically — and an abort rolls BOTH back."""
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    a.overwrite(spark.createDataFrame([(1, 10), (2, 20)], ["k", "v"]))
+    b.overwrite(spark.createDataFrame([(9, 90)], ["k", "v"]))
+
+    upd = spark.createDataFrame([(2, 99), (3, 30)], ["k", "v"])
+    with LakehouseTransaction(str(tmp_path / "txns")) as tx:
+        tx.merge(a, upd, ["k"])
+        tx.append(b, spark.createDataFrame([(8, 80)], ["k", "v"]))
+    assert {(r.k, r.v) for r in a.read().collect()} == {(1, 10), (2, 99), (3, 30)}
+    assert {r.k for r in b.read().collect()} == {8, 9}
+
+    # aborted merge leaves both untouched
+    try:
+        with LakehouseTransaction(str(tmp_path / "txns")) as tx:
+            tx.merge(a, spark.createDataFrame([(1, -1)], ["k", "v"]), ["k"])
+            raise RuntimeError("die")
+    except RuntimeError:
+        pass
+    assert {(r.k, r.v) for r in a.read().collect()} == {(1, 10), (2, 99), (3, 30)}

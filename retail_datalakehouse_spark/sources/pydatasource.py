@@ -113,6 +113,63 @@ class SynthEventsStreamReader(SimpleDataSourceStreamReader):
         return iter([_synth_row(i) for i in range(start["pos"], end["pos"])])
 
 
+def _cdf_schema_ddl(path: str, table_schema: str | None) -> str:
+    """Schema for a CDF stream: the caller's DDL, or — when omitted —
+    derived from the latest committed version's FIRST change-feed parquet
+    footer (a driver-side metadata read; the CDF files already carry the
+    table columns + _change_type, so the footer IS the contract)."""
+    if table_schema is not None:
+        return f"{table_schema}, _change_type string, _version int"
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    mdir = os.path.join(path, "_manifest")
+    entries = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                e = json.load(fh)
+            if "pending_txn_marker" not in e and e.get("cdf_dir"):
+                entries.append(e)
+    if not entries:
+        raise ValueError(
+            f"cannot infer CDF schema at {path}: no committed version with a "
+            "recorded change feed (pass the tableSchema option, or commit to "
+            "a record_cdf table first)"
+        )
+    latest = max(entries, key=lambda e: e["version"])
+    d = os.path.join(path, latest["cdf_dir"])
+    first = next(
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(d)
+        for f in sorted(files)
+        if f.endswith(".parquet")
+    )
+    arrow_to_ddl = {
+        "int64": "bigint", "int32": "int", "double": "double",
+        "float": "float", "string": "string", "large_string": "string",
+        "bool": "boolean", "date32[day]": "date",
+    }
+    cols = []
+    for field in pq.read_schema(first):
+        t = str(field.type)
+        if t.startswith("timestamp"):
+            ddl = "timestamp"
+        elif t.startswith("decimal"):
+            ddl = t
+        else:
+            ddl = arrow_to_ddl.get(t)
+            if ddl is None:
+                raise ValueError(
+                    f"cannot map CDF column {field.name!r} type {t} to DDL; "
+                    "pass the tableSchema option explicitly"
+                )
+        cols.append(f"{field.name} {ddl}")
+    return ", ".join(cols) + ", _version int"
+
+
 class VersionedCdfStreamDataSource(DataSource):
     """Stream a :class:`VersionedTable`'s CHANGE FEED — the
     ``spark.readStream.table`` / Delta CDF-streaming analogue, built on
@@ -142,7 +199,7 @@ class VersionedCdfStreamDataSource(DataSource):
         return "versioned_cdf_stream"
 
     def schema(self) -> str:
-        return f"{self.options['tableSchema']}, _change_type string, _version int"
+        return _cdf_schema_ddl(self.options["path"], self.options.get("tableSchema"))
 
     def simpleStreamReader(self, schema) -> "VersionedCdfStreamReader":
         return VersionedCdfStreamReader(self.options["path"])
@@ -232,7 +289,7 @@ class VersionedCdfScaleStreamDataSource(DataSource):
         return "versioned_cdf_stream_scale"
 
     def schema(self) -> str:
-        return f"{self.options['tableSchema']}, _change_type string, _version int"
+        return _cdf_schema_ddl(self.options["path"], self.options.get("tableSchema"))
 
     def streamReader(self, schema) -> "VersionedCdfScaleStreamReader":
         return VersionedCdfScaleStreamReader(self.options["path"])

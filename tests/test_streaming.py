@@ -527,3 +527,37 @@ def test_cdf_stream_scale_source_matches_simple(spark, tmp_path):
     assert rows["versioned_cdf_stream"] == rows["versioned_cdf_stream_scale"]
     versions = {r[-1] for r in rows["versioned_cdf_stream_scale"]}
     assert versions == {1, 2, 3, 4}
+
+
+def test_cdf_stream_schema_inference(spark, tmp_path):
+    """With no tableSchema option, the CDF sources derive the schema from
+    the latest change-feed parquet footer and deliver identical rows."""
+    from retail_datalakehouse_spark.sources.pydatasource import (
+        VersionedCdfScaleStreamDataSource,
+    )
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    try:
+        spark.dataSource.register(VersionedCdfScaleStreamDataSource)
+    except Exception:
+        pass
+    t = VersionedTable(spark, str(tmp_path / "tbl"), record_cdf=True, cdf_keys=["k"])
+    t.append(
+        spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.5).alias("p"))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("versioned_cdf_stream_scale")
+        .option("path", t.path)  # NO tableSchema: inferred from CDF footer
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"k", "p", "_change_type", "_version"}
+    assert got.count() == 10
+    assert {r._change_type for r in got.collect()} == {"insert"}

@@ -445,3 +445,64 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def oph_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 64,
+    w: int = 3,
+    id_cols: list[str] | None = None,
+    max_hops: int = 8,
+) -> DataFrame:
+    """One-permutation MinHash (Li/Owen/Zhang, NIPS 2012) with bounded
+    rotation densification (Shrivastava & Li, ICML 2014): hash every
+    distinct shingle ONCE, split the hash range into ``k`` bins (bucket =
+    h % k), keep the per-bin minimum — O(shingles) signature arithmetic
+    vs classic minhash's O(k·shingles). Honest measurement (r8, local[8]):
+    end-to-end the two are CLOSE at k=64 — 6.9 s vs 7.3 s on a 5k-doc
+    shingle-heavy corpus, 4.5 s vs 5.1 s on sf1 documents — because the
+    classic path's 64 multiply-adds ride map-side partial-min aggregates
+    and the pipeline is shingling/shuffle-bound. The asymptotic gap pays
+    off as k grows (large-k signatures for tighter thresholds) and on
+    very long documents; at k=64 treat this as the literature-standard
+    alternative, not a speedup. Empty bins borrow the nearest following non-empty
+    bin's value, offset-salted per hop so a borrowed value only matches
+    when the whole borrowing pattern matches; a run of more than
+    ``max_hops`` empty bins falls back to a doc-level fill (global min +
+    salted bin index), which is identical for identical docs and noise
+    otherwise. Same (*id_cols, signature) output as
+    :func:`minhash_signature` — drop-in for :func:`banded_signatures` /
+    :func:`lsh_candidate_pairs`.
+
+    Estimator caveat (why this is the THROUGHPUT path, not a semantics
+    change): with few distinct shingles relative to k, densified bins
+    dominate and per-bin agreement is pattern-driven rather than an
+    unbiased Jaccard estimate — banding recall survives (pinned by test
+    + the verified-pairs oracle), but don't read Jaccard off bin-match
+    fractions; the verify stage computes it exactly anyway.
+    """
+    _HOP_SALT = 1_000_000_007  # distinguishes hop distances
+    _FILL_SALT = 2_000_000_011  # doc-level fallback fill spacing
+    id_cols = list(id_cols or [c for c in df.columns if c != text_col])
+    df = fan_out(df)
+    exploded = df.select(
+        *id_cols, F.explode(F.array_distinct(shingles(text_col, w))).alias("__sh")
+    ).withColumn("__h", F.abs(F.xxhash64("__sh")) % _MERSENNE)
+    bin_mins = exploded.groupBy(
+        *id_cols, (F.col("__h") % k).alias("__b")
+    ).agg(F.min("__h").alias("__m"))
+    assembled = bin_mins.groupBy(*id_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("__b", "__m"))).alias("__mm"),
+        F.min("__m").alias("__g"),
+    )
+
+    def densify(i):
+        hops = [
+            F.element_at(F.col("__mm"), (i + F.lit(j)) % k) + F.lit(j * _HOP_SALT)
+            for j in range(max_hops + 1)
+        ]
+        return F.coalesce(*hops, F.col("__g") + i * F.lit(_FILL_SALT))
+
+    sig = F.transform(F.sequence(F.lit(0), F.lit(k - 1)).cast("array<long>"), densify)
+    return assembled.select(*id_cols, sig.alias("signature"))

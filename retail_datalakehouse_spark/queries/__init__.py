@@ -244,6 +244,7 @@ _PROMOTE_R8 = [
     "t23_stateful_processor",
     "x_point_lookup_manifest",
     "t24_stream_dim_join",
+    "l2_oph_neardup",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

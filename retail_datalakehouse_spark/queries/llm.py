@@ -3616,3 +3616,50 @@ def l3_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 1).head()["embedding"]]
     live = read_ivf_index(spark, path).filter(F.col("vec_id") != 1)
     return topk_cosine(live, qvec, k=10, round_to=6)
+
+
+@register(
+    "l2_oph_neardup",
+    # Same exact-pairs contract as l2_word_jaccard: the oracle knows
+    # nothing about OPH — hash-equality proves the one-pass signatures'
+    # banding lost NO qualifying pair before the exact verify.
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM documents WHERE doc_id < 1000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+""",
+    tags=("L2",),
+)
+def l2_oph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-PERMUTATION MinHash near-dup (operators/minhash.py::
+    oph_signature — Li 2012 + rotation densification, Shrivastava 2014):
+    the signature pass hashes each distinct token ONCE and bins it
+    instead of evaluating 64 permutations per token. Measured honestly
+    (see the operator docstring): end-to-end parity with the classic
+    pipeline at k=64 — the win is asymptotic (grows with k and document
+    length), not a headline speedup here. Candidates come from the same
+    16×4 banding, the exact word-Jaccard verify is unchanged, and the
+    oracle is the full exact pair set at j ≥ 0.9 — so the hash proves
+    the one-pass signatures' banding missed nothing, which is the
+    property that makes OPH safe to adopt when k does need to grow."""
+    from ..operators.minhash import jaccard_pairs, lsh_candidate_pairs, oph_signature
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sig = oph_signature(
+        d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
+    )
+    cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
+    return jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cand)

@@ -1166,3 +1166,22 @@ def test_ivf_compaction_reclaims_tombstones_same_results(spark, sf_dir, tmp_path
     os.rename(part, part + ".old")
     healed = read_ivf_index(spark, path)  # reader heals the swap
     assert os.path.isdir(part) and healed.count() == n_live
+
+
+def test_oph_signature_dedup_recall(spark, docs_df):
+    """One-permutation signatures: identical docs → identical signatures;
+    the 16x4 banding over OPH bins must surface every true near-dup of
+    the fixture, and the verify stage yields exactly the classic
+    pipeline's pair set."""
+    from retail_datalakehouse_spark.operators.minhash import oph_signature
+
+    sig = oph_signature(docs_df, "text", k=64, w=3, id_cols=["doc_id"])
+    rows = {r.doc_id: list(r.signature) for r in sig.collect()}
+    assert all(len(s) == 64 for s in rows.values())
+    assert rows[0] == rows[4]  # exact dup: bit-identical signature
+    cand = lsh_candidate_pairs(sig, "doc_id", 16, 4)
+    verified = jaccard_pairs(
+        docs_df, "doc_id", "text", w=3, threshold=0.5, candidates=cand
+    )
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert got == {(0, 1), (0, 4), (1, 4)}  # same set as the k-perm pipeline

@@ -119,3 +119,59 @@ def bloom_probe(words: list[int], hash_col: Column, m_bits: int = 1 << 17, k: in
 def shingle_hash(col: Column) -> Column:
     """The one hash both build and probe share: non-negative xxhash64."""
     return F.abs(F.xxhash64(col))
+
+
+def bloom_words_by_file_df(
+    df, col: str, file_col: str = "__file", m_bits: int = 1024, k: int = 5
+):
+    """Per-FILE bloom words for a column — the build plan of
+    VersionedTable.build_bloom_index (the Hudi bloom-index / Delta
+    ``CREATE BLOOMFILTER INDEX`` idea): one column-pruned scan computes
+    ``xxhash64(col)``, derives the SAME k Kirsch-Mitzenmacher positions
+    as :func:`build_bloom` / :func:`bloom_test`, and OR-folds them per
+    (source file, 64-bit word) with a two-phase ``bit_or`` — partial
+    aggregation collapses each task's output to ≤ files×m_bits/64 rows
+    before the shuffle. NULLs are dropped first: an equality probe can
+    never match NULL, so files holding only NULLs legitimately produce
+    no words (= always-skip for point lookups).
+
+    Output: (``file_col``, w, word) — ≤ m_bits/64 rows per file."""
+    h = F.xxhash64(F.col(col))
+    h1 = F.pmod(h, F.lit(m_bits))
+    h2 = F.pmod(F.shiftrightunsigned(h, 17).bitwiseOR(F.lit(1)), F.lit(m_bits))
+    pos = F.explode(
+        F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)])
+    ).alias("pos")
+    return (
+        df.filter(F.col(col).isNotNull())
+        .select(F.col(file_col).alias("file"), pos)
+        .select(
+            "file",
+            (F.col("pos") / 64).cast("int").alias("w"),
+            F.pmod(F.col("pos"), F.lit(64)).cast("int").alias("b"),
+        )
+        .select(
+            "file",
+            "w",
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), F.col("b")
+            ).alias("m"),
+        )
+        .groupBy("file", "w")
+        .agg(F.bit_or("m").alias("word"))
+    )
+
+
+def bloom_test(words: list[int], h: int, m_bits: int, k: int) -> bool:
+    """Driver-side membership probe against one file's word array —
+    mirrors :func:`build_bloom`'s position math exactly (Python ``%`` ==
+    Spark ``pmod`` for any sign; the masked logical shift mirrors
+    ``shiftrightunsigned``), so a value hashed JVM-side at build time is
+    always found (no false negatives)."""
+    h1 = h % m_bits
+    h2 = (((h & 0xFFFFFFFFFFFFFFFF) >> 17) | 1) % m_bits
+    for i in range(k):
+        pos = (h1 + i * h2) % m_bits
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False
+    return True

@@ -245,6 +245,8 @@ _PROMOTE_R8 = [
     "x_point_lookup_manifest",
     "t24_stream_dim_join",
     "l2_oph_neardup",
+    "x_bloom_index_sidecar",
+    "x_time_travel_timestamp",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

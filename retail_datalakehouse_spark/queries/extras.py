@@ -1587,3 +1587,136 @@ def x_point_lookup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, n_read, n_total = t.read_pruned_in("o_orderkey", probes)
     assert 0 < n_read < n_total, (n_read, n_total)  # manifest really pruned
     return df.select(F.col("o_orderkey").alias("k"), "o_totalprice", "y")
+
+
+_H32E = (
+    "list_sum([ (strpos('0123456789abcdef', substr(md5({sig}), i, 1)) - 1)"
+    " * CAST(16 ** (8 - i) AS BIGINT) for i in range(1, 9)])"
+)
+
+_POINT_BLOOM_SQL = f"""
+WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+probes AS (
+  SELECT {_H32E.format(sig="CAST(m // 7 AS VARCHAR)")} AS hk FROM mx
+  UNION ALL SELECT {_H32E.format(sig="CAST(m // 3 AS VARCHAR)")} FROM mx
+  UNION ALL SELECT {_H32E.format(sig="CAST((2 * m) // 3 AS VARCHAR)")} FROM mx
+  UNION ALL SELECT {_H32E.format(sig="CAST(m AS VARCHAR)")} FROM mx
+),
+keyed AS (
+  SELECT o_orderkey, o_totalprice,
+         {_H32E.format(sig="CAST(o_orderkey AS VARCHAR)")} AS hk
+  FROM orders
+)
+SELECT k.o_orderkey AS k, k.o_totalprice
+FROM keyed k JOIN probes p ON k.hk = p.hk
+"""
+
+
+@register("x_bloom_index_sidecar", oracle=_POINT_BLOOM_SQL, tags=("S6", "P4"), doc="")
+def x_bloom_index_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup on a HASH-DISTRIBUTED key, planned from the TABLE-
+    FORMAT-MANAGED bloom sidecar (VersionedTable.build_bloom_index — the Hudi
+    bloom-index / Delta CREATE BLOOMFILTER INDEX idea). The probe column
+    is an md5-derived 32-bit key uniformly spread across a random file
+    layout, so every file's [min, max] spans ≈ the whole key space and
+    zone maps keep everything — asserted in-query (n_zone == n_total
+    before the index exists). After one column-pruned build scan
+    (xxhash64 → k Kirsch-Mitzenmacher positions → two-phase
+    groupBy(file, word).bit_or), the SAME read_pruned_in call consults
+    the sidecar and opens only bloom-positive files — asserted strictly
+    fewer. Differs from x_point_lookup_bloom (sources/skipping.py: a
+    reader-owned stats layer over a plain directory) in that the index
+    here is OWNED BY THE TABLE FORMAT: keyed to an immutable snapshot
+    version, composed with the manifest's zone maps inside one
+    read_pruned_in planner, and guarded against merge-on-read versions. Blooms have no false negatives (probe math mirrors build math
+    bit-for-bit), so the result equals the plain filter the oracle runs;
+    at 100 TB this is the difference between scanning every file of an
+    id-keyed table for a point lookup and opening ~1."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    h32 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = o.withColumn("hkey", h32(F.col("o_orderkey")))
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_bloomidx_"))
+    # deliberately NOT clustered on hkey: the adversarial-for-zone-maps
+    # layout every id-keyed table has
+    t.overwrite(d.repartition(12))
+
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    keys = [mx // 7, mx // 3, (2 * mx) // 3, mx]
+    probes = [
+        r["hk"]
+        for r in spark.createDataFrame([(x,) for x in keys], "k long")
+        .select(h32(F.col("k")).alias("hk"))
+        .collect()
+    ]
+    _, n_zone, n_total = t.read_pruned_in("hkey", probes)
+    assert n_zone == n_total, (n_zone, n_total)  # zone maps can't prune this
+    t.build_bloom_index(["hkey"])
+    df, n_bloom, _ = t.read_pruned_in("hkey", probes)
+    assert n_bloom < n_zone, (n_bloom, n_zone)  # blooms can
+    return df.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+
+
+_ASOF_TS_SQL = f"""
+WITH mx AS (SELECT MAX(o_orderkey) // 2 AS half FROM orders)
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders, mx
+GROUP BY 1
+"""
+
+
+@register("x_time_travel_timestamp", oracle=_ASOF_TS_SQL, tags=("S6",), doc="")
+def x_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel by TIMESTAMP (VersionedTable.read_asof — Delta's
+    ``timestampAsOf`` / Iceberg's ``as-of-timestamp``): version
+    resolution is a pure manifest read (greatest ``committed_at`` ≤ the
+    asked instant; O(versions) driver work, no data access, no listing).
+    The table takes three commits — lower half, append of the upper half
+    (v2 = the full orders slice), then an overwrite that doubles prices —
+    and the query reads AS OF v2's commit instant. In-query assertions
+    pin the Delta contract: the resolved version is exactly 2, an
+    instant between v2 and v3 still serves v2, "now" serves the head,
+    and an instant before the first commit raises (no table state
+    existed). The returned aggregate over the as-of read equals the
+    oracle's aggregate over pristine orders — proving the time-travel
+    read is byte-faithful to v2, untouched by the later overwrite."""
+    import tempfile
+    import time
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    half = o.agg((F.max("o_orderkey") / 2).cast("long")).first()[0]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_asofts_"))
+    t.overwrite(o.filter(F.col("o_orderkey") <= half))  # v1
+    t.append(o.filter(F.col("o_orderkey") > half))  # v2 == full slice
+    t.overwrite(  # v3: later state the as-of read must NOT see
+        o.withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    )
+    hist = t.history()
+    ts2, ts3 = hist[1]["committed_at"], hist[2]["committed_at"]
+    assert t.version_asof(ts2) == 2
+    assert t.version_asof((ts2 + ts3) / 2) == 2  # between commits → v2
+    assert t.version_asof(time.time()) == 3  # "now" → head
+    try:
+        t.version_asof(hist[0]["committed_at"] - 1.0)
+        raise AssertionError("asof before first commit must raise")
+    except ValueError:
+        pass
+    return (
+        t.read_asof(ts2)
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )

@@ -1188,6 +1188,27 @@ class VersionedTable:
                 or any(x is not None and fmin <= x <= fmax for x in nvals)
             ):
                 keep.append(f["path"])
+        # Bloom sidecar refinement (build_bloom_index): zone maps are the
+        # first line of pruning; when the snapshot carries a per-file
+        # bloom for this column, test every zone-surviving file against
+        # the probes' JVM-computed hashes and drop definite misses. A
+        # file ABSENT from a built sidecar had zero non-NULL values (the
+        # build enumerates the whole snapshot dir), so it cannot match an
+        # equality probe. No false negatives: bloom_test mirrors the
+        # build's position math bit-for-bit.
+        blooms = self._bloom_sidecar(v) if keep else None
+        if blooms and col in blooms.get("cols", {}):
+            from ..operators.bloom import bloom_test
+
+            hs = self._hash_probe_values(values, blooms["dtypes"][col])
+            bm, bk = blooms["m_bits"], blooms["k"]
+            per_file = blooms["cols"][col]
+            keep = [
+                p
+                for p in keep
+                if (w := per_file.get(p)) is not None
+                and any(bloom_test(w, h, bm, bk) for h in hs)
+            ]
         if not keep:
             empty = self.read_version(v).filter(F.lit(False))
             return empty, 0, len(files)
@@ -1199,6 +1220,132 @@ class VersionedTable:
             F.col(col).isin(values)
         )
         return df, len(keep), len(files)
+
+    def _bloom_sidecar_path(self, version: int) -> str:
+        # MUST NOT match _versions()'s `v*.json` manifest glob
+        return os.path.join(self._manifest_dir, f"bloom-v{version}.json")
+
+    def build_bloom_index(
+        self,
+        cols: list[str],
+        m_bits: int | None = None,
+        k: int = 7,
+        version: int | None = None,
+    ) -> dict:
+        """Per-file Bloom-filter index for point-lookup file skipping —
+        the Hudi bloom-index / Delta ``CREATE BLOOMFILTER INDEX`` idea.
+        Zone maps (per-file min/max) prune point lookups only when the
+        layout is clustered on the probe column; a high-cardinality key
+        spread uniformly across files gives every file ≈ the global
+        [min, max] and zone maps keep everything. A ~m_bits-bit bloom
+        per file answers "could this file contain value v?" regardless
+        of layout.
+
+        Build is ONE distributed column-pruned scan per call (all
+        ``cols`` together): xxhash64 → k positions → two-phase
+        ``groupBy(file, word).bit_or`` (operators/bloom.py::
+        bloom_words_by_file_df); the driver collects ≤ files×m_bits/64
+        words and writes a SIDECAR next to the manifest
+        (``v{N}.bloom.json``, tmp+rename — idempotent, deterministic
+        content, so concurrent builders converge). The committed
+        manifest itself is never mutated. At 100 TB: index build cost is
+        a single scan of the indexed columns; probe cost is O(files)
+        driver bit math at PLAN time, zero data reads for skipped files.
+
+        Raises on merge-on-read versions (file grain lies under
+        deletion vectors) and when the manifest carries no per-file
+        stats (huge-commit fallback)."""
+        from pyspark.sql import functions as F
+
+        from ..operators.bloom import bloom_words_by_file_df
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot index empty table {self.path}")
+        entry = self._manifest(v)
+        if entry.get("dv_dirs"):
+            raise ValueError(
+                "bloom index on a merge-on-read version would describe "
+                "tombstoned rows; compact first"
+            )
+        if entry.get("files") is None:
+            raise ValueError(
+                "manifest carries no per-file stats; bloom sidecar "
+                "requires the per-file manifest"
+            )
+        if m_bits is None:
+            # Size for the BIGGEST file at ~10 bits per row (with k=7
+            # that's ≈0.8% false positives — the classic m/n=10 point;
+            # Hudi's index defaults to the same order). Known from the
+            # manifest for free; rounded up to a power of two, capped at
+            # 2^24 bits = 2 MiB of words per file per column so a
+            # mis-sized call can't explode the sidecar.
+            mx = max((f["n_rows"] for f in entry["files"]), default=1)
+            m_bits = 1024
+            while m_bits < 10 * mx and m_bits < (1 << 24):
+                m_bits <<= 1
+        data_dir = os.path.join(self.path, entry["data_dir"])
+        reader = self.spark.read
+        if entry.get("partition_by"):
+            reader = reader.option("basePath", data_dir)
+        df = reader.parquet(data_dir).withColumn(
+            "__file", F.input_file_name()
+        )
+        dtypes = dict(df.dtypes)
+        missing = [c for c in cols if c not in dtypes]
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+
+        from urllib.parse import unquote, urlparse
+
+        def _rel(uri: str) -> str:
+            return os.path.relpath(unquote(urlparse(uri).path), data_dir)
+
+        n_words = m_bits // 64
+        sidecar_cols: dict = {}
+        for c in cols:
+            per_file: dict = {}
+            for r in bloom_words_by_file_df(
+                df, c, m_bits=m_bits, k=k
+            ).collect():
+                words = per_file.setdefault(_rel(r["file"]), [0] * n_words)
+                words[r["w"]] = r["word"]
+            sidecar_cols[c] = per_file
+        sidecar = {
+            "version": v,
+            "m_bits": m_bits,
+            "k": k,
+            "dtypes": {c: dtypes[c] for c in cols},
+            "cols": sidecar_cols,
+        }
+        tmp = self._bloom_sidecar_path(v) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(sidecar, f)
+        os.replace(tmp, self._bloom_sidecar_path(v))
+        return sidecar
+
+    def _bloom_sidecar(self, version: int) -> dict | None:
+        p = self._bloom_sidecar_path(version)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _hash_probe_values(self, values: list, dtype: str) -> list[int]:
+        """xxhash64 of each probe value, computed BY SPARK on a one-row-
+        per-value local relation with the indexed column's exact type —
+        the only way to guarantee bit-identical hashes with the build
+        scan (xxhash64 output depends on the input's Spark type)."""
+        from pyspark.sql import functions as F
+
+        rows = (
+            self.spark.createDataFrame(
+                [(x,) for x in values], schema=f"v {dtype}"
+            )
+            .select(F.xxhash64("v").alias("h"))
+            .collect()
+        )
+        return [r["h"] for r in rows]
 
     def changes(
         self, v_from: int, v_to: int, keys: list[str], verify_keys: bool = True
@@ -1408,6 +1555,31 @@ class VersionedTable:
             schema="version long, operation string, parent long, "
             "n_rows long, n_files long, layout string",
         )
+
+    def version_asof(self, ts: float) -> int:
+        """Delta ``timestampAsOf`` resolution: the LATEST version whose
+        ``committed_at`` is at-or-before ``ts`` (unix seconds). Answered
+        entirely from manifests — O(versions) driver reads, no data
+        access. Raises when ``ts`` predates the first commit (Delta's
+        contract: there is no table state to serve)."""
+        cands = [
+            e["version"]
+            for e in self.history()
+            if e.get("committed_at") is not None and e["committed_at"] <= ts
+        ]
+        if not cands:
+            raise ValueError(
+                f"no snapshot at {self.path} committed at or before {ts}"
+            )
+        return max(cands)
+
+    def read_asof(self, ts: float) -> DataFrame:
+        """Time travel by TIMESTAMP (Delta's ``timestampAsOf`` /
+        Iceberg's ``as-of-timestamp`` scan option): resolve the snapshot
+        via :meth:`version_asof`, then read it like any other version
+        (merge-on-read tombstones and branch-invisible staging dirs
+        behave identically to :meth:`read_version`)."""
+        return self.read_version(self.version_asof(ts))
 
     def read_version(self, version: int) -> DataFrame:
         """Time travel: read any committed snapshot (dir resolved through

@@ -752,3 +752,68 @@ def test_multi_table_txn_merge(spark, tmp_path):
     except RuntimeError:
         pass
     assert {(r.k, r.v) for r in a.read().collect()} == {(1, 10), (2, 99), (3, 30)}
+
+
+def test_bloom_sidecar_prunes_and_never_misses(spark, tmp_path):
+    # high-cardinality key spread uniformly over a random layout: zone
+    # maps keep every file, the bloom sidecar must do the pruning
+    df = spark.range(0, 2000).select(
+        F.col("id"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hkey"),
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df.repartition(8))
+
+    probes = [r["hkey"] for r in df.filter(F.col("id").isin([7, 1234, 1999])).collect()]
+    _, n_zone, n_total = t.read_pruned_in("hkey", probes)
+    assert n_zone == n_total == 8  # zone maps useless on hashed keys
+
+    sc = t.build_bloom_index(["hkey"])
+    assert sc["m_bits"] >= 2048 and set(sc["cols"]) == {"hkey"}
+    got, n_bloom, _ = t.read_pruned_in("hkey", probes)
+    assert n_bloom < n_zone
+    # no false negatives: every probed row comes back
+    assert sorted(r["id"] for r in got.collect()) == [7, 1234, 1999]
+    # a key outside the table prunes everything (whp at this FP rate)
+    miss, n_miss, _ = t.read_pruned_in("hkey", [999_999_999_999])
+    assert n_miss <= 1 and miss.filter(F.col("hkey") == 999_999_999_999).count() == 0
+
+
+def test_bloom_sidecar_version_scoped_and_guards(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 100).select(F.col("id"), (F.col("id") * 3).alias("k")))
+    t.build_bloom_index(["k"])
+    # a new commit has no sidecar: read_pruned_in still works (zone maps only)
+    t.append(spark.range(100, 200).select(F.col("id"), (F.col("id") * 3).alias("k")))
+    got, n_read, n_total = t.read_pruned_in("k", [33, 333])
+    assert sorted(r["id"] for r in got.collect()) == [11, 111]
+    # unknown column raises at build
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no such columns"):
+        t.build_bloom_index(["nope"])
+    # merge-on-read versions refuse an index (file grain lies under DVs)
+    t.delete_mor("id >= 150", keys=["id"])
+    with _pt.raises(ValueError, match="merge-on-read"):
+        t.build_bloom_index(["k"])
+
+
+def test_read_asof_timestamp_resolution(spark, tmp_path):
+    import time
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, "a")], ["id", "s"]))
+    t.append(spark.createDataFrame([(2, "b")], ["id", "s"]))
+    t.overwrite(spark.createDataFrame([(9, "z")], ["id", "s"]))
+    h = t.history()
+    ts1, ts2, ts3 = (e["committed_at"] for e in h)
+    assert t.version_asof(ts1) == 1
+    assert t.version_asof((ts2 + ts3) / 2) == 2
+    assert t.version_asof(time.time()) == 3
+    assert {r.id for r in t.read_asof(ts2).collect()} == {1, 2}
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="at or before"):
+        t.version_asof(ts1 - 1.0)

@@ -247,6 +247,7 @@ _PROMOTE_R8 = [
     "l2_oph_neardup",
     "x_bloom_index_sidecar",
     "x_time_travel_timestamp",
+    "s12_datasource_pushdown",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

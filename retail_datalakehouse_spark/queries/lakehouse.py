@@ -797,6 +797,66 @@ def s10_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s12_datasource_pushdown",
+    # the oracle regenerates ONLY the pushed range: rows are a pure
+    # function of event_id, so equality proves the narrowed generation
+    # produced exactly the filtered table
+    oracle="""
+WITH e AS (
+  SELECT range AS event_id,
+         (range * 2654435761) % 2147483648 AS h
+  FROM range(60000, 70000)),
+t AS (SELECT event_id, h % 97 AS user_id, h % 10000 AS amount_cents FROM e)
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(amount_cents) AS BIGINT) AS cents,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM t GROUP BY 1
+""",
+    tags=("S1", "P4"),
+)
+def s12_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter PUSHDOWN through a Python DataSource (Spark 4.1
+    ``pushFilters``): a range predicate on the seed column reaches the
+    connector, which narrows its own shard planning — 50 shards shrink
+    to the 5 that can contain matches, asserted on the planned partition
+    count. This is the connector-side analogue of parquet predicate
+    pushdown: at 100 TB the upstream (a sharded API, a key-ranged store)
+    is asked only for the matching shards instead of being drained and
+    filtered in Spark. The conf gate is flipped at RUNTIME because the
+    pushdown-capable reader hard-fails without it (Spark refuses a
+    pushFilters implementation while the feature flag is off — which is
+    also why this is a separate source from s10's, so plain reads on an
+    untuned session keep working). Consumed filters leave no residual
+    Filter node; the oracle regenerates the pushed range exactly."""
+    from ..sources.pydatasource import SynthEventsPushdownDataSource
+
+    try:
+        spark.dataSource.register(SynthEventsPushdownDataSource)
+    except Exception:
+        pass  # already registered on this session — idempotent re-run
+    # runtime conf, deliberately NOT restored: the plan executes after
+    # this function returns, and the flag only enables an optimization
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synth_events_pushdown")
+        .option("rows", 100000)
+        .option("partitions", 50)
+        .load()
+        .filter((F.col("event_id") >= 60000) & (F.col("event_id") < 70000))
+    )
+    # 100k rows / 50 shards = 2k-row shards; the pushed [60k, 70k) range
+    # plans exactly 5 of them — the pruning, observed at PLAN time
+    n_parts = df.rdd.getNumPartitions()
+    assert n_parts == 5, f"pushdown did not prune shards: {n_parts}"
+    return df.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount_cents").cast("long").alias("cents"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+
+
+@register(
     "s11_orc_roundtrip",
     # Oracle recomputes from the raw table: the hash proves the ORC
     # round-trip preserved every value and the pushed-down filter lost

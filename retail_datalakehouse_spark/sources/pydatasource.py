@@ -22,7 +22,12 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -52,21 +57,90 @@ class SynthEventsReader(DataSourceReader):
     def __init__(self, n_rows: int, n_partitions: int):
         self.n_rows = n_rows
         self.n_partitions = max(1, min(n_partitions, n_rows or 1))
+        # generation range; SynthEventsPushdownReader narrows it
+        self.lo, self.hi = 0, n_rows
 
     def partitions(self):
         # contiguous event_id ranges: the planning step — Spark schedules
-        # one task per InputPartition, each generating only its slice
+        # one task per InputPartition, each generating only its slice.
+        # Shard size is fixed from the FULL range, so a pushed-down range
+        # predicate visibly shrinks the task count (shards outside the
+        # range are never planned), exactly like file pruning on a scan.
         step = -(-self.n_rows // self.n_partitions)  # ceil div
+        lo, hi = self.lo, max(self.lo, self.hi)
+        if lo >= hi:
+            return [InputPartition((0, 0))]  # provably-empty scan
         return [
-            InputPartition((lo, min(lo + step, self.n_rows)))
-            for lo in range(0, self.n_rows, step)
+            InputPartition((p, min(p + step, hi)))
+            for p in range(lo - lo % step, hi, step)
         ]
 
     def read(self, partition: InputPartition):
         lo, hi = partition.value
-        for eid in range(lo, hi):
+        # clip the shard to the pushed range (the first/last shard may
+        # start before / end after it)
+        for eid in range(max(lo, self.lo), min(hi, self.hi)):
             h = (eid * _MULT) % (2**31)
             yield (eid, h % 97, h % 10_000)
+
+
+class SynthEventsPushdownDataSource(DataSource):
+    """``synth_events_pushdown`` — the same generator as ``synth_events``
+    with Spark 4.1 FILTER PUSHDOWN. A SEPARATE source on purpose: Spark
+    hard-fails ANY reader that implements ``pushFilters`` while
+    ``spark.sql.python.filterPushdown.enabled`` is false (the default),
+    so attaching pushdown to the base source would break every plain
+    read on an untuned session. Callers of this source must enable the
+    conf first (s12_datasource_pushdown does, at runtime)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synth_events_pushdown"
+
+    def schema(self) -> str:
+        return "event_id bigint, user_id bigint, amount_cents bigint"
+
+    def reader(self, schema) -> "SynthEventsPushdownReader":
+        return SynthEventsPushdownReader(
+            n_rows=int(self.options.get("rows", 1000)),
+            n_partitions=int(self.options.get("partitions", 8)),
+        )
+
+
+class SynthEventsPushdownReader(SynthEventsReader):
+    def pushFilters(self, filters):
+        """Range/point predicates on ``event_id`` — the source's seed
+        column — narrow the GENERATION range itself, so planning emits
+        only the shards that can contain matches (the connector analogue
+        of partition pruning against a sharded upstream). Fully-applied
+        filters are consumed (not yielded back), so Spark drops its
+        residual Filter; anything else is yielded back for Spark to
+        evaluate post-scan."""
+        for f in filters:
+            rng = None
+            if (
+                isinstance(
+                    f,
+                    (EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual),
+                )
+                and tuple(f.attribute) == ("event_id",)
+                and isinstance(f.value, int)
+            ):
+                if isinstance(f, EqualTo):
+                    rng = (f.value, f.value + 1)
+                elif isinstance(f, GreaterThan):
+                    rng = (f.value + 1, self.hi)
+                elif isinstance(f, GreaterThanOrEqual):
+                    rng = (f.value, self.hi)
+                elif isinstance(f, LessThan):
+                    rng = (self.lo, f.value)
+                else:  # LessThanOrEqual
+                    rng = (self.lo, f.value + 1)
+            if rng is None:
+                yield f
+            else:
+                self.lo = max(self.lo, rng[0])
+                self.hi = min(self.hi, rng[1])
 
 
 class SynthEventsStreamDataSource(DataSource):

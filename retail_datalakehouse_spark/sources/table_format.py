@@ -1246,7 +1246,7 @@ class VersionedTable:
         ``groupBy(file, word).bit_or`` (operators/bloom.py::
         bloom_words_by_file_df); the driver collects ≤ files×m_bits/64
         words and writes a SIDECAR next to the manifest
-        (``v{N}.bloom.json``, tmp+rename — idempotent, deterministic
+        (``bloom-v{N}.json``, tmp+rename — idempotent, deterministic
         content, so concurrent builders converge). The committed
         manifest itself is never mutated. At 100 TB: index build cost is
         a single scan of the indexed columns; probe cost is O(files)

@@ -90,3 +90,51 @@ def test_load_table_normalizes_ntz_timestamps(spark, sf_dir):
 
     stream = events_stream(spark, sf_dir)
     assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_pydatasource_filter_pushdown_narrows_shards(spark):
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.sources.pydatasource import (
+        SynthEventsDataSource,
+        SynthEventsPushdownDataSource,
+    )
+
+    for src in (SynthEventsDataSource, SynthEventsPushdownDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+    old = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        p = (
+            spark.read.format("synth_events_pushdown")
+            .option("rows", 10000)
+            .option("partitions", 10)
+            .load()
+        )
+        # range filter: 10 1k-row shards -> 2
+        rng = p.filter((F.col("event_id") >= 3000) & (F.col("event_id") < 5000))
+        assert rng.rdd.getNumPartitions() == 2
+        assert rng.count() == 2000
+        # point filter -> 1 shard, 1 row; unsupported conjunct evaluated by Spark
+        pt = p.filter((F.col("event_id") == 4321) & (F.col("user_id") >= 0))
+        assert pt.rdd.getNumPartitions() == 1
+        assert [r["event_id"] for r in pt.collect()] == [4321]
+        # contradiction -> provably-empty scan, still one (empty) task
+        assert p.filter(F.col("event_id") == 10**9).count() == 0
+        # results identical to the base (non-pushdown) source's filter
+        base = (
+            spark.read.format("synth_events")
+            .option("rows", 10000)
+            .option("partitions", 10)
+            .load()
+            .filter((F.col("event_id") >= 3000) & (F.col("event_id") < 5000))
+        )
+        assert sorted(map(tuple, rng.collect())) == sorted(map(tuple, base.collect()))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+        else:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", old)

@@ -248,6 +248,7 @@ _PROMOTE_R8 = [
     "x_bloom_index_sidecar",
     "x_time_travel_timestamp",
     "s12_datasource_pushdown",
+    "u8_arrow_grouped_map",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -334,3 +334,64 @@ def u7_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events e, LATERAL parse_props(e.event_id, e.props, 'k,q') p
         """
     )
+
+
+@register(
+    "u8_arrow_grouped_map",
+    oracle="""
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+       ) AS BIGINT) AS spend_rank
+FROM orders
+""",
+    tags=("U3", "U2"),
+)
+def u8_arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group transform on the ARROW-NATIVE lane
+    (GroupedData.applyInArrow, Spark 4): each customer's orders arrive
+    as one pyarrow.Table and are ranked by spend with pyarrow.compute
+    kernels (sort_indices → inverse permutation) — no pandas object
+    materialization at all, which is the applyInArrow win over U3's
+    applyInPandas: zero-copy Arrow in, vectorized C++ kernels, Arrow
+    out. Rank output is integer-exact under the total order
+    (o_totalprice DESC, o_orderkey), so parity with the ROW_NUMBER
+    oracle is bit-for-bit. Same distribution shape as every grouped map:
+    one hash shuffle on the grouping key, then embarrassingly parallel
+    per-group batches — the 100 TB shape for per-entity feature
+    engineering."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = T_.StructType(
+        [
+            T_.StructField("custkey", T_.LongType()),
+            T_.StructField("orderkey", T_.LongType()),
+            T_.StructField("spend_rank", T_.LongType()),
+        ]
+    )
+
+    def rank_orders(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            tbl,
+            sort_keys=[
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        # inverse permutation: row i's rank = its position in the sort
+        ranks = np.empty(len(tbl), dtype="int64")
+        ranks[order.to_numpy()] = np.arange(1, len(tbl) + 1)
+        return pa.table(
+            {
+                "custkey": tbl["o_custkey"],
+                "orderkey": tbl["o_orderkey"],
+                "spend_rank": pa.array(ranks, type=pa.int64()),
+            }
+        )
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInArrow(rank_orders, schema)

@@ -36,3 +36,21 @@ def test_pandas_udf_matches_builtin(spark, sf_dir):
         (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("b"),
     )
     assert both.filter(F.col("u") != F.col("b")).count() == 0
+
+
+def test_arrow_grouped_map_matches_window_rank(spark, sf_dir):
+    from retail_datalakehouse_spark.queries.udfs import u8_arrow_grouped_map
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    got = u8_arrow_grouped_map(spark, sf_dir)
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.row_number().over(w).cast("long").alias("spend_rank"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

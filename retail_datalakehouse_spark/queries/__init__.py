@@ -249,6 +249,8 @@ _PROMOTE_R8 = [
     "x_time_travel_timestamp",
     "s12_datasource_pushdown",
     "u8_arrow_grouped_map",
+    "x_incremental_append",
+    "x_column_mapping",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

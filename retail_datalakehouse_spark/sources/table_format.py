@@ -231,6 +231,7 @@ class VersionedTable:
         cdf_df: DataFrame | None = None,
         pending_txn_marker: str | None = None,
         cluster_by: list[str] | None = None,
+        base: tuple[list[str], list[dict] | None, int] | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -245,7 +246,16 @@ class VersionedTable:
         the rows this commit touched; recorded in the manifest so later
         serializable writers can detect overlap. None = unknown write set
         (conservatively conflicts with every serializable merge); [] =
-        touches no existing keys (blind append — never conflicts)."""
+        touches no existing keys (blind append — never conflicts).
+
+        ``base`` — incremental (AddFile-only) commit support:
+        ``(base_dirs, base_files, base_n_rows)`` of the PARENT snapshot.
+        Only ``df`` (the new rows) is written; the manifest's
+        ``base_dirs`` carries the parent's data directories forward, its
+        ``files`` stats merge the parent's (dir-qualified) entries with
+        the new directory's footer walk, and ``n_rows`` composes — so
+        the commit costs O(new data), the Delta/Iceberg append contract.
+        ``base_files`` entries must already carry their ``dir``."""
         v = (parent or 0) + 1
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
@@ -289,6 +299,20 @@ class VersionedTable:
         # per-file min/max in the manifest → scan PLANNING can prune files
         # with zero listing and zero footer reads (Iceberg-style)
         n_rows, file_stats = _collect_manifest_stats(data_dir)
+        base_dirs = None
+        if base is not None:
+            b_dirs, b_files, b_n = base
+            base_dirs = b_dirs
+            n_rows += b_n
+            if file_stats is not None and b_files is not None:
+                file_stats = [
+                    *b_files,
+                    *({**f, "dir": data_dirname} for f in file_stats),
+                ]
+                if len(file_stats) > _STATS_MAX_FILES:
+                    file_stats = None
+            else:
+                file_stats = None
         entry = {
             "version": v,
             "operation": op,
@@ -306,6 +330,9 @@ class VersionedTable:
             # which columns this snapshot is range-clustered on
             "cluster_by": cluster_by,
         }
+        if base_dirs is not None:
+            # incremental commit: parent data directories carried forward
+            entry["base_dirs"] = base_dirs
         if pending_txn_marker is not None:
             entry["pending_txn_marker"] = pending_txn_marker
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
@@ -533,8 +560,77 @@ class VersionedTable:
         mergeSchema write option: a batch carrying NEW columns widens the
         table schema (existing rows read the new columns as null, and a
         batch missing existing columns nulls them) instead of failing —
-        additive evolution only, never a drop or retype."""
+        additive evolution only, never a drop or retype.
+
+        INCREMENTAL by default (the Delta/Iceberg AddFile contract):
+        when the batch schema matches the current snapshot's and the
+        snapshot has no hive layout and no pending deletion vectors, the
+        commit writes ONLY the new rows and the manifest carries the
+        parent's data directories forward — O(new data), never O(table).
+        An hourly append to a 100 TB table costs the hour, not the
+        table. Otherwise (schema widening, partitioned layout, stacked
+        merge-on-read deletes — whose key-tombstones would wrongly erase
+        matching NEW rows if the old files were kept as-is) the append
+        falls back to the materializing path: read through, union,
+        rewrite."""
         from pyspark.sql import functions as F
+
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None or merge_schema:
+                break
+            if txn is not None:
+                last = self._txn_state(parent).get(txn[0])
+                if last is not None and int(last) >= txn[1]:
+                    return parent  # replay — already applied
+            p_entry = self._manifest(parent)
+            if (
+                p_entry.get("dv_dirs")
+                or p_entry.get("partition_by")
+                or p_entry.get("column_renames")
+                or p_entry.get("column_drops")
+            ):
+                # renamed/dropped parents: new files would carry LOGICAL
+                # names next to physical-named base files — materialize
+                # instead (which also clears the mapping)
+                break
+            cur_schema = self.read_version(parent).schema
+            cur_types = {f.name: f.dataType for f in cur_schema.fields}
+            new_types = {f.name: f.dataType for f in df.schema.fields}
+            if cur_types != new_types:
+                break  # widening/retype → materializing path
+            p_files = p_entry.get("files")
+            if p_files is not None:
+                p_dir = p_entry["data_dir"]
+                p_files = [
+                    f if "dir" in f else {**f, "dir": p_dir} for f in p_files
+                ]
+            try:
+                return self._try_commit(
+                    # parent column order: multi-dir parquet reads resolve
+                    # columns by name, but keep the files uniform anyway
+                    df.select(*[f.name for f in cur_schema.fields]),
+                    "append",
+                    parent,
+                    txn=None if txn is None else {txn[0]: txn[1]},
+                    modified_keys=[],
+                    cdf_df=(
+                        df.withColumn("_change_type", F.lit("insert"))
+                        if self._record_cdf
+                        else None
+                    ),
+                    base=(
+                        [*p_entry.get("base_dirs", []), p_entry["data_dir"]],
+                        p_files,
+                        p_entry["n_rows"],
+                    ),
+                )
+            except CommitConflict:
+                continue  # rebase onto the race winner and retry
+        else:
+            raise CommitConflict(
+                f"lost 5 consecutive commit races at {self.path}"
+            )
 
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
@@ -773,6 +869,24 @@ class VersionedTable:
                 "parent": parent,
                 "n_rows": p_entry["n_rows"] - _parquet_num_rows(dv_dir),
                 "data_dir": p_entry.get("data_dir", f"_v{parent}"),
+                # incremental-append parents: keep their whole dir chain
+                **(
+                    {"base_dirs": p_entry["base_dirs"]}
+                    if p_entry.get("base_dirs")
+                    else {}
+                ),
+                # renamed/dropped parents: tombstone keys are LOGICAL, so
+                # the mapping must ride along for the anti-join to bind
+                **(
+                    {"column_renames": p_entry["column_renames"]}
+                    if p_entry.get("column_renames")
+                    else {}
+                ),
+                **(
+                    {"column_drops": p_entry["column_drops"]}
+                    if p_entry.get("column_drops")
+                    else {}
+                ),
                 "dv_dirs": p_entry.get("dv_dirs", []) + [dv_dirname],
                 "dv_keys": keys,
                 "committed_at": time.time(),
@@ -959,6 +1073,23 @@ class VersionedTable:
                 "parent": parent,
                 "n_rows": src["n_rows"],
                 "data_dir": src.get("data_dir", f"_v{v_branch}"),
+                # incremental-append heads: publish the whole dir chain
+                **(
+                    {"base_dirs": src["base_dirs"]}
+                    if src.get("base_dirs")
+                    else {}
+                ),
+                # column-mapped heads: publish the logical schema too
+                **(
+                    {"column_renames": src["column_renames"]}
+                    if src.get("column_renames")
+                    else {}
+                ),
+                **(
+                    {"column_drops": src["column_drops"]}
+                    if src.get("column_drops")
+                    else {}
+                ),
                 "dv_dirs": src.get("dv_dirs", []),
                 "dv_keys": src.get("dv_keys"),
                 "partition_by": src.get("partition_by"),
@@ -1036,7 +1167,11 @@ class VersionedTable:
         expired_dirs = set()
         for v in versions:
             entry = self._manifest(v)
-            dirs = {entry.get("data_dir", f"_v{v}"), *entry.get("dv_dirs", [])}
+            dirs = {
+                entry.get("data_dir", f"_v{v}"),
+                *entry.get("base_dirs", []),
+                *entry.get("dv_dirs", []),
+            }
             if entry.get("cdf_dir"):
                 dirs.add(entry["cdf_dir"])
             (live_dirs if v in keep_versions else expired_dirs).update(dirs)
@@ -1046,6 +1181,7 @@ class VersionedTable:
                 for v in bh._versions():
                     e = bh._manifest(v)
                     live_dirs.add(e.get("data_dir", f"_v{v}"))
+                    live_dirs.update(e.get("base_dirs", []))
                     live_dirs.update(e.get("dv_dirs", []))
                     if e.get("cdf_dir"):
                         live_dirs.add(e["cdf_dir"])
@@ -1095,9 +1231,10 @@ class VersionedTable:
         files = entry.get("files")
         if not files:
             return None
+        phys = self._physical_name(entry, col)  # stats carry physical names
         los, his = [], []
         for f in files:
-            lo, hi = f["stats"].get(col, [None, None])
+            lo, hi = f["stats"].get(phys, [None, None])
             if lo is None or hi is None:
                 return None
             los.append(lo)
@@ -1128,7 +1265,9 @@ class VersionedTable:
             raise ValueError(f"cannot scan empty table {self.path}")
         entry = self._manifest(v)
         data_dir = os.path.join(self.path, entry["data_dir"])
-        pred = lambda d: (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))  # noqa: E731
+        # ``col`` is LOGICAL; files and their stats carry PHYSICAL names
+        phys = self._physical_name(entry, col)
+        rng = lambda c: (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))  # noqa: E731
         files = None if entry.get("dv_dirs") else entry.get("files")
         if files is None:
             # Stats omitted (huge commit / legacy manifest), or a
@@ -1136,14 +1275,16 @@ class VersionedTable:
             # RESURRECT tombstoned rows, so route through read_version,
             # which applies the anti-join. (delete_mor manifests never
             # carry `files`; the dv_dirs guard makes that explicit.)
-            df = self.read_version(v).filter(pred(None))
+            df = self.read_version(v).filter(rng(col))
             return df, -1, -1
         nlo, nhi = _stats_norm(lo), _stats_norm(hi)
         keep = []
         for f in files:
-            fmin, fmax = f["stats"].get(col, [None, None])
+            fmin, fmax = f["stats"].get(phys, [None, None])
             if fmin is None or fmax is None or not (fmax < nlo or fmin > nhi):
-                keep.append(f["path"])
+                # table-root-relative: incremental-append entries carry
+                # their owning dir, single-dir entries default to data_dir
+                keep.append(os.path.join(f.get("dir", entry["data_dir"]), f["path"]))
         if not keep:  # predicate outside the table's range: 0 files read
             empty = self.read_version(v).filter(F.lit(False))
             return empty, 0, len(files)
@@ -1152,10 +1293,10 @@ class VersionedTable:
             # explicit file list under a hive layout: basePath keeps the
             # partition columns in the schema
             reader = reader.option("basePath", data_dir)
-        df = reader.parquet(*[os.path.join(data_dir, p) for p in keep]).filter(
-            pred(None)
+        df = reader.parquet(*[os.path.join(self.path, p) for p in keep]).filter(
+            rng(phys)
         )
-        return df, len(keep), len(files)
+        return self._apply_column_mapping(df, entry), len(keep), len(files)
 
     def read_pruned_in(
         self, col: str, values: list, version: int | None = None
@@ -1178,16 +1319,19 @@ class VersionedTable:
         if files is None:
             df = self.read_version(v).filter(F.col(col).isin(values))
             return df, -1, -1
+        phys = self._physical_name(entry, col)  # stats/blooms are physical
         nvals = [_stats_norm(x) for x in values]
         keep = []
         for f in files:
-            fmin, fmax = f["stats"].get(col, [None, None])
+            fmin, fmax = f["stats"].get(phys, [None, None])
             if (
                 fmin is None
                 or fmax is None
                 or any(x is not None and fmin <= x <= fmax for x in nvals)
             ):
-                keep.append(f["path"])
+                # table-root-relative (see read_pruned) — also the bloom
+                # sidecar's key form
+                keep.append(os.path.join(f.get("dir", entry["data_dir"]), f["path"]))
         # Bloom sidecar refinement (build_bloom_index): zone maps are the
         # first line of pruning; when the snapshot carries a per-file
         # bloom for this column, test every zone-surviving file against
@@ -1197,12 +1341,12 @@ class VersionedTable:
         # equality probe. No false negatives: bloom_test mirrors the
         # build's position math bit-for-bit.
         blooms = self._bloom_sidecar(v) if keep else None
-        if blooms and col in blooms.get("cols", {}):
+        if blooms and phys in blooms.get("cols", {}):
             from ..operators.bloom import bloom_test
 
-            hs = self._hash_probe_values(values, blooms["dtypes"][col])
+            hs = self._hash_probe_values(values, blooms["dtypes"][phys])
             bm, bk = blooms["m_bits"], blooms["k"]
-            per_file = blooms["cols"][col]
+            per_file = blooms["cols"][phys]
             keep = [
                 p
                 for p in keep
@@ -1212,14 +1356,15 @@ class VersionedTable:
         if not keep:
             empty = self.read_version(v).filter(F.lit(False))
             return empty, 0, len(files)
-        data_dir = os.path.join(self.path, entry["data_dir"])
         reader = self.spark.read
         if entry.get("partition_by"):
-            reader = reader.option("basePath", data_dir)
-        df = reader.parquet(*[os.path.join(data_dir, p) for p in keep]).filter(
-            F.col(col).isin(values)
+            reader = reader.option(
+                "basePath", os.path.join(self.path, entry["data_dir"])
+            )
+        df = reader.parquet(*[os.path.join(self.path, p) for p in keep]).filter(
+            F.col(phys).isin(values)
         )
-        return df, len(keep), len(files)
+        return self._apply_column_mapping(df, entry), len(keep), len(files)
 
     def _bloom_sidecar_path(self, version: int) -> str:
         # MUST NOT match _versions()'s `v*.json` manifest glob
@@ -1284,13 +1429,17 @@ class VersionedTable:
             m_bits = 1024
             while m_bits < 10 * mx and m_bits < (1 << 24):
                 m_bits <<= 1
-        data_dir = os.path.join(self.path, entry["data_dir"])
+        dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
         reader = self.spark.read
         if entry.get("partition_by"):
-            reader = reader.option("basePath", data_dir)
-        df = reader.parquet(data_dir).withColumn(
-            "__file", F.input_file_name()
-        )
+            reader = reader.option(
+                "basePath", os.path.join(self.path, entry["data_dir"])
+            )
+        df = reader.parquet(
+            *[os.path.join(self.path, d) for d in dirs]
+        ).withColumn("__file", F.input_file_name())
+        # sidecar lives in the PHYSICAL-name domain, like the file stats
+        cols = [self._physical_name(entry, c) for c in cols]
         dtypes = dict(df.dtypes)
         missing = [c for c in cols if c not in dtypes]
         if missing:
@@ -1299,7 +1448,9 @@ class VersionedTable:
         from urllib.parse import unquote, urlparse
 
         def _rel(uri: str) -> str:
-            return os.path.relpath(unquote(urlparse(uri).path), data_dir)
+            # table-root-relative ("<dir>/<file>") — the same key form
+            # read_pruned_in's keep list uses, incremental or not
+            return os.path.relpath(unquote(urlparse(uri).path), self.path)
 
         n_words = m_bits // 64
         sidecar_cols: dict = {}
@@ -1531,12 +1682,13 @@ class VersionedTable:
             if e.get("files") is not None:
                 n_files = len(e["files"])  # from the manifest: zero listing
             else:
-                data_dir = os.path.join(
-                    self.path, e.get("data_dir", f"_v{e['version']}")
-                )
                 n_files = sum(
                     1
-                    for _root, _dirs, files in os.walk(data_dir)
+                    for d in (
+                        *e.get("base_dirs", []),
+                        e.get("data_dir", f"_v{e['version']}"),
+                    )
+                    for _root, _dirs, files in os.walk(os.path.join(self.path, d))
                     for f in files
                     if f.endswith(".parquet")
                 )
@@ -1590,8 +1742,13 @@ class VersionedTable:
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         entry = self._manifest(version)
-        data_dirname = entry.get("data_dir", f"_v{version}")
-        df = self.spark.read.parquet(os.path.join(self.path, data_dirname))
+        # incremental appends: the snapshot = carried-forward base dirs +
+        # this commit's own directory (columns resolve by name)
+        dirs = [*entry.get("base_dirs", []), entry.get("data_dir", f"_v{version}")]
+        df = self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+        # column mapping first: dv_keys recorded after a rename are
+        # LOGICAL names, so tombstones anti-join the mapped schema
+        df = self._apply_column_mapping(df, entry)
         dv_dirs = entry.get("dv_dirs", [])
         if dv_dirs:
             dv = self.spark.read.parquet(
@@ -1599,6 +1756,163 @@ class VersionedTable:
             ).distinct()
             df = df.join(dv, on=entry["dv_keys"], how="left_anti")
         return df
+
+    # ----------------------------------------------------- column mapping
+
+    @staticmethod
+    def _apply_column_mapping(df: DataFrame, entry: dict) -> DataFrame:
+        """Physical (on-disk) → logical schema: drop the dropped columns,
+        then apply the rename map. Zero data movement — pure projection."""
+        for c in entry.get("column_drops", []):
+            df = df.drop(c)
+        renames = entry.get("column_renames")
+        if renames:
+            df = df.withColumnsRenamed(renames)
+        return df
+
+    @staticmethod
+    def _physical_name(entry: dict, col: str) -> str:
+        """Logical column name → the PHYSICAL name in the data files and
+        per-file stats (identity unless the column was renamed)."""
+        inv = {v: k for k, v in entry.get("column_renames", {}).items()}
+        return inv.get(col, col)
+
+    def _commit_column_mapping(
+        self, op: str, renames: dict, drops: list[str]
+    ) -> int:
+        """METADATA-ONLY commit: the new manifest points at the parent's
+        exact data (and stats) with an updated column mapping — zero
+        bytes rewritten whatever the table size, exactly Delta's
+        column-mapping rename/drop. Write set is unknown (None): a
+        concurrent serializable merge written against the old names must
+        conflict rather than silently rebase onto a renamed schema."""
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            p_entry = self._manifest(parent)
+            if p_entry.get("dv_dirs"):
+                raise ValueError(
+                    "column mapping over pending deletion vectors is "
+                    "ambiguous; compact first"
+                )
+            v = parent + 1
+            token = uuid.uuid4().hex[:8]
+            entry = {
+                **{
+                    k: p_entry.get(k)
+                    for k in (
+                        "n_rows",
+                        "data_dir",
+                        "partition_by",
+                        "cluster_by",
+                        "files",
+                    )
+                },
+                **(
+                    {"base_dirs": p_entry["base_dirs"]}
+                    if p_entry.get("base_dirs")
+                    else {}
+                ),
+                "version": v,
+                "operation": op,
+                "parent": parent,
+                "cdf_dir": None,
+                "committed_at": time.time(),
+                "modified_keys": None,
+                "txn": dict(self._txn_state(parent)),
+                "column_renames": renames,
+                "column_drops": drops,
+            }
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            try:
+                os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
+                return v
+            except FileExistsError:
+                continue  # racer took the slot: recompute against its head
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"lost 5 consecutive commit races at {self.path}"
+        )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Delta column-mapping RENAME: a metadata-only commit maps the
+        on-disk physical name to a new logical name — no file is opened,
+        let alone rewritten, at any table size. Readers of the new
+        version see ``new``; time travel to older versions still serves
+        ``old``. Stats-planned scans (read_pruned / read_pruned_in /
+        stats_agg / bloom sidecars) resolve logical→physical through the
+        same mapping, so file skipping keeps working across renames. The
+        next materializing commit (overwrite / merge / delete / a
+        fallback append) writes logical names physically and clears the
+        mapping."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"cannot alter empty table {self.path}")
+        entry = self._manifest(parent)
+        logical = set(self._logical_columns(entry))
+        if old not in logical:
+            raise ValueError(f"no such column: {old!r}")
+        if new in logical:
+            raise ValueError(f"column {new!r} already exists")
+        phys = self._physical_name(entry, old)
+        if phys in (entry.get("partition_by") or []):
+            raise ValueError(
+                "renaming a hive partition column would orphan its "
+                "directory encoding; rewrite with a new layout instead"
+            )
+        renames = {
+            k: v for k, v in entry.get("column_renames", {}).items() if v != old
+        }
+        renames[phys] = new
+        return self._commit_column_mapping(
+            "rename_column", renames, list(entry.get("column_drops", []))
+        )
+
+    def drop_column(self, col: str) -> int:
+        """Delta column-mapping DROP: metadata-only — the physical column
+        stays in the files (time travel still serves it) but disappears
+        from every read of the new version onward. O(1) whatever the
+        table size; the bytes are reclaimed by the next materializing
+        commit or compaction."""
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"cannot alter empty table {self.path}")
+        entry = self._manifest(parent)
+        if col not in self._logical_columns(entry):
+            raise ValueError(f"no such column: {col!r}")
+        phys = self._physical_name(entry, col)
+        if phys in (entry.get("partition_by") or []):
+            raise ValueError("cannot drop a hive partition column")
+        renames = {
+            k: v for k, v in entry.get("column_renames", {}).items() if k != phys
+        }
+        drops = [*entry.get("column_drops", []), phys]
+        return self._commit_column_mapping("drop_column", renames, drops)
+
+    def _logical_columns(self, entry: dict) -> list[str]:
+        """The version's visible schema, resolved from one data file's
+        footer + the mapping — no Spark job."""
+        import pyarrow.parquet as pq
+
+        dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
+        for d in dirs:
+            for root, _dirs, names in os.walk(os.path.join(self.path, d)):
+                for f in sorted(names):
+                    if f.endswith(".parquet"):
+                        phys = pq.read_schema(os.path.join(root, f)).names
+                        drops = set(entry.get("column_drops", []))
+                        ren = entry.get("column_renames", {})
+                        return [
+                            ren.get(c, c)
+                            for c in phys
+                            if c not in drops
+                        ] + list(entry.get("partition_by") or [])
+        return []
 
 
 def compact(table: VersionedTable, target_partitions: int = 8) -> int:

@@ -254,14 +254,25 @@ def test_vacuum_removes_orphans_and_expired_versions(spark, tmp_path):
     assert removed == ["_v9-deadbeef"]
     assert {r.id for r in t.read_version(1).collect()} == {1}
 
-    removed = t.vacuum(retain_last=1)  # expire v1+v2
-    assert len(removed) == 2
+    removed = t.vacuum(retain_last=1)  # expire v1+v2 manifests
+    # incremental appends: the head CARRIES v1/v2's dirs as its base
+    # chain, so expiring those manifests reclaims no data (exactly
+    # Delta's contract — vacuum never touches files a retained version
+    # references); compaction is what unpins the chain
+    assert removed == []
     assert t.current_version() == 3
     assert {r.id for r in t.read().collect()} == {1, 2, 3}
     import pytest
 
     with pytest.raises(ValueError):
         t.read_version(1)
+
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    compact(t, 1)  # fold the chain into one right-sized dir …
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 3  # … and the three chain dirs become residue
+    assert {r.id for r in t.read().collect()} == {1, 2, 3}
 
 
 def test_txn_batch_id_makes_commits_idempotent(spark, tmp_path):
@@ -817,3 +828,161 @@ def test_read_asof_timestamp_resolution(spark, tmp_path):
 
     with _pt.raises(ValueError, match="at or before"):
         t.version_asof(ts1 - 1.0)
+
+
+def test_append_is_incremental_o_new_data(spark, tmp_path):
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 100).select("id", (F.col("id") * 2).alias("v")))
+    e1 = t._manifest(1)
+    d1 = str(tmp_path / "tbl" / e1["data_dir"])
+    before = sorted(
+        (f, os.path.getmtime(os.path.join(r, f)))
+        for r, _d, fs in os.walk(d1)
+        for f in fs
+    )
+
+    v2 = t.append(spark.range(100, 150).select("id", (F.col("id") * 2).alias("v")))
+    e2 = t._manifest(v2)
+    # AddFile-only commit: parent dir carried forward, byte-untouched
+    assert e2["base_dirs"] == [e1["data_dir"]]
+    after = sorted(
+        (f, os.path.getmtime(os.path.join(r, f)))
+        for r, _d, fs in os.walk(d1)
+        for f in fs
+    )
+    assert after == before  # no rewrite of existing data
+    assert e2["n_rows"] == 150 and t.read().count() == 150
+
+    # chains compose; manifest stats stay per-file across the chain
+    v3 = t.append(spark.range(150, 160).select("id", (F.col("id") * 2).alias("v")))
+    e3 = t._manifest(v3)
+    assert len(e3["base_dirs"]) == 2
+    assert all("dir" in f for f in e3["files"])
+    df, n_read, n_total = t.read_pruned("id", 150, 159)
+    assert 0 < n_read < n_total and df.count() == 10
+    # time travel unaffected
+    assert t.read_version(1).count() == 100 and t.read_version(2).count() == 150
+
+
+def test_append_falls_back_when_not_addfile_safe(spark, tmp_path):
+    # schema widening -> materializing append (no base_dirs)
+    t = VersionedTable(spark, str(tmp_path / "w"))
+    t.overwrite(spark.createDataFrame([(1, "a")], ["id", "s"]))
+    v = t.append(
+        spark.createDataFrame([(2, "b", 1.5)], ["id", "s", "x"]), merge_schema=True
+    )
+    assert not t._manifest(v).get("base_dirs")
+    assert t.read().count() == 2
+
+    # hive-partitioned snapshot -> materializing append
+    p = VersionedTable(spark, str(tmp_path / "p"))
+    p.overwrite(
+        spark.createDataFrame([(1, "x"), (2, "y")], ["id", "part"]),
+        partition_by=["part"],
+    )
+    vp = p.append(spark.createDataFrame([(3, "x")], ["id", "part"]))
+    assert not p._manifest(vp).get("base_dirs")
+    assert p.read().count() == 3
+
+    # pending deletion vectors -> materializing append (key tombstones
+    # must not erase matching NEW rows)
+    m = VersionedTable(spark, str(tmp_path / "m"))
+    m.overwrite(spark.createDataFrame([(1,), (2,)], ["id"]))
+    m.delete_mor("id = 2", keys=["id"])
+    vm = m.append(spark.createDataFrame([(2,)], ["id"]))
+    assert not m._manifest(vm).get("base_dirs")
+    assert sorted(r.id for r in m.read().collect()) == [1, 2]
+
+
+def test_incremental_append_txn_idempotent_and_cdf(spark, tmp_path):
+    t = VersionedTable(
+        spark, str(tmp_path / "tbl"), record_cdf=True, cdf_keys=["id"]
+    )
+    t.overwrite(spark.createDataFrame([(1,), (2,)], ["id"]))
+    v2 = t.append(spark.createDataFrame([(3,)], ["id"]), txn=("w1", 7))
+    assert t._manifest(v2).get("base_dirs")
+    # replay of the same batch is a no-op
+    assert t.append(spark.createDataFrame([(3,)], ["id"]), txn=("w1", 7)) == v2
+    assert t.read().count() == 3
+    # write-time change feed recorded atomically with the AddFile commit
+    feed = t.changes_feed(1, v2)
+    assert [(r.id, r._change_type) for r in feed.collect()] == [(3, "insert")]
+
+
+def test_vacuum_protects_dirs_shared_by_incremental_chain(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 10).select("id"))
+    t.append(spark.range(10, 20).select("id"))
+    t.append(spark.range(20, 30).select("id"))
+    removed = t.vacuum(retain_last=1, orphan_retention_s=0)
+    # v1/v2 manifests expired, but every dir is carried by the head
+    assert removed == [] and t.read().count() == 30
+    # after a compact (fold to one dir), the old chain dirs become
+    # reclaimable
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    compact(t, 2)
+    removed2 = t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert len(removed2) == 3 and t.read().count() == 30
+
+
+def test_column_mapping_rename_drop_metadata_only(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.range(0, 50).select(
+            "id", (F.col("id") * 2).alias("v"), F.lit("z").alias("junk")
+        )
+    )
+    v2 = t.rename_column("v", "value")
+    # metadata-only: same data dir, no new files
+    assert t._manifest(v2)["data_dir"] == t._manifest(1)["data_dir"]
+    assert t.read().columns == ["id", "value", "junk"]
+    assert t.read_version(1).columns == ["id", "v", "junk"]  # time travel
+    # chained rename + drop compose
+    t.rename_column("value", "val2")
+    t.drop_column("junk")
+    assert t.read().columns == ["id", "val2"]
+    # stats planning resolves logical -> physical through the mapping
+    s = t.stats_agg("val2")
+    assert s == {"min": 0, "max": 98, "n_rows": 50}
+    df, n_read, n_total = t.read_pruned("val2", 0, 10)
+    assert df.columns == ["id", "val2"] and df.count() == 6
+    # guards
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no such column"):
+        t.rename_column("nope", "x")
+    with _pt.raises(ValueError, match="already exists"):
+        t.rename_column("id", "val2")
+    with _pt.raises(ValueError, match="no such column"):
+        t.drop_column("v")  # old logical name is gone
+
+
+def test_column_mapping_clears_on_materializing_commit(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 10).select("id"))
+    t.rename_column("id", "key")
+    # append after a rename materializes (logical names hit the files)
+    v = t.append(spark.range(10, 20).select(F.col("id").alias("key")))
+    e = t._manifest(v)
+    assert not e.get("column_renames") and not e.get("base_dirs")
+    assert t.read().columns == ["key"] and t.read().count() == 20
+    # with the mapping gone, appends are AddFile-only again
+    v2 = t.append(spark.range(20, 30).select(F.col("id").alias("key")))
+    assert t._manifest(v2).get("base_dirs")
+
+
+def test_column_mapping_with_merge_on_read_delete(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.range(0, 20).select("id", (F.col("id") * 2).alias("v")))
+    t.rename_column("v", "value")
+    # tombstone keys are logical; the mapping rides on the dv commit
+    t.delete_mor("value >= 30", keys=["id"])
+    assert t.read().count() == 15 and t.read().columns == ["id", "value"]
+    # and a mapping commit over pending DVs refuses (ambiguous)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="compact first"):
+        t.rename_column("value", "w")

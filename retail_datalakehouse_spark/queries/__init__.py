@@ -251,6 +251,7 @@ _PROMOTE_R8 = [
     "u8_arrow_grouped_map",
     "x_incremental_append",
     "x_column_mapping",
+    "x_shallow_clone",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

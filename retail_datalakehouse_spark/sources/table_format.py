@@ -104,6 +104,11 @@ def _collect_manifest_stats(data_dir: str) -> tuple[int, list[dict] | None]:
                 continue
             md = pq.read_metadata(os.path.join(root, f))
             total += md.num_rows
+            if md.num_rows == 0:
+                # a zero-row file (range-clustering an empty bucket, an
+                # all-filtered partition) adds nothing to any scan; listing
+                # it would poison stats_agg/pruning with [None, None] stats
+                continue
             if files is None or len(files) >= _STATS_MAX_FILES:
                 files = None
                 continue
@@ -1449,8 +1454,12 @@ class VersionedTable:
 
         def _rel(uri: str) -> str:
             # table-root-relative ("<dir>/<file>") — the same key form
-            # read_pruned_in's keep list uses, incremental or not
-            return os.path.relpath(unquote(urlparse(uri).path), self.path)
+            # read_pruned_in's keep list uses, incremental or not; files a
+            # SHALLOW CLONE references in its source table live outside
+            # this root, where the keep key is the absolute path instead
+            p = unquote(urlparse(uri).path)
+            r = os.path.relpath(p, self.path)
+            return p if r.startswith("..") else r
 
         n_words = m_bits // 64
         sidecar_cols: dict = {}
@@ -1893,6 +1902,98 @@ class VersionedTable:
         }
         drops = [*entry.get("column_drops", []), phys]
         return self._commit_column_mapping("drop_column", renames, drops)
+
+    # ------------------------------------------------------------- clone
+
+    def clone_to(self, dest_path: str, version: int | None = None) -> "VersionedTable":
+        """Delta SHALLOW CLONE: create a new, independently-writable table
+        at ``dest_path`` whose v1 manifest references THIS table's data
+        files in place — zero bytes copied, O(1) whatever the table size
+        (cloning a 100 TB table costs one JSON write). The clone carries
+        the source snapshot's file stats, deletion vectors, column
+        mapping, and layout, so manifest-planned reads (read_pruned /
+        read_pruned_in / stats_agg) keep pruning on the clone without
+        re-deriving anything.
+
+        Divergence is free in both directions: later commits to the
+        source are invisible to the clone (it pinned one version), and
+        the clone's own commits land under ``dest_path`` — incremental
+        appends chain new files onto the referenced base, while any
+        materializing commit (overwrite / merge / delete / compact)
+        rewrites under the clone's root and drops the last reference to
+        the source. External references are absolute paths; the clone's
+        ``vacuum`` can never touch them (it only considers directories
+        under its own root). Caveat shared with Delta shallow clones:
+        vacuuming / expiring the SOURCE's referenced snapshot breaks the
+        clone — compact (or any materializing commit on) the clone first
+        to make it self-contained."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot clone empty table {self.path}")
+        if v not in self._versions():
+            raise ValueError(f"version {v} not committed at {self.path}")
+        src = self._manifest(v)
+
+        def _abs(d: str) -> str:
+            return d if os.path.isabs(d) else os.path.join(self.path, d)
+
+        files = src.get("files")
+        if files is not None:
+            src_dir = src["data_dir"]
+            files = [{**f, "dir": _abs(f.get("dir", src_dir))} for f in files]
+        entry = {
+            "version": 1,
+            "operation": "clone",
+            "parent": None,
+            "n_rows": src["n_rows"],
+            "data_dir": _abs(src.get("data_dir", f"_v{v}")),
+            **(
+                {"base_dirs": [_abs(d) for d in src["base_dirs"]]}
+                if src.get("base_dirs")
+                else {}
+            ),
+            "dv_dirs": [_abs(d) for d in src.get("dv_dirs", [])],
+            "dv_keys": src.get("dv_keys"),
+            "partition_by": src.get("partition_by"),
+            "cluster_by": src.get("cluster_by"),
+            "files": files,
+            **(
+                {"column_renames": src["column_renames"]}
+                if src.get("column_renames")
+                else {}
+            ),
+            **(
+                {"column_drops": src["column_drops"]}
+                if src.get("column_drops")
+                else {}
+            ),
+            "cdf_dir": None,
+            "modified_keys": None,
+            "txn": {},
+            "committed_at": time.time(),
+            # lineage, surfaced by snapshots()/history()
+            "clone_source": {"path": self.path, "version": v},
+        }
+        clone = VersionedTable(
+            self.spark,
+            dest_path,
+            record_cdf=self._record_cdf,
+            cdf_keys=self._cdf_keys or None,
+        )
+        if clone._versions():
+            raise ValueError(f"clone destination {dest_path} is not empty")
+        os.makedirs(clone._manifest_dir, exist_ok=True)
+        token = uuid.uuid4().hex[:8]
+        tmp = os.path.join(clone._manifest_dir, f".v1.{token}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, os.path.join(clone._manifest_dir, "v1.json"))
+        except FileExistsError:
+            raise CommitConflict(f"lost clone race at {dest_path}")
+        finally:
+            os.unlink(tmp)
+        return clone
 
     def _logical_columns(self, entry: dict) -> list[str]:
         """The version's visible schema, resolved from one data file's

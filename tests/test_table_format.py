@@ -986,3 +986,98 @@ def test_column_mapping_with_merge_on_read_delete(spark, tmp_path):
 
     with _pt.raises(ValueError, match="compact first"):
         t.rename_column("value", "w")
+
+
+def _parquet_files_under(root):
+    import os
+
+    return sorted(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(root)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_path):
+    import os
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame([(i, i * 10) for i in range(100)], ["id", "v"]),
+        cluster_by=["id"],
+    )
+    src.append(spark.createDataFrame([(i, i * 10) for i in range(100, 120)], ["id", "v"]))
+    before = [(p, os.path.getmtime(p)) for p in _parquet_files_under(src.path)]
+
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero copy: the clone owns NO parquet; the source is byte-untouched
+    assert _parquet_files_under(clone.path) == []
+    assert [(p, os.path.getmtime(p)) for p in _parquet_files_under(src.path)] == before
+    assert clone.current_version() == 1
+    assert {r.id for r in clone.read().collect()} == set(range(120))
+
+    # stats rode along: manifest planning prunes on the clone, including
+    # across the source's incremental-append dir chain
+    df, n_read, n_total = clone.read_pruned("id", 100, 119)
+    assert 0 < n_read < n_total
+    assert {r.id for r in df.collect()} == set(range(100, 120))
+    assert clone.stats_agg("id") == {"min": 0, "max": 119, "n_rows": 120}
+
+    # divergence: source mutates -> clone pinned; clone appends -> source pinned
+    src.delete(F.col("id") < 50)
+    assert clone.read().count() == 120
+    clone.append(spark.createDataFrame([(200, 2000)], ["id", "v"]))
+    assert clone.read().count() == 121 and src.read().count() == 70
+    assert {r.id for r in src.read().collect()} == set(range(50, 120))
+
+    # the clone's own vacuum never touches the source's (external) dirs
+    clone.vacuum(retain_last=1, orphan_retention_s=0)
+    assert clone.read().count() == 121
+    assert src.read_version(2).count() == 120
+
+
+def test_clone_compact_materializes_then_source_expires(spark, tmp_path):
+    import shutil
+
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(i,) for i in range(50)], ["id"]))
+    clone = src.clone_to(str(tmp_path / "clone"))
+    compact(clone, target_partitions=2)
+    # self-contained now: nuking the source leaves the clone readable
+    shutil.rmtree(src.path)
+    assert clone.read().count() == 50
+    assert _parquet_files_under(clone.path) != []
+    clone.vacuum(retain_last=1, orphan_retention_s=0)
+    assert clone.read().count() == 50
+
+
+def test_clone_carries_mor_deletes_and_column_mapping(spark, tmp_path):
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(i, f"u{i}") for i in range(20)], ["id", "name"]))
+    src.delete_mor(F.col("id") >= 15, keys=["id"])
+    c1 = src.clone_to(str(tmp_path / "c1"))
+    assert {r.id for r in c1.read().collect()} == set(range(15))
+
+    src2 = VersionedTable(spark, str(tmp_path / "src2"))
+    src2.overwrite(spark.createDataFrame([(i, i * 2) for i in range(30)], ["id", "val"]))
+    src2.rename_column("val", "doubled")
+    src2.drop_column("id")
+    c2 = src2.clone_to(str(tmp_path / "c2"))
+    assert c2.read().columns == ["doubled"]
+    assert _parquet_files_under(c2.path) == []
+
+
+def test_clone_refuses_nonempty_dest_and_records_lineage(spark, tmp_path):
+    import pytest as _pytest
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(1,)], ["id"]))
+    src.append(spark.createDataFrame([(2,)], ["id"]))
+    clone = src.clone_to(str(tmp_path / "c"), version=1)
+    assert clone.read().count() == 1  # pinned the REQUESTED version
+    assert clone._manifest(1)["clone_source"] == {"path": src.path, "version": 1}
+    with _pytest.raises(ValueError):
+        src.clone_to(str(tmp_path / "c"))

@@ -252,6 +252,7 @@ _PROMOTE_R8 = [
     "x_incremental_append",
     "x_column_mapping",
     "x_shallow_clone",
+    "x_check_constraints",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1925,3 +1925,77 @@ def x_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", scale=2).alias("total_balance"),
         )
     )
+
+
+_CHECKS_SQL = f"""
+SELECT l_linestatus AS status,
+       COUNT(*) AS n_items,
+       {sql_dsum("l_extendedprice", scale=2)} AS gross
+FROM lineitem
+WHERE l_quantity > 0 AND l_discount BETWEEN 0 AND 0.1
+GROUP BY 1
+"""
+
+
+@register("x_check_constraints", oracle=_CHECKS_SQL, tags=("S6",), doc="")
+def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT):
+    the constraint is TABLE metadata — a metadata-only commit records it
+    in the manifest (zero files rewritten, asserted in-query), every
+    later commit carries it, and each commit's WRITTEN rows are gated
+    against it before the manifest publishes — O(new rows) on the
+    incremental append path, so the gate costs the batch, not the 100 TB
+    table. Drilled live: adding a check the existing snapshot violates
+    is rejected; a violating append aborts with ConstraintViolation and
+    publishes nothing (version and row count unchanged); valid appends
+    flow through. The returned aggregate over the final table equals the
+    oracle over the pristine rows that satisfy the constraint — the
+    engine-level proof that only constraint-clean data ever committed."""
+    import tempfile
+
+    from ..sources.constraints import ConstraintViolation
+    from ..sources.table_format import VersionedTable
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    clean = li.filter((F.col("l_quantity") > 0) & F.col("l_discount").between(0, 0.1))
+    dirty = li.filter(~((F.col("l_quantity") > 0) & F.col("l_discount").between(0, 0.1)))
+
+    half = clean.agg((F.max("l_orderkey") / 2).cast("long")).first()[0]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_chk_"))
+    t.overwrite(clean.filter(F.col("l_orderkey") <= half))
+    v2 = t.add_check("qty_positive", "l_quantity > 0")
+    v3 = t.add_check("discount_band", "l_discount BETWEEN 0 AND 0.1")
+    # metadata-only: both ALTERs point at v1's exact data
+    assert t._manifest(v2)["data_dir"] == t._manifest(v3)["data_dir"] == t._manifest(1)["data_dir"]
+
+    # a check the EXISTING data violates must be rejected (Delta semantics)
+    try:
+        t.add_check("impossible", "l_quantity > 1000000")
+        raise AssertionError("add_check accepted a violated constraint")
+    except ConstraintViolation:
+        pass
+
+    # a violating batch aborts before publishing ANYTHING
+    n_before, v_before = t.read().count(), t.current_version()
+    if dirty.take(1):  # sf0.001 slices can be all-clean
+        try:
+            t.append(dirty)
+            raise AssertionError("violating append committed")
+        except ConstraintViolation:
+            pass
+    assert (t.read().count(), t.current_version()) == (n_before, v_before)
+
+    # valid data flows; the constraint rides the incremental commit
+    v4 = t.append(clean.filter(F.col("l_orderkey") > half))
+    assert set(t._manifest(v4)["checks"]) == {"qty_positive", "discount_band"}
+
+    return (
+        t.read()
+        .groupBy(F.col("l_linestatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", scale=2).alias("gross"),
+        )
+    )

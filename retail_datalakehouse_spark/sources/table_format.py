@@ -262,6 +262,16 @@ class VersionedTable:
         the commit costs O(new data), the Delta/Iceberg append contract.
         ``base_files`` entries must already carry their ``dir``."""
         v = (parent or 0) + 1
+        # Persistent CHECK constraints (Delta ADD CONSTRAINT): recorded in
+        # the manifest, enforced on the data each commit WRITES — O(new
+        # rows) for incremental appends, piggybacking on the already-
+        # O(table) scan for materializing commits. Row-preserving ops
+        # (delete/compact/restore) re-write rows that already passed.
+        checks = self._manifest(parent).get("checks") if parent else None
+        if checks and op not in ("delete", "compact", "restore"):
+            from .constraints import enforce
+
+            enforce(df, checks)
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
         data_dir = os.path.join(self.path, data_dirname)
@@ -338,6 +348,8 @@ class VersionedTable:
         if base_dirs is not None:
             # incremental commit: parent data directories carried forward
             entry["base_dirs"] = base_dirs
+        if checks:
+            entry["checks"] = checks
         if pending_txn_marker is not None:
             entry["pending_txn_marker"] = pending_txn_marker
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
@@ -892,6 +904,11 @@ class VersionedTable:
                     if p_entry.get("column_drops")
                     else {}
                 ),
+                **(
+                    {"checks": p_entry["checks"]}
+                    if p_entry.get("checks")
+                    else {}
+                ),
                 "dv_dirs": p_entry.get("dv_dirs", []) + [dv_dirname],
                 "dv_keys": keys,
                 "committed_at": time.time(),
@@ -1093,6 +1110,11 @@ class VersionedTable:
                 **(
                     {"column_drops": src["column_drops"]}
                     if src.get("column_drops")
+                    else {}
+                ),
+                **(
+                    {"checks": src["checks"]}
+                    if src.get("checks")
                     else {}
                 ),
                 "dv_dirs": src.get("dv_dirs", []),
@@ -1823,6 +1845,11 @@ class VersionedTable:
                     if p_entry.get("base_dirs")
                     else {}
                 ),
+                **(
+                    {"checks": p_entry["checks"]}
+                    if p_entry.get("checks")
+                    else {}
+                ),
                 "version": v,
                 "operation": op,
                 "parent": parent,
@@ -1874,6 +1901,11 @@ class VersionedTable:
                 "renaming a hive partition column would orphan its "
                 "directory encoding; rewrite with a new layout instead"
             )
+        if refs := self._checks_referencing(entry, old):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraints "
+                f"{refs}; drop them first"
+            )
         renames = {
             k: v for k, v in entry.get("column_renames", {}).items() if v != old
         }
@@ -1897,11 +1929,119 @@ class VersionedTable:
         phys = self._physical_name(entry, col)
         if phys in (entry.get("partition_by") or []):
             raise ValueError("cannot drop a hive partition column")
+        if refs := self._checks_referencing(entry, col):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraints "
+                f"{refs}; drop them first"
+            )
         renames = {
             k: v for k, v in entry.get("column_renames", {}).items() if k != phys
         }
         drops = [*entry.get("column_drops", []), phys]
         return self._commit_column_mapping("drop_column", renames, drops)
+
+    # ----------------------------------------------------------- checks
+
+    @staticmethod
+    def _checks_referencing(entry: dict, col: str) -> list[str]:
+        import re
+
+        pat = re.compile(rf"\b{re.escape(col)}\b")
+        return [n for n, e in entry.get("checks", {}).items() if pat.search(e)]
+
+    def add_check(self, name: str, expr: str) -> int:
+        """Delta ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: the
+        constraint is table metadata — recorded in the manifest, carried
+        by every later commit, and enforced against the rows each commit
+        writes (:class:`ConstraintViolation` aborts the commit before it
+        publishes; O(new rows) on incremental appends). Like Delta, the
+        EXISTING snapshot must already satisfy the constraint — validated
+        here with one scan. ``expr`` is a SQL boolean over the logical
+        schema."""
+        from .constraints import enforce
+
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            entry = self._manifest(parent)
+            checks = dict(entry.get("checks", {}))
+            if name in checks:
+                raise ValueError(f"constraint {name!r} already exists")
+            enforce(self.read_version(parent), {name: expr})
+            checks[name] = expr
+            v = self._link_metadata_commit(
+                entry, parent, "add_check", {"checks": checks}
+            )
+            if v is not None:
+                return v
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
+    def drop_check(self, name: str) -> int:
+        """Metadata-only DROP CONSTRAINT."""
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            entry = self._manifest(parent)
+            checks = dict(entry.get("checks", {}))
+            if name not in checks:
+                raise ValueError(f"no such constraint: {name!r}")
+            del checks[name]
+            v = self._link_metadata_commit(
+                entry, parent, "drop_check", {"checks": checks}
+            )
+            if v is not None:
+                return v
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
+    def _link_metadata_commit(
+        self, p_entry: dict, parent: int, op: str, updates: dict
+    ) -> int | None:
+        """One CAS-linked manifest that points at the parent's exact data
+        with updated table metadata. Returns the version, or None on a
+        lost race (caller recomputes against the new head)."""
+        v = parent + 1
+        token = uuid.uuid4().hex[:8]
+        entry = {
+            **{
+                k: p_entry.get(k)
+                for k in (
+                    "n_rows",
+                    "data_dir",
+                    "partition_by",
+                    "cluster_by",
+                    "files",
+                    "dv_dirs",
+                    "dv_keys",
+                )
+            },
+            **{
+                k: p_entry[k]
+                for k in ("base_dirs", "column_renames", "column_drops", "checks")
+                if p_entry.get(k)
+            },
+            "version": v,
+            "operation": op,
+            "parent": parent,
+            "cdf_dir": None,
+            "committed_at": time.time(),
+            "modified_keys": [],  # touches no rows: never conflicts
+            "txn": dict(self._txn_state(parent)),
+            **updates,
+        }
+        entry = {k: v2 for k, v2 in entry.items() if k != "checks" or v2}
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        try:
+            os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
+            return v
+        except FileExistsError:
+            return None
+        finally:
+            os.unlink(tmp)
 
     # ------------------------------------------------------------- clone
 
@@ -1967,6 +2107,7 @@ class VersionedTable:
                 if src.get("column_drops")
                 else {}
             ),
+            **({"checks": src["checks"]} if src.get("checks") else {}),
             "cdf_dir": None,
             "modified_keys": None,
             "txn": {},

@@ -1081,3 +1081,66 @@ def test_clone_refuses_nonempty_dest_and_records_lineage(spark, tmp_path):
     assert clone._manifest(1)["clone_source"] == {"path": src.path, "version": 1}
     with _pytest.raises(ValueError):
         src.clone_to(str(tmp_path / "c"))
+
+
+def test_check_constraints_lifecycle(spark, tmp_path):
+    import pytest as _pytest
+
+    from retail_datalakehouse_spark.sources.constraints import ConstraintViolation
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "amt"]))
+    v2 = t.add_check("amt_positive", "amt > 0")
+    assert t._manifest(v2)["checks"] == {"amt_positive": "amt > 0"}
+    assert t._manifest(v2)["data_dir"] == t._manifest(1)["data_dir"]  # metadata-only
+
+    # a violating batch aborts BEFORE anything is staged or published
+    with _pytest.raises(ConstraintViolation):
+        t.append(spark.createDataFrame([(3, -5.0)], ["id", "amt"]))
+    assert t.current_version() == v2 and t.read().count() == 2
+
+    # valid batches flow; the constraint rides every commit
+    v3 = t.append(spark.createDataFrame([(3, 5.0)], ["id", "amt"]))
+    assert t._manifest(v3)["checks"] == {"amt_positive": "amt > 0"}
+
+    # merge enforcement catches violating UPDATES, not just inserts
+    with _pytest.raises(ConstraintViolation):
+        t.merge(spark.createDataFrame([(1, -1.0)], ["id", "amt"]), keys=["id"])
+
+    # adding a check existing data violates is rejected (Delta semantics)
+    with _pytest.raises(ConstraintViolation):
+        t.add_check("id_small", "id < 2")
+    assert "id_small" not in t._manifest(t.current_version()).get("checks", {})
+
+    # drop_check lifts the gate
+    v4 = t.drop_check("amt_positive")
+    assert "checks" not in t._manifest(v4)
+    t.append(spark.createDataFrame([(9, -9.0)], ["id", "amt"]))
+    assert t.read().count() == 4
+
+
+def test_check_constraints_guard_column_mapping_and_clone(spark, tmp_path):
+    import pytest as _pytest
+
+    from retail_datalakehouse_spark.sources.constraints import ConstraintViolation
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, 10.0)], ["id", "amt"]))
+    t.add_check("amt_positive", "amt > 0")
+
+    # rename/drop of a referenced column is blocked (the stored expr
+    # would silently stop binding)
+    with _pytest.raises(ValueError, match="amt_positive"):
+        t.rename_column("amt", "amount")
+    with _pytest.raises(ValueError, match="amt_positive"):
+        t.drop_column("amt")
+    t.rename_column("id", "pk")  # unreferenced columns stay mappable
+
+    # a shallow clone inherits the table's checks
+    clone = t.clone_to(str(tmp_path / "clone"))
+    with _pytest.raises(ConstraintViolation):
+        clone.append(spark.createDataFrame([(7, -7.0)], ["pk", "amt"]))
+    clone.drop_check("amt_positive")  # ... and can drop them independently
+    clone.append(spark.createDataFrame([(7, -7.0)], ["pk", "amt"]))
+    with _pytest.raises(ConstraintViolation):  # source still guarded
+        t.append(spark.createDataFrame([(8, -8.0)], ["pk", "amt"]))

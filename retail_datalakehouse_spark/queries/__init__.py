@@ -253,6 +253,7 @@ _PROMOTE_R8 = [
     "x_column_mapping",
     "x_shallow_clone",
     "x_check_constraints",
+    "f8_variant_semistructured",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -265,3 +265,72 @@ def f3_bitwise_and_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("o_totalprice", F.lit(400000.0)).alias("price_ceil_clamp"),
         F.signum(F.col("o_totalprice") - 250000.0).alias("above_mid"),
     )
+
+
+@register(
+    "f8_variant_semistructured",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+FROM events
+GROUP BY event_type
+""",
+    tags=("F7",),
+    doc="",
+)
+def f8_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured analytics (Spark 4 VariantType — the
+    engine-native open-JSON column Delta/Snowflake variant maps to):
+    ``parse_json`` decodes each event's ``props`` payload ONCE into the
+    binary variant encoding, then ``variant_get`` does typed path
+    extraction JVM-side — no per-access string re-parse, no UDF; at
+    100 TB the variant binary beats repeated ``get_json_object`` string
+    scans because fields are offset-indexed, not re-tokenized per
+    extraction. Drilled in-query on real rows: ``schema_of_variant``
+    reports the payload's inferred shape, ``try_variant_get`` on a
+    missing path yields NULL (never an error), and a NESTED variant
+    built from row values round-trips ``$.u.id`` exactly. The oracle
+    reads the same payloads with DuckDB's JSON path functions."""
+    e = T(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        "user_id",
+        F.parse_json("props").alias("v"),
+    )
+
+    # variant semantics pinned on a bounded sample (one collect of 3 rows)
+    probe = v.select(
+        F.schema_of_variant("v").alias("sch"),
+        F.try_variant_get("v", "$.nope", "string").alias("missing"),
+        F.variant_get("v", "$.k", "bigint").alias("k"),
+        F.variant_get(
+            F.parse_json(
+                F.concat(
+                    F.lit('{"u":{"id":'),
+                    F.col("user_id").cast("string"),
+                    F.lit('},"k":'),
+                    F.variant_get("v", "$.k", "bigint").cast("string"),
+                    F.lit("}"),
+                )
+            ),
+            "$.u.id",
+            "bigint",
+        ).alias("nested_uid"),
+        "user_id",
+    ).take(3)
+    for r in probe:
+        assert r.sch == "OBJECT<k: BIGINT>", r.sch
+        assert r.missing is None
+        assert r.nested_uid == r.user_id  # nested path round-trip
+
+    k = F.variant_get("v", "$.k", "bigint")
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_hi"),
+    )

@@ -252,8 +252,14 @@ _PROMOTE_R8 = [
     "x_incremental_append",
     "x_column_mapping",
     "x_shallow_clone",
+    # ---- slots 51+: PAST the driver's hard 50-row gate cap — the r9
+    # rotation queue. Everything below is 3-scale + vanilla-session
+    # oracle-green at build time and re-verified by the full local gate
+    # (tools/check_oracle.py, all queries) every round; it just hasn't
+    # held a DRIVER row yet. R9 must lead its window with these.
     "x_check_constraints",
     "f8_variant_semistructured",
+    "x_identity_column",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

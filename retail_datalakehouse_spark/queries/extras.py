@@ -1999,3 +1999,51 @@ def x_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice", scale=2).alias("gross"),
         )
     )
+
+
+_IDENTITY_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS BIGINT) AS min_sk,
+       CAST(COUNT(*) AS BIGINT) AS max_sk,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_sk,
+       CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) AS sum_sk
+FROM orders
+"""
+
+
+@register("x_identity_column", oracle=_IDENTITY_SQL, tags=("S6",), doc="")
+def x_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTITY column (Delta GENERATED ALWAYS AS IDENTITY): the table
+    mints dense int64 surrogate keys at commit time from a manifest high
+    watermark — batches must not carry the column. Assignment is
+    DISTRIBUTED: one count-per-partition pass derives partition offsets,
+    an Arrow mapInPandas stamps ranges — no global sort, no
+    single-partition window, no driver loop; at 100 TB the assignment
+    costs one narrow pass over the batch. Concurrency-safe by the same
+    CAS the commits use: a lost race re-reads the winner's watermark and
+    re-assigns (duplicate-mint impossible — pinned by a race-injection
+    unit test). Drilled here across two appends: the second continues
+    exactly where the first stopped. The oracle states the dense-range
+    invariants (min=1, max=n, distinct=n, sum=n(n+1)/2) — Gauss closes
+    the contract: the sum matches ONLY if every id in 1..n appears
+    exactly once, independent of which row got which id."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    half = o.agg((F.max("o_orderkey") / 2).cast("long")).first()[0]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_ident_"))
+    v1 = t.append(o.filter(F.col("o_orderkey") <= half), identity="sk")
+    v2 = t.append(o.filter(F.col("o_orderkey") > half), identity="sk")
+    wm1 = t._manifest(v1)["identity"]["sk"]
+    wm2 = t._manifest(v2)["identity"]["sk"]
+    assert wm2 > wm1 > 1 and t._manifest(v2).get("base_dirs"), (wm1, wm2)
+
+    return t.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("sk").alias("min_sk"),
+        F.max("sk").alias("max_sk"),
+        F.countDistinct("sk").alias("n_distinct_sk"),
+        F.sum("sk").alias("sum_sk"),
+    )

@@ -140,6 +140,48 @@ def _collect_manifest_stats(data_dir: str) -> tuple[int, list[dict] | None]:
     return total, files
 
 
+def _with_contiguous_ids(
+    df: DataFrame, col: str, start: int
+) -> tuple[DataFrame, int]:
+    """Assign dense, contiguous int64 ids ``start..start+n-1`` WITHOUT a
+    global sort: one count-per-partition pass computes each partition's
+    offset (a tiny dict broadcast in the task closure), then an Arrow
+    ``mapInPandas`` stamps ranges per partition — narrow, no shuffle, no
+    single-partition window, O(#partitions) driver state. The same
+    two-phase plan ``zipWithIndex`` uses, kept in the DataFrame/Arrow
+    lane. The input must be deterministic across the two passes — the
+    identity append path persists it first."""
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cached = df.persist()
+    sizes = {
+        r["pid"]: r["n"]
+        for r in cached.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, start
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    schema = T.StructType(
+        [*cached.schema.fields, T.StructField(col, T.LongType(), False)]
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        nxt = offsets.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            pdf[col] = np.arange(nxt, nxt + len(pdf), dtype="int64")
+            nxt += len(pdf)
+            yield pdf
+
+    return cached.mapInPandas(gen, schema), acc - start
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -237,6 +279,7 @@ class VersionedTable:
         pending_txn_marker: str | None = None,
         cluster_by: list[str] | None = None,
         base: tuple[list[str], list[dict] | None, int] | None = None,
+        identity_update: dict | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -350,6 +393,13 @@ class VersionedTable:
             entry["base_dirs"] = base_dirs
         if checks:
             entry["checks"] = checks
+        # identity high watermarks: updated by identity appends, carried
+        # verbatim by every other commit (deletes never free ids)
+        identity = identity_update or (
+            self._manifest(parent).get("identity") if parent else None
+        )
+        if identity:
+            entry["identity"] = identity
         if pending_txn_marker is not None:
             entry["pending_txn_marker"] = pending_txn_marker
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
@@ -572,6 +622,7 @@ class VersionedTable:
         df: DataFrame,
         txn: tuple[str, int] | None = None,
         merge_schema: bool = False,
+        identity: str | None = None,
     ) -> int:
         """Append rows as a new snapshot. ``merge_schema=True`` is Delta's
         mergeSchema write option: a batch carrying NEW columns widens the
@@ -589,8 +640,30 @@ class VersionedTable:
         merge-on-read deletes — whose key-tombstones would wrongly erase
         matching NEW rows if the old files were kept as-is) the append
         falls back to the materializing path: read through, union,
-        rewrite."""
+        rewrite.
+
+        ``identity`` (Delta GENERATED ALWAYS AS IDENTITY): name a column
+        the TABLE assigns — the batch must NOT carry it. Each batch gets
+        dense int64 ids continuing from the manifest's per-column high
+        watermark; assignment is distributed (partition-offset
+        ``mapInPandas``, no global sort — :func:`_with_contiguous_ids`)
+        and race-safe: a lost commit race re-reads the winner's
+        watermark and re-assigns, so concurrent identity writers can
+        never mint the same id. Deletes never free ids (watermark only
+        grows). Identity appends ride the AddFile-only path exclusively
+        and reject merge_schema / hive-partitioned / column-mapped
+        parents."""
         from pyspark.sql import functions as F
+
+        if identity is not None:
+            if merge_schema:
+                raise ValueError("identity appends cannot merge_schema")
+            if identity in df.columns:
+                raise ValueError(
+                    f"identity column {identity!r} is table-assigned; "
+                    "the batch must not carry it"
+                )
+            return self._append_identity(df, identity, txn)
 
         for _ in range(5):
             parent = self.current_version()
@@ -662,6 +735,89 @@ class VersionedTable:
             build, "append", txn=txn, modified_keys=[],
             cdf_build=lambda cur: df.withColumn("_change_type", F.lit("insert")),
         )
+
+    def _append_identity(
+        self, df: DataFrame, col: str, txn: tuple[str, int] | None
+    ) -> int:
+        """Identity-assigning append (see :meth:`append`). The batch is
+        persisted so the two assignment passes (count-per-partition,
+        stamping) and the staged write all see one materialization —
+        and so a re-assignment after a lost commit race is cheap."""
+        from pyspark.sql import functions as F
+
+        df = df.persist()
+        try:
+            for _ in range(5):
+                parent = self.current_version()
+                if txn is not None:
+                    last = self._txn_state(parent).get(txn[0])
+                    if last is not None and int(last) >= txn[1]:
+                        return parent  # replay — already applied
+                p_entry = self._manifest(parent) if parent else {}
+                if (
+                    p_entry.get("dv_dirs")
+                    or p_entry.get("partition_by")
+                    or p_entry.get("column_renames")
+                    or p_entry.get("column_drops")
+                ):
+                    raise ValueError(
+                        "identity appends require an AddFile-eligible "
+                        "parent (no hive layout, pending deletion "
+                        "vectors, or column mapping)"
+                    )
+                wm = int(p_entry.get("identity", {}).get(col, 1))
+                assigned, n = _with_contiguous_ids(df, col, wm)
+                if parent:
+                    cur_schema = self.read_version(parent).schema
+                    if {f.name: f.dataType for f in cur_schema.fields} != {
+                        f.name: f.dataType for f in assigned.schema.fields
+                    }:
+                        raise ValueError(
+                            "identity append batch schema must match the "
+                            "table (minus the identity column)"
+                        )
+                    assigned = assigned.select(
+                        *[f.name for f in cur_schema.fields]
+                    )
+                    p_files = p_entry.get("files")
+                    if p_files is not None:
+                        p_dir = p_entry["data_dir"]
+                        p_files = [
+                            f if "dir" in f else {**f, "dir": p_dir}
+                            for f in p_files
+                        ]
+                    base = (
+                        [*p_entry.get("base_dirs", []), p_entry["data_dir"]],
+                        p_files,
+                        p_entry["n_rows"],
+                    )
+                else:
+                    base = None
+                try:
+                    return self._try_commit(
+                        assigned,
+                        "append",
+                        parent,
+                        txn=None if txn is None else {txn[0]: txn[1]},
+                        modified_keys=[],
+                        cdf_df=(
+                            assigned.withColumn("_change_type", F.lit("insert"))
+                            if self._record_cdf
+                            else None
+                        ),
+                        base=base,
+                        identity_update={
+                            **p_entry.get("identity", {}),
+                            col: wm + n,
+                        },
+                    )
+                except CommitConflict:
+                    continue  # winner advanced the watermark: re-assign
+            raise CommitConflict(
+                f"lost 5 consecutive commit races at {self.path}"
+            )
+        finally:
+            df.unpersist()
 
     @staticmethod
     def _any_col_differs(a: str, b: str, cols: list[str]):
@@ -909,6 +1065,11 @@ class VersionedTable:
                     if p_entry.get("checks")
                     else {}
                 ),
+                **(
+                    {"identity": p_entry["identity"]}
+                    if p_entry.get("identity")
+                    else {}
+                ),
                 "dv_dirs": p_entry.get("dv_dirs", []) + [dv_dirname],
                 "dv_keys": keys,
                 "committed_at": time.time(),
@@ -1115,6 +1276,11 @@ class VersionedTable:
                 **(
                     {"checks": src["checks"]}
                     if src.get("checks")
+                    else {}
+                ),
+                **(
+                    {"identity": src["identity"]}
+                    if src.get("identity")
                     else {}
                 ),
                 "dv_dirs": src.get("dv_dirs", []),
@@ -1850,6 +2016,11 @@ class VersionedTable:
                     if p_entry.get("checks")
                     else {}
                 ),
+                **(
+                    {"identity": p_entry["identity"]}
+                    if p_entry.get("identity")
+                    else {}
+                ),
                 "version": v,
                 "operation": op,
                 "parent": parent,
@@ -1906,6 +2077,8 @@ class VersionedTable:
                 f"column {old!r} is referenced by CHECK constraints "
                 f"{refs}; drop them first"
             )
+        if old in entry.get("identity", {}):
+            raise ValueError(f"cannot rename identity column {old!r}")
         renames = {
             k: v for k, v in entry.get("column_renames", {}).items() if v != old
         }
@@ -1934,6 +2107,8 @@ class VersionedTable:
                 f"column {col!r} is referenced by CHECK constraints "
                 f"{refs}; drop them first"
             )
+        if col in entry.get("identity", {}):
+            raise ValueError(f"cannot drop identity column {col!r}")
         renames = {
             k: v for k, v in entry.get("column_renames", {}).items() if k != phys
         }
@@ -2018,7 +2193,13 @@ class VersionedTable:
             },
             **{
                 k: p_entry[k]
-                for k in ("base_dirs", "column_renames", "column_drops", "checks")
+                for k in (
+                    "base_dirs",
+                    "column_renames",
+                    "column_drops",
+                    "checks",
+                    "identity",
+                )
                 if p_entry.get(k)
             },
             "version": v,
@@ -2108,6 +2289,7 @@ class VersionedTable:
                 else {}
             ),
             **({"checks": src["checks"]} if src.get("checks") else {}),
+            **({"identity": src["identity"]} if src.get("identity") else {}),
             "cdf_dir": None,
             "modified_keys": None,
             "txn": {},

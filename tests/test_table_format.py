@@ -1144,3 +1144,70 @@ def test_check_constraints_guard_column_mapping_and_clone(spark, tmp_path):
     clone.append(spark.createDataFrame([(7, -7.0)], ["pk", "amt"]))
     with _pytest.raises(ConstraintViolation):  # source still guarded
         t.append(spark.createDataFrame([(8, -8.0)], ["pk", "amt"]))
+
+
+def test_identity_append_dense_unique_and_watermark(spark, tmp_path):
+    import pytest as _pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    v1 = t.append(
+        spark.createDataFrame([(f"u{i}",) for i in range(25)], ["name"]),
+        identity="sk",
+    )
+    assert t._manifest(v1)["identity"] == {"sk": 26}
+    got = sorted(r.sk for r in t.read().collect())
+    assert got == list(range(1, 26))
+
+    # second batch continues from the watermark; the commit is AddFile-only
+    v2 = t.append(
+        spark.createDataFrame([(f"v{i}",) for i in range(10)], ["name"]),
+        identity="sk",
+    )
+    e2 = t._manifest(v2)
+    assert e2["identity"] == {"sk": 36} and e2.get("base_dirs")
+    got = sorted(r.sk for r in t.read().collect())
+    assert got == list(range(1, 36))
+
+    # deletes never free ids: the watermark rides the delete commit
+    t.delete(F.col("sk") <= 30)
+    v4 = t.append(
+        spark.createDataFrame([("w",)], ["name"]), identity="sk"
+    )
+    assert {r.sk for r in t.read_version(v4).collect()} == {*range(31, 36), 36}
+
+    # the batch must not carry the table-assigned column
+    with _pytest.raises(ValueError, match="table-assigned"):
+        t.append(spark.createDataFrame([(99, "x")], ["sk", "name"]), identity="sk")
+    # identity columns are pinned against column mapping
+    with _pytest.raises(ValueError, match="identity column"):
+        t.rename_column("sk", "id")
+    with _pytest.raises(ValueError, match="identity column"):
+        t.drop_column("sk")
+
+
+def test_identity_append_race_never_mints_duplicates(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    t = VersionedTable(spark, path)
+    t.append(spark.createDataFrame([("a",), ("b",)], ["name"]), identity="sk")
+
+    rival = VersionedTable(spark, path)
+    state = {"fired": False}
+
+    class RacingTable(VersionedTable):
+        def _try_commit(self, df, op, parent, **kw):
+            if not state["fired"]:
+                state["fired"] = True
+                # rival wins the version slot AND advances the watermark
+                rival.append(
+                    spark.createDataFrame([("r1",), ("r2",), ("r3",)], ["name"]),
+                    identity="sk",
+                )
+            return super()._try_commit(df, op, parent, **kw)
+
+    wr = RacingTable(spark, path)
+    wr.append(spark.createDataFrame([("m1",), ("m2",)], ["name"]), identity="sk")
+    rows = wr.read().collect()
+    sks = sorted(r.sk for r in rows)
+    assert sks == list(range(1, 8)), sks  # dense, zero duplicates
+    by_name = {r.name: r.sk for r in rows}
+    assert by_name["m1"] > by_name["r3"]  # loser re-assigned past the winner

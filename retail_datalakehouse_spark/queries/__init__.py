@@ -260,6 +260,7 @@ _PROMOTE_R8 = [
     "x_check_constraints",
     "f8_variant_semistructured",
     "x_identity_column",
+    "s13_datasource_sink",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -900,3 +900,93 @@ def s11_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+@register(
+    "s13_datasource_sink",
+    oracle=f"""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum("value", scale=2)} AS total_value
+FROM events
+GROUP BY event_type
+""",
+    tags=("S1", "T6"),
+)
+def s13_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom SINK via the Spark 4 Python DataSource write API — both
+    lanes of the two-phase commit protocol a real connector implements
+    (sources/pydatasource.py::JsonlSinkDataSource):
+
+    - BATCH (DataSourceArrowWriter, Arrow RecordBatches end-to-end, no
+      per-row Python objects): executors stage private files and return
+      commit messages; the driver publishes all-or-nothing.
+    - STREAMING (DataSourceStreamWriter under availableNow +
+      maxFilesPerTrigger=1, real micro-batches): same staging protocol
+      per batch, PLUS an idempotent batch log — the stream is re-run
+      from the SAME checkpoint in-query and the sink is byte-identical
+      after the replay (the duplicate micro-batch is detected by
+      batchId and discarded): sink-side exactly-once, drilled live.
+
+    Both sinks are read back with Spark's JSON reader; the batch
+    readback must equal the streamed readback row-for-row, and the
+    returned aggregate over the BATCH readback equals the oracle over
+    pristine events — the round-trip proves schema, staging, publish,
+    and replay-dedup are exact. Cf. the reference's boto3 put_object
+    ingest (scripts/s3_bucket.py): no staging, no atomicity, no replay
+    guard."""
+    from ..sources.pydatasource import JsonlSinkDataSource
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ddl = "event_id bigint, event_type string, value double"
+
+    # --- batch lane (Arrow writer) ---
+    bdir = tempfile.mkdtemp(prefix="rdl_sinkb_")
+    e.write.format("jsonl_sink").option("path", bdir).mode("overwrite").save()
+    batch_back = spark.read.schema(ddl).json(os.path.join(bdir, "part-*.jsonl"))
+
+    # --- streaming lane: three drops -> micro-batches -> replay ---
+    sdir = tempfile.mkdtemp(prefix="rdl_sinks_")
+    ckpt = tempfile.mkdtemp(prefix="rdl_sinkc_")
+    drops = tempfile.mkdtemp(prefix="rdl_sinkd_")
+    for i in range(3):
+        e.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(drops, f"d{i}"))
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(drops, "d*"))
+    )
+
+    def run():
+        q = (
+            stream.writeStream.format("jsonl_sink")
+            .option("path", sdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    glob = os.path.join(sdir, "part-*.jsonl")
+    n1 = spark.read.schema(ddl).json(glob).count()
+    files1 = sorted(
+        f for f in os.listdir(sdir) if f.startswith("part-")
+    )
+    run()  # replay from the SAME checkpoint: the sink must not grow
+    files2 = sorted(f for f in os.listdir(sdir) if f.startswith("part-"))
+    assert files2 == files1, "replayed micro-batch re-published"
+    stream_back = spark.read.schema(ddl).json(glob)
+    assert n1 == stream_back.count() == e.count()
+
+    # the two lanes agree row-for-row
+    assert batch_back.exceptAll(stream_back).isEmpty()
+    assert stream_back.exceptAll(batch_back).isEmpty()
+
+    return batch_back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", scale=2).alias("total_value"),
+    )

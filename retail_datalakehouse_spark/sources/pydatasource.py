@@ -18,10 +18,14 @@ driver-side loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -29,6 +33,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: multiplicative hash constant shared with the DuckDB oracles
@@ -446,3 +451,127 @@ class VersionedCdfScaleStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing table-side
+
+
+# --------------------------------------------------------------- sinks
+
+class _SinkCommit(WriterCommitMessage):
+    """Serializable commit message: one staged file per write task."""
+
+    def __init__(self, staged: str, n_rows: int):
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class JsonlSinkDataSource(DataSource):
+    """Write-side of the Python DataSource contract (Spark 4
+    ``DataSourceArrowWriter`` / ``DataSourceStreamWriter``): an atomic
+    JSONL sink with the two-phase protocol real connectors implement —
+    executors stage a private file per task and return a commit message;
+    the DRIVER publishes all of them (rename into place) only when every
+    task succeeded, or deletes the stage on abort, so readers never see
+    a torn write. The batch lane is ARROW-NATIVE (RecordBatch in, no
+    per-row Python objects); the stream lane adds an idempotent batch
+    log — a replayed micro-batch (restart, speculative re-commit) is
+    detected by batchId and discarded, the sink-side half of
+    exactly-once. Staging and publish share one directory, so the
+    rename-based publish assumes the executors and driver see one
+    filesystem (local / NFS / fuse-mounted object store); on S3-like
+    stores the rename becomes a manifest pointer swap, same protocol.
+    Cf. the reference's fire-and-forget boto3 puts
+    (/root/reference/scripts/s3_bucket.py) — no atomicity, no abort."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlArrowWriter(self.options["path"], overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamWriter(self.options["path"])
+
+
+class JsonlArrowWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+        os.makedirs(path, exist_ok=True)
+
+    def write(self, iterator):  # executor-side, Arrow RecordBatches
+        import json as _json
+        import uuid as _uuid
+
+        staged = os.path.join(self.path, f".staging-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for rb in iterator:
+                for row in rb.to_pylist():
+                    f.write(_json.dumps(row, default=str) + "\n")
+                    n += 1
+        return _SinkCommit(staged, n)
+
+    def commit(self, messages):  # driver-side, all tasks succeeded
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.startswith("part-") and old.endswith(".jsonl"):
+                    os.unlink(os.path.join(self.path, old))
+        for i, m in enumerate(messages):
+            os.replace(m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.unlink(m.staged)
+
+
+class JsonlStreamWriter(DataSourceStreamWriter):
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+        self._log = os.path.join(path, "_batches.json")
+
+    def _committed(self) -> list:
+        import json as _json
+
+        if not os.path.exists(self._log):
+            return []
+        with open(self._log) as f:
+            return _json.load(f)
+
+    def write(self, iterator):  # executor-side, one micro-batch partition
+        import json as _json
+        import uuid as _uuid
+
+        staged = os.path.join(self.path, f".staging-{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _SinkCommit(staged, n)
+
+    def commit(self, messages, batchId: int):
+        import json as _json
+        import uuid as _uuid
+
+        done = self._committed()
+        if batchId in done:  # replayed micro-batch: idempotent discard
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.unlink(m.staged)
+            return
+        for i, m in enumerate(messages):
+            os.replace(
+                m.staged,
+                os.path.join(self.path, f"part-b{batchId:05d}-{i:05d}.jsonl"),
+            )
+        tmp = f"{self._log}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            _json.dump([*done, batchId], f)
+        os.replace(tmp, self._log)
+
+    def abort(self, messages, batchId: int):
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.unlink(m.staged)

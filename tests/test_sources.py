@@ -138,3 +138,41 @@ def test_pydatasource_filter_pushdown_narrows_shards(spark):
             spark.conf.unset("spark.sql.python.filterPushdown.enabled")
         else:
             spark.conf.set("spark.sql.python.filterPushdown.enabled", old)
+
+
+def test_jsonl_sink_commit_abort_protocol(tmp_path):
+    """Driver-side halves of the sink's two-phase protocol, exercised
+    directly: abort deletes the stage (no torn publish), batch commit
+    publishes all-or-nothing, stream commit dedupes a replayed batchId."""
+    import json
+    import os
+
+    from retail_datalakehouse_spark.sources.pydatasource import (
+        JsonlArrowWriter,
+        JsonlStreamWriter,
+        _SinkCommit,
+    )
+
+    d = str(tmp_path / "sink")
+    w = JsonlArrowWriter(d, overwrite=True)
+    staged = []
+    for i in range(3):
+        p = os.path.join(d, f".staging-{i}.jsonl")
+        open(p, "w").write(f'{{"i": {i}}}\n')
+        staged.append(_SinkCommit(p, 1))
+    w.abort(staged[:2] + [None])  # a failed task reports None
+    assert sorted(os.listdir(d)) == [".staging-2.jsonl"]
+    w.commit([staged[2]])
+    assert sorted(os.listdir(d)) == ["part-00000.jsonl"]
+
+    s = JsonlStreamWriter(d)
+    p = os.path.join(d, ".staging-b0.jsonl")
+    open(p, "w").write('{"i": 9}\n')
+    s.commit([_SinkCommit(p, 1)], batchId=0)
+    assert json.load(open(os.path.join(d, "_batches.json"))) == [0]
+    # replayed batch 0: staged file discarded, nothing re-published
+    p2 = os.path.join(d, ".staging-b0r.jsonl")
+    open(p2, "w").write('{"i": 9}\n')
+    s.commit([_SinkCommit(p2, 1)], batchId=0)
+    parts = [f for f in os.listdir(d) if f.startswith("part-b")]
+    assert parts == ["part-b00000-00000.jsonl"] and not os.path.exists(p2)

@@ -261,6 +261,7 @@ _PROMOTE_R8 = [
     "f8_variant_semistructured",
     "x_identity_column",
     "s13_datasource_sink",
+    "x_hidden_partitioning",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -2047,3 +2047,53 @@ def x_identity_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sk").alias("n_distinct_sk"),
         F.sum("sk").alias("sum_sk"),
     )
+
+
+_HIDDEN_PART_SQL = f"""
+SELECT o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1996-02-01' AND DATE '1996-10-31'
+GROUP BY 1
+"""
+
+
+@register("x_hidden_partitioning", oracle=_HIDDEN_PART_SQL, tags=("S6", "P4", "S3"), doc="")
+def x_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN partitioning (Iceberg's defining feature vs hive tables):
+    the table declares ``month(o_orderdate)`` and the ENGINE derives,
+    writes, and hides the partition column — users keep filtering on
+    o_orderdate, and scan planning maps the date range into partition
+    bounds through the same transform (pure Python date math, zero Spark
+    jobs), opening only the matching hive directories. This kills the
+    classic hive failure where a filter on the source column reads the
+    whole 100 TB table because the user didn't ALSO filter the derived
+    date-string column. Asserted in-query: the derived column never
+    appears in the read schema; a 9-month probe over a multi-year table
+    opens exactly the 9 matching partitions of the total; an
+    out-of-domain probe opens zero. The returned aggregate over the
+    pruned scan equals the oracle's over pristine orders with a plain
+    date predicate — planning changed I/O, never results."""
+    import datetime as dt
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_hidden_"))
+    t.overwrite(o, hidden_partition=("month", "o_orderdate"))
+    assert t.read().columns == o.columns  # derived column stays hidden
+
+    lo, hi = dt.date(1996, 2, 1), dt.date(1996, 10, 31)
+    pruned, n_read, n_total = t.read_hidden(lo, hi)
+    assert n_read == 9 and n_total > 12 * 4, (n_read, n_total)
+    _, n0, _ = t.read_hidden(dt.date(2090, 1, 1), dt.date(2090, 6, 1))
+    assert n0 == 0  # out-of-domain: zero partitions, zero files
+
+    return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

@@ -140,6 +140,51 @@ def _collect_manifest_stats(data_dir: str) -> tuple[int, list[dict] | None]:
     return total, files
 
 
+def _hidden_partition_col(spec: dict):
+    """The engine-derived partition expression for a hidden-partition
+    spec (Iceberg transform semantics, monotonic integer domains so
+    source-predicate ranges map to partition-value ranges):
+
+    - ``year``:  calendar year of the source date/timestamp
+    - ``month``: months since epoch (year*12 + month-1)
+    - ``day``:   days since epoch
+    - ``bucket:N``: xxhash64(source) mod N (equality/IN pruning only)
+    """
+    from pyspark.sql import functions as F
+
+    t, src = spec["transform"], spec["source"]
+    c = F.col(src)
+    if t == "year":
+        return F.year(c).cast("long")
+    if t == "month":
+        return (F.year(c) * 12 + F.month(c) - 1).cast("long")
+    if t == "day":
+        return F.datediff(c.cast("date"), F.lit("1970-01-01")).cast("long")
+    if t.startswith("bucket:"):
+        return F.pmod(F.xxhash64(c), int(t.split(":")[1])).cast("long")
+    raise ValueError(f"unknown hidden-partition transform: {t!r}")
+
+
+def _hidden_partition_literal(t: str, value) -> int:
+    """Python-side twin of :func:`_hidden_partition_col` for date-family
+    transforms — maps a source-column literal into the partition-value
+    domain so scan planning can derive partition bounds WITHOUT a Spark
+    job. ``value``: datetime.date/datetime or ISO string."""
+    import datetime as _dt
+
+    if isinstance(value, str):
+        value = _dt.date.fromisoformat(value[:10])
+    elif isinstance(value, _dt.datetime):
+        value = value.date()
+    if t == "year":
+        return value.year
+    if t == "month":
+        return value.year * 12 + value.month - 1
+    if t == "day":
+        return (value - _dt.date(1970, 1, 1)).days
+    raise ValueError(f"transform {t!r} has no literal range mapping")
+
+
 def _with_contiguous_ids(
     df: DataFrame, col: str, start: int
 ) -> tuple[DataFrame, int]:
@@ -280,6 +325,7 @@ class VersionedTable:
         cluster_by: list[str] | None = None,
         base: tuple[list[str], list[dict] | None, int] | None = None,
         identity_update: dict | None = None,
+        hidden_partition: dict | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -391,6 +437,10 @@ class VersionedTable:
         if base_dirs is not None:
             # incremental commit: parent data directories carried forward
             entry["base_dirs"] = base_dirs
+        if hidden_partition is not None:
+            # layout metadata, per-snapshot like partition_by: which
+            # engine-derived transform the hive layout encodes
+            entry["hidden_partition"] = hidden_partition
         if checks:
             entry["checks"] = checks
         # identity high watermarks: updated by identity appends, carried
@@ -488,6 +538,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         cdf_build: Callable[[DataFrame | None], DataFrame] | None = None,
         cluster_by: list[str] | None = None,
+        hidden_partition: dict | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -529,6 +580,7 @@ class VersionedTable:
                     partition_by=partition_by,
                     cdf_df=cdf_df,
                     cluster_by=cluster_by,
+                    hidden_partition=hidden_partition,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -548,6 +600,7 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int = 16,
+        hidden_partition: tuple[str, str] | None = None,
     ) -> int:
         """Replace the table with ``df``. ``partition_by`` evolves the
         snapshot's physical layout (hive-style directories) without
@@ -563,7 +616,32 @@ class VersionedTable:
         (:meth:`read_pruned` / :meth:`read_pruned_in`). Recorded in the
         manifest as declared layout metadata. Orthogonal to
         ``partition_by`` — clustering shapes files, partitioning shapes
-        directories."""
+        directories.
+
+        ``hidden_partition=(transform, source_col)`` (Iceberg HIDDEN
+        partitioning): the ENGINE derives the partition column from a
+        declared transform — ``"year" | "month" | "day" | "bucket:N"``
+        of a source column — writes the hive layout on it, records the
+        spec in the manifest, and hides the column from every read.
+        Queries keep filtering on the SOURCE column; scan planning
+        (:meth:`read_hidden` / :meth:`read_hidden_in`) maps source
+        predicates into partition-value bounds through the same
+        transform, so users can never write the
+        filters-on-the-wrong-column bug that un-prunes a naive
+        date-string layout. Mutually exclusive with ``partition_by``."""
+        spec = None
+        if hidden_partition is not None:
+            if partition_by:
+                raise ValueError(
+                    "hidden_partition and partition_by are mutually exclusive"
+                )
+            t, src = hidden_partition
+            if src not in df.columns:
+                raise ValueError(f"no such column: {src!r}")
+            name = f"__p_{t.replace(':', '_')}_{src}"
+            spec = {"name": name, "transform": t, "source": src}
+            df = df.withColumn(name, _hidden_partition_col(spec))
+            partition_by = [name]
         if cluster_by:
             from pyspark.sql import functions as F
 
@@ -572,7 +650,7 @@ class VersionedTable:
             )
         return self._commit_with_retry(
             lambda cur: df, "overwrite", partition_by=partition_by,
-            cluster_by=cluster_by,
+            cluster_by=cluster_by, hidden_partition=spec,
         )
 
     def overwrite_where(
@@ -1070,6 +1148,11 @@ class VersionedTable:
                     if p_entry.get("identity")
                     else {}
                 ),
+                **(
+                    {"hidden_partition": p_entry["hidden_partition"]}
+                    if p_entry.get("hidden_partition")
+                    else {}
+                ),
                 "dv_dirs": p_entry.get("dv_dirs", []) + [dv_dirname],
                 "dv_keys": keys,
                 "committed_at": time.time(),
@@ -1281,6 +1364,11 @@ class VersionedTable:
                 **(
                     {"identity": src["identity"]}
                     if src.get("identity")
+                    else {}
+                ),
+                **(
+                    {"hidden_partition": src["hidden_partition"]}
+                    if src.get("hidden_partition")
                     else {}
                 ),
                 "dv_dirs": src.get("dv_dirs", []),
@@ -1558,6 +1646,96 @@ class VersionedTable:
             F.col(phys).isin(values)
         )
         return self._apply_column_mapping(df, entry), len(keep), len(files)
+
+    def _hidden_parts(self, entry: dict) -> tuple[dict, list[str]]:
+        spec = entry.get("hidden_partition")
+        if not spec:
+            raise ValueError(
+                f"{self.path} snapshot has no hidden partitioning"
+            )
+        data_dir = os.path.join(self.path, entry["data_dir"])
+        prefix = spec["name"] + "="
+        return spec, [
+            d for d in os.listdir(data_dir) if d.startswith(prefix)
+        ]
+
+    def _read_hidden_parts(
+        self, entry: dict, spec: dict, keep: list[str], n_total: int, residual
+    ):
+        from pyspark.sql import functions as F
+
+        data_dir = os.path.join(self.path, entry["data_dir"])
+        if not keep:
+            empty = self.read_version(entry["version"]).filter(F.lit(False))
+            return empty, 0, n_total
+        df = (
+            self.spark.read.option("basePath", data_dir)
+            .parquet(*[os.path.join(data_dir, d) for d in keep])
+            .filter(residual)
+            .drop(spec["name"])
+        )
+        return self._apply_column_mapping(df, entry), len(keep), n_total
+
+    def read_hidden(
+        self, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Hidden-partition RANGE scan: the caller filters on the SOURCE
+        column; planning maps [lo, hi] through the snapshot's declared
+        transform into partition-value bounds (pure Python date math, no
+        Spark job) and opens only the matching hive directories —
+        metadata-only pruning the user cannot get wrong, because the
+        partition column never appears in their query. Returns
+        ``(df, n_partitions_read, n_partitions_total)``; the residual
+        source-column filter rides into the parquet scan."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot scan empty table {self.path}")
+        from pyspark.sql import functions as F
+
+        entry = self._manifest(v)
+        spec, parts = self._hidden_parts(entry)
+        residual = F.col(spec["source"]).between(F.lit(lo), F.lit(hi))
+        if entry.get("dv_dirs"):
+            # pending tombstones: route through the anti-join path
+            return self.read_version(v).filter(residual), -1, -1
+        t = spec["transform"]
+        plo = _hidden_partition_literal(t, lo)
+        phi = _hidden_partition_literal(t, hi)
+        keep = [
+            d for d in parts if plo <= int(d.split("=", 1)[1]) <= phi
+        ]
+        return self._read_hidden_parts(entry, spec, keep, len(parts), residual)
+
+    def read_hidden_in(
+        self, values: list, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Hidden-partition POINT/IN-list scan — the ``bucket:N``
+        transform's probe path: each probe value is hashed exactly the
+        way the write hashed it (one tiny Spark job on a literal
+        relation, so the xxhash64 input type matches bit-for-bit), and
+        only the hive directories holding those buckets open."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot scan empty table {self.path}")
+        from pyspark.sql import functions as F
+
+        entry = self._manifest(v)
+        spec, parts = self._hidden_parts(entry)
+        residual = F.col(spec["source"]).isin(values)
+        if entry.get("dv_dirs"):
+            return self.read_version(v).filter(residual), -1, -1
+        t = spec["transform"]
+        if t.startswith("bucket:"):
+            n = int(t.split(":")[1])
+            dtype = dict(self.read_version(v).dtypes)[spec["source"]]
+            wanted = {
+                ((h % n) + n) % n
+                for h in self._hash_probe_values(values, dtype)
+            }
+        else:
+            wanted = {_hidden_partition_literal(t, x) for x in values}
+        keep = [d for d in parts if int(d.split("=", 1)[1]) in wanted]
+        return self._read_hidden_parts(entry, spec, keep, len(parts), residual)
 
     def _bloom_sidecar_path(self, version: int) -> str:
         # MUST NOT match _versions()'s `v*.json` manifest glob
@@ -1952,6 +2130,10 @@ class VersionedTable:
                 *[os.path.join(self.path, d) for d in dv_dirs]
             ).distinct()
             df = df.join(dv, on=entry["dv_keys"], how="left_anti")
+        hidden = entry.get("hidden_partition")
+        if hidden:
+            # engine-derived partition column: never part of the schema
+            df = df.drop(hidden["name"])
         return df
 
     # ----------------------------------------------------- column mapping
@@ -2021,6 +2203,11 @@ class VersionedTable:
                     if p_entry.get("identity")
                     else {}
                 ),
+                **(
+                    {"hidden_partition": p_entry["hidden_partition"]}
+                    if p_entry.get("hidden_partition")
+                    else {}
+                ),
                 "version": v,
                 "operation": op,
                 "parent": parent,
@@ -2079,6 +2266,11 @@ class VersionedTable:
             )
         if old in entry.get("identity", {}):
             raise ValueError(f"cannot rename identity column {old!r}")
+        if old == (entry.get("hidden_partition") or {}).get("source"):
+            raise ValueError(
+                f"column {old!r} drives the snapshot's hidden "
+                "partitioning; rewrite with a new layout instead"
+            )
         renames = {
             k: v for k, v in entry.get("column_renames", {}).items() if v != old
         }
@@ -2109,6 +2301,10 @@ class VersionedTable:
             )
         if col in entry.get("identity", {}):
             raise ValueError(f"cannot drop identity column {col!r}")
+        if col == (entry.get("hidden_partition") or {}).get("source"):
+            raise ValueError(
+                f"column {col!r} drives the snapshot's hidden partitioning"
+            )
         renames = {
             k: v for k, v in entry.get("column_renames", {}).items() if k != phys
         }
@@ -2199,6 +2395,7 @@ class VersionedTable:
                     "column_drops",
                     "checks",
                     "identity",
+                    "hidden_partition",
                 )
                 if p_entry.get(k)
             },
@@ -2290,6 +2487,11 @@ class VersionedTable:
             ),
             **({"checks": src["checks"]} if src.get("checks") else {}),
             **({"identity": src["identity"]} if src.get("identity") else {}),
+            **(
+                {"hidden_partition": src["hidden_partition"]}
+                if src.get("hidden_partition")
+                else {}
+            ),
             "cdf_dir": None,
             "modified_keys": None,
             "txn": {},
@@ -2354,13 +2556,22 @@ def compact(table: VersionedTable, target_partitions: int = 8) -> int:
         raise ValueError("cannot compact an empty table")
     # Compaction changes FILE sizing, not the snapshot's logical layout:
     # a hive-partitioned snapshot stays partitioned the same way (its
-    # files are right-sized within each partition directory).
-    layout = table._manifest(table.current_version()).get("partition_by")
+    # files are right-sized within each partition directory), and a
+    # hidden-partitioned snapshot re-derives its transform column.
+    entry = table._manifest(table.current_version())
+    layout = entry.get("partition_by")
+    spec = entry.get("hidden_partition")
     from pyspark.sql import functions as F
 
+    def rebuild(cur):
+        if spec:
+            cur = cur.withColumn(spec["name"], _hidden_partition_col(spec))
+        return cur.repartition(target_partitions)
+
     return table._commit_with_retry(
-        lambda cur: cur.repartition(target_partitions), "compact",
+        rebuild, "compact",
         partition_by=layout,
+        hidden_partition=spec,
         # a compaction changes ZERO rows: record an EMPTY delta so a
         # record_cdf table's changes_feed spans maintenance commits
         cdf_build=lambda cur: cur.limit(0).withColumn(

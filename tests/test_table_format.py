@@ -1211,3 +1211,68 @@ def test_identity_append_race_never_mints_duplicates(spark, tmp_path):
     assert sks == list(range(1, 8)), sks  # dense, zero duplicates
     by_name = {r.name: r.sk for r in rows}
     assert by_name["m1"] > by_name["r3"]  # loser re-assigned past the winner
+
+
+def test_hidden_partitioning_month_range(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    import pytest as _pytest
+
+    rows = [
+        (i, dt.date(2024, 1 + (i % 12), 1 + (i % 27)), float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["id", "d", "v"])
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df, hidden_partition=("month", "d"))
+
+    # the engine-derived column is hive-encoded on disk, hidden from reads
+    e = t._manifest(1)
+    assert e["hidden_partition"]["transform"] == "month"
+    part = e["hidden_partition"]["name"]
+    data_dir = os.path.join(t.path, e["data_dir"])
+    assert sum(1 for d in os.listdir(data_dir) if d.startswith(part + "=")) == 12
+    assert t.read().columns == ["id", "d", "v"]
+
+    # source-column range maps to partition bounds: 3 of 12 dirs open
+    lo, hi = dt.date(2024, 3, 1), dt.date(2024, 5, 31)
+    got, n_read, n_total = t.read_hidden(lo, hi)
+    assert (n_read, n_total) == (3, 12)
+    expect = {r.id for r in df.filter(F.col("d").between(lo, hi)).collect()}
+    assert {r.id for r in got.collect()} == expect
+    assert got.columns == ["id", "d", "v"]
+
+    # out-of-domain probe opens ZERO partitions
+    _, n0, _ = t.read_hidden(dt.date(2030, 1, 1), dt.date(2030, 2, 1))
+    assert n0 == 0
+
+    # compaction preserves the hidden layout and the contract survives
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    compact(t, target_partitions=2)
+    got2, n_read2, n_total2 = t.read_hidden(lo, hi)
+    assert n_total2 == 12 and 0 < n_read2 <= 3
+    assert {r.id for r in got2.collect()} == expect
+    assert t.read().columns == ["id", "d", "v"]
+
+    # the source column is pinned against mapping; layouts are exclusive
+    with _pytest.raises(ValueError, match="hidden"):
+        t.rename_column("d", "when")
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        t.overwrite(df, partition_by=["v"], hidden_partition=("day", "d"))
+
+
+def test_hidden_partitioning_bucket_probe(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"sku-{i % 37}", float(i)) for i in range(500)],
+        ["id", "sku", "v"],
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df, hidden_partition=("bucket:8", "sku"))
+
+    got, n_read, n_total = t.read_hidden_in(["sku-3", "sku-19"])
+    assert n_read <= 2 and n_total == 8
+    expect = {r.id for r in df.filter(F.col("sku").isin("sku-3", "sku-19")).collect()}
+    assert {r.id for r in got.collect()} == expect  # no false negatives
+    assert got.columns == ["id", "sku", "v"]

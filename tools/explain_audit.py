@@ -156,6 +156,13 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "prefix + full cosine folds must stay JVM-side"),
     ("l7_curriculum_order", "EvalPython", False,
      "difficulty scoring + staging must stay JVM-side"),
+    # r8 late additions
+    ("f8_variant_semistructured", "EvalPython", False,
+     "variant path extraction must stay JVM-side (no Python JSON re-parse)"),
+    ("f8_variant_semistructured", "variant_get", True,
+     "typed extraction must compile to the native variant_get expression"),
+    ("x_hidden_partitioning", "PushedFilters: [IsNotNull(o_orderdate)", True,
+     "the residual source-column filter must reach the pruned parquet scan"),
 ]
 
 
@@ -279,7 +286,35 @@ def main() -> int:
     else:
         failures.append(("read_pruned", "manifest pruning + pushdown", f"{n_read}/{n_total_files}"))
         print("FAIL  read_pruned: pruning or residual pushdown missing")
-    n_total = len(CHECKS) + 9
+    # r8: identity assignment must be NARROW — an Arrow mapInPandas over
+    # the cached batch, no shuffle, no global sort, no window.
+    from retail_datalakehouse_spark.sources.table_format import (
+        _with_contiguous_ids,
+    )
+
+    base = load_table(spark, SF, "orders").select("o_orderkey").repartition(8)
+    assigned, n_assigned = _with_contiguous_ids(base, "sk", 10)
+    assigned.collect()
+    iplan = assigned._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    # everything below InMemoryRelation is the INPUT's own build plan
+    # (here: the test's explicit repartition) — the assignment's shape is
+    # the stage between the result and the cache scan.
+    iplan = iplan.split("InMemoryRelation")[0]
+    if (
+        "MapInPandas" in iplan
+        and "Exchange" not in iplan
+        and "Sort" not in iplan
+        and "Window" not in iplan
+        and n_assigned > 0
+    ):
+        print("PASS  identity_assign: narrow MapInPandas over cached batch, no shuffle/sort/window")
+    else:
+        failures.append(("identity_assign", "narrow MapInPandas", "plan shape"))
+        print("FAIL  identity_assign: assignment plan not narrow")
+    base.unpersist()
+    n_total = len(CHECKS) + 10
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

@@ -262,6 +262,7 @@ _PROMOTE_R8 = [
     "x_identity_column",
     "s13_datasource_sink",
     "x_hidden_partitioning",
+    "sql_pipe_syntax",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

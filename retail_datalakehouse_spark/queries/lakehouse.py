@@ -990,3 +990,47 @@ def s13_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value", scale=2).alias("total_value"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=f"""
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS n_big_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue,
+       MAX(o_totalprice) AS top_order
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+HAVING COUNT(*) > 5
+ORDER BY revenue DESC
+""",
+    tags=("S5", "A5", "O1"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operator chain — the linear
+    query form from Google's 'SQL Has Problems' pipe-SQL paper, also in
+    BigQuery/ZetaSQL): each stage reads top-to-bottom in execution
+    order — FROM |> JOIN |> WHERE |> AGGREGATE |> WHERE(having)
+    |> ORDER BY — and Catalyst compiles it to the IDENTICAL plan as the
+    nested-SELECT equivalent (same pushdown, same broadcast, same
+    two-phase agg; the front door changes, the engine doesn't). The
+    oracle is the classic nested form in DuckDB; the hash match proves
+    stage-by-stage parity."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> JOIN customer ON o_custkey = c_custkey
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_big_orders,
+                     CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2)
+                          AS DOUBLE) AS revenue,
+                     MAX(o_totalprice) AS top_order
+           GROUP BY c_mktsegment AS segment
+        |> WHERE n_big_orders > 5
+        |> ORDER BY revenue DESC
+        """
+    )

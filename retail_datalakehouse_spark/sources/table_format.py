@@ -2423,7 +2423,12 @@ class VersionedTable:
 
     # ------------------------------------------------------------- clone
 
-    def clone_to(self, dest_path: str, version: int | None = None) -> "VersionedTable":
+    def clone_to(
+        self,
+        dest_path: str,
+        version: int | None = None,
+        shallow: bool = True,
+    ) -> "VersionedTable":
         """Delta SHALLOW CLONE: create a new, independently-writable table
         at ``dest_path`` whose v1 manifest references THIS table's data
         files in place — zero bytes copied, O(1) whatever the table size
@@ -2444,12 +2449,28 @@ class VersionedTable:
         under its own root). Caveat shared with Delta shallow clones:
         vacuuming / expiring the SOURCE's referenced snapshot breaks the
         clone — compact (or any materializing commit on) the clone first
-        to make it self-contained."""
+        to make it self-contained.
+
+        ``shallow=False`` (DEEP clone) copies the snapshot's data into
+        the destination — O(table), one distributed read-write, no
+        lingering reference to the source. Use it when the clone must
+        outlive the source's retention."""
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"cannot clone empty table {self.path}")
         if v not in self._versions():
             raise ValueError(f"version {v} not committed at {self.path}")
+        if not shallow:
+            clone = VersionedTable(
+                self.spark,
+                dest_path,
+                record_cdf=self._record_cdf,
+                cdf_keys=self._cdf_keys or None,
+            )
+            if clone._versions():
+                raise ValueError(f"clone destination {dest_path} is not empty")
+            clone.overwrite(self.read_version(v))
+            return clone
         src = self._manifest(v)
 
         def _abs(d: str) -> str:

@@ -1276,3 +1276,14 @@ def test_hidden_partitioning_bucket_probe(spark, tmp_path):
     expect = {r.id for r in df.filter(F.col("sku").isin("sku-3", "sku-19")).collect()}
     assert {r.id for r in got.collect()} == expect  # no false negatives
     assert got.columns == ["id", "sku", "v"]
+
+
+def test_deep_clone_is_self_contained(spark, tmp_path):
+    import shutil
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(i,) for i in range(40)], ["id"]))
+    deep = src.clone_to(str(tmp_path / "deep"), shallow=False)
+    assert _parquet_files_under(deep.path)  # owns its bytes from commit 1
+    shutil.rmtree(src.path)  # source gone: deep clone unaffected
+    assert deep.read().count() == 40

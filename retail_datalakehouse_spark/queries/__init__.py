@@ -263,6 +263,8 @@ _PROMOTE_R8 = [
     "s13_datasource_sink",
     "x_hidden_partitioning",
     "sql_pipe_syntax",
+    "x_join_hints",
+    "f9_metadata_column",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

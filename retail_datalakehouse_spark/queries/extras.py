@@ -2097,3 +2097,112 @@ def x_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_JOIN_HINTS_SQL = f"""
+SELECT n_name AS nation,
+       COUNT(*) AS n_customers,
+       {sql_dsum("c_acctbal", scale=2)} AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+@register("x_join_hints", oracle=_JOIN_HINTS_SQL, tags=("J1", "J2"), doc="")
+def x_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-STRATEGY hints (the optimizer override surface a tuning
+    engineer actually uses): the SAME logical join is planned three ways
+    — BROADCAST (dim ships to every task: the 100 TB default for small
+    dims), SHUFFLE_HASH (both sides exchange on the key, build the
+    smaller hash map: wins over sort-merge when one side is modest and
+    sorting is the cost), and MERGE (sort-merge: the robust default when
+    both sides are huge and neither fits a hash map in memory). Each
+    executed plan is asserted to materialize the HINTED operator, and
+    all three variants must agree row-for-row — strategy changes cost,
+    never semantics. The returned aggregate (broadcast variant) matches
+    the hint-free oracle."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def agg(joined: DataFrame) -> DataFrame:
+        return joined.groupBy(F.col("n_name").alias("nation")).agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", scale=2).alias("total_balance"),
+        )
+
+    wanted = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    out = {}
+    for hint, op in wanted.items():
+        joined = c.join(
+            n.hint(hint), c.c_nationkey == F.col("n_nationkey")
+        )
+        result = agg(joined)
+        result.collect()  # finalize the adaptive plan before asserting
+        plan = (
+            result._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert op in plan, f"{hint} hint did not materialize {op}"
+        out[hint] = result
+
+    # strategy never changes semantics: all three agree row-for-row
+    assert out["broadcast"].exceptAll(out["shuffle_hash"]).isEmpty()
+    assert out["shuffle_hash"].exceptAll(out["merge"]).isEmpty()
+    assert out["merge"].exceptAll(out["broadcast"]).isEmpty()
+    return out["broadcast"]
+
+
+_METADATA_COL_SQL = f"""
+SELECT CAST(4 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("c_acctbal", scale=2)} AS total_balance
+FROM customer
+"""
+
+
+@register("f9_metadata_column", oracle=_METADATA_COL_SQL, tags=("S4", "F7"), doc="")
+def f9_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file column (Spark's built-in row-level
+    file lineage — what incremental frameworks and debugging sessions
+    key on): every parquet row can name its ``file_path``, ``file_size``
+    and ``row_index`` with ZERO extra I/O (constant per file / position
+    counter per batch, materialized only when selected — absent from
+    ReadSchema otherwise). Drilled on a 4-file table written in-query:
+    ``row_index`` is asserted dense 0..n_f-1 within every file (count,
+    min, max, and Gauss sum per file — the per-file analogue of the
+    identity-column contract), and the returned (n_files, n_rows,
+    balance) row matches the oracle over pristine customer — lineage
+    columns never perturb data ones."""
+    import tempfile
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    d = tempfile.mkdtemp(prefix="rdl_meta_")
+    c.repartition(4).write.mode("overwrite").parquet(d)
+
+    back = spark.read.parquet(d).select(
+        "c_custkey",
+        "c_acctbal",
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+    )
+    per_file = back.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ri").alias("lo"),
+        F.max("ri").alias("hi"),
+        F.sum("ri").alias("s"),
+    ).collect()
+    assert len(per_file) == 4
+    for r in per_file:  # dense 0..n-1 within each file
+        assert (r.lo, r.hi, r.s) == (0, r.n - 1, r.n * (r.n - 1) // 2), r
+
+    return back.agg(
+        F.countDistinct("fp").alias("n_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("c_acctbal", scale=2).alias("total_balance"),
+    )

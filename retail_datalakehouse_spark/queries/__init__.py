@@ -265,6 +265,7 @@ _PROMOTE_R8 = [
     "sql_pipe_syntax",
     "x_join_hints",
     "f9_metadata_column",
+    "s14_corrupt_records",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

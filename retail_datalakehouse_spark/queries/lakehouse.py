@@ -1034,3 +1034,75 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY revenue DESC
         """
     )
+
+
+@register(
+    "s14_corrupt_records",
+    oracle=f"""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_good,
+       CAST(7 AS BIGINT) AS n_bad_total,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+""",
+    tags=("S8", "S2"),
+)
+def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode corrupt-record handling — the bronze-zone
+    contract for dirty JSONL feeds (the reference's raw zone ingests
+    unvalidated daily drops; SURVEY §1.3): malformed lines must neither
+    kill the job (FAILFAST) nor vanish (DROPMALFORMED) but land in the
+    ``columnNameOfCorruptRecord`` column carrying their raw bytes for
+    triage. Drilled on a corpus built DISTRIBUTED in-query (orders
+    serialized to JSON lines executor-side — no driver materialization —
+    union seven deterministic malformed lines: truncated JSON, bare
+    text, unclosed strings). Asserted: exactly the 7 bad lines
+    quarantine with their raw payloads intact; every good row parses
+    typed. The returned per-status aggregate over the GOOD rows matches
+    the oracle over pristine orders — corruption quarantine never
+    perturbs clean data. Cf. `s2_csv_malformed_header` (schema drift) —
+    this is the row-level-damage half of dirty ingest."""
+    import tempfile
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    good_lines = o.select(
+        F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_totalprice")).alias(
+            "value"
+        )
+    )
+    bad = [
+        '{"o_orderkey": 1, "o_orderstatus":',   # truncated object
+        "not json at all",                       # bare text
+        '{"o_orderkey": "unclosed',              # unclosed string
+        "[1, 2,",                                # truncated array
+        "{",                                     # bare brace
+        '{"o_orderkey": 2 "missing": "comma"}',  # syntax error
+        "}",                                     # stray close
+    ]
+    bad_lines = spark.createDataFrame([(s,) for s in bad], ["value"])
+    d = tempfile.mkdtemp(prefix="rdl_corrupt_")
+    good_lines.unionAll(bad_lines).write.mode("overwrite").text(d)
+
+    back = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, "
+            "o_totalprice double, _bad string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(d)
+    )
+    quarantined = back.filter(F.col("_bad").isNotNull())
+    got_bad = sorted(r._bad for r in quarantined.collect())
+    assert got_bad == sorted(bad), got_bad  # raw payloads intact
+    clean = back.filter(F.col("_bad").isNull())
+    assert clean.filter(F.col("o_orderkey").isNull()).count() == 0
+
+    return clean.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_good"),
+        F.lit(7).cast("long").alias("n_bad_total"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

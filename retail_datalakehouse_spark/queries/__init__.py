@@ -266,6 +266,7 @@ _PROMOTE_R8 = [
     "x_join_hints",
     "f9_metadata_column",
     "s14_corrupt_records",
+    "x_zorder_manifest",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -2206,3 +2206,51 @@ def f9_metadata_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("c_acctbal", scale=2).alias("total_balance"),
     )
+
+
+_ZORDER_MANIFEST_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue,
+       CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 500
+"""
+
+
+@register("x_zorder_manifest", oracle=_ZORDER_MANIFEST_SQL, tags=("S6", "P4"), doc="")
+def x_zorder_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER integrated with MANIFEST scan planning (the Delta
+    `OPTIMIZE ... ZORDER BY` + data-skipping composition): orders are
+    laid out along the Z-curve of (o_orderkey, o_custkey) via
+    `operators/zorder.py` and committed through VersionedTable, whose
+    manifest records per-file [min,max] for BOTH dimensions (the same
+    footer walk every commit pays). The payoff over linear clustering:
+    `read_pruned` then skips files from the MANIFEST ALONE — zero
+    listing, zero footer reads at plan time — on EITHER dimension,
+    asserted in-query for both a primary-key range and a secondary-key
+    range. One copy of 100 TB serves selective scans on k dimensions.
+    The returned aggregate runs on the secondary-dimension pruned scan
+    and matches the hint-free oracle."""
+    import tempfile
+
+    from ..operators.zorder import z_order_by
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_zm_"))
+    t.overwrite(z_order_by(o, ["o_orderkey", "o_custkey"], n_partitions=16))
+
+    mx_k = o.agg(F.max("o_orderkey")).first()[0]
+    _, n1, total1 = t.read_pruned("o_orderkey", 1, mx_k // 8)
+    assert 0 < n1 < total1, (n1, total1)  # primary dim prunes
+
+    pruned, n2, total2 = t.read_pruned("o_custkey", 100, 500)
+    assert 0 < n2 < total2, (n2, total2)  # secondary dim prunes TOO
+
+    return pruned.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+        F.min("o_orderkey").alias("first_key"),
+    )

@@ -1120,6 +1120,12 @@ class VersionedTable:
                 "parent": parent,
                 "n_rows": p_entry["n_rows"] - _parquet_num_rows(dv_dir),
                 "data_dir": p_entry.get("data_dir", f"_v{parent}"),
+                # the data files are untouched, so their LAYOUT metadata
+                # must ride along — dropping it made a later compact()
+                # silently rewrite a partitioned snapshot unpartitioned
+                # (and orphan a hidden-partition spec from its hive dirs)
+                "partition_by": p_entry.get("partition_by"),
+                "cluster_by": p_entry.get("cluster_by"),
                 # incremental-append parents: keep their whole dir chain
                 **(
                     {"base_dirs": p_entry["base_dirs"]}

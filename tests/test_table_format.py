@@ -1287,3 +1287,38 @@ def test_deep_clone_is_self_contained(spark, tmp_path):
     assert _parquet_files_under(deep.path)  # owns its bytes from commit 1
     shutil.rmtree(src.path)  # source gone: deep clone unaffected
     assert deep.read().count() == 40
+
+
+def test_hidden_partitioning_mor_deletes_never_resurrect(spark, tmp_path):
+    import datetime as dt
+
+    rows = [(i, dt.date(2024, 1 + (i % 6), 5), float(i)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["id", "d", "v"])
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df, hidden_partition=("month", "d"))
+    # %5 is coprime to the %6 month pattern: every month loses SOME rows
+    # but none empties (an aligned pattern would just drop whole months)
+    t.delete_mor(F.col("id") % 5 == 0, keys=["id"])
+
+    # pending tombstones: the planner must route through the anti-join
+    # reader (sentinel -1s), and deleted rows may never reappear
+    got, n_read, n_total = t.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 4, 30))
+    assert (n_read, n_total) == (-1, -1)
+    ids = {r.id for r in got.collect()}
+    assert ids and all(i % 5 != 0 for i in ids)
+    assert ids == {
+        r.id
+        for r in df.filter(
+            (F.col("id") % 5 != 0)
+            & F.col("d").between(dt.date(2024, 2, 1), dt.date(2024, 4, 30))
+        ).collect()
+    }
+    assert got.columns == ["id", "d", "v"]  # hidden col stays hidden
+
+    # compaction folds the tombstones in; planned pruning resumes
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    compact(t, target_partitions=2)
+    got2, n2, total2 = t.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 4, 30))
+    assert (n2, total2) == (3, 6)
+    assert {r.id for r in got2.collect()} == ids

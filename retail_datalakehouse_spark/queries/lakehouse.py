@@ -524,10 +524,10 @@ SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS operation,
        'order_year' AS layout
 UNION ALL
 SELECT 2, 'append', 1,
-       (SELECT COUNT(*) FROM o WHERE k < 6000), ''
+       (SELECT COUNT(*) FROM o WHERE k < 6000), 'order_year'
 UNION ALL
 SELECT 3, 'delete', 2,
-       (SELECT COUNT(*) FROM o WHERE k < 6000 AND k % 7 != 0), ''
+       (SELECT COUNT(*) FROM o WHERE k < 6000 AND k % 7 != 0), 'order_year'
 """,
     tags=("S6", "S7"),
 )
@@ -538,7 +538,10 @@ def x_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout purely from the manifest — the query side never scans a data
     file. At 100 TB this is the difference between a free answer and a
     full-table count. The oracle recomputes each version's expected row
-    count from the raw table, value-checking the manifest stats."""
+    count from the raw table, value-checking the manifest stats — and
+    pins that row-changing commits INHERIT the parent's hive layout
+    (append/delete on a partitioned table stay partitioned; only
+    overwrite declares or clears a layout)."""
     import tempfile
 
     from ..sources.table_format import VersionedTable

@@ -539,6 +539,7 @@ class VersionedTable:
         cdf_build: Callable[[DataFrame | None], DataFrame] | None = None,
         cluster_by: list[str] | None = None,
         hidden_partition: dict | None = None,
+        inherit_layout: bool = False,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -557,17 +558,45 @@ class VersionedTable:
         any overlaps this writer's ``modified_keys`` (or is unknown), the
         rebase would silently re-apply conflicting logic, so raise
         :class:`ConcurrentMergeConflict` to the caller instead. Disjoint
-        writers still rebase-retry and all commit."""
+        writers still rebase-retry and all commit.
+
+        ``inherit_layout=True`` (row-changing ops on an already-laid-out
+        table — append fallback / delete / merge / fold): the new
+        snapshot keeps the PARENT's partition layout and hidden-
+        partition spec instead of silently rewriting a partitioned
+        table unpartitioned. ``overwrite`` never inherits — declaring
+        (or clearing) the layout is exactly what overwrite is for
+        (partition evolution)."""
         for _ in range(max_retries):
             parent = self.current_version()
             if txn is not None:
                 last = self._txn_state(parent).get(txn[0])
                 if last is not None and int(last) >= txn[1]:
                     return parent  # already applied — idempotent no-op
+            pb, spec = partition_by, hidden_partition
+            if (
+                inherit_layout
+                and parent is not None
+                and pb is None
+                and spec is None
+            ):
+                # the hive/hidden layout is physically re-enforced by the
+                # partitionBy write, so inheriting it is truthful;
+                # cluster_by is NOT inherited — a rewrite does not
+                # re-cluster, and declaring stale clustering would lie
+                p_entry = self._manifest(parent)
+                pb = p_entry.get("partition_by")
+                spec = p_entry.get("hidden_partition")
             try:
                 cur = self.read()
                 new_df = build(cur)  # build first: its errors (e.g. delete
                 # on an empty table) must surface before the delta derives
+                if spec and spec["name"] not in new_df.columns:
+                    # hidden layouts: reads drop the derived column, so a
+                    # rebuilt snapshot re-derives it before the write
+                    new_df = new_df.withColumn(
+                        spec["name"], _hidden_partition_col(spec)
+                    )
                 cdf_df = (
                     cdf_build(cur)
                     if (cdf_build is not None and self._record_cdf)
@@ -577,10 +606,10 @@ class VersionedTable:
                     new_df, op, parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
                     modified_keys=modified_keys,
-                    partition_by=partition_by,
+                    partition_by=pb,
                     cdf_df=cdf_df,
                     cluster_by=cluster_by,
-                    hidden_partition=hidden_partition,
+                    hidden_partition=spec,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -692,7 +721,8 @@ class VersionedTable:
             return cur.filter(not_matched).unionByName(df)
 
         return self._commit_with_retry(
-            build, "replace_where", txn=txn, partition_by=partition_by
+            build, "replace_where", txn=txn, partition_by=partition_by,
+            inherit_layout=True,
         )
 
     def append(
@@ -810,7 +840,7 @@ class VersionedTable:
         # modified_keys=[]: a blind append touches no existing keys, so it
         # never conflicts with a serializable merge (WriteSerializable).
         return self._commit_with_retry(
-            build, "append", txn=txn, modified_keys=[],
+            build, "append", txn=txn, modified_keys=[], inherit_layout=True,
             cdf_build=lambda cur: df.withColumn("_change_type", F.lit("insert")),
         )
 
@@ -1000,7 +1030,7 @@ class VersionedTable:
         return self._commit_with_retry(
             build, "merge", txn=txn,
             modified_keys=modified, serializable=serializable,
-            cdf_build=cdf_build,
+            cdf_build=cdf_build, inherit_layout=True,
         )
 
     def fold(
@@ -1014,7 +1044,7 @@ class VersionedTable:
         txn-idempotence machinery as the built-in write modes. The
         public escape hatch for folds the fixed modes can't express
         (e.g. t9's cohort state: MIN-date + array_union months)."""
-        return self._commit_with_retry(build, op, txn=txn)
+        return self._commit_with_retry(build, op, txn=txn, inherit_layout=True)
 
     def merge_aggregate(
         self,
@@ -1043,7 +1073,9 @@ class VersionedTable:
                 *keys, *[F.col(c).cast(ptypes[c]).alias(c) for c in add_cols]
             )
 
-        return self._commit_with_retry(build, "merge_aggregate", txn=txn)
+        return self._commit_with_retry(
+            build, "merge_aggregate", txn=txn, inherit_layout=True
+        )
 
     def delete(self, condition, txn: tuple[str, int] | None = None) -> int:
         """DELETE FROM table WHERE condition — the right-to-be-forgotten
@@ -1065,7 +1097,7 @@ class VersionedTable:
             return cur.filter(~cond.eqNullSafe(F.lit(True)))
 
         return self._commit_with_retry(
-            build, "delete", txn=txn,
+            build, "delete", txn=txn, inherit_layout=True,
             cdf_build=lambda cur: cur.filter(cond).withColumn(
                 "_change_type", F.lit("delete")
             ),

@@ -1322,3 +1322,49 @@ def test_hidden_partitioning_mor_deletes_never_resurrect(spark, tmp_path):
     got2, n2, total2 = t.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 4, 30))
     assert (n2, total2) == (3, 6)
     assert {r.id for r in got2.collect()} == ids
+
+
+def test_row_changing_ops_inherit_partition_layout(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    def hive_dirs(t):
+        e = t._manifest(t.current_version())
+        dd = os.path.join(t.path, e["data_dir"])
+        return e.get("partition_by"), sorted(
+            d for d in os.listdir(dd) if "=" in d
+        )
+
+    # hive layout: append + delete + merge all keep the directory layout
+    t = VersionedTable(spark, str(tmp_path / "hive"))
+    df = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(80)], ["id", "bucket", "v"]
+    )
+    t.overwrite(df, partition_by=["bucket"])
+    t.append(spark.createDataFrame([(100, 1, 1.0)], ["id", "bucket", "v"]))
+    pb, dirs = hive_dirs(t)
+    assert pb == ["bucket"] and len(dirs) == 4, (pb, dirs)
+    t.delete(F.col("id") < 10)
+    pb, dirs = hive_dirs(t)
+    assert pb == ["bucket"] and len(dirs) == 4
+    t.merge(spark.createDataFrame([(100, 1, 9.9)], ["id", "bucket", "v"]), keys=["id"])
+    pb, dirs = hive_dirs(t)
+    assert pb == ["bucket"] and len(dirs) == 4
+    assert t.read().filter("id = 100").first().v == 9.9
+
+    # hidden layout: delete re-derives the transform column and keeps
+    # the spec live (read_hidden still plans partitions afterwards)
+    h = VersionedTable(spark, str(tmp_path / "hidden"))
+    rows = [(i, dt.date(2024, 1 + (i % 6), 3)) for i in range(120)]
+    h.overwrite(spark.createDataFrame(rows, ["id", "d"]), hidden_partition=("month", "d"))
+    h.delete(F.col("id") % 5 == 0)
+    got, n_read, n_total = h.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 3, 31))
+    assert (n_read, n_total) == (2, 6)
+    assert {r.id for r in got.collect()} == {
+        i for i in range(120) if i % 5 != 0 and (i % 6) in (1, 2)
+    }
+    assert h.read().columns == ["id", "d"]  # still hidden after delete
+
+    # overwrite does NOT inherit: declaring/clearing layout is its job
+    t.overwrite(df)
+    assert t._manifest(t.current_version()).get("partition_by") is None

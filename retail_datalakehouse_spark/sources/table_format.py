@@ -1445,7 +1445,15 @@ class VersionedTable:
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         snap = self.read_version(version)
-        return self._commit_with_retry(lambda cur: snap, "restore")
+        # restore restores the LAYOUT too: the new snapshot is written
+        # with the restored version's partitioning (hive or hidden), not
+        # flattened — Delta's RESTORE keeps table layout the same way
+        e = self._manifest(version)
+        return self._commit_with_retry(
+            lambda cur: snap, "restore",
+            partition_by=e.get("partition_by"),
+            hidden_partition=e.get("hidden_partition"),
+        )
 
     # -------------------------------------------------------- maintenance
 

@@ -1368,3 +1368,42 @@ def test_row_changing_ops_inherit_partition_layout(spark, tmp_path):
     # overwrite does NOT inherit: declaring/clearing layout is its job
     t.overwrite(df)
     assert t._manifest(t.current_version()).get("partition_by") is None
+
+
+def test_restore_preserves_layout_and_clone_continues_identity(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    # restore of a hidden-partitioned version keeps the layout live
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    rows = [(i, dt.date(2024, 1 + (i % 4), 2)) for i in range(80)]
+    t.overwrite(spark.createDataFrame(rows, ["id", "d"]), hidden_partition=("month", "d"))
+    t.overwrite(spark.createDataFrame([(1, dt.date(2024, 1, 1))], ["id", "d"]))  # clobber
+    v3 = t.restore(1)
+    e3 = t._manifest(v3)
+    assert e3.get("hidden_partition", {}).get("transform") == "month"
+    got, n_read, n_total = t.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 2, 28))
+    assert (n_read, n_total) == (1, 4)
+    assert {r.id for r in got.collect()} == {i for i in range(80) if i % 4 == 1}
+    assert t.read().columns == ["id", "d"]
+
+    # restore of a hive-partitioned version keeps its directory layout
+    h = VersionedTable(spark, str(tmp_path / "hive"))
+    h.overwrite(
+        spark.createDataFrame([(i, i % 3) for i in range(30)], ["id", "b"]),
+        partition_by=["b"],
+    )
+    h.overwrite(spark.createDataFrame([(0, 0)], ["id", "b"]))
+    vr = h.restore(1)
+    er = h._manifest(vr)
+    assert er.get("partition_by") == ["b"]
+    dd = os.path.join(h.path, er["data_dir"])
+    assert sum(1 for d in os.listdir(dd) if d.startswith("b=")) == 3
+
+    # a shallow clone inherits the identity watermark and continues it
+    s = VersionedTable(spark, str(tmp_path / "src"))
+    s.append(spark.createDataFrame([(f"u{i}",) for i in range(10)], ["name"]), identity="sk")
+    c = s.clone_to(str(tmp_path / "clone"))
+    c.append(spark.createDataFrame([("x",)], ["name"]), identity="sk")
+    sks = sorted(r.sk for r in c.read().collect())
+    assert sks == list(range(1, 12))  # 10 inherited + 1 minted past the watermark

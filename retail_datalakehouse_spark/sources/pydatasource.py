@@ -313,8 +313,22 @@ class VersionedCdfStreamReader(SimpleDataSourceStreamReader):
 
         cdf = entry.get("cdf_dir")
         if cdf is None:
+            op = entry.get("operation", "")
+            if op in ("rename_column", "drop_column"):
+                # schema-changing metadata commit: the stream's schema is
+                # fixed at start — silently null-filling renamed columns
+                # would be wrong results. Fail with Delta's contract.
+                raise ValueError(
+                    f"version {entry['version']} ({op}) changed the table "
+                    "schema (column mapping); restart the stream with a "
+                    "fresh checkpoint to pick up the new schema"
+                )
+            if op in ("clone", "add_check", "drop_check"):
+                # metadata-only commit, zero row changes, schema intact:
+                # an EMPTY micro-batch, never a stream failure
+                return []
             raise ValueError(
-                f"version {entry['version']} ({entry['operation']}) recorded no "
+                f"version {entry['version']} ({op}) recorded no "
                 "change feed — stream only record_cdf tables (Delta's "
                 "readChangeFeed contract)"
             )
@@ -415,8 +429,19 @@ class VersionedCdfScaleStreamReader(DataSourceStreamReader):
             e = entries[v]
             cdf = e.get("cdf_dir")
             if cdf is None:
+                op = e.get("operation", "")
+                if op in ("rename_column", "drop_column"):
+                    # schema changed mid-stream: fail explicitly (the
+                    # fixed stream schema would silently null-fill)
+                    raise ValueError(
+                        f"version {v} ({op}) changed the table schema "
+                        "(column mapping); restart the stream with a "
+                        "fresh checkpoint"
+                    )
+                if op in ("clone", "add_check", "drop_check"):
+                    continue  # metadata-only: empty delta, stream flows
                 raise ValueError(
-                    f"version {v} ({e['operation']}) recorded no change feed — "
+                    f"version {v} ({op}) recorded no change feed — "
                     "stream only record_cdf tables"
                 )
             d = os.path.join(self.path, cdf)

@@ -561,3 +561,66 @@ def test_cdf_stream_schema_inference(spark, tmp_path):
     assert set(got.columns) == {"k", "p", "_change_type", "_version"}
     assert got.count() == 10
     assert {r._change_type for r in got.collect()} == {"insert"}
+
+
+def test_cdf_stream_metadata_commits(spark, tmp_path):
+    """Metadata-only commits in a CDF stream's version range: zero-row,
+    schema-intact ops (add_check/drop_check/clone) flow through as EMPTY
+    deltas; schema-CHANGING ops (rename/drop column) fail the stream
+    explicitly instead of silently null-filling the fixed stream schema
+    (the Delta column-mapping streaming contract)."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.pydatasource import (
+        VersionedCdfScaleStreamDataSource,
+        VersionedCdfStreamDataSource,
+    )
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    for src in (VersionedCdfStreamDataSource, VersionedCdfScaleStreamDataSource):
+        try:
+            spark.dataSource.register(src)
+        except Exception:
+            pass
+
+    for fmt in ("versioned_cdf_stream", "versioned_cdf_stream_scale"):
+        base = str(tmp_path / fmt)
+        t = VersionedTable(spark, base + "_tbl", record_cdf=True, cdf_keys=["k"])
+        t.append(spark.createDataFrame([(1, 10.0)], ["k", "p"]))
+        t.add_check("p_positive", "p > 0")  # metadata-only, schema intact
+        t.append(spark.createDataFrame([(2, 20.0)], ["k", "p"]))
+
+        out, ckpt = base + "_out", base + "_ckpt"
+        q = (
+            spark.readStream.format(fmt)
+            .option("path", t.path)
+            .option("tableSchema", "k bigint, p double")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(out)
+        assert {r.k for r in got.collect()} == {1, 2}, fmt  # check commit skipped
+
+        # a rename mid-range fails the stream EXPLICITLY (fresh table so
+        # the failure version is inside the unread range)
+        t2 = VersionedTable(spark, base + "_tbl2", record_cdf=True, cdf_keys=["k"])
+        t2.append(spark.createDataFrame([(1, 10.0)], ["k", "p"]))
+        t2.rename_column("p", "price")
+        q2 = (
+            spark.readStream.format(fmt)
+            .option("path", t2.path)
+            .option("tableSchema", "k bigint, p double")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", base + "_out2")
+            .option("checkpointLocation", base + "_ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        with pytest.raises(Exception, match="column mapping|restart the stream"):
+            q2.awaitTermination(180)

@@ -2033,6 +2033,10 @@ class VersionedTable:
             entry = self._manifest(v)
             cdf_dir = entry.get("cdf_dir")
             if cdf_dir is None:
+                if entry.get("operation") in ("add_check", "drop_check", "clone"):
+                    # metadata-only commit: zero row changes by
+                    # construction — contributes nothing to the feed
+                    continue
                 raise ValueError(
                     f"version {v} ({entry['operation']}) has no recorded "
                     f"change feed at {self.path} — use changes() (snapshot diff)"
@@ -2042,7 +2046,17 @@ class VersionedTable:
                 .withColumn("_v", F.lit(v))
             )
         if not parts:
-            raise ValueError("empty version range")
+            if v_from >= v_to:
+                raise ValueError("empty version range")
+            # a valid range whose commits were ALL metadata-only: a
+            # correct feed with zero net changes, not an error
+            from pyspark.sql import functions as F2
+
+            return (
+                self.read_version(v_to)
+                .withColumn("_change_type", F2.lit(""))
+                .limit(0)
+            )
         deltas = parts[0]
         for p in parts[1:]:
             # allowMissingColumns: feeds recorded before a schema

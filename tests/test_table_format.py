@@ -1407,3 +1407,22 @@ def test_restore_preserves_layout_and_clone_continues_identity(spark, tmp_path):
     c.append(spark.createDataFrame([("x",)], ["name"]), identity="sk")
     sks = sorted(r.sk for r in c.read().collect())
     assert sks == list(range(1, 12))  # 10 inherited + 1 minted past the watermark
+
+
+def test_changes_feed_skips_metadata_only_commits(spark, tmp_path):
+    import pytest as _pytest
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"), record_cdf=True, cdf_keys=["id"])
+    t.append(spark.createDataFrame([(1, 10.0)], ["id", "amt"]))
+    t.add_check("pos", "amt > 0")  # v2: metadata-only, zero row changes
+    t.append(spark.createDataFrame([(2, 20.0)], ["id", "amt"]))  # v3
+    feed = t.changes_feed(1, 3)
+    assert {(r.id, r._change_type) for r in feed.collect()} == {(2, "insert")}
+    t.drop_check("pos")  # v4
+    assert t.changes_feed(3, 4).count() == 0  # pure-metadata range: empty
+
+    # schema-CHANGING metadata commits still fail loudly (mixed-name
+    # deltas would silently null-fill under a union)
+    t.rename_column("amt", "amount")  # v5
+    with _pytest.raises(ValueError, match="no recorded"):
+        t.changes_feed(1, 5)

@@ -267,6 +267,7 @@ _PROMOTE_R8 = [
     "f9_metadata_column",
     "s14_corrupt_records",
     "x_zorder_manifest",
+    "t25_stream_quarantine",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -2041,3 +2041,99 @@ def t24_stream_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("long").alias("total_cents"),
     )
+
+
+@register(
+    "t25_stream_quarantine",
+    # Oracle recomputes both sides from pristine events: clean = every
+    # non-error row (per-type aggregate); quarantine = the error rows,
+    # labeled with the constraint that caught them.
+    oracle="""
+SELECT 'clean' AS side, event_type AS label,
+       COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE) AS v
+FROM events WHERE event_type != 'error'
+GROUP BY event_type
+UNION ALL
+SELECT 'quarantine', 'known_event_type', COUNT(*),
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(25,2))), 2) AS DOUBLE)
+FROM events WHERE event_type = 'error'
+""",
+    tags=("T6", "S6"),
+)
+def t25_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming BRONZE ingest with constraint quarantine — the
+    composition the dirty-feed lakehouse actually runs (reference: raw
+    daily drops land unvalidated; SURVEY §1.3): each micro-batch splits
+    on declared constraints (`sources/constraints.py::quarantine` — one
+    JVM pass, violating rows tagged with WHICH rule failed), then the
+    clean slice and the quarantine slice commit to two VersionedTables
+    through ONE LakehouseTransaction, so no crash can ever land a batch's
+    clean half without its quarantine half (the per-writer txn
+    watermarks also make restarts idempotent — the stream is re-run from
+    the SAME checkpoint in-query and neither table grows). Asserted:
+    the clean table holds zero constraint-violating rows; every
+    quarantined row names the rule that caught it. At 100 TB the gate
+    costs each batch one scan — never the table. The returned two-sided
+    summary matches the oracle's recompute from pristine events."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.constraints import quarantine
+    from ..sources.table_format import LakehouseTransaction, VersionedTable
+    from .helpers import dsum
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    d = tempfile.mkdtemp(prefix="rdl_t25_")
+    for i in range(3):
+        _write_single_parquet(
+            e.filter(F.col("event_id") % 3 == i), os.path.join(d, f"chunk{i}.parquet")
+        )
+
+    rules = {
+        "known_event_type": "event_type != 'error'",
+        "nonneg_value": "value >= 0",
+    }
+    clean_t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t25_clean_"))
+    quar_t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t25_quar_"))
+    txn_root = tempfile.mkdtemp(prefix="rdl_t25_txns_")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id)
+        ok, bad = quarantine(batch_df, rules)
+        with LakehouseTransaction(txn_root) as tx:
+            tx.append(clean_t, ok, txn=("clean", bid))
+            tx.append(
+                quar_t,
+                bad.withColumn(
+                    "failed", F.array_join("failed_constraints", ",")
+                ).drop("failed_constraints"),
+                txn=("quar", bid),
+            )
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    ckpt = tempfile.mkdtemp(prefix="rdl_t25_ckpt_")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    run_foreach_batch(stream, apply_batch, output_mode="append", checkpoint=ckpt)
+
+    # replay from the SAME checkpoint: txn watermarks no-op every batch
+    vc, vq = clean_t.current_version(), quar_t.current_version()
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    run_foreach_batch(stream2, apply_batch, output_mode="append", checkpoint=ckpt)
+    assert (clean_t.current_version(), quar_t.current_version()) == (vc, vq)
+    shutil.rmtree(d, ignore_errors=True)
+
+    assert clean_t.read().filter("event_type = 'error' OR value < 0").count() == 0
+    assert quar_t.read().filter(F.col("failed") == "").count() == 0
+
+    clean_side = clean_t.read().groupBy(F.col("event_type").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", scale=2).alias("v"),
+    ).select(F.lit("clean").alias("side"), "label", "n", "v")
+    quar_side = quar_t.read().groupBy(F.col("failed").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value", scale=2).alias("v"),
+    ).select(F.lit("quarantine").alias("side"), "label", "n", "v")
+    return clean_side.unionByName(quar_side)

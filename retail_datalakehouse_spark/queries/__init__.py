@@ -252,11 +252,19 @@ _PROMOTE_R8 = [
     "x_incremental_append",
     "x_column_mapping",
     "x_shallow_clone",
-    # ---- slots 51+: PAST the driver's hard 50-row gate cap — the r9
-    # rotation queue. Everything below is 3-scale + vanilla-session
-    # oracle-green at build time and re-verified by the full local gate
-    # (tools/check_oracle.py, all queries) every round; it just hasn't
-    # held a DRIVER row yet. R9 must lead its window with these.
+]
+
+# Round-9 rotation (driver gate = FIRST ~50 registry entries, hard cap).
+# Slots 1-16: the complete set of registry queries that have NEVER held a
+# driver row after the r8 window — 11 SQL-oracle queries built late in r8
+# past the 50-slot cap (each 3-scale + vanilla-session oracle-green at
+# build time and re-verified by the r8 judge's own check_oracle run:
+# 11/11 green) plus the 5 rows-only-by-design queries the driver has
+# never sampled (0-fail in the same run). After r9 every registry query
+# holds driver evidence.
+# Slots 17+: re-gates (code or oracle changed this round) and queries
+# BUILT this round, appended as they ship (the r5/r6/r8 pattern).
+_PROMOTE_R9 = [
     "x_check_constraints",
     "f8_variant_semistructured",
     "x_identity_column",
@@ -268,10 +276,26 @@ _PROMOTE_R8 = [
     "s14_corrupt_records",
     "x_zorder_manifest",
     "t25_stream_quarantine",
+    # rows-only-by-design, never sampled:
+    "l3_sq8_topk",
+    "x_approx_percentiles",
+    "x_hll_sketch_union",
+    "x_pagerank_influence",
+    "l4_bpe_tokenize",
+    # Re-gates (code or oracle changed this round):
+    # l4_bloom_decontamination / l4_contamination — hot-shingle
+    # document-frequency cap added to the verify join (VERDICT r8 item 2);
+    # both query and oracle encode the same cap.
+    "l4_bloom_decontamination",
+    "l4_contamination",
+    # x_merge_on_read_delete — read path now applies tombstone anti-joins
+    # on the PRUNED subset (VERDICT r8 item 4 touches read_hidden/pruned).
+    "x_merge_on_read_delete",
+    # Slots 20+: round-9 additions are appended here as they ship.
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
-_head = {n: REGISTRY[n] for n in (*_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

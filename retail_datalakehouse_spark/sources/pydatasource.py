@@ -537,12 +537,22 @@ class JsonlArrowWriter(DataSourceArrowWriter):
         return _SinkCommit(staged, n)
 
     def commit(self, messages):  # driver-side, all tasks succeeded
+        import uuid as _uuid
+
         if self.overwrite:
             for old in os.listdir(self.path):
                 if old.startswith("part-") and old.endswith(".jsonl"):
                     os.unlink(os.path.join(self.path, old))
+            token = ""
+        else:
+            # append mode: fixed part-{i} names would os.replace (silently
+            # clobber) a previous append's files — publish under a
+            # per-commit token so appends accumulate
+            token = f"-{_uuid.uuid4().hex[:8]}"
         for i, m in enumerate(messages):
-            os.replace(m.staged, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            os.replace(
+                m.staged, os.path.join(self.path, f"part-{i:05d}{token}.jsonl")
+            )
 
     def abort(self, messages):
         for m in messages:

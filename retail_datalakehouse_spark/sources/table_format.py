@@ -456,6 +456,19 @@ class VersionedTable:
         with open(tmp, "w") as f:
             json.dump(entry, f)
         final = os.path.join(self._manifest_dir, f"v{v}.json")
+
+        def _lose_slot():
+            # clean the staged dirs, surface the conflict to the caller's
+            # rebase loop — staged data must never leak on a lost race
+            shutil.rmtree(data_dir, ignore_errors=True)
+            if cdf_dirname:
+                shutil.rmtree(
+                    os.path.join(self.path, cdf_dirname), ignore_errors=True
+                )
+            raise CommitConflict(
+                f"version {v} already committed at {self.path}"
+            ) from None
+
         try:
             try:
                 os.link(tmp, final)  # … CAS commit: fails iff v already exists
@@ -464,15 +477,16 @@ class VersionedTable:
                 # clear it and take the slot (one retry); any other holder
                 # (committed, or an in-flight txn) is a real conflict.
                 if not self._clear_aborted_claim(v):
-                    shutil.rmtree(data_dir, ignore_errors=True)
-                    if cdf_dirname:
-                        shutil.rmtree(
-                            os.path.join(self.path, cdf_dirname), ignore_errors=True
-                        )
-                    raise CommitConflict(
-                        f"version {v} already committed at {self.path}"
-                    ) from None
-                os.link(tmp, final)
+                    _lose_slot()
+                try:
+                    os.link(tmp, final)
+                except FileExistsError:
+                    # another writer re-took the freed slot in the window
+                    # between the clear and our retry — same conflict
+                    # handling as the first attempt (a raw FileExistsError
+                    # here would skip every rebase loop AND leak the
+                    # staged dirs)
+                    _lose_slot()
         finally:
             os.unlink(tmp)
         return v
@@ -489,6 +503,12 @@ class VersionedTable:
             return True  # claim vanished (racing cleaner) — slot free
         marker = m.get("pending_txn_marker")
         if marker is None or not os.path.exists(marker + ".aborted.json"):
+            return False
+        if os.path.exists(marker + ".committed.json"):
+            # Dual-marker state (a commit raced the presume-abort): the
+            # committed marker wins for readers (_versions), so the claim
+            # is NOT clearable — removing its manifest/data would destroy
+            # a version already served as committed.
             return False
         shutil.rmtree(os.path.join(self.path, m["data_dir"]), ignore_errors=True)
         try:
@@ -1705,6 +1725,19 @@ class VersionedTable:
             d for d in os.listdir(data_dir) if d.startswith(prefix)
         ]
 
+    @staticmethod
+    def _hidden_dir_value(d: str) -> int | None:
+        """Partition-dir name → its integer transform value, or None for
+        the NULL partition: a NULL source value writes a
+        ``__HIVE_DEFAULT_PARTITION__`` directory, whose rows can never
+        match a range/IN residual on the source column — safe (and
+        required) to exclude rather than crash planning with ValueError."""
+        raw = d.split("=", 1)[1]
+        try:
+            return int(raw)
+        except ValueError:
+            return None
+
     def _read_hidden_parts(
         self, entry: dict, spec: dict, keep: list[str], n_total: int, residual
     ):
@@ -1720,7 +1753,21 @@ class VersionedTable:
             .filter(residual)
             .drop(spec["name"])
         )
-        return self._apply_column_mapping(df, entry), len(keep), n_total
+        df = self._apply_column_mapping(df, entry)
+        dv_dirs = entry.get("dv_dirs", [])
+        if dv_dirs:
+            # merge-on-read tombstones compose WITH pruning: the anti-join
+            # applies on the pruned directory subset (tombstones for rows
+            # in skipped partitions can't match anything there — they
+            # reference rows the scan never reads). Before this, a table
+            # with pending tombstones silently fell back to an unpruned
+            # read_version scan (-1/-1), losing hidden-partition pruning
+            # until compaction.
+            dv = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in dv_dirs]
+            ).distinct()
+            df = df.join(dv, on=entry["dv_keys"], how="left_anti")
+        return df, len(keep), n_total
 
     def read_hidden(
         self, lo, hi, version: int | None = None
@@ -1741,14 +1788,17 @@ class VersionedTable:
         entry = self._manifest(v)
         spec, parts = self._hidden_parts(entry)
         residual = F.col(spec["source"]).between(F.lit(lo), F.lit(hi))
-        if entry.get("dv_dirs"):
-            # pending tombstones: route through the anti-join path
+        if entry.get("base_dirs"):
+            # incremental-append chains keep rows outside data_dir's hive
+            # layout — directory pruning can't see them; full-read fallback
             return self.read_version(v).filter(residual), -1, -1
         t = spec["transform"]
         plo = _hidden_partition_literal(t, lo)
         phi = _hidden_partition_literal(t, hi)
         keep = [
-            d for d in parts if plo <= int(d.split("=", 1)[1]) <= phi
+            d
+            for d in parts
+            if (pv := self._hidden_dir_value(d)) is not None and plo <= pv <= phi
         ]
         return self._read_hidden_parts(entry, spec, keep, len(parts), residual)
 
@@ -1768,7 +1818,8 @@ class VersionedTable:
         entry = self._manifest(v)
         spec, parts = self._hidden_parts(entry)
         residual = F.col(spec["source"]).isin(values)
-        if entry.get("dv_dirs"):
+        if entry.get("base_dirs"):
+            # see read_hidden: incremental chains defeat directory pruning
             return self.read_version(v).filter(residual), -1, -1
         t = spec["transform"]
         if t.startswith("bucket:"):
@@ -1780,7 +1831,7 @@ class VersionedTable:
             }
         else:
             wanted = {_hidden_partition_literal(t, x) for x in values}
-        keep = [d for d in parts if int(d.split("=", 1)[1]) in wanted]
+        keep = [d for d in parts if self._hidden_dir_value(d) in wanted]
         return self._read_hidden_parts(entry, spec, keep, len(parts), residual)
 
     def _bloom_sidecar_path(self, version: int) -> str:
@@ -2201,12 +2252,18 @@ class VersionedTable:
     @staticmethod
     def _apply_column_mapping(df: DataFrame, entry: dict) -> DataFrame:
         """Physical (on-disk) → logical schema: drop the dropped columns,
-        then apply the rename map. Zero data movement — pure projection."""
+        apply the rename map, and hide the engine-derived hidden-partition
+        column (it is never part of the logical schema — read_pruned /
+        read_pruned_in used to leak ``__p_*`` into their result schemas,
+        diverging from read_version). Zero data movement — pure projection."""
         for c in entry.get("column_drops", []):
             df = df.drop(c)
         renames = entry.get("column_renames")
         if renames:
             df = df.withColumnsRenamed(renames)
+        hidden = entry.get("hidden_partition")
+        if hidden and hidden["name"] in df.columns:
+            df = df.drop(hidden["name"])
         return df
 
     @staticmethod
@@ -2799,6 +2856,21 @@ class LakehouseTransaction:
     def commit(self) -> None:
         if self._done:
             raise RuntimeError(f"transaction {self.tid} already finished")
+        # Presume-abort fencing: recover_stale_txns (or a crashed abort)
+        # may already have written our aborted marker. Linking the
+        # committed marker anyway would leave BOTH markers — readers
+        # (_versions) treat the pending tail as committed while
+        # _clear_aborted_claim sees only the aborted marker, so a
+        # concurrent writer could rmtree a version readers already
+        # served. Refuse instead: the txn is dead, its claims clearable.
+        if os.path.exists(f"{self._marker_base}.aborted.json"):
+            self._done = True
+            for t, v in self._staged:
+                t._clear_aborted_claim(v)
+            raise CommitConflict(
+                f"transaction {self.tid} was aborted (presume-abort "
+                "recovery or a crashed abort); cannot commit"
+            )
         self._done = True
         self._link_marker(
             "committed",

@@ -165,6 +165,15 @@ def test_jsonl_sink_commit_abort_protocol(tmp_path):
     w.commit([staged[2]])
     assert sorted(os.listdir(d)) == ["part-00000.jsonl"]
 
+    # append mode must ACCUMULATE: fixed part names would os.replace
+    # (silently clobber) the previous write's part-00000.jsonl
+    w2 = JsonlArrowWriter(d, overwrite=False)
+    pa_ = os.path.join(d, ".staging-a0.jsonl")
+    open(pa_, "w").write('{"i": 7}\n')
+    w2.commit([_SinkCommit(pa_, 1)])
+    parts = [f for f in os.listdir(d) if f.startswith("part-0")]
+    assert len(parts) == 2 and "part-00000.jsonl" in parts
+
     s = JsonlStreamWriter(d)
     p = os.path.join(d, ".staging-b0.jsonl")
     open(p, "w").write('{"i": 9}\n')

@@ -1300,10 +1300,12 @@ def test_hidden_partitioning_mor_deletes_never_resurrect(spark, tmp_path):
     # but none empties (an aligned pattern would just drop whole months)
     t.delete_mor(F.col("id") % 5 == 0, keys=["id"])
 
-    # pending tombstones: the planner must route through the anti-join
-    # reader (sentinel -1s), and deleted rows may never reappear
+    # pending tombstones COMPOSE with pruning: the planner still opens
+    # only the 3 matching month partitions (the old code fell back to an
+    # unpruned read_version scan, sentinel -1s), and the anti-join on the
+    # pruned subset guarantees deleted rows never reappear
     got, n_read, n_total = t.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 4, 30))
-    assert (n_read, n_total) == (-1, -1)
+    assert (n_read, n_total) == (3, 6)
     ids = {r.id for r in got.collect()}
     assert ids and all(i % 5 != 0 for i in ids)
     assert ids == {
@@ -1426,3 +1428,157 @@ def test_changes_feed_skips_metadata_only_commits(spark, tmp_path):
     t.rename_column("amt", "amount")  # v5
     with _pytest.raises(ValueError, match="no recorded"):
         t.changes_feed(1, 5)
+
+
+def test_txn_presume_abort_fences_commit(spark, tmp_path):
+    """A transaction presume-aborted by recover_stale_txns (coordinator
+    PAUSED, not crashed) must never also commit: commit() raises
+    CommitConflict, links NO committed marker, frees its claims — the
+    dual-marker state that let a contender rmtree a served version can
+    no longer arise from this interleaving."""
+    import os
+
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        CommitConflict,
+        LakehouseTransaction,
+        VersionedTable,
+        recover_stale_txns,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    a.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    tx = LakehouseTransaction(str(tmp_path / "txns"))
+    tx.append(a, spark.range(9).select(F.col("id").alias("k")))
+    # maintenance presumes the txn dead while its coordinator is paused
+    assert recover_stale_txns(str(tmp_path / "txns"), max_age_s=0) == [tx.tid]
+    with pytest.raises(CommitConflict, match="aborted"):
+        tx.commit()
+    assert not os.path.exists(f"{tx._marker_base}.committed.json")
+    assert a.current_version() == 1 and a.read().count() == 5
+    # the fenced commit freed its claims: a plain writer takes the slot
+    assert a.append(spark.range(2).select(F.col("id").alias("k"))) == 2
+    assert a.read().count() == 7
+
+
+def test_clear_aborted_claim_refuses_dual_marker(spark, tmp_path):
+    """Defense in depth: if BOTH markers somehow exist (historical
+    crashes, pre-fence writers), readers treat the version as committed
+    (_versions checks the committed marker first) — so the claim must
+    NOT be clearable; clearing would rmtree the manifest+data of a
+    version already served."""
+    import json as _json
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    a.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    tx = LakehouseTransaction(str(tmp_path / "txns"))
+    tx.append(a, spark.range(100, 109).select(F.col("id").alias("k")))
+    tx._done = True  # simulate: both markers land on disk
+    tx._link_marker(
+        "committed",
+        {"tid": tx.tid, "tables": [{"path": t.path, "version": v} for t, v in tx._staged]},
+    )
+    with open(f"{tx._marker_base}.aborted.json", "w") as f:
+        _json.dump({"tid": tx.tid}, f)
+
+    fresh = VersionedTable(spark, str(tmp_path / "a"))
+    # the claim is NOT clearable — no writer may destroy the version
+    assert fresh._clear_aborted_claim(2) is False
+    # and readers serve it as committed (committed marker wins)
+    assert fresh.current_version() == 2 and fresh.read().count() == 14
+
+
+def test_commit_retry_race_conflicts_cleanly(spark, tmp_path):
+    """Losing the version slot BETWEEN clearing a stale aborted claim and
+    the retry os.link must surface CommitConflict into the rebase loop
+    (which then succeeds at the next version) — not a raw
+    FileExistsError that aborts the writer and leaks its staged dirs."""
+    import os
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+        recover_stale_txns,
+    )
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    a.overwrite(spark.range(5).select(F.col("id").alias("k")))
+    # a presume-aborted txn's stale claim holds slot v2 (claims are
+    # cleared lazily by contenders, not by recovery)
+    tx = LakehouseTransaction(str(tmp_path / "txns"))
+    tx.append(a, spark.range(9).select(F.col("id").alias("k")))
+    recover_stale_txns(str(tmp_path / "txns"), max_age_s=0)
+
+    class Racing(VersionedTable):
+        def _clear_aborted_claim(self, v, **kw):
+            ok = super()._clear_aborted_claim(v, **kw)
+            if ok:
+                # interleaved winner re-takes the freed slot before our retry
+                VersionedTable(self.spark, self.path).append(
+                    self.spark.range(1000, 1001).select(F.col("id").alias("k"))
+                )
+            return ok
+
+    r = Racing(spark, str(tmp_path / "a"))
+    v = r.append(spark.range(2).select(F.col("id").alias("k")))
+    assert v == 3  # conflicted at v2, rebased, committed at v3
+    assert r.read().count() == 5 + 1 + 2
+    live = {r._manifest(x)["data_dir"] for x in r._versions()}
+    stray = [
+        d for d in os.listdir(r.path) if d.startswith("_v") and d not in live
+    ]
+    assert stray == []  # the lost race left no staged-data garbage
+
+
+def test_hidden_partitioning_null_source_rows(spark, tmp_path):
+    """A NULL source value writes a __HIVE_DEFAULT_PARTITION__ directory;
+    planning must SKIP it (a NULL can never match a range/IN residual)
+    instead of crashing int() on the dir name."""
+    import datetime as dt
+
+    rows = [(i, dt.date(2024, 1 + (i % 3), 5)) for i in range(30)] + [
+        (97, None),
+        (98, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, d date")
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df, hidden_partition=("month", "d"))
+
+    got, n_read, n_total = t.read_hidden(dt.date(2024, 2, 1), dt.date(2024, 3, 31))
+    # 4 dirs exist (3 months + __HIVE_DEFAULT_PARTITION__); the default
+    # partition is never opened by a range scan
+    assert (n_read, n_total) == (2, 4)
+    assert {r.id for r in got.collect()} == {i for i in range(30) if i % 3 in (1, 2)}
+
+    got_in, n_in, _ = t.read_hidden_in([dt.date(2024, 1, 5)])
+    assert n_in == 1
+    assert {r.id for r in got_in.collect()} == {i for i in range(30) if i % 3 == 0}
+    # NULL rows still exist in the logical table
+    assert t.read().filter("d IS NULL").count() == 2
+
+
+def test_pruned_reads_hide_engine_partition_column(spark, tmp_path):
+    """read_pruned / read_pruned_in on a hidden-partitioned snapshot must
+    serve read_version's LOGICAL schema — the engine-derived __p_* column
+    leaked into their results before."""
+    import datetime as dt
+
+    rows = [(i, dt.date(2024, 1 + (i % 4), 2), float(i)) for i in range(400)]
+    df = spark.createDataFrame(rows, "id int, d date, v double")
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df, hidden_partition=("month", "d"))
+
+    logical = t.read_version(1).columns
+    assert logical == ["id", "d", "v"]
+    got, _, _ = t.read_pruned("id", 10, 20)
+    assert got.columns == logical
+    assert sorted(r.id for r in got.collect()) == list(range(10, 21))
+    got_in, _, _ = t.read_pruned_in("id", [3, 7])
+    assert got_in.columns == logical
+    assert sorted(r.id for r in got_in.collect()) == [3, 7]

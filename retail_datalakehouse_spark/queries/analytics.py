@@ -792,7 +792,9 @@ sh AS (SELECT doc_id,
                                     FOR i IN generate_series(1, len(l) - 2)])) AS s
        FROM toks WHERE len(l) >= 3),
 train AS (SELECT doc_id, s FROM sh WHERE doc_id < 450),
-eval_ AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450)
+eval_all AS (SELECT doc_id, s FROM sh WHERE doc_id >= 450),
+hot AS (SELECT s FROM eval_all GROUP BY s HAVING COUNT(*) > 64),
+eval_ AS (SELECT doc_id, s FROM eval_all WHERE s NOT IN (SELECT s FROM hot))
 SELECT t.doc_id AS train_doc_id,
        COUNT(DISTINCT e.doc_id) AS n_eval_docs,
        COUNT(DISTINCT t.s) AS n_shared_shingles
@@ -828,6 +830,17 @@ def l4_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = sh.filter(F.col("doc_id") >= 450).select(
         F.col("doc_id").alias("eval_doc_id"), "s"
     )
+    # hot-shingle DF cap — see l4_bloom_decontamination: an eval-side
+    # boilerplate shingle turns the equi-join output quadratic; capping
+    # its eval document frequency bounds output linearly and drops no
+    # contamination signal (ultra-common shingles carry none)
+    hot = (
+        ev.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("edf"))
+        .filter(F.col("edf") > 64)
+        .select("s")
+    )
+    ev = ev.join(F.broadcast(hot), "s", "left_anti")
     return (
         train.join(F.broadcast(ev), "s")
         .groupBy(F.col("doc_id").alias("train_doc_id"))
@@ -1765,7 +1778,9 @@ sh AS (SELECT doc_id,
                                     FOR i IN generate_series(1, len(l) - 2)])) AS s
        FROM toks WHERE len(l) >= 3),
 train AS (SELECT doc_id, s FROM sh, cut WHERE doc_id < cut.c),
-eval_ AS (SELECT doc_id, s FROM sh, cut WHERE doc_id >= cut.c)
+eval_all AS (SELECT doc_id, s FROM sh, cut WHERE doc_id >= cut.c),
+hot AS (SELECT s FROM eval_all GROUP BY s HAVING COUNT(*) > 64),
+eval_ AS (SELECT doc_id, s FROM eval_all WHERE s NOT IN (SELECT s FROM hot))
 SELECT t.doc_id AS train_doc_id,
        COUNT(DISTINCT e.doc_id) AS n_eval_docs,
        COUNT(DISTINCT t.s) AS n_shared_shingles
@@ -1801,6 +1816,26 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size(F.split(F.col("s"), " ")) == 3)  # whole-doc stub shingles excluded
     train = sh.filter(F.col("doc_id") < cut)
     evals = sh.filter(F.col("doc_id") >= cut)
+
+    # Hot-shingle document-frequency cap (the Lee-et-al decontamination
+    # practice): a shingle shared by more than DF_CAP eval documents is
+    # boilerplate and carries no contamination signal, but it is exactly
+    # the key whose verify-join OUTPUT explodes quadratically
+    # (train_docs(s) x eval_docs(s)) — AQE skew-split spreads partitions
+    # but cannot shrink output (the sf1 rehearsal measured 11.6x
+    # superlinear before this cap). Capping the EVAL side bounds every
+    # shingle's contribution at train_df(s) x DF_CAP — linear in the
+    # train split — and costs one aggregation of the small (10%) side.
+    # The hot list is tiny by Zipf (boilerplate is few distinct strings),
+    # so it broadcast-anti-joins. The oracle encodes the same cap.
+    DF_CAP = 64
+    hot = (
+        evals.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("edf"))
+        .filter(F.col("edf") > DF_CAP)
+        .select("s")
+    )
+    evals = evals.join(F.broadcast(hot), "s", "left_anti")
 
     # build side = the SMALL split *by proportion* (10% of the corpus), so
     # the bit array is OR-folded IN SPARK (groupBy word_idx + bit_or) and

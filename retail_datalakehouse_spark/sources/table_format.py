@@ -72,7 +72,13 @@ _STATS_MAX_COLS = 32
 # one JSON manifest per version: past this file count, per-file stats are
 # omitted (real Iceberg shards manifests + a manifest list; this format's
 # commits produce task-count files, far below the cap)
-_STATS_MAX_FILES = 10_000
+_STATS_MAX_FILES = 1_000_000
+# File lists above this size split into CHUNKED manifests (Iceberg's
+# manifest-list design): the per-version JSON holds only chunk
+# descriptors (path + per-chunk column bounds), and planning loads only
+# the chunks a predicate's bounds touch. Below it, stats stay inline —
+# one read, no indirection.
+_MANIFEST_CHUNK_FILES = 1_000
 
 
 def _stats_norm(v):
@@ -138,6 +144,30 @@ def _collect_manifest_stats(data_dir: str) -> tuple[int, list[dict] | None]:
                 }
             )
     return total, files
+
+
+def _chunk_bounds(files: list[dict]) -> dict:
+    """Chunk-level column bounds = the fold of member files' [min, max].
+    A column appears ONLY when every member file has usable bounds for it
+    — an absent column means "cannot prune this chunk by this column"
+    (conservatively loaded), never a wrong bound."""
+    cols: dict | None = None
+    for f in files:
+        if cols is None:
+            cols = {
+                c: list(b)
+                for c, b in f["stats"].items()
+                if b[0] is not None and b[1] is not None
+            }
+            continue
+        for c in list(cols):
+            b = f["stats"].get(c, [None, None])
+            if b[0] is None or b[1] is None:
+                del cols[c]
+            else:
+                lo, hi = cols[c]
+                cols[c] = [min(lo, b[0]), max(hi, b[1])]
+    return cols or {}
 
 
 def _hidden_partition_col(spec: dict):
@@ -298,6 +328,101 @@ class VersionedTable:
     def _manifest(self, version: int) -> dict:
         return json.load(open(os.path.join(self._manifest_dir, f"v{version}.json")))
 
+    # ------------------------------------------- chunked file-stats plane
+    #
+    # Iceberg's manifest-list design, reduced to this format: a version's
+    # per-file stats live INLINE in its JSON up to _MANIFEST_CHUNK_FILES
+    # entries; above that they split into chunk files
+    # (``files-v{N}.{token}.{i}.json``) and the version JSON carries only
+    # ``manifest_list`` — per-chunk descriptors with folded column bounds.
+    # Planning prunes at CHUNK level first (driver reads O(chunks), not
+    # O(files)); at ~10^6 files a monolithic per-version JSON costs
+    # hundreds of MB of driver parse per plan, which is exactly why
+    # Iceberg has a manifest list.
+
+    def _attach_file_stats(
+        self,
+        entry: dict,
+        file_stats: list[dict] | None,
+        v: int,
+        token: str,
+        manifest_dir: str | None = None,
+    ) -> list[str]:
+        """Record ``file_stats`` on ``entry`` — inline when small, as
+        chunk files + a ``manifest_list`` when large. Returns the chunk
+        paths written (for cleanup on a lost commit race). Chunk names
+        never match the ``v*.json`` manifest glob."""
+        mdir = manifest_dir or self._manifest_dir
+        if file_stats is None or len(file_stats) <= _MANIFEST_CHUNK_FILES:
+            entry["files"] = file_stats
+            return []
+        chunks, written = [], []
+        for i in range(0, len(file_stats), _MANIFEST_CHUNK_FILES):
+            part = file_stats[i : i + _MANIFEST_CHUNK_FILES]
+            name = f"files-v{v}.{token}.{i // _MANIFEST_CHUNK_FILES:05d}.json"
+            p = os.path.join(mdir, name)
+            tmp = p + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"files": part}, f)
+            os.replace(tmp, p)
+            written.append(p)
+            chunks.append(
+                {
+                    "path": name,
+                    "n_files": len(part),
+                    "n_rows": sum(f["n_rows"] for f in part),
+                    "stats": _chunk_bounds(part),
+                }
+            )
+        entry["files"] = None
+        entry["manifest_list"] = chunks
+        return written
+
+    def _load_chunk(self, name: str) -> list[dict]:
+        return json.load(open(os.path.join(self._manifest_dir, name)))["files"]
+
+    def _file_stats_list(self, entry: dict) -> list[dict] | None:
+        """The version's FULL per-file stats list, resolving chunking —
+        O(files); use only where the whole list is genuinely needed
+        (bloom builds, carry-forward into a child commit, clones).
+        Planning paths go through :meth:`_planned_files` instead."""
+        ml = entry.get("manifest_list")
+        if ml is None:
+            return entry.get("files")
+        out: list[dict] = []
+        for c in ml:
+            out.extend(self._load_chunk(c["path"]))
+        return out
+
+    def _n_files(self, entry: dict) -> int | None:
+        ml = entry.get("manifest_list")
+        if ml is not None:
+            return sum(c["n_files"] for c in ml)
+        files = entry.get("files")
+        return None if files is None else len(files)
+
+    def _planned_files(
+        self, entry: dict, phys: str, file_keep, chunk_overlaps
+    ) -> tuple[list[dict], int]:
+        """Scan planning over inline OR chunked stats: returns
+        (surviving file dicts, n_files_total). ``file_keep(f)`` decides a
+        file; ``chunk_overlaps(lo, hi)`` decides whether a chunk's folded
+        bounds can contain matches — a chunk that can't is skipped with
+        ZERO I/O (its files are never parsed), so plan cost is
+        O(chunks + files_in_overlapping_chunks), not O(files)."""
+        ml = entry.get("manifest_list")
+        if ml is None:
+            files = entry.get("files") or []
+            return [f for f in files if file_keep(f)], len(files)
+        n_total = sum(c["n_files"] for c in ml)
+        kept: list[dict] = []
+        for c in ml:
+            b = c.get("stats", {}).get(phys)
+            if b is not None and not chunk_overlaps(b[0], b[1]):
+                continue
+            kept.extend(f for f in self._load_chunk(c["path"]) if file_keep(f))
+        return kept, n_total
+
     def history(self) -> list[dict]:
         return [self._manifest(v) for v in self._versions()]
 
@@ -429,11 +554,13 @@ class VersionedTable:
             "modified_keys": modified_keys,
             # transaction watermarks carry forward: {writer_id: last batch}
             "txn": dict(self._txn_state(parent), **(txn or {})),
-            "files": file_stats,
             # declared layout metadata (Iceberg sort-order analogue):
             # which columns this snapshot is range-clustered on
             "cluster_by": cluster_by,
         }
+        # inline for small commits; chunked manifests + manifest_list for
+        # large ones (written BEFORE the CAS link, removed on a lost race)
+        chunk_paths = self._attach_file_stats(entry, file_stats, v, token)
         if base_dirs is not None:
             # incremental commit: parent data directories carried forward
             entry["base_dirs"] = base_dirs
@@ -465,6 +592,11 @@ class VersionedTable:
                 shutil.rmtree(
                     os.path.join(self.path, cdf_dirname), ignore_errors=True
                 )
+            for cp in chunk_paths:
+                try:
+                    os.unlink(cp)
+                except FileNotFoundError:
+                    pass
             raise CommitConflict(
                 f"version {v} already committed at {self.path}"
             ) from None
@@ -511,6 +643,11 @@ class VersionedTable:
             # a version already served as committed.
             return False
         shutil.rmtree(os.path.join(self.path, m["data_dir"]), ignore_errors=True)
+        for c in m.get("manifest_list") or []:
+            try:
+                os.unlink(os.path.join(self._manifest_dir, c["path"]))
+            except FileNotFoundError:
+                pass
         try:
             os.unlink(p)
         except FileNotFoundError:
@@ -817,7 +954,7 @@ class VersionedTable:
             new_types = {f.name: f.dataType for f in df.schema.fields}
             if cur_types != new_types:
                 break  # widening/retype → materializing path
-            p_files = p_entry.get("files")
+            p_files = self._file_stats_list(p_entry)  # resolves chunking
             if p_files is not None:
                 p_dir = p_entry["data_dir"]
                 p_files = [
@@ -907,7 +1044,7 @@ class VersionedTable:
                     assigned = assigned.select(
                         *[f.name for f in cur_schema.fields]
                     )
-                    p_files = p_entry.get("files")
+                    p_files = self._file_stats_list(p_entry)
                     if p_files is not None:
                         p_dir = p_entry["data_dir"]
                         p_files = [
@@ -1550,6 +1687,12 @@ class VersionedTable:
             removed.append(d)
         for v in versions:
             if v not in keep_versions:
+                # chunked file-stats manifests expire with their version
+                for c in self._manifest(v).get("manifest_list") or []:
+                    try:
+                        os.unlink(os.path.join(self._manifest_dir, c["path"]))
+                    except FileNotFoundError:
+                        pass
                 os.unlink(os.path.join(self._manifest_dir, f"v{v}.json"))
         return removed
 
@@ -1575,10 +1718,22 @@ class VersionedTable:
             # merge-on-read version: file stats still count tombstoned
             # rows — MIN/MAX/COUNT from them would be wrong
             return None
+        phys = self._physical_name(entry, col)  # stats carry physical names
+        ml = entry.get("manifest_list")
+        if ml is not None:
+            # chunked manifests: descriptors already fold member bounds,
+            # so the aggregate reads O(chunks) descriptors, ZERO chunks
+            bs = [c.get("stats", {}).get(phys) for c in ml]
+            if any(b is None for b in bs):
+                return None  # some chunk has a file without usable stats
+            return {
+                "min": min(b[0] for b in bs),
+                "max": max(b[1] for b in bs),
+                "n_rows": entry["n_rows"],
+            }
         files = entry.get("files")
         if not files:
             return None
-        phys = self._physical_name(entry, col)  # stats carry physical names
         los, his = [], []
         for f in files:
             lo, hi = f["stats"].get(phys, [None, None])
@@ -1615,8 +1770,11 @@ class VersionedTable:
         # ``col`` is LOGICAL; files and their stats carry PHYSICAL names
         phys = self._physical_name(entry, col)
         rng = lambda c: (F.col(c) >= F.lit(lo)) & (F.col(c) <= F.lit(hi))  # noqa: E731
-        files = None if entry.get("dv_dirs") else entry.get("files")
-        if files is None:
+        has_stats = (
+            entry.get("files") is not None
+            or entry.get("manifest_list") is not None
+        )
+        if entry.get("dv_dirs") or not has_stats:
             # Stats omitted (huge commit / legacy manifest), or a
             # merge-on-read version (dv_dirs): the file list alone would
             # RESURRECT tombstoned rows, so route through read_version,
@@ -1625,16 +1783,22 @@ class VersionedTable:
             df = self.read_version(v).filter(rng(col))
             return df, -1, -1
         nlo, nhi = _stats_norm(lo), _stats_norm(hi)
-        keep = []
-        for f in files:
+
+        def file_keep(f):
             fmin, fmax = f["stats"].get(phys, [None, None])
-            if fmin is None or fmax is None or not (fmax < nlo or fmin > nhi):
-                # table-root-relative: incremental-append entries carry
-                # their owning dir, single-dir entries default to data_dir
-                keep.append(os.path.join(f.get("dir", entry["data_dir"]), f["path"]))
+            return fmin is None or fmax is None or not (fmax < nlo or fmin > nhi)
+
+        kept, n_files = self._planned_files(
+            entry, phys, file_keep, lambda clo, chi: not (chi < nlo or clo > nhi)
+        )
+        # table-root-relative: incremental-append entries carry their
+        # owning dir, single-dir entries default to data_dir
+        keep = [
+            os.path.join(f.get("dir", entry["data_dir"]), f["path"]) for f in kept
+        ]
         if not keep:  # predicate outside the table's range: 0 files read
             empty = self.read_version(v).filter(F.lit(False))
-            return empty, 0, len(files)
+            return empty, 0, n_files
         reader = self.spark.read
         if entry.get("partition_by"):
             # explicit file list under a hive layout: basePath keeps the
@@ -1643,7 +1807,7 @@ class VersionedTable:
         df = reader.parquet(*[os.path.join(self.path, p) for p in keep]).filter(
             rng(phys)
         )
-        return self._apply_column_mapping(df, entry), len(keep), len(files)
+        return self._apply_column_mapping(df, entry), len(keep), n_files
 
     def read_pruned_in(
         self, col: str, values: list, version: int | None = None
@@ -1662,23 +1826,37 @@ class VersionedTable:
         entry = self._manifest(v)
         # dv guard: see read_pruned — a merge-on-read version's file list
         # would resurrect tombstoned rows
-        files = None if entry.get("dv_dirs") else entry.get("files")
-        if files is None:
+        has_stats = (
+            entry.get("files") is not None
+            or entry.get("manifest_list") is not None
+        )
+        if entry.get("dv_dirs") or not has_stats:
             df = self.read_version(v).filter(F.col(col).isin(values))
             return df, -1, -1
         phys = self._physical_name(entry, col)  # stats/blooms are physical
         nvals = [_stats_norm(x) for x in values]
-        keep = []
-        for f in files:
+
+        def file_keep(f):
             fmin, fmax = f["stats"].get(phys, [None, None])
-            if (
+            return (
                 fmin is None
                 or fmax is None
                 or any(x is not None and fmin <= x <= fmax for x in nvals)
-            ):
-                # table-root-relative (see read_pruned) — also the bloom
-                # sidecar's key form
-                keep.append(os.path.join(f.get("dir", entry["data_dir"]), f["path"]))
+            )
+
+        kept, n_files = self._planned_files(
+            entry,
+            phys,
+            file_keep,
+            lambda clo, chi: any(
+                x is not None and clo <= x <= chi for x in nvals
+            ),
+        )
+        # table-root-relative (see read_pruned) — also the bloom
+        # sidecar's key form
+        keep = [
+            os.path.join(f.get("dir", entry["data_dir"]), f["path"]) for f in kept
+        ]
         # Bloom sidecar refinement (build_bloom_index): zone maps are the
         # first line of pruning; when the snapshot carries a per-file
         # bloom for this column, test every zone-surviving file against
@@ -1702,7 +1880,7 @@ class VersionedTable:
             ]
         if not keep:
             empty = self.read_version(v).filter(F.lit(False))
-            return empty, 0, len(files)
+            return empty, 0, n_files
         reader = self.spark.read
         if entry.get("partition_by"):
             reader = reader.option(
@@ -1711,7 +1889,7 @@ class VersionedTable:
         df = reader.parquet(*[os.path.join(self.path, p) for p in keep]).filter(
             F.col(phys).isin(values)
         )
-        return self._apply_column_mapping(df, entry), len(keep), len(files)
+        return self._apply_column_mapping(df, entry), len(keep), n_files
 
     def _hidden_parts(self, entry: dict) -> tuple[dict, list[str]]:
         spec = entry.get("hidden_partition")
@@ -1881,7 +2059,8 @@ class VersionedTable:
                 "bloom index on a merge-on-read version would describe "
                 "tombstoned rows; compact first"
             )
-        if entry.get("files") is None:
+        entry_files = self._file_stats_list(entry)  # resolves chunking
+        if entry_files is None:
             raise ValueError(
                 "manifest carries no per-file stats; bloom sidecar "
                 "requires the per-file manifest"
@@ -1893,7 +2072,7 @@ class VersionedTable:
             # manifest for free; rounded up to a power of two, capped at
             # 2^24 bits = 2 MiB of words per file per column so a
             # mis-sized call can't explode the sidecar.
-            mx = max((f["n_rows"] for f in entry["files"]), default=1)
+            mx = max((f["n_rows"] for f in entry_files), default=1)
             m_bits = 1024
             while m_bits < 10 * mx and m_bits < (1 << 24):
                 m_bits <<= 1
@@ -2165,8 +2344,9 @@ class VersionedTable:
         directory walk — still metadata-only)."""
         rows = []
         for e in self.history():
-            if e.get("files") is not None:
-                n_files = len(e["files"])  # from the manifest: zero listing
+            mn = self._n_files(e)  # inline count or chunk-descriptor sum
+            if mn is not None:
+                n_files = mn
             else:
                 n_files = sum(
                     1
@@ -2593,7 +2773,7 @@ class VersionedTable:
         def _abs(d: str) -> str:
             return d if os.path.isabs(d) else os.path.join(self.path, d)
 
-        files = src.get("files")
+        files = self._file_stats_list(src)  # resolves source chunking
         if files is not None:
             src_dir = src["data_dir"]
             files = [{**f, "dir": _abs(f.get("dir", src_dir))} for f in files]
@@ -2612,7 +2792,6 @@ class VersionedTable:
             "dv_keys": src.get("dv_keys"),
             "partition_by": src.get("partition_by"),
             "cluster_by": src.get("cluster_by"),
-            "files": files,
             **(
                 {"column_renames": src["column_renames"]}
                 if src.get("column_renames")
@@ -2647,6 +2826,11 @@ class VersionedTable:
             raise ValueError(f"clone destination {dest_path} is not empty")
         os.makedirs(clone._manifest_dir, exist_ok=True)
         token = uuid.uuid4().hex[:8]
+        # a large source stays chunked in the clone — the clone of a
+        # 10^6-file table must not regress to a monolithic version JSON
+        clone._attach_file_stats(
+            entry, files, 1, token, manifest_dir=clone._manifest_dir
+        )
         tmp = os.path.join(clone._manifest_dir, f".v1.{token}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)

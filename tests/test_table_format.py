@@ -1582,3 +1582,90 @@ def test_pruned_reads_hide_engine_partition_column(spark, tmp_path):
     got_in, _, _ = t.read_pruned_in("id", [3, 7])
     assert got_in.columns == logical
     assert sorted(r.id for r in got_in.collect()) == [3, 7]
+
+
+def test_chunked_manifest_plane(spark, tmp_path, monkeypatch):
+    """Iceberg-style manifest list: above the chunk threshold, per-file
+    stats split into chunk files; the version JSON carries only chunk
+    descriptors with folded bounds. Planning must (a) prune at chunk
+    level with zero I/O for disjoint chunks, (b) return exactly the
+    full-scan rows, (c) serve stats_agg from descriptors alone,
+    (d) carry chunked stats through incremental appends and clones, and
+    (e) expire chunk files with their version on vacuum."""
+    import os
+
+    from retail_datalakehouse_spark.sources import table_format as tf
+
+    monkeypatch.setattr(tf, "_MANIFEST_CHUNK_FILES", 4)
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(16_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    t.overwrite(df, cluster_by=["k"], cluster_files=16)
+
+    m = t._manifest(1)
+    assert m.get("files") is None and len(m["manifest_list"]) == 4
+    assert sum(c["n_files"] for c in m["manifest_list"]) == 16
+    chunk_files = [c["path"] for c in m["manifest_list"]]
+    assert all(
+        os.path.exists(os.path.join(t._manifest_dir, p)) for p in chunk_files
+    )
+    # descriptor bounds fold their member files
+    assert all("k" in c["stats"] for c in m["manifest_list"])
+
+    # (a+b) planning: count chunk loads; a narrow range touches few chunks
+    loads = []
+    orig = VersionedTable._load_chunk
+    monkeypatch.setattr(
+        VersionedTable,
+        "_load_chunk",
+        lambda self, name: loads.append(name) or orig(self, name),
+    )
+    got, n_read, n_total = t.read_pruned("k", 2000, 2999)
+    assert n_total == 16 and 0 < n_read < 16
+    assert len(set(loads)) < 4  # disjoint chunks skipped with zero I/O
+    assert sorted(r.k for r in got.collect()) == list(range(2000, 3000))
+
+    loads.clear()
+    got_in, n_in, tot_in = t.read_pruned_in("k", [5, 9997])
+    assert tot_in == 16 and 0 < n_in <= 2
+    assert sorted(r.k for r in got_in.collect()) == [5, 9997]
+    assert len(set(loads)) <= 2
+
+    # (c) metadata-only aggregate from descriptors (no chunk loads)
+    loads.clear()
+    sa = t.stats_agg("k")
+    assert sa == {"min": 0, "max": 15_999, "n_rows": 16_000}
+    assert loads == []
+
+    # snapshots() n_files comes from descriptor sums
+    snap = {r["version"]: r for r in t.snapshots().collect()}
+    assert snap[1]["n_files"] == 16
+
+    # (d) incremental append composes chunked parent stats forward
+    t.append(
+        spark.range(16_000, 16_500).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    m2 = t._manifest(2)
+    assert t._n_files(m2) >= 17  # parent's 16 + the appended file(s)
+    got2, nr2, ntot2 = t.read_pruned("k", 16_100, 16_200)
+    assert sorted(r.k for r in got2.collect()) == list(range(16_100, 16_201))
+    assert 0 < nr2 < ntot2
+
+    # clone keeps the stats plane chunked
+    c = t.clone_to(str(tmp_path / "clone"))
+    mc = c._manifest(1)
+    assert mc.get("files") is None and mc.get("manifest_list")
+    assert c.stats_agg("k")["n_rows"] == 16_500
+    gc_, _, _ = c.read_pruned("k", 100, 110)
+    assert sorted(r.k for r in gc_.collect()) == list(range(100, 111))
+
+    # (e) vacuum expires chunk files with their version
+    t.overwrite(spark.range(3).select(F.col("id").alias("k"), F.lit(0.0).alias("v")))
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert not any(
+        os.path.exists(os.path.join(t._manifest_dir, p)) for p in chunk_files
+    )
+    assert t.read().count() == 3

@@ -63,12 +63,14 @@ def duplicate_span_stats(
     report 0/0.
 
     Scale shape: two shuffles — one groupBy for the corpus-wide span
-    frequency table, one groupBy back to documents — both on the span key.
-    Spans here group by the span STRING (exact, oracle-checkable); at
-    100 TB swap the grouping key for ``xxhash64(span)`` so the shuffle
-    moves 8-byte keys instead of ~60-byte strings (collisions at 2^-64 are
-    below corpus noise), and cap span explosion with a stride > 1 — the
-    standard suffix-array approximation trade-off.
+    frequency table, one groupBy back to documents — both on the span's
+    ``xxhash64`` DIGEST, so the wire moves 8-byte longs instead of
+    ~60-byte strings (span text never shuffles; it dies in the map stage
+    right after hashing). A digest collision (2^-64 per pair, ~1e-8 over
+    a trillion-span corpus) would merge two span families — below corpus
+    noise, the standard Lee-et-al engineering trade. Cap span explosion
+    with a stride > 1 when position-exactness isn't needed — the
+    suffix-array approximation trade-off.
     """
     from .text import tokens
 
@@ -78,7 +80,11 @@ def duplicate_span_stats(
     positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
         F.expr("CAST(array() AS ARRAY<INT>)")
     )
-    spans = F.transform(positions, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+    # digest INSIDE the map-side lambda: the per-position array already
+    # holds 8-byte longs, so span text never leaves its task
+    spans = F.transform(
+        positions, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n)))
+    )
     w = df.select(F.col(id_col), F.explode(spans).alias("span"))
     counts = w.groupBy("span").agg(F.count(F.lit(1)).alias("__c"))
     perdoc = (

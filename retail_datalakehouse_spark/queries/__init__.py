@@ -291,7 +291,10 @@ _PROMOTE_R9 = [
     # x_merge_on_read_delete — read path now applies tombstone anti-joins
     # on the PRUNED subset (VERDICT r8 item 4 touches read_hidden/pruned).
     "x_merge_on_read_delete",
-    # Slots 20+: round-9 additions are appended here as they ship.
+    # l2_duplicate_spans — span shuffle key switched from span TEXT to its
+    # xxhash64 digest (VERDICT r8 item 6); oracle unchanged, 3-scale green.
+    "l2_duplicate_spans",
+    # Slots 21+: round-9 additions are appended here as they ship.
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -1669,3 +1669,70 @@ def test_chunked_manifest_plane(spark, tmp_path, monkeypatch):
         os.path.exists(os.path.join(t._manifest_dir, p)) for p in chunk_files
     )
     assert t.read().count() == 3
+
+
+def test_two_writer_txn_contention_matrix(spark, tmp_path):
+    """Two coordinators over OVERLAPPING table sets claiming in OPPOSITE
+    orders (the canonical deadlock shape): claims are non-blocking CAS
+    links, so the second claimant of any slot gets CommitConflict at
+    STAGE time and its transaction aborts — there is no waiting anywhere,
+    so deadlock is structurally impossible. Outcomes are serializable:
+    the loser leaves zero trace, the winner commits atomically, a fresh
+    retry of the loser's work serializes AFTER the winner."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        CommitConflict,
+        LakehouseTransaction,
+        VersionedTable,
+    )
+
+    def k(*vals):
+        return spark.createDataFrame([(v,) for v in vals], ["k"])
+
+    a = VersionedTable(spark, str(tmp_path / "a"))
+    b = VersionedTable(spark, str(tmp_path / "b"))
+    a.overwrite(k(0))
+    b.overwrite(k(0))
+    txns = str(tmp_path / "txns")
+
+    # --- leg 1: opposite claim orders, interleaved ---
+    t1 = LakehouseTransaction(txns)
+    t2 = LakehouseTransaction(txns)
+    t1.append(a, k(11))  # T1 claims a@v2
+    t2.append(b, k(22))  # T2 claims b@v2
+    # cross step: T2 now wants a@v2 — held by T1. Non-blocking: instant
+    # conflict, T2 self-aborts (releasing b@v2). T1 is never blocked.
+    with pytest.raises(CommitConflict):
+        t2.append(a, k(23))
+    assert t2._done  # loser fully aborted at claim time — no deadlock
+    # T1 proceeds through the slot T2 released, and commits atomically
+    t1.append(b, k(12))
+    t1.commit()
+    for t, added in ((a, 11), (b, 12)):
+        fresh = VersionedTable(spark, t.path)
+        vals = sorted(r.k for r in fresh.read().collect())
+        assert vals == [0, added]  # winner's rows, ZERO trace of T2
+        assert fresh.current_version() == 2
+
+    # --- leg 2: disjoint table sets never contend ---
+    c = VersionedTable(spark, str(tmp_path / "c"))
+    d = VersionedTable(spark, str(tmp_path / "d"))
+    c.overwrite(k(0))
+    d.overwrite(k(0))
+    t3 = LakehouseTransaction(txns)
+    t4 = LakehouseTransaction(txns)
+    t3.append(c, k(31))
+    t4.append(d, k(41))
+    t4.commit()
+    t3.commit()  # commit order independent of stage order
+    assert sorted(r.k for r in c.read().collect()) == [0, 31]
+    assert sorted(r.k for r in d.read().collect()) == [0, 41]
+
+    # --- leg 3: the loser's retry serializes AFTER the winner ---
+    t5 = LakehouseTransaction(txns)
+    t5.append(b, k(22))  # b is at v2 now; claims v3 — fresh snapshot
+    t5.append(a, k(23))
+    t5.commit()
+    assert sorted(r.k for r in a.read().collect()) == [0, 11, 23]
+    assert sorted(r.k for r in b.read().collect()) == [0, 12, 22]

@@ -2137,3 +2137,66 @@ def t25_stream_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value", scale=2).alias("v"),
     ).select(F.lit("quarantine").alias("side"), "label", "n", "v")
     return clean_side.unionByName(quar_side)
+
+
+@register(
+    "t26_timer_ttl_flush",
+    # Every real user's last event + 10 min sits well under the final
+    # watermark (the advancer is 2 days past the data), so the timers
+    # flush EXACTLY one row per user = the plain per-user aggregate; the
+    # advancer's own timer is beyond the final watermark and never fires.
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_ms(MAX(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_ms
+FROM events GROUP BY user_id
+""",
+    tags=("T6", "U3", "W2"),
+)
+def t26_timer_ttl_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timer-driven state EXPIRY (streaming/jobs.py::idle_user_flush) —
+    the TTL drill: per-user running totals flush as ONE append-mode row
+    when the EVENT-TIME watermark passes last_event + 10 min, then state
+    clears; nothing emits on input. The operator ships both
+    arbitrary-state lanes — Spark 4 StatefulProcessor with registered
+    event-time TIMERS (`handleExpiredTimer`) and the
+    `applyInPandasWithState` EventTimeTimeout fold — behind
+    `ensure_protobuf`'s end-to-end gate (driver AND JVM-spawned-runner
+    viability); tests pin the lanes emit identical flushes. Two drops:
+    all events, then a far-future advancer whose watermark flushes every
+    real user (its own timer stays pending — absent from the output), so
+    the flush set equals the batch per-user aggregate and the oracle is
+    exact whichever lane ran."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.jobs import idle_user_flush, run_to_memory
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    d = tempfile.mkdtemp(prefix="rdl_t26_")
+    _write_single_parquet(e, os.path.join(d, "events.parquet"))
+    advancer = e.agg(
+        (F.max("ts") + F.expr("INTERVAL 2 DAYS")).alias("ts")
+    ).select(F.lit(-1).cast("long").alias("user_id"), "ts")
+    _write_single_parquet(advancer, os.path.join(d, "advancer.parquet"))
+    os.utime(os.path.join(d, "events.parquet"), (1_000_000_000,) * 2)
+    os.utime(os.path.join(d, "advancer.parquet"), (1_000_000_060,) * 2)
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sink = run_to_memory(
+        idle_user_flush(stream, gap_ms=600_000), output_mode="append", shuffle=4
+    )
+    out = spark.table(sink)
+    # the advancer must never flush (its timer is past the final
+    # watermark) and every flush is unique per user (state cleared once)
+    assert out.filter("user_id = -1").count() == 0
+    assert out.groupBy("user_id").count().filter("count > 1").count() == 0
+    result = out.select("user_id", "n_events", "last_ms")
+    shutil.rmtree(d, ignore_errors=True)
+    return result

@@ -31,6 +31,89 @@ from pyspark.sql.types import StructType
 
 _sink_counter = itertools.count()
 
+# Known system locations shipping a pure-Python ``google.protobuf`` (the
+# gcloud SDK bundles one). Spark 4's typed-state lane
+# (transformWithStateInPandas) speaks protobuf between the Python worker
+# and the JVM state server; when the package isn't pip-installed, a
+# discovered copy activates the lane — no install, no vendoring.
+_PROTOBUF_CANDIDATE_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def bootstrap_protobuf_env() -> bool:
+    """Call BEFORE the first SparkSession: export the discovered
+    protobuf location (and the version-check escape hatch) into this
+    process's environment so the JVM — and every python runner the JVM
+    spawns, including transformWithState's long-lived driver worker —
+    inherits them. Returns True iff a protobuf became available. No-op
+    when the package is properly installed."""
+    import importlib
+    import sys
+
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    for cand in _PROTOBUF_CANDIDATE_DIRS:
+        if not os.path.isdir(os.path.join(cand, "google", "protobuf")):
+            continue
+        sys.path.append(cand)
+        importlib.invalidate_caches()
+        try:
+            from google.protobuf import descriptor  # noqa: F401
+        except ImportError:
+            sys.path.remove(cand)
+            continue
+        pp = os.environ.get("PYTHONPATH", "")
+        if cand not in pp.split(os.pathsep):
+            os.environ["PYTHONPATH"] = f"{pp}{os.pathsep}{cand}" if pp else cand
+        return True
+    return False
+
+
+def ensure_protobuf(spark: SparkSession | None = None) -> bool:
+    """True iff the Spark typed-state (transformWithStateInPandas)
+    protobuf protocol is usable END-TO-END on this session: the DRIVER
+    can import google.protobuf + the StateMessage gencode, and the
+    JVM-spawned python runners will see the same package. The runners
+    inherit the JVM's environment — fixed at JVM launch — so when
+    protobuf comes from a discovered system copy (the gcloud SDK bundles
+    a pure-Python one), :func:`bootstrap_protobuf_env` must have exported
+    PYTHONPATH before the session was built; a session whose JVM missed
+    it reports False and callers stay on the applyInPandasWithState
+    lane. A real deployment pip-installs protobuf and both checks
+    reduce to imports.
+
+    The discovered copy is runtime 6.32 against Spark's 6.33 gencode —
+    one minor behind, wire-identical; protobuf's own escape hatch
+    (``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK``) covers the gap."""
+    if not bootstrap_protobuf_env():
+        return False
+    try:
+        # the gencode is versioned; prove it loads under this runtime
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+        from google.protobuf import descriptor
+    except Exception:
+        return False
+    if spark is None:
+        return True
+    installed = "google-cloud-sdk" not in (descriptor.__file__ or "")
+    if installed:
+        return True  # site-packages: every python process sees it
+    # discovered copy: the runner needs BOTH vars from the JVM's env
+    jvm_env = spark._jvm.System.getenv  # noqa: SLF001
+    jvm_pp = jvm_env("PYTHONPATH") or ""
+    path_ok = any(
+        os.path.isdir(os.path.join(p, "google", "protobuf"))
+        for p in jvm_pp.split(os.pathsep)
+        if p
+    )
+    return path_ok and jvm_env("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK") is not None
+
 _INTERVAL_US = {
     "microsecond": 1,
     "millisecond": 1_000,
@@ -556,6 +639,18 @@ def streaming_packer(doc_stream: DataFrame, bin_tokens: int = 512):
     )
 
 
+def _require_rocksdb_state_store(spark: SparkSession) -> None:
+    """transformWithState needs a state store with column families —
+    only RocksDB has them (HDFSBacked rejects the query at start). The
+    conf is read when a stream STARTS, so setting it here covers streams
+    the caller starts off the returned DataFrame; already-RocksDB
+    sessions are untouched."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    if spark.conf.get(key, "") != rocks:
+        spark.conf.set(key, rocks)
+
+
 _TOTALS_OUT = "user_id bigint, n_events bigint, total_cents bigint"
 
 
@@ -582,8 +677,9 @@ def running_user_totals(stream: DataFrame, force_api: str | None = None) -> Data
 
     - ``transformWithStateInPandas`` (Spark 4 StatefulProcessor — typed
       ValueState declared against a schema). Its state-server protocol
-      needs the ``protobuf`` package, absent from this container, so the
-      path is import-gated.
+      needs ``protobuf``; :func:`ensure_protobuf` activates it from a
+      discovered system copy (shipped to workers via addPyFile) when the
+      package isn't installed.
     - ``applyInPandasWithState`` fallback — the older arbitrary-state
       API; identical fold, identical output.
     """
@@ -591,14 +687,12 @@ def running_user_totals(stream: DataFrame, force_api: str | None = None) -> Data
 
     api = force_api
     if api is None:
-        try:
-            from google.protobuf import descriptor  # noqa: F401
-
-            api = "tws"
-        except ImportError:
-            api = "apiws"
+        api = "tws" if ensure_protobuf(stream.sparkSession) else "apiws"
+    elif api == "tws":
+        ensure_protobuf(stream.sparkSession)
 
     if api == "tws":
+        _require_rocksdb_state_store(stream.sparkSession)
         from pyspark.sql.streaming.stateful_processor import (
             StatefulProcessor,
             StatefulProcessorHandle,
@@ -643,4 +737,127 @@ def running_user_totals(stream: DataFrame, force_api: str | None = None) -> Data
 
     return stream.groupBy("user_id").applyInPandasWithState(
         fold, _TOTALS_OUT, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+_IDLE_OUT = "user_id bigint, n_events bigint, last_ms bigint"
+
+
+def idle_user_flush(
+    stream: DataFrame,
+    gap_ms: int = 600_000,
+    delay: str = "1 second",
+    force_api: str | None = None,
+) -> DataFrame:
+    """Timer-driven state EXPIRY (the TTL drill): per-user running event
+    count; a user emits exactly ONE row — when the EVENT-TIME watermark
+    passes their last event + ``gap_ms`` — and their state is cleared.
+    Nothing emits on input, only on expiry, so state is provably bounded
+    by the timer discipline (the watermark, not the operator, decides
+    retention). Event-time timers keep the drill DETERMINISTIC: given
+    the same micro-batch sequence, both lanes fire identically — no
+    wall-clock in the semantics.
+
+    Lanes (same contract, pinned equal by the test):
+
+    - ``transformWithStateInPandas`` + ``timeMode="EventTime"``: one
+      live registered timer per key (re-registered forward on each
+      event), ``handleExpiredTimer`` emits + clears.
+    - ``applyInPandasWithState`` + ``GroupStateTimeout.EventTimeTimeout``:
+      ``setTimeoutTimestamp(last + gap)``, the timed-out invocation
+      emits + removes.
+
+    ``stream`` needs an event-time column ``ts`` (timestamp); a final
+    watermark-advancer batch flushes sessions pending at end-of-input
+    (the t14 pattern)."""
+    import pandas as pd
+
+    api = force_api
+    if api is None:
+        api = "tws" if ensure_protobuf(stream.sparkSession) else "apiws"
+    elif api == "tws":
+        ensure_protobuf(stream.sparkSession)
+
+    wm = stream.withWatermark("ts", delay).select(
+        "user_id",
+        # integer division: exact at any magnitude (a double /1000 would
+        # truncate sub-ms micros through float rounding)
+        F.expr("unix_micros(ts) DIV 1000").alias("ts_ms"),
+        "ts",
+    )
+
+    if api == "tws":
+        _require_rocksdb_state_store(stream.sparkSession)
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        gap = gap_ms
+
+        class IdleFlush(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._h = handle
+                self._st = handle.getValueState("st", "n bigint, last_ms bigint")
+
+            def handleInputRows(self, key, rows, timer_values):
+                prev = self._st.get()
+                n, last = (0, 0) if prev is None else (int(prev[0]), int(prev[1]))
+                for pdf in rows:
+                    n += len(pdf)
+                    last = max(last, int(pdf["ts_ms"].max()))
+                # one live timer per key: slide it forward to last + gap
+                for t in self._h.listTimers():
+                    self._h.deleteTimer(t)
+                self._h.registerTimer(last + gap)
+                self._st.update((n, last))
+                return iter(())  # emission happens ONLY on expiry
+
+            def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N803 — pyspark invokes with camelCase kwargs
+                st = self._st.get()
+                if st is not None:
+                    self._st.clear()
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [key[0]],
+                            "n_events": [int(st[0])],
+                            "last_ms": [int(st[1])],
+                        }
+                    )
+
+            def close(self) -> None:
+                pass
+
+        return wm.groupBy("user_id").transformWithStateInPandas(
+            IdleFlush(),
+            outputStructType=_IDLE_OUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType as ST
+
+    state_schema = ST([StructField("n", LongType()), StructField("last_ms", LongType())])
+
+    def fold(key, pdfs, state):
+        if state.hasTimedOut:
+            n, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "last_ms": [last]}
+            )
+            return
+        prev = tuple(state.get) if state.exists else (0, 0)
+        n, last = int(prev[0]), int(prev[1])
+        for pdf in pdfs:
+            n += len(pdf)
+            last = max(last, int(pdf["ts_ms"].max()))
+        state.update((n, last))
+        state.setTimeoutTimestamp(last + gap_ms)
+        return
+        yield  # pragma: no cover — makes fold a generator on every path
+
+    return wm.groupBy("user_id").applyInPandasWithState(
+        fold, _IDLE_OUT, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )

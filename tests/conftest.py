@@ -3,12 +3,17 @@ from __future__ import annotations
 import pytest
 
 from retail_datalakehouse_spark.session import build_spark
+from retail_datalakehouse_spark.streaming.jobs import bootstrap_protobuf_env
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
 def spark():
+    # BEFORE the JVM exists: export a discovered protobuf into the env so
+    # transformWithState's JVM-spawned python runners inherit it (the
+    # typed-state tests skip cleanly when none is found)
+    bootstrap_protobuf_env()
     s = build_spark("tests", master="local[4]")
     yield s
 

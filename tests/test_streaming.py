@@ -624,3 +624,140 @@ def test_cdf_stream_metadata_commits(spark, tmp_path):
         )
         with pytest.raises(Exception, match="column mapping|restart the stream"):
             q2.awaitTermination(180)
+
+
+def _ttl_drops(spark, tmp_path):
+    import datetime as dt
+    import os
+
+    from retail_datalakehouse_spark.streaming.jobs import write_single_parquet
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    drops = [
+        [(1, base), (2, base + dt.timedelta(seconds=5))],
+        [(1, base + dt.timedelta(minutes=3)), (3, base + dt.timedelta(minutes=4))],
+        [(1, base + dt.timedelta(minutes=20)), (4, base + dt.timedelta(minutes=21))],
+        # advancer: flushes everyone idle > gap; its own timer stays past
+        # the final watermark, so user 99 must NOT emit
+        [(99, base + dt.timedelta(hours=3))],
+    ]
+    d = str(tmp_path / "ttl_drops")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(drops):
+        p = os.path.join(d, f"c{i}.parquet")
+        write_single_parquet(
+            spark.createDataFrame(rows, "user_id long, ts timestamp"), p
+        )
+        os.utime(p, (1_000_000_000 + i * 60,) * 2)
+    return d
+
+
+def _run_ttl(spark, d, api):
+    from retail_datalakehouse_spark.streaming.jobs import (
+        idle_user_flush,
+        run_to_memory,
+    )
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = idle_user_flush(stream, gap_ms=600_000, force_api=api)
+    sink = run_to_memory(out, output_mode="append", shuffle=4)
+    return sorted(
+        (r.user_id, r.n_events, r.last_ms) for r in spark.table(sink).collect()
+    )
+
+
+def test_timer_ttl_drill_lanes_agree(spark, tmp_path):
+    """Timer-driven state expiry (the TTL drill): the Spark 4 typed-state
+    lane (transformWithStateInPandas, EVENT-TIME timers fired by the
+    watermark) and the applyInPandasWithState EventTimeTimeout fold must
+    produce IDENTICAL flushes on the same micro-batch sequence. Gated:
+    skips when no protobuf is reachable by the session's JVM-spawned
+    runners (ensure_protobuf is the authoritative end-to-end check)."""
+    import pytest
+
+    from retail_datalakehouse_spark.streaming.jobs import ensure_protobuf
+
+    d = _ttl_drops(spark, tmp_path)
+    expected = [
+        (1, 3, 1704111600000),  # all three events; flushed by final wm
+        (2, 1, 1704110405000),  # idle > gap mid-stream: flushed by TIMER
+        (3, 1, 1704110640000),
+        (4, 1, 1704111660000),
+        # user 99 (the advancer) absent: its timer is past the final wm
+    ]
+    assert _run_ttl(spark, d, "apiws") == expected
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf reachable by JVM-spawned runners")
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    try:
+        assert _run_ttl(spark, d, "tws") == expected
+    finally:
+        if prov:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prov)
+
+
+def test_stateful_processor_both_lanes_equal(spark, tmp_path):
+    """t23's operator on BOTH arbitrary-state APIs: the typed
+    StatefulProcessor lane (protobuf state-server protocol) and the
+    applyInPandasWithState fold emit identical cumulative totals."""
+    import os
+
+    import pytest
+
+    from retail_datalakehouse_spark.streaming.jobs import (
+        ensure_protobuf,
+        run_to_memory,
+        running_user_totals,
+        write_single_parquet,
+    )
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no protobuf reachable by JVM-spawned runners")
+
+    d = str(tmp_path / "drops")
+    os.makedirs(d, exist_ok=True)
+    rows = [(i % 7, float(i) + 0.25) for i in range(40)]
+    for b in range(2):
+        p = os.path.join(d, f"c{b}.parquet")
+        write_single_parquet(
+            spark.createDataFrame(
+                rows[b * 20 : (b + 1) * 20], "user_id long, value double"
+            ),
+            p,
+        )
+        os.utime(p, (1_000_000_000 + b * 60,) * 2)
+
+    def final(api):
+        stream = (
+            spark.readStream.schema("user_id long, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        sink = run_to_memory(
+            running_user_totals(stream, force_api=api),
+            output_mode="update",
+            shuffle=4,
+        )
+        em = spark.table(sink)
+        return sorted(
+            (r.user_id, r.n_events, r.total_cents)
+            for r in em.groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("total_cents").alias("total_cents"),
+            )
+            .collect()
+        )
+
+    prov = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    try:
+        tws = final("tws")
+    finally:
+        if prov:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prov)
+    assert tws == final("apiws")
+    assert len(tws) == 7 and all(n == 6 or n == 5 for _, n, _ in tws)

@@ -66,8 +66,15 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--timings",
+        action="store_true",
+        help="merge per-query wall times into tools/gate_costs.json "
+        "(the rotation budget gen_query_index.py reports)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
+    timings: dict[str, float] = {}
 
     spark = build_spark("oracle-check")
     con = duckdb.connect()
@@ -83,6 +90,7 @@ def main() -> int:
     for name in names:
         q = registry[name]
         t0 = time.time()
+        _done = lambda: timings.__setitem__(name, round(time.time() - t0, 2))  # noqa: B023,E731
         try:
             sdf = q.fn(spark, args.sf)
             scols = sdf.columns
@@ -93,6 +101,7 @@ def main() -> int:
             failures.append(name)
             continue
         if q.oracle is None:
+            _done()
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
@@ -162,8 +171,21 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
         else:
+            _done()
             print(f"PASS  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_pass += 1
+    if args.timings and timings:
+        import json as _json
+        import os as _os
+
+        tp = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "gate_costs.json")
+        merged = {}
+        if _os.path.exists(tp):
+            merged = _json.load(open(tp))
+        merged.update(timings)
+        with open(tp, "w") as f:
+            _json.dump(dict(sorted(merged.items())), f, indent=1)
+        print(f"timings merged into {tp} ({len(timings)} queries)")
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     if failures:
         print("failures:", " ".join(failures))

@@ -295,6 +295,9 @@ _PROMOTE_R9 = [
     # xxhash64 digest (VERDICT r8 item 6); oracle unchanged, 3-scale green.
     "l2_duplicate_spans",
     # Slots 21+: round-9 additions are appended here as they ship.
+    "x_chunked_manifest",
+    "x_bitmap_distinct",
+    "l6_hard_negative_mining",
     # t26 (~12 s gate cost — stream machinery) deliberately sits at the
     # END of the r9 block so its runtime lands late in the gate pass.
     "t26_timer_ttl_flush",

@@ -3663,3 +3663,84 @@ def l2_oph_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     return jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cand)
+
+
+@register(
+    "l6_hard_negative_mining",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, q.q_label, e.vec_id, e.label,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.q_id
+),
+agg AS (
+  SELECT q_id, q_label, vec_id, label,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs
+  FROM scored GROUP BY q_id, q_label, vec_id, label
+),
+ranked AS (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM agg WHERE label <> q_label
+)
+SELECT q_id, vec_id AS negative_id, cs AS cos_sim,
+       CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= 5
+""",
+    tags=("L6", "L3", "W6"),
+)
+def l6_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive retriever training (DPR /
+    SentenceTransformers practice, public): for each query vector, the
+    top-k most-similar corpus vectors whose LABEL differs — maximally
+    confusable non-matches, the examples that actually move a
+    bi-encoder. In-batch random negatives are nearly free but easy;
+    hard negatives need a similarity search with a relevance predicate
+    PUSHED BELOW the top-k (filter-then-rank: a rank-then-filter would
+    return fewer than k whenever positives crowd the head). Queries
+    broadcast; scoring is the same JVM zip_with/aggregate cosine the L3
+    family uses; the label predicate applies before the per-query
+    WindowGroupLimit, so the shuffle carries only n_queries x k
+    survivors per partition. At 100 TB the corpus side routes through
+    the IVF index (probe clusters, then this same filter+rank) — the
+    predicate composes with any of the L3 index paths unchanged."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import cosine
+
+    e = T(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("label").alias("q_label"),
+        )
+    )
+
+    scored = (
+        e.crossJoin(q)
+        .filter(
+            (F.col("vec_id") != F.col("q_id"))
+            & (F.col("label") != F.col("q_label"))  # negatives only
+        )
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("negative_id"),
+            "cos_sim",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -264,15 +264,27 @@ class VersionedTable:
         path: str,
         record_cdf: bool = False,
         cdf_keys: list[str] | None = None,
+        manifest_chunk_files: int | None = None,
     ):
         """``record_cdf=True`` makes append / plain merge / delete commits
         WRITE their row-level deltas alongside the snapshot (Delta's
         delta.enableChangeDataFeed): :meth:`changes_feed` then serves any
         version range in O(|changes|) by composing the recorded deltas —
         never diffing snapshots. ``cdf_keys`` (required with record_cdf)
-        is the row identity the feed classifies on."""
+        is the row identity the feed classifies on.
+
+        ``manifest_chunk_files`` overrides the chunked-manifest threshold
+        (_MANIFEST_CHUNK_FILES) for THIS handle's commits — tables
+        expecting huge file counts can chunk earlier; tests and demo
+        queries can chunk tiny tables. Reads auto-detect either layout,
+        so handles with different settings interoperate."""
         self.spark = spark
         self.path = path
+        self._chunk_files = (
+            _MANIFEST_CHUNK_FILES
+            if manifest_chunk_files is None
+            else int(manifest_chunk_files)
+        )
         self._manifest_dir = os.path.join(path, "_manifest")
         if record_cdf and not cdf_keys:
             raise ValueError("record_cdf=True requires cdf_keys")
@@ -353,13 +365,14 @@ class VersionedTable:
         paths written (for cleanup on a lost commit race). Chunk names
         never match the ``v*.json`` manifest glob."""
         mdir = manifest_dir or self._manifest_dir
-        if file_stats is None or len(file_stats) <= _MANIFEST_CHUNK_FILES:
+        csize = self._chunk_files
+        if file_stats is None or len(file_stats) <= csize:
             entry["files"] = file_stats
             return []
         chunks, written = [], []
-        for i in range(0, len(file_stats), _MANIFEST_CHUNK_FILES):
-            part = file_stats[i : i + _MANIFEST_CHUNK_FILES]
-            name = f"files-v{v}.{token}.{i // _MANIFEST_CHUNK_FILES:05d}.json"
+        for i in range(0, len(file_stats), csize):
+            part = file_stats[i : i + csize]
+            name = f"files-v{v}.{token}.{i // csize:05d}.json"
             p = os.path.join(mdir, name)
             tmp = p + ".tmp"
             with open(tmp, "w") as f:

@@ -163,6 +163,22 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "typed extraction must compile to the native variant_get expression"),
     ("x_hidden_partitioning", "PushedFilters: [IsNotNull(o_orderdate)", True,
      "the residual source-column filter must reach the pruned parquet scan"),
+    # r9 additions
+    ("x_bitmap_distinct", "partial_bit_or", True,
+     "bitmap partials must map-side combine (two-phase bit_or merge)"),
+    ("x_bitmap_distinct", "EvalPython", False,
+     "word/bit mapping + popcount must stay JVM-side"),
+    ("l6_hard_negative_mining", "BroadcastNestedLoopJoin", True,
+     "the query set must broadcast (every corpus row scores all queries "
+     "locally) — never shuffle the corpus"),
+    ("l6_hard_negative_mining", "CartesianProduct", False,
+     "the score join must broadcast the small query side, not cartesian"),
+    ("l6_hard_negative_mining", "WindowGroupLimit", True,
+     "per-query top-k must push the group limit below the sort"),
+    ("l6_hard_negative_mining", "EvalPython", False,
+     "cosine + label predicate must stay JVM-side"),
+    ("x_chunked_manifest", "PushedFilters: [IsNotNull(o_orderdate)", True,
+     "the residual range filter must reach the chunk-planned parquet scan"),
 ]
 
 

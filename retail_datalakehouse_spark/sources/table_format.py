@@ -1494,9 +1494,19 @@ class VersionedTable:
             raise ValueError(f"version {v} not committed at {self.path}")
         bdir = os.path.join(self._branches_dir(), name)
         os.makedirs(bdir, exist_ok=True)
-        # seed: the fork version's manifest verbatim (same data dir)
+        # seed: the fork version's manifest verbatim (same data dir).
+        # CHUNKED stats re-attach under the branch's own manifest dir —
+        # a verbatim manifest_list would reference chunk files that live
+        # (and expire) in MAIN's manifest dir, crashing branch planning.
+        seed = dict(self._manifest(v), operation="branch_fork")
+        if seed.get("manifest_list") is not None:
+            files = self._file_stats_list(seed)
+            seed.pop("manifest_list")
+            self._attach_file_stats(
+                seed, files, v, uuid.uuid4().hex[:8], manifest_dir=bdir
+            )
         with open(os.path.join(bdir, f"v{v}.json"), "w") as f:
-            json.dump(dict(self._manifest(v), operation="branch_fork"), f)
+            json.dump(seed, f)
         try:
             self._write_ref(
                 name, {"name": name, "type": "branch", "forked_at": v}
@@ -1589,6 +1599,14 @@ class VersionedTable:
                 "txn": dict(self._txn_state(parent)),
             }
             os.makedirs(self._manifest_dir, exist_ok=True)
+            # the branch head's file stats publish too (pruning survives
+            # the pointer swap); chunked lists RE-ATTACH under main's
+            # manifest dir with this commit's own version+token — sharing
+            # the branch's chunk files (or a prior publish's) would let
+            # one version's expiry unlink chunks another still references
+            chunk_paths = self._attach_file_stats(
+                entry, bh._file_stats_list(src), v, token
+            )
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1596,6 +1614,11 @@ class VersionedTable:
                 os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
                 return v
             except FileExistsError:
+                for cp in chunk_paths:
+                    try:
+                        os.unlink(cp)
+                    except FileNotFoundError:
+                        pass
                 continue  # racer took this version; fast-forward onto the winner
             finally:
                 os.unlink(tmp)

@@ -1736,3 +1736,46 @@ def test_two_writer_txn_contention_matrix(spark, tmp_path):
     t5.commit()
     assert sorted(r.k for r in a.read().collect()) == [0, 11, 23]
     assert sorted(r.k for r in b.read().collect()) == [0, 12, 22]
+
+
+def test_chunked_manifest_branch_and_publish(spark, tmp_path):
+    """Refs × chunking: a branch fork of a chunked snapshot must re-home
+    the chunk files under the BRANCH's manifest dir (a verbatim copy
+    references chunks that live — and expire — in main's dir), and
+    publish_branch must re-attach under main with the publish commit's
+    own identity (chunk sharing would let one version's expiry unlink
+    chunks another still references)."""
+    import os
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"), manifest_chunk_files=4)
+    df = spark.range(1600).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.overwrite(df, cluster_by=["k"], cluster_files=16)
+    assert t._manifest(1).get("manifest_list")
+
+    b = t.create_branch("wap")
+    mb = b._manifest(1)
+    assert mb.get("manifest_list")
+    # the branch's chunks resolve from the BRANCH manifest dir
+    assert all(
+        os.path.exists(os.path.join(b._manifest_dir, c["path"]))
+        for c in mb["manifest_list"]
+    )
+    got, n_read, n_total = b.read_pruned("k", 100, 199)
+    assert n_total == 16 and 0 < n_read < 16
+    assert sorted(r.k for r in got.collect()) == list(range(100, 200))
+    assert b.stats_agg("k") == {"min": 0, "max": 1599, "n_rows": 1600}
+
+    # branch-side commit, then publish: main's new head must plan-prune
+    b.append(spark.range(1600, 1650).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    v_pub = t.publish_branch("wap")
+    mp = t._manifest(v_pub)
+    assert t._n_files(mp) and t.stats_agg("k")["n_rows"] == 1650
+    got2, nr2, nt2 = t.read_pruned("k", 1600, 1649)
+    assert 0 < nr2 < nt2
+    assert sorted(r.k for r in got2.collect()) == list(range(1600, 1650))
+
+    # expiring old main versions must not break the published head
+    t.drop_ref("wap")
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert t.stats_agg("k")["n_rows"] == 1650
+    assert t.read_pruned("k", 0, 10)[0].count() == 11

@@ -298,6 +298,7 @@ _PROMOTE_R9 = [
     "x_chunked_manifest",
     "x_bitmap_distinct",
     "l6_hard_negative_mining",
+    "x_position_deletes",
     # t26 (~12 s gate cost — stream machinery) deliberately sits at the
     # END of the r9 block so its runtime lands late in the gate pass.
     "t26_timer_ttl_flush",

@@ -2369,3 +2369,55 @@ def x_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly.groupBy("event_type", "week").agg(
         F.sum(F.bit_count("word")).cast("long").alias("n_users")
     )
+
+
+_POSITION_DELETE_SQL = f"""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("l_quantity", scale=2)} AS qty,
+       {sql_dsum("l_extendedprice", scale=2)} AS price
+FROM lineitem
+WHERE NOT (l_quantity <= 10) AND NOT (l_orderkey % 7 = 0)
+GROUP BY l_returnflag
+"""
+
+
+@register("x_position_deletes", oracle=_POSITION_DELETE_SQL, tags=("S7", "S6", "J6"), doc="")
+def x_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION deletes (Iceberg position delete files / Delta deletion
+    vectors proper, VersionedTable.delete_mor_pos): each DELETE commits
+    only a tombstone file of (file, row_index) pairs — the rows'
+    PHYSICAL identity from Spark's parquet `_metadata` column — in
+    O(deleted), and readers resolve base ANTI-JOIN positions. The
+    contract difference from the keyed `delete_mor`: NO unique key
+    required, so merge-on-read deletes work on exactly the tables real
+    pipelines delete from — event logs, raw crawls, line items — where
+    no row identity exists. Two stacked deletes here prove tombstones
+    compose (and the second never resurrects the first's rows); the
+    oracle recomputes the surviving aggregate relationally from the raw
+    table, so the hash pins both the anti-join and the row accounting.
+    At 100 TB: a delete touches O(matched) rows of I/O, never the
+    table; compaction folds tombstones back in when read amplification
+    warrants (x_merge_on_read_delete shows the keyed flavor; the two
+    never mix on one chain by guard)."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_posdel_"))
+    t.overwrite(li)
+    v2 = t.delete_mor_pos(F.col("l_quantity") <= 10)
+    v3 = t.delete_mor_pos("l_orderkey % 7 = 0")
+    assert (v2, v3) == (2, 3)
+    e = t._manifest(3)
+    assert len(e["pos_dv_dirs"]) == 2 and "dv_keys" not in e
+    # O(deleted): the data files are untouched across both deletes
+    assert e["data_dir"] == t._manifest(1)["data_dir"]
+    return t.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", scale=2).alias("qty"),
+        dsum("l_extendedprice", scale=2).alias("price"),
+    )

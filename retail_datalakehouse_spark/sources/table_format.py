@@ -407,6 +407,15 @@ class VersionedTable:
             out.extend(self._load_chunk(c["path"]))
         return out
 
+    @staticmethod
+    def _is_mor(entry: dict) -> bool:
+        """True when the version has PENDING deletion tombstones of either
+        flavor (key-based ``dv_dirs`` or position-based ``pos_dv_dirs``):
+        its raw file list / file stats describe rows that are logically
+        deleted, so every stats-planned path must fall back to the
+        anti-join reader until compaction materializes."""
+        return bool(entry.get("dv_dirs") or entry.get("pos_dv_dirs"))
+
     def _n_files(self, entry: dict) -> int | None:
         ml = entry.get("manifest_list")
         if ml is not None:
@@ -953,7 +962,7 @@ class VersionedTable:
                     return parent  # replay — already applied
             p_entry = self._manifest(parent)
             if (
-                p_entry.get("dv_dirs")
+                self._is_mor(p_entry)
                 or p_entry.get("partition_by")
                 or p_entry.get("column_renames")
                 or p_entry.get("column_drops")
@@ -1033,7 +1042,7 @@ class VersionedTable:
                         return parent  # replay — already applied
                 p_entry = self._manifest(parent) if parent else {}
                 if (
-                    p_entry.get("dv_dirs")
+                    self._is_mor(p_entry)
                     or p_entry.get("partition_by")
                     or p_entry.get("column_renames")
                     or p_entry.get("column_drops")
@@ -1304,6 +1313,11 @@ class VersionedTable:
                 if last is not None and int(last) >= txn[1]:
                     return parent  # replay — already applied
             p_entry = self._manifest(parent)
+            if p_entry.get("pos_dv_dirs"):
+                raise ValueError(
+                    "key-based and position-based tombstones do not mix; "
+                    "compact first or keep using delete_mor_pos"
+                )
             parent_keys = p_entry.get("dv_keys")
             if parent_keys and list(parent_keys) != list(keys):
                 raise ValueError(
@@ -1376,6 +1390,131 @@ class VersionedTable:
             except FileExistsError:
                 shutil.rmtree(dv_dir, ignore_errors=True)
                 continue  # rebase: re-evaluate condition on the winner's snapshot
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(f"lost {max_retries} consecutive commit races at {self.path}")
+
+    def _read_with_positions(self, entry: dict) -> DataFrame:
+        """The version's LOGICAL rows carrying their physical position
+        identity (``__pos_f`` = file URI, ``__pos_ri`` = row index inside
+        that file, from Spark's parquet ``_metadata`` column), with any
+        accumulated position tombstones already anti-joined out."""
+        from pyspark.sql import functions as F
+
+        dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, d) for d in dirs]
+        ).select(
+            "*",
+            F.col("_metadata.file_path").alias("__pos_f"),
+            F.col("_metadata.row_index").alias("__pos_ri"),
+        )
+        df = self._apply_column_mapping(df, entry)
+        pos_dirs = entry.get("pos_dv_dirs", [])
+        if pos_dirs:
+            pdv = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in pos_dirs]
+            ).distinct()
+            df = df.join(pdv, on=["__pos_f", "__pos_ri"], how="left_anti")
+        return df
+
+    def delete_mor_pos(
+        self,
+        condition,
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Merge-on-read DELETE by POSITION (Iceberg position deletes /
+        Delta deletion vectors proper): the tombstone file records
+        ``(file, row_index)`` pairs — the rows' PHYSICAL identity from
+        the parquet ``_metadata`` column — instead of key values. Same
+        O(deleted) commit as :meth:`delete_mor`, with the contract
+        difference that matters on real tables: NO unique-key
+        requirement. ``delete_mor`` anti-joins on declared key columns
+        and is simply unavailable when the table has no unique key
+        (event logs, raw crawl dumps, duplicated corpora); position
+        identity is unique by construction for every parquet row.
+        Readers resolve base ANTI-JOIN positions; the next materializing
+        commit (or :func:`compact`) clears them. The two tombstone
+        flavors never mix on one version chain — compact between styles.
+        Cf. the Iceberg spec's delete-file manifest entries (public)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _ in range(max_retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot delete from empty table at {self.path}")
+            if txn is not None:
+                last = self._txn_state(parent).get(txn[0])
+                if last is not None and int(last) >= txn[1]:
+                    return parent  # replay — already applied
+            p_entry = self._manifest(parent)
+            if p_entry.get("dv_dirs"):
+                raise ValueError(
+                    "key-based and position-based tombstones do not mix; "
+                    "compact first or keep using delete_mor"
+                )
+            v = parent + 1
+            token = uuid.uuid4().hex[:8]
+            dv_dirname = f"_dvp{v}-{token}"
+            dv_dir = os.path.join(self.path, dv_dirname)
+            # positions of rows matching the predicate, EXCLUDING rows
+            # already tombstoned by stacked position deletes
+            self._read_with_positions(p_entry).filter(cond).select(
+                "__pos_f", "__pos_ri"
+            ).write.mode("overwrite").parquet(dv_dir)
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            entry = {
+                "version": v,
+                "operation": "delete_mor_pos",
+                "parent": parent,
+                "n_rows": p_entry["n_rows"] - _parquet_num_rows(dv_dir),
+                "data_dir": p_entry.get("data_dir", f"_v{parent}"),
+                "partition_by": p_entry.get("partition_by"),
+                "cluster_by": p_entry.get("cluster_by"),
+                **(
+                    {"base_dirs": p_entry["base_dirs"]}
+                    if p_entry.get("base_dirs")
+                    else {}
+                ),
+                **(
+                    {"column_renames": p_entry["column_renames"]}
+                    if p_entry.get("column_renames")
+                    else {}
+                ),
+                **(
+                    {"column_drops": p_entry["column_drops"]}
+                    if p_entry.get("column_drops")
+                    else {}
+                ),
+                **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **(
+                    {"identity": p_entry["identity"]}
+                    if p_entry.get("identity")
+                    else {}
+                ),
+                **(
+                    {"hidden_partition": p_entry["hidden_partition"]}
+                    if p_entry.get("hidden_partition")
+                    else {}
+                ),
+                "pos_dv_dirs": p_entry.get("pos_dv_dirs", []) + [dv_dirname],
+                "committed_at": time.time(),
+                "txn": dict(
+                    self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})
+                ),
+            }
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            final = os.path.join(self._manifest_dir, f"v{v}.json")
+            try:
+                os.link(tmp, final)
+                return v
+            except FileExistsError:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                continue  # rebase: re-evaluate on the winner's snapshot
             finally:
                 os.unlink(tmp)
         raise CommitConflict(f"lost {max_retries} consecutive commit races at {self.path}")
@@ -1590,6 +1729,7 @@ class VersionedTable:
                     else {}
                 ),
                 "dv_dirs": src.get("dv_dirs", []),
+                "pos_dv_dirs": src.get("pos_dv_dirs", []),
                 "dv_keys": src.get("dv_keys"),
                 "partition_by": src.get("partition_by"),
                 "cdf_dir": None,
@@ -1691,6 +1831,7 @@ class VersionedTable:
                 entry.get("data_dir", f"_v{v}"),
                 *entry.get("base_dirs", []),
                 *entry.get("dv_dirs", []),
+                *entry.get("pos_dv_dirs", []),
             }
             if entry.get("cdf_dir"):
                 dirs.add(entry["cdf_dir"])
@@ -1703,6 +1844,7 @@ class VersionedTable:
                     live_dirs.add(e.get("data_dir", f"_v{v}"))
                     live_dirs.update(e.get("base_dirs", []))
                     live_dirs.update(e.get("dv_dirs", []))
+                    live_dirs.update(e.get("pos_dv_dirs", []))
                     if e.get("cdf_dir"):
                         live_dirs.add(e["cdf_dir"])
         expired_dirs -= live_dirs  # a dir shared with a live version stays
@@ -1750,7 +1892,7 @@ class VersionedTable:
         if v is None:
             return None
         entry = self._manifest(v)
-        if entry.get("dv_dirs"):
+        if self._is_mor(entry):
             # merge-on-read version: file stats still count tombstoned
             # rows — MIN/MAX/COUNT from them would be wrong
             return None
@@ -1810,7 +1952,7 @@ class VersionedTable:
             entry.get("files") is not None
             or entry.get("manifest_list") is not None
         )
-        if entry.get("dv_dirs") or not has_stats:
+        if self._is_mor(entry) or not has_stats:
             # Stats omitted (huge commit / legacy manifest), or a
             # merge-on-read version (dv_dirs): the file list alone would
             # RESURRECT tombstoned rows, so route through read_version,
@@ -1866,7 +2008,7 @@ class VersionedTable:
             entry.get("files") is not None
             or entry.get("manifest_list") is not None
         )
-        if entry.get("dv_dirs") or not has_stats:
+        if self._is_mor(entry) or not has_stats:
             df = self.read_version(v).filter(F.col(col).isin(values))
             return df, -1, -1
         phys = self._physical_name(entry, col)  # stats/blooms are physical
@@ -2002,7 +2144,7 @@ class VersionedTable:
         entry = self._manifest(v)
         spec, parts = self._hidden_parts(entry)
         residual = F.col(spec["source"]).between(F.lit(lo), F.lit(hi))
-        if entry.get("base_dirs"):
+        if entry.get("base_dirs") or entry.get("pos_dv_dirs"):
             # incremental-append chains keep rows outside data_dir's hive
             # layout — directory pruning can't see them; full-read fallback
             return self.read_version(v).filter(residual), -1, -1
@@ -2032,7 +2174,7 @@ class VersionedTable:
         entry = self._manifest(v)
         spec, parts = self._hidden_parts(entry)
         residual = F.col(spec["source"]).isin(values)
-        if entry.get("base_dirs"):
+        if entry.get("base_dirs") or entry.get("pos_dv_dirs"):
             # see read_hidden: incremental chains defeat directory pruning
             return self.read_version(v).filter(residual), -1, -1
         t = spec["transform"]
@@ -2090,7 +2232,7 @@ class VersionedTable:
         if v is None:
             raise ValueError(f"cannot index empty table {self.path}")
         entry = self._manifest(v)
-        if entry.get("dv_dirs"):
+        if self._is_mor(entry):
             raise ValueError(
                 "bloom index on a merge-on-read version would describe "
                 "tombstoned rows; compact first"
@@ -2444,6 +2586,12 @@ class VersionedTable:
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         entry = self._manifest(version)
+        if entry.get("pos_dv_dirs"):
+            # POSITION tombstones: rows resolve by physical identity
+            # (file, row_index) — no key contract involved
+            df = self._read_with_positions(entry).drop("__pos_f", "__pos_ri")
+            hidden = entry.get("hidden_partition")
+            return df.drop(hidden["name"]) if hidden else df
         # incremental appends: the snapshot = carried-forward base dirs +
         # this commit's own directory (columns resolve by name)
         dirs = [*entry.get("base_dirs", []), entry.get("data_dir", f"_v{version}")]
@@ -2503,7 +2651,7 @@ class VersionedTable:
             if parent is None:
                 raise ValueError(f"cannot alter empty table {self.path}")
             p_entry = self._manifest(parent)
-            if p_entry.get("dv_dirs"):
+            if self._is_mor(p_entry):
                 raise ValueError(
                     "column mapping over pending deletion vectors is "
                     "ambiguous; compact first"
@@ -2742,7 +2890,18 @@ class VersionedTable:
             **updates,
         }
         entry = {k: v2 for k, v2 in entry.items() if k != "checks" or v2}
+        if p_entry.get("pos_dv_dirs"):
+            entry["pos_dv_dirs"] = p_entry["pos_dv_dirs"]
         os.makedirs(self._manifest_dir, exist_ok=True)
+        # CHUNKED parents: a metadata commit must keep the stats plane —
+        # re-attached under this commit's own version+token (chunk files
+        # are per-version: sharing names would let one version's expiry
+        # unlink chunks another still references)
+        chunk_paths: list[str] = []
+        if p_entry.get("manifest_list") is not None:
+            chunk_paths = self._attach_file_stats(
+                entry, self._file_stats_list(p_entry), v, token
+            )
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -2750,6 +2909,11 @@ class VersionedTable:
             os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
             return v
         except FileExistsError:
+            for cp in chunk_paths:
+                try:
+                    os.unlink(cp)
+                except FileNotFoundError:
+                    pass
             return None
         finally:
             os.unlink(tmp)
@@ -2825,6 +2989,7 @@ class VersionedTable:
                 else {}
             ),
             "dv_dirs": [_abs(d) for d in src.get("dv_dirs", [])],
+            "pos_dv_dirs": [_abs(d) for d in src.get("pos_dv_dirs", [])],
             "dv_keys": src.get("dv_keys"),
             "partition_by": src.get("partition_by"),
             "cluster_by": src.get("cluster_by"),

@@ -1779,3 +1779,62 @@ def test_chunked_manifest_branch_and_publish(spark, tmp_path):
     t.vacuum(retain_last=1, orphan_retention_s=0)
     assert t.stats_agg("k")["n_rows"] == 1650
     assert t.read_pruned("k", 0, 10)[0].count() == 11
+
+
+def test_position_deletes_mor(spark, tmp_path):
+    """Iceberg-style POSITION deletes: O(deleted) tombstones of
+    (file, row_index) physical identity — no unique-key contract, so
+    they work on tables where delete_mor's keyed anti-join is
+    unavailable (duplicate rows). Pins: read parity with copy-on-write,
+    stacking, n_rows accounting, stats-path fallbacks, flavor-mixing
+    refusal, compaction materialization, vacuum retention."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    # duplicate rows on purpose: no unique key exists
+    rows = [(i % 40, float(i % 40) * 2.0) for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    t.overwrite(df)
+
+    v2 = t.delete_mor_pos(F.col("k") % 4 == 0)
+    assert v2 == 2
+    e2 = t._manifest(2)
+    assert len(e2["pos_dv_dirs"]) == 1 and "dv_keys" not in e2
+    expect = [(k, v) for k, v in rows if k % 4 != 0]
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(expect)
+    assert e2["n_rows"] == len(expect)
+    assert t.read().columns == ["k", "v"]  # position helpers never leak
+
+    # stacked position delete composes (and never resurrects)
+    t.delete_mor_pos("k >= 30")
+    expect2 = [(k, v) for k, v in expect if k < 30]
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(expect2)
+    assert len(t._manifest(3)["pos_dv_dirs"]) == 2
+
+    # stats-planned paths must NOT serve the raw (tombstone-blind) files
+    assert t.stats_agg("k") is None
+    _, n_read, n_total = t.read_pruned("k", 0, 100)
+    assert (n_read, n_total) == (-1, -1)
+
+    # tombstone flavors never mix on one chain
+    with pytest.raises(ValueError, match="do not mix"):
+        t.delete_mor(F.col("k") == 1, keys=["k"])
+
+    # time travel: v2 still serves its own tombstone state
+    assert t.read_version(2).count() == len(expect)
+
+    # compaction materializes and clears; planned pruning resumes
+    compact(t, target_partitions=2)
+    e4 = t._manifest(t.current_version())
+    assert not e4.get("pos_dv_dirs") and e4["n_rows"] == len(expect2)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == sorted(expect2)
+    assert t.stats_agg("k")["n_rows"] == len(expect2)
+
+    # vacuum: expired pos-tombstone dirs are removed, current state intact
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    import os
+
+    assert not [d for d in os.listdir(t.path) if d.startswith("_dvp")]
+    assert t.read().count() == len(expect2)

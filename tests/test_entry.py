@@ -37,12 +37,23 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
 
 def test_gate_prefix_is_fully_sql_checked():
     """The driver's correctness gate walks the FIRST ~50 registry entries;
-    a rows-only query there burns an externally-hash-checkable slot. Keep
-    the prefix 100% SQL-oracled."""
+    a rows-only query there spends an externally-hash-checkable slot, so
+    the prefix stays SQL-oracled EXCEPT for a deliberately-listed set:
+    r9 rotates the five rows-only-by-design queries through the window
+    once, so every registry query holds driver evidence (the driver
+    records their weaker rows-only check — that record is the point).
+    Anything not on the allowlist is still a slot leak."""
+    ROWS_ONLY_BY_DESIGN = {
+        "l3_sq8_topk",
+        "x_approx_percentiles",
+        "x_hll_sketch_union",
+        "x_pagerank_influence",
+        "l4_bpe_tokenize",
+    }
     m = _entry_mod()
     oracles = m.oracle_sql()
     prefix = list(m.queries())[:50]
-    missing = [n for n in prefix if n not in oracles]
+    missing = [n for n in prefix if n not in oracles and n not in ROWS_ONLY_BY_DESIGN]
     assert not missing, f"rows-only queries inside the 50-slot gate prefix: {missing}"
 
 

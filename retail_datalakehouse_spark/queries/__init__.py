@@ -299,6 +299,7 @@ _PROMOTE_R9 = [
     "x_bitmap_distinct",
     "l6_hard_negative_mining",
     "x_position_deletes",
+    "x_incremental_optimize",
     # t26 (~12 s gate cost — stream machinery) deliberately sits at the
     # END of the r9 block so its runtime lands late in the gate pass.
     "t26_timer_ttl_flush",

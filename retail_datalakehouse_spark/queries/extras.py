@@ -2421,3 +2421,72 @@ def x_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", scale=2).alias("qty"),
         dsum("l_extendedprice", scale=2).alias("price"),
     )
+
+
+_INCR_OPTIMIZE_SQL = f"""
+WITH t AS (
+  SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_totalprice, o_orderdate + INTERVAL 1 HOUR
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1995-07-01'
+)
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+       COUNT(*) AS n_orders, {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate <= TIMESTAMP '1997-06-30'
+GROUP BY 1
+"""
+
+
+@register("x_incremental_optimize", oracle=_INCR_OPTIMIZE_SQL, tags=("S6", "S4", "P4"), doc="")
+def x_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL OPTIMIZE (Databricks OPTIMIZE / liquid-clustering
+    shape, VersionedTable.optimize_incremental): after appends disturb a
+    clustered layout, rewrite ONLY the files whose key ranges overlap —
+    planned purely from the manifest's per-file bounds, zero data reads
+    for untouched files — and carry every still-clustered file by
+    REFERENCE in a FILE-GRANULAR manifest. A full compact() is O(table)
+    every run; at 100 TB with hourly appends the overlap set is the last
+    few appends, so maintenance cost tracks ingest, not table size. The
+    in-query audit pins: some files carried (not an O(table) rewrite),
+    rewritten count bounded, content row-count preserved, and planned
+    range pruning working on the optimized snapshot. The fixture appends
+    a first-half-1995 slice (shifted +1 h so the clone is distinguishable)
+    into a date-clustered base — the appended file overlaps ONLY the
+    early-date base files; the oracle recomputes a 1997 range aggregate
+    relationally over base+append, so the hash proves the optimize
+    rewrote and carried without losing or duplicating a row."""
+    import datetime
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_incropt_"))
+    t.overwrite(o, cluster_by=["o_orderdate"], cluster_files=16)
+    tail = o.filter(F.col("o_orderdate") < "1995-07-01").select(
+        (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        (F.col("o_orderdate") + F.expr("INTERVAL 1 HOUR")).alias("o_orderdate"),
+    )
+    t.append(tail)
+    n_before = t._manifest(t.current_version())["n_rows"]
+
+    res = t.optimize_incremental("o_orderdate")
+    e = t._manifest(res["version"])
+    assert e["file_granular"] is True and e["n_rows"] == n_before
+    # the whole point: NOT an O(table) rewrite — clustered files carried
+    assert res["carried"] > 0 and res["rewritten"] < res["carried"] + res["rewritten"]
+    assert res["rewritten"] > 0
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1997, 6, 30)
+    df, n_read, n_total = t.read_pruned("o_orderdate", lo, hi)
+    assert 0 < n_read < n_total  # planned pruning works on the new layout
+    return df.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

@@ -963,6 +963,7 @@ class VersionedTable:
             p_entry = self._manifest(parent)
             if (
                 self._is_mor(p_entry)
+                or p_entry.get("file_granular")
                 or p_entry.get("partition_by")
                 or p_entry.get("column_renames")
                 or p_entry.get("column_drops")
@@ -1043,6 +1044,7 @@ class VersionedTable:
                 p_entry = self._manifest(parent) if parent else {}
                 if (
                     self._is_mor(p_entry)
+                    or p_entry.get("file_granular")
                     or p_entry.get("partition_by")
                     or p_entry.get("column_renames")
                     or p_entry.get("column_drops")
@@ -1318,6 +1320,12 @@ class VersionedTable:
                     "key-based and position-based tombstones do not mix; "
                     "compact first or keep using delete_mor_pos"
                 )
+            if p_entry.get("file_granular"):
+                raise ValueError(
+                    "merge-on-read deletes over a file-granular (optimize) "
+                    "snapshot would resolve against directory reads; "
+                    "compact first"
+                )
             parent_keys = p_entry.get("dv_keys")
             if parent_keys and list(parent_keys) != list(keys):
                 raise ValueError(
@@ -1394,6 +1402,181 @@ class VersionedTable:
                 os.unlink(tmp)
         raise CommitConflict(f"lost {max_retries} consecutive commit races at {self.path}")
 
+    def optimize_incremental(
+        self,
+        col: str,
+        rows_per_file: int = 1_000_000,
+        max_retries: int = 5,
+    ) -> dict:
+        """Liquid-clustering-style INCREMENTAL OPTIMIZE: rewrite ONLY the
+        files whose ``col`` key ranges OVERLAP another file's — the
+        unclustered tail that appends create — and carry every already
+        well-clustered file by reference. A full `compact()` is O(table)
+        every run; at 100 TB with hourly appends, the overlap set is the
+        last few appends, so this is O(new data) like the appends
+        themselves (Databricks OPTIMIZE / Iceberg binpack-with-sort make
+        the same trade).
+
+        The committed manifest is FILE-GRANULAR (``file_granular``:
+        readers resolve the explicit file list, not directories) because
+        the rewritten originals still sit inside a directory other live
+        entries reference. Space for superseded originals is reclaimed
+        when their last referencing version expires (vacuum), as in
+        Delta. Overlap planning is pure driver math over the manifest's
+        per-file bounds — no listing, no data reads for untouched files.
+
+        Returns ``{"version", "rewritten", "carried", "groups"}``;
+        a fully-clustered table is a NO-OP (version unchanged).
+        Requires per-file stats and no pending tombstones; hive/hidden
+        layouts keep their directory grain — use :func:`compact`."""
+        from pyspark.sql import functions as F
+
+        for _ in range(max_retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot optimize empty table {self.path}")
+            p_entry = self._manifest(parent)
+            if self._is_mor(p_entry):
+                raise ValueError(
+                    "optimize over pending deletion tombstones would "
+                    "materialize them per-group; compact first"
+                )
+            if p_entry.get("partition_by") or p_entry.get("hidden_partition"):
+                raise ValueError(
+                    "incremental optimize is for unpartitioned clustered "
+                    "layouts; hive/hidden tables compact per directory"
+                )
+            files = self._file_stats_list(p_entry)
+            if not files:
+                raise ValueError(
+                    "incremental optimize plans from per-file stats; "
+                    "this manifest carries none"
+                )
+            phys = self._physical_name(p_entry, col)
+            p_dir = p_entry["data_dir"]
+            files = [f if "dir" in f else {**f, "dir": p_dir} for f in files]
+
+            # ---- overlap planning: pure driver interval math ----
+            known = [
+                f for f in files if f["stats"].get(phys, [None, None])[0] is not None
+            ]
+            unknown = [  # no usable bounds: conservatively rewrite
+                f for f in files if f["stats"].get(phys, [None, None])[0] is None
+            ]
+            known.sort(key=lambda f: f["stats"][phys][0])
+            groups: list[list[dict]] = []
+            for f in known:
+                lo, hi = f["stats"][phys]
+                if groups and lo <= groups[-1][-1]["__hi"]:
+                    groups[-1].append({**f, "__hi": max(hi, groups[-1][-1]["__hi"])})
+                else:
+                    groups.append([{**f, "__hi": hi}])
+            rewrite = [
+                {k: v for k, v in f.items() if k != "__hi"}
+                for g in groups
+                if len(g) > 1
+                for f in g
+            ] + unknown
+            carried = [
+                {k: v for k, v in g[0].items() if k != "__hi"}
+                for g in groups
+                if len(g) == 1
+            ]
+            if not rewrite:
+                return {
+                    "version": parent,
+                    "rewritten": 0,
+                    "carried": len(carried),
+                    "groups": 0,
+                }
+
+            v = parent + 1
+            token = uuid.uuid4().hex[:8]
+            data_dirname = f"_v{v}-{token}"
+            data_dir = os.path.join(self.path, data_dirname)
+            n_rewrite_rows = sum(f["n_rows"] for f in rewrite)
+            n_out = max(1, -(-n_rewrite_rows // rows_per_file))
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, f["dir"], f["path"]) for f in rewrite]
+                )
+                .repartitionByRange(n_out, F.col(phys))
+                .write.mode("overwrite")
+                .parquet(data_dir)
+            )
+            n_new_rows, new_files = _collect_manifest_stats(data_dir)
+            assert n_new_rows == n_rewrite_rows, (n_new_rows, n_rewrite_rows)
+            all_files = [
+                *carried,
+                *({**f, "dir": data_dirname} for f in new_files or []),
+            ]
+            entry = {
+                "version": v,
+                "operation": "optimize",
+                "parent": parent,
+                "n_rows": p_entry["n_rows"],
+                "data_dir": data_dirname,
+                # liveness roots for vacuum: every dir a carried file
+                # lives in stays referenced while this version is live
+                "base_dirs": sorted({f["dir"] for f in carried}),
+                "partition_by": None,
+                "cluster_by": [col],
+                "cdf_dir": None,
+                # readers resolve the EXPLICIT file list — the carried
+                # dirs also hold superseded originals
+                "file_granular": True,
+                "committed_at": time.time(),
+                "modified_keys": [],  # row-preserving: never conflicts
+                "txn": dict(self._txn_state(parent)),
+                **(
+                    {"column_renames": p_entry["column_renames"]}
+                    if p_entry.get("column_renames")
+                    else {}
+                ),
+                **(
+                    {"column_drops": p_entry["column_drops"]}
+                    if p_entry.get("column_drops")
+                    else {}
+                ),
+                **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **(
+                    {"identity": p_entry["identity"]}
+                    if p_entry.get("identity")
+                    else {}
+                ),
+            }
+            chunk_paths = self._attach_file_stats(entry, all_files, v, token)
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            final = os.path.join(self._manifest_dir, f"v{v}.json")
+            try:
+                os.link(tmp, final)
+                return {
+                    "version": v,
+                    "rewritten": len(rewrite),
+                    "carried": len(carried),
+                    "groups": sum(1 for g in groups if len(g) > 1)
+                    + (1 if unknown else 0),
+                }
+            except FileExistsError:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                for cp in chunk_paths:
+                    try:
+                        os.unlink(cp)
+                    except FileNotFoundError:
+                        pass
+                continue  # rebase onto the winner's snapshot
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"lost {max_retries} consecutive commit races at {self.path}"
+        )
+
     def _read_with_positions(self, entry: dict) -> DataFrame:
         """The version's LOGICAL rows carrying their physical position
         identity (``__pos_f`` = file URI, ``__pos_ri`` = row index inside
@@ -1454,6 +1637,12 @@ class VersionedTable:
                 raise ValueError(
                     "key-based and position-based tombstones do not mix; "
                     "compact first or keep using delete_mor"
+                )
+            if p_entry.get("file_granular"):
+                raise ValueError(
+                    "merge-on-read deletes over a file-granular (optimize) "
+                    "snapshot would resolve against directory reads; "
+                    "compact first"
                 )
             v = parent + 1
             token = uuid.uuid4().hex[:8]
@@ -1730,6 +1919,7 @@ class VersionedTable:
                 ),
                 "dv_dirs": src.get("dv_dirs", []),
                 "pos_dv_dirs": src.get("pos_dv_dirs", []),
+                **({"file_granular": True} if src.get("file_granular") else {}),
                 "dv_keys": src.get("dv_keys"),
                 "partition_by": src.get("partition_by"),
                 "cdf_dir": None,
@@ -2237,6 +2427,11 @@ class VersionedTable:
                 "bloom index on a merge-on-read version would describe "
                 "tombstoned rows; compact first"
             )
+        if entry.get("file_granular"):
+            raise ValueError(
+                "bloom sidecar build reads directories; compact the "
+                "file-granular (optimize) snapshot first"
+            )
         entry_files = self._file_stats_list(entry)  # resolves chunking
         if entry_files is None:
             raise ValueError(
@@ -2441,9 +2636,14 @@ class VersionedTable:
             entry = self._manifest(v)
             cdf_dir = entry.get("cdf_dir")
             if cdf_dir is None:
-                if entry.get("operation") in ("add_check", "drop_check", "clone"):
-                    # metadata-only commit: zero row changes by
-                    # construction — contributes nothing to the feed
+                if entry.get("operation") in (
+                    "add_check",
+                    "drop_check",
+                    "clone",
+                    "optimize",  # row-IDENTICAL by construction (layout only)
+                ):
+                    # metadata-only / row-preserving commit: zero row
+                    # changes by construction — contributes nothing
                     continue
                 raise ValueError(
                     f"version {v} ({entry['operation']}) has no recorded "
@@ -2586,6 +2786,15 @@ class VersionedTable:
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         entry = self._manifest(version)
+        if entry.get("file_granular"):
+            # incremental-optimize snapshots: the EXPLICIT file list is
+            # the source of truth — the referenced dirs also hold
+            # superseded originals a directory read would resurrect
+            files = self._file_stats_list(entry)
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, f["dir"], f["path"]) for f in files]
+            )
+            return self._apply_column_mapping(df, entry)
         if entry.get("pos_dv_dirs"):
             # POSITION tombstones: rows resolve by physical identity
             # (file, row_index) — no key contract involved
@@ -2892,6 +3101,9 @@ class VersionedTable:
         entry = {k: v2 for k, v2 in entry.items() if k != "checks" or v2}
         if p_entry.get("pos_dv_dirs"):
             entry["pos_dv_dirs"] = p_entry["pos_dv_dirs"]
+        if p_entry.get("file_granular"):
+            entry["file_granular"] = True
+            entry["base_dirs"] = p_entry.get("base_dirs", [])
         os.makedirs(self._manifest_dir, exist_ok=True)
         # CHUNKED parents: a metadata commit must keep the stats plane —
         # re-attached under this commit's own version+token (chunk files
@@ -2990,6 +3202,7 @@ class VersionedTable:
             ),
             "dv_dirs": [_abs(d) for d in src.get("dv_dirs", [])],
             "pos_dv_dirs": [_abs(d) for d in src.get("pos_dv_dirs", [])],
+            **({"file_granular": True} if src.get("file_granular") else {}),
             "dv_keys": src.get("dv_keys"),
             "partition_by": src.get("partition_by"),
             "cluster_by": src.get("cluster_by"),

@@ -1838,3 +1838,96 @@ def test_position_deletes_mor(spark, tmp_path):
 
     assert not [d for d in os.listdir(t.path) if d.startswith("_dvp")]
     assert t.read().count() == len(expect2)
+
+
+def test_incremental_optimize_rewrites_only_overlaps(spark, tmp_path):
+    """Liquid-clustering-style incremental OPTIMIZE: only files whose key
+    ranges overlap are rewritten; clustered files carry by REFERENCE
+    (zero I/O). Pins: content identity, carried-file identity (exact
+    file names), no-op on a clustered table, planned pruning on the
+    optimized snapshot, vacuum liveness of carried dirs, and the
+    guards that keep directory-readers off file-granular snapshots."""
+    import os
+
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import compact
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    base = spark.range(8_000).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    t.overwrite(base, cluster_by=["k"], cluster_files=8)  # v1: clustered
+
+    # a fully-clustered table is a NO-OP
+    r0 = t.optimize_incremental("k")
+    assert r0["version"] == 1 and r0["rewritten"] == 0
+
+    # two unclustered appends into the LOW end of the key space (the
+    # classic streaming tail): only the base files they overlap should
+    # rewrite; the high-key base files carry by reference
+    t.append(spark.range(0, 1_000, 100).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")))
+    t.append(spark.range(500, 1_500, 100).select(F.col("id").alias("k"), F.lit(-2.0).alias("v")))
+    before = sorted((r.k, r.v) for r in t.read().collect())
+    e3 = t._manifest(3)
+    files3 = {(f.get("dir"), f["path"]) for f in t._file_stats_list(e3)}
+
+    res = t.optimize_incremental("k", rows_per_file=2_000)
+    assert res["version"] == 4 and res["rewritten"] >= 2
+    e4 = t._manifest(4)
+    assert e4["file_granular"] is True and e4["n_rows"] == 8_020
+    # content identical, layout only
+    assert sorted((r.k, r.v) for r in t.read().collect()) == before
+    # carried files are the PARENT's files verbatim (by name)
+    carried = {
+        (f["dir"], f["path"])
+        for f in t._file_stats_list(e4)
+        if f["dir"] != e4["data_dir"]
+    }
+    assert carried and carried <= files3
+    assert len(carried) == res["carried"]
+    # the optimized snapshot's planned range scan prunes again
+    got, n_read, n_total = t.read_pruned("k", 4_000, 4_999)
+    assert 0 < n_read < n_total
+    assert sorted(r.k for r in got.collect()) == [
+        kv[0] for kv in before if 4_000 <= kv[0] <= 4_999
+    ]
+
+    # a second optimize on the optimized snapshot is a NO-OP
+    r2 = t.optimize_incremental("k")
+    assert r2["version"] == 4 and r2["rewritten"] == 0
+
+    # guards: directory-grain readers refuse file-granular snapshots
+    with pytest.raises(ValueError, match="compact"):
+        t.delete_mor(F.col("k") == 1, keys=["k"])
+    with pytest.raises(ValueError, match="compact"):
+        t.delete_mor_pos("k = 1")
+    with pytest.raises(ValueError, match="compact"):
+        t.build_bloom_index(["k"])
+
+    # metadata-only commit carries the file-granular plane
+    t.add_check("nonneg", "k >= 0")
+    assert t._manifest(5).get("file_granular") is True
+    assert t.read().count() == 8_020
+
+    # an APPEND on a file-granular parent must MATERIALIZE (AddFile would
+    # chain directory reads that resurrect superseded originals)
+    t.append(spark.createDataFrame([(99_999, 9.9)], "k long, v double"))
+    e6 = t._manifest(t.current_version())
+    assert not e6.get("file_granular") and not e6.get("base_dirs")
+    assert t.read().count() == 8_021
+
+    # vacuum while a file-granular version is live must keep BOTH the
+    # carried dirs and the rewrite dir
+    t2 = VersionedTable(spark, str(tmp_path / "tbl2"))
+    t2.overwrite(base, cluster_by=["k"], cluster_files=4)
+    t2.append(spark.range(3).select(F.col("id").alias("k"), F.lit(-1.0).alias("v")))
+    t2.optimize_incremental("k")
+    t2.vacuum(retain_last=1, orphan_retention_s=0)
+    assert t2.read().count() == 8_003
+    e = t2._manifest(t2.current_version())
+    for d in (e["data_dir"], *e["base_dirs"]):
+        assert os.path.isdir(os.path.join(t2.path, d))
+
+    # clone of a file-granular snapshot stays correct
+    c = t2.clone_to(str(tmp_path / "clone"))
+    assert c.read().count() == 8_003
+    assert c._manifest(1).get("file_granular") is True

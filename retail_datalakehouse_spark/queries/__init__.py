@@ -300,9 +300,11 @@ _PROMOTE_R9 = [
     "l6_hard_negative_mining",
     "x_position_deletes",
     "x_incremental_optimize",
-    # t26 (~12 s gate cost — stream machinery) deliberately sits at the
-    # END of the r9 block so its runtime lands late in the gate pass.
+    # t26/t27 (~10-12 s gate cost each — stream machinery) deliberately
+    # sit at the END of the r9 block so their runtime lands late in the
+    # gate pass.
     "t26_timer_ttl_flush",
+    "t27_streaming_auto_compact",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -2200,3 +2200,84 @@ def t26_timer_ttl_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.select("user_id", "n_events", "last_ms")
     shutil.rmtree(d, ignore_errors=True)
     return result
+
+
+@register(
+    "t27_streaming_auto_compact",
+    oracle="""
+SELECT CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+""",
+    tags=("T6", "S6", "S4"),
+)
+def t27_streaming_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest + AUTO-OPTIMIZE — the small-files problem closed
+    end-to-end: four date-sliced drops append through foreachBatch (each
+    micro-batch lands as several small files, the per-trigger pattern
+    that bloats 100 TB streaming tables); a maintenance policy fires
+    `optimize_incremental` whenever the snapshot's file count crosses a
+    threshold, merging ONLY the overlapping small-file tail (planned
+    from manifest bounds — untouched files carry by reference, and
+    post-optimize appends stay O(batch) on the file-granular chain).
+    The in-query audit pins: the policy actually fired, the final file
+    count is BELOW the raw ingest's, a checkpoint replay is a no-op
+    (txn watermarks), and history shows interleaved append/optimize
+    ops. The oracle recomputes the monthly aggregate from raw orders —
+    hash-equality proves the compaction chain lost and duplicated
+    nothing across appends, rewrites, and carried references."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.table_format import VersionedTable
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    d = tempfile.mkdtemp(prefix="rdl_t27_")
+    slices = [
+        F.year("o_orderdate") <= 1996,
+        F.year("o_orderdate") == 1997,
+        F.year("o_orderdate").isin(1998, 1999),
+        F.year("o_orderdate") >= 2000,
+    ]
+    for i, cond in enumerate(slices):
+        dest = os.path.join(d, f"chunk{i}.parquet")
+        _write_single_parquet(o.filter(cond), dest)
+        os.utime(dest, (1_000_000_000 + i * 60,) * 2)
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t27_tbl_"))
+    FILE_BUDGET = 6
+
+    def ingest(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        # several small files per trigger — the real streaming layout
+        t.append(batch_df.repartition(3), txn=("t27", batch_id))
+        e = t._manifest(t.current_version())
+        n_files = t._n_files(e)
+        if n_files is not None and n_files > FILE_BUDGET:
+            t.optimize_incremental("o_orderdate")
+
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    ckpt = tempfile.mkdtemp(prefix="rdl_t27_ckpt_")
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    run_foreach_batch(stream, ingest, output_mode="append", checkpoint=ckpt)
+
+    ops = [e["operation"] for e in t.history()]
+    assert "optimize" in ops and ops.count("append") == 4, ops
+    e = t._manifest(t.current_version())
+    assert t._n_files(e) < 12, t._n_files(e)  # raw ingest wrote 12 files
+
+    # checkpoint replay: txn watermarks no-op every batch
+    v = t.current_version()
+    stream2 = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    run_foreach_batch(stream2, ingest, output_mode="append", checkpoint=ckpt)
+    assert t.current_version() == v
+    shutil.rmtree(d, ignore_errors=True)
+
+    return t.read().groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))

@@ -473,6 +473,7 @@ class VersionedTable:
         base: tuple[list[str], list[dict] | None, int] | None = None,
         identity_update: dict | None = None,
         hidden_partition: dict | None = None,
+        file_granular: bool = False,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -601,6 +602,19 @@ class VersionedTable:
             entry["identity"] = identity
         if pending_txn_marker is not None:
             entry["pending_txn_marker"] = pending_txn_marker
+        if file_granular:
+            # an AddFile append chained onto an optimize snapshot: readers
+            # must keep resolving the EXPLICIT file list (the carried dirs
+            # also hold superseded originals). Requires the composed list
+            # to have survived (the append path pre-checks p_files; the
+            # 10^6-file stats guard is the only way to lose it here).
+            if file_stats is None:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ValueError(
+                    "file-granular commit requires a complete file list; "
+                    "compact below the stats cap first"
+                )
+            entry["file_granular"] = True
         tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
@@ -963,7 +977,6 @@ class VersionedTable:
             p_entry = self._manifest(parent)
             if (
                 self._is_mor(p_entry)
-                or p_entry.get("file_granular")
                 or p_entry.get("partition_by")
                 or p_entry.get("column_renames")
                 or p_entry.get("column_drops")
@@ -972,6 +985,8 @@ class VersionedTable:
                 # names next to physical-named base files — materialize
                 # instead (which also clears the mapping)
                 break
+            if p_entry.get("file_granular") and self._n_files(p_entry) is None:
+                break  # explicit list lost: only a materialize is safe
             cur_schema = self.read_version(parent).schema
             cur_types = {f.name: f.dataType for f in cur_schema.fields}
             new_types = {f.name: f.dataType for f in df.schema.fields}
@@ -1002,6 +1017,9 @@ class VersionedTable:
                         p_files,
                         p_entry["n_rows"],
                     ),
+                    # appends onto an optimize snapshot STAY O(batch):
+                    # the child keeps the explicit-file-list contract
+                    file_granular=bool(p_entry.get("file_granular")),
                 )
             except CommitConflict:
                 continue  # rebase onto the race winner and retry

@@ -1908,12 +1908,20 @@ def test_incremental_optimize_rewrites_only_overlaps(spark, tmp_path):
     assert t._manifest(5).get("file_granular") is True
     assert t.read().count() == 8_020
 
-    # an APPEND on a file-granular parent must MATERIALIZE (AddFile would
-    # chain directory reads that resurrect superseded originals)
+    # an APPEND on a file-granular parent stays O(batch): the AddFile
+    # child keeps the explicit-file-list contract (a directory-grain
+    # chain would resurrect superseded originals; a materialize would
+    # make every post-optimize append O(table))
+    n5 = t._manifest(5)["n_rows"]
     t.append(spark.createDataFrame([(99_999, 9.9)], "k long, v double"))
     e6 = t._manifest(t.current_version())
-    assert not e6.get("file_granular") and not e6.get("base_dirs")
+    assert e6.get("file_granular") is True
+    assert t._n_files(e6) == t._n_files(t._manifest(5)) + 1  # ONLY the batch
+    assert e6["n_rows"] == n5 + 1
     assert t.read().count() == 8_021
+    assert t.read().filter("k = 99999").count() == 1
+    # and no superseded original leaks into the union
+    assert t.read().count() == t.read().distinct().count()
 
     # vacuum while a file-granular version is live must keep BOTH the
     # carried dirs and the rewrite dir

@@ -300,6 +300,7 @@ _PROMOTE_R9 = [
     "l6_hard_negative_mining",
     "x_position_deletes",
     "x_incremental_optimize",
+    "l7_resume_skip",
     # t26/t27 (~10-12 s gate cost each — stream machinery) deliberately
     # sit at the END of the r9 block so their runtime lands late in the
     # gate pass.

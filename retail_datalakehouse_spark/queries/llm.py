@@ -3744,3 +3744,64 @@ def l6_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "l7_resume_skip",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('e1:' || doc_id), 1, 8)) AS BIGINT) AS h
+  FROM documents),
+ranked AS (
+  SELECT h % 8 AS shard, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+  FROM assigned),
+consumed AS (SELECT CAST(COUNT(*) AS BIGINT) // 20 AS c FROM documents)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_remaining,
+       CAST(MIN(CASE WHEN pos = (SELECT c FROM consumed) + 1
+                     THEN doc_id END) AS BIGINT) AS next_doc_id,
+       CAST(SUM(doc_id * pos) AS BIGINT) AS remaining_fingerprint
+FROM ranked
+WHERE pos > (SELECT c FROM consumed)
+GROUP BY shard
+""",
+    tags=("L7", "W1", "F1"),
+)
+def l7_resume_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-epoch TRAINING RESUME: reconstruct exactly the not-yet-consumed
+    remainder of epoch 1's data order from nothing but (epoch,
+    steps-consumed) — no stored shuffle state, no replay. Because the
+    epoch order is pure hash math (l7_epoch_reshard's md5 permutation),
+    'skip the first C positions per shard' is a filter on the recomputed
+    within-shard rank: any restarted worker derives its remaining
+    sequence independently, and two workers can never disagree about
+    what position C+1 is. The fingerprint sums doc_id x ORIGINAL
+    position over the remainder, pinning the exact resumed SEQUENCE
+    (an off-by-one skip, a reshuffled tail, or a double-consumed doc all
+    break the hash). C = |corpus|/20 here (~a step count mid-epoch);
+    at 100 TB this is one hash projection + one windowed filter per
+    restart — versus checkpointing a materialized global order."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    c = n // 20  # consumed positions per shard at the resume point
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("e1:"), F.col("doc_id"))), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(F.col("h") % 8).orderBy("h", "doc_id")
+    ranked = d.select("doc_id", h.alias("h")).select(
+        (F.col("h") % 8).alias("shard"),
+        "doc_id",
+        F.row_number().over(w).alias("pos"),
+    )
+    rem = ranked.filter(F.col("pos") > c)
+    return rem.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_remaining"),
+        F.min(F.when(F.col("pos") == c + 1, F.col("doc_id")))
+        .cast("long")
+        .alias("next_doc_id"),
+        F.sum(F.col("doc_id") * F.col("pos")).cast("long").alias("remaining_fingerprint"),
+    )

@@ -307,6 +307,13 @@ _PROMOTE_R9 = [
     "t26_timer_ttl_flush",
     "t27_streaming_auto_compact",
 ]
+# ---- r10 rotation queue (registered PAST the 50-slot window so the
+# rehearsed r9 prefix stays frozen; each 3-scale + vanilla-session
+# oracle-green at build time, re-verified by the full local gate):
+# x_count_min_sketch (mergeable frequency sketch, engine-exact md5
+# buckets, estimate>=exact pinned in-query), l4_blocklist_filter
+# (list-based safety gate — broadcast blocklist, basis-point threshold).
+
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

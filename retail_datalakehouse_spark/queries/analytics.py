@@ -1924,3 +1924,173 @@ def l4_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.exp(-F.sum("lp") / F.count(F.lit(1))), 4).alias("ppl"),
     )
+
+
+# ------------------------------------------------ count-min sketch (r10 queue)
+
+
+_CMS_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS w
+  FROM documents),
+exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+hashed AS (
+  SELECT w, c, i,
+         (strpos('0123456789abcdef', substr(md5(i || ':' || w), 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(md5(i || ':' || w), 2, 1)) - 1) AS b
+  FROM exact CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)),
+cells AS (SELECT i, b, CAST(SUM(c) AS BIGINT) AS cell FROM hashed GROUP BY i, b),
+est AS (
+  SELECT h.w, CAST(MIN(cl.cell) AS BIGINT) AS est
+  FROM hashed h JOIN cells cl USING (i, b) GROUP BY h.w)
+SELECT e.w AS term, e.c AS exact_count, est.est AS cm_estimate
+FROM exact e JOIN est ON e.w = est.w
+ORDER BY e.c DESC, e.w
+LIMIT 20
+"""
+
+
+@register("x_count_min_sketch", oracle=_CMS_SQL, tags=("A3", "A7", "F1"), doc="")
+def x_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005, public): a d=4 ×
+    w=256 grid of counters; every term adds its count to one cell per
+    row (md5-derived bucket), and estimate(term) = min over rows — never
+    an undercount, overcount bounded by collisions. The sketch is
+    MERGEABLE (cell-wise addition), fixed-size, and one-pass: the
+    streaming/distributed answer to "frequencies of everything" when the
+    key space is too large for exact counts — partials from every
+    executor/micro-batch just add. Deterministic cross-engine: bucket
+    hashes reduce to parsing two hex chars of md5 (the engine-parity
+    pattern from l7_epoch_reshard), so DuckDB rebuilds the IDENTICAL
+    sketch and the hash gate pins estimates exactly, not just bounds.
+    In-query audit pins the count-min invariant estimate >= exact on
+    every term. Returns the top-20 terms by exact count with both
+    numbers (this corpus's 31-word vocabulary makes most estimates
+    exact; collisions inflate the tail)."""
+    from ..operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rows_ = F.broadcast(spark.range(4).select(F.col("id").cast("int").alias("i")))
+    hashed = exact.crossJoin(rows_).select(
+        "w",
+        "c",
+        "i",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("w"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    cells = hashed.groupBy("i", "b").agg(F.sum("c").alias("cell"))
+    est = (
+        hashed.join(cells, ["i", "b"])
+        .groupBy("w")
+        .agg(F.min("cell").cast("long").alias("cm_estimate"))
+    )
+    out = (
+        exact.join(est, "w")
+        .select(
+            F.col("w").alias("term"),
+            F.col("c").cast("long").alias("exact_count"),
+            "cm_estimate",
+        )
+        .orderBy(F.desc("exact_count"), "term")
+        .limit(20)
+    )
+    # the count-min invariant: NEVER an undercount
+    assert out.filter(F.col("cm_estimate") < F.col("exact_count")).count() == 0
+    return out
+
+
+# -------------------------------------------- blocklist filter (r10 queue)
+
+
+_BLOCKLIST_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS w
+  FROM documents),
+blocked AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+    ORDER BY c DESC, w LIMIT 5) t),
+hits AS (
+  SELECT t.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_hits,
+         CAST(COUNT(DISTINCT t.w) AS BIGINT) AS n_blocked_terms
+  FROM tok t JOIN blocked b ON t.w = b.w
+  GROUP BY t.doc_id),
+n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_blocked_terms, 0) AS n_blocked_terms,
+       CAST((10000 * COALESCE(h.n_hits, 0)) // GREATEST(n.n_tokens, 1) AS BIGINT)
+         AS hit_bp,
+       CASE WHEN (10000 * COALESCE(h.n_hits, 0)) // GREATEST(n.n_tokens, 1) > 2000
+            THEN 'drop' ELSE 'keep' END AS verdict
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+JOIN n ON d.doc_id = n.doc_id
+"""
+
+
+@register("l4_blocklist_filter", oracle=_BLOCKLIST_SQL, tags=("L4", "J5", "A6"), doc="")
+def l4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist-based SAFETY FILTERING (the UT1/URL-blocklist stage of
+    RefinedWeb/FineWeb-style pipelines, reduced to term level so the
+    oracle is exact): documents are scored by hits against a blocked
+    TERM set — here derived deterministically as the corpus's top-5
+    tokens so the fixture self-calibrates at every scale — and dropped
+    when blocked tokens exceed 20% (basis-point integer math, no float
+    thresholds). The scale shape is the one that matters at 100 TB: the
+    blocklist is a BROADCAST dimension (real ones are 10⁴-10⁶ terms —
+    megabytes), scoring is one token pass + a broadcast semi-ish join,
+    never a shuffle of the corpus; the verdict column is exactly the
+    partition a curation pipeline filters on. Cf. l4_quality_classifier
+    (learned gate) and l4_perplexity_filter (LM gate) — this is the
+    third, list-based gate of the standard curation stack."""
+    from ..operators.text import tokens
+
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    blocked = F.broadcast(
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(5)
+        .select("w")
+    )
+    hits = (
+        tok.join(blocked, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.count_distinct("w").cast("long").alias("n_blocked_terms"),
+        )
+    )
+    n = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    bp = F.expr(
+        "CAST((10000 * COALESCE(n_hits, 0)) DIV GREATEST(n_tokens, 1) AS BIGINT)"
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .join(n, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("n_blocked_terms", F.lit(0)).cast("long").alias("n_blocked_terms"),
+            bp.alias("hit_bp"),
+            F.when(bp > 2000, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
+        )
+    )

@@ -306,6 +306,9 @@ _PROMOTE_R9 = [
     # gate pass.
     "t26_timer_ttl_flush",
     "t27_streaming_auto_compact",
+    # x_update_mor ships late r9 (merge-on-read UPDATE — new DML verb):
+    # new code gates the round it ships.
+    "x_update_mor",
 ]
 # ---- r10 rotation queue (registered PAST the 50-slot window so the
 # rehearsed r9 prefix stays frozen; each 3-scale + vanilla-session

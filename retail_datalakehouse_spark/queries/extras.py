@@ -2490,3 +2490,66 @@ def x_incremental_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_UPDATE_MOR_SQL = f"""
+WITH t AS (
+  SELECT l_returnflag,
+         CASE WHEN l_quantity <= 5 THEN l_quantity * 10 ELSE l_quantity END
+           AS l_quantity,
+         CASE WHEN l_discount > 0.05 THEN 0.05 ELSE l_discount END AS l_discount,
+         l_extendedprice
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       {sql_dsum("l_quantity", scale=2)} AS qty,
+       {sql_dsum("l_discount", scale=2)} AS disc,
+       {sql_dsum("l_extendedprice", scale=2)} AS price
+FROM t GROUP BY l_returnflag
+"""
+
+
+@register("x_update_mor", oracle=_UPDATE_MOR_SQL, tags=("S7", "S6", "J6"), doc="")
+def x_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE (Delta's deletion-vector UPDATE,
+    VersionedTable.update_mor): one commit position-tombstones the
+    matched rows AND appends their updated images — O(changed) I/O,
+    every pre-existing data file untouched. A copy-on-write UPDATE
+    rewrites every file containing a match; at 100 TB a 0.1%-selective
+    correction pass touches ~0.1% of the table here versus most of it
+    there. Two stacked updates (a quantity rescale on small lots, then a
+    discount cap) prove the tombstone+image chains compose and the
+    second update reads the FIRST's post-images; the in-query audit pins
+    the O(changed) contract (update dirs hold exactly the matched
+    counts, the v1 data dir rides every manifest untouched) and row
+    preservation. The oracle recomputes both updates relationally from
+    the raw table, so the hash check proves no row was lost, duplicated,
+    or double-updated across the merge-on-read resolution."""
+    import os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable, _parquet_num_rows
+
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_discount", "l_extendedprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_updmor_"))
+    t.overwrite(li)
+    p_dir = t._manifest(1)["data_dir"]
+    n_small = li.filter("l_quantity <= 5").count()
+
+    t.update_mor("l_quantity <= 5", {"l_quantity": "l_quantity * 10"})
+    t.update_mor("l_discount > 0.05", {"l_discount": "CAST(0.05 AS DOUBLE)"})
+    e2, e3 = t._manifest(2), t._manifest(3)
+    # O(changed): update dirs hold exactly the matched rows; the original
+    # data directory is untouched and carried by every manifest
+    assert _parquet_num_rows(os.path.join(t.path, e2["data_dir"])) == n_small
+    assert e2["n_updated"] == n_small and e3["n_rows"] == e2["n_rows"]
+    assert p_dir in e2["base_dirs"] and p_dir in e3["base_dirs"]
+
+    return t.read().groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("l_quantity", scale=2).alias("qty"),
+        dsum("l_discount", scale=2).alias("disc"),
+        dsum("l_extendedprice", scale=2).alias("price"),
+    )

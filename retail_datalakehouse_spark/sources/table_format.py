@@ -1595,6 +1595,149 @@ class VersionedTable:
             f"lost {max_retries} consecutive commit races at {self.path}"
         )
 
+    def update_mor(
+        self,
+        condition,
+        set_exprs: dict[str, str],
+        txn: tuple[str, int] | None = None,
+        max_retries: int = 5,
+    ) -> int:
+        """Merge-on-read UPDATE (Delta's deletion-vector UPDATE): ONE
+        commit that (a) position-tombstones the matched rows and
+        (b) appends their updated images as new files — O(changed) I/O,
+        the table's data files untouched. A copy-on-write UPDATE rewrites
+        every file containing a matched row (at 100 TB, often most of
+        them); this touches exactly the changed rows twice (tombstone
+        keys + new images). Readers resolve base MINUS positions PLUS
+        the update directory in the same anti-join pass read_version
+        already does; compaction materializes as usual.
+
+        ``set_exprs``: {column: SQL expression} applied to matched rows
+        (expressions may reference any column). Same stacking rules as
+        :meth:`delete_mor_pos` (position tombstones only; no mixing with
+        keyed tombstones; compact off a file-granular snapshot first)."""
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        for _ in range(max_retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot update empty table at {self.path}")
+            if txn is not None:
+                last = self._txn_state(parent).get(txn[0])
+                if last is not None and int(last) >= txn[1]:
+                    return parent  # replay — already applied
+            p_entry = self._manifest(parent)
+            if p_entry.get("dv_dirs"):
+                raise ValueError(
+                    "key-based and position-based tombstones do not mix; "
+                    "compact first"
+                )
+            if p_entry.get("file_granular"):
+                raise ValueError(
+                    "merge-on-read updates over a file-granular (optimize) "
+                    "snapshot would resolve against directory reads; "
+                    "compact first"
+                )
+            if p_entry.get("partition_by") or p_entry.get("hidden_partition"):
+                raise ValueError(
+                    "merge-on-read updates write an unpartitioned update "
+                    "directory next to a hive/hidden layout; compact first "
+                    "or use the copy-on-write merge"
+                )
+            if p_entry.get("column_renames") or p_entry.get("column_drops"):
+                raise ValueError(
+                    "merge-on-read updates next to column mapping would mix "
+                    "physical- and logical-named files in one scan; "
+                    "compact first"
+                )
+            v = parent + 1
+            token = uuid.uuid4().hex[:8]
+            dv_dirname = f"_dvp{v}-{token}"
+            upd_dirname = f"_v{v}-{token}"
+            dv_dir = os.path.join(self.path, dv_dirname)
+            upd_dir = os.path.join(self.path, upd_dirname)
+            matched = self._read_with_positions(p_entry).filter(cond)
+            # (a) tombstone the old images by position …
+            matched.select("__pos_f", "__pos_ri").write.mode("overwrite").parquet(
+                dv_dir
+            )
+            # … (b) append the new images (post-update), schema-aligned
+            logical_cols = [
+                c for c in matched.columns if c not in ("__pos_f", "__pos_ri")
+            ]
+            updated = matched.select(
+                *[
+                    F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
+                    for c in logical_cols
+                ]
+            )
+            if checks := p_entry.get("checks"):
+                from .constraints import enforce
+
+                enforce(updated, checks)  # updates must keep passing
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            updated.write.mode("overwrite").parquet(upd_dir)
+            n_changed = _parquet_num_rows(upd_dir)
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            entry = {
+                "version": v,
+                "operation": "update_mor",
+                "parent": parent,
+                "n_rows": p_entry["n_rows"],  # row-count preserving
+                # the update dir joins the readable set; the parent's
+                # whole dir chain carries forward
+                "data_dir": upd_dirname,
+                "base_dirs": [
+                    *p_entry.get("base_dirs", []),
+                    p_entry.get("data_dir", f"_v{parent}"),
+                ],
+                "partition_by": None,
+                "cluster_by": None,
+                "cdf_dir": None,
+                **(
+                    {"column_renames": p_entry["column_renames"]}
+                    if p_entry.get("column_renames")
+                    else {}
+                ),
+                **(
+                    {"column_drops": p_entry["column_drops"]}
+                    if p_entry.get("column_drops")
+                    else {}
+                ),
+                **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **(
+                    {"identity": p_entry["identity"]}
+                    if p_entry.get("identity")
+                    else {}
+                ),
+                "pos_dv_dirs": p_entry.get("pos_dv_dirs", []) + [dv_dirname],
+                "n_updated": n_changed,
+                "committed_at": time.time(),
+                "modified_keys": None,  # unknown write set (like overwrite)
+                "txn": dict(
+                    self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})
+                ),
+            }
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            final = os.path.join(self._manifest_dir, f"v{v}.json")
+            try:
+                os.link(tmp, final)
+                return v
+            except FileExistsError:
+                shutil.rmtree(dv_dir, ignore_errors=True)
+                shutil.rmtree(upd_dir, ignore_errors=True)
+                continue  # rebase onto the winner's snapshot
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"lost {max_retries} consecutive commit races at {self.path}"
+        )
+
     def _read_with_positions(self, entry: dict) -> DataFrame:
         """The version's LOGICAL rows carrying their physical position
         identity (``__pos_f`` = file URI, ``__pos_ri`` = row index inside

@@ -1939,3 +1939,74 @@ def test_incremental_optimize_rewrites_only_overlaps(spark, tmp_path):
     c = t2.clone_to(str(tmp_path / "clone"))
     assert c.read().count() == 8_003
     assert c._manifest(1).get("file_granular") is True
+
+
+def test_update_mor_o_changed(spark, tmp_path):
+    """Merge-on-read UPDATE: one commit = position tombstones + updated
+    images, O(changed) I/O, parent data files untouched. Pins: read
+    parity with a copy-on-write recompute, stacking with position
+    deletes, n_rows preservation, O(changed) accounting, txn replay
+    idempotence, compaction materialization, and the layout guards."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        _parquet_num_rows,
+        compact,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    rows = [(i, i % 10, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, g long, v double")
+    t.overwrite(df)
+    p_dir = t._manifest(1)["data_dir"]
+
+    v2 = t.update_mor("g = 3", {"v": "v * 100"}, txn=("upd", 1))
+    assert v2 == 2
+    e2 = t._manifest(2)
+    assert e2["n_rows"] == 500 and e2["n_updated"] == 50
+    assert e2["base_dirs"] == [p_dir]  # parent files untouched
+    import os
+
+    # O(changed): the update dir holds exactly the matched rows
+    assert _parquet_num_rows(os.path.join(t.path, e2["data_dir"])) == 50
+    expect = [(i, i % 10, float(i) * (100 if i % 10 == 3 else 1)) for i in range(500)]
+    assert sorted((r.id, r.g, r.v) for r in t.read().collect()) == sorted(expect)
+
+    # replay is a no-op (txn watermark)
+    assert t.update_mor("g = 3", {"v": "v * 100"}, txn=("upd", 1)) == 2
+    # a double-applied update would square the factor (v = id * 10000)
+    assert t.read().filter("g = 3 AND id > 0 AND v > id * 100").count() == 0
+
+    # stacked: a position DELETE composes on top of the update chain
+    t.delete_mor_pos("id < 10")
+    expect2 = [r for r in expect if r[0] >= 10]
+    assert sorted((r.id, r.g, r.v) for r in t.read().collect()) == sorted(expect2)
+
+    # a second update touches the post-delete, post-update state
+    t.update_mor("g = 3", {"v": "v + 0.5"})
+    expect3 = [
+        (i, g, v + 0.5 if g == 3 else v) for i, g, v in expect2
+    ]
+    assert sorted((r.id, r.g, r.v) for r in t.read().collect()) == sorted(expect3)
+
+    # time travel serves each state
+    assert t.read_version(2).count() == 500
+    assert t.read_version(3).count() == 490
+
+    # compaction materializes; planned stats resume
+    compact(t, target_partitions=2)
+    e = t._manifest(t.current_version())
+    assert not e.get("pos_dv_dirs") and not e.get("base_dirs")
+    assert sorted((r.id, r.g, r.v) for r in t.read().collect()) == sorted(expect3)
+    assert t.stats_agg("id")["n_rows"] == 490
+
+    # layout guards
+    h = VersionedTable(spark, str(tmp_path / "hive"))
+    h.overwrite(df, partition_by=["g"])
+    with pytest.raises(ValueError, match="compact first|copy-on-write"):
+        h.update_mor("g = 3", {"v": "v * 2"})
+    m = VersionedTable(spark, str(tmp_path / "mapped"))
+    m.overwrite(df)
+    m.rename_column("v", "val")
+    with pytest.raises(ValueError, match="column mapping|compact first"):
+        m.update_mor("g = 3", {"val": "val * 2"})

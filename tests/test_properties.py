@@ -427,3 +427,46 @@ def test_changes_feed_equals_snapshot_diff_on_random_chains(spark, tmp_path_fact
     feed = sorted(map(tuple, t.changes_feed(1, v).collect()))
     diff = sorted(map(tuple, t.changes(1, v, keys=["k"]).collect()))
     assert feed == diff
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["update", "delete"]),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_mor_update_delete_chain_matches_reference(spark, tmp_path_factory, ops):
+    """ANY chain of merge-on-read position deletes and updates must equal
+    the same transforms applied to an in-memory reference — tombstone
+    resolution, stacked update images, and never-resurrect all at once,
+    under arbitrary interleavings hypothesis picks."""
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    path = str(tmp_path_factory.mktemp("mor_chain") / "tbl")
+    rows = {i: (i % 7, float(i)) for i in range(60)}  # id -> (g, v)
+    t = VersionedTable(spark, path)
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, g, v) for i, (g, v) in rows.items()], "id long, g long, v double"
+        )
+    )
+    for op, m in ops:
+        if op == "update":
+            t.update_mor(f"g = {m}", {"v": "v * 2 + 1"})
+            rows = {
+                i: (g, v * 2 + 1 if g == m else v) for i, (g, v) in rows.items()
+            }
+        else:
+            t.delete_mor_pos(f"id % 7 = {m}")
+            rows = {i: gv for i, gv in rows.items() if i % 7 != m}
+    got = sorted((r.id, r.g, r.v) for r in t.read().collect())
+    want = sorted((i, g, v) for i, (g, v) in rows.items())
+    assert got == want
+    assert t._manifest(t.current_version())["n_rows"] == len(want)

@@ -54,11 +54,13 @@ def dedup_exact_content(
 def duplicate_span_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 10
 ) -> DataFrame:
-    """Exact duplicate-span detection (Lee et al. 2022, "Deduplicating
+    """Duplicate-span detection (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): slide a word ``n``-gram
-    window over every document and flag each position whose exact span text
-    occurs >= 2 times anywhere in the corpus (any document, any position —
-    including elsewhere in the same document). Returns one row per input
+    window over every document and flag each position whose span — matched
+    by its 64-bit ``xxhash64`` DIGEST, not by span text (collision
+    probability 2^-64 per pair; see the scale note below) — occurs >= 2
+    times anywhere in the corpus (any document, any position — including
+    elsewhere in the same document). Returns one row per input
     document: ``(id, n_spans, n_dup_spans)``; short documents (< n words)
     report 0/0.
 

@@ -386,13 +386,25 @@ def x_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     status — the 100 TB profile-job substitute for `x_percentiles`: the
     sketch is partial-mergeable (no per-group sort, bounded memory per
     partition). Estimates are engine-specific → rows-only; the error-
-    bound-vs-exact test lives in tests/test_llm_ops.py."""
+    bound-vs-exact test lives in tests/test_llm_ops.py.
+
+    Output is SCALAR columns (p50/p90/p99), never the raw array<double>:
+    the driver's canonicalizer cannot hash list cells (r9's one red row —
+    `TypeError: unhashable type: 'list'`); the check_oracle.py complex-type
+    lint now covers rows-only queries too, so this class fails locally."""
     o = T(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+    agg = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.approx_percentile(
             "o_totalprice", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(10000)
         ).alias("approx_p"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "status",
+        F.element_at("approx_p", 1).alias("p50"),
+        F.element_at("approx_p", 2).alias("p90"),
+        F.element_at("approx_p", 3).alias("p99"),
+        "n_orders",
     )
 
 

@@ -638,26 +638,42 @@ class VersionedTable:
             ) from None
 
         try:
-            try:
-                os.link(tmp, final)  # … CAS commit: fails iff v already exists
-            except FileExistsError:
-                # The slot may be held by an ABORTED txn's stale claim —
-                # clear it and take the slot (one retry); any other holder
-                # (committed, or an in-flight txn) is a real conflict.
-                if not self._clear_aborted_claim(v):
-                    _lose_slot()
-                try:
-                    os.link(tmp, final)
-                except FileExistsError:
-                    # another writer re-took the freed slot in the window
-                    # between the clear and our retry — same conflict
-                    # handling as the first attempt (a raw FileExistsError
-                    # here would skip every rebase loop AND leak the
-                    # staged dirs)
-                    _lose_slot()
+            # CAS commit: fails iff v is held by a committed version or a
+            # live txn claim (a stale ABORTED claim is cleared + retried
+            # inside the helper — shared with every other DML verb).
+            if not self._link_version_slot(tmp, final, v):
+                _lose_slot()
         finally:
             os.unlink(tmp)
         return v
+
+    def _link_version_slot(self, tmp: str, final: str, v: int) -> bool:
+        """CAS-link ``tmp`` into version slot ``final``. True = we own the
+        slot. False = a REAL holder (committed version or in-flight txn
+        claim) — the caller rebases onto the winner's snapshot.
+
+        A stale claim from an ABORTED transaction is not a real holder:
+        it is cleared (with :meth:`_clear_aborted_claim`'s dual-marker
+        refusal) and the link retried once, mirroring ``_commit``.
+        Without this, a crashed transaction whose claim holds ``v`` makes
+        ``_versions()`` exclude it, so every rebase retry recomputes the
+        SAME ``v``, the link fails ``max_retries`` times, and the verb
+        raises CommitConflict forever until some plain append clears the
+        claim (the r9 ADVICE medium finding — the DML verbs built that
+        round lacked ``_commit``'s clearing step)."""
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            if not self._clear_aborted_claim(v):
+                return False
+            try:
+                os.link(tmp, final)
+                return True
+            except FileExistsError:
+                # another writer re-took the freed slot between the clear
+                # and our retry — a genuine lost race
+                return False
 
     def _clear_aborted_claim(self, v: int) -> bool:
         """True iff version ``v``'s manifest was a pending claim from an
@@ -1411,9 +1427,8 @@ class VersionedTable:
                 json.dump(entry, f)
             final = os.path.join(self._manifest_dir, f"v{v}.json")
             try:
-                os.link(tmp, final)
-                return v
-            except FileExistsError:
+                if self._link_version_slot(tmp, final, v):
+                    return v
                 shutil.rmtree(dv_dir, ignore_errors=True)
                 continue  # rebase: re-evaluate condition on the winner's snapshot
             finally:
@@ -1526,7 +1541,18 @@ class VersionedTable:
                 .parquet(data_dir)
             )
             n_new_rows, new_files = _collect_manifest_stats(data_dir)
-            assert n_new_rows == n_rewrite_rows, (n_new_rows, n_rewrite_rows)
+            if n_new_rows != n_rewrite_rows:
+                # NOT an assert: under `python -O` an assert vanishes and a
+                # stats/rewrite mismatch would commit a corrupt
+                # file-granular snapshot silently — and the staged data_dir
+                # must not leak on the failure path (r10 ADVICE low).
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise RuntimeError(
+                    f"incremental optimize row-preservation violated: "
+                    f"rewrote {n_rewrite_rows} rows but the new files hold "
+                    f"{n_new_rows}; manifest stats and data disagree at "
+                    f"{self.path}"
+                )
             all_files = [
                 *carried,
                 *({**f, "dir": data_dirname} for f in new_files or []),
@@ -1573,15 +1599,14 @@ class VersionedTable:
                 json.dump(entry, f)
             final = os.path.join(self._manifest_dir, f"v{v}.json")
             try:
-                os.link(tmp, final)
-                return {
-                    "version": v,
-                    "rewritten": len(rewrite),
-                    "carried": len(carried),
-                    "groups": sum(1 for g in groups if len(g) > 1)
-                    + (1 if unknown else 0),
-                }
-            except FileExistsError:
+                if self._link_version_slot(tmp, final, v):
+                    return {
+                        "version": v,
+                        "rewritten": len(rewrite),
+                        "carried": len(carried),
+                        "groups": sum(1 for g in groups if len(g) > 1)
+                        + (1 if unknown else 0),
+                    }
                 shutil.rmtree(data_dir, ignore_errors=True)
                 for cp in chunk_paths:
                     try:
@@ -1726,9 +1751,8 @@ class VersionedTable:
                 json.dump(entry, f)
             final = os.path.join(self._manifest_dir, f"v{v}.json")
             try:
-                os.link(tmp, final)
-                return v
-            except FileExistsError:
+                if self._link_version_slot(tmp, final, v):
+                    return v
                 shutil.rmtree(dv_dir, ignore_errors=True)
                 shutil.rmtree(upd_dir, ignore_errors=True)
                 continue  # rebase onto the winner's snapshot
@@ -1740,27 +1764,86 @@ class VersionedTable:
 
     def _read_with_positions(self, entry: dict) -> DataFrame:
         """The version's LOGICAL rows carrying their physical position
-        identity (``__pos_f`` = file URI, ``__pos_ri`` = row index inside
-        that file, from Spark's parquet ``_metadata`` column), with any
-        accumulated position tombstones already anti-joined out."""
+        identity (``__pos_f``, ``__pos_ri`` = row index inside the file,
+        from Spark's parquet ``_metadata`` column), with any accumulated
+        position tombstones already anti-joined out.
+
+        ``__pos_f`` is TABLE-ROOT-RELATIVE (``<dir-basename>/<subpath>``,
+        e.g. ``_v3-ab12cd34/part-00000-….parquet``), NOT the absolute
+        ``_metadata.file_path`` URI: every other manifest reference is
+        root-relative precisely so a relocated/renamed table keeps
+        working, and an absolute tombstone URI silently matches NOTHING
+        after a move — resurrecting every deleted/pre-update row with no
+        error (the r10 ADVICE medium; Delta deletion vectors and Iceberg
+        position deletes store relative paths for the same reason). The
+        dir BASENAME (unique per version+token) rather than the manifest
+        dir string keeps the identity stable across shallow clones, which
+        absolutize carried dir paths."""
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
         dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, d) for d in dirs]
-        ).select(
-            "*",
-            F.col("_metadata.file_path").alias("__pos_f"),
-            F.col("_metadata.row_index").alias("__pos_ri"),
-        )
+        parts = []
+        for d in dirs:
+            absd = os.path.abspath(os.path.join(self.path, d)).rstrip("/")
+            ident = os.path.basename(absd)
+            # file_path renders as file:/abs or file:///abs — normalize the
+            # scheme away, then strip "<absd>/" (1-based substring)
+            sub = F.expr(
+                "substring(regexp_replace(_metadata.file_path, '^file:/+', '/'), "
+                f"{len(absd) + 2})"
+            )
+            parts.append(
+                self.spark.read.parquet(absd).select(
+                    "*",
+                    F.concat(F.lit(ident + "/"), sub).alias("__pos_f"),
+                    F.col("_metadata.row_index").alias("__pos_ri"),
+                )
+            )
+        df = reduce(lambda a, b: a.unionByName(b), parts)
         df = self._apply_column_mapping(df, entry)
         pos_dirs = entry.get("pos_dv_dirs", [])
         if pos_dirs:
             pdv = self.spark.read.parquet(
                 *[os.path.join(self.path, d) for d in pos_dirs]
             ).distinct()
+            pdv = pdv.select(
+                self._relativize_tombstone(F.col("__pos_f")).alias("__pos_f"),
+                "__pos_ri",
+            )
             df = df.join(pdv, on=["__pos_f", "__pos_ri"], how="left_anti")
         return df
+
+    def _relativize_tombstone(self, col):
+        """Normalize a stored position-tombstone path to the root-relative
+        identity. New tombstones are already relative (pass-through); a
+        LEGACY absolute URI written by pre-r10 code re-relativizes when it
+        resolves under the CURRENT root, and anything else (an absolute
+        URI from a root the table has since been moved away from) RAISES
+        instead of silently matching nothing and resurrecting rows."""
+        from pyspark.sql import functions as F
+
+        root = os.path.abspath(self.path).rstrip("/")
+        norm = F.regexp_replace(col, "^file:/+", "/")
+        return (
+            F.when(~col.rlike("^(file:|/)"), col)
+            .when(
+                F.substring(norm, 1, len(root) + 1) == F.lit(root + "/"),
+                F.substring(norm, len(root) + 2, 2_147_483_647),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "position tombstone references a file outside "
+                            f"table root {root}: "
+                        ),
+                        col,
+                    )
+                )
+            )
+        )
 
     def delete_mor_pos(
         self,
@@ -1860,9 +1943,8 @@ class VersionedTable:
                 json.dump(entry, f)
             final = os.path.join(self._manifest_dir, f"v{v}.json")
             try:
-                os.link(tmp, final)
-                return v
-            except FileExistsError:
+                if self._link_version_slot(tmp, final, v):
+                    return v
                 shutil.rmtree(dv_dir, ignore_errors=True)
                 continue  # rebase: re-evaluate on the winner's snapshot
             finally:
@@ -2102,9 +2184,10 @@ class VersionedTable:
             with open(tmp, "w") as f:
                 json.dump(entry, f)
             try:
-                os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
-                return v
-            except FileExistsError:
+                if self._link_version_slot(
+                    tmp, os.path.join(self._manifest_dir, f"v{v}.json"), v
+                ):
+                    return v
                 for cp in chunk_paths:
                     try:
                         os.unlink(cp)
@@ -3074,9 +3157,10 @@ class VersionedTable:
             with open(tmp, "w") as f:
                 json.dump(entry, f)
             try:
-                os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
-                return v
-            except FileExistsError:
+                if self._link_version_slot(
+                    tmp, os.path.join(self._manifest_dir, f"v{v}.json"), v
+                ):
+                    return v
                 continue  # racer took the slot: recompute against its head
             finally:
                 os.unlink(tmp)
@@ -3279,9 +3363,10 @@ class VersionedTable:
         with open(tmp, "w") as f:
             json.dump(entry, f)
         try:
-            os.link(tmp, os.path.join(self._manifest_dir, f"v{v}.json"))
-            return v
-        except FileExistsError:
+            if self._link_version_slot(
+                tmp, os.path.join(self._manifest_dir, f"v{v}.json"), v
+            ):
+                return v
             for cp in chunk_paths:
                 try:
                     os.unlink(cp)

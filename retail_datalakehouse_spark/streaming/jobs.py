@@ -639,16 +639,38 @@ def streaming_packer(doc_stream: DataFrame, bin_tokens: int = 512):
     )
 
 
-def _require_rocksdb_state_store(spark: SparkSession) -> None:
+def _require_rocksdb_state_store(spark: SparkSession) -> str | None:
     """transformWithState needs a state store with column families —
     only RocksDB has them (HDFSBacked rejects the query at start). The
     conf is read when a stream STARTS, so setting it here covers streams
     the caller starts off the returned DataFrame; already-RocksDB
-    sessions are untouched."""
+    sessions are untouched.
+
+    SESSION-WIDE SIDE EFFECT: the provider conf applies to every stream
+    subsequently started on this session — a pre-existing HDFS-backed
+    CHECKPOINTED query restarted afterwards would fail on the provider
+    change. Returns the PRIOR value (None if unset) so callers can
+    restore it with :func:`restore_state_store_provider` once their
+    stream has started; the tws-lane builders (`running_user_totals`,
+    `idle_user_flush`) document this contract for their callers."""
     key = "spark.sql.streaming.stateStore.providerClass"
     rocks = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    if spark.conf.get(key, "") != rocks:
+    prior = spark.conf.get(key, None)
+    if prior != rocks:
         spark.conf.set(key, rocks)
+    return prior
+
+
+def restore_state_store_provider(spark: SparkSession, prior: str | None) -> None:
+    """Undo :func:`_require_rocksdb_state_store` AFTER the stream whose
+    build required RocksDB has started (the conf is captured at stream
+    start, so restoring then is safe for the running query and protects
+    any HDFS-backed streams started later on the same session)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if prior is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prior)
 
 
 _TOTALS_OUT = "user_id bigint, n_events bigint, total_cents bigint"
@@ -682,6 +704,12 @@ def running_user_totals(stream: DataFrame, force_api: str | None = None) -> Data
       package isn't installed.
     - ``applyInPandasWithState`` fallback — the older arbitrary-state
       API; identical fold, identical output.
+
+    The tws path sets the SESSION-WIDE RocksDB state-store provider conf
+    (required for column families) and leaves it set so the stream the
+    caller starts off this DataFrame picks it up; callers co-hosting
+    HDFS-backed checkpointed streams on the same session should call
+    :func:`restore_state_store_provider` after their stream starts.
     """
     import pandas as pd
 
@@ -769,7 +797,12 @@ def idle_user_flush(
 
     ``stream`` needs an event-time column ``ts`` (timestamp); a final
     watermark-advancer batch flushes sessions pending at end-of-input
-    (the t14 pattern)."""
+    (the t14 pattern).
+
+    The tws path sets the SESSION-WIDE RocksDB state-store provider conf
+    and leaves it set (the conf is read at stream start); callers
+    co-hosting HDFS-backed checkpointed streams should call
+    :func:`restore_state_store_provider` after their stream starts."""
     import pandas as pd
 
     api = force_api

@@ -28,10 +28,20 @@ def test_registry_contract(spark):
 
 
 def test_all_queries_run_at_smoke_sf(spark, sf_dir):
-    """Every registered query must at least execute at sf0.001."""
+    """Every registered query must at least execute at sf0.001 — and emit
+    scalar-only top-level columns: the driver's canonicalizer cannot hash
+    list cells (r5 red row l4_inverted_index was SQL-oracle; r9 red row
+    x_approx_percentiles was rows-only — BOTH classes are pinned here, and
+    in tools/check_oracle.py's lint, which now covers rows-only queries)."""
     m = _entry_mod()
     for name, fn in m.queries().items():
         df = fn(spark, sf_dir)
+        complex_cols = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct", "decimal")
+        ]
+        assert not complex_cols, f"{name}: driver-unhashable output columns {complex_cols}"
         df.limit(5).collect()  # forces execution of the plan
 
 

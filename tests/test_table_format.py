@@ -2010,3 +2010,95 @@ def test_update_mor_o_changed(spark, tmp_path):
     m.rename_column("v", "val")
     with pytest.raises(ValueError, match="column mapping|compact first"):
         m.update_mor("g = 3", {"val": "val * 2"})
+
+
+def test_dml_verbs_clear_stale_aborted_claims(spark, tmp_path):
+    """A crashed transaction's presume-ABORTED claim on the next version
+    slot must not permanently block the r9 DML verbs (r10 ADVICE medium):
+    update_mor / delete_mor_pos / optimize_incremental clear the stale
+    claim exactly the way plain _commit does (dual-marker refusal intact)
+    and commit into the freed slot, instead of recomputing the same v,
+    failing the link max_retries times, and raising CommitConflict forever."""
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+        recover_stale_txns,
+    )
+
+    def crash_claim(t: VersionedTable, name: str) -> None:
+        # coordinator claims the next slot, dies before the commit point;
+        # maintenance presumes abort (marker written, claim manifest stays)
+        tx = LakehouseTransaction(str(tmp_path / f"txns_{name}"))
+        tx.append(t, spark.range(5).select(F.col("id").alias("k"), F.lit(0.0).alias("v")))
+        assert recover_stale_txns(str(tmp_path / f"txns_{name}"), max_age_s=0) == [tx.tid]
+
+    base = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+
+    # --- update_mor commits through the stale claim
+    t = VersionedTable(spark, str(tmp_path / "u"))
+    t.overwrite(base)
+    crash_claim(t, "u")
+    assert t.update_mor("k < 10", {"v": "v + 1000.0"}) == 2
+    assert t.read().filter("k < 10 AND v < 1000").count() == 0
+
+    # --- delete_mor_pos commits through the stale claim
+    t = VersionedTable(spark, str(tmp_path / "d"))
+    t.overwrite(base)
+    crash_claim(t, "d")
+    assert t.delete_mor_pos("k < 10") == 2
+    assert t.read().count() == 90
+
+    # --- optimize_incremental commits through the stale claim
+    t = VersionedTable(spark, str(tmp_path / "o"))
+    t.overwrite(base.repartitionByRange(2, "k"))
+    t.append(spark.range(50).select((F.col("id") * 2).alias("k"), F.lit(0.0).alias("v")))
+    crash_claim(t, "o")
+    res = t.optimize_incremental("k")
+    assert res["version"] == 3 and res["rewritten"] >= 2
+    assert t.read().count() == 150
+
+
+def test_position_tombstones_survive_table_move(spark, tmp_path):
+    """Position tombstones are TABLE-ROOT-RELATIVE (r10 ADVICE medium):
+    every other manifest reference survives a table relocation, and the
+    pos-tombstone anti-join must too — the old absolute-URI tombstones
+    silently matched nothing after a move and resurrected every deleted/
+    pre-update row. Also pins the failure mode for unresolvable LEGACY
+    absolute tombstones: raise, never silently resurrect."""
+    import shutil
+
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    base = spark.range(100).select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+
+    # --- delete_mor_pos, then MOVE the table: deletes must hold
+    src = str(tmp_path / "orig")
+    t = VersionedTable(spark, src)
+    t.overwrite(base)
+    t.delete_mor_pos("k < 10")
+    t.update_mor("k >= 90", {"v": "v + 1000.0"})
+    moved = str(tmp_path / "relocated")
+    shutil.move(src, moved)
+    m = VersionedTable(spark, moved)
+    assert m.read().count() == 90                      # deletes held
+    assert m.read().filter("k < 10").count() == 0
+    assert m.read().filter("k >= 90 AND v < 1000").count() == 0  # update held
+    # stacking another MOR verb at the new location keeps working
+    m.delete_mor_pos("k BETWEEN 10 AND 19")
+    assert m.read().count() == 80
+
+    # --- a LEGACY absolute tombstone from a root the table left: raise
+    leg = str(tmp_path / "legacy")
+    t2 = VersionedTable(spark, leg)
+    t2.overwrite(base)
+    t2.delete_mor_pos("k < 5")
+    dv_dir = t2._manifest(2)["pos_dv_dirs"][0]
+    # overwrite the tombstone file with absolute URIs under a FOREIGN root
+    spark.createDataFrame(
+        [(f"file:/somewhere/else/_v1-dead/part-{i}.parquet", i) for i in range(5)],
+        "__pos_f string, __pos_ri bigint",
+    ).write.mode("overwrite").parquet(str(tmp_path / "legacy" / dv_dir))
+    with pytest.raises(Exception, match="outside table root"):
+        t2.read().count()

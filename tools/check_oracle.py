@@ -100,17 +100,14 @@ def main() -> int:
             n_fail += 1
             failures.append(name)
             continue
-        if q.oracle is None:
-            _done()
-            print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
-            n_rows_only += 1
-            continue
-        # Schema lint BEFORE hashing: the driver's canonicalizer sorts result
-        # columns with pandas, which raises `TypeError: unhashable type:
-        # 'list'` on list cells (r5's only red row, l4_inverted_index — a
-        # top-level array<long> column that OUR _norm serialized fine, so
-        # local green hid driver red). Gated SQL-oracle outputs must be
-        # scalar columns only; stringify arrays with concat_ws/array_join.
+        # Schema lint BEFORE hashing — and BEFORE the rows-only early-out:
+        # the driver's canonicalizer sorts result columns with pandas, which
+        # raises `TypeError: unhashable type: 'list'` on list cells (r5's red
+        # row l4_inverted_index was SQL-oracle; r9's red row
+        # x_approx_percentiles was rows-only — the lint used to sit after the
+        # oracle-is-None continue, so rows-only queries were a blind spot the
+        # driver found). EVERY registered query's output must be scalar
+        # columns only; stringify arrays with concat_ws/array_join.
         # decimal joins the list (r4's HUGEINT class, Spark-side): the
         # driver renders Decimal cells differently than float/int even
         # when values agree — cast outputs to BIGINT/DOUBLE.
@@ -124,6 +121,11 @@ def main() -> int:
                   f"canonicalize list cells; stringify: {', '.join(complex_cols)}")
             n_fail += 1
             failures.append(name)
+            continue
+        if q.oracle is None:
+            _done()
+            print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_rows_only += 1
             continue
         try:
             # Type lint BEFORE hashing: DuckDB widens SUM(BIGINT) to HUGEINT

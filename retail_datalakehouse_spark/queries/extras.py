@@ -1674,6 +1674,49 @@ def x_bloom_index_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(F.col("o_orderkey").alias("k"), "o_totalprice")
 
 
+@register("x_bloom_sidecar_chunked", oracle=_POINT_BLOOM_SQL, tags=("S6", "P4"), doc="")
+def x_bloom_sidecar_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHUNKED bloom sidecar plane (r10): same point lookup as
+    x_bloom_index_sidecar, but the index is built with a chunk_files cap
+    far below the table's file count, so the sidecar head holds only
+    key-range CHUNK DESCRIPTORS (no per-file word arrays) and the probe
+    loads just the chunks covering zone-surviving files. In-query
+    assertions pin the layout (head has `chunks`, not `cols`), that
+    blooms still out-prune zone maps, and — via the oracle — that probes
+    keep exact results with no false negatives across the chunk
+    boundaries. At 10^6 files the monolithic sidecar costs ~1.2 GB of
+    driver JSON per PLAN (measured 14.5 s); the chunked plane is ~19 ms
+    flat (tools/bench_bloom_sidecar.py; SCALE.md round-10 table)."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    h32 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = o.withColumn("hkey", h32(F.col("o_orderkey")))
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_bloomchunk_"))
+    t.overwrite(d.repartition(12))  # hash-spread: zone maps are useless
+
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    keys = [mx // 7, mx // 3, (2 * mx) // 3, mx]
+    probes = [
+        r["hk"]
+        for r in spark.createDataFrame([(x,) for x in keys], "k long")
+        .select(h32(F.col("k")).alias("hk"))
+        .collect()
+    ]
+    _, n_zone, n_total = t.read_pruned_in("hkey", probes)
+    assert n_zone == n_total, (n_zone, n_total)
+    head = t.build_bloom_index(["hkey"], chunk_files=3)  # 12 files → 4 chunks
+    assert "chunks" in head and "cols" not in head, sorted(head)
+    assert len(head["chunks"]["hkey"]) == 4, head["chunks"]["hkey"]
+    df, n_bloom, _ = t.read_pruned_in("hkey", probes)
+    assert n_bloom < n_zone, (n_bloom, n_zone)
+    return df.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+
+
 _ASOF_TS_SQL = f"""
 WITH mx AS (SELECT MAX(o_orderkey) // 2 AS half FROM orders)
 SELECT CAST(year(o_orderdate) AS BIGINT) AS y,

@@ -2305,6 +2305,16 @@ class VersionedTable:
                         os.unlink(os.path.join(self._manifest_dir, c["path"]))
                     except FileNotFoundError:
                         pass
+                # bloom sidecars (head + chunk files) expire too — they are
+                # version-keyed and useless once the manifest is gone; the
+                # "bloom-v{N}." prefix cannot collide across versions
+                # ("bloom-v1." never prefixes "bloom-v10.json")
+                for f in os.listdir(self._manifest_dir):
+                    if f == f"bloom-v{v}.json" or f.startswith(f"bloom-v{v}."):
+                        try:
+                            os.unlink(os.path.join(self._manifest_dir, f))
+                        except FileNotFoundError:
+                            pass
                 os.unlink(os.path.join(self._manifest_dir, f"v{v}.json"))
         return removed
 
@@ -2478,12 +2488,14 @@ class VersionedTable:
         # equality probe. No false negatives: bloom_test mirrors the
         # build's position math bit-for-bit.
         blooms = self._bloom_sidecar(v) if keep else None
-        if blooms and phys in blooms.get("cols", {}):
+        if blooms and (
+            phys in blooms.get("cols", {}) or phys in blooms.get("chunks", {})
+        ):
             from ..operators.bloom import bloom_test
 
             hs = self._hash_probe_values(values, blooms["dtypes"][phys])
             bm, bk = blooms["m_bits"], blooms["k"]
-            per_file = blooms["cols"][phys]
+            per_file = self._bloom_words_for(blooms, phys, keep)
             keep = [
                 p
                 for p in keep
@@ -2634,6 +2646,7 @@ class VersionedTable:
         m_bits: int | None = None,
         k: int = 7,
         version: int | None = None,
+        chunk_files: int = 1000,
     ) -> dict:
         """Per-file Bloom-filter index for point-lookup file skipping —
         the Hudi bloom-index / Delta ``CREATE BLOOMFILTER INDEX`` idea.
@@ -2647,13 +2660,25 @@ class VersionedTable:
         Build is ONE distributed column-pruned scan per call (all
         ``cols`` together): xxhash64 → k positions → two-phase
         ``groupBy(file, word).bit_or`` (operators/bloom.py::
-        bloom_words_by_file_df); the driver collects ≤ files×m_bits/64
-        words and writes a SIDECAR next to the manifest
-        (``bloom-v{N}.json``, tmp+rename — idempotent, deterministic
-        content, so concurrent builders converge). The committed
-        manifest itself is never mutated. At 100 TB: index build cost is
-        a single scan of the indexed columns; probe cost is O(files)
-        driver bit math at PLAN time, zero data reads for skipped files.
+        bloom_words_by_file_df). The committed manifest itself is never
+        mutated.
+
+        The sidecar plane is CHUNKED above ``chunk_files`` files, like
+        the r9 chunked stats manifests: per-file word arrays stream to
+        per-column CHUNK files (``bloom-v{N}.c{ci}.{i}.json``, ≤
+        ``chunk_files`` files each, key-range-descriptored from the
+        ``bloom-v{N}.json`` head) via ``toLocalIterator`` over a
+        file-sorted aggregate — the driver holds ONE chunk at a time,
+        never the table's whole word matrix (the old monolithic build
+        collected every per-file array: ~2 KB/file ⇒ ~2 GB of driver
+        JSON at 10^6 files, a plan-time scale-killer — r9 VERDICT item
+        3). Probes load only the chunks whose key range covers a
+        zone-surviving file. At or below ``chunk_files`` files the
+        sidecar stays a single JSON (same shape as always). Both
+        layouts are deterministic tmp+rename — idempotent, concurrent
+        builders converge. At 100 TB: build cost is a single scan of
+        the indexed columns; probe cost is O(zone-surviving chunks)
+        JSON loads + driver bit math, flat in table file count.
 
         Raises on merge-on-read versions (file grain lies under
         deletion vectors) and when the manifest carries no per-file
@@ -2721,27 +2746,94 @@ class VersionedTable:
             return p if r.startswith("..") else r
 
         n_words = m_bits // 64
-        sidecar_cols: dict = {}
-        for c in cols:
-            per_file: dict = {}
-            for r in bloom_words_by_file_df(
-                df, c, m_bits=m_bits, k=k
-            ).collect():
-                words = per_file.setdefault(_rel(r["file"]), [0] * n_words)
-                words[r["w"]] = r["word"]
-            sidecar_cols[c] = per_file
-        sidecar = {
+        # canonical chunk boundaries come from the MANIFEST's file list
+        # (identical for every column — a column all-NULL in some file
+        # must not shift another column's chunk ranges): sorted keys,
+        # sliced into ranges of ≤ chunk_files
+        data_dir_name = entry["data_dir"]
+        canon = sorted(
+            os.path.join(f.get("dir", data_dir_name), f["path"])
+            for f in entry_files
+        )
+        chunked = len(canon) > chunk_files
+        ranges = [
+            (canon[i], canon[min(i + chunk_files, len(canon)) - 1])
+            for i in range(0, len(canon), chunk_files)
+        ]
+        chunk_of = {
+            key: i
+            for i, lo in enumerate(range(0, len(canon), chunk_files))
+            for key in canon[lo : lo + chunk_files]
+        }
+
+        def _iter_col(c):
+            """(key, dense words) per file holding ≥1 non-NULL value of
+            ``c`` — streamed partition-by-partition (toLocalIterator), so
+            the driver never materializes the full word matrix."""
+            g = (
+                bloom_words_by_file_df(df, c, m_bits=m_bits, k=k)
+                .groupBy("file")
+                .agg(F.sort_array(F.collect_list(F.struct("w", "word"))).alias("ww"))
+                .orderBy("file")
+            )
+            for r in g.toLocalIterator():
+                words = [0] * n_words
+                for e in r["ww"]:
+                    words[e["w"]] = e["word"]
+                yield _rel(r["file"]), words
+
+        def _write_json(path: str, obj) -> None:
+            tmp = path + f".{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
+            os.replace(tmp, path)  # deterministic content → converging CAS
+
+        head: dict = {
             "version": v,
             "m_bits": m_bits,
             "k": k,
             "dtypes": {c: dtypes[c] for c in cols},
-            "cols": sidecar_cols,
         }
-        tmp = self._bloom_sidecar_path(v) + f".{uuid.uuid4().hex[:8]}.tmp"
-        with open(tmp, "w") as f:
-            json.dump(sidecar, f)
-        os.replace(tmp, self._bloom_sidecar_path(v))
-        return sidecar
+        if not chunked:
+            head["cols"] = {c: dict(_iter_col(c)) for c in cols}
+            _write_json(self._bloom_sidecar_path(v), head)
+            return head
+        head["chunks"] = {}
+        for ci, c in enumerate(cols):
+            descs = [
+                {"path": f"bloom-v{v}.c{ci}.{i}.json", "lo": lo, "hi": hi, "n": 0}
+                for i, (lo, hi) in enumerate(ranges)
+            ]
+            bufs: dict[int, dict] = {}
+            for key, words in _iter_col(c):
+                i = chunk_of.get(key)
+                if i is None:
+                    # a file outside the manifest list (shouldn't happen —
+                    # the scan reads exactly the manifest dirs) would make
+                    # probes silently miss it; fail the build instead
+                    raise RuntimeError(
+                        f"bloom build saw file {key} absent from the "
+                        f"manifest's file list at {self.path}"
+                    )
+                buf = bufs.setdefault(i, {})
+                buf[key] = words
+                # sorted streaming completes chunks in order: flush as
+                # soon as a chunk has every file it can have (files
+                # all-NULL in this column never arrive — flushed at end)
+                if len(buf) == min(chunk_files, len(canon) - i * chunk_files):
+                    descs[i]["n"] = len(buf)
+                    _write_json(
+                        os.path.join(self._manifest_dir, descs[i]["path"]),
+                        bufs.pop(i),
+                    )
+            for i, buf in bufs.items():
+                descs[i]["n"] = len(buf)
+                _write_json(
+                    os.path.join(self._manifest_dir, descs[i]["path"]), buf
+                )
+            head["chunks"][c] = descs
+        _write_json(self._bloom_sidecar_path(v), head)
+        return head
 
     def _bloom_sidecar(self, version: int) -> dict | None:
         p = self._bloom_sidecar_path(version)
@@ -2749,6 +2841,40 @@ class VersionedTable:
             return None
         with open(p) as f:
             return json.load(f)
+
+    def _bloom_words_for(
+        self, head: dict, col: str, keys: list[str]
+    ) -> dict:
+        """Per-file bloom words for exactly the requested file keys.
+        Monolithic heads answer from the in-head dict; CHUNKED heads load
+        only the chunk files whose [lo, hi] key range covers a requested
+        key — plan-time I/O is O(zone-surviving chunks), flat in table
+        file count (the r9 stats-chunk property, applied to blooms). A
+        key absent from every chunk had zero non-NULL values (skip); a
+        descriptor with no written file means its whole slice was
+        all-NULL (same skip)."""
+        if "cols" in head:
+            return head["cols"].get(col, {})
+        import bisect
+
+        descs = head.get("chunks", {}).get(col, [])
+        los = [d["lo"] for d in descs]  # sorted, non-overlapping ranges
+        needed = set()
+        for key in keys:
+            i = bisect.bisect_right(los, key) - 1
+            if i >= 0 and key <= descs[i]["hi"]:
+                needed.add(i)
+        out: dict = {}
+        want = set(keys)
+        for i in sorted(needed):
+            p = os.path.join(self._manifest_dir, descs[i]["path"])
+            try:
+                with open(p) as f:
+                    chunk = json.load(f)
+            except FileNotFoundError:
+                continue  # all-NULL slice: never written — nothing can match
+            out.update((k, w) for k, w in chunk.items() if k in want)
+        return out
 
     def _hash_probe_values(self, values: list, dtype: str) -> list[int]:
         """xxhash64 of each probe value, computed BY SPARK on a one-row-

@@ -2102,3 +2102,57 @@ def test_position_tombstones_survive_table_move(spark, tmp_path):
     ).write.mode("overwrite").parquet(str(tmp_path / "legacy" / dv_dir))
     with pytest.raises(Exception, match="outside table root"):
         t2.read().count()
+
+
+def test_bloom_sidecar_chunked_plane(spark, tmp_path):
+    """Above chunk_files the bloom sidecar splits into per-column chunk
+    files with key-range descriptors (r9 VERDICT item 3 — the last
+    driver-side O(files) JSON plane): the head carries no word arrays,
+    probes stay exact (no false negatives), and vacuum expires chunks
+    with their version."""
+    import json as _json
+    import os as _os
+
+    df = spark.range(0, 4000).select(
+        F.col("id"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hkey"),
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df.repartition(16))
+
+    probes = [r["hkey"] for r in df.filter(F.col("id").isin([7, 1234, 3999])).collect()]
+    sc = t.build_bloom_index(["hkey"], chunk_files=4)
+    assert "chunks" in sc and "cols" not in sc
+    descs = sc["chunks"]["hkey"]
+    assert len(descs) == 4 and all(d["lo"] <= d["hi"] for d in descs)
+    head = _json.load(open(t._bloom_sidecar_path(1)))
+    assert "cols" not in head  # head is O(chunks), never O(files)
+    chunk_files_on_disk = [
+        f for f in _os.listdir(t._manifest_dir) if f.startswith("bloom-v1.c")
+    ]
+    assert len(chunk_files_on_disk) == 4
+
+    got, n_bloom, n_total = t.read_pruned_in("hkey", probes)
+    assert n_total == 16 and n_bloom < n_total
+    # no false negatives: every probed row comes back
+    assert sorted(r["id"] for r in got.collect()) == [7, 1234, 3999]
+    # a key outside the table prunes everything (whp at this FP rate)
+    miss, n_miss, _ = t.read_pruned_in("hkey", [999_999_999_999])
+    assert n_miss <= 1 and miss.filter(F.col("hkey") == 999_999_999_999).count() == 0
+
+    # chunked ≡ monolithic: same per-file words either layout
+    mono = t.build_bloom_index(["hkey"], chunk_files=1_000_000)
+    whole = {}
+    for d in descs:
+        p = _os.path.join(t._manifest_dir, d["path"])
+        if _os.path.exists(p):
+            whole.update(_json.load(open(p)))
+    assert whole == mono["cols"]["hkey"]
+
+    # vacuum expires the head AND its chunk files with the version
+    t.overwrite(df.limit(10))
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    left = [f for f in _os.listdir(t._manifest_dir) if f.startswith("bloom-v1")]
+    assert left == []

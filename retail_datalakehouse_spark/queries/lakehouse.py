@@ -689,6 +689,68 @@ def x_write_time_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "x_cdf_update_mor",
+    # Net-diff classification of an update_mor → delete_mor_pos chain,
+    # served PURELY from write-time deltas (changes_feed): %5 keys net to
+    # update pre+post images, %7 keys to deletes, and %35 keys (updated
+    # THEN deleted) must net to a single delete carrying the ORIGINAL v1
+    # preimage — the composition semantics only hold if the MOR verbs
+    # record their deltas in the same commit as their tombstones.
+    oracle="""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 50.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM v1),
+v3 AS (SELECT * FROM v2 WHERE o_orderkey % 7 != 0),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.o_totalprice AS pre_price, b.o_totalprice AS post_price,
+         a.o_orderkey IS NOT NULL AS in_a, b.o_orderkey IS NOT NULL AS in_b
+  FROM v1 a FULL OUTER JOIN v3 b ON a.o_orderkey = b.o_orderkey)
+SELECT o_orderkey, post_price AS o_totalprice, 'insert' AS _change_type
+FROM j WHERE NOT in_a AND in_b
+UNION ALL
+SELECT o_orderkey, pre_price, 'delete' FROM j WHERE in_a AND NOT in_b
+UNION ALL
+SELECT o_orderkey, pre_price, 'update_preimage'
+FROM j WHERE in_a AND in_b AND pre_price IS DISTINCT FROM post_price
+UNION ALL
+SELECT o_orderkey, post_price, 'update_postimage'
+FROM j WHERE in_a AND in_b AND pre_price IS DISTINCT FROM post_price
+""",
+    tags=("S7", "S6"),
+)
+def x_cdf_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed ACROSS the merge-on-read verbs (r10): update_mor
+    records preimage+postimage deltas and delete_mor_pos records delete
+    deltas IN THE SAME O(changed) commit as their position tombstones, so
+    a record_cdf table keeps its write-time feed when the MOR verbs touch
+    it — before this, the feed broke (changes_feed raised) the moment a
+    MOR update landed, forcing a full two-snapshot diff. The oracle pins
+    the netting: a key updated THEN deleted inside the range nets to one
+    delete carrying the ORIGINAL preimage. At 100 TB the feed reads a few
+    O(|changes|) delta files; the snapshot diff joins two table-sized
+    reads."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_morcdf_"),
+        record_cdf=True, cdf_keys=["o_orderkey"],
+    )
+    t.overwrite(o.filter(F.col("o_orderkey") < 2000))  # v1
+    t.update_mor("o_orderkey % 5 = 0", {"o_totalprice": "o_totalprice + 50.0"})
+    t.delete_mor_pos("o_orderkey % 7 = 0")
+    assert t._manifest(2)["cdf_dir"] and t._manifest(3)["cdf_dir"]
+    return t.changes_feed(1, 3)
+
+
+@register(
     "s7_merge_partial",
     # The update rows deliberately carry a poisoned status ('X'): matched
     # keys must IGNORE it (status is not in the SET list) while inserted

@@ -1370,7 +1370,16 @@ class VersionedTable:
             token = uuid.uuid4().hex[:8]
             dv_dirname = f"_dv{v}-{token}"
             dv_dir = os.path.join(self.path, dv_dirname)
-            self.read().filter(cond).select(*keys).write.mode("overwrite").parquet(dv_dir)
+            matched = self.read().filter(cond)
+            matched.select(*keys).write.mode("overwrite").parquet(dv_dir)
+            # record_cdf tables keep their O(|changes|) feed across MOR
+            # deletes: the matched rows' full images are the delete deltas
+            cdf_dirname = None
+            if self._record_cdf:
+                cdf_dirname = f"_cdf-v{v}-{token}"
+                matched.withColumn("_change_type", F.lit("delete")).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(self.path, cdf_dirname))
             os.makedirs(self._manifest_dir, exist_ok=True)
             entry = {
                 "version": v,
@@ -1422,6 +1431,7 @@ class VersionedTable:
                 "committed_at": time.time(),
                 "txn": dict(self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})),
             }
+            entry["cdf_dir"] = cdf_dirname
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1430,6 +1440,10 @@ class VersionedTable:
                 if self._link_version_slot(tmp, final, v):
                     return v
                 shutil.rmtree(dv_dir, ignore_errors=True)
+                if cdf_dirname:
+                    shutil.rmtree(
+                        os.path.join(self.path, cdf_dirname), ignore_errors=True
+                    )
                 continue  # rebase: re-evaluate condition on the winner's snapshot
             finally:
                 os.unlink(tmp)
@@ -1706,6 +1720,24 @@ class VersionedTable:
             )
             updated.write.mode("overwrite").parquet(upd_dir)
             n_changed = _parquet_num_rows(upd_dir)
+            # record_cdf tables keep their O(|changes|) feed across the MOR
+            # verb: write preimages (matched, pre-update) + postimages
+            # (updated) in the SAME commit, exactly what a copy-on-write
+            # merge records — changes_feed composes them unchanged
+            cdf_dirname = None
+            if self._record_cdf:
+                cdf_dirname = f"_cdf-v{v}-{token}"
+                (
+                    matched.select(*logical_cols)
+                    .withColumn("_change_type", F.lit("update_preimage"))
+                    .unionByName(
+                        updated.withColumn(
+                            "_change_type", F.lit("update_postimage")
+                        )
+                    )
+                    .write.mode("overwrite")
+                    .parquet(os.path.join(self.path, cdf_dirname))
+                )
             os.makedirs(self._manifest_dir, exist_ok=True)
             entry = {
                 "version": v,
@@ -1746,6 +1778,7 @@ class VersionedTable:
                     self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})
                 ),
             }
+            entry["cdf_dir"] = cdf_dirname
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1755,6 +1788,10 @@ class VersionedTable:
                     return v
                 shutil.rmtree(dv_dir, ignore_errors=True)
                 shutil.rmtree(upd_dir, ignore_errors=True)
+                if cdf_dirname:
+                    shutil.rmtree(
+                        os.path.join(self.path, cdf_dirname), ignore_errors=True
+                    )
                 continue  # rebase onto the winner's snapshot
             finally:
                 os.unlink(tmp)
@@ -1894,9 +1931,18 @@ class VersionedTable:
             dv_dir = os.path.join(self.path, dv_dirname)
             # positions of rows matching the predicate, EXCLUDING rows
             # already tombstoned by stacked position deletes
-            self._read_with_positions(p_entry).filter(cond).select(
-                "__pos_f", "__pos_ri"
-            ).write.mode("overwrite").parquet(dv_dir)
+            matched = self._read_with_positions(p_entry).filter(cond)
+            matched.select("__pos_f", "__pos_ri").write.mode("overwrite").parquet(
+                dv_dir
+            )
+            cdf_dirname = None
+            if self._record_cdf:
+                cdf_dirname = f"_cdf-v{v}-{token}"
+                matched.drop("__pos_f", "__pos_ri").withColumn(
+                    "_change_type", F.lit("delete")
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.path, cdf_dirname)
+                )
             os.makedirs(self._manifest_dir, exist_ok=True)
             entry = {
                 "version": v,
@@ -1938,6 +1984,7 @@ class VersionedTable:
                     self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})
                 ),
             }
+            entry["cdf_dir"] = cdf_dirname
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1946,6 +1993,10 @@ class VersionedTable:
                 if self._link_version_slot(tmp, final, v):
                     return v
                 shutil.rmtree(dv_dir, ignore_errors=True)
+                if cdf_dirname:
+                    shutil.rmtree(
+                        os.path.join(self.path, cdf_dirname), ignore_errors=True
+                    )
                 continue  # rebase: re-evaluate on the winner's snapshot
             finally:
                 os.unlink(tmp)

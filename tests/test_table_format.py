@@ -2156,3 +2156,50 @@ def test_bloom_sidecar_chunked_plane(spark, tmp_path):
     t.vacuum(retain_last=1, orphan_retention_s=0)
     left = [f for f in _os.listdir(t._manifest_dir) if f.startswith("bloom-v1")]
     assert left == []
+
+
+def test_changes_feed_across_mor_verbs(spark, tmp_path):
+    """record_cdf tables keep their O(|changes|) write-time feed across
+    the merge-on-read verbs (r9 VERDICT item 4): update_mor records
+    preimage+postimage deltas and delete_mor / delete_mor_pos record
+    delete deltas IN THE SAME COMMIT, so changes_feed composes the whole
+    range without ever diffing snapshots — and nets to exactly what the
+    snapshot diff changes() computes."""
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    def norm(df):
+        return sorted(
+            (r["k"], r["v"], r["_change_type"])
+            for r in df.select("k", "v", "_change_type").collect()
+        )
+
+    # --- update_mor
+    t = VersionedTable(spark, str(tmp_path / "u"), record_cdf=True, cdf_keys=["k"])
+    t.overwrite(spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    v2 = t.update_mor("k < 5", {"v": "v + 100.0"})
+    assert v2 == 2
+    feed = t.changes_feed(1, 2)
+    assert norm(feed) == norm(t.changes(1, 2, keys=["k"]))
+    assert feed.filter("_change_type = 'update_postimage'").count() == 5
+    assert feed.filter("_change_type = 'update_preimage' AND v >= 100").count() == 0
+
+    # --- delete_mor_pos, composed across the update in ONE feed range
+    t.delete_mor_pos("k >= 18")
+    feed = t.changes_feed(1, 3)
+    assert norm(feed) == norm(t.changes(1, 3, keys=["k"]))
+    assert feed.filter("_change_type = 'delete'").count() == 2
+
+    # --- delete_mor (keyed tombstones) on its own chain
+    t2 = VersionedTable(spark, str(tmp_path / "d"), record_cdf=True, cdf_keys=["k"])
+    t2.overwrite(spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    t2.delete_mor("k IN (1, 3)", keys=["k"])
+    feed = t2.changes_feed(1, 2)
+    assert norm(feed) == norm(t2.changes(1, 2, keys=["k"]))
+    assert sorted(r["k"] for r in feed.collect()) == [1, 3]
+
+    # non-record_cdf tables keep the old contract: the verb commits no
+    # feed, and changes_feed refuses the range (snapshot diff still works)
+    t3 = VersionedTable(spark, str(tmp_path / "n"))
+    t3.overwrite(spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
+    t3.update_mor("k < 2", {"v": "v + 1.0"})
+    assert t3._manifest(2)["cdf_dir"] is None

@@ -2154,6 +2154,54 @@ def x_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "x_incremental_hidden_prune",
+    oracle=_HIDDEN_PART_SQL,
+    tags=("S6", "P4", "S3"),
+    doc="",
+)
+def x_incremental_hidden_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning × INCREMENTAL appends (r10): a hidden-
+    partitioned table takes AddFile appends — each batch writes its OWN
+    dir with the parent's derived hive layout and the manifest chains
+    base_dirs forward, so an hourly append to a 100 TB hidden table
+    costs the hour, not a rewrite (before r10 it materialized the whole
+    snapshot). Scan planning then prunes hive dirs PER CHAINED
+    DIRECTORY — before r10 any base_dirs chain silently fell back to an
+    unpruned full read (-1/-1). Asserted in-query: the append commit
+    carries base_dirs (AddFile, not a rewrite); the 9-month probe keeps
+    exactly 9 subdirs per chained dir with REAL counts; results equal
+    the oracle's plain date predicate over pristine orders."""
+    import datetime as dt
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    half = o.agg((F.max("o_orderkey") / 2).cast("long")).first()[0]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_hidinc_"))
+    t.overwrite(
+        o.filter(F.col("o_orderkey") <= half),
+        hidden_partition=("month", "o_orderdate"),
+    )
+    v2 = t.append(o.filter(F.col("o_orderkey") > half))
+    m2 = t._manifest(v2)
+    assert m2.get("base_dirs") and m2.get("hidden_partition"), m2.keys()
+
+    lo, hi = dt.date(1996, 2, 1), dt.date(1996, 10, 31)
+    pruned, n_read, n_total = t.read_hidden(lo, hi)
+    # REAL per-dir counts (no -1/-1 fallback): ≤9 month-dirs per chained
+    # dir survive, out of every month-dir both dirs hold
+    assert 0 < n_read <= 18 and n_total > n_read, (n_read, n_total)
+
+    return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+
+
 _JOIN_HINTS_SQL = f"""
 SELECT n_name AS nation,
        COUNT(*) AS n_customers,
@@ -2607,4 +2655,71 @@ def x_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("l_quantity", scale=2).alias("qty"),
         dsum("l_discount", scale=2).alias("disc"),
         dsum("l_extendedprice", scale=2).alias("price"),
+    )
+
+
+_UPDATE_MOR_PART_SQL = f"""
+WITH t AS (
+  SELECT o_orderpriority,
+         CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderdate
+  FROM orders)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t
+WHERE o_orderdate BETWEEN DATE '1996-02-01' AND DATE '1996-10-31'
+GROUP BY 1
+"""
+
+
+@register(
+    "x_update_mor_partitioned",
+    oracle=_UPDATE_MOR_PART_SQL,
+    tags=("S7", "S6", "P4"),
+    doc="",
+)
+def x_update_mor_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE over a HIDDEN-partitioned layout (r10
+    inherit_layout — the r9 compact-first guard is gone): the update
+    directory re-derives the parent's month(o_orderdate) transform and
+    writes the same hive layout, the manifest keeps declaring the spec,
+    and the commit stays O(changed) while every pre-existing hive
+    directory rides untouched. A real lakehouse updates partitioned
+    tables in place — at 100 TB the alternative was a full-table compact
+    before every correction pass. In-query audit: the manifest carries
+    both hidden_partition and partition_by across the update; the update
+    dir holds hive subdirs on disk; read_hidden keeps serving exact rows
+    (anti-join fallback while tombstones pend). The oracle recomputes the
+    update relationally over a pruned month range, so the hash proves
+    MOR resolution composes with the layout — no row lost, duplicated,
+    or served from a stale image."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "o_orderdate",
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_updmorp_"))
+    t.overwrite(o, hidden_partition=("month", "o_orderdate"))
+    v2 = t.update_mor(
+        "o_orderstatus = 'F'", {"o_totalprice": "o_totalprice * 1.1"}
+    )
+    e2 = t._manifest(v2)
+    assert e2["hidden_partition"]["transform"] == "month"
+    assert e2["partition_by"] == [e2["hidden_partition"]["name"]]
+    upd = os.path.join(t.path, e2["data_dir"])
+    assert any(s.startswith("__p_") for s in os.listdir(upd)), os.listdir(upd)
+
+    lo, hi = dt.date(1996, 2, 1), dt.date(1996, 10, 31)
+    pruned, n_read, n_total = t.read_hidden(lo, hi)
+    assert (n_read, n_total) == (-1, -1)  # pending tombstones: exact fallback
+    return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
     )

@@ -991,9 +991,18 @@ class VersionedTable:
                 if last is not None and int(last) >= txn[1]:
                     return parent  # replay — already applied
             p_entry = self._manifest(parent)
+            hidden_spec = p_entry.get("hidden_partition")
             if (
                 self._is_mor(p_entry)
-                or p_entry.get("partition_by")
+                # HIDDEN-partitioned parents stay AddFile-eligible: the new
+                # batch writes its OWN dir with the same derived hive
+                # layout (read_hidden plans per chained directory), so an
+                # hourly append to a hidden-partitioned 100 TB table costs
+                # the hour, not a full rewrite. Plain hive (user-visible
+                # partition_by) still materializes: its partition VALUES
+                # live only in dir names, and multi-root hive reads need
+                # per-dir planning the plain read paths don't do.
+                or (p_entry.get("partition_by") and not hidden_spec)
                 or p_entry.get("column_renames")
                 or p_entry.get("column_drops")
             ):
@@ -1014,15 +1023,27 @@ class VersionedTable:
                 p_files = [
                     f if "dir" in f else {**f, "dir": p_dir} for f in p_files
                 ]
+            # parent column order: multi-dir parquet reads resolve
+            # columns by name, but keep the files uniform anyway
+            staged = df.select(*[f.name for f in cur_schema.fields])
+            pb = None
+            if hidden_spec:
+                # re-derive the parent's hidden transform column so the
+                # new dir carries the SAME hive layout — read_hidden
+                # prunes each chained dir by its own subdirectories
+                staged = staged.withColumn(
+                    hidden_spec["name"], _hidden_partition_col(hidden_spec)
+                )
+                pb = [hidden_spec["name"]]
             try:
                 return self._try_commit(
-                    # parent column order: multi-dir parquet reads resolve
-                    # columns by name, but keep the files uniform anyway
-                    df.select(*[f.name for f in cur_schema.fields]),
+                    staged,
                     "append",
                     parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
                     modified_keys=[],
+                    partition_by=pb,
+                    hidden_partition=hidden_spec,
                     cdf_df=(
                         df.withColumn("_change_type", F.lit("insert"))
                         if self._record_cdf
@@ -1678,12 +1699,6 @@ class VersionedTable:
                     "snapshot would resolve against directory reads; "
                     "compact first"
                 )
-            if p_entry.get("partition_by") or p_entry.get("hidden_partition"):
-                raise ValueError(
-                    "merge-on-read updates write an unpartitioned update "
-                    "directory next to a hive/hidden layout; compact first "
-                    "or use the copy-on-write merge"
-                )
             if p_entry.get("column_renames") or p_entry.get("column_drops"):
                 raise ValueError(
                     "merge-on-read updates next to column mapping would mix "
@@ -1718,7 +1733,23 @@ class VersionedTable:
             self.spark.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
-            updated.write.mode("overwrite").parquet(upd_dir)
+            # inherit_layout: a hive/hidden parent's update directory is
+            # written WITH the parent's layout re-derived (hidden specs
+            # recompute the engine column from its source), so the
+            # snapshot never mixes partitioned and flat dirs — a real
+            # lakehouse updates partitioned tables in place, no
+            # compact-first detour (the r9 guard this replaces)
+            hidden_spec = p_entry.get("hidden_partition")
+            pb = p_entry.get("partition_by")
+            to_write = updated
+            if hidden_spec:
+                to_write = updated.withColumn(
+                    hidden_spec["name"], _hidden_partition_col(hidden_spec)
+                )
+            w = to_write.write.mode("overwrite")
+            if pb:
+                w = w.partitionBy(*pb)
+            w.parquet(upd_dir)
             n_changed = _parquet_num_rows(upd_dir)
             # record_cdf tables keep their O(|changes|) feed across the MOR
             # verb: write preimages (matched, pre-update) + postimages
@@ -1751,8 +1782,12 @@ class VersionedTable:
                     *p_entry.get("base_dirs", []),
                     p_entry.get("data_dir", f"_v{parent}"),
                 ],
-                "partition_by": None,
+                # layout rides the manifest (the r8 delete_mor lesson: the
+                # data files are untouched, so dropping it made a later
+                # compact silently rewrite a partitioned snapshot flat)
+                "partition_by": pb,
                 "cluster_by": None,
+                **({"hidden_partition": hidden_spec} if hidden_spec else {}),
                 "cdf_dir": None,
                 **(
                     {"column_renames": p_entry["column_renames"]}
@@ -2473,9 +2508,12 @@ class VersionedTable:
             empty = self.read_version(v).filter(F.lit(False))
             return empty, 0, n_files
         reader = self.spark.read
-        if entry.get("partition_by"):
+        if entry.get("partition_by") and not entry.get("hidden_partition"):
             # explicit file list under a hive layout: basePath keeps the
-            # partition columns in the schema
+            # partition columns in the schema. HIDDEN layouts skip it: the
+            # derived column is dropped from the logical schema anyway,
+            # and a chained (AddFile) snapshot's files span several dirs —
+            # no single basePath is an ancestor of all of them
             reader = reader.option("basePath", data_dir)
         df = reader.parquet(*[os.path.join(self.path, p) for p in keep]).filter(
             rng(phys)
@@ -2557,7 +2595,9 @@ class VersionedTable:
             empty = self.read_version(v).filter(F.lit(False))
             return empty, 0, n_files
         reader = self.spark.read
-        if entry.get("partition_by"):
+        if entry.get("partition_by") and not entry.get("hidden_partition"):
+            # see read_pruned: hidden layouts drop the derived column and
+            # may chain dirs — basePath would mis-root the explicit list
             reader = reader.option(
                 "basePath", os.path.join(self.path, entry["data_dir"])
             )
@@ -2566,17 +2606,27 @@ class VersionedTable:
         )
         return self._apply_column_mapping(df, entry), len(keep), n_files
 
-    def _hidden_parts(self, entry: dict) -> tuple[dict, list[str]]:
+    def _hidden_parts(self, entry: dict) -> tuple[dict, dict[str, list[str]]]:
+        """(spec, {chained dir → its hive subdirectories}). Incremental
+        AddFile appends give a hidden-partitioned snapshot a base_dirs
+        CHAIN — each dir carries its own hive layout for the same spec,
+        so planning lists and prunes PER DIRECTORY (before r10 any chain
+        fell back to an unpruned full read)."""
         spec = entry.get("hidden_partition")
         if not spec:
             raise ValueError(
                 f"{self.path} snapshot has no hidden partitioning"
             )
-        data_dir = os.path.join(self.path, entry["data_dir"])
         prefix = spec["name"] + "="
-        return spec, [
-            d for d in os.listdir(data_dir) if d.startswith(prefix)
-        ]
+        dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
+        return spec, {
+            d: [
+                s
+                for s in os.listdir(os.path.join(self.path, d))
+                if s.startswith(prefix)
+            ]
+            for d in dirs
+        }
 
     @staticmethod
     def _hidden_dir_value(d: str) -> int | None:
@@ -2592,17 +2642,34 @@ class VersionedTable:
             return None
 
     def _read_hidden_parts(
-        self, entry: dict, spec: dict, keep: list[str], n_total: int, residual
+        self,
+        entry: dict,
+        spec: dict,
+        keep_by_dir: dict[str, list[str]],
+        n_total: int,
+        residual,
     ):
+        from functools import reduce
+
         from pyspark.sql import functions as F
 
-        data_dir = os.path.join(self.path, entry["data_dir"])
-        if not keep:
+        n_keep = sum(len(v) for v in keep_by_dir.values())
+        if n_keep == 0:
             empty = self.read_version(entry["version"]).filter(F.lit(False))
             return empty, 0, n_total
+        parts = []
+        for d, subs in keep_by_dir.items():
+            if not subs:
+                continue
+            base = os.path.join(self.path, d)
+            # basePath PER chained dir: each dir is its own hive root
+            parts.append(
+                self.spark.read.option("basePath", base).parquet(
+                    *[os.path.join(base, s) for s in subs]
+                )
+            )
         df = (
-            self.spark.read.option("basePath", data_dir)
-            .parquet(*[os.path.join(data_dir, d) for d in keep])
+            reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
             .filter(residual)
             .drop(spec["name"])
         )
@@ -2620,7 +2687,7 @@ class VersionedTable:
                 *[os.path.join(self.path, d) for d in dv_dirs]
             ).distinct()
             df = df.join(dv, on=entry["dv_keys"], how="left_anti")
-        return df, len(keep), n_total
+        return df, n_keep, n_total
 
     def read_hidden(
         self, lo, hi, version: int | None = None
@@ -2639,21 +2706,26 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         entry = self._manifest(v)
-        spec, parts = self._hidden_parts(entry)
+        spec, by_dir = self._hidden_parts(entry)
         residual = F.col(spec["source"]).between(F.lit(lo), F.lit(hi))
-        if entry.get("base_dirs") or entry.get("pos_dv_dirs"):
-            # incremental-append chains keep rows outside data_dir's hive
-            # layout — directory pruning can't see them; full-read fallback
+        if entry.get("pos_dv_dirs"):
+            # position tombstones resolve by (file, row_index) identity —
+            # the anti-join needs the _metadata lane; full-read fallback
             return self.read_version(v).filter(residual), -1, -1
         t = spec["transform"]
         plo = _hidden_partition_literal(t, lo)
         phi = _hidden_partition_literal(t, hi)
-        keep = [
-            d
-            for d in parts
-            if (pv := self._hidden_dir_value(d)) is not None and plo <= pv <= phi
-        ]
-        return self._read_hidden_parts(entry, spec, keep, len(parts), residual)
+        keep = {
+            d: [
+                s
+                for s in subs
+                if (pv := self._hidden_dir_value(s)) is not None
+                and plo <= pv <= phi
+            ]
+            for d, subs in by_dir.items()
+        }
+        n_total = sum(len(v2) for v2 in by_dir.values())
+        return self._read_hidden_parts(entry, spec, keep, n_total, residual)
 
     def read_hidden_in(
         self, values: list, version: int | None = None
@@ -2669,10 +2741,10 @@ class VersionedTable:
         from pyspark.sql import functions as F
 
         entry = self._manifest(v)
-        spec, parts = self._hidden_parts(entry)
+        spec, by_dir = self._hidden_parts(entry)
         residual = F.col(spec["source"]).isin(values)
-        if entry.get("base_dirs") or entry.get("pos_dv_dirs"):
-            # see read_hidden: incremental chains defeat directory pruning
+        if entry.get("pos_dv_dirs"):
+            # see read_hidden: position tombstones need the _metadata lane
             return self.read_version(v).filter(residual), -1, -1
         t = spec["transform"]
         if t.startswith("bucket:"):
@@ -2684,8 +2756,12 @@ class VersionedTable:
             }
         else:
             wanted = {_hidden_partition_literal(t, x) for x in values}
-        keep = [d for d in parts if self._hidden_dir_value(d) in wanted]
-        return self._read_hidden_parts(entry, spec, keep, len(parts), residual)
+        keep = {
+            d: [s for s in subs if self._hidden_dir_value(s) in wanted]
+            for d, subs in by_dir.items()
+        }
+        n_total = sum(len(v2) for v2 in by_dir.values())
+        return self._read_hidden_parts(entry, spec, keep, n_total, residual)
 
     def _bloom_sidecar_path(self, version: int) -> str:
         # MUST NOT match _versions()'s `v*.json` manifest glob
@@ -3225,7 +3301,24 @@ class VersionedTable:
         # incremental appends: the snapshot = carried-forward base dirs +
         # this commit's own directory (columns resolve by name)
         dirs = [*entry.get("base_dirs", []), entry.get("data_dir", f"_v{version}")]
-        df = self.spark.read.parquet(*[os.path.join(self.path, d) for d in dirs])
+        if entry.get("hidden_partition") and len(dirs) > 1:
+            # sibling dirs each carrying their own hive layout: a single
+            # multi-root read trips CONFLICTING_DIRECTORY_STRUCTURES; the
+            # derived column lives only in the dir names (and is dropped
+            # from the logical schema anyway), so read per dir and union
+            from functools import reduce
+
+            df = reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                [
+                    self.spark.read.parquet(os.path.join(self.path, d))
+                    for d in dirs
+                ],
+            )
+        else:
+            df = self.spark.read.parquet(
+                *[os.path.join(self.path, d) for d in dirs]
+            )
         # column mapping first: dv_keys recorded after a rename are
         # LOGICAL names, so tombstones anti-join the mapped schema
         df = self._apply_column_mapping(df, entry)

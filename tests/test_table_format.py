@@ -2000,11 +2000,19 @@ def test_update_mor_o_changed(spark, tmp_path):
     assert sorted((r.id, r.g, r.v) for r in t.read().collect()) == sorted(expect3)
     assert t.stats_agg("id")["n_rows"] == 490
 
-    # layout guards
+    # hive layouts update IN PLACE (r10 inherit_layout — the old
+    # compact-first guard is gone): the update dir is written WITH the
+    # parent's layout, the manifest keeps declaring it, results exact
     h = VersionedTable(spark, str(tmp_path / "hive"))
     h.overwrite(df, partition_by=["g"])
-    with pytest.raises(ValueError, match="compact first|copy-on-write"):
-        h.update_mor("g = 3", {"v": "v * 2"})
+    hv = h.update_mor("g = 3", {"v": "v * 2"})
+    mh = h._manifest(hv)
+    assert mh["partition_by"] == ["g"]
+    assert sorted((r.id, r.v) for r in h.read().filter("g = 3").collect()) == sorted(
+        (i, i * 2.0) for i in range(500) if i % 10 == 3
+    )
+    assert h.read().filter("g != 3 AND v != id").count() == 0
+    # column-mapping still guards (physical vs logical names in one scan)
     m = VersionedTable(spark, str(tmp_path / "mapped"))
     m.overwrite(df)
     m.rename_column("v", "val")
@@ -2203,3 +2211,96 @@ def test_changes_feed_across_mor_verbs(spark, tmp_path):
     t3.overwrite(spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")))
     t3.update_mor("k < 2", {"v": "v + 1.0"})
     assert t3._manifest(2)["cdf_dir"] is None
+
+
+def test_hidden_partition_incremental_append_prunes(spark, tmp_path):
+    """Hidden-partitioned parents are AddFile-eligible (r9 VERDICT item 5):
+    each appended batch writes its OWN dir with the parent's derived hive
+    layout, the manifest chains base_dirs, and read_hidden/read_hidden_in
+    plan hive dirs PER CHAINED DIRECTORY — partition counts stay real
+    (no -1/-1 unpruned fallback), results exact, O(batch) commits."""
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.to_date(
+                F.concat(F.lit("2024-0"), (F.col("id") % 6 + 1).cast("string"), F.lit("-15"))
+            ).alias("d"),
+        )
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(batch(0, 100), hidden_partition=("month", "d"))
+    v2 = t.append(batch(100, 200))
+    v3 = t.append(batch(200, 300))
+    m3 = t._manifest(v3)
+    # AddFile contract held: parent dirs carried, not rewritten
+    assert m3["operation"] == "append" and len(m3["base_dirs"]) == 2
+    assert m3["hidden_partition"]["transform"] == "month"
+    assert t.read_version(v3).count() == 300
+
+    # range scan: per-dir pruning with REAL counts (was -1/-1 fallback)
+    got, n_read, n_total = t.read_hidden("2024-03-01", "2024-03-31")
+    assert (n_read, n_total) == (3, 18)  # month=3 dir in each of 3 dirs
+    assert sorted(r.k for r in got.collect()) == sorted(
+        range(2, 300, 6)
+    )  # id%6==2 → month 3
+    # IN-list scan prunes the same way
+    got2, n2, nt2 = t.read_hidden_in(["2024-05-15"])
+    assert (n2, nt2) == (3, 18)
+    assert got2.count() == 50  # id%6==4 → month 5: 50 of 300
+
+    # key-tombstone MOR composes with chained pruning (dv anti-join on
+    # the pruned subset)
+    t.delete_mor("k < 10", keys=["k"])
+    got3, n3, nt3 = t.read_hidden("2024-03-01", "2024-03-31")
+    assert (n3, nt3) == (3, 18)
+    assert sorted(r.k for r in got3.collect()) == sorted(
+        k for k in range(2, 300, 6) if k >= 10
+    )
+
+
+def test_update_mor_over_hidden_layout(spark, tmp_path):
+    """update_mor over a HIDDEN-partitioned snapshot (r9 VERDICT item 6):
+    the update directory re-derives the parent's hidden transform column
+    and writes the same hive layout; the manifest keeps the spec; pruning
+    paths stay sound (read_hidden falls back to the anti-join read while
+    tombstones are pending, then prunes again after compaction with the
+    layout preserved)."""
+    from retail_datalakehouse_spark.sources.table_format import (
+        VersionedTable,
+        compact,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.to_date(
+            F.concat(F.lit("2024-0"), (F.col("id") % 6 + 1).cast("string"), F.lit("-15"))
+        ).alias("d"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(df, hidden_partition=("month", "d"))
+    v2 = t.update_mor("k % 10 = 0", {"v": "v + 1000.0"})
+    m2 = t._manifest(v2)
+    assert m2["hidden_partition"]["transform"] == "month"
+    assert m2["partition_by"] == [m2["hidden_partition"]["name"]]
+    # the update dir carries the derived hive layout on disk
+    import os as _os
+
+    upd = _os.path.join(str(tmp_path / "tbl"), m2["data_dir"])
+    assert any(s.startswith("__p_month_d=") for s in _os.listdir(upd))
+    # results exact; hidden column still absent from the logical schema
+    r = t.read()
+    assert r.columns == ["k", "d", "v"]
+    assert r.filter("k % 10 = 0 AND v < 1000").count() == 0
+    assert r.filter("k % 10 != 0 AND v >= 1000").count() == 0
+    assert r.count() == 300
+    # read_hidden serves exact rows while tombstones pend (fallback path)
+    got, n_read, n_total = t.read_hidden("2024-03-01", "2024-03-31")
+    assert got.count() == 50 and (n_read, n_total) == (-1, -1)
+    # compaction materializes; pruning returns with the layout intact
+    compact(t, target_partitions=2)
+    got2, n2, nt2 = t.read_hidden("2024-03-01", "2024-03-31")
+    assert got2.count() == 50 and n2 == 1 and nt2 == 6
+    assert got2.filter("k % 10 = 0 AND v < 1000").count() == 0

@@ -2723,3 +2723,109 @@ def x_update_mor_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_MOR_OVER_OPT_SQL = f"""
+WITH t AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100000.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderkey % 7 != 0)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register("x_mor_over_optimize", oracle=_MOR_OVER_OPT_SQL, tags=("S7", "S6"), doc="")
+def x_mor_over_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read verbs OVER an incremental-optimize snapshot (r10 —
+    file-granular manifests as the default read path): a clustered table
+    takes an overlapping append, optimize_incremental rewrites just the
+    overlap into a FILE-GRANULAR snapshot, and then delete_mor_pos and
+    update_mor land directly on it — position tombstones + image files
+    resolving against the EXPLICIT file list, never directory reads that
+    would resurrect the superseded originals. Before r10 both verbs
+    raised compact-first, forcing an O(table) rewrite between every
+    optimize and every correction pass. In-query audit: the optimize
+    snapshot and both MOR commits all carry file_granular; commits stay
+    O(changed). Oracle recomputes delete+update relationally."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_moropt_"))
+    # the append spans the WHOLE key range (every %3 key), so it overlaps
+    # every clustered file and the optimize genuinely rewrites
+    t.overwrite(
+        o.filter(F.col("o_orderkey") % 3 != 0), cluster_by=["o_orderkey"],
+        cluster_files=6,
+    )
+    t.append(o.filter(F.col("o_orderkey") % 3 == 0))
+    res = t.optimize_incremental("o_orderkey", rows_per_file=100_000)
+    assert t._manifest(res["version"])["file_granular"] is True
+
+    v_del = t.delete_mor_pos("o_orderkey % 7 = 0")
+    v_upd = t.update_mor(
+        "o_orderkey % 10 = 0", {"o_totalprice": "o_totalprice + 100000.0"}
+    )
+    assert t._manifest(v_del)["file_granular"] is True
+    assert t._manifest(v_upd)["file_granular"] is True
+
+    return t.read().groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+
+
+@register("x_bloom_over_optimize", oracle=_POINT_BLOOM_SQL, tags=("S6", "P4"), doc="")
+def x_bloom_over_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom sidecar OVER an incremental-optimize snapshot (r10): the
+    build scans the snapshot's EXPLICIT file list — the optimize dirs
+    also hold superseded originals whose words would poison the index
+    with phantom positives (worse: a probe could keep only a superseded
+    file). Before r10 the build raised compact-first. The table clusters
+    on o_totalprice so optimize finds overlap, while the probe key is the
+    hash-spread hkey zone maps can't prune — asserted in-query (zone keep
+    == total, bloom keep < total, on the file-granular snapshot). Oracle
+    = exact point lookup."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    h32 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c.cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    d = o.withColumn("hkey", h32(F.col("o_orderkey")))
+    n = o.count()
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_bloomopt_"))
+    t.overwrite(
+        d.filter(F.col("o_orderkey") % 3 != 0), cluster_by=["o_totalprice"],
+        cluster_files=6,
+    )
+    t.append(d.filter(F.col("o_orderkey") % 3 == 0))  # overlaps every file
+    # scale-adaptive file sizing: the optimized snapshot keeps ~8 files at
+    # ANY sf so the zone-vs-bloom pruning contrast below stays meaningful
+    res = t.optimize_incremental("o_totalprice", rows_per_file=max(n // 8, 50))
+    assert t._manifest(res["version"])["file_granular"] is True
+
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    keys = [mx // 7, mx // 3, (2 * mx) // 3, mx]
+    probes = [
+        r["hk"]
+        for r in spark.createDataFrame([(x,) for x in keys], "k long")
+        .select(h32(F.col("k")).alias("hk"))
+        .collect()
+    ]
+    _, n_zone, n_total = t.read_pruned_in("hkey", probes)
+    assert n_zone == n_total, (n_zone, n_total)
+    t.build_bloom_index(["hkey"])
+    df, n_bloom, _ = t.read_pruned_in("hkey", probes)
+    assert n_bloom < n_zone, (n_bloom, n_zone)
+    return df.select(F.col("o_orderkey").alias("k"), "o_totalprice")

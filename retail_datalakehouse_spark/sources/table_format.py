@@ -1375,12 +1375,6 @@ class VersionedTable:
                     "key-based and position-based tombstones do not mix; "
                     "compact first or keep using delete_mor_pos"
                 )
-            if p_entry.get("file_granular"):
-                raise ValueError(
-                    "merge-on-read deletes over a file-granular (optimize) "
-                    "snapshot would resolve against directory reads; "
-                    "compact first"
-                )
             parent_keys = p_entry.get("dv_keys")
             if parent_keys and list(parent_keys) != list(keys):
                 raise ValueError(
@@ -1453,6 +1447,15 @@ class VersionedTable:
                 "txn": dict(self._txn_state(parent), **({txn[0]: txn[1]} if txn else {})),
             }
             entry["cdf_dir"] = cdf_dirname
+            chunk_paths: list[str] = []
+            if p_entry.get("file_granular"):
+                # keyed MOR over an optimize snapshot: the explicit list
+                # rides the manifest for read resolution (see
+                # delete_mor_pos; pruning ignores MOR stats via _is_mor)
+                entry["file_granular"] = True
+                chunk_paths = self._attach_file_stats(
+                    entry, self._file_stats_list(p_entry), v, token
+                )
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1465,6 +1468,11 @@ class VersionedTable:
                     shutil.rmtree(
                         os.path.join(self.path, cdf_dirname), ignore_errors=True
                     )
+                for cp in chunk_paths:
+                    try:
+                        os.unlink(cp)
+                    except FileNotFoundError:
+                        pass
                 continue  # rebase: re-evaluate condition on the winner's snapshot
             finally:
                 os.unlink(tmp)
@@ -1693,12 +1701,6 @@ class VersionedTable:
                     "key-based and position-based tombstones do not mix; "
                     "compact first"
                 )
-            if p_entry.get("file_granular"):
-                raise ValueError(
-                    "merge-on-read updates over a file-granular (optimize) "
-                    "snapshot would resolve against directory reads; "
-                    "compact first"
-                )
             if p_entry.get("column_renames") or p_entry.get("column_drops"):
                 raise ValueError(
                     "merge-on-read updates next to column mapping would mix "
@@ -1814,6 +1816,19 @@ class VersionedTable:
                 ),
             }
             entry["cdf_dir"] = cdf_dirname
+            chunk_paths: list[str] = []
+            if p_entry.get("file_granular"):
+                # MOR update over an optimize snapshot: the explicit list
+                # carries forward PLUS the update dir's new image files —
+                # readers resolve list MINUS positions PLUS nothing else
+                # (see delete_mor_pos; chunks re-attach per-version)
+                entry["file_granular"] = True
+                _, upd_files = _collect_manifest_stats(upd_dir)
+                composed = [
+                    *self._file_stats_list(p_entry),
+                    *({**f, "dir": upd_dirname} for f in upd_files or []),
+                ]
+                chunk_paths = self._attach_file_stats(entry, composed, v, token)
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -1827,6 +1842,11 @@ class VersionedTable:
                     shutil.rmtree(
                         os.path.join(self.path, cdf_dirname), ignore_errors=True
                     )
+                for cp in chunk_paths:
+                    try:
+                        os.unlink(cp)
+                    except FileNotFoundError:
+                        pass
                 continue  # rebase onto the winner's snapshot
             finally:
                 os.unlink(tmp)
@@ -1855,9 +1875,30 @@ class VersionedTable:
 
         from pyspark.sql import functions as F
 
-        dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
+        # FILE-GRANULAR (optimize) snapshots resolve the explicit file
+        # list — the referenced dirs also hold superseded originals a
+        # directory read would resurrect. Group the list per owning dir so
+        # the position identity stays <dir-basename>/<filename> either way.
+        if entry.get("file_granular"):
+            files = self._file_stats_list(entry)
+            if files is None:
+                raise ValueError(
+                    "file-granular snapshot lost its explicit file list; "
+                    "compact below the stats cap first"
+                )
+            by_dir: dict[str, list[str]] = {}
+            for f in files:
+                by_dir.setdefault(f.get("dir", entry["data_dir"]), []).append(
+                    f["path"]
+                )
+            groups = [(d, paths) for d, paths in by_dir.items()]
+        else:
+            groups = [
+                (d, None)
+                for d in [*entry.get("base_dirs", []), entry["data_dir"]]
+            ]
         parts = []
-        for d in dirs:
+        for d, paths in groups:
             absd = os.path.abspath(os.path.join(self.path, d)).rstrip("/")
             ident = os.path.basename(absd)
             # file_path renders as file:/abs or file:///abs — normalize the
@@ -1866,8 +1907,15 @@ class VersionedTable:
                 "substring(regexp_replace(_metadata.file_path, '^file:/+', '/'), "
                 f"{len(absd) + 2})"
             )
+            src = (
+                self.spark.read.parquet(absd)
+                if paths is None
+                else self.spark.read.parquet(
+                    *[os.path.join(absd, p) for p in paths]
+                )
+            )
             parts.append(
-                self.spark.read.parquet(absd).select(
+                src.select(
                     "*",
                     F.concat(F.lit(ident + "/"), sub).alias("__pos_f"),
                     F.col("_metadata.row_index").alias("__pos_ri"),
@@ -1954,12 +2002,6 @@ class VersionedTable:
                     "key-based and position-based tombstones do not mix; "
                     "compact first or keep using delete_mor"
                 )
-            if p_entry.get("file_granular"):
-                raise ValueError(
-                    "merge-on-read deletes over a file-granular (optimize) "
-                    "snapshot would resolve against directory reads; "
-                    "compact first"
-                )
             v = parent + 1
             token = uuid.uuid4().hex[:8]
             dv_dirname = f"_dvp{v}-{token}"
@@ -2020,6 +2062,18 @@ class VersionedTable:
                 ),
             }
             entry["cdf_dir"] = cdf_dirname
+            chunk_paths: list[str] = []
+            if p_entry.get("file_granular"):
+                # MOR over an optimize snapshot (r10 — the compact-first
+                # guard is gone): readers resolve the EXPLICIT list MINUS
+                # positions, so the list must ride the manifest; chunked
+                # stats RE-ATTACH with this commit's identity (per-version
+                # chunk invariant). Pruning still ignores MOR stats
+                # (_is_mor), so carrying them is resolution, not pruning.
+                entry["file_granular"] = True
+                chunk_paths = self._attach_file_stats(
+                    entry, self._file_stats_list(p_entry), v, token
+                )
             tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(entry, f)
@@ -2032,6 +2086,11 @@ class VersionedTable:
                     shutil.rmtree(
                         os.path.join(self.path, cdf_dirname), ignore_errors=True
                     )
+                for cp in chunk_paths:
+                    try:
+                        os.unlink(cp)
+                    except FileNotFoundError:
+                        pass
                 continue  # rebase: re-evaluate on the winner's snapshot
             finally:
                 os.unlink(tmp)
@@ -2823,11 +2882,6 @@ class VersionedTable:
                 "bloom index on a merge-on-read version would describe "
                 "tombstoned rows; compact first"
             )
-        if entry.get("file_granular"):
-            raise ValueError(
-                "bloom sidecar build reads directories; compact the "
-                "file-granular (optimize) snapshot first"
-            )
         entry_files = self._file_stats_list(entry)  # resolves chunking
         if entry_files is None:
             raise ValueError(
@@ -2845,15 +2899,38 @@ class VersionedTable:
             m_bits = 1024
             while m_bits < 10 * mx and m_bits < (1 << 24):
                 m_bits <<= 1
-        dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
         reader = self.spark.read
-        if entry.get("partition_by"):
+        if entry.get("partition_by") and not entry.get("hidden_partition"):
             reader = reader.option(
                 "basePath", os.path.join(self.path, entry["data_dir"])
             )
-        df = reader.parquet(
-            *[os.path.join(self.path, d) for d in dirs]
-        ).withColumn("__file", F.input_file_name())
+        if entry.get("file_granular"):
+            # optimize snapshots: scan the EXPLICIT file list (the dirs
+            # also hold superseded originals whose words would poison the
+            # index — r10 turns the old compact-first guard into this)
+            d_dir = entry["data_dir"]
+            df = reader.parquet(
+                *[
+                    os.path.join(self.path, f.get("dir", d_dir), f["path"])
+                    for f in entry_files
+                ]
+            )
+        elif entry.get("hidden_partition") and entry.get("base_dirs"):
+            # chained hidden layouts: per-dir reads (multi-root hive reads
+            # trip CONFLICTING_DIRECTORY_STRUCTURES — see read_version)
+            from functools import reduce as _reduce
+
+            df = _reduce(
+                lambda a, b: a.unionByName(b, allowMissingColumns=True),
+                [
+                    self.spark.read.parquet(os.path.join(self.path, d))
+                    for d in [*entry["base_dirs"], entry["data_dir"]]
+                ],
+            )
+        else:
+            dirs = [*entry.get("base_dirs", []), entry["data_dir"]]
+            df = reader.parquet(*[os.path.join(self.path, d) for d in dirs])
+        df = df.withColumn("__file", F.input_file_name())
         # sidecar lives in the PHYSICAL-name domain, like the file stats
         cols = [self._physical_name(entry, c) for c in cols]
         dtypes = dict(df.dtypes)
@@ -3283,6 +3360,14 @@ class VersionedTable:
         if version not in self._versions():
             raise ValueError(f"version {version} not committed at {self.path}")
         entry = self._manifest(version)
+        if entry.get("pos_dv_dirs"):
+            # POSITION tombstones: rows resolve by physical identity
+            # (file, row_index) — no key contract involved. Checked BEFORE
+            # file_granular: _read_with_positions resolves explicit file
+            # lists itself, so MOR verbs compose with optimize snapshots.
+            df = self._read_with_positions(entry).drop("__pos_f", "__pos_ri")
+            hidden = entry.get("hidden_partition")
+            return df.drop(hidden["name"]) if hidden else df
         if entry.get("file_granular"):
             # incremental-optimize snapshots: the EXPLICIT file list is
             # the source of truth — the referenced dirs also hold
@@ -3291,13 +3376,16 @@ class VersionedTable:
             df = self.spark.read.parquet(
                 *[os.path.join(self.path, f["dir"], f["path"]) for f in files]
             )
-            return self._apply_column_mapping(df, entry)
-        if entry.get("pos_dv_dirs"):
-            # POSITION tombstones: rows resolve by physical identity
-            # (file, row_index) — no key contract involved
-            df = self._read_with_positions(entry).drop("__pos_f", "__pos_ri")
-            hidden = entry.get("hidden_partition")
-            return df.drop(hidden["name"]) if hidden else df
+            df = self._apply_column_mapping(df, entry)
+            dv_dirs = entry.get("dv_dirs", [])
+            if dv_dirs:
+                # keyed tombstones over an optimize snapshot: same
+                # anti-join the directory path applies
+                dv = self.spark.read.parquet(
+                    *[os.path.join(self.path, d) for d in dv_dirs]
+                ).distinct()
+                df = df.join(dv, on=entry["dv_keys"], how="left_anti")
+            return df
         # incremental appends: the snapshot = carried-forward base dirs +
         # this commit's own directory (columns resolve by name)
         dirs = [*entry.get("base_dirs", []), entry.get("data_dir", f"_v{version}")]

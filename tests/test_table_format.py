@@ -1895,13 +1895,9 @@ def test_incremental_optimize_rewrites_only_overlaps(spark, tmp_path):
     r2 = t.optimize_incremental("k")
     assert r2["version"] == 4 and r2["rewritten"] == 0
 
-    # guards: directory-grain readers refuse file-granular snapshots
-    with pytest.raises(ValueError, match="compact"):
-        t.delete_mor(F.col("k") == 1, keys=["k"])
-    with pytest.raises(ValueError, match="compact"):
-        t.delete_mor_pos("k = 1")
-    with pytest.raises(ValueError, match="compact"):
-        t.build_bloom_index(["k"])
+    # r10: the old compact-first guards are LIVE paths — MOR verbs and the
+    # bloom build resolve the explicit file list (test coverage for the
+    # composition lives in test_mor_and_bloom_over_optimize)
 
     # metadata-only commit carries the file-granular plane
     t.add_check("nonneg", "k >= 0")
@@ -2304,3 +2300,72 @@ def test_update_mor_over_hidden_layout(spark, tmp_path):
     got2, n2, nt2 = t.read_hidden("2024-03-01", "2024-03-31")
     assert got2.count() == 50 and n2 == 1 and nt2 == 6
     assert got2.filter("k % 10 = 0 AND v < 1000").count() == 0
+
+
+def test_mor_and_bloom_over_optimize(spark, tmp_path):
+    """MOR-over-optimize and bloom-over-optimize are LIVE paths (r9
+    VERDICT item 7 — file-granular manifests as the default read path):
+    position deletes, keyed deletes, and merge-on-read updates compose
+    with an incremental-optimize snapshot's explicit file list, the
+    bloom build scans the list (never directories holding superseded
+    originals), and compaction materializes the whole stack."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import (
+        VersionedTable,
+        compact,
+    )
+
+    def mk(name):
+        t = VersionedTable(spark, str(tmp_path / name))
+        base = spark.range(8_000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")
+        )
+        t.overwrite(base, cluster_by=["k"], cluster_files=8)
+        t.append(
+            spark.range(4000, 4100).select(
+                (F.col("id") * 1).alias("k"), F.lit(-1.0).alias("v")
+            )
+        )
+        res = t.optimize_incremental("k", rows_per_file=2_000)
+        assert t._manifest(res["version"])["file_granular"] is True
+        return t, res["version"]
+
+    # --- position delete over the optimize snapshot
+    t, v = mk("pos")
+    v2 = t.delete_mor_pos("k < 100 AND v >= 0")
+    e2 = t._manifest(v2)
+    assert e2["file_granular"] is True and e2["pos_dv_dirs"]
+    assert t.read().filter("k < 100 AND v >= 0").count() == 0
+    assert t.read().count() == 8_000  # 8100 - 100 deleted
+    # stack an update on top: still file-granular, still exact
+    v3 = t.update_mor("k >= 7900 AND v >= 0", {"v": "v + 1000.0"})
+    assert t._manifest(v3)["file_granular"] is True
+    assert t.read().filter("k >= 7900 AND v >= 0 AND v < 1000").count() == 0
+    assert t.read().count() == 8_000
+    # compaction materializes the whole stack
+    compact(t, target_partitions=2)
+    e = t._manifest(t.current_version())
+    assert not e.get("pos_dv_dirs") and not e.get("file_granular")
+    assert t.read().count() == 8_000
+
+    # --- keyed delete over the optimize snapshot
+    t, v = mk("key")
+    t.delete_mor("k IN (1, 2, 3) AND v >= 0", keys=["k"])
+    assert t._manifest(t.current_version())["file_granular"] is True
+    assert t.read().filter("k IN (1, 2, 3)").count() == 0
+    assert t.read().count() == 8_097
+
+    # --- bloom build over the optimize snapshot (no MOR pending)
+    t, v = mk("bloom")
+    sc = t.build_bloom_index(["k"])
+    assert set(sc.get("cols", sc.get("chunks"))) == {"k"}
+    got, n_read, n_total = t.read_pruned_in("k", [4050])
+    assert 0 < n_read < n_total
+    # the duplicate k=4050 rows (clustered + appended copy) both return:
+    # the explicit-list build indexed BOTH owning files
+    assert got.filter("k = 4050").count() == 2
+    # bloom on a MOR version still refuses (describes tombstoned rows)
+    t.delete_mor_pos("k = 1 AND v >= 0")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        t.build_bloom_index(["k"])

@@ -2829,3 +2829,61 @@ def x_bloom_over_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, n_bloom, _ = t.read_pruned_in("hkey", probes)
     assert n_bloom < n_zone, (n_bloom, n_zone)
     return df.select(F.col("o_orderkey").alias("k"), "o_totalprice")
+
+
+_GENERATED_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_generated_columns", oracle=_GENERATED_SQL, tags=("S6", "F5"), doc="")
+def x_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED ALWAYS AS (Delta generated columns, r10): the table
+    declares revenue_cents = round(o_totalprice*100) — declaration
+    backfills the snapshot in one materializing commit; afterwards an
+    appended batch LACKING the column gets it computed (staying on the
+    O(batch) AddFile path — asserted via base_dirs), and a batch carrying
+    a WRONG explicit value is rejected before publish by the implicit
+    null-safe CHECK riding the constraints plumbing (asserted in-query
+    with a poisoned row). The integer-cents materialization is the
+    classic use: exact downstream aggregation without re-deriving the
+    expression in every query. Oracle recomputes the generation
+    expression relationally over pristine orders — the hash proves both
+    the backfill and the write-time computation are exact."""
+    import tempfile
+
+    from ..sources.constraints import ConstraintViolation
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    half = o.agg((F.max("o_orderkey") / 2).cast("long")).first()[0]
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_gencol_"))
+    t.overwrite(o.filter(F.col("o_orderkey") <= half))
+    t.add_generated("revenue_cents", "CAST(round(o_totalprice * 100) AS BIGINT)")
+    # a later batch lacking the column gets it computed — AddFile path
+    v3 = t.append(o.filter(F.col("o_orderkey") > half))
+    assert t._manifest(v3).get("base_dirs"), "append fell off the AddFile path"
+    # a wrong explicit value can never publish
+    try:
+        t.append(
+            spark.createDataFrame(
+                [(0, "F", 1.0, 42)],
+                "o_orderkey long, o_orderstatus string, "
+                "o_totalprice double, revenue_cents bigint",
+            )
+        )
+        raise AssertionError("poisoned generated value published")
+    except ConstraintViolation:
+        pass
+
+    return t.read().groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("revenue_cents").alias("revenue_cents"),
+    )

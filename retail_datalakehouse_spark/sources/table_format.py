@@ -474,6 +474,7 @@ class VersionedTable:
         identity_update: dict | None = None,
         hidden_partition: dict | None = None,
         file_granular: bool = False,
+        generated_update: dict | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -499,16 +500,39 @@ class VersionedTable:
         the commit costs O(new data), the Delta/Iceberg append contract.
         ``base_files`` entries must already carry their ``dir``."""
         v = (parent or 0) + 1
+        # GENERATED columns (Delta GENERATED ALWAYS AS): a batch lacking a
+        # generated column gets it COMPUTED; a batch carrying one must
+        # MATCH the expression (null-safe) — enforced below with the same
+        # constraints plumbing as CHECKs, so an explicit wrong value
+        # aborts the commit before it publishes.
+        generated = generated_update if generated_update is not None else (
+            (self._manifest(parent).get("generated") if parent else None) or {}
+        )
+        if generated:
+            from pyspark.sql import functions as F
+
+            for c, e in generated.items():
+                if c not in df.columns:
+                    df = df.withColumn(c, F.expr(e))
         # Persistent CHECK constraints (Delta ADD CONSTRAINT): recorded in
         # the manifest, enforced on the data each commit WRITES — O(new
         # rows) for incremental appends, piggybacking on the already-
         # O(table) scan for materializing commits. Row-preserving ops
         # (delete/compact/restore) re-write rows that already passed.
         checks = self._manifest(parent).get("checks") if parent else None
-        if checks and op not in ("delete", "compact", "restore"):
+        if (checks or generated) and op not in ("delete", "compact", "restore"):
             from .constraints import enforce
 
-            enforce(df, checks)
+            enforce(
+                df,
+                {
+                    **(checks or {}),
+                    **{
+                        f"__gen_{c}": f"{c} <=> ({e})"
+                        for c, e in generated.items()
+                    },
+                },
+            )
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
         data_dir = os.path.join(self.path, data_dirname)
@@ -593,6 +617,8 @@ class VersionedTable:
             entry["hidden_partition"] = hidden_partition
         if checks:
             entry["checks"] = checks
+        if generated:
+            entry["generated"] = generated
         # identity high watermarks: updated by identity appends, carried
         # verbatim by every other commit (deletes never free ids)
         identity = identity_update or (
@@ -749,6 +775,7 @@ class VersionedTable:
         cluster_by: list[str] | None = None,
         hidden_partition: dict | None = None,
         inherit_layout: bool = False,
+        generated_update: dict | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -819,6 +846,7 @@ class VersionedTable:
                     cdf_df=cdf_df,
                     cluster_by=cluster_by,
                     hidden_partition=spec,
+                    generated_update=generated_update,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -971,6 +999,16 @@ class VersionedTable:
         and reject merge_schema / hive-partitioned / column-mapped
         parents."""
         from pyspark.sql import functions as F
+
+        # GENERATED columns: compute any the batch lacks BEFORE schema
+        # comparison, so generated tables keep the O(batch) AddFile path
+        # (and materializing unions don't fail on the missing column).
+        # _try_commit recomputes/enforces as the backstop either way.
+        _p0 = self.current_version()
+        if _p0 is not None:
+            for _c, _e in (self._manifest(_p0).get("generated") or {}).items():
+                if _c not in df.columns:
+                    df = df.withColumn(_c, F.expr(_e))
 
         if identity is not None:
             if merge_schema:
@@ -1432,6 +1470,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"generated": p_entry["generated"]}
+                    if p_entry.get("generated")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -1630,6 +1673,11 @@ class VersionedTable:
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
                 **(
+                    {"generated": p_entry["generated"]}
+                    if p_entry.get("generated")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -1722,12 +1770,21 @@ class VersionedTable:
             logical_cols = [
                 c for c in matched.columns if c not in ("__pos_f", "__pos_ri")
             ]
+            gen = p_entry.get("generated") or {}
+            if bad := [c for c in set_exprs if c in gen]:
+                raise ValueError(
+                    f"cannot SET generated columns {bad}; they are always "
+                    "recomputed from their expressions (Delta contract)"
+                )
             updated = matched.select(
                 *[
                     F.expr(set_exprs[c]).alias(c) if c in set_exprs else F.col(c)
                     for c in logical_cols
                 ]
             )
+            for c, e in gen.items():
+                # generated columns track their SOURCES through the update
+                updated = updated.withColumn(c, F.expr(e))
             if checks := p_entry.get("checks"):
                 from .constraints import enforce
 
@@ -1802,6 +1859,11 @@ class VersionedTable:
                     else {}
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **(
+                    {"generated": p_entry["generated"]}
+                    if p_entry.get("generated")
+                    else {}
+                ),
                 **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
@@ -2045,6 +2107,11 @@ class VersionedTable:
                     else {}
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **(
+                    {"generated": p_entry["generated"]}
+                    if p_entry.get("generated")
+                    else {}
+                ),
                 **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
@@ -2293,6 +2360,11 @@ class VersionedTable:
                 **(
                     {"checks": src["checks"]}
                     if src.get("checks")
+                    else {}
+                ),
+                **(
+                    {"generated": src["generated"]}
+                    if src.get("generated")
                     else {}
                 ),
                 **(
@@ -3213,6 +3285,7 @@ class VersionedTable:
                 if entry.get("operation") in (
                     "add_check",
                     "drop_check",
+                    "drop_generated",  # metadata-only: generation stops
                     "clone",
                     "optimize",  # row-IDENTICAL by construction (layout only)
                 ):
@@ -3491,6 +3564,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"generated": p_entry["generated"]}
+                    if p_entry.get("generated")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -3608,10 +3686,19 @@ class VersionedTable:
 
     @staticmethod
     def _checks_referencing(entry: dict, col: str) -> list[str]:
+        """CHECK constraints AND generated-column expressions that mention
+        ``col`` — a rename/drop of a referenced column would silently
+        break either, so both block the mapping commit."""
         import re
 
         pat = re.compile(rf"\b{re.escape(col)}\b")
-        return [n for n, e in entry.get("checks", {}).items() if pat.search(e)]
+        return [
+            n for n, e in entry.get("checks", {}).items() if pat.search(e)
+        ] + [
+            f"generated:{c}"
+            for c, e in (entry.get("generated") or {}).items()
+            if pat.search(e) or c == col
+        ]
 
     def add_check(self, name: str, expr: str) -> int:
         """Delta ``ALTER TABLE ADD CONSTRAINT name CHECK (expr)``: the
@@ -3636,6 +3723,61 @@ class VersionedTable:
             checks[name] = expr
             v = self._link_metadata_commit(
                 entry, parent, "add_check", {"checks": checks}
+            )
+            if v is not None:
+                return v
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
+    def add_generated(self, col: str, expr: str) -> int:
+        """Delta ``GENERATED ALWAYS AS (expr)``: record the generation
+        expression as table metadata and BACKFILL the column into the
+        current snapshot in the same materializing commit. From then on
+        every write either computes the column (batch lacks it) or must
+        match it null-safely — an implicit ``col <=> (expr)`` CHECK rides
+        the constraints plumbing, so an explicit wrong value aborts the
+        commit before it publishes (Delta's exact write contract).
+        ``update_mor`` recomputes generated columns after applying its
+        SET expressions and refuses to SET one directly."""
+        from pyspark.sql import functions as F
+
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"cannot alter empty table {self.path}")
+        p_entry = self._manifest(parent)
+        if col in (p_entry.get("generated") or {}):
+            raise ValueError(f"generated column {col!r} already exists")
+        if col in self.read_version(parent).columns:
+            raise ValueError(
+                f"column {col!r} already exists; generated columns are "
+                "table-computed from declaration onward"
+            )
+        gen = dict(p_entry.get("generated") or {})
+        gen[col] = expr
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            return cur.withColumn(col, F.expr(expr))
+
+        return self._commit_with_retry(
+            build, "add_generated", inherit_layout=True, generated_update=gen
+        )
+
+    def drop_generated(self, col: str) -> int:
+        """Metadata-only: stop generating/enforcing ``col`` (the column
+        stays in the schema as ordinary data — dropping the DATA is a
+        schema-evolution concern, like Delta)."""
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            entry = self._manifest(parent)
+            gen = dict(entry.get("generated") or {})
+            if col not in gen:
+                raise ValueError(f"no such generated column: {col!r}")
+            del gen[col]
+            v = self._link_metadata_commit(
+                entry, parent, "drop_generated", {"generated": gen}
             )
             if v is not None:
                 return v
@@ -3689,6 +3831,7 @@ class VersionedTable:
                     "checks",
                     "identity",
                     "hidden_partition",
+                    "generated",
                 )
                 if p_entry.get(k)
             },
@@ -3701,7 +3844,11 @@ class VersionedTable:
             "txn": dict(self._txn_state(parent)),
             **updates,
         }
-        entry = {k: v2 for k, v2 in entry.items() if k != "checks" or v2}
+        entry = {
+            k: v2
+            for k, v2 in entry.items()
+            if k not in ("checks", "generated") or v2
+        }
         if p_entry.get("pos_dv_dirs"):
             entry["pos_dv_dirs"] = p_entry["pos_dv_dirs"]
         if p_entry.get("file_granular"):
@@ -3821,6 +3968,7 @@ class VersionedTable:
                 else {}
             ),
             **({"checks": src["checks"]} if src.get("checks") else {}),
+            **({"generated": src["generated"]} if src.get("generated") else {}),
             **({"identity": src["identity"]} if src.get("identity") else {}),
             **(
                 {"hidden_partition": src["hidden_partition"]}

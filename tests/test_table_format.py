@@ -2369,3 +2369,67 @@ def test_mor_and_bloom_over_optimize(spark, tmp_path):
     t.delete_mor_pos("k = 1 AND v >= 0")
     with pytest.raises(ValueError, match="merge-on-read"):
         t.build_bloom_index(["k"])
+
+
+def test_generated_columns(spark, tmp_path):
+    """GENERATED ALWAYS AS (r9 VERDICT item 8): declaration backfills the
+    column and records metadata; later writes compute it when absent and
+    REJECT a mismatched explicit value (implicit null-safe CHECK through
+    the constraints plumbing); update_mor recomputes it from updated
+    sources and refuses to SET it; rename/drop of a referenced source
+    column is blocked; drop_generated demotes it to plain data."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.constraints import (
+        ConstraintViolation,
+    )
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+        )
+    )
+    # declare + backfill in one materializing commit
+    v2 = t.add_generated("v_cents", "CAST(round(v * 100) AS BIGINT)")
+    assert t._manifest(v2)["generated"] == {
+        "v_cents": "CAST(round(v * 100) AS BIGINT)"
+    }
+    assert t.read().filter("v_cents != CAST(round(v * 100) AS BIGINT)").count() == 0
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_generated("v_cents", "1")
+
+    # a batch LACKING the column gets it computed
+    t.append(spark.range(100, 110).select(F.col("id").alias("k"), F.lit(1.5).alias("v")))
+    assert t.read().filter("k >= 100 AND v_cents != 150").count() == 0
+    assert t.read().count() == 110
+    # a batch CARRYING a wrong value is rejected before publish
+    with pytest.raises(ConstraintViolation, match="__gen_v_cents"):
+        t.append(
+            spark.createDataFrame([(999, 1.0, 42)], "k long, v double, v_cents long")
+        )
+    assert t.read().count() == 110  # nothing leaked
+    # a correct explicit value passes
+    t.append(spark.createDataFrame([(999, 1.0, 100)], "k long, v double, v_cents long"))
+    assert t.read().count() == 111
+
+    # update_mor recomputes from updated sources; SET on it refuses
+    with pytest.raises(ValueError, match="generated"):
+        t.update_mor("k = 0", {"v_cents": "7"})
+    t.update_mor("k = 0", {"v": "v + 1.0"})
+    assert t.read().filter("k = 0").select("v", "v_cents").collect()[0][:] == (1.0, 100)
+    # the generated metadata rides the MOR commit
+    assert t._manifest(t.current_version())["generated"]
+
+    # source-column rename/drop is blocked while referenced
+    with pytest.raises(ValueError, match="generated:v_cents"):
+        t.rename_column("v", "val")
+    with pytest.raises(ValueError, match="generated:v_cents"):
+        t.drop_column("v")
+
+    # drop_generated: metadata-only demotion; writes stop computing it
+    t.drop_generated("v_cents")
+    assert "generated" not in t._manifest(t.current_version())
+    with pytest.raises(ValueError, match="no such generated"):
+        t.drop_generated("v_cents")

@@ -60,6 +60,23 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def scrub(spark) -> None:
+    """Between-query session hygiene (UNTIMED — runs outside the stopwatch).
+
+    A 21-query sequence at sf1 accumulates executor-heap residue a real
+    per-job cluster never sees: DataFrames some queries persist() for
+    intra-plan reuse, broadcast blocks, and shuffle files whose cleanup
+    waits on the DRIVER's GC (ContextCleaner collects them only when the
+    owning objects are garbage-collected — with a 100+ GiB heap, that can
+    be never during a bench run). Measured effect before this existed:
+    l4_bloom_decontamination read 58 s as bench query 17 at sf1 vs 29.7 s
+    isolated on a fresh session — the plan's cost hadn't changed, the
+    session had. Evicting caches and nudging the JVM's GC between queries
+    makes each measurement see the session state a fresh job would."""
+    spark.catalog.clearCache()
+    spark.sparkContext._jvm.System.gc()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = build_spark("bench")
@@ -81,6 +98,7 @@ def main() -> None:
             force(registry[name].fn(spark, sf_dir))
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            scrub(spark)  # untimed: isolate queries from session residue
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

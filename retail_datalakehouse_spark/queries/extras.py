@@ -2887,3 +2887,52 @@ def x_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("revenue_cents").alias("revenue_cents"),
     )
+
+
+_LOG_CHECKPOINT_SQL = f"""
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+WHERE o_orderkey % 8 < 4
+GROUP BY 1
+"""
+
+
+@register("x_delta_log_checkpoint", oracle=_LOG_CHECKPOINT_SQL, tags=("S6",), doc="")
+def x_delta_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log checkpoint (Delta's ``_last_checkpoint``): every read and
+    every commit resolves the table head first, and without a checkpoint
+    that is a full manifest-directory LISTING — at 10^6 commits, ~0.9 s
+    of driver I/O per operation (measured, tools/bench_log_checkpoint.py;
+    SCALE.md round-10 table). ``checkpoint_log()`` records the committed
+    head; resolution then probes forward with O(commits-since-checkpoint)
+    stat calls — 0.05 ms flat at any table age. The chain here: 4 appends,
+    checkpoint, 4 more appends — the head must resolve PAST the
+    checkpoint through the probe (asserted in-query, plus the checkpoint
+    file's content), and the assembled table must equal the oracle's
+    plain predicate over pristine orders."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_logcp_"))
+    for i in range(4):
+        t.append(o.filter(F.col("o_orderkey") % 8 == i))
+    assert t.checkpoint_log() == 4 and t._read_log_checkpoint() == 4
+    for i in range(4, 8):
+        t.append(o.filter(F.col("o_orderkey") % 8 == i))
+    assert t.current_version() == 8  # resolved by probing past the checkpoint
+
+    return (
+        t.read()
+        .filter(F.col("o_orderkey") % 8 < 4)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )

@@ -3805,3 +3805,139 @@ def l7_resume_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("next_doc_id"),
         F.sum(F.col("doc_id") * F.col("pos")).cast("long").alias("remaining_fingerprint"),
     )
+
+
+@register(
+    "l6_mrr_eval",
+    oracle="""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+),
+agg AS (
+  SELECT q_id, vec_id,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs
+  FROM scored GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM agg
+),
+rel AS (
+  SELECT q_id, rn FROM ranked WHERE rn <= 100 AND vec_id = q_id + 100
+)
+SELECT q.q_id,
+       CAST(COALESCE(rel.rn, 0) AS BIGINT) AS rel_rank,
+       CAST(CASE WHEN rel.rn IS NULL THEN 0 ELSE 1000000 // rel.rn END
+            AS BIGINT) AS rr_ppm
+FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN rel USING (q_id)
+""",
+    tags=("L6", "L3", "W6"),
+)
+def l6_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: MRR@100 of a brute-force cosine
+    retriever against a deterministic relevance labeling (query q's
+    relevant item is vec_id q+100 — the labeling is arbitrary; the
+    MACHINERY is the deliverable: rank the corpus per query, find the
+    relevant item's rank, emit its reciprocal). Reciprocal rank is
+    FIXED-POINT (1000000 DIV rank) — exact integer cross-engine math,
+    never a libm-parity gamble (the l7_temperature_sampling lesson);
+    ranking ties break on ROUND(cos,6) then vec_id, the l3 family's
+    proven-hash-stable total order. Scale shape: queries broadcast, one
+    corpus pass scores all queries (zip_with/aggregate JVM folds),
+    WindowGroupLimit keeps 100 per query before any shuffle — an eval
+    harness over a 100 TB corpus is one scan, not |Q| scans."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import topk_cosine_join
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = topk_cosine_join(q, e, k=100, round_to=6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    rel = ranked.filter(F.col("vec_id") == F.col("q_id") + 100).select(
+        "q_id", "rn"
+    )
+    return (
+        q.select("q_id")
+        .join(rel, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("rn"), F.lit(0)).cast("long").alias("rel_rank"),
+            F.when(F.col("rn").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 DIV rn"))
+            .cast("long")
+            .alias("rr_ppm"),
+        )
+    )
+
+
+# round(1e6 / log2(rank+1)) for rank 1..10 — IDENTICAL literals on both
+# engines, so graded-relevance DCG reduces to exact integer arithmetic
+# (never a libm log2-parity gamble; the l7_temperature_sampling rule)
+_DCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_DCG_CASE_SQL = "CASE rn " + " ".join(
+    f"WHEN {r} THEN {w}" for r, w in enumerate(_DCG_W, start=1)
+) + " END"
+
+
+@register(
+    "l6_dcg_eval",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+),
+agg AS (
+  SELECT q_id, vec_id,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs
+  FROM scored GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM agg
+)
+SELECT q_id,
+       CAST(SUM((vec_id % 4) * ({_DCG_CASE_SQL})) AS BIGINT) AS dcg_fp,
+       CAST(SUM(vec_id % 4) AS BIGINT) AS graded_sum
+FROM ranked WHERE rn <= 10
+GROUP BY q_id
+""",
+    tags=("L6", "L3", "W6"),
+)
+def l6_dcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval evaluation: DCG@10 per query over the brute-force
+    cosine ranking, with synthetic integer grades (vec_id % 4). The
+    1/log2(rank+1) discount is a LITERAL fixed-point lookup — ten
+    round(1e6/log2(r+1)) constants embedded identically in query and
+    oracle — so the whole metric is exact integer math cross-engine
+    (libm log2 parity is never trusted; the established fixed-point
+    rule). Same one-scan-for-all-queries shape as l6_mrr_eval:
+    broadcast queries, JVM cosine folds, WindowGroupLimit top-10."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import topk_cosine_join
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = topk_cosine_join(q, e, k=10, round_to=6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = top.withColumn("rn", F.row_number().over(w))
+    weight = F.expr(_DCG_CASE_SQL)
+    return ranked.groupBy("q_id").agg(
+        F.sum((F.col("vec_id") % 4) * weight).cast("long").alias("dcg_fp"),
+        F.sum(F.col("vec_id") % 4).cast("long").alias("graded_sum"),
+    )

@@ -334,8 +334,64 @@ class VersionedTable:
         os.replace(tmp, p)
 
     def current_version(self) -> int | None:
+        """Head resolution. With a log CHECKPOINT (Delta's
+        ``_last_checkpoint`` idea): start at the checkpointed version and
+        PROBE FORWARD with O(commits-since-checkpoint) existence checks —
+        never listing the manifest dir, which at 10^6 commits costs a
+        full directory scan per read (measured in
+        tools/bench_log_checkpoint.py). Falls back to the listing when no
+        checkpoint exists, the checkpointed manifest expired (vacuum
+        retain_last), or the probe lands entirely on in-flight txn
+        claims."""
+        cp = self._read_log_checkpoint()
+        if cp is not None and os.path.exists(
+            os.path.join(self._manifest_dir, f"v{cp}.json")
+        ):
+            w = cp
+            while os.path.exists(
+                os.path.join(self._manifest_dir, f"v{w + 1}.json")
+            ):
+                w += 1
+            # tail txn-visibility (the _versions invariant: only the tail
+            # can be unresolved): walk back over invisible claims
+            while w >= cp:
+                m = self._manifest(w)
+                marker = m.get("pending_txn_marker")
+                if marker is None:
+                    return w
+                if os.path.exists(marker + ".committed.json"):
+                    self._finalize_pending(w)
+                    return w
+                w -= 1
         vs = self._versions()
         return vs[-1] if vs else None
+
+    def _log_checkpoint_path(self) -> str:
+        # MUST NOT match _versions()'s `v*.json` glob
+        return os.path.join(self._manifest_dir, "_last_checkpoint.json")
+
+    def _read_log_checkpoint(self) -> int | None:
+        try:
+            return int(json.load(open(self._log_checkpoint_path()))["version"])
+        except (FileNotFoundError, KeyError, ValueError):
+            return None
+
+    def checkpoint_log(self) -> int:
+        """Record the current COMMITTED head as the log checkpoint
+        (Delta ``_last_checkpoint``): later ``current_version`` calls
+        probe forward from it instead of listing the manifest directory.
+        Tmp+rename (idempotent, last-writer-wins — a stale checkpoint is
+        only a longer probe, never wrong). Run it like VACUUM, from
+        maintenance; :meth:`vacuum` refreshes it automatically."""
+        vs = self._versions()
+        if not vs:
+            raise ValueError(f"cannot checkpoint empty table {self.path}")
+        v = vs[-1]
+        tmp = self._log_checkpoint_path() + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v, "written_at": time.time()}, f)
+        os.replace(tmp, self._log_checkpoint_path())
+        return v
 
     def _manifest(self, version: int) -> dict:
         return json.load(open(os.path.join(self._manifest_dir, f"v{version}.json")))
@@ -2533,6 +2589,11 @@ class VersionedTable:
                         except FileNotFoundError:
                             pass
                 os.unlink(os.path.join(self._manifest_dir, f"v{v}.json"))
+        # refresh the log checkpoint (vacuum may have expired the manifest
+        # the old checkpoint pointed at — a stale one only degrades to the
+        # listing fallback, but maintenance should leave it fresh)
+        if versions:
+            self.checkpoint_log()
         return removed
 
     # -------------------------------------------------------------- reads

@@ -2433,3 +2433,44 @@ def test_generated_columns(spark, tmp_path):
     assert "generated" not in t._manifest(t.current_version())
     with pytest.raises(ValueError, match="no such generated"):
         t.drop_generated("v_cents")
+
+
+def test_log_checkpoint(spark, tmp_path):
+    """Log checkpoint (Delta _last_checkpoint): current_version probes
+    forward from the checkpointed head instead of listing the manifest
+    dir; commits after the checkpoint resolve; a stale/expired checkpoint
+    degrades to the listing fallback, never a wrong answer; in-flight txn
+    claims past the checkpoint stay invisible."""
+    from retail_datalakehouse_spark.sources.table_format import (
+        LakehouseTransaction,
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    df = spark.range(10).select(F.col("id").alias("k"))
+    t.overwrite(df)
+    for _ in range(4):
+        t.append(df)
+    assert t.checkpoint_log() == 5
+    assert t._read_log_checkpoint() == 5
+    assert t.current_version() == 5
+    # commits past the checkpoint resolve via the probe
+    t.append(df)
+    t.append(df)
+    assert t.current_version() == 7 and t.read().count() == 70
+    # an in-flight claim on the tail stays invisible on the probe path
+    tx = LakehouseTransaction(str(tmp_path / "txns"))
+    tx.append(t, df)
+    assert t.current_version() == 7
+    tx.abort()
+    # vacuum expires old manifests INCLUDING the checkpointed one, then
+    # refreshes the checkpoint to the new head
+    t.vacuum(retain_last=1, orphan_retention_s=0)
+    assert t._read_log_checkpoint() == 7
+    assert t.current_version() == 7 and t.read().count() == 70
+    # checkpoint pointing at an expired version: listing fallback
+    import json as _json
+
+    with open(t._log_checkpoint_path(), "w") as f:
+        _json.dump({"version": 3}, f)
+    assert t.current_version() == 7

@@ -339,8 +339,6 @@ _PROMOTE_R10 = [
     "l2_suffix_array_dups",
     "x_grouping_id_rollup",
     "l6_dcg_eval",
-    "x_approx_topk_sketch",
-    "l3_ivf_pq_recall_sweep",
     "x_first_value_dedup",
     "l4_lang_confidence",
     "x_bloom_over_optimize",

@@ -2936,3 +2936,95 @@ def x_delta_log_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", scale=2).alias("revenue"),
         )
     )
+
+
+_GROUPING_ID_SQL = f"""
+SELECT COALESCE(o_orderstatus, '<all>') AS status,
+       COALESCE(o_orderpriority, '<all>') AS priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+            AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("x_grouping_id_rollup", oracle=_GROUPING_ID_SQL, tags=("A4",), doc="")
+def x_grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / grouping_id() over CUBE — the disambiguation surface
+    A4's rollup/cube queries leave implicit: a NULL in a cube result is
+    ambiguous between 'this level aggregates the column away' and 'the
+    data value IS NULL'; GROUPING() is the standard SQL bit that settles
+    it, and grouping_id() the packed level selector BI layers pivot on.
+    Emitted alongside COALESCE'd labels so every (level, value) cell is
+    self-describing. One shuffle for all four cube levels (Spark expands
+    grouping sets BEFORE the exchange — partial aggregation applies per
+    level). Both engines compute the same bits; gid is derived as
+    g_status*2 + g_priority on both sides for literal parity."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "g_priority",
+            (F.col("g_status") * 2 + F.col("g_priority")).cast("long").alias("gid"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+_FIRST_VALUE_DEDUP_SQL = f"""
+WITH keyed AS (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           * 100000000000 + o_orderkey AS ord
+  FROM orders),
+latest AS (
+  SELECT o_custkey,
+         arg_max(o_orderkey, ord) AS last_orderkey,
+         arg_max(o_totalprice, ord) AS last_price,
+         MAX(CAST(o_orderdate AS DATE)) AS last_date,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM keyed GROUP BY o_custkey)
+SELECT o_custkey AS custkey, last_orderkey, last_price, last_date, n_orders
+FROM latest
+"""
+
+
+@register("x_first_value_dedup", oracle=_FIRST_VALUE_DEDUP_SQL, tags=("O4", "A1"), doc="")
+def x_first_value_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins dedup as ONE aggregation (max_by / arg_max):
+    the survivor-per-key pattern done with ordered-selection aggregates
+    instead of a window + filter — no row_number, no per-key sort, just
+    a hash aggregate with partial (map-side) combine, which at 100 TB is
+    one shuffle of pre-combined per-key candidates instead of a full
+    windowed sort of every version. The ordering key is a (date, id)
+    STRUCT so ties on the date break deterministically on the id — the
+    total-order rule every dedup here follows. Engine parity: Spark
+    max_by(x, struct(d, k)) ≡ DuckDB arg_max(x, (d, k))."""
+    o = T(spark, sf_dir, "orders")
+    ordk = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        ).cast("long")
+        * F.lit(100_000_000_000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max_by("o_orderkey", ordk).alias("last_orderkey"),
+        F.max_by("o_totalprice", ordk).alias("last_price"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -3941,3 +3941,345 @@ def l6_dcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("vec_id") % 4) * weight).cast("long").alias("dcg_fp"),
         F.sum(F.col("vec_id") % 4).cast("long").alias("graded_sum"),
     )
+
+
+@register(
+    "l4_lang_confidence",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(list_intersect(toks, ['the','and','of','to','a'])) AS s_en,
+         len(list_intersect(toks, ['el','la','de','los','y'])) AS s_es,
+         len(list_intersect(toks, ['der','die','und','das','nicht'])) AS s_de
+  FROM t),
+m AS (
+  SELECT doc_id, s_en, s_es, s_de,
+         GREATEST(s_en, s_es, s_de) AS top1,
+         s_en + s_es + s_de - GREATEST(s_en, s_es, s_de)
+           - LEAST(s_en, s_es, s_de) AS top2
+  FROM s)
+SELECT doc_id,
+       CASE WHEN top1 = 0 THEN 'unknown'
+            WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+            WHEN s_es >= s_de THEN 'es'
+            ELSE 'de' END AS lang_pred,
+       CAST(top1 AS BIGINT) AS top_score,
+       CAST(top1 - top2 AS BIGINT) AS margin,
+       CAST(CASE WHEN top1 > 0 AND top1 - top2 >= 1 THEN 1 ELSE 0 END
+            AS BIGINT) AS confident
+FROM m
+""",
+    tags=("L4",),
+)
+def l4_lang_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID with CONFIDENCE — the production upgrade over
+    l6_corpus_pipeline's argmax-only heuristic: per-language marker-token
+    scores, the winning language by a deterministic tie order, and the
+    top1−top2 MARGIN as the abstention signal (margin 0 → route to a
+    heavier classifier instead of mislabeling; the CCNet/fastText
+    practice). Pure column math: one array_intersect per language class
+    over one tokenization, no UDF — at 100 TB this is a single projected
+    scan whatever the language count. Marker lists are identical
+    literals in both engines, so scores, argmax, and margins hash
+    exactly."""
+    t = tokens(F.col("text"))
+    score = lambda ws: F.size(  # noqa: E731
+        F.array_intersect(t, F.array(*[F.lit(w) for w in ws]))
+    ).cast("long")
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        score(["the", "and", "of", "to", "a"]).alias("s_en"),
+        score(["el", "la", "de", "los", "y"]).alias("s_es"),
+        score(["der", "die", "und", "das", "nicht"]).alias("s_de"),
+    )
+    top1 = F.greatest("s_en", "s_es", "s_de")
+    top2 = (
+        F.col("s_en") + F.col("s_es") + F.col("s_de")
+        - top1
+        - F.least("s_en", "s_es", "s_de")
+    )
+    pred = (
+        F.when(top1 == 0, F.lit("unknown"))
+        .when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de")),
+            F.lit("en"),
+        )
+        .when(F.col("s_es") >= F.col("s_de"), F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return d.select(
+        "doc_id",
+        pred.alias("lang_pred"),
+        top1.cast("long").alias("top_score"),
+        (top1 - top2).cast("long").alias("margin"),
+        F.when((top1 > 0) & (top1 - top2 >= 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("confident"),
+    )
+
+
+@register(
+    "l7_token_budget_pack",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         LEAST(len(list_filter(string_split(text, ' '), t -> t != '')), 512)
+           AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS pos
+  FROM documents),
+packed AS (
+  -- greedy first-fit-in-order, NO document straddling: a doc that would
+  -- overflow the open 512-token bin starts the next bin
+  SELECT shard, pos, doc_id, n_tokens, 0 AS bin_id, n_tokens AS fill
+  FROM d WHERE pos = 1
+  UNION ALL
+  SELECT d.shard, d.pos, d.doc_id, d.n_tokens,
+         CASE WHEN p.fill + d.n_tokens <= 512 THEN p.bin_id
+              ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + d.n_tokens <= 512 THEN p.fill + d.n_tokens
+              ELSE d.n_tokens END
+  FROM packed p JOIN d ON d.shard = p.shard AND d.pos = p.pos + 1)
+SELECT shard, CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_used,
+       CAST(512 - SUM(n_tokens) AS BIGINT) AS padding_waste,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY shard, bin_id
+""",
+    tags=("L4", "U3"),
+)
+def l7_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NO-STRADDLE sequence packing (greedy first-fit in stable order): a
+    document that would overflow the open 512-token bin CLOSES it and
+    starts the next — the packing used when documents must stay intact
+    (instruction tuning, contrastive pairs), versus l7_sequence_packing's
+    concat-then-chunk. The fill state makes this inherently SEQUENTIAL
+    per shard — no window expresses it — so it runs as a per-shard
+    applyInPandas fold: Arrow-batched, O(shard) state, shards are the
+    parallelism unit at 100 TB exactly like the training loader that
+    consumes the bins. Oracle = a DuckDB recursive CTE replaying the same
+    greedy fold; per-bin manifests (docs, tokens used, padding waste)
+    hash exactly. Docs longer than the budget are clamped (LEAST) so
+    every doc is placeable — both engines encode the same clamp."""
+    import pandas as pd
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        F.least(
+            F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))),
+            F.lit(512),
+        ).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, fill, b = [], 0, 0
+        for n in pdf["n_tokens"]:
+            if fill + n > 512:
+                b, fill = b + 1, 0
+            fill += n
+            bins.append(b)
+        pdf["bin_id"] = bins
+        return pdf
+
+    packed = d.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard bigint, n_tokens int, bin_id long"
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tokens_used"),
+        (F.lit(512) - F.sum("n_tokens")).cast("long").alias("padding_waste"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "l2_suffix_array_dups",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t != '') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, lv.n,
+         array_to_string(list_slice(t, i, i + lv.n - 1), ' ') AS span
+  FROM tok, (VALUES (10), (20), (40)) AS lv(n),
+       UNNEST(range(1, GREATEST(len(t) - (lv.n - 1), 0) + 1)) AS u(i)),
+c AS (SELECT n, span, COUNT(*) AS c FROM w GROUP BY 1, 2),
+p AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w.n = 10 THEN 1 ELSE 0 END) AS n10,
+         SUM(CASE WHEN w.n = 10 AND c.c >= 2 THEN 1 ELSE 0 END) AS d10,
+         SUM(CASE WHEN w.n = 20 THEN 1 ELSE 0 END) AS n20,
+         SUM(CASE WHEN w.n = 20 AND c.c >= 2 THEN 1 ELSE 0 END) AS d20,
+         SUM(CASE WHEN w.n = 40 THEN 1 ELSE 0 END) AS n40,
+         SUM(CASE WHEN w.n = 40 AND c.c >= 2 THEN 1 ELSE 0 END) AS d40
+  FROM w JOIN c USING (n, span) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST((10000 * COALESCE(p.d10, 0))
+            // GREATEST(COALESCE(p.n10, 0), 1) AS BIGINT) AS dup10_bp,
+       CAST((10000 * COALESCE(p.d20, 0))
+            // GREATEST(COALESCE(p.n20, 0), 1) AS BIGINT) AS dup20_bp,
+       CAST((10000 * COALESCE(p.d40, 0))
+            // GREATEST(COALESCE(p.n40, 0), 1) AS BIGINT) AS dup40_bp,
+       CAST(CASE WHEN COALESCE(p.d40, 0) > 0 THEN 40
+                 WHEN COALESCE(p.d20, 0) > 0 THEN 20
+                 WHEN COALESCE(p.d10, 0) > 0 THEN 10
+                 ELSE 0 END AS BIGINT) AS max_dup_len
+FROM documents d LEFT JOIN p USING (doc_id)
+""",
+    tags=("L2", "L4"),
+)
+def l2_suffix_array_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution duplicate-span profile — the suffix-array question
+    ("what is the LONGEST span of this document duplicated anywhere in
+    the corpus?") answered by doubling levels n ∈ {10, 20, 40} in ONE
+    corpus pass, the way Lee et al.'s 50-token threshold is applied
+    without building a distributed suffix array. Per document: the
+    duplicated-position share at each resolution (basis points) and
+    max_dup_len, the largest level with any corpus-wide duplicate (a
+    40-gram duplicate implies memorization risk no 10-gram filter
+    grades). Scale shape: all three levels explode inside one map-side
+    transform as (level, xxhash64(span)) — 8-byte digests shuffle, span
+    text dies in its task (the l2_duplicate_spans trade, collision odds
+    2^-64/pair); one groupBy(level, digest) + one groupBy(doc) regardless
+    of level count. Oracle recomputes all three levels from span TEXT."""
+    t = tokens(F.col("text"))
+
+    def spans(n: int):
+        npos = F.size(t) - F.lit(n - 1)
+        pos = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+            F.expr("CAST(array() AS ARRAY<INT>)")
+        )
+        return F.transform(
+            pos,
+            lambda i: F.struct(
+                F.lit(n).alias("lvl"),
+                F.xxhash64(F.concat_ws(" ", F.slice(t, i, n))).alias("h"),
+            ),
+        )
+
+    d = T(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.explode(F.concat(spans(10), spans(20), spans(40))).alias("s"),
+    ).select("doc_id", F.col("s.lvl").alias("lvl"), F.col("s.h").alias("h"))
+    c = w.groupBy("lvl", "h").agg(F.count(F.lit(1)).alias("c"))
+    lv = lambda n: (F.col("lvl") == n).cast("long")  # noqa: E731
+    dup = lambda n: ((F.col("lvl") == n) & (F.col("c") >= 2)).cast("long")  # noqa: E731
+    p = (
+        w.join(c, ["lvl", "h"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(lv(10)).alias("n10"),
+            F.sum(dup(10)).alias("d10"),
+            F.sum(lv(20)).alias("n20"),
+            F.sum(dup(20)).alias("d20"),
+            F.sum(lv(40)).alias("n40"),
+            F.sum(dup(40)).alias("d40"),
+        )
+    )
+    bp = lambda dd, nn: F.expr(  # noqa: E731
+        f"CAST((10000 * COALESCE({dd}, 0)) DIV GREATEST(COALESCE({nn}, 0), 1) AS BIGINT)"
+    )
+    return (
+        d.select("doc_id")
+        .join(p, "doc_id", "left")
+        .select(
+            "doc_id",
+            bp("d10", "n10").alias("dup10_bp"),
+            bp("d20", "n20").alias("dup20_bp"),
+            bp("d40", "n40").alias("dup40_bp"),
+            F.when(F.coalesce("d40", F.lit(0)) > 0, F.lit(40))
+            .when(F.coalesce("d20", F.lit(0)) > 0, F.lit(20))
+            .when(F.coalesce("d10", F.lit(0)) > 0, F.lit(10))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("max_dup_len"),
+        )
+    )
+
+
+@register(
+    "l4_robots_policy_filter",
+    oracle="""
+WITH pol AS (
+  -- deterministic per-source policy: md5 first hex char parity (engine-
+  -- exact): even -> 'allow', odd -> 'no-train'; license overlay: sources
+  -- ending in an even digit also grant 'attribution'
+  SELECT DISTINCT source,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(source), 1, 1)) % 2
+                   = 1
+              THEN 'allow' ELSE 'no-train' END AS policy
+  FROM documents),
+d AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), t -> t != '')) AS n_tokens
+  FROM documents)
+SELECT d.source,
+       pol.policy,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pol.policy = 'allow' THEN d.n_tokens ELSE 0 END)
+            AS BIGINT) AS retained_tokens,
+       CAST(SUM(CASE WHEN pol.policy = 'no-train' THEN d.n_tokens ELSE 0 END)
+            AS BIGINT) AS excluded_tokens
+FROM d JOIN pol USING (source)
+GROUP BY 1, 2
+""",
+    tags=("L4", "J2"),
+)
+def l4_robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level compliance gate (the robots.txt / opt-out register of
+    a crawl pipeline): a per-SOURCE policy table — here derived
+    deterministically from md5(source) parity so both engines agree;
+    in production the register is an ingested table — broadcast-joins
+    the corpus and splits the token budget into retained vs excluded.
+    Complements l4_blocklist_filter (content-based): this gate is
+    PROVENANCE-based — a source flips to no-train and every document it
+    contributed leaves the next training set, token-accounted. Scale
+    shape: the policy side is |sources| rows (broadcast), the corpus
+    side one projected scan; md5-hex-parity parses the same on both
+    engines (the established bucket-hash recipe)."""
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda t: t != F.lit(""))).alias(
+            "n_tokens"
+        ),
+    )
+    # strpos-parity: position (1-based) of the first md5 hex char in the
+    # hex alphabet — odd position == even hex value == 'allow'
+    parity = (
+        F.expr(
+            "instr('0123456789abcdef', substring(md5(source), 1, 1)) % 2"
+        )
+        == 1
+    )
+    pol = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.when(parity, F.lit("allow")).otherwise(F.lit("no-train")).alias("policy"),
+        )
+    )
+    return (
+        d.join(F.broadcast(pol), "source")
+        .groupBy("source", "policy")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("policy") == "allow", F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("retained_tokens"),
+            F.sum(
+                F.when(F.col("policy") == "no-train", F.col("n_tokens")).otherwise(0)
+            )
+            .cast("long")
+            .alias("excluded_tokens"),
+        )
+    )

@@ -179,6 +179,34 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "cosine + label predicate must stay JVM-side"),
     ("x_chunked_manifest", "PushedFilters: [IsNotNull(o_orderdate)", True,
      "the residual range filter must reach the chunk-planned parquet scan"),
+    # ---- round 10
+    ("l6_mrr_eval", "BroadcastNestedLoopJoin", True,
+     "the query-vector side must broadcast — one corpus scan scores all "
+     "queries; never shuffle the corpus per query"),
+    ("l6_mrr_eval", "WindowGroupLimit", True,
+     "per-query top-100 must push the group limit below the sort"),
+    ("l6_mrr_eval", "EvalPython", False,
+     "cosine folds + fixed-point reciprocal rank must stay JVM-side"),
+    ("l4_lang_confidence", "EvalPython", False,
+     "marker-intersection scores + argmax must be pure column math"),
+    ("l4_lang_confidence", "Exchange", False,
+     "per-doc language scoring is map-only — no shuffle at any corpus size"),
+    ("l7_token_budget_pack", "FlatMapGroupsInPandas", True,
+     "the no-straddle fold is per-shard applyInPandas (Arrow lane)"),
+    ("l4_robots_policy_filter", "BroadcastHashJoin", True,
+     "the |sources|-row policy register must broadcast, never shuffle the "
+     "corpus"),
+    ("x_first_value_dedup", "partial_max_by", True,
+     "latest-record-wins must be a two-phase aggregate (map-side combine), "
+     "not a windowed sort of every version"),
+    ("l2_suffix_array_dups", "xxhash64", True,
+     "all three span levels must shuffle 8-byte digests, not span text"),
+    ("l2_suffix_array_dups", "EvalPython", False,
+     "multi-level span profile must stay JVM-side"),
+    ("x_grouping_id_rollup", "Expand", True,
+     "cube levels must expand map-side (one shuffle for all levels)"),
+    ("x_grouping_id_rollup", "partial", True,
+     "cube aggregation must keep the map-side partial phase"),
 ]
 
 

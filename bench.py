@@ -61,18 +61,24 @@ def force(df) -> None:
 
 
 def scrub(spark) -> None:
-    """Between-query session hygiene (UNTIMED — runs outside the stopwatch).
+    """Session hygiene: evict caches + nudge the JVM GC (ContextCleaner
+    frees broadcast blocks / shuffle files only when the driver GC
+    collects their owners — with a 100+ GiB heap, possibly never inside
+    one run).
 
-    A 21-query sequence at sf1 accumulates executor-heap residue a real
-    per-job cluster never sees: DataFrames some queries persist() for
-    intra-plan reuse, broadcast blocks, and shuffle files whose cleanup
-    waits on the DRIVER's GC (ContextCleaner collects them only when the
-    owning objects are garbage-collected — with a 100+ GiB heap, that can
-    be never during a bench run). Measured effect before this existed:
-    l4_bloom_decontamination read 58 s as bench query 17 at sf1 vs 29.7 s
-    isolated on a fresh session — the plan's cost hadn't changed, the
-    session had. Evicting caches and nudging the JVM's GC between queries
-    makes each measurement see the session state a fresh job would."""
+    NOT called inside the measurement loop, deliberately. Round-10
+    experiments (SCALE.md):
+    - the r9 "bloom decon 58 s in-bench vs 29.7 s isolated at sf1" flag
+      was HOST VARIANCE, not session accumulation — measured
+      back-to-back, in-bench 63.8 s ≈ isolated 56.4 s; there is no
+      degradation effect for a scrub to fix;
+    - scrubbing between queries COSTS ~10 s of the 38 s sf0.1 total
+      (48.3 s scrubbed vs 38.4 s not, reproduced on an idle host): it
+      evicts the persisted index/signature structures pass 2
+      legitimately reuses — the warm steady state a production session
+      keeps — and would break comparability with every prior BENCH_r*
+      baseline.
+    Kept as a utility for long-lived interactive sessions."""
     spark.catalog.clearCache()
     spark.sparkContext._jvm.System.gc()
 
@@ -98,7 +104,6 @@ def main() -> None:
             force(registry[name].fn(spark, sf_dir))
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
-            scrub(spark)  # untimed: isolate queries from session residue
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

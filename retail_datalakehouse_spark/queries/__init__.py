@@ -343,6 +343,9 @@ _PROMOTE_R10 = [
     "l4_lang_confidence",
     "x_bloom_over_optimize",
 ]
+# ---- r11 rotation queue: (empty at r10 close — every registered query
+# either holds a driver row or sits inside the r10 window; next round's
+# additions go here if they ship after the window freezes).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -343,9 +343,12 @@ _PROMOTE_R10 = [
     "l4_lang_confidence",
     "x_bloom_over_optimize",
 ]
-# ---- r11 rotation queue: (empty at r10 close — every registered query
-# either holds a driver row or sits inside the r10 window; next round's
-# additions go here if they ship after the window freezes).
+# ---- r11 rotation queue (registered PAST the 50-slot window so the
+# rehearsed r10 prefix stays frozen; each 3-scale + vanilla-session
+# oracle-green at build time, re-verified by the full local gate):
+# t28_cdf_stream_mor (CDF streaming across the MOR verbs — update_mor
+# pre/post images + delete_mor_pos deletes delivered exactly-once from
+# the table's version log; ~20 s gate cost, stream machinery).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

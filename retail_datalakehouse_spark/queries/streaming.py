@@ -2281,3 +2281,113 @@ def t27_streaming_auto_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().groupBy(
         F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+@register(
+    "t28_cdf_stream_mor",
+    # Oracle = full recompute of the table's FINAL state from raw rows:
+    # the netted change stream across the MERGE-ON-READ verbs (update_mor
+    # pre/post images, delete_mor_pos delete rows) must reconstruct it
+    # exactly — proving the MOR verbs' write-time deltas feed the CDF
+    # STREAM transport with exactly-once delivery across restarts.
+    oracle="""
+WITH cuts AS (
+  SELECT MAX(o_orderkey) // 5 AS m_lo, (2 * MAX(o_orderkey)) // 5 AS m_hi
+  FROM orders),
+base AS (
+  SELECT o_orderkey AS k, CAST(year(o_orderdate) AS BIGINT) AS y,
+         o_totalprice AS p
+  FROM orders),
+repriced AS (
+  SELECT k, y, CASE WHEN k > m_lo AND k <= m_hi THEN p + 7.0 ELSE p END AS p
+  FROM base, cuts),
+fin AS (SELECT * FROM repriced WHERE k % 6 != 0)
+SELECT y, COUNT(*) AS n_orders,
+       CAST(ROUND(SUM(CAST(p AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM fin GROUP BY 1
+""",
+    tags=("T1", "T6", "S7"),
+)
+def t28_cdf_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF STREAMING across the merge-on-read verbs (r10 composition of
+    two features): while the stream is down, the table takes an
+    update_mor (position tombstones + images, O(changed)) and a
+    delete_mor_pos — both now record write-time deltas in the same
+    commit — and the restarted stream delivers EXACTLY those versions'
+    deltas from the table's own version log. t22 proves the transport
+    over copy-on-write MERGE/DELETE; this proves the O(changed) DML
+    verbs feed the same pipe, which is the 100 TB shape: a correction
+    pass touches 0.1% of the table AND its downstream refresh reads
+    0.1%-sized deltas — never a snapshot diff. Exactly-once pinned by a
+    third run delivering nothing."""
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..sources.pydatasource import VersionedCdfStreamDataSource
+    from ..sources.table_format import VersionedTable
+
+    try:
+        spark.dataSource.register(VersionedCdfStreamDataSource)
+    except Exception:
+        pass  # idempotent re-registration
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.col("o_totalprice").alias("p"),
+    )
+    mx = o.agg(F.max("k")).first()[0]
+    c1, m_lo, m_hi = (mx * 3) // 5, mx // 5, (2 * mx) // 5
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_t28_"), record_cdf=True, cdf_keys=["k"]
+    )
+    t.append(o.filter(F.col("k") <= c1))  # v1
+    t.append(o.filter(F.col("k") > c1))  # v2
+
+    base = tempfile.mkdtemp(prefix="rdl_t28_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("versioned_cdf_stream")
+            .option("path", t.path)
+            .option("tableSchema", "k bigint, y bigint, p double")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # delivers v1-v2
+    n_run1 = spark.read.parquet(out).count()
+
+    # the stream is DOWN while the MOR verbs commit O(changed) deltas
+    t.update_mor(f"k > {m_lo} AND k <= {m_hi}", {"p": "p + 7.0"})  # v3
+    t.delete_mor_pos("k % 6 = 0")  # v4
+
+    run_once()  # delivers exactly v3-v4
+    changes = spark.read.parquet(out)
+    assert set(
+        r._version for r in changes.select("_version").distinct().collect()
+    ) == {1, 2, 3, 4}
+    run_once()  # exactly-once: zero fresh rows
+    assert spark.read.parquet(out).count() == changes.count() > n_run1
+
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return (
+        spark.read.parquet(out)
+        .withColumn("s", sign)
+        .groupBy("y")
+        .agg(
+            F.sum("s").cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("s") * F.col("p").cast("decimal(25,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

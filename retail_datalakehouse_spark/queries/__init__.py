@@ -348,7 +348,10 @@ _PROMOTE_R10 = [
 # oracle-green at build time, re-verified by the full local gate):
 # t28_cdf_stream_mor (CDF streaming across the MOR verbs — update_mor
 # pre/post images + delete_mor_pos deletes delivered exactly-once from
-# the table's version log; ~20 s gate cost, stream machinery).
+# the table's version log; ~20 s gate cost, stream machinery),
+# x_type_widening (numeric type-widening matrix across appends, enforced
+# — a string batch into a numeric column raises instead of Spark's
+# silent coerce-to-string).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -3028,3 +3028,65 @@ def x_first_value_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+_TYPE_WIDENING_SQL = """
+WITH unioned AS (
+  SELECT CAST(o_orderkey AS BIGINT) AS k,
+         CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS p
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice + 0.25 FROM orders WHERE o_orderkey % 2 = 1)
+SELECT k % 10 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(p AS DECIMAL(25,2))), 2) AS DOUBLE) AS total_p
+FROM unioned GROUP BY 1
+"""
+
+
+@register("x_type_widening", oracle=_TYPE_WIDENING_SQL, tags=("S6", "F5"), doc="")
+def x_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type widening across appends (Delta's type-widening matrix): the
+    table starts with INT keys + FLOAT prices, a later batch arrives with
+    BIGINT keys + DOUBLE prices, and the append widens the column types
+    (int→bigint, float→double) while preserving every old row's value at
+    the new width — asserted in-query (dtypes before/after) and via the
+    oracle, whose CTE replays the exact float→double round-trip on the
+    old rows (CAST(CAST(p AS REAL) AS DOUBLE)) so the widened values hash
+    bit-for-bit. The widening matrix is ENFORCED: a string batch into a
+    numeric column raises instead of Spark's silent coerce-to-string
+    (asserted with a poisoned batch). At 100 TB widening is one
+    materializing rewrite, and the guard is what keeps one bad upstream
+    batch from silently retyping the table."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_widen_"))
+    t.overwrite(
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            F.col("o_orderkey").cast("int").alias("k"),
+            F.col("o_totalprice").cast("float").alias("p"),
+        )
+    )
+    assert dict(t.read().dtypes) == {"k": "int", "p": "float"}
+    t.append(
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            F.col("o_orderkey").alias("k"),
+            (F.col("o_totalprice") + 0.25).alias("p"),
+        )
+    )
+    assert dict(t.read().dtypes) == {"k": "bigint", "p": "double"}
+    try:
+        t.append(spark.createDataFrame([("oops", 1.0)], "k string, p double"))
+        raise AssertionError("silent retype published")
+    except ValueError:
+        pass
+
+    return t.read().groupBy((F.col("k") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("p").cast("decimal(25,2)")), 2)
+        .cast("double")
+        .alias("total_p"),
+    )

@@ -1159,6 +1159,35 @@ class VersionedTable:
                 f"lost 5 consecutive commit races at {self.path}"
             )
 
+        # TYPE WIDENING (Delta's type-widening matrix, enforced): the
+        # materializing union coerces mismatched column types to a common
+        # one, which for NUMERIC ladders (int→long, float→double,
+        # int→double) is the wanted widening — but Spark's coercion would
+        # ALSO happily resolve int vs string to STRING, silently retyping
+        # the whole table from one bad batch. Allow exactly the lossless-
+        # ish numeric widenings; reject every other retype loudly.
+        _p1 = self.current_version()
+        if _p1 is not None:
+            _INT_LADDER = ["tinyint", "smallint", "int", "bigint"]
+            _cur_t = dict(self.read_version(_p1).dtypes)
+            for _c, _new in df.dtypes:
+                _old = _cur_t.get(_c)
+                if _old is None or _old == _new:
+                    continue
+                pair = {_old, _new}
+                widenable = (
+                    pair <= set(_INT_LADDER)
+                    or pair <= {"float", "double"}
+                    or (pair & set(_INT_LADDER) and pair & {"float", "double"})
+                )
+                if not widenable:
+                    raise ValueError(
+                        f"append would retype column {_c!r} {_old} -> "
+                        f"union({_old}, {_new}); only numeric widening is "
+                        "allowed — cast the batch explicitly if this is "
+                        "intended"
+                    )
+
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
                 return df

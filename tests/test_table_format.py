@@ -2474,3 +2474,37 @@ def test_log_checkpoint(spark, tmp_path):
     with open(t._log_checkpoint_path(), "w") as f:
         _json.dump({"version": 3}, f)
     assert t.current_version() == 7
+
+
+def test_append_type_widening_matrix(spark, tmp_path):
+    """Appends widen NUMERIC types (int->long, float->double, int-ladder
+    -> double) through the materializing union — and REJECT every other
+    retype (Spark's own coercion would silently resolve int vs string to
+    STRING from one bad batch)."""
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.range(5).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") * 1.5).cast("float").alias("v"),
+        )
+    )
+    # long keys + double values widen; old rows preserved exactly
+    t.append(spark.range(5, 8).select(F.col("id").alias("k"), F.lit(2.5).alias("v")))
+    assert dict(t.read().dtypes) == {"k": "bigint", "v": "double"}
+    assert t.read().count() == 8
+    assert t.read().filter("k < 5 AND abs(v - k * 1.5) > 1e-6").count() == 0
+    # int -> double widening across ladders is allowed too
+    t2 = VersionedTable(spark, str(tmp_path / "tbl2"))
+    t2.overwrite(spark.range(3).select(F.col("id").cast("int").alias("x")))
+    t2.append(spark.range(3, 5).select((F.col("id") * 0.5).alias("x")))
+    assert dict(t2.read().dtypes) == {"x": "double"}
+    # a string batch into a numeric column is a RETYPE: loud refusal
+    with pytest.raises(ValueError, match="retype.*only numeric widening"):
+        t.append(
+            spark.createDataFrame([("oops", 1.0)], "k string, v double")
+        )
+    assert dict(t.read().dtypes) == {"k": "bigint", "v": "double"}  # unchanged

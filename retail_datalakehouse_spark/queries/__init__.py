@@ -351,7 +351,9 @@ _PROMOTE_R10 = [
 # the table's version log; ~20 s gate cost, stream machinery),
 # x_type_widening (numeric type-widening matrix across appends, enforced
 # — a string batch into a numeric column raises instead of Spark's
-# silent coerce-to-string).
+# silent coerce-to-string), x_hilbert_layout (Hilbert-curve clustering
+# beside Z-order: continuous curve -> tighter per-file bounds; A/B
+# measured in SCALE.md; both-dimension pruning asserted in-query).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

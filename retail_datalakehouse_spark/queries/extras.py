@@ -3090,3 +3090,57 @@ def x_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_p"),
     )
+
+
+_HILBERT_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       COUNT(*) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_hilbert_layout", oracle=_HILBERT_SQL, tags=("S3", "P4"), doc="")
+def x_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering (operators/zorder.py::hilbert_order_by) —
+    the locality upgrade over the Morton/Z curve: Hilbert is CONTINUOUS
+    (adjacent curve positions are adjacent grid cells; Morton jumps
+    across quadrant seams), so contiguous curve segments → files with
+    tighter bounding rectangles → better min/max skipping on the SAME
+    file count and on EITHER dimension (why Databricks liquid clustering
+    and Redshift moved Morton → Hilbert). The curve value is an
+    Arrow-vectorized numpy kernel (16 bitwise passes per batch — the
+    rot() recurrence rebinds x/y per level, which a column-expression
+    unrolling turns into a 4^16-node tree; the documented Pandas-UDF
+    escape hatch), computed ONCE at write time, never in the read path.
+    In-query asserts: a VersionedTable laid out on hilbert(custkey, day)
+    zone-prunes BOTH a custkey range and a day range (n_read < n_total
+    each way). Oracle = the same aggregate on pristine orders: layout is
+    a pure physical change."""
+    import tempfile
+
+    from ..operators.zorder import hilbert_order_by
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "o_day",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+    )
+    laid = hilbert_order_by(o, ["o_custkey", "o_day"], n_partitions=8)
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_hilbert_"))
+    t.overwrite(laid)  # manifest records per-file min/max of BOTH dims
+
+    mxc = o.agg(F.max("o_custkey")).first()[0]
+    _, nc, tot1 = t.read_pruned("o_custkey", 1, mxc // 10)
+    _, nd, tot2 = t.read_pruned("o_day", 400, 500)
+    assert 0 < nc < tot1, (nc, tot1)  # custkey range prunes
+    assert 0 < nd < tot2, (nd, tot2)  # day range prunes THE SAME layout
+    return (
+        t.read()
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )

@@ -117,3 +117,69 @@ def test_file_skipping_prunes_and_preserves(spark, sf_dir, tmp_path):
 
     empty, n0, _ = skipping_scan(spark, path, stats, "o_orderkey", mx + 10, mx + 20)
     assert n0 == 0 and empty.count() == 0
+
+
+def test_hilbert_value_matches_reference(spark):
+    """The Arrow-vectorized Hilbert kernel must equal the classic
+    iterative xy2d reference bit-for-bit (corners + random grid)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.zorder import N_BITS, hilbert_value
+
+    def ref_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(7)
+    n = 1 << N_BITS
+    pts = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    pts += [(0, 0), (n - 1, n - 1), (0, n - 1), (n - 1, 0), (1, 0), (0, 1)]
+    df = spark.createDataFrame(pts, "x long, y long").withColumn(
+        "d", hilbert_value(F.col("x"), F.col("y"))
+    )
+    for r in df.collect():
+        assert r.d == ref_xy2d(n, r.x, r.y), (r.x, r.y, r.d)
+
+
+def test_hilbert_layout_prunes_both_dims(spark, tmp_path):
+    """One Hilbert layout must zone-prune on EITHER clustered dimension,
+    and at least as few files as Z-order for the same square probe
+    (locality: Hilbert's contiguous segments have tighter bounds)."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.zorder import (
+        hilbert_order_by,
+        z_order_by,
+    )
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    df = spark.range(40_000).select(
+        (F.col("id") % 200).alias("x"),
+        ((F.col("id") * 7919) % 200).alias("y"),
+        F.col("id").alias("v"),
+    )
+    th = VersionedTable(spark, str(tmp_path / "h"))
+    th.overwrite(hilbert_order_by(df, ["x", "y"], n_partitions=16))
+    tz = VersionedTable(spark, str(tmp_path / "z"))
+    tz.overwrite(z_order_by(df, ["x", "y"], n_partitions=16))
+
+    got, nx, tot = th.read_pruned("x", 10, 29)
+    assert 0 < nx < tot
+    assert got.count() == df.filter("x BETWEEN 10 AND 29").count()
+    _, ny, _ = th.read_pruned("y", 10, 29)
+    assert 0 < ny < tot
+    # both curves prune the same square probe; report-level A/B lives in
+    # SCALE.md — here pin only that hilbert never does WORSE than 2x z
+    _, nzx, _ = tz.read_pruned("x", 10, 29)
+    assert nx <= 2 * nzx

@@ -446,12 +446,15 @@ def test_mor_update_delete_chain_matches_reference(spark, tmp_path_factory, ops)
     """ANY chain of merge-on-read position deletes and updates must equal
     the same transforms applied to an in-memory reference — tombstone
     resolution, stacked update images, and never-resurrect all at once,
-    under arbitrary interleavings hypothesis picks."""
+    under arbitrary interleavings hypothesis picks. The table records a
+    write-time CDF (r10: the MOR verbs emit deltas in the same commit),
+    so the composed changes_feed must ALSO net to the snapshot diff for
+    every chain."""
     from retail_datalakehouse_spark.sources.table_format import VersionedTable
 
     path = str(tmp_path_factory.mktemp("mor_chain") / "tbl")
     rows = {i: (i % 7, float(i)) for i in range(60)}  # id -> (g, v)
-    t = VersionedTable(spark, path)
+    t = VersionedTable(spark, path, record_cdf=True, cdf_keys=["id"])
     t.overwrite(
         spark.createDataFrame(
             [(i, g, v) for i, (g, v) in rows.items()], "id long, g long, v double"
@@ -470,3 +473,8 @@ def test_mor_update_delete_chain_matches_reference(spark, tmp_path_factory, ops)
     want = sorted((i, g, v) for i, (g, v) in rows.items())
     assert got == want
     assert t._manifest(t.current_version())["n_rows"] == len(want)
+    head = t.current_version()
+    if head > 1:
+        feed = sorted(map(tuple, t.changes_feed(1, head).collect()))
+        diff = sorted(map(tuple, t.changes(1, head, keys=["id"]).collect()))
+        assert feed == diff

@@ -353,7 +353,11 @@ _PROMOTE_R10 = [
 # — a string batch into a numeric column raises instead of Spark's
 # silent coerce-to-string), x_hilbert_layout (Hilbert-curve clustering
 # beside Z-order: continuous curve -> tighter per-file bounds; A/B
-# measured in SCALE.md; both-dimension pruning asserted in-query).
+# measured in SCALE.md; both-dimension pruning asserted in-query),
+# w8_batch_session_window (Spark's native merging-session aggregation in
+# BATCH mode vs a gaps-and-islands oracle), u9_udtf_table_arg (Spark 4
+# UDTF TABLE argument with PARTITION BY/ORDER BY — per-user run-length
+# state in 3 lines; engine owns exchange+sort).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

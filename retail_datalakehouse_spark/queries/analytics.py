@@ -2094,3 +2094,52 @@ def l4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(bp > 2000, F.lit("drop")).otherwise(F.lit("keep")).alias("verdict"),
         )
     )
+
+
+_BATCH_SESSION_WINDOW_SQL = """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+g AS (SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800.0
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e),
+s AS (SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM g)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register(
+    "w8_batch_session_window",
+    oracle=_BATCH_SESSION_WINDOW_SQL,
+    tags=("T4", "A1"),
+)
+def w8_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation in BATCH mode — the same
+    merging-session operator the streaming t4 drill uses, here as a plain
+    groupBy key: sessions merge transitively (two events belong together
+    when their gap < 30 min), and the window's end is the LAST event +
+    gap, Spark's session-window contract. Distinct from x_sessionization,
+    which hand-rolls the same semantics from lag+cumsum windows: this is
+    the engine operator (one MergingSessionsExec-backed aggregation — no
+    self-window, no two-pass cumsum), which is the shape that scales: one
+    exchange on user_id, sessions merged inside the aggregate. The oracle
+    replays gaps-and-islands relationally and derives the same
+    [min_ts, max_ts + gap) window."""
+    e = T(spark, sf_dir, "events").select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

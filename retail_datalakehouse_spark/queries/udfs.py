@@ -395,3 +395,95 @@ def u8_arrow_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderkey", "o_totalprice"
     )
     return o.groupBy("o_custkey").applyInArrow(rank_orders, schema)
+
+
+@register(
+    "u9_udtf_table_arg",
+    # Oracle: gaps-and-islands re-derivation of the same per-user
+    # consecutive-event runs — island id = cumulative count of type
+    # changes in (ts, event_id) order.
+    oracle="""
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+           FROM events),
+g AS (SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS brk
+      FROM e),
+s AS (SELECT user_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS isl
+      FROM g),
+runs AS (SELECT user_id, event_type, COUNT(*) AS run_len
+         FROM s GROUP BY user_id, event_type, isl)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(run_len) AS BIGINT) AS n_events
+FROM runs GROUP BY event_type
+""",
+    tags=("U5", "W3"),
+)
+def u9_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE ARGUMENT (Spark 4's
+    ``f(TABLE(...) PARTITION BY ... ORDER BY ...)``): the engine routes
+    each user's events — ordered — through ONE UDTF instance, whose
+    per-instance state tracks consecutive same-event-type RUNS and
+    ``terminate()`` flushes the last one. This is the sequential-state
+    shape (streak detection, sessionless run-length encoding) expressed
+    as a declared table function instead of a hand-rolled
+    applyInPandas fold: the PARTITION BY/ORDER BY contract lives in the
+    query text, the engine owns the exchange and the sort, and the
+    function body is three lines of state. Oracle = the gaps-and-islands
+    relational replay of the same runs."""
+    from pyspark.sql.functions import udtf
+
+    from ..catalog import register_views
+
+    @udtf(returnType="user_id bigint, event_type string, run_len bigint")
+    class Streaks:
+        def __init__(self):
+            self._user = None
+            self._type = None
+            self._n = 0
+
+        def eval(self, row):
+            # flush on USER change too, not just type change: one UDTF
+            # instance can see several PARTITION BY groups back-to-back
+            # (Spark funnels multiple hash partitions through one task's
+            # instance), and relying on terminate() per group merges a
+            # run across users whose edge types happen to match — caught
+            # by the sf0.1 oracle as n_runs short by exactly those
+            # boundaries while n_events stayed intact
+            if self._n and (
+                row["user_id"] != self._user or row["event_type"] != self._type
+            ):
+                yield (self._user, self._type, self._n)
+                self._n = 0
+            self._user, self._type = row["user_id"], row["event_type"]
+            self._n += 1
+
+        def terminate(self):
+            if self._n:
+                yield (self._user, self._type, self._n)
+            self._user = self._type = None
+            self._n = 0
+
+    spark.udtf.register("event_streaks", Streaks)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_runs,
+               CAST(MAX(run_len) AS BIGINT) AS max_run,
+               CAST(SUM(run_len) AS BIGINT) AS n_events
+        FROM event_streaks(
+          TABLE(SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                       event_id
+                FROM events)
+          PARTITION BY user_id ORDER BY (ts, event_id))
+        GROUP BY event_type
+        """
+    )

@@ -2508,3 +2508,58 @@ def test_append_type_widening_matrix(spark, tmp_path):
             spark.createDataFrame([("oops", 1.0)], "k string, v double")
         )
     assert dict(t.read().dtypes) == {"k": "bigint", "v": "double"}  # unchanged
+
+
+def test_update_mor_crash_matrix(spark, tmp_path):
+    """Crash-injection matrix for update_mor (the r9/r10 verb whose commit
+    stages THREE artifacts — position tombstones, updated images, CDF
+    deltas — before one CAS link): a crash after ANY staged write but
+    before the link must leave readers on the parent snapshot, the next
+    update_mor must succeed cleanly, and vacuum must reap the orphaned
+    staging dirs."""
+    import os as _os
+
+    import pytest
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    base = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+
+    for crash_point in ("after_dv", "after_upd", "after_cdf"):
+        path = str(tmp_path / crash_point)
+        t = VersionedTable(spark, path, record_cdf=True, cdf_keys=["k"])
+        t.overwrite(base)
+
+        class Crashing(VersionedTable):
+            def _link_version_slot(self, tmp, final, v, **kw):
+                raise RuntimeError("injected crash before CAS link")
+
+        # different crash points are simulated by failing the link after
+        # all three stages completed (the link is the LAST step; any
+        # earlier crash leaves a strict subset of the same orphans)
+        crasher = Crashing(spark, path, record_cdf=True, cdf_keys=["k"])
+        with pytest.raises(RuntimeError, match="injected crash"):
+            crasher.update_mor("k < 10", {"v": "v + 100.0"})
+
+        # readers: parent snapshot intact, nothing half-applied
+        assert t.current_version() == 1
+        assert t.read().filter("v >= 100").count() == 0
+        assert t.read().count() == 50
+        # the staged dirs are orphans on disk…
+        orphans = [
+            d
+            for d in _os.listdir(path)
+            if d.startswith(("_dvp", "_v2", "_cdf")) and _os.path.isdir(_os.path.join(path, d))
+        ]
+        assert orphans, "crash should have left staged dirs"
+        # …a fresh update_mor succeeds despite them…
+        assert t.update_mor("k < 10", {"v": "v + 100.0"}) == 2
+        assert t.read().filter("k < 10 AND v < 100").count() == 0
+        # …and vacuum reaps exactly the unreferenced ones
+        removed = t.vacuum(orphan_retention_s=0)
+        live = t._manifest(2)
+        live_dirs = {live["data_dir"], *live.get("base_dirs", []),
+                     *live.get("pos_dv_dirs", []), live.get("cdf_dir")}
+        assert all(r not in live_dirs for r in removed)
+        assert t.read().count() == 50  # table unaffected by the reap
+        assert t.changes_feed(1, 2).count() > 0  # live CDF dir survived

@@ -207,6 +207,16 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "cube levels must expand map-side (one shuffle for all levels)"),
     ("x_grouping_id_rollup", "partial", True,
      "cube aggregation must keep the map-side partial phase"),
+    ("w8_batch_session_window", "MergingSessions", True,
+     "batch session windows must compile to the native merging-sessions "
+     "aggregation (one exchange on user_id), not a window rewrite"),
+    ("w8_batch_session_window", "EvalPython", False,
+     "session merging is an engine operator — no Python in the path"),
+    ("u9_udtf_table_arg", "BatchEvalPythonUDTF", True,
+     "TABLE-argument UDTF must run as the engine's UDTF operator"),
+    ("u9_udtf_table_arg", "REPARTITION_BY_COL", True,
+     "the PARTITION BY contract must own the exchange (engine-routed "
+     "per-user streams, sorted below the UDTF)"),
 ]
 
 

@@ -98,12 +98,30 @@ def main() -> None:
     # guest. The min of two spaced samples reports the plan's actual cost
     # rather than whichever stall window a single pass happens to hit.
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     for _pass in range(2):
+        p0 = time.time()
         for name in HEADLINE:
             t0 = time.time()
             force(registry[name].fn(spark, sf_dir))
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+        pass_totals.append(round(time.time() - p0, 3))
+
+    # In-bench vs ISOLATED, back-to-back in the same host window (r10
+    # verdict item 5): when a driver-side total spikes (r10 read 53 s vs
+    # our 41-43 s), the adjudication question is "session state or host
+    # variance?". Re-measuring the most expensive queries on a scrubbed
+    # session immediately after the in-bench passes answers it in one
+    # glance: isolated ≈ in-bench ⇒ host window; isolated ≪ in-bench ⇒
+    # session accumulation (never observed — r10 measured 63.8 ≈ 56.4 s).
+    top5 = sorted(timings, key=timings.get, reverse=True)[:5]
+    isolated: dict[str, float] = {}
+    for name in top5:
+        scrub(spark)
+        t0 = time.time()
+        force(registry[name].fn(spark, sf_dir))
+        isolated[name] = round(time.time() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -113,6 +131,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "pass_totals": pass_totals,
+                "isolated_top5": isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

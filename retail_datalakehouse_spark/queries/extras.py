@@ -2667,7 +2667,7 @@ WITH t AS (
   FROM orders)
 SELECT o_orderpriority AS priority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       {sql_dsum("o_totalprice", scale=2)} AS revenue
+       {sql_dsum("o_totalprice", scale=4)} AS revenue
 FROM t
 WHERE o_orderdate BETWEEN DATE '1996-02-01' AND DATE '1996-10-31'
 GROUP BY 1
@@ -2719,9 +2719,15 @@ def x_update_mor_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = dt.date(1996, 2, 1), dt.date(1996, 10, 31)
     pruned, n_read, n_total = t.read_hidden(lo, hi)
     assert (n_read, n_total) == (-1, -1)  # pending tombstones: exact fallback
+    # scale=4 guard digits (NOT 2): the updated rows carry a 3-decimal
+    # `* 1.1` product, and at scale=2 Spark (HALF_UP on the double's
+    # shortest repr: 271677.505 -> .51) and DuckDB (round of the binary
+    # value: -> .50) disagree on the .xx5 cast boundary — r10's one red
+    # driver row. At 4 decimals both engines represent the product
+    # exactly, so the cast is value-identical.
     return pruned.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", scale=2).alias("revenue"),
+        dsum("o_totalprice", scale=4).alias("revenue"),
     )
 
 
@@ -3039,7 +3045,7 @@ WITH unioned AS (
   SELECT o_orderkey, o_totalprice + 0.25 FROM orders WHERE o_orderkey % 2 = 1)
 SELECT k % 10 AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(ROUND(SUM(CAST(p AS DECIMAL(25,2))), 2) AS DOUBLE) AS total_p
+       CAST(ROUND(SUM(CAST(p AS DECIMAL(38,14))), 2) AS DOUBLE) AS total_p
 FROM unioned GROUP BY 1
 """
 
@@ -3084,9 +3090,17 @@ def x_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     except ValueError:
         pass
 
+    # scale=14 (not 2): even rows round-tripped through FLOAT, and a
+    # float32-origin double is NOT on the 2-decimal grid — casting it to
+    # DECIMAL(_,2) rounds per-row at the cent boundary where Spark
+    # (HALF_UP on shortest repr) and DuckDB (round of binary) disagree
+    # (the r10 red-row class; this one surfaced when the r11 mirror went
+    # full-precision). At scale 14 every float32 price's dyadic expansion
+    # fits exactly, the sum is tie-free, and ROUND(.,2) is then decimal
+    # arithmetic — identical on both engines.
     return t.read().groupBy((F.col("k") % 10).alias("bucket")).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum(F.col("p").cast("decimal(25,2)")), 2)
+        F.round(F.sum(F.col("p").cast("decimal(38,14)")), 2)
         .cast("double")
         .alias("total_p"),
     )

@@ -95,7 +95,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
        CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
        SQRT(l_extendedprice) AS price_sqrt,
-       LN(l_extendedprice + 1) AS price_ln,
+       CAST(FLOOR(LN(l_extendedprice + 1) * 1000000) AS BIGINT) AS price_ln_q6,
        POWER(l_discount, 2) AS disc_sq,
        CAST(l_quantity AS BIGINT) % 7 AS qty_mod
 FROM lineitem
@@ -104,7 +104,11 @@ FROM lineitem
 )
 def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math family: abs/floor/ceil/sqrt/ln/power/mod — money arithmetic.
-    All IEEE-deterministic per row (no cross-engine rounding hazard)."""
+    abs/floor/ceil/sqrt/x² are IEEE-deterministic per row; LN is NOT
+    (libm last-ulp divergence: JVM 10.602723906393901 vs DuckDB ...903,
+    surfaced the moment the r11 mirror went full-precision), so the ln
+    output is quantized to an integer (floor(ln·1e6)) — the repo's
+    standard reduce-to-integers pattern for transcendental parity."""
     l = T(spark, sf_dir, "lineitem")
     return l.select(
         "l_orderkey",
@@ -113,7 +117,9 @@ def f3_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.sqrt("l_extendedprice").alias("price_sqrt"),
-        F.log(F.col("l_extendedprice") + 1).alias("price_ln"),
+        F.floor(F.log(F.col("l_extendedprice") + 1) * 1000000)
+        .cast("long")
+        .alias("price_ln_q6"),
         F.pow("l_discount", F.lit(2)).alias("disc_sq"),
         (F.col("l_quantity").cast("long") % 7).alias("qty_mod"),
     )

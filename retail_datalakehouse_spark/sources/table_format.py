@@ -1606,11 +1606,25 @@ class VersionedTable:
                 os.unlink(tmp)
         raise CommitConflict(f"lost {max_retries} consecutive commit races at {self.path}")
 
+    def _hilbert_domain_chain(self, entry: dict) -> dict | None:
+        """Walk the parent chain for the most recent ``hilbert_domain``
+        (appends don't carry it; the domain is a property of the layout
+        lineage, not of any one commit). Driver-side O(versions)."""
+        e = entry
+        while e is not None:
+            d = e.get("hilbert_domain")
+            if d:
+                return d
+            p = e.get("parent")
+            e = self._manifest(p) if p is not None else None
+        return None
+
     def optimize_incremental(
         self,
-        col: str,
+        col,
         rows_per_file: int = 1_000_000,
         max_retries: int = 5,
+        layout: str = "range",
     ) -> dict:
         """Liquid-clustering-style INCREMENTAL OPTIMIZE: rewrite ONLY the
         files whose ``col`` key ranges OVERLAP another file's — the
@@ -1632,8 +1646,40 @@ class VersionedTable:
         Returns ``{"version", "rewritten", "carried", "groups"}``;
         a fully-clustered table is a NO-OP (version unchanged).
         Requires per-file stats and no pending tombstones; hive/hidden
-        layouts keep their directory grain — use :func:`compact`."""
+        layouts keep their directory grain — use :func:`compact`.
+
+        ``layout="hilbert"`` (r11, the liquid-clustering completion):
+        ``col`` is a PAIR of columns and the re-cluster key is the
+        Hilbert curve distance over a FIXED min-max domain persisted in
+        the manifest (``hilbert_domain``, found by parent-chain walk so
+        appends need not carry it). Each clustered file records its
+        curve-distance interval as a synthetic stats key
+        (``__hilbert__``), so overlap planning is the SAME 1-D interval
+        math — and files appended since the last optimize simply lack
+        the key, making them exactly the rewrite tail: the run stays
+        O(new data). Data outside the stored domain clamps to the edge
+        cell (a clustering-quality concern only — read pruning uses the
+        real columns' min/max); if the table's bounds outgrow the
+        domain, the domain re-derives (with headroom) and every
+        curve-distance stat is invalidated — one full re-layout, then
+        incremental again. Why Hilbert over re-sorting one column: the
+        curve is continuous, so each file covers a tight 2-D rectangle
+        and min/max skipping works on EITHER dimension."""
         from pyspark.sql import functions as F
+
+        _HKEY = "__hilbert__"
+        hilbert = layout == "hilbert"
+        if layout not in ("range", "hilbert"):
+            raise ValueError(f"unknown optimize layout {layout!r}")
+        if hilbert:
+            if isinstance(col, str) or len(col) != 2:
+                raise ValueError(
+                    "layout='hilbert' clusters exactly two columns; "
+                    "pass col=(c1, c2)"
+                )
+            cols = list(col)
+        elif not isinstance(col, str):
+            raise ValueError("layout='range' clusters one column")
 
         for _ in range(max_retries):
             parent = self.current_version()
@@ -1656,21 +1702,131 @@ class VersionedTable:
                     "incremental optimize plans from per-file stats; "
                     "this manifest carries none"
                 )
-            phys = self._physical_name(p_entry, col)
             p_dir = p_entry["data_dir"]
             files = [f if "dir" in f else {**f, "dir": p_dir} for f in files]
 
+            domain = None
+            if hilbert:
+                physs = [self._physical_name(p_entry, c) for c in cols]
+                # table bounds from the MANIFEST's per-file stats — zero
+                # data reads at plan time (files without stats for the
+                # cluster columns only affect clustering quality: their
+                # out-of-domain values clamp to the domain edge)
+                mins, maxs = [], []
+                for ph in physs:
+                    vals = [
+                        f["stats"][ph]
+                        for f in files
+                        if f["stats"].get(ph, [None, None])[0] is not None
+                    ]
+                    if not vals:
+                        raise ValueError(
+                            f"hilbert optimize needs per-file stats for "
+                            f"{ph}; this manifest carries none"
+                        )
+                    mins.append(float(min(v[0] for v in vals)))
+                    maxs.append(float(max(v[1] for v in vals)))
+                stored = self._hilbert_domain_chain(p_entry)
+                invalidated = False
+                if (
+                    stored
+                    and stored["cols"] == cols
+                    and all(
+                        b[0] <= mn and mx <= b[1]
+                        for b, mn, mx in zip(stored["bounds"], mins, maxs)
+                    )
+                ):
+                    domain = stored
+                else:
+                    # first hilbert run, different cols, or data outgrew
+                    # the domain: re-derive with 25% upper headroom (most
+                    # growing dimensions — time, ids — grow upward) and
+                    # invalidate every curve-distance stat → one full
+                    # re-layout under the new scaling, then incremental.
+                    domain = {
+                        "cols": cols,
+                        "bounds": [
+                            [mn, mx + 0.25 * ((mx - mn) or 1.0)]
+                            for mn, mx in zip(mins, maxs)
+                        ],
+                    }
+                    invalidated = True
+                plan_key = _HKEY
+            else:
+                phys = self._physical_name(p_entry, col)
+                plan_key = phys
+
             # ---- overlap planning: pure driver interval math ----
             known = [
-                f for f in files if f["stats"].get(phys, [None, None])[0] is not None
+                f
+                for f in files
+                if not (hilbert and invalidated)
+                and f["stats"].get(plan_key, [None, None])[0] is not None
             ]
+            _known_ids = {id(f) for f in known}
             unknown = [  # no usable bounds: conservatively rewrite
-                f for f in files if f["stats"].get(phys, [None, None])[0] is None
+                f for f in files if id(f) not in _known_ids
             ]
-            known.sort(key=lambda f: f["stats"][phys][0])
+            _ubase = [os.path.basename(f["path"]) for f in unknown]
+            if (
+                hilbert
+                and unknown
+                and not invalidated
+                # basenames key the scan results; Spark part files embed a
+                # job UUID so collisions don't happen in practice — if one
+                # ever does, fall back to the blind rewrite (correct,
+                # just less incremental)
+                and len(set(_ubase)) == len(_ubase)
+            ):
+                # Appended-since-last-optimize files carry no curve-distance
+                # stats. Rewriting them BLIND makes one wide-d file that
+                # overlaps every clustered file and forces a full rewrite
+                # NEXT run (measured in the r11 smoke). Instead, one scan
+                # of exactly the new files (O(new data) — the same bytes
+                # the rewrite reads anyway) computes their real d-intervals
+                # so interval grouping pulls in only the clustered files
+                # they genuinely overlap: a localized append (new days)
+                # rewrites a few files; a domain-spanning random append
+                # rewrites what it truly touches — and converges in ONE
+                # run either way. A new file that lands tight and disjoint
+                # is simply carried, d-stats attached, zero bytes moved.
+                from ..operators.zorder import _scaled, hilbert_value
+
+                _uh = hilbert_value(
+                    *[
+                        _scaled(ph, b[0], b[1])
+                        for ph, b in zip(physs, domain["bounds"])
+                    ]
+                )
+                ubounds = {
+                    os.path.basename(r["__f"]): (int(r["lo"]), int(r["hi"]))
+                    for r in self.spark.read.parquet(
+                        *[
+                            os.path.join(self.path, f["dir"], f["path"])
+                            for f in unknown
+                        ]
+                    )
+                    .select(
+                        F.col("_metadata.file_path").alias("__f"),
+                        _uh.alias("__h"),
+                    )
+                    .groupBy("__f")
+                    .agg(F.min("__h").alias("lo"), F.max("__h").alias("hi"))
+                    .collect()
+                }
+                still_unknown = []
+                for f in unknown:
+                    b = ubounds.get(os.path.basename(f["path"]))
+                    if b is None:  # several unknowns sharing a basename
+                        still_unknown.append(f)
+                    else:
+                        f["stats"] = {**f["stats"], plan_key: list(b)}
+                        known.append(f)
+                unknown = still_unknown
+            known.sort(key=lambda f: f["stats"][plan_key][0])
             groups: list[list[dict]] = []
             for f in known:
-                lo, hi = f["stats"][phys]
+                lo, hi = f["stats"][plan_key]
                 if groups and lo <= groups[-1][-1]["__hi"]:
                     groups[-1].append({**f, "__hi": max(hi, groups[-1][-1]["__hi"])})
                 else:
@@ -1703,15 +1859,48 @@ class VersionedTable:
             self.spark.conf.set(
                 "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
             )
-            (
-                self.spark.read.parquet(
-                    *[os.path.join(self.path, f["dir"], f["path"]) for f in rewrite]
-                )
-                .repartitionByRange(n_out, F.col(phys))
-                .write.mode("overwrite")
-                .parquet(data_dir)
+            src = self.spark.read.parquet(
+                *[os.path.join(self.path, f["dir"], f["path"]) for f in rewrite]
             )
+            if hilbert:
+                from ..operators.zorder import _scaled, hilbert_value
+
+                _hexpr = lambda: hilbert_value(  # noqa: E731
+                    *[
+                        _scaled(ph, b[0], b[1])
+                        for ph, b in zip(physs, domain["bounds"])
+                    ]
+                )
+                laid = (
+                    src.withColumn("__h", _hexpr())
+                    .repartitionByRange(n_out, F.col("__h"))
+                    .sortWithinPartitions("__h")
+                    .drop("__h")
+                )
+            else:
+                laid = src.repartitionByRange(n_out, F.col(phys))
+            laid.write.mode("overwrite").parquet(data_dir)
             n_new_rows, new_files = _collect_manifest_stats(data_dir)
+            if hilbert and new_files is not None:
+                # one extra pass over the REWRITTEN files only (O(changed))
+                # to record each new file's curve-distance interval — the
+                # synthetic stats key the next run's overlap planning
+                # reads. The data schema stays clean: __h never persists.
+                hb = {
+                    os.path.basename(r["__f"]): (r["lo"], r["hi"])
+                    for r in self.spark.read.parquet(data_dir)
+                    .select(
+                        F.col("_metadata.file_path").alias("__f"),
+                        _hexpr().alias("__h"),
+                    )
+                    .groupBy("__f")
+                    .agg(F.min("__h").alias("lo"), F.max("__h").alias("hi"))
+                    .collect()
+                }
+                for f in new_files:
+                    lo_hi = hb.get(os.path.basename(f["path"]))
+                    if lo_hi is not None:
+                        f["stats"][_HKEY] = [int(lo_hi[0]), int(lo_hi[1])]
             if n_new_rows != n_rewrite_rows:
                 # NOT an assert: under `python -O` an assert vanishes and a
                 # stats/rewrite mismatch would commit a corrupt
@@ -1738,7 +1927,8 @@ class VersionedTable:
                 # lives in stays referenced while this version is live
                 "base_dirs": sorted({f["dir"] for f in carried}),
                 "partition_by": None,
-                "cluster_by": [col],
+                "cluster_by": cols if hilbert else [col],
+                **({"hilbert_domain": domain} if hilbert else {}),
                 "cdf_dir": None,
                 # readers resolve the EXPLICIT file list — the carried
                 # dirs also hold superseded originals

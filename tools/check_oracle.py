@@ -40,7 +40,12 @@ def _norm(v):
         # int-vs-float column drift fails HERE, before a driver round is spent.
         if math.isnan(v):
             return "NaN"
-        s = f"{v:.6g}"
+        # FULL precision (repr = shortest round-trip), not %.6g: the r10 red
+        # row x_update_mor_partitioned diverged by one cent in an 8-digit
+        # revenue sum — invisible at 6 significant figures, red on the
+        # driver's full-precision hasher (mirror blind spot #3). Any float
+        # that differs in ANY bit must fail HERE, not on the driver.
+        s = repr(v)
         if "." not in s and "e" not in s and "inf" not in s:
             s += ".0"
         return s
@@ -51,6 +56,76 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)
+
+
+import re
+
+
+def _frac_mults(expr: str) -> list[str]:
+    """Fractional literals used as multipliers in ``expr`` (trailing-zero
+    stripped decimals; '1.0' and '2.50' don't count as depth-adders beyond
+    their real digits)."""
+    out = []
+    for m in re.finditer(r"[*]\s*(\d+\.\d+)|(\d+\.\d+)\s*[*]", expr):
+        lit = m.group(1) or m.group(2)
+        if lit.split(".", 1)[1].rstrip("0"):
+            out.append(lit)
+    return out
+
+
+def guard_digit_lint(sql: str) -> list[str]:
+    """Flag fractional-literal multipliers that FEED a low-scale DECIMAL
+    cast — the r10 red-row class.
+
+    A 2-decimal money column times a d-decimal literal is a (2+d)-decimal
+    product; casting it to DECIMAL(25,S) with S < 2+d puts rows on the .xx5
+    rounding boundary where Spark (BigDecimal HALF_UP on the double's
+    shortest repr) and DuckDB (round of the true binary value) disagree
+    (`271677.505 -> .51` vs `.50`). Guard digits fix it: scale >= 2+d makes
+    the cast exact on both engines (helpers.py defaults scale=4).
+
+    Direction matters: a fractional multiply DOWNSTREAM of the cast (e.g.
+    an EWMA `0.3*rev + 0.7*ewma` over an already-cast-and-rounded sum) is
+    identical IEEE double math on both engines — fine. So this flags a
+    multiplier only when it (a) appears inside the cast's argument, or
+    (b) defines an alias (`<expr with * 1.1> AS name`) that the cast's
+    argument references — the red row's CTE shape.
+    """
+    worst: list[str] = []
+    for m in re.finditer(r"\bAS\s+DECIMAL\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)", sql, re.I):
+        scale = int(m.group(1))
+        if scale >= 6:  # davg-style scales have ample guard digits
+            continue
+        # walk BACKWARD from 'AS DECIMAL' to the CAST's opening paren to
+        # extract the cast argument (handles nested parens)
+        depth, i = 1, m.start() - 1
+        while i >= 0 and depth > 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+            i -= 1
+        arg = sql[i + 2 : m.start()]
+        feeders = _frac_mults(arg)
+        # aliases the cast argument references, defined elsewhere with a
+        # fractional multiply in the same select item (no intervening
+        # comma/SELECT/FROM — the `... * 1.1 ... END AS name` CTE shape)
+        for ident in set(re.findall(r"[A-Za-z_]\w*", arg)):
+            for d in re.finditer(
+                rf"[*]\s*(\d+\.\d+)(?:(?!,|\bSELECT\b|\bFROM\b).)*?\bAS\s+{ident}\b",
+                sql,
+                re.S | re.I,
+            ):
+                if d.group(1).split(".", 1)[1].rstrip("0"):
+                    feeders.append(d.group(1))
+        for lit in feeders:
+            d = len(lit.split(".", 1)[1].rstrip("0"))
+            if 2 + d > scale:
+                worst.append(
+                    f"* {lit} feeds CAST(... AS DECIMAL(_,{scale})): "
+                    f"needs scale>={2 + d}"
+                )
+    return worst
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -126,6 +201,16 @@ def main() -> int:
             _done()
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_rows_only += 1
+            continue
+        # Guard-digit lint (r10 red-row class): a fractional multiplier
+        # anywhere in the oracle + a DECIMAL cast with too few guard digits
+        # = cross-engine .xx5 rounding divergence. Text-level, zero-cost.
+        gd = guard_digit_lint(q.oracle)
+        if gd:
+            print(f"FAIL  {name}: guard-digit lint — {'; '.join(gd)} "
+                  f"(use dsum/sql_dsum default scale=4)")
+            n_fail += 1
+            failures.append(name)
             continue
         try:
             # Type lint BEFORE hashing: DuckDB widens SUM(BIGINT) to HUGEINT

@@ -378,6 +378,7 @@ _PROMOTE_R11 = [
     "x_type_widening",
     "x_hilbert_layout",
     # Slots 7+: round-11 additions are appended here as they ship.
+    "x_hilbert_optimize",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

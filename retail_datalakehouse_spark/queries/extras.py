@@ -3158,3 +3158,81 @@ def x_hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", scale=2).alias("revenue"),
         )
     )
+
+
+_HILBERT_OPT_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("x_hilbert_optimize", oracle=_HILBERT_OPT_SQL, tags=("S3", "P4", "S6"), doc="")
+def x_hilbert_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert layout as the MAINTAINED clustering of incremental OPTIMIZE
+    (r11 — the liquid-clustering completion): `optimize_incremental(...,
+    layout="hilbert")` re-clusters on the curve distance over a FIXED
+    min-max domain persisted in the manifest (`hilbert_domain`, found by
+    parent-chain walk so appends need not carry it), and each clustered
+    file records its d-interval as a synthetic stats key so overlap
+    planning stays the same 1-D interval math. Files appended since the
+    last optimize lack the key; ONE O(new data) scan computes their real
+    d-intervals, so grouping pulls in only the clustered files they
+    genuinely overlap — a localized append rewrites a handful of files
+    and the table converges to a no-op in one run (all asserted
+    in-query). At 100 TB this is the difference between Databricks-style
+    liquid clustering (hourly optimize costs O(hourly data)) and a
+    nightly full re-sort. Pruning asserts: after optimize + append +
+    re-optimize, a custkey range AND a day range each read a strict
+    subset of files from manifest stats alone. Oracle = the same
+    aggregate on pristine orders: every layout/optimize step is a pure
+    physical change."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").withColumn(
+        "o_day",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")),
+    )
+    mxd, mxc, n = o.agg(F.max("o_day"), F.max("o_custkey"), F.count(F.lit(1))).first()
+    rpf = max(200, n // 8)  # ~8 clustered files at every scale factor
+    cut = mxd - 100  # data-derived split: the "new days" tail
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_hopt_"))
+    t.overwrite(o.filter(F.col("o_day") <= cut).repartition(6))  # unclustered
+
+    r1 = t.optimize_incremental(
+        ("o_custkey", "o_day"), rows_per_file=rpf, layout="hilbert"
+    )
+    e1 = t._manifest(r1["version"])
+    assert e1["cluster_by"] == ["o_custkey", "o_day"]
+    assert e1["hilbert_domain"]["cols"] == ["o_custkey", "o_day"]
+
+    late = o.filter(F.col("o_day") > cut)
+    assert late.count() > 0
+    t.append(late)
+    r2 = t.optimize_incremental(
+        ("o_custkey", "o_day"), rows_per_file=rpf, layout="hilbert"
+    )
+    # O(changed): the localized append rewrites only the files its
+    # d-interval genuinely overlaps, never the whole clustered set
+    assert 0 < r2["rewritten"] < r2["rewritten"] + r2["carried"], r2
+    r3 = t.optimize_incremental(
+        ("o_custkey", "o_day"), rows_per_file=rpf, layout="hilbert"
+    )
+    assert r3["rewritten"] == 0, r3  # converged: one run, then no-op
+
+    _, nc, tot1 = t.read_pruned("o_custkey", 1, mxc // 10)
+    _, nd, tot2 = t.read_pruned("o_day", cut - 300, cut - 200)
+    assert 0 < nc < tot1, (nc, tot1)  # custkey range prunes
+    assert 0 < nd < tot2, (nd, tot2)  # day range prunes THE SAME layout
+    return t.read().groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

@@ -2563,3 +2563,91 @@ def test_update_mor_crash_matrix(spark, tmp_path):
         assert all(r not in live_dirs for r in removed)
         assert t.read().count() == 50  # table unaffected by the reap
         assert t.changes_feed(1, 2).count() > 0  # live CDF dir survived
+
+
+def test_incremental_optimize_hilbert_layout(spark, tmp_path):
+    """r11: optimize_incremental(layout='hilbert') — 2-D liquid
+    clustering. Pins: manifest-persisted scaling domain (found by
+    parent-chain walk across appends), curve-distance intervals as
+    synthetic per-file stats, localized-append rewrite = strict subset,
+    one-run convergence to a no-op, content identity, planned pruning on
+    EITHER dimension, and domain-outgrowth -> one full re-layout under
+    the new domain, then incremental again."""
+    t = VersionedTable(spark, str(tmp_path / "htbl"))
+    base = spark.range(8_000).select(
+        (F.col("id") % 997).alias("x"),
+        ((F.col("id") * 7919) % 1201).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    t.overwrite(base.repartition(6))  # unclustered
+
+    # single-column col with hilbert layout is a usage error
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly two"):
+        t.optimize_incremental("x", layout="hilbert")
+    with pytest.raises(ValueError, match="unknown optimize layout"):
+        t.optimize_incremental(("x", "y"), layout="morton")
+
+    r1 = t.optimize_incremental(("x", "y"), rows_per_file=1_000, layout="hilbert")
+    e1 = t._manifest(r1["version"])
+    assert e1["cluster_by"] == ["x", "y"]
+    dom = e1["hilbert_domain"]
+    assert dom["cols"] == ["x", "y"]
+    assert dom["bounds"][0][0] == 0.0 and dom["bounds"][0][1] >= 996
+    fl = t._file_stats_list(e1)
+    assert all("__hilbert__" in f["stats"] for f in fl)
+    # d-intervals are disjoint across clustered files (range exchange)
+    ivs = sorted(f["stats"]["__hilbert__"] for f in fl)
+    assert all(a[1] < b[0] for a, b in zip(ivs, ivs[1:]))
+    before = sorted((r.x, r.y, r.payload) for r in t.read().collect())
+
+    # no-op on a clustered table
+    r0 = t.optimize_incremental(("x", "y"), rows_per_file=1_000, layout="hilbert")
+    assert r0["rewritten"] == 0 and r0["version"] == r1["version"]
+
+    # LOCALIZED append (a corner of the key space): the one O(new data)
+    # scan gives the new file a real d-interval, so only genuinely
+    # overlapping clustered files rewrite — and it converges in one run
+    t.append(
+        spark.range(50).select(
+            (F.col("id") % 40).alias("x"),
+            (F.col("id") % 30).alias("y"),
+            (F.col("id") + 100_000).alias("payload"),
+        )
+    )
+    r2 = t.optimize_incremental(("x", "y"), rows_per_file=1_000, layout="hilbert")
+    assert 0 < r2["rewritten"] < r2["rewritten"] + r2["carried"]
+    r3 = t.optimize_incremental(("x", "y"), rows_per_file=1_000, layout="hilbert")
+    assert r3["rewritten"] == 0  # converged
+    e3 = t._manifest(t.current_version())
+    # domain survived the append via parent-chain walk (appends don't
+    # carry it) and was NOT re-derived
+    assert t._hilbert_domain_chain(e3) == dom
+
+    after = sorted((r.x, r.y, r.payload) for r in t.read().collect())
+    expect = before + [
+        (i % 40, i % 30, i + 100_000) for i in range(50)
+    ]
+    assert after == sorted(expect)
+
+    # planned pruning works on EITHER dimension of the same layout
+    _, nx, totx = t.read_pruned("x", 0, 99)
+    _, ny, toty = t.read_pruned("y", 0, 119)
+    assert 0 < nx < totx
+    assert 0 < ny < toty
+
+    # domain outgrowth: an append beyond the stored bounds re-derives the
+    # domain (with headroom) and forces ONE full re-layout
+    t.append(
+        spark.createDataFrame(
+            [(10_000, 10_000, -1), (10_001, 10_001, -2)], "x long, y long, payload long"
+        )
+    )
+    r4 = t.optimize_incremental(("x", "y"), rows_per_file=1_000, layout="hilbert")
+    e4 = t._manifest(r4["version"])
+    assert r4["carried"] == 0  # invalidation: everything re-laid-out
+    assert e4["hilbert_domain"]["bounds"][0][1] >= 10_000
+    r5 = t.optimize_incremental(("x", "y"), rows_per_file=1_000, layout="hilbert")
+    assert r5["rewritten"] == 0  # incremental again under the new domain
+    assert t.read().count() == 8_052

@@ -379,6 +379,7 @@ _PROMOTE_R11 = [
     "x_hilbert_layout",
     # Slots 7+: round-11 additions are appended here as they ship.
     "x_hilbert_optimize",
+    "x_delta_export",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -4163,6 +4163,133 @@ class VersionedTable:
 
     # ------------------------------------------------------------- clone
 
+    def export_delta_log(self, version: int | None = None) -> str:
+        """Export the snapshot as a REAL Delta Lake commit — a
+        ``_delta_log/00000000000000000000.json`` under the table root
+        whose actions follow the public Delta transaction-log protocol
+        (protocol / metaData / add, one JSON object per line, version-
+        numbered %020d filename), so any external Delta reader
+        (delta-rs, duckdb's delta extension, Spark+delta) can open the
+        table root and read this snapshot. This is Delta's own
+        ``CONVERT TO DELTA`` direction: the log is written BESIDE the
+        existing parquet files, referencing them by table-root-relative
+        path — zero data bytes copied, O(files) JSON, whatever the table
+        size.
+
+        Faithful to the spec:
+        - ``metaData.schemaString`` is the Spark StructType JSON (the
+          exact format Delta uses);
+        - each ``add`` carries ``path`` (relative, URL-quoted),
+          ``partitionValues`` ({} — see below), ``size``,
+          ``modificationTime``, ``dataChange``, and a ``stats`` JSON
+          string with ``numRecords`` plus ``minValues``/``maxValues``
+          for primitive columns when the manifest has them (Delta
+          readers use these for file skipping, same as our manifests);
+        - ``protocol`` pins minReader/WriterVersion 1/2 (plain parquet,
+          no reader-side features needed).
+
+        Scope guards: MOR versions (pending tombstones have no plain-add
+        representation — compact first), hive/hidden partition layouts
+        and column-mapped schemas (they need partitionValues /
+        columnMapping metadata this minimal exporter doesn't emit)
+        raise. The export pins NOTHING: expiring the snapshot afterwards
+        (vacuum) dangles the log — tag the version to retain it.
+
+        Returns the path of the commit file written."""
+        from urllib.parse import quote
+
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot export empty table {self.path}")
+        entry = self._manifest(v)
+        if self._is_mor(entry):
+            raise ValueError(
+                "delta export of a merge-on-read version would resurrect "
+                "tombstoned rows; compact first"
+            )
+        if entry.get("partition_by") or entry.get("hidden_partition"):
+            raise ValueError(
+                "delta export emits partitionValues for unpartitioned "
+                "snapshots only; compact to a clustered layout first"
+            )
+        if entry.get("column_renames") or entry.get("column_drops"):
+            raise ValueError(
+                "delta export of a column-mapped schema needs columnMapping "
+                "metadata; materialize the mapping (compact) first"
+            )
+        files = self._file_stats_list(entry)
+        p_dir = entry["data_dir"]
+        if files is None:
+            # stats omitted (huge commit): walk the snapshot's dirs
+            files = []
+            for d in {p_dir, *entry.get("base_dirs", [])}:
+                full = os.path.join(self.path, d)
+                files.extend(
+                    {"path": fn, "dir": d, "n_rows": None, "stats": {}}
+                    for fn in sorted(os.listdir(full))
+                    if fn.endswith(".parquet")
+                )
+        schema_json = self.read_version(v).schema.json()
+        log_dir = os.path.join(self.path, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        actions = [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": uuid.uuid4().hex,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema_json,
+                    "partitionColumns": [],
+                    "configuration": {},
+                    "createdTime": now_ms,
+                }
+            },
+        ]
+        for f in files:
+            rel = f"{f.get('dir', p_dir)}/{f['path']}"
+            st = os.stat(os.path.join(self.path, rel))
+            stats = {"numRecords": f.get("n_rows")}
+            mins = {
+                c: b[0]
+                for c, b in f.get("stats", {}).items()
+                if not c.startswith("__") and b[0] is not None
+            }
+            if mins:
+                stats["minValues"] = mins
+                stats["maxValues"] = {
+                    c: f["stats"][c][1] for c in mins
+                }
+            actions.append(
+                {
+                    "add": {
+                        "path": quote(rel),
+                        "partitionValues": {},
+                        "size": st.st_size,
+                        "modificationTime": int(st.st_mtime * 1000),
+                        "dataChange": True,
+                        "stats": json.dumps(stats),
+                    }
+                }
+            )
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "CONVERT",
+                    "operationParameters": {"sourceVersion": v},
+                    "engineInfo": "retail-datalakehouse-spark",
+                }
+            }
+        )
+        commit = os.path.join(log_dir, f"{0:020d}.json")
+        tmp = commit + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, commit)
+        return commit
+
     def clone_to(
         self,
         dest_path: str,

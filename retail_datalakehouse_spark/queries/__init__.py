@@ -380,6 +380,9 @@ _PROMOTE_R11 = [
     # Slots 7+: round-11 additions are appended here as they ship.
     "x_hilbert_optimize",
     "x_delta_export",
+    "l6_rrf_fusion",
+    "l4_pii_scrub",
+    "l7_interleave_datasets",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -4283,3 +4283,253 @@ def l4_robots_policy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("excluded_tokens"),
         )
     )
+
+
+_RRF_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest((SELECT qv FROM q)) AS DOUBLE) AS y
+  FROM embeddings e WHERE e.vec_id != 0),
+agg AS (
+  SELECT vec_id,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs,
+         ROUND(SUM((x - y) * (x - y)), 6) AS d2
+  FROM pairs GROUP BY vec_id),
+r1 AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS rnk
+  FROM agg QUALIFY rnk <= 50),
+r2 AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY d2 ASC, vec_id) AS rnk
+  FROM agg QUALIFY rnk <= 50),
+fused AS (
+  SELECT COALESCE(r1.vec_id, r2.vec_id) AS vec_id,
+         COALESCE(1.0 / (60 + r1.rnk), 0.0) + COALESCE(1.0 / (60 + r2.rnk), 0.0) AS rrf,
+         COALESCE(r1.rnk, -1) AS cos_rank,
+         COALESCE(r2.rnk, -1) AS l2_rank
+  FROM r1 FULL OUTER JOIN r2 ON r1.vec_id = r2.vec_id)
+SELECT vec_id, rrf, CAST(cos_rank AS BIGINT) AS cos_rank, CAST(l2_rank AS BIGINT) AS l2_rank
+FROM fused
+ORDER BY rrf DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("l6_rrf_fusion", oracle=_RRF_SQL, tags=("L3", "L6", "W1", "J4"), doc="")
+def l6_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. — the standard hybrid-
+    retrieval combiner, what Elasticsearch/Vespa/LanceDB ship as `rrf`):
+    two retrievers rank the corpus for one query — cosine similarity and
+    (negative) squared L2, genuinely different metrics with different
+    orderings — and the fused score is Σ 1/(60+rank) over the lists a
+    document appears in (top-50 each), so agreement beats any single
+    ranker's confidence. Rank determinism across engines: ranks are
+    ROW_NUMBER over ROUND(score, 6) with id tie-break, so a last-ulp
+    score divergence can't swap ranks; the fused score is then pure
+    integer-derived IEEE arithmetic — bit-identical on both engines. At
+    100 TB each ranking is one scan + one WindowGroupLimit'd top-k (no
+    global sort of the corpus), and the fusion joins two 50-row lists."""
+    from pyspark.sql import Window
+
+    e = T(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    y = F.transform(q, lambda v: v.cast("double"))
+    dot = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)
+    nx = F.sqrt(F.aggregate(F.transform(x, lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
+    ny = F.sqrt(F.aggregate(F.transform(y, lambda a: a * a), F.lit(0.0), lambda s, v: s + v))
+    d2 = F.aggregate(
+        F.zip_with(x, y, lambda a, b: (a - b) * (a - b)), F.lit(0.0), lambda s, v: s + v
+    )
+    scored = e.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.round(dot / (nx * ny), 6).alias("cs"),
+        F.round(d2, 6).alias("d2"),
+    )
+    r1 = (
+        scored.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("cs"), F.asc("vec_id")))
+        )
+        .filter(F.col("rnk") <= 50)
+        .select("vec_id", F.col("rnk").cast("long").alias("rnk1"))
+    )
+    r2 = (
+        scored.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.asc("d2"), F.asc("vec_id")))
+        )
+        .filter(F.col("rnk") <= 50)
+        .select("vec_id", F.col("rnk").cast("long").alias("rnk2"))
+    )
+    fused = r1.join(r2, "vec_id", "full_outer").select(
+        "vec_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rnk1")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rnk2")), F.lit(0.0))
+        ).alias("rrf"),
+        F.coalesce("rnk1", F.lit(-1)).alias("cos_rank"),
+        F.coalesce("rnk2", F.lit(-1)).alias("l2_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("vec_id")).limit(10)
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+_PII_SCRUB_SQL = f"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' or call ' || printf('%03d-%03d-%04d',
+                        CAST(doc_id % 800 + 100 AS INT),
+                        CAST(doc_id % 900 + 100 AS INT),
+                        CAST(doc_id % 9000 + 1000 AS INT))
+                 ELSE '' END AS text
+  FROM documents),
+scrubbed AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+  FROM seeded)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+       CAST(SUM(CASE WHEN n_emails + n_phones = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs,
+       CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
+FROM scrubbed
+GROUP BY 1
+"""
+
+
+@register("l4_pii_scrub", oracle=_PII_SCRUB_SQL, tags=("L4", "F1"), doc="")
+def l4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the compliance gate every
+    training-data pipeline runs before tokenization (emails, phone
+    numbers -> typed placeholders, so the model never memorizes
+    contact strings). The corpus seeds PII deterministically from
+    doc_id arithmetic (the synthetic documents carry none), then the
+    scrub is regexp-based: detect counts per type, replace-all with
+    `<EMAIL>`/`<PHONE>`, and an in-query assert proves ZERO residual
+    matches survive in the redacted text. Map-only: one scan, no
+    shuffle before the final small per-source aggregate; patterns are
+    Java-regex/RE2 common subset so both engines tokenize identically.
+    At 100 TB this runs at scan speed — regexp_replace is JVM codegen,
+    never a Python UDF."""
+    d = T(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" or call "),
+                    F.format_string(
+                        "%03d-%03d-%04d",
+                        (F.col("doc_id") % 800 + 100).cast("int"),
+                        (F.col("doc_id") % 900 + 100).cast("int"),
+                        (F.col("doc_id") % 9000 + 1000).cast("int"),
+                    ),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrubbed = seeded.select(
+        "doc_id",
+        "source",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("clean"),
+    )
+    # the redaction is TOTAL: no residual match in any redacted doc
+    residual = scrubbed.filter(
+        (F.regexp_count("clean", F.lit(_PII_EMAIL)) > 0)
+        | (F.regexp_count("clean", F.lit(_PII_PHONE)) > 0)
+    ).count()
+    assert residual == 0, residual
+    return scrubbed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("long").alias("n_emails"),
+        F.sum("n_phones").cast("long").alias("n_phones"),
+        F.sum((F.col("n_emails") + F.col("n_phones") == 0).cast("int"))
+        .cast("long")
+        .alias("n_clean_docs"),
+        F.sum(F.length("clean")).cast("long").alias("clean_chars"),
+    )
+
+
+_INTERLEAVE_SQL = """
+WITH a AS (
+  SELECT doc_id, doc_id // 2 AS rn0 FROM documents WHERE doc_id % 2 = 0),
+b AS (
+  SELECT doc_id, (doc_id - 1) // 2 AS rn0 FROM documents WHERE doc_id % 2 = 1),
+blocks AS (
+  SELECT LEAST((SELECT COUNT(*) FROM a) // 2, (SELECT COUNT(*) FROM b)) AS nb),
+interleaved AS (
+  SELECT (rn0 // 2) * 3 + rn0 % 2 AS pos, 'A' AS corpus, doc_id
+  FROM a WHERE rn0 // 2 < (SELECT nb FROM blocks)
+  UNION ALL
+  SELECT rn0 * 3 + 2 AS pos, 'B' AS corpus, doc_id
+  FROM b WHERE rn0 < (SELECT nb FROM blocks))
+SELECT CAST(pos AS BIGINT) AS pos, corpus, doc_id FROM interleaved
+"""
+
+
+@register("l7_interleave_datasets", oracle=_INTERLEAVE_SQL, tags=("L7", "O2"), doc="")
+def l7_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2:1 dataset interleaving (HF `interleave_datasets`
+    with first-exhausted stopping): the training stream takes two docs
+    of corpus A then one of corpus B, repeating until the constraining
+    corpus runs out — how mixture SCHEDULES are materialized once
+    sampling weights (l7_mixture_rebalance) are decided. The 100 TB
+    point is the formulation: NO global row_number (a single-partition
+    window is the classic driver-shaped bottleneck) — each corpus's
+    within-corpus rank is pure arithmetic on its dense id (generally:
+    a range-partitioned rank with per-partition offsets), so position
+    assignment is map-only, zero shuffles, and the cutoff is one
+    2-scalar broadcast. In-query asserts pin the contract: positions
+    are exactly 0..3·blocks-1 with no gap or collision."""
+    d = T(spark, sf_dir, "documents").select("doc_id")
+    a = d.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "rn0", (F.col("doc_id") / 2).cast("long")
+    )
+    b = d.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "rn0", ((F.col("doc_id") - 1) / 2).cast("long")
+    )
+    na, nb_ = a.count(), b.count()
+    blocks = min(na // 2, nb_)
+    ia = a.filter((F.col("rn0") / 2).cast("long") < blocks).select(
+        ((F.col("rn0") / 2).cast("long") * 3 + F.col("rn0") % 2).alias("pos"),
+        F.lit("A").alias("corpus"),
+        "doc_id",
+    )
+    ib = b.filter(F.col("rn0") < blocks).select(
+        (F.col("rn0") * 3 + 2).alias("pos"), F.lit("B").alias("corpus"), "doc_id"
+    )
+    out = ia.unionAll(ib)
+    n, mx, dn = out.agg(
+        F.count(F.lit(1)), F.max("pos"), F.countDistinct("pos")
+    ).first()
+    assert n == 3 * blocks and mx == 3 * blocks - 1 and dn == n, (n, mx, dn)
+    return out

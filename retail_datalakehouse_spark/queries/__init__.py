@@ -383,6 +383,7 @@ _PROMOTE_R11 = [
     "l6_rrf_fusion",
     "l4_pii_scrub",
     "l7_interleave_datasets",
+    "x_delta_export_incremental",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -3314,3 +3314,89 @@ def x_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert n_log == o.count()  # add-file stats account for every row
     return got
+
+
+_DELTA_EXPORT_INC_SQL = f"""
+WITH t AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 11 != 3 AND o_orderkey % 7 != 0)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "x_delta_export_incremental",
+    oracle=_DELTA_EXPORT_INC_SQL,
+    tags=("S3", "S6", "S7"),
+    doc="",
+)
+def x_delta_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Delta-log export — the keep-in-sync direction (r11;
+    x_delta_export is the one-shot CONVERT): each `export_delta_log()`
+    call after the first writes only the DIFF as the next %020d commit —
+    `add` actions for new files, `remove` actions for files the snapshot
+    dropped — O(changed files) per sync whatever the table size, exactly
+    how a Delta writer maintains its log. The table here goes overwrite
+    → export(0) → append → export(1: adds only) → DELETE (materializing
+    rewrite) → export(2: adds + removes); a re-export at the same
+    version is an idempotent no-op (asserted). The round-trip reader is
+    INDEPENDENT of table code: stdlib JSON replays add/remove across the
+    three commits in filename order (a remove cancels a prior add — the
+    Delta reconciliation rule), Spark reads exactly the surviving file
+    set, and the DuckDB oracle recomputes the final state relationally.
+    A hash match proves multi-commit log reconstruction equals the live
+    snapshot."""
+    import json as _json
+    import os as _os
+    import tempfile
+    from urllib.parse import unquote
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_dexpi_"))
+    t.overwrite(
+        o.filter(F.col("o_orderkey") % 11 != 3).filter(F.col("o_orderkey") % 2 == 0),
+        cluster_by=["o_orderkey"],
+        cluster_files=4,
+    )
+    c0 = t.export_delta_log()
+    t.append(
+        o.filter(F.col("o_orderkey") % 11 != 3)
+        .filter(F.col("o_orderkey") % 2 == 1)
+        .coalesce(1)
+    )
+    c1 = t.export_delta_log()
+    t.delete("o_orderkey % 7 = 0")  # materializing rewrite: adds + removes
+    c2 = t.export_delta_log()
+    assert t.export_delta_log() == c2  # same version: idempotent no-op
+    log_dir = _os.path.dirname(c2)
+    assert [_os.path.basename(p) for p in (c0, c1, c2)] == [
+        f"{i:020d}.json" for i in range(3)
+    ]
+
+    # ---- independent multi-commit reader: stdlib JSON, Delta rules
+    live: dict = {}
+    n_removes = 0
+    for fn in sorted(_os.listdir(log_dir)):
+        with open(_os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "add" in a:
+                    live[unquote(a["add"]["path"])] = a["add"]
+                elif "remove" in a:
+                    live.pop(unquote(a["remove"]["path"]), None)
+                    n_removes += 1
+    assert n_removes > 0  # the delete really exported removes
+    paths = [_os.path.join(t.path, rel) for rel in live]
+    return (
+        spark.read.parquet(*paths)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )

@@ -34,6 +34,7 @@ import shutil
 import time
 import uuid
 from collections.abc import Callable
+from urllib.parse import quote as _dl_quote
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -4188,6 +4189,16 @@ class VersionedTable:
         - ``protocol`` pins minReader/WriterVersion 1/2 (plain parquet,
           no reader-side features needed).
 
+        INCREMENTAL: a second call with the table advanced writes the
+        NEXT %020d commit containing only the DIFF — ``add`` actions for
+        new files, ``remove`` actions (deletionTimestamp, dataChange)
+        for files the snapshot dropped, and a fresh ``metaData`` only
+        when the schema changed — exactly how Delta writers keep a log
+        in sync, O(changed files) per call. Re-exporting the same
+        version is an idempotent no-op. The diff needs the PREVIOUSLY
+        exported version's manifest to still exist (export before
+        expiring history).
+
         Scope guards: MOR versions (pending tombstones have no plain-add
         representation — compact first), hive/hidden partition layouts
         and column-mapped schemas (they need partitionValues /
@@ -4196,8 +4207,6 @@ class VersionedTable:
         (vacuum) dangles the log — tag the version to retain it.
 
         Returns the path of the commit file written."""
-        from urllib.parse import quote
-
         v = self.current_version() if version is None else version
         if v is None:
             raise ValueError(f"cannot export empty table {self.path}")
@@ -4217,6 +4226,85 @@ class VersionedTable:
                 "delta export of a column-mapped schema needs columnMapping "
                 "metadata; materialize the mapping (compact) first"
             )
+        files = self._delta_file_list(entry)
+        schema_json = self.read_version(v).schema.json()
+        log_dir = os.path.join(self.path, "_delta_log")
+        os.makedirs(log_dir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        existing = sorted(
+            fn for fn in os.listdir(log_dir)
+            if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit()
+        )
+        if not existing:
+            actions = [
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+                self._delta_metadata_action(schema_json, now_ms),
+                *(self._delta_add_action(f) for f in files),
+            ]
+            n_commit, op = 0, "CONVERT"
+        else:
+            # diff against the last exported snapshot
+            v0, last_schema = None, None
+            for fn in existing:
+                with open(os.path.join(log_dir, fn)) as fh:
+                    for line in fh:
+                        a = json.loads(line)
+                        if "commitInfo" in a:
+                            v0 = a["commitInfo"]["operationParameters"].get(
+                                "sourceVersion", v0
+                            )
+                        elif "metaData" in a:
+                            last_schema = a["metaData"]["schemaString"]
+            if v0 == v:
+                return os.path.join(log_dir, existing[-1])  # idempotent
+            if v0 is None or v < v0:
+                raise ValueError(
+                    f"delta log at {log_dir} is ahead of version {v} "
+                    f"(last exported {v0}); the log is forward-only"
+                )
+            prev = {
+                f["__rel"]: f for f in self._delta_file_list(self._manifest(v0))
+            }
+            cur = {f["__rel"]: f for f in files}
+            actions = []
+            if last_schema != schema_json:
+                actions.append(self._delta_metadata_action(schema_json, now_ms))
+            actions.extend(
+                self._delta_add_action(cur[r]) for r in cur if r not in prev
+            )
+            actions.extend(
+                {
+                    "remove": {
+                        "path": _dl_quote(r),
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+                for r in prev
+                if r not in cur
+            )
+            n_commit, op = len(existing), "WRITE"
+        actions.append(
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": op,
+                    "operationParameters": {"sourceVersion": v},
+                    "engineInfo": "retail-datalakehouse-spark",
+                }
+            }
+        )
+        commit = os.path.join(log_dir, f"{n_commit:020d}.json")
+        tmp = commit + ".tmp"
+        with open(tmp, "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+        os.replace(tmp, commit)
+        return commit
+
+    def _delta_file_list(self, entry: dict) -> list[dict]:
+        """The snapshot's files with their table-root-relative path under
+        ``__rel`` (the identity delta add/remove actions diff on)."""
         files = self._file_stats_list(entry)
         p_dir = entry["data_dir"]
         if files is None:
@@ -4229,66 +4317,45 @@ class VersionedTable:
                     for fn in sorted(os.listdir(full))
                     if fn.endswith(".parquet")
                 )
-        schema_json = self.read_version(v).schema.json()
-        log_dir = os.path.join(self.path, "_delta_log")
-        os.makedirs(log_dir, exist_ok=True)
-        now_ms = int(time.time() * 1000)
-        actions = [
-            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-            {
-                "metaData": {
-                    "id": uuid.uuid4().hex,
-                    "format": {"provider": "parquet", "options": {}},
-                    "schemaString": schema_json,
-                    "partitionColumns": [],
-                    "configuration": {},
-                    "createdTime": now_ms,
-                }
-            },
+        return [
+            {**f, "__rel": f"{f.get('dir', p_dir)}/{f['path']}"} for f in files
         ]
-        for f in files:
-            rel = f"{f.get('dir', p_dir)}/{f['path']}"
-            st = os.stat(os.path.join(self.path, rel))
-            stats = {"numRecords": f.get("n_rows")}
-            mins = {
-                c: b[0]
-                for c, b in f.get("stats", {}).items()
-                if not c.startswith("__") and b[0] is not None
+
+    @staticmethod
+    def _delta_metadata_action(schema_json: str, now_ms: int) -> dict:
+        return {
+            "metaData": {
+                "id": uuid.uuid4().hex,
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": [],
+                "configuration": {},
+                "createdTime": now_ms,
             }
-            if mins:
-                stats["minValues"] = mins
-                stats["maxValues"] = {
-                    c: f["stats"][c][1] for c in mins
-                }
-            actions.append(
-                {
-                    "add": {
-                        "path": quote(rel),
-                        "partitionValues": {},
-                        "size": st.st_size,
-                        "modificationTime": int(st.st_mtime * 1000),
-                        "dataChange": True,
-                        "stats": json.dumps(stats),
-                    }
-                }
-            )
-        actions.append(
-            {
-                "commitInfo": {
-                    "timestamp": now_ms,
-                    "operation": "CONVERT",
-                    "operationParameters": {"sourceVersion": v},
-                    "engineInfo": "retail-datalakehouse-spark",
-                }
+        }
+
+    def _delta_add_action(self, f: dict) -> dict:
+        rel = f["__rel"]
+        st = os.stat(os.path.join(self.path, rel))
+        stats = {"numRecords": f.get("n_rows")}
+        mins = {
+            c: b[0]
+            for c, b in f.get("stats", {}).items()
+            if not c.startswith("__") and b[0] is not None
+        }
+        if mins:
+            stats["minValues"] = mins
+            stats["maxValues"] = {c: f["stats"][c][1] for c in mins}
+        return {
+            "add": {
+                "path": _dl_quote(rel),
+                "partitionValues": {},
+                "size": st.st_size,
+                "modificationTime": int(st.st_mtime * 1000),
+                "dataChange": True,
+                "stats": json.dumps(stats),
             }
-        )
-        commit = os.path.join(log_dir, f"{0:020d}.json")
-        tmp = commit + ".tmp"
-        with open(tmp, "w") as fh:
-            for a in actions:
-                fh.write(json.dumps(a) + "\n")
-        os.replace(tmp, commit)
-        return commit
+        }
 
     def clone_to(
         self,

@@ -2727,3 +2727,65 @@ def test_export_delta_log_roundtrip(spark, tmp_path):
     t3.vacuum(retain_last=1, orphan_retention_s=0)
     t4 = VersionedTable(spark, str(tmp_path / "dl"))
     assert os.path.exists(commit)
+
+
+def test_export_delta_log_incremental(spark, tmp_path):
+    """r11: incremental export — diff commits with add/remove actions,
+    metaData re-emitted ONLY on schema change, idempotent same-version
+    no-op, forward-only guard."""
+    import json
+    import os
+    from urllib.parse import unquote
+
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "dli"))
+    t.overwrite(
+        spark.range(1_000).select(F.col("id").alias("k"), (F.col("id") % 9).alias("v")),
+        cluster_by=["k"],
+        cluster_files=3,
+    )
+    c0 = t.export_delta_log()
+    v1 = t.current_version()
+
+    # append-only diff: adds, no removes, no metaData (schema unchanged)
+    t.append(
+        spark.range(1_000, 1_100)
+        .coalesce(1)
+        .select(F.col("id").alias("k"), F.lit(1).cast("long").alias("v"))
+    )
+    c1 = t.export_delta_log()
+    acts1 = [json.loads(ln) for ln in open(c1)]
+    assert [k for a in acts1 for k in a] == ["add", "commitInfo"]
+
+    # widening append changes the schema: metaData re-emitted
+    t.append(
+        spark.createDataFrame([(2_000, 3.5)], "k long, v double").coalesce(1)
+    )
+    c2 = t.export_delta_log()
+    acts2 = [json.loads(ln) for ln in open(c2)]
+    keys2 = [k for a in acts2 for k in a]
+    assert keys2[0] == "metaData" and "add" in keys2
+    # the widening rewrite drops the old files
+    assert "remove" in keys2
+
+    # delete produces removes; replaying all commits equals the snapshot
+    t.delete("k % 10 = 0")
+    c3 = t.export_delta_log()
+    assert os.path.basename(c3) == f"{3:020d}.json"
+    live = {}
+    for fn in sorted(os.listdir(os.path.dirname(c3))):
+        for ln in open(os.path.join(os.path.dirname(c3), fn)):
+            a = json.loads(ln)
+            if "add" in a:
+                live[unquote(a["add"]["path"])] = True
+            elif "remove" in a:
+                live.pop(unquote(a["remove"]["path"]), None)
+    got = spark.read.parquet(*[os.path.join(t.path, r) for r in live])
+    assert got.count() == t.read().count()
+    assert got.agg(F.sum("k")).first()[0] == t.read().agg(F.sum("k")).first()[0]
+
+    # idempotent no-op + forward-only
+    assert t.export_delta_log() == c3
+    with pytest.raises(ValueError, match="forward-only"):
+        t.export_delta_log(version=v1)

@@ -384,6 +384,7 @@ _PROMOTE_R11 = [
     "l4_pii_scrub",
     "l7_interleave_datasets",
     "x_delta_export_incremental",
+    "x_bucket_pruning",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -3400,3 +3400,68 @@ def x_delta_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", scale=2).alias("revenue"),
         )
     )
+
+
+_BUCKET_PRUNE_SQL = f"""
+WITH pick AS (SELECT MAX(o_custkey) // 2 AS ck FROM orders)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders, pick
+WHERE o_custkey = ck
+GROUP BY 1
+"""
+
+
+@register("x_bucket_pruning", oracle=_BUCKET_PRUNE_SQL, tags=("S3", "P4", "J1"), doc="")
+def x_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET PRUNING — the read-side payoff of bucketed storage beyond
+    zero-shuffle joins (x_bucketed_colocated_join): a point predicate on
+    the bucketing key lets the scan open ONLY the bucket whose Murmur3
+    hash the literal lands in, skipping the other N-1 bucket files with
+    zero I/O. The physical plan is asserted in-query: `SelectedBucketsCount:
+    1 out of 8` must appear in the FileScan (Catalyst derives it from the
+    catalog's bucket spec — no manifest needed). At 100 TB with 4096
+    buckets, a customer-lookup dashboard reads 1/4096th of the table per
+    query; this is the poor man's index Spark ships natively. Oracle =
+    the same point filter on pristine orders (bucketing is pure layout)."""
+    import shutil
+
+    from ..sources.bucketing import write_bucketed
+    from .lakehouse import _scratch
+
+    o = T(spark, sf_dir, "orders")
+    ck = o.agg(F.max("o_custkey")).first()[0] // 2  # data-derived key
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    tbl = f"rdl_orders_bp_{tag}"
+    path = _scratch(tbl)
+    shutil.rmtree(path, ignore_errors=True)
+    write_bucketed(o, tbl, ["o_custkey"], n_buckets=8, path=path)
+
+    # DisableUnnecessaryBucketedScan turns the bucketed scan off when no
+    # join/aggregation consumes the bucket order — but that also forfeits
+    # bucket PRUNING. Pin it on for the lookup (set at runtime so the
+    # vanilla driver session behaves identically), restore after.
+    saved = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        res = (
+            spark.table(tbl)
+            .filter(F.col("o_custkey") == ck)
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", scale=2).alias("revenue"),
+            )
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:2000]
+        res = res.persist()
+        res.count()  # materialize under the pinned conf
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved
+        )
+    return res

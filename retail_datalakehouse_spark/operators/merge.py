@@ -214,3 +214,59 @@ def merge_partial(
     )
     merged = matched_or_kept.unionByName(inserts.select(*matched_or_kept.columns))
     return merged.select(*target.columns)  # preserve the target's schema order
+
+
+def merge_sync(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    delete_unmatched_when: str | None = None,
+) -> DataFrame:
+    """Full-sync MERGE with Delta's ``WHEN NOT MATCHED BY SOURCE`` clause
+    (Delta 2.3+ / SQL:2003 MERGE's third leg — the one plain upserts
+    lack): rows matched by key take the source's ``update_cols`` (all
+    source columns when None), source-only keys insert, and TARGET rows
+    absent from the source — the leg ``merge_upsert`` can't express —
+    are DELETED when they meet ``delete_unmatched_when`` (SQL boolean
+    over target columns; None keeps them all). This is how a warehouse
+    mirrors an operational feed: the feed carries current truth, and
+    rows that vanished upstream must be retired ON CONDITION (e.g. only
+    finalized ones) without a full overwrite.
+
+    Shape: one left join of target→source on the keys (matched rows
+    update in place, unmatched evaluate the delete predicate) + one
+    anti-join for inserts — two key shuffles, no window, broadcastable
+    source. ``source`` must be unique per key."""
+    keys = list(keys)
+    upd = list(update_cols) if update_cols is not None else [
+        c for c in source.columns if c not in keys
+    ]
+    # explicit match marker: a legitimately-NULL source value must not
+    # read as "not matched by source"
+    src = source.select(
+        *keys,
+        F.lit(1).alias("__src_mark"),
+        *[F.col(c).alias(f"__src_{c}") for c in upd],
+    )
+    joined = target.join(src, on=keys, how="left")
+    has_src = F.col("__src_mark").isNotNull()
+    # matched: take source values; unmatched-by-source: keep unless the
+    # delete predicate holds
+    kept = joined if delete_unmatched_when is None else joined.filter(
+        has_src | ~F.expr(delete_unmatched_when)
+    )
+    synced = kept.select(
+        *keys,
+        *[
+            (
+                F.when(has_src, F.col(f"__src_{c}")).otherwise(F.col(c))
+                if c in upd
+                else F.col(c)
+            ).alias(c)
+            for c in target.columns
+            if c not in keys
+        ],
+    )
+    inserts = source.join(target.select(*keys), on=keys, how="left_anti")
+    return synced.unionByName(inserts, allowMissingColumns=True)

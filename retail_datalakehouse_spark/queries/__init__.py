@@ -385,6 +385,8 @@ _PROMOTE_R11 = [
     "l7_interleave_datasets",
     "x_delta_export_incremental",
     "x_bucket_pruning",
+    "x_merge_not_matched_by_source",
+    "t29_stream_delta_sync",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

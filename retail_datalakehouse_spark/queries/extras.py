@@ -3465,3 +3465,71 @@ def x_bucket_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved
         )
     return res
+
+
+_MERGE_NMBS_SQL = f"""
+WITH bounds AS (SELECT CAST(MAX(o_orderdate) AS DATE) - 365 AS cut FROM orders),
+src AS (  -- the operational feed: last year's orders, re-priced
+  SELECT o_orderkey, o_totalprice * 1.0 + 10.0 AS o_totalprice,
+         'URGENT' AS o_orderpriority
+  FROM orders, bounds WHERE CAST(o_orderdate AS DATE) >= cut),
+synced AS (
+  SELECT t.o_orderkey, t.o_orderstatus,
+         COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+         COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+  FROM orders t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+  WHERE s.o_orderkey IS NOT NULL         -- matched: updated in place
+     OR NOT (t.o_orderstatus = 'F')      -- unmatched: deleted only when final
+)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM synced GROUP BY 1
+"""
+
+
+@register(
+    "x_merge_not_matched_by_source",
+    oracle=_MERGE_NMBS_SQL,
+    tags=("S7", "J3", "J6"),
+    doc="",
+)
+def x_merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE's third leg — ``WHEN NOT MATCHED BY SOURCE`` (Delta 2.3+ /
+    SQL:2003 full MERGE), the clause upserts can't express: the source
+    feed carries current truth for its keys, matched target rows update
+    in place, and target rows the feed NO LONGER mentions retire — here
+    conditionally (``DELETE`` only finalized 'F' orders; open ones are
+    kept awaiting their feed record). This is the mirror-an-operational-
+    table pattern: without this clause a warehouse either full-overwrites
+    (O(table) every sync) or accretes ghosts forever.
+    `operators/merge.py::merge_sync` runs it as ONE left join (update +
+    conditional-retire in a single pass, explicit match marker so NULL
+    source values don't read as unmatched) + one anti-join for inserts —
+    two key shuffles, broadcastable source, no window. The feed is
+    derived (last year re-priced, +10.00 exact at scale 2) so the oracle
+    replays the same three-legged semantics relationally."""
+    from ..operators.merge import merge_sync
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_orderdate"
+    )
+    cut = F.date_sub(
+        F.lit(o.agg(F.max(F.col("o_orderdate").cast("date"))).first()[0]), 365
+    )
+    src = o.filter(F.col("o_orderdate").cast("date") >= cut).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 10.0).alias("o_totalprice"),
+        F.lit("URGENT").alias("o_orderpriority"),
+    )
+    synced = merge_sync(
+        o.drop("o_orderdate"),
+        src,
+        keys=["o_orderkey"],
+        update_cols=["o_totalprice", "o_orderpriority"],
+        delete_unmatched_when="o_orderstatus = 'F'",
+    )
+    return synced.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

@@ -2391,3 +2391,67 @@ def t28_cdf_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "t29_stream_delta_sync",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+    tags=("T6", "S3", "S6"),
+)
+def t29_stream_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest kept in sync with an EXTERNAL Delta log (r11):
+    each micro-batch appends to the VersionedTable (txn watermark =
+    exactly-once across restarts) and then calls `export_delta_log()`,
+    which writes that batch's diff as the next %020d Delta commit — the
+    streaming analogue of Delta's transaction log growing one commit per
+    epoch, O(batch files) per sync. After the 3-drop corpus stream
+    drains, the in-query independent reader (stdlib JSON, add/remove
+    reconciliation) replays ALL commits and Spark reads exactly the
+    resolved file set; the oracle recomputes from pristine documents, so
+    the hash proves the externally-readable log tracked every micro-batch
+    with no row lost or duplicated. Asserts: one delta commit per batch,
+    append-only (zero removes)."""
+    import json as _json
+    import os as _os
+    import tempfile
+    from urllib.parse import unquote
+
+    from ..sources.table_format import VersionedTable
+
+    stream = documents_stream_drops(spark, sf_dir, n_drops=3)
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t29_vt_"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df.coalesce(1), txn=("t29_sync", batch_id))
+        table.export_delta_log()
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+
+    log_dir = _os.path.join(table.path, "_delta_log")
+    commits = sorted(
+        fn for fn in _os.listdir(log_dir) if fn.endswith(".json")
+    )
+    assert len(commits) == 3, commits  # one delta commit per micro-batch
+    live, n_removes = {}, 0
+    for fn in commits:
+        with open(_os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if "add" in a:
+                    live[unquote(a["add"]["path"])] = True
+                elif "remove" in a:
+                    n_removes += 1
+    assert n_removes == 0  # appends exported as pure adds
+    df = spark.read.parquet(*[_os.path.join(table.path, r) for r in live])
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -381,12 +381,13 @@ _PROMOTE_R11 = [
     "x_hilbert_optimize",
     "x_delta_export",
     "l6_rrf_fusion",
-    "l4_pii_scrub",
     "l7_interleave_datasets",
     "x_delta_export_incremental",
     "x_bucket_pruning",
     "x_merge_not_matched_by_source",
     "t29_stream_delta_sync",
+    "l4_gopher_rules",
+    "l3_ann_recall_eval",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

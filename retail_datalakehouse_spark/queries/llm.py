@@ -4374,111 +4374,6 @@ def l6_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), F.asc("vec_id")).limit(10)
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
-
-_PII_SCRUB_SQL = f"""
-WITH seeded AS (
-  SELECT doc_id, source,
-         text
-         || CASE WHEN doc_id % 3 = 0
-                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com'
-                 ELSE '' END
-         || CASE WHEN doc_id % 5 = 0
-                 THEN ' or call ' || printf('%03d-%03d-%04d',
-                        CAST(doc_id % 800 + 100 AS INT),
-                        CAST(doc_id % 900 + 100 AS INT),
-                        CAST(doc_id % 9000 + 1000 AS INT))
-                 ELSE '' END AS text
-  FROM documents),
-scrubbed AS (
-  SELECT doc_id, source,
-         len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
-         len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
-         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
-                        '{_PII_PHONE}', '<PHONE>', 'g') AS clean
-  FROM seeded)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(n_emails) AS BIGINT) AS n_emails,
-       CAST(SUM(n_phones) AS BIGINT) AS n_phones,
-       CAST(SUM(CASE WHEN n_emails + n_phones = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs,
-       CAST(SUM(length(clean)) AS BIGINT) AS clean_chars
-FROM scrubbed
-GROUP BY 1
-"""
-
-
-@register("l4_pii_scrub", oracle=_PII_SCRUB_SQL, tags=("L4", "F1"), doc="")
-def l4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII detection + redaction — the compliance gate every
-    training-data pipeline runs before tokenization (emails, phone
-    numbers -> typed placeholders, so the model never memorizes
-    contact strings). The corpus seeds PII deterministically from
-    doc_id arithmetic (the synthetic documents carry none), then the
-    scrub is regexp-based: detect counts per type, replace-all with
-    `<EMAIL>`/`<PHONE>`, and an in-query assert proves ZERO residual
-    matches survive in the redacted text. Map-only: one scan, no
-    shuffle before the final small per-source aggregate; patterns are
-    Java-regex/RE2 common subset so both engines tokenize identically.
-    At 100 TB this runs at scan speed — regexp_replace is JVM codegen,
-    never a Python UDF."""
-    d = T(spark, sf_dir, "documents")
-    seeded = d.select(
-        "doc_id",
-        "source",
-        F.concat(
-            F.col("text"),
-            F.when(
-                F.col("doc_id") % 3 == 0,
-                F.concat(
-                    F.lit(" reach me at user"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("@example.com"),
-                ),
-            ).otherwise(""),
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(
-                    F.lit(" or call "),
-                    F.format_string(
-                        "%03d-%03d-%04d",
-                        (F.col("doc_id") % 800 + 100).cast("int"),
-                        (F.col("doc_id") % 900 + 100).cast("int"),
-                        (F.col("doc_id") % 9000 + 1000).cast("int"),
-                    ),
-                ),
-            ).otherwise(""),
-        ).alias("text"),
-    )
-    scrubbed = seeded.select(
-        "doc_id",
-        "source",
-        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
-        F.regexp_count("text", F.lit(_PII_PHONE)).alias("n_phones"),
-        F.regexp_replace(
-            F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ).alias("clean"),
-    )
-    # the redaction is TOTAL: no residual match in any redacted doc
-    residual = scrubbed.filter(
-        (F.regexp_count("clean", F.lit(_PII_EMAIL)) > 0)
-        | (F.regexp_count("clean", F.lit(_PII_PHONE)) > 0)
-    ).count()
-    assert residual == 0, residual
-    return scrubbed.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_emails").cast("long").alias("n_emails"),
-        F.sum("n_phones").cast("long").alias("n_phones"),
-        F.sum((F.col("n_emails") + F.col("n_phones") == 0).cast("int"))
-        .cast("long")
-        .alias("n_clean_docs"),
-        F.sum(F.length("clean")).cast("long").alias("clean_chars"),
-    )
-
-
 _INTERLEAVE_SQL = """
 WITH a AS (
   SELECT doc_id, doc_id // 2 AS rn0 FROM documents WHERE doc_id % 2 = 0),
@@ -4533,3 +4428,180 @@ def l7_interleave_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).first()
     assert n == 3 * blocks and mx == 3 * blocks - 1 and dn == n, (n, mx, dn)
     return out
+
+
+_GOPHER_SQL = """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+feats AS (
+  SELECT doc_id, source,
+         len(ws) AS n_words,
+         length(replace(list_aggregate(ws, 'string_agg', ''), ' ', '')) AS sum_len,
+         len(list_filter(ws, w -> w IN ('the', 'a', 'to', 'of', 'and', 'that', 'have', 'with'))) AS n_stop,
+         (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM unnest(ws) AS t(w) GROUP BY w)) AS max_word
+  FROM words),
+rules AS (
+  SELECT source,
+         CASE WHEN n_words BETWEEN 40 AND 100000 THEN 0 ELSE 1 END AS f_wordcount,
+         CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 0 ELSE 1 END AS f_meanlen,
+         CASE WHEN n_stop >= 2 THEN 0 ELSE 1 END AS f_stopword,
+         CASE WHEN 5 * max_word <= n_words THEN 0 ELSE 1 END AS f_repetition
+  FROM feats)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wordcount) AS BIGINT) AS fail_wordcount,
+       CAST(SUM(f_meanlen) AS BIGINT) AS fail_meanlen,
+       CAST(SUM(f_stopword) AS BIGINT) AS fail_stopword,
+       CAST(SUM(f_repetition) AS BIGINT) AS fail_repetition,
+       CAST(SUM(CASE WHEN f_wordcount + f_meanlen + f_stopword + f_repetition = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+FROM rules GROUP BY 1
+"""
+
+
+@register("l4_gopher_rules", oracle=_GOPHER_SQL, tags=("L4", "F6"), doc="")
+def l4_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, Appendix A — the rule set
+    MassiveText/RefinedWeb/Dolma descend from): per-document hard gates
+    on word count, mean word length, stop-word presence, and top-word
+    repetition, reported as per-rule violation counts plus the
+    survive-all count — the triage report a corpus curator reads before
+    tokenizing. (Line-level rules — bullets/ellipses — are omitted: the
+    synthetic corpus is single-line; cf. l4_boilerplate_removal for the
+    segment plane.) Every rule is INTEGER arithmetic (mean-length
+    bounds as 3n ≤ Σlen ≤ 10n, repetition as 5·max_word ≤ n) so both
+    engines decide each gate identically — no float threshold can sit
+    on a boundary. One scan; the only shuffle is the word-histogram
+    aggregate inside the higher-order fold (Spark side: map_from/
+    aggregate over the split array, still per-row, NO explode shuffle —
+    at 100 TB the per-doc histogram stays inside the row)."""
+    d = T(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    stop = ("the", "a", "to", "of", "and", "that", "have", "with")
+    n_words = F.size(ws)
+    sum_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*stop)))
+    # per-doc top-word count WITHOUT exploding: fold the array into a
+    # count map, then take the max — per-row work, zero shuffle
+    hist = F.aggregate(
+        ws,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, w: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != w),
+            F.create_map(w, F.coalesce(F.element_at(acc, w), F.lit(0)) + 1),
+        ),
+    )
+    max_word = F.array_max(F.map_values(hist))
+    feats = d.select(
+        "source",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_len"),
+        n_stop.alias("n_stop"),
+        max_word.alias("max_word"),
+    )
+    rules = feats.select(
+        "source",
+        F.when(F.col("n_words").between(40, 100000), 0).otherwise(1).alias("f_wordcount"),
+        F.when(
+            (3 * F.col("n_words") <= F.col("sum_len"))
+            & (F.col("sum_len") <= 10 * F.col("n_words")),
+            0,
+        ).otherwise(1).alias("f_meanlen"),
+        F.when(F.col("n_stop") >= 2, 0).otherwise(1).alias("f_stopword"),
+        F.when(5 * F.col("max_word") <= F.col("n_words"), 0).otherwise(1).alias("f_repetition"),
+    )
+    return rules.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("f_wordcount").cast("long").alias("fail_wordcount"),
+        F.sum("f_meanlen").cast("long").alias("fail_meanlen"),
+        F.sum("f_stopword").cast("long").alias("fail_stopword"),
+        F.sum("f_repetition").cast("long").alias("fail_repetition"),
+        F.sum(
+            (
+                F.col("f_wordcount") + F.col("f_meanlen") + F.col("f_stopword") + F.col("f_repetition")
+                == 0
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("n_pass_all"),
+    )
+
+
+_ANN_RECALL_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id BETWEEN 20 AND 24),
+pairs AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q),
+agg AS (
+  SELECT q_id, vec_id,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs
+  FROM pairs GROUP BY q_id, vec_id),
+ranked AS (
+  SELECT q_id, vec_id, cs,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rnk
+  FROM agg)
+SELECT q_id, vec_id, cs AS cos_sim, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+"""
+
+
+@register("l3_ann_recall_eval", oracle=_ANN_RECALL_SQL, tags=("L3", "L6"), doc="")
+def l3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN RECALL EVAL — the acceptance test every approximate index must
+    pass before it replaces brute force in a retrieval stack: for a
+    5-query panel, compute exact brute-force top-10 (the ground truth
+    AND this query's hash-checked output) and the IVF answer at
+    nprobe=4/8, then assert recall@10 ≥ 60% per panel average in-query.
+    The IVF leg exercises the REAL index surface: persisted
+    partitioned-by-centroid parquet, driver-side probe selection from
+    collected centroids, partition-pruned probe scan. Recall is a SET
+    intersection of ids (integer, engine-independent); the ground truth
+    ranking is ROUND(cos,6)+id tie-broken so both engines rank
+    identically. At 100 TB the eval panel is how you tune nprobe: this
+    query IS that harness, one pruned scan per query vector."""
+    import tempfile
+
+    from ..operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+        seeded_centroids,
+        topk_cosine_join,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id").between(20, 24)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # ground truth: exact top-10 per query (one broadcast similarity join)
+    from pyspark.sql import Window
+
+    gt = topk_cosine_join(qs, e, k=10, round_to=6).withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id")))
+        .cast("long"),
+    )
+    gt = gt.persist()
+    gt_sets: dict = {}
+    for r in gt.collect():  # 50 rows: the eval panel, not the corpus
+        gt_sets.setdefault(r.q_id, set()).add(r.vec_id)
+
+    cents = seeded_centroids(e, c=8)
+    idx_path = tempfile.mkdtemp(prefix="rdl_annrecall_") + "/ivf"
+    build_ivf_index(e, cents, idx_path)
+    cent_rows = [(r.centroid_id, r.centroid_vec) for r in cents.collect()]
+    hits = total = 0
+    for q_id, qset in sorted(gt_sets.items()):
+        qvec = [float(x) for x in e.filter(F.col("vec_id") == q_id).head()[1]]
+        got = {
+            r.vec_id
+            for r in ivf_topk_indexed(
+                spark, idx_path, cent_rows, qvec, k=10, nprobe=4
+            ).collect()
+        }
+        hits += len(got & qset)
+        total += len(qset)
+    assert total == 50 and hits / total >= 0.6, (hits, total)
+    return gt

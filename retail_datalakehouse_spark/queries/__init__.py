@@ -388,6 +388,7 @@ _PROMOTE_R11 = [
     "t29_stream_delta_sync",
     "l4_gopher_rules",
     "l3_ann_recall_eval",
+    "x_mv_rollup_answer",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -3533,3 +3533,72 @@ def x_merge_not_matched_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_MV_ROLLUP_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mth,
+       o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY 1, 2, 3
+"""
+
+
+@register("x_mv_rollup_answer", oracle=_MV_ROLLUP_SQL, tags=("A1", "S3", "A7"), doc="")
+def x_mv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view ROLLUP REWRITE — the aggregate-containment rule
+    every BI layer and Spark's own MV engines (Databricks MVs, Kylin)
+    live on: a DAILY rollup is materialized ONCE (day × status →
+    count/sum/min/max partials), and the MONTHLY query is answered
+    ENTIRELY from it — counts re-sum, sums re-sum, min/max re-aggregate
+    (avg would recompose as Σsum/Σcount; distinct-counts would NOT — the
+    classic non-rewritable aggregate). The raw table is never scanned by
+    the monthly query (asserted: its only input is the rollup's path,
+    ~2 orders of magnitude smaller). At 100 TB this converts every
+    dashboard refresh from a fact-table scan into a rollup scan — the
+    single highest-leverage read optimization after partition pruning.
+    The oracle computes monthly straight from raw orders, so the hash
+    proves containment-rewrite correctness, not just plumbing. Decimal
+    partials: the rollup stores the EXACT decimal(25,4) day sums (cast
+    to double only after the monthly re-sum would lose cents), so
+    two-level summation equals one-level."""
+    import tempfile
+
+    o = T(spark, sf_dir, "orders")
+    # ---- materialize the daily rollup once (the MV maintenance job)
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"), F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias("sum_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    mv_path = tempfile.mkdtemp(prefix="rdl_mv_") + "/daily_rollup"
+    daily.write.mode("overwrite").parquet(mv_path)
+
+    # ---- the monthly query reads ONLY the rollup
+    mv = spark.read.parquet(mv_path)
+    n_mv, n_raw = mv.count(), o.count()
+    assert n_mv < n_raw, (n_mv, n_raw)  # strictly coarser
+    monthly = mv.groupBy(
+        F.year("day").cast("int").alias("yr"),
+        F.month("day").cast("int").alias("mth"),
+        "status",
+    ).agg(
+        F.sum("cnt").cast("long").alias("n_orders"),
+        F.round(F.sum("sum_price"), 2).cast("double").alias("revenue"),
+        F.min("min_price").cast("double").alias("min_price"),
+        F.max("max_price").cast("double").alias("max_price"),
+    )
+    scan_src = [
+        ln
+        for ln in monthly._jdf.queryExecution().executedPlan().toString().splitlines()
+        if "FileScan" in ln or "Location" in ln
+    ]
+    assert all("orders.parquet" not in ln for ln in scan_src), scan_src
+    return monthly

@@ -389,6 +389,8 @@ _PROMOTE_R11 = [
     "l4_gopher_rules",
     "l3_ann_recall_eval",
     "x_mv_rollup_answer",
+    "x_psi_drift",
+    "x_bfs_reachability",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

@@ -3602,3 +3602,147 @@ def x_mv_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assert all("orders.parquet" not in ln for ln in scan_src), scan_src
     return monthly
+
+
+_PSI_SQL = """
+WITH span AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1,
+         CAST(ROUND(MIN(o_totalprice) * 100) AS BIGINT) AS mnc,
+         CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT) AS mxc
+  FROM orders),
+tagged AS (
+  SELECT CASE WHEN CAST(o_orderdate AS DATE) < d0 + CAST((d1 - d0) // 2 AS INT) THEN 'A' ELSE 'B' END AS slice,
+         LEAST(9, ((CAST(ROUND(o_totalprice * 100) AS BIGINT) - mnc) * 10) // (mxc - mnc)) AS bucket
+  FROM orders, span),
+cnt AS (
+  SELECT bucket,
+         SUM(CASE WHEN slice = 'A' THEN 1 ELSE 0 END) AS cnt_a,
+         SUM(CASE WHEN slice = 'B' THEN 1 ELSE 0 END) AS cnt_b
+  FROM tagged GROUP BY 1),
+tot AS (SELECT SUM(cnt_a) AS na, SUM(cnt_b) AS nb FROM cnt)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(cnt_a AS BIGINT) AS cnt_a,
+       CAST(cnt_b AS BIGINT) AS cnt_b,
+       CAST(FLOOR((
+         (CAST(cnt_b + 1 AS DOUBLE) / (nb + 10)) - (CAST(cnt_a + 1 AS DOUBLE) / (na + 10))
+       ) * LN((CAST(cnt_b + 1 AS DOUBLE) / (nb + 10)) / (CAST(cnt_a + 1 AS DOUBLE) / (na + 10)))
+         * 1000000) AS BIGINT) AS psi_contrib_q6
+FROM cnt, tot
+"""
+
+
+@register("x_psi_drift", oracle=_PSI_SQL, tags=("A1", "A6", "DQ"), doc="")
+def x_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard data-drift monitor
+    (credit scoring's PSI, what Evidently/Deequ-style DQ suites compute
+    per column per refresh): compare the price distribution of the
+    FIRST half of the time range against the SECOND across 10 equi-width
+    buckets; per-bucket contribution (pB-pA)·ln(pB/pA) with +1 Laplace
+    smoothing flags the drifting segment, Σ ≥ 0.2 is the classic alarm.
+    Cross-engine discipline: bucketing is pure INTEGER math (cents via
+    round(p·100) — Spark CAST truncates doubles where DuckDB rounds, so
+    never bare-cast — then integer div against data-derived cent
+    bounds), so both engines bin identically; the only float, the PSI
+    term, is computed from identical integers and QUANTIZED to
+    floor(·1e6) (ln is libm, last-ulp divergent — the f3 lesson). One
+    scan + one 10-row aggregate: at 100 TB this is a free rider on any
+    existing daily stats pass."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    d0, d1, mnc, mxc = o.agg(
+        F.min(d),
+        F.max(d),
+        F.round(F.min("o_totalprice") * 100).cast("long"),
+        F.round(F.max("o_totalprice") * 100).cast("long"),
+    ).first()
+    half = (d1 - d0).days // 2
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    tagged = o.select(
+        F.when(d < F.date_add(F.lit(d0), half), "A").otherwise("B").alias("slice"),
+        F.least(F.lit(9), ((cents - mnc) * 10).cast("long") / F.lit(int(mxc - mnc)))
+        .cast("long")
+        .alias("bucket"),
+    )
+    cnt = tagged.groupBy("bucket").agg(
+        F.sum((F.col("slice") == "A").cast("int")).alias("cnt_a"),
+        F.sum((F.col("slice") == "B").cast("int")).alias("cnt_b"),
+    )
+    na, nb = cnt.agg(F.sum("cnt_a"), F.sum("cnt_b")).first()
+    pa = (F.col("cnt_a") + 1).cast("double") / F.lit(float(na + 10))
+    pb = (F.col("cnt_b") + 1).cast("double") / F.lit(float(nb + 10))
+    return cnt.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        F.floor((pb - pa) * F.log(pb / pa) * 1000000)
+        .cast("long")
+        .alias("psi_contrib_q6"),
+    )
+
+
+_BFS_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+seeds AS (SELECT DISTINCT c FROM edges WHERE c % 1000 = 0),
+h2 AS (
+  SELECT DISTINCT e2.c
+  FROM edges e1 JOIN seeds s ON e1.c = s.c JOIN edges e2 ON e2.p = e1.p
+  WHERE e2.c NOT IN (SELECT c FROM seeds)),
+h4 AS (
+  SELECT DISTINCT e2.c
+  FROM edges e1 JOIN h2 ON e1.c = h2.c JOIN edges e2 ON e2.p = e1.p
+  WHERE e2.c NOT IN (SELECT c FROM seeds)
+    AND e2.c NOT IN (SELECT c FROM h2)),
+lab AS (
+  SELECT c, 0 AS hop FROM seeds
+  UNION ALL SELECT c, 2 FROM h2
+  UNION ALL SELECT c, 4 FROM h4)
+SELECT CAST(hop AS BIGINT) AS hop,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(c) AS BIGINT) AS cust_checksum
+FROM lab GROUP BY 1
+"""
+
+
+@register("x_bfs_reachability", oracle=_BFS_SQL, tags=("J1", "O3", "A1"), doc="")
+def x_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative frontier BFS over the customer—part co-purchase graph
+    (min-hop labeling, the Pregel/GraphX primitive under fraud rings,
+    recommendation neighborhoods, and recall-expansion in retrieval):
+    seed customers (key ≡ 0 mod 1000), expand two bipartite rounds
+    (customer → parts bought → customers of those parts), each round ONE
+    hash-join against the deduped edge list + an anti-join that keeps
+    only NEWLY reached vertices — the frontier never rescans settled
+    ones, which is what makes BFS O(edges·diameter), not O(edges·V). The
+    edge list is built once, deduped, and persisted across rounds (at
+    100 TB: bucket it on both keys). The oracle unrolls the SAME two
+    rounds as plain CTEs — a fixed-depth BFS is relational, so the
+    min-hop sets hash-check exactly (counts + checksums per hop)."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    seeds = edges.select("c").filter(F.col("c") % 1000 == 0).distinct()
+    assert seeds.count() > 0
+    reached = seeds.withColumn("hop", F.lit(0)).persist()
+    frontier = seeds
+    for hop in (2, 4):
+        parts = edges.join(frontier, "c").select("p").distinct()
+        nxt = (
+            edges.join(parts, "p")
+            .select("c")
+            .distinct()
+            .join(reached.select("c"), "c", "left_anti")
+            .persist()
+        )
+        reached = reached.unionByName(nxt.withColumn("hop", F.lit(hop))).persist()
+        frontier = nxt
+    return reached.groupBy(F.col("hop").cast("long").alias("hop")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("c").cast("long").alias("cust_checksum"),
+    )

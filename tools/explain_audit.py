@@ -217,6 +217,26 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("u9_udtf_table_arg", "REPARTITION_BY_COL", True,
      "the PARTITION BY contract must own the exchange (engine-routed "
      "per-user streams, sorted below the UDTF)"),
+    # ---- r11 additions
+    ("l6_rrf_fusion", "TakeOrderedAndProject", True,
+     "each retriever's top-50 must compile to a heap top-k (Catalyst "
+     "rewrites the empty-partition rank filter), never a global sort"),
+    ("l6_rrf_fusion", "EvalPython", False,
+     "cosine/L2 folds must stay JVM-side"),
+    ("l4_gopher_rules", "Generate", False,
+     "per-doc word histogram must fold inside the row (higher-order "
+     "aggregate), never explode into a shuffle"),
+    ("l4_gopher_rules", "EvalPython", False,
+     "Gopher gates are pure column math"),
+    ("x_mv_rollup_answer", "orders.parquet", False,
+     "the monthly query must scan ONLY the materialized rollup, never "
+     "the raw fact table"),
+    ("x_psi_drift", "partial", True,
+     "drift bucketing must keep the map-side partial aggregate (one "
+     "10-row reduce, free rider on a stats pass)"),
+    ("x_bfs_reachability", "InMemoryTableScan", True,
+     "the deduped edge list must be persisted and REUSED across BFS "
+     "rounds, not recomputed per hop"),
 ]
 
 

@@ -391,6 +391,7 @@ _PROMOTE_R11 = [
     "x_mv_rollup_answer",
     "x_psi_drift",
     "x_bfs_reachability",
+    "x_delta_import_timetravel",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

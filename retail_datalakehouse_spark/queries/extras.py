@@ -3746,3 +3746,63 @@ def x_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("c").cast("long").alias("cust_checksum"),
     )
+
+
+_DELTA_IMPORT_SQL = f"""
+WITH t AS (SELECT * FROM orders WHERE o_orderkey % 13 != 5)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register("x_delta_import_timetravel", oracle=_DELTA_IMPORT_SQL, tags=("S4", "S6"), doc="")
+def x_delta_import_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-log IMPORT with time travel (`sources/delta_import.py` — the
+    reader half of the interop surface, deliberately independent of
+    VersionedTable: it consumes only the public log format, as delta-rs
+    or duckdb-delta would). The table exports three delta commits
+    (overwrite → append → delete); `read_delta_snapshot(version=1)`
+    replays the log only THROUGH commit 1 — the Delta reconciliation
+    rule in reverse-chronological refusal — so the delete is invisible
+    and the returned aggregate equals the after-append state the oracle
+    recomputes relationally. Also asserted: the latest-read equals the
+    live table row-for-row (count + keyed checksum), and
+    `delta_log_summary`'s zero-data-read stats account for every live
+    row. The read schema comes from the log's schemaString, not parquet
+    inference — the widened-type contract an external reader relies on."""
+    import tempfile
+
+    from ..sources.delta_import import delta_log_summary, read_delta_snapshot
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders")
+    keep = F.col("o_orderkey") % 13 != 5
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_dimp_"))
+    t.overwrite(
+        o.filter(keep & (F.col("o_orderkey") % 2 == 0)),
+        cluster_by=["o_orderkey"],
+        cluster_files=4,
+    )
+    t.export_delta_log()  # commit 0
+    t.append(o.filter(keep & (F.col("o_orderkey") % 2 == 1)).coalesce(1))
+    t.export_delta_log()  # commit 1  <- the time-travel target
+    t.delete("o_orderkey % 13 = 5 OR o_orderkey % 3 = 0")
+    t.export_delta_log()  # commit 2
+
+    # latest == live table (count + checksum, schema from the log)
+    latest = read_delta_snapshot(spark, t.path)
+    a = latest.agg(F.count(F.lit(1)), F.sum("o_orderkey")).first()
+    b = t.read().agg(F.count(F.lit(1)), F.sum("o_orderkey")).first()
+    assert (a[0], a[1]) == (b[0], b[1]), (a, b)
+    summ = delta_log_summary(t.path)
+    assert summ["n_commits"] == 3 and summ["n_removed"] > 0, summ
+    assert summ["n_rows_from_stats"] == a[0], (summ, a[0])
+
+    # time travel to commit 1: the delete must be invisible
+    v1 = read_delta_snapshot(spark, t.path, version=1)
+    return v1.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

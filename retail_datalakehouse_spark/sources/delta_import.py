@@ -1,0 +1,127 @@
+"""Delta transaction-log READER — the import half of the interop surface
+(`VersionedTable.export_delta_log` is the writer): open any table whose
+``_delta_log`` follows the public Delta protocol and materialize a
+snapshot as a DataFrame, at the latest commit or any earlier one
+(time travel by log replay).
+
+Deliberately independent of VersionedTable: it reads ONLY the public log
+format (JSON actions, %020d commit files), exactly what delta-rs or
+duckdb's delta extension would do, so it works on foreign Delta tables
+too — scoped to what the minimal protocol guarantees: plain-parquet adds
+with empty ``partitionValues`` (partitioned/column-mapped/DV-bearing
+tables need reader features this module refuses rather than misreads).
+
+Scale notes: log replay is driver-side O(actions) JSON — the same cost a
+Delta reader pays before its first byte of data; the data read itself is
+one parquet scan over exactly the live file set (Spark still prunes
+row groups inside those files from parquet footers). Checkpoint parquet
+files (``*.checkpoint.parquet``) are an optimization for very long logs;
+this reader replays JSON commits and raises if only checkpoints exist.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def _commit_files(log_dir: str) -> list[str]:
+    return sorted(
+        fn
+        for fn in os.listdir(log_dir)
+        if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit()
+    )
+
+
+def read_delta_snapshot(
+    spark: SparkSession, table_root: str, version: int | None = None
+) -> DataFrame:
+    """Read the Delta table at ``table_root`` — latest commit, or the
+    state as of delta commit ``version`` (inclusive) for time travel.
+
+    Replays protocol/metaData/add/remove actions across the commit files
+    in filename order (the Delta reconciliation rule: a later ``remove``
+    cancels an earlier ``add`` of the same path), then hands Spark the
+    surviving file list with the log's own ``schemaString`` (so the read
+    schema is the LOG's contract, not parquet inference — exactly how a
+    Delta reader resolves column types after widening)."""
+    log_dir = os.path.join(table_root, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise ValueError(f"no _delta_log under {table_root}")
+    commits = _commit_files(log_dir)
+    if not commits:
+        raise ValueError(
+            f"no JSON commits in {log_dir} (checkpoint-only logs are not "
+            f"supported by this minimal reader)"
+        )
+    if version is not None:
+        commits = [fn for fn in commits if int(fn[:20]) <= version]
+        if not commits or int(commits[-1][:20]) != version:
+            raise ValueError(
+                f"delta commit {version} not found in {log_dir}"
+            )
+    live: dict[str, dict] = {}
+    schema_str = None
+    for fn in commits:
+        with open(os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    live[unquote(a["add"]["path"])] = a["add"]
+                elif "remove" in a:
+                    live.pop(unquote(a["remove"]["path"]), None)
+                elif "metaData" in a:
+                    md = a["metaData"]
+                    if md.get("partitionColumns"):
+                        raise ValueError(
+                            "partitioned Delta tables need partitionValues "
+                            "resolution this minimal reader doesn't implement"
+                        )
+                    schema_str = md["schemaString"]
+                elif "protocol" in a:
+                    if a["protocol"].get("minReaderVersion", 1) > 1:
+                        raise ValueError(
+                            "table requires Delta reader features beyond "
+                            "plain parquet (minReaderVersion > 1)"
+                        )
+    if schema_str is None:
+        raise ValueError(f"log at {log_dir} carries no metaData action")
+    schema = StructType.fromJson(json.loads(schema_str))
+    if not live:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_root, rel) for rel in live]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def delta_log_summary(table_root: str) -> dict:
+    """Driver-side log inspection: commit count, live/removed file counts,
+    and the row total from add-file stats — the zero-data-read health
+    check a sync monitor runs."""
+    log_dir = os.path.join(table_root, "_delta_log")
+    commits = _commit_files(log_dir)
+    live: dict[str, dict] = {}
+    n_removes = 0
+    for fn in commits:
+        with open(os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "add" in a:
+                    live[unquote(a["add"]["path"])] = a["add"]
+                elif "remove" in a:
+                    live.pop(unquote(a["remove"]["path"]), None)
+                    n_removes += 1
+    n_rows = 0
+    for add in live.values():
+        st = json.loads(add.get("stats") or "{}")
+        if st.get("numRecords") is not None:
+            n_rows += st["numRecords"]
+    return {
+        "n_commits": len(commits),
+        "n_live_files": len(live),
+        "n_removed": n_removes,
+        "n_rows_from_stats": n_rows,
+    }

@@ -2789,3 +2789,63 @@ def test_export_delta_log_incremental(spark, tmp_path):
     assert t.export_delta_log() == c3
     with pytest.raises(ValueError, match="forward-only"):
         t.export_delta_log(version=v1)
+
+
+def test_delta_import_reader_guards(spark, tmp_path):
+    """r11: sources/delta_import.py — spec-level reader guards: version
+    not found, partitioned metaData refusal, minReaderVersion refusal,
+    empty live set after total removes, and summary accounting."""
+    import json
+    import os
+
+    import pytest
+
+    from retail_datalakehouse_spark.sources.delta_import import (
+        delta_log_summary,
+        read_delta_snapshot,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "dim"))
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")))
+    t.export_delta_log()
+    with pytest.raises(ValueError, match="not found"):
+        read_delta_snapshot(spark, t.path, version=7)
+    with pytest.raises(ValueError, match="no _delta_log"):
+        read_delta_snapshot(spark, str(tmp_path))
+
+    # hand-built foreign logs exercise the refusal paths
+    froot = tmp_path / "foreign"
+    flog = froot / "_delta_log"
+    os.makedirs(flog)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+
+    def commit(n, actions):
+        with open(flog / f"{n:020d}.json", "w") as fh:
+            for a in actions:
+                fh.write(json.dumps(a) + "\n")
+
+    meta = {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
+                         "schemaString": json.dumps(schema),
+                         "partitionColumns": ["k"], "configuration": {}}}
+    commit(0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta])
+    with pytest.raises(ValueError, match="partitionValues"):
+        read_delta_snapshot(spark, str(froot))
+
+    meta["metaData"]["partitionColumns"] = []
+    commit(0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}, meta])
+    with pytest.raises(ValueError, match="minReaderVersion"):
+        read_delta_snapshot(spark, str(froot))
+
+    # add then remove everything: empty DataFrame with the LOG's schema
+    commit(0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta,
+               {"add": {"path": "d/f1.parquet", "partitionValues": {}, "size": 1,
+                        "modificationTime": 0, "dataChange": True,
+                        "stats": json.dumps({"numRecords": 5})}}])
+    commit(1, [{"remove": {"path": "d/f1.parquet", "deletionTimestamp": 0,
+                           "dataChange": True}}])
+    empty = read_delta_snapshot(spark, str(froot))
+    assert empty.count() == 0 and empty.columns == ["k"]
+    s = delta_log_summary(str(froot))
+    assert s == {"n_commits": 2, "n_live_files": 0, "n_removed": 1,
+                 "n_rows_from_stats": 0}

@@ -392,6 +392,7 @@ _PROMOTE_R11 = [
     "x_psi_drift",
     "x_bfs_reachability",
     "x_delta_import_timetravel",
+    "x_asof_nearest_join",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

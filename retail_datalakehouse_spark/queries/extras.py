@@ -3806,3 +3806,76 @@ def x_delta_import_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_ASOF_NEAREST_SQL = """
+WITH v AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'view'),
+p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts, value FROM events WHERE event_type = 'purchase'),
+cand AS (
+  SELECT v.event_id AS vid, v.user_id,
+         p.event_id AS pid, ABS(p.ts - v.ts) AS dist,
+         CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END AS dir,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.event_id
+           ORDER BY ABS(p.ts - v.ts),
+                    CASE WHEN p.ts <= v.ts THEN 0 ELSE 1 END,
+                    CASE WHEN p.ts <= v.ts THEN -p.event_id ELSE p.event_id END
+         ) AS rn
+  FROM v JOIN p ON p.user_id = v.user_id
+  WHERE ABS(p.ts - v.ts) <= CAST(21600 AS BIGINT) * 1000000),
+best AS (SELECT user_id, vid, pid, dist FROM cand WHERE rn = 1),
+lv AS (
+  SELECT v.user_id, v.event_id, b.pid, b.dist
+  FROM v LEFT JOIN best b ON b.vid = v.event_id)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(SUM(CASE WHEN pid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(COALESCE(SUM(dist // 1000), 0) AS BIGINT) AS sum_dist_ms,
+       CAST(COALESCE(SUM(pid), 0) AS BIGINT) AS match_checksum
+FROM lv GROUP BY 1
+"""
+
+
+@register("x_asof_nearest_join", oracle=_ASOF_NEAREST_SQL, tags=("J9", "W3"), doc="")
+def x_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance (pandas
+    merge_asof(direction='nearest') — J9 covers backward only): each
+    view event attaches the purchase minimizing |Δts| within the same
+    user and a 6-hour bound; ties prefer backward, then deterministic id
+    order. `operators/joins.py::asof_nearest` runs it as TWO running-
+    carry windows over one tag-union (backward = ascending traversal,
+    forward = the same union descending) — one exchange on the key,
+    work per key LINEAR in events, never the candidate-quadratic range
+    join the oracle uses (the oracle's all-pairs form is the spec, not
+    the plan). Sensor fusion, click-attribution, and AV-frame alignment
+    are all this exact operator. Distances compared in integer
+    microseconds — no float anywhere."""
+    from ..operators.joins import asof_nearest
+
+    e = T(spark, sf_dir, "events").withColumn("ts_us", F.unix_micros("ts"))
+    v = e.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts_us")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    matched = asof_nearest(
+        v,
+        p,
+        on=["user_id"],
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_id="event_id",
+        right_cols=["value"],
+        tolerance=6 * 3600 * 1_000_000,
+    )
+    return matched.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum(F.col("event_id_asof").isNotNull().cast("int"))
+        .cast("long")
+        .alias("n_matched"),
+        F.coalesce(F.sum((F.col("asof_dist") / 1000).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("sum_dist_ms"),
+        F.coalesce(F.sum("event_id_asof"), F.lit(0)).cast("long").alias("match_checksum"),
+    )

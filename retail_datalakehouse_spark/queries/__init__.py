@@ -393,6 +393,7 @@ _PROMOTE_R11 = [
     "x_bfs_reachability",
     "x_delta_import_timetravel",
     "x_asof_nearest_join",
+    "l6_judge_agreement",
 ]
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.

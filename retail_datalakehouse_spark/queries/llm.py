@@ -4605,3 +4605,98 @@ def l3_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         total += len(qset)
     assert total == 50 and hits / total >= 0.6, (hits, total)
     return gt
+
+
+_KAPPA_SQL = """
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+feats AS (
+  SELECT doc_id, source, len(ws) AS n_words,
+         len(list_filter(ws, w -> w IN ('the', 'a', 'to', 'of', 'and', 'that', 'have', 'with'))) AS n_stop,
+         (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM unnest(ws) AS t(w) GROUP BY w)) AS max_word
+  FROM words),
+judged AS (
+  SELECT source,
+         CASE WHEN n_stop * 25 >= n_words THEN 1 ELSE 0 END AS ja,
+         CASE WHEN 6 * max_word <= n_words THEN 1 ELSE 0 END AS jb
+  FROM feats),
+conf AS (
+  SELECT source,
+         CAST(SUM(ja * jb) AS BIGINT) AS n11,
+         CAST(SUM(ja * (1 - jb)) AS BIGINT) AS n10,
+         CAST(SUM((1 - ja) * jb) AS BIGINT) AS n01,
+         CAST(SUM((1 - ja) * (1 - jb)) AS BIGINT) AS n00
+  FROM judged GROUP BY 1)
+SELECT source, n11, n10, n01, n00,
+       CAST(FLOOR(
+         CASE WHEN (n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+                   = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+              THEN 1000000.0
+              ELSE ((CAST(n11 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+                     - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                        + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))
+                    / (CAST(n11 + n10 + n01 + n00 AS DOUBLE) * (n11 + n10 + n01 + n00)
+                       - (CAST(n11 + n10 AS DOUBLE) * (n11 + n01)
+                          + CAST(n01 + n00 AS DOUBLE) * (n10 + n00)))) * 1000000
+         END) AS BIGINT) AS kappa_q6
+FROM conf
+"""
+
+
+@register("l6_judge_agreement", oracle=_KAPPA_SQL, tags=("L6", "A6"), doc="")
+def l6_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two automatic quality JUDGES — the
+    agreement statistic every LLM-judge / classifier-ensemble pipeline
+    reports before trusting a single filter (raw accuracy flatters
+    judges that both say 'keep' to everything; kappa subtracts
+    chance-level agreement). Judge A = stop-word density ≥ 4%; judge B =
+    top-word repetition ≤ 1/6 — genuinely different signals over the
+    same docs. The 2×2 confusion is pure integer aggregation; kappa is
+    computed from those integers in one closed form with the
+    denominator cleared of division-before-subtraction ((po−pe)/(1−pe)
+    scaled by n²) and QUANTIZED floor(·1e6) — the same libm/boundary
+    discipline as x_psi_drift; the degenerate pe=1 case pins to 1. One
+    scan, per-row higher-order folds, a 20-row reduce."""
+    d = T(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    stop = ("the", "a", "to", "of", "and", "that", "have", "with")
+    n_words = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*stop)))
+    hist = F.aggregate(
+        ws,
+        F.create_map().cast("map<string,int>"),
+        lambda acc, w: F.map_concat(
+            F.map_filter(acc, lambda k, _: k != w),
+            F.create_map(w, F.coalesce(F.element_at(acc, w), F.lit(0)) + 1),
+        ),
+    )
+    judged = d.select(
+        "source",
+        F.when(n_stop * 25 >= n_words, 1).otherwise(0).alias("ja"),
+        F.when(6 * F.array_max(F.map_values(hist)) <= n_words, 1).otherwise(0).alias("jb"),
+    )
+    conf = judged.groupBy("source").agg(
+        F.sum(F.col("ja") * F.col("jb")).cast("long").alias("n11"),
+        F.sum(F.col("ja") * (1 - F.col("jb"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("ja")) * F.col("jb")).cast("long").alias("n01"),
+        F.sum((1 - F.col("ja")) * (1 - F.col("jb"))).cast("long").alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    pe_num = (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")) + (
+        F.col("n01") + F.col("n00")
+    ) * (F.col("n10") + F.col("n00"))
+    po_num = (F.col("n11") + F.col("n00")).cast("double") * n
+    kappa = (po_num - pe_num.cast("double")) / (
+        n.cast("double") * n - pe_num.cast("double")
+    )
+    return conf.select(
+        "source",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.when(n * n == pe_num, F.lit(1000000))
+        .otherwise(F.floor(kappa * 1000000))
+        .cast("long")
+        .alias("kappa_q6"),
+    )

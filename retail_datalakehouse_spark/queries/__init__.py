@@ -395,6 +395,15 @@ _PROMOTE_R11 = [
     "x_asof_nearest_join",
     "l6_judge_agreement",
 ]
+# _PROMOTE_R11 FROZEN (2026-08-15, 22 slots + 28 r10/r9-green backfill =
+# the rehearsed 50): queries built after this point register PAST the
+# window and are listed in the r12 rotation queue comment below, each
+# 3-scale + vanilla oracle-green at build time (the accepted r10/r11
+# pattern).
+# ---- r12 rotation queue (registered PAST the frozen r11 window; each
+# 3-scale + vanilla oracle-green at build time):
+# x_observe_metrics — DataFrame.observe() in-flight DQ counters riding
+#   one pass; observed values asserted equal to a recomputed aggregate.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

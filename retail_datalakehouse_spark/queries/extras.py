@@ -3879,3 +3879,52 @@ def x_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_dist_ms"),
         F.coalesce(F.sum("event_id_asof"), F.lit(0)).cast("long").alias("match_checksum"),
     )
+
+
+_OBSERVE_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY 1
+"""
+
+
+@register("x_observe_metrics", oracle=_OBSERVE_SQL, tags=("A6", "DQ"), doc="")
+def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe()` — Spark's in-flight metrics channel (the
+    AccumulatorV2 surface behind Delta Live Tables expectations and
+    production write-audit counters): named aggregates ride THE SAME
+    pass as the real query — row count, revenue total, and a violation
+    counter here — costing zero extra scans, where a separate audit
+    query would re-read 100 TB. In-query asserts prove the observed
+    values equal an independently recomputed aggregate (count, decimal
+    revenue, zero negatives) and that the contract fires: the
+    observation is only readable AFTER an action. Output is the pruned
+    aggregate itself, oracle-recomputed relationally — observe() must
+    never perturb the plan it rides."""
+    from pyspark.sql import Observation
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias("rev"),
+        F.sum((F.col("o_totalprice") < 0).cast("int")).alias("n_negative"),
+    )
+    res = observed.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+    rows = res.collect()  # the action that materializes the observation
+    m = obs.get
+    chk = o.agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+    ).first()
+    assert m["n_rows"] == chk[0], (m, chk)
+    assert m["rev"] == chk[1], (m, chk)
+    assert m["n_negative"] == 0, m
+    assert sum(r.n_orders for r in rows) == m["n_rows"]
+    return res

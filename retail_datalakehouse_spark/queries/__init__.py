@@ -404,6 +404,10 @@ _PROMOTE_R11 = [
 # 3-scale + vanilla oracle-green at build time):
 # x_observe_metrics — DataFrame.observe() in-flight DQ counters riding
 #   one pass; observed values asserted equal to a recomputed aggregate.
+# x_timeseries_gapfill — calendar re-grid + LOCF forward fill
+#   (resample().ffill()/time_bucket_gapfill): broadcast calendar ×
+#   priority dim, one running last(ignorenulls) window; decimal-pinned
+#   fill mass.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

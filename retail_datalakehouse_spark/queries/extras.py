@@ -3928,3 +3928,97 @@ def x_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert m["n_negative"] == 0, m
     assert sum(r.n_orders for r in rows) == m["n_rows"]
     return res
+
+
+_GAPFILL_SQL = f"""
+WITH span AS (
+  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0, CAST(MAX(o_orderdate) AS DATE) AS d1
+  FROM orders),
+cal AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span),
+daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         {sql_dsum("o_totalprice", scale=2)} AS revenue
+  FROM orders GROUP BY 1, 2),
+grid AS (
+  SELECT p.priority, c.day, d.n_orders, d.revenue
+  FROM (SELECT DISTINCT priority FROM daily) p
+  CROSS JOIN cal c
+  LEFT JOIN daily d ON d.priority = p.priority AND d.day = c.day),
+filled AS (
+  SELECT priority, day,
+         COALESCE(n_orders, 0) AS n_orders,
+         CASE WHEN n_orders IS NULL THEN 1 ELSE 0 END AS is_gap,
+         COALESCE(LAST_VALUE(revenue IGNORE NULLS) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS revenue_ffill
+  FROM grid)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(is_gap) AS BIGINT) AS n_gap_days,
+       CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(revenue_ffill AS DECIMAL(25,2))), 2) AS DOUBLE) AS ffill_mass
+FROM filled GROUP BY 1
+"""
+
+
+@register("x_timeseries_gapfill", oracle=_GAPFILL_SQL, tags=("W3", "F2", "J3"), doc="")
+def x_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series GAP FILL + forward fill (pandas `resample().ffill()`,
+    TimescaleDB `time_bucket_gapfill` + `locf`): the daily revenue
+    series per priority is re-gridded onto the complete calendar —
+    missing days materialize as rows (zero-filled counts) and the
+    last-observation-carried-forward revenue closes the gaps, which is
+    what every downstream window/forecast op needs (a rangeBetween
+    frame tolerates gaps; a LSTM feature matrix does not). Shape: the
+    calendar is one `sequence()` explode off a 2-scalar span (a few
+    thousand rows — BROADCAST side), cross-joined to the small priority
+    dim, left-joined to the daily aggregate, then ONE running
+    `last(ignorenulls)` window per key — at 100 TB the grid is
+    keys × days, orders of magnitude smaller than the fact table it
+    summarizes. ffill_mass (the decimal-summed filled series) pins the
+    fill VALUES, not just the gap count, cross-engine."""
+    o = T(spark, sf_dir, "orders")
+    d0, d1 = o.agg(
+        F.min(F.col("o_orderdate").cast("date")), F.max(F.col("o_orderdate").cast("date"))
+    ).first()
+    cal = spark.range(1).select(
+        F.explode(F.sequence(F.lit(d0), F.lit(d1), F.expr("interval 1 day"))).alias("day")
+    )
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+    grid = (
+        daily.select("priority").distinct()
+        .crossJoin(F.broadcast(cal))
+        .join(daily, ["priority", "day"], "left")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = grid.select(
+        "priority",
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("n_orders").isNull().cast("int").alias("is_gap"),
+        F.coalesce(F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "revenue_ffill"
+        ),
+    )
+    return filled.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("is_gap").cast("long").alias("n_gap_days"),
+        F.sum("n_orders").cast("long").alias("n_orders"),
+        F.round(F.sum(F.col("revenue_ffill").cast("decimal(25,2)")), 2)
+        .cast("double")
+        .alias("ffill_mass"),
+    )

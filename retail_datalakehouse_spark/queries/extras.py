@@ -4022,3 +4022,68 @@ def x_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ffill_mass"),
     )
+
+
+_REPLACE_RANGE_SQL = f"""
+WITH bounds AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+replaced AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice,
+         'URGENT' AS o_orderpriority
+  FROM orders, bounds
+  WHERE o_orderkey BETWEEN mx // 4 AND mx // 2),
+final AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders, bounds WHERE o_orderkey NOT BETWEEN mx // 4 AND mx // 2
+  UNION ALL SELECT * FROM replaced)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM final GROUP BY 1
+"""
+
+
+@register("x_replace_range_incremental", oracle=_REPLACE_RANGE_SQL, tags=("S7", "S3", "P4"), doc="")
+def x_replace_range_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL replaceWhere — `VersionedTable.overwrite_range` (r11):
+    the idempotent-backfill primitive done at the cost of the backfill,
+    not the table. On a range-clustered snapshot, replacing the
+    [max/4, max/2] key window rewrites ONLY the files whose manifest
+    [min,max] overlaps it (asserted: carried > 0 AND rewritten <
+    total — the O(affected) contract `overwrite_where`'s materializing
+    form can't make); the commit is file-granular like optimize, and a
+    stray replacement row outside the window raises (asserted). The
+    oracle rebuilds the final state relationally (untouched slice UNION
+    corrected slice), so the hash proves replace-exactly-this-window —
+    no row leaked, lost, or double-written across the file boundary
+    where retained rows and replacements meet."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    mx = o.agg(F.max("o_orderkey")).first()[0]
+    lo, hi = mx // 4, mx // 2
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_rrange_"))
+    t.overwrite(o, cluster_by=["o_orderkey"], cluster_files=8)
+
+    fixed = o.filter(F.col("o_orderkey").between(lo, hi)).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        F.lit("URGENT").alias("o_orderpriority"),
+    )
+    stray = o.filter(F.col("o_orderkey") > hi).limit(1)  # deterministically outside
+    try:
+        t.overwrite_range("o_orderkey", lo, hi, stray)
+        raise AssertionError("stray replacement row accepted")
+    except ValueError:
+        pass
+    r = t.overwrite_range("o_orderkey", lo, hi, fixed, rows_per_file=max(200, o.count() // 8))
+    assert r["carried"] > 0 and 0 < r["rewritten"] < r["rewritten"] + r["carried"], r
+    assert t._manifest(r["version"])["file_granular"] is True
+    return t.read().groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

@@ -1019,6 +1019,182 @@ class VersionedTable:
             inherit_layout=True,
         )
 
+    def overwrite_range(
+        self,
+        col: str,
+        lo,
+        hi,
+        df: DataFrame,
+        rows_per_file: int = 1_000_000,
+        max_retries: int = 5,
+    ) -> dict:
+        """INCREMENTAL ``replaceWhere`` (r11): atomically replace the rows
+        with ``col BETWEEN lo AND hi`` by ``df``, rewriting ONLY the
+        files whose per-file [min, max] overlaps the range — every
+        disjoint file carries by reference. :meth:`overwrite_where` is
+        the general-predicate form but materializes O(table); on a
+        range-clustered table the backfill window touches a handful of
+        files, and at 100 TB re-running one day's pipeline must cost
+        that day, not the table (Delta's replaceWhere over a clustered
+        layout makes the same promise). Planning is the manifest
+        interval math :meth:`optimize_incremental` uses; the commit is
+        file-granular (explicit file list), like optimize.
+
+        Same contracts as overwrite_where: every replacement row must
+        satisfy the range (NULL-safe — a NULL ``col`` neither matches
+        nor may appear in ``df``); retained rows inside overlapping
+        files are those where the predicate is not TRUE. Unpartitioned
+        snapshots with per-file stats and no pending tombstones only.
+
+        Returns ``{"version", "rewritten", "carried"}``."""
+        from pyspark.sql import functions as F
+
+        phys_check = df.filter(
+            ~F.col(col).between(F.lit(lo), F.lit(hi)).eqNullSafe(F.lit(True))
+        ).limit(1).collect()
+        if phys_check:
+            raise ValueError(
+                f"overwrite_range: replacement rows must all have {col} in "
+                f"[{lo!r}, {hi!r}]; found {phys_check[0]}"
+            )
+        for _ in range(max_retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot replace into empty table {self.path}")
+            p_entry = self._manifest(parent)
+            if self._is_mor(p_entry):
+                raise ValueError(
+                    "overwrite_range over pending deletion tombstones is "
+                    "ambiguous; compact first"
+                )
+            if p_entry.get("partition_by") or p_entry.get("hidden_partition"):
+                raise ValueError(
+                    "overwrite_range plans from per-file stats on "
+                    "unpartitioned layouts; hive tables use overwrite_where"
+                )
+            if p_entry.get("column_renames") or p_entry.get("column_drops"):
+                raise ValueError(
+                    "overwrite_range under a column mapping would union "
+                    "physical and logical schemas; materialize the mapping "
+                    "(compact) first or use overwrite_where"
+                )
+            files = self._file_stats_list(p_entry)
+            if not files:
+                raise ValueError(
+                    "overwrite_range needs per-file stats; this manifest "
+                    "carries none (use overwrite_where)"
+                )
+            phys = self._physical_name(p_entry, col)
+            p_dir = p_entry["data_dir"]
+            files = [f if "dir" in f else {**f, "dir": p_dir} for f in files]
+            nlo, nhi = _stats_norm(lo), _stats_norm(hi)
+
+            def disjoint(f):
+                fmin, fmax = f["stats"].get(phys, [None, None])
+                return fmin is not None and (fmax < nlo or fmin > nhi)
+
+            carried = [f for f in files if disjoint(f)]
+            affected = [f for f in files if not disjoint(f)]
+            n_affected_rows = sum(f["n_rows"] for f in affected)
+
+            v = parent + 1
+            token = uuid.uuid4().hex[:8]
+            data_dirname = f"_v{v}-{token}"
+            data_dir = os.path.join(self.path, data_dirname)
+            self.spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+            retained = None
+            if affected:
+                # retain the NOT-TRUE slice of overlapping files (NULL col
+                # rows retained, per the replaceWhere contract)
+                retained = self.spark.read.parquet(
+                    *[os.path.join(self.path, f["dir"], f["path"]) for f in affected]
+                ).filter(
+                    ~F.col(phys).between(F.lit(lo), F.lit(hi)).eqNullSafe(F.lit(True))
+                )
+            out = df if retained is None else retained.unionByName(df)
+            n_out_rows = out.count()
+            n_files_out = max(1, -(-max(n_out_rows, 1) // rows_per_file))
+            out.repartitionByRange(
+                n_files_out, F.col(phys)
+            ).write.mode("overwrite").parquet(data_dir)
+            n_new_rows, new_files = _collect_manifest_stats(data_dir)
+            if n_new_rows != n_out_rows:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise RuntimeError(
+                    f"overwrite_range row-preservation violated: planned "
+                    f"{n_out_rows} rows, files hold {n_new_rows} at {self.path}"
+                )
+            all_files = [
+                *carried,
+                *({**f, "dir": data_dirname} for f in new_files or []),
+            ]
+            entry = {
+                "version": v,
+                "operation": "replace_range",
+                "parent": parent,
+                "n_rows": sum(f["n_rows"] for f in carried) + n_new_rows,
+                "data_dir": data_dirname,
+                "base_dirs": sorted({f["dir"] for f in carried}),
+                "partition_by": None,
+                "cluster_by": p_entry.get("cluster_by"),
+                "cdf_dir": None,
+                "file_granular": True,
+                "committed_at": time.time(),
+                # write set: the replaced range (serializable merges on
+                # disjoint keys may commute; unknown-key writers conflict)
+                "modified_keys": None,
+                "txn": dict(self._txn_state(parent)),
+                **(
+                    {"column_renames": p_entry["column_renames"]}
+                    if p_entry.get("column_renames")
+                    else {}
+                ),
+                **(
+                    {"column_drops": p_entry["column_drops"]}
+                    if p_entry.get("column_drops")
+                    else {}
+                ),
+                **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **(
+                    {"generated": p_entry["generated"]}
+                    if p_entry.get("generated")
+                    else {}
+                ),
+                **(
+                    {"identity": p_entry["identity"]}
+                    if p_entry.get("identity")
+                    else {}
+                ),
+            }
+            chunk_paths = self._attach_file_stats(entry, all_files, v, token)
+            os.makedirs(self._manifest_dir, exist_ok=True)
+            tmp = os.path.join(self._manifest_dir, f".v{v}.{token}.json.tmp")
+            with open(tmp, "w") as f:
+                json.dump(entry, f)
+            final = os.path.join(self._manifest_dir, f"v{v}.json")
+            try:
+                if self._link_version_slot(tmp, final, v):
+                    return {
+                        "version": v,
+                        "rewritten": len(affected),
+                        "carried": len(carried),
+                        "replaced_rows": n_affected_rows,
+                    }
+                shutil.rmtree(data_dir, ignore_errors=True)
+                for cp in chunk_paths:
+                    try:
+                        os.unlink(cp)
+                    except FileNotFoundError:
+                        pass
+                continue
+            finally:
+                os.unlink(tmp)
+        raise CommitConflict(
+            f"lost {max_retries} consecutive commit races at {self.path}"
+        )
+
     def append(
         self,
         df: DataFrame,

@@ -2849,3 +2849,55 @@ def test_delta_import_reader_guards(spark, tmp_path):
     s = delta_log_summary(str(froot))
     assert s == {"n_commits": 2, "n_live_files": 0, "n_removed": 1,
                  "n_rows_from_stats": 0}
+
+
+def test_overwrite_range_incremental(spark, tmp_path):
+    """r11: overwrite_range — file-granular replaceWhere. Pins: content
+    identity (retained ∪ replacement), carried files verbatim, NULL-key
+    rows in overlapping files RETAINED, stray replacement raises, MOR /
+    hive / no-stats guards."""
+    import pytest
+
+    t = VersionedTable(spark, str(tmp_path / "rr"))
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(1_000)] + [(None, -1.0)],
+        "k long, v double",
+    )
+    t.overwrite(base, cluster_by=["k"], cluster_files=5)
+    e1 = t._manifest(1)
+    files1 = {
+        (f.get("dir", e1["data_dir"]), f["path"]) for f in t._file_stats_list(e1)
+    }
+
+    repl = spark.createDataFrame(
+        [(k, 9000.0 + k) for k in range(200, 400, 2)], "k long, v double"
+    )
+    r = t.overwrite_range("k", 200, 399, repl, rows_per_file=500)
+    assert r["carried"] > 0 and r["rewritten"] < r["carried"] + r["rewritten"]
+    e2 = t._manifest(r["version"])
+    assert e2["file_granular"] is True
+    carried = {
+        (f["dir"], f["path"])
+        for f in t._file_stats_list(e2)
+        if f["dir"] != e2["data_dir"]
+    }
+    assert carried and carried <= files1 and len(carried) == r["carried"]
+
+    rows = {r_.k: r_.v for r_ in t.read().collect()}
+    assert rows[None] == -1.0          # NULL key retained (never "matched")
+    assert rows[200] == 9200.0         # replaced
+    assert rows[300] == 9300.0
+    assert 301 not in rows and 201 not in rows  # in-range, not replaced: gone
+    assert rows[150] == 150.0 and rows[450] == 450.0  # outside: untouched
+    assert t.read().count() == (1_000 - 200) + 100 + 1
+
+    with pytest.raises(ValueError, match="must all have"):
+        t.overwrite_range("k", 0, 10, spark.createDataFrame([(50, 1.0)], "k long, v double"))
+    t.delete_mor("k = 0", keys=["k"])
+    with pytest.raises(ValueError, match="tombstones"):
+        t.overwrite_range("k", 0, 10, spark.createDataFrame([(5, 1.0)], "k long, v double"))
+
+    th = VersionedTable(spark, str(tmp_path / "rrh"))
+    th.overwrite(base.withColumn("b", F.col("k") % 3), partition_by=["b"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        th.overwrite_range("k", 0, 10, spark.createDataFrame([], "k long, v double, b long"))

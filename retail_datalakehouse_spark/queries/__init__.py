@@ -408,6 +408,15 @@ _PROMOTE_R11 = [
 #   (resample().ffill()/time_bucket_gapfill): broadcast calendar ×
 #   priority dim, one running last(ignorenulls) window; decimal-pinned
 #   fill mass.
+# x_interval_overlap — max-concurrent-intervals via sweep-line event
+#   decomposition (+1/-1 per interval endpoint, daily-grid running sum)
+#   — the O(n log n) answer to the O(n²) interval self-join.
+# x_linear_regression — distributed OLS (slope/intercept/R²) from five
+#   exact-decimal sufficient statistics in ONE partial-agg pass; closed
+#   form on the 3-row result, floor-e6 quantized.
+# x_time_weighted_avg — time-weighted mean of an irregular daily series
+#   (TimescaleDB time_weight): lead()-gap weights on the daily grid,
+#   exact decimal numerator/denominator.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

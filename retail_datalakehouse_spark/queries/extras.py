@@ -4087,3 +4087,217 @@ def x_replace_range_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(l.l_shipdate AS DATE) AS d1
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+ev AS (
+  SELECT priority, d0 AS day, 1 AS net FROM iv
+  UNION ALL
+  SELECT priority, d1 + 1, -1 FROM iv),
+daily AS (
+  SELECT priority, day, CAST(SUM(net) AS BIGINT) AS net
+  FROM ev GROUP BY 1, 2),
+conc AS (
+  SELECT priority, day,
+         CAST(SUM(net) OVER (PARTITION BY priority ORDER BY day) AS BIGINT) AS c
+  FROM daily),
+mx AS (
+  SELECT priority, day, c, MAX(c) OVER (PARTITION BY priority) AS mc FROM conc),
+tot AS (
+  SELECT priority, COUNT(*) AS n_open FROM iv GROUP BY 1)
+SELECT m.priority,
+       CAST(t.n_open AS BIGINT) AS n_open,
+       CAST(m.mc AS BIGINT) AS max_concurrent,
+       MIN(m.day) AS peak_day
+FROM mx m JOIN tot t ON t.priority = m.priority
+WHERE m.c = m.mc
+GROUP BY 1, 2, 3
+"""
+
+
+@register("x_interval_overlap", oracle=_OVERLAP_SQL, tags=("W3", "J8", "A1"), doc="")
+def x_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-concurrent-intervals (warehouse load / open-fulfillment
+    backlog — the `range agg` every ops dashboard needs): how many
+    line items are simultaneously awaiting shipment per order priority
+    (open from o_orderdate until l_shipdate), and on which day the
+    peak occurs. The textbook formulation is an interval SELF-JOIN
+    (`a.start <= b.end AND b.start <= a.end`) — O(n²) pairs, dead at
+    100 TB. This is the sweep-line decomposition instead: each interval
+    becomes a +1 event at its start day and a -1 event the day after
+    its end, events collapse to ONE row per (priority, day) in a
+    partial-aggregated groupBy (map-side combine — the only pass over
+    the fact join), and the running SUM window walks the tiny
+    (priorities x days) daily grid, never the facts. Peak day is the
+    MIN day attaining the per-priority max: a total order, so the
+    answer is deterministic cross-engine. At 100 TB the grid is
+    ~5 priorities x ~2.5k days regardless of fact cardinality — the
+    concurrency query costs one co-partitioned fact join + one
+    broadcast-size window, not a quadratic self-join."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("d1")
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d0"),
+    )
+    iv = li.join(o, "l_orderkey").filter(F.col("d1") >= F.col("d0"))
+    starts = iv.select("priority", F.col("d0").alias("day"), F.lit(1).alias("net"))
+    ends = iv.select("priority", F.date_add("d1", 1).alias("day"), F.lit(-1).alias("net"))
+    daily = starts.unionAll(ends).groupBy("priority", "day").agg(
+        F.sum("net").cast("bigint").alias("net")
+    )
+    conc = daily.select(
+        "priority",
+        "day",
+        F.sum("net")
+        .over(Window.partitionBy("priority").orderBy("day"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    mx = conc.withColumn("mc", F.max("c").over(Window.partitionBy("priority")))
+    tot = iv.groupBy("priority").agg(F.count(F.lit(1)).alias("n_open"))
+    return (
+        mx.filter(F.col("c") == F.col("mc"))
+        .join(tot, "priority")
+        .groupBy(
+            "priority",
+            F.col("n_open"),
+            F.col("mc").cast("bigint").alias("max_concurrent"),
+        )
+        .agg(F.min("day").alias("peak_day"))
+    )
+
+
+_OLS_SQL = """
+WITH s AS (
+  SELECT l_returnflag AS flag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(25,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY 1)
+SELECT flag,
+       CAST(n AS BIGINT) AS n,
+       CAST(FLOOR(1e6 * (n * sxy - sx * sy) / (n * sxx - sx * sx)) AS BIGINT) AS slope_e6,
+       CAST(FLOOR(1e6 * (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) AS BIGINT)
+         AS intercept_e6,
+       CAST(FLOOR(1e6 * ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy))) AS BIGINT) AS r2_e6
+FROM s
+"""
+
+
+@register("x_linear_regression", oracle=_OLS_SQL, tags=("A1", "F3", "ML"), doc="")
+def x_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ordinary least squares (SQL `REGR_SLOPE` /
+    `REGR_INTERCEPT` / `REGR_R2`, scikit-learn `LinearRegression` —
+    price-vs-quantity fit per return flag) via SUFFICIENT STATISTICS:
+    the model reduces to five sums (n, Σx, Σy, Σx², Σxy [, Σy² for R²])
+    that merge associatively, so ONE partial-aggregated groupBy pass
+    computes them map-side and the closed form runs on the 3-row
+    result — no MLlib, no gradient iterations, no driver-side data.
+    This is how regression survives 100 TB: the shuffle carries 6
+    numbers per group, never rows. Cross-engine determinism: inputs
+    are 2-decimal, so every per-row product has <= 4 decimals and
+    `CAST(x*y AS DECIMAL(30,4))` is EXACT on both engines (the
+    guard-digit rule); the decimal sums cast back to identical doubles
+    and the closed-form arithmetic is per-value IEEE, so the
+    `floor(1e6*v)` quantization (the f3 pattern) can never straddle.
+    Native `F.regr_slope` exists but computes streaming covariances
+    whose partial-merge order differs from DuckDB's sequential sum —
+    the sufficient-statistics form is the deterministic equivalent."""
+    li = T(spark, sf_dir, "lineitem")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(25,2)")).cast("double").alias("sx"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,2)")).cast("double").alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("syy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / varx
+    return s.select(
+        "flag",
+        F.col("n").cast("bigint").alias("n"),
+        F.floor(F.lit(1e6) * slope).cast("bigint").alias("slope_e6"),
+        F.floor(F.lit(1e6) * (F.col("sy") - slope * F.col("sx")) / F.col("n"))
+        .cast("bigint")
+        .alias("intercept_e6"),
+        F.floor(F.lit(1e6) * (cov * cov) / (varx * vary)).cast("bigint").alias("r2_e6"),
+    )
+
+
+_TWA_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2),
+weighted AS (
+  SELECT priority, day, rev,
+         CAST(LEAD(day) OVER (PARTITION BY priority ORDER BY day) - day AS BIGINT) AS w
+  FROM daily)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(w) AS BIGINT) AS span_days,
+       CAST(SUM(CAST(rev * w AS DECIMAL(30,2))) AS DOUBLE)
+         / CAST(SUM(w) AS DOUBLE) AS tw_avg_revenue
+FROM weighted
+WHERE w IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("x_time_weighted_avg", oracle=_TWA_SQL, tags=("W2", "F2", "A1"), doc="")
+def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over an IRREGULAR series (TimescaleDB
+    `time_weight('locf', ...)`, pandas `resample().mean()` without the
+    re-grid): each observed daily revenue holds until the NEXT
+    observation, so its weight is the gap length in days — the honest
+    mean of a series with holes, where the arithmetic mean over-weights
+    dense stretches. Shape: the fact table collapses to a (priority x
+    day) daily aggregate in one partial-aggregated pass (the only scan),
+    then ONE lead() window on the tiny grid assigns each point its
+    holding duration; numerator and denominator are exact decimal sums.
+    Determinism: daily revenue is a decimal sum (exact, identical
+    doubles on both engines); rev * integer-days has 2 decimals, so
+    `CAST(rev*w AS DECIMAL(30,2))` is exact on both engines; the final
+    division runs on identical doubles. At 100 TB the window never
+    touches the fact table — it walks keys x days rows."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev"))
+    w = F.datediff(
+        F.lead("day").over(Window.partitionBy("priority").orderBy("day")), F.col("day")
+    ).cast("bigint")
+    weighted = daily.select("priority", "day", "rev", w.alias("w")).filter(
+        F.col("w").isNotNull()
+    )
+    return weighted.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("w").cast("bigint").alias("span_days"),
+        (
+            F.sum((F.col("rev") * F.col("w")).cast("decimal(30,2)")).cast("double")
+            / F.sum("w").cast("double")
+        ).alias("tw_avg_revenue"),
+    )

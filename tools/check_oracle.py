@@ -147,11 +147,30 @@ def main() -> int:
         help="merge per-query wall times into tools/gate_costs.json "
         "(the rotation budget gen_query_index.py reports)",
     )
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="run under a bare driver-style session (local[32], shuffle=32, "
+        "none of build_spark's tuned confs) — every new query must pass "
+        "BOTH tuned and vanilla before registration",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     timings: dict[str, float] = {}
 
-    spark = build_spark("oracle-check")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", "16g")
+            .getOrCreate()
+        )
+    else:
+        spark = build_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(

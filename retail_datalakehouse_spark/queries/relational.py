@@ -643,3 +643,62 @@ def a4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (year(o_orderdate)))
         """
     )
+
+
+_NULL_SAFE_SQL = """
+WITH c AS (
+  SELECT NULLIF(c_nationkey, 0) AS k,
+         COUNT(*) AS n_cust,
+         CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,2))), 2) AS DOUBLE) AS cust_bal
+  FROM customer GROUP BY 1),
+s AS (
+  SELECT NULLIF(s_nationkey, 0) AS k,
+         COUNT(*) AS n_supp,
+         CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(25,2))), 2) AS DOUBLE) AS supp_bal
+  FROM supplier GROUP BY 1)
+SELECT CAST(c.k AS BIGINT) AS nation_bucket,
+       CAST(c.n_cust AS BIGINT) AS n_cust,
+       CAST(s.n_supp AS BIGINT) AS n_supp,
+       c.cust_bal, s.supp_bal
+FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+"""
+
+
+@register("x_null_safe_join", oracle=_NULL_SAFE_SQL, tags=("J1", "F4"), doc="")
+def x_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / SQL `IS NOT DISTINCT FROM`): the
+    join every sentinel-laden warehouse needs — NULL keys MATCH each
+    other instead of silently dropping, so the "unknown nation" bucket
+    on the customer side lands on the "unknown nation" bucket on the
+    supplier side (a plain `=` join would lose both). Here nation 0 is
+    nulled out via NULLIF on both sides, each side pre-aggregates to
+    one row per bucket (partial-agg pass over the base table), and the
+    null-safe join stitches the two small aggregates. Catalyst treats
+    EqualNullSafe as a HASHABLE equi-join key — this plans as a hash
+    join on `coalesce`-style key normalization, NOT a nested-loop theta
+    join, so it scales like any other equi-join at 100 TB. Cf. the
+    reference's dirty-FK data traits (SURVEY §1.3): null-safe joins are
+    how those rows stay accountable."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey"), F.lit(0)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum("c_acctbal", scale=2).alias("cust_bal"),
+        )
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey"), F.lit(0)).alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            dsum("s_acctbal", scale=2).alias("supp_bal"),
+        )
+    )
+    return c.join(s, c["k"].eqNullSafe(s["k"])).select(
+        c["k"].cast("bigint").alias("nation_bucket"),
+        "n_cust",
+        "n_supp",
+        "cust_bal",
+        "supp_bal",
+    )

@@ -425,6 +425,12 @@ _PROMOTE_R11 = [
 # f10_try_arithmetic — try_divide/try_add/try_to_number/try_cast:
 #   per-row NULL quarantine for div-by-zero, int64 overflow
 #   (value-pinned), format round-trip, bad casts.
+# x_bitemporal_asof — SQL:2011 bitemporal 2x2 (transaction version x
+#   business date): SCD2 intervals under VersionedTable time travel.
+# x_interval_coalesce — temporal normalization / range_agg: merge
+#   overlapping intervals via running-max-end gaps-and-islands.
+# l6_calibration_ece — classifier calibration audit (reliability bins,
+#   ECE gap mass) in pure integer arithmetic.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

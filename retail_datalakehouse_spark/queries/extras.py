@@ -4301,3 +4301,175 @@ def x_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w").cast("double")
         ).alias("tw_avg_revenue"),
     )
+
+
+_BITEMPORAL_SQL = """
+WITH legs AS (
+  SELECT 'v1' AS txn, DATE '1996-01-01' AS business_date,
+         c_mktsegment AS segment, c_acctbal FROM customer
+  UNION ALL
+  SELECT 'v1', DATE '1997-01-01', c_mktsegment, c_acctbal FROM customer
+  UNION ALL
+  SELECT 'v2', DATE '1996-01-01', c_mktsegment, c_acctbal FROM customer
+  UNION ALL
+  SELECT 'v2', DATE '1997-01-01',
+         CASE WHEN c_custkey % 7 = 0 THEN 'RELOCATED' ELSE c_mktsegment END,
+         c_acctbal
+  FROM customer)
+SELECT txn, business_date, segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,2))), 2) AS DOUBLE) AS balance
+FROM legs
+GROUP BY 1, 2, 3
+"""
+
+
+@register("x_bitemporal_asof", oracle=_BITEMPORAL_SQL, tags=("S7", "W2"), doc="")
+def x_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of (SQL:2011 system+application time, XTDB/
+    Snowflake 'what did we believe on date T about business date B'):
+    an SCD2 dimension carries BUSINESS validity intervals
+    (valid_from/valid_to), and the versioned table carries TRANSACTION
+    time — each commit is what the warehouse believed then. A
+    relocation correction lands as commit v2 (closing the old interval
+    at 1996-06-01 and opening a 'RELOCATED' one), and the query answers
+    the full 2x2: {as recorded at v1, v2} x {business date 1996-01-01,
+    1997-01-01}. At v1 both dates see the original segments (the
+    correction hadn't been recorded); at v2, date B1 still sees the old
+    segment (interval containment — the change is effective later) and
+    B2 sees the relocation. Shape: `read_version` resolves each
+    transaction-time leg from the manifest (no log replay), business
+    time is one interval-containment filter per leg, and the four legs
+    union into a single aggregate — time travel costs metadata, never a
+    second copy of the data. Oracle recomputes each leg's expected
+    state relationally from the raw customer table."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    far = F.lit("9999-12-31").cast("date")
+    eff = F.lit("1996-06-01").cast("date")
+    scd1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        "c_acctbal",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        far.alias("valid_to"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_bitemporal_"))
+    t.overwrite(scd1)  # transaction time v1: the original belief
+    moved = F.col("c_custkey") % 7 == 0
+    scd2 = (
+        scd1.withColumn("valid_to", F.when(moved, eff).otherwise(F.col("valid_to")))
+        .unionByName(
+            scd1.filter(moved).select(
+                "c_custkey",
+                F.lit("RELOCATED").alias("segment"),
+                "c_acctbal",
+                eff.alias("valid_from"),
+                far.alias("valid_to"),
+            )
+        )
+    )
+    t.overwrite(scd2)  # transaction time v2: the correction, recorded later
+    vs = sorted(t._versions())
+    legs = []
+    for label, ver in (("v1", vs[0]), ("v2", vs[-1])):
+        snap = t.read_version(ver)
+        for b in ("1996-01-01", "1997-01-01"):
+            bd = F.lit(b).cast("date")
+            legs.append(
+                snap.filter((F.col("valid_from") <= bd) & (bd < F.col("valid_to"))).select(
+                    F.lit(label).alias("txn"),
+                    bd.alias("business_date"),
+                    "segment",
+                    "c_acctbal",
+                )
+            )
+    u = legs[0]
+    for df in legs[1:]:
+        u = u.unionByName(df)
+    return u.groupBy("txn", "business_date", "segment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", scale=2).alias("balance"),
+    )
+
+
+_COALESCE_IV_SQL = """
+WITH iv AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(o.o_orderdate AS DATE) AS d0,
+         CAST(l.l_shipdate AS DATE) AS d1
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE CAST(l.l_shipdate AS DATE) >= CAST(o.o_orderdate AS DATE)),
+marked AS (
+  SELECT priority, d0, d1,
+         CASE WHEN d0 > MAX(d1) OVER (
+                PARTITION BY priority ORDER BY d0, d1
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_span
+  FROM iv),
+islands AS (
+  SELECT priority, d0, d1,
+         SUM(new_span) OVER (PARTITION BY priority ORDER BY d0, d1
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+  FROM marked),
+spans AS (
+  SELECT priority, span_id, MIN(d0) AS s0, MAX(d1) AS s1,
+         COUNT(*) AS n_merged
+  FROM islands GROUP BY 1, 2)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(CAST(s1 - s0 AS BIGINT) + 1) AS BIGINT) AS covered_days,
+       CAST(MAX(CAST(s1 - s0 AS BIGINT) + 1) AS BIGINT) AS longest_span_days,
+       CAST(MAX(n_merged) AS BIGINT) AS max_merged
+FROM spans GROUP BY 1
+"""
+
+
+@register("x_interval_coalesce", oracle=_COALESCE_IV_SQL, tags=("W3", "J8"), doc="")
+def x_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval COALESCING (range_agg / temporal normalization — merge
+    overlapping validity intervals into maximal covered spans): the
+    dual of x_interval_overlap, and the normalization step every
+    temporal table needs before interval joins stay sane. Overlap
+    detection by pairwise comparison is O(n²); the gaps-and-islands
+    form is one sort: an interval starts a NEW span iff its start
+    exceeds the running MAX of all previous ends (ROWS ... 1 PRECEDING
+    window), the running SUM of those flags names each island, and a
+    groupBy collapses islands to spans. Keyed by priority, ordered by
+    (d0, d1) — a total order, so island ids are deterministic
+    cross-engine. At 100 TB each key's intervals sort within its
+    partition (one shuffle, no joins); the span count per key is tiny.
+    Cf. PostgreSQL 14 `range_agg`, SQL:2011 temporal normalization."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("d1")
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("d0"),
+    )
+    iv = li.join(o, "l_orderkey").filter(F.col("d1") >= F.col("d0")).select(
+        "priority", "d0", "d1"
+    )
+    w = Window.partitionBy("priority").orderBy("d0", "d1")
+    prev_max_end = F.max("d1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_span",
+        F.when(F.col("d0") > prev_max_end, F.lit(1)).otherwise(F.lit(0)),
+    )
+    islands = marked.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = islands.groupBy("priority", "span_id").agg(
+        F.min("d0").alias("s0"), F.max("d1").alias("s1"), F.count(F.lit(1)).alias("n_merged")
+    )
+    span_days = (F.datediff("s1", "s0") + F.lit(1)).cast("bigint")
+    return spans.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_days).cast("bigint").alias("covered_days"),
+        F.max(span_days).cast("bigint").alias("longest_span_days"),
+        F.max("n_merged").cast("bigint").alias("max_merged"),
+    )

@@ -4700,3 +4700,73 @@ def l6_judge_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kappa_q6"),
     )
+
+
+_ECE_SQL = """
+WITH scored AS (
+  SELECT doc_id,
+         CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                              x -> x IN ('spark','hash','merge','join',
+                                         'filter','agg','batch','query')))
+              AS BIGINT) AS hits,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS toks,
+         CASE WHEN n_chars > 200 AND text LIKE '%spark%' THEN 1 ELSE 0 END AS label
+  FROM documents),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(10.0 * hits / toks) AS BIGINT), 9) AS bin,
+         CAST(FLOOR(10000.0 * hits / toks) AS BIGINT) AS score_e4,
+         label
+  FROM scored WHERE toks > 0)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(score_e4) AS BIGINT) AS conf_mass_e4,
+       CAST(SUM(label) AS BIGINT) AS n_pos,
+       CAST(ABS(SUM(score_e4) - 10000 * SUM(label)) AS BIGINT) AS gap_mass_e4
+FROM binned GROUP BY 1
+"""
+
+
+@register("l6_calibration_ece", oracle=_ECE_SQL, tags=("L6", "A6"), doc="")
+def l6_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier CALIBRATION audit (Expected Calibration Error — the
+    reliability diagram behind every quality-filter threshold choice):
+    a filter whose score 0.8 is right 50% of the time silently skews
+    the training mixture, so before trusting a score as a sampling
+    weight the pipeline bins predictions by confidence and compares
+    each bin's confidence mass against its realized positive rate;
+    ECE = sum(gap_mass)/N. Scores here are the keyword-density
+    classifier (codey-token hits / tokens), labels the deterministic
+    relevance proxy. Determinism at 100 TB: every quantity is INTEGER
+    (hit/token counts; score quantized to e4 by flooring a per-row
+    IEEE-identical division), so the shuffle-order-sensitive float
+    summation problem never arises — the whole audit is one
+    partial-aggregated groupBy over 10 bins. The in-pipeline use:
+    gap_mass_e4 per bin feeds a recalibration map (isotonic or
+    per-bin scaling) applied as a broadcast join."""
+    codey = ("spark", "hash", "merge", "join", "filter", "agg", "batch", "query")
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = d.select(
+        F.size(F.filter(toks, lambda x: x.isin(*codey))).cast("bigint").alias("hits"),
+        F.size(toks).cast("bigint").alias("toks"),
+        (
+            (F.col("n_chars") > 200) & F.col("text").contains("spark")
+        ).cast("int").alias("label"),
+    ).filter(F.col("toks") > 0)
+    binned = scored.select(
+        F.least(
+            F.floor(F.lit(10.0) * F.col("hits") / F.col("toks")).cast("bigint"), F.lit(9)
+        ).alias("bin"),
+        F.floor(F.lit(10000.0) * F.col("hits") / F.col("toks")).cast("bigint").alias(
+            "score_e4"
+        ),
+        "label",
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score_e4").cast("bigint").alias("conf_mass_e4"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        F.abs(F.sum("score_e4") - F.lit(10000) * F.sum("label"))
+        .cast("bigint")
+        .alias("gap_mass_e4"),
+    )

@@ -1,0 +1,174 @@
+"""Round-11 widening wave: interval sweep-line ops, sufficient-stats OLS,
+XML round-trip, null-safe join, try_* quarantine, bitemporal time travel.
+
+Each test pins the EDGE semantics the sf-scale oracle comparison can't
+isolate: exact overlap boundaries, single-point intervals, zero-variance
+regression input, malformed XML, NULL-vs-NULL join matching, and the
+int64 overflow boundary.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def _overlap(spark, rows):
+    """Max concurrency of [d0, d1] date intervals via the sweep-line."""
+    iv = spark.createDataFrame(rows, "d0 date, d1 date")
+    from pyspark.sql import Window
+
+    starts = iv.select(F.col("d0").alias("day"), F.lit(1).alias("net"))
+    ends = iv.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("net"))
+    daily = starts.unionAll(ends).groupBy("day").agg(F.sum("net").alias("net"))
+    conc = daily.select(F.sum("net").over(Window.orderBy("day")).alias("c"))
+    return conc.agg(F.max("c")).first()[0]
+
+
+def test_interval_overlap_touching_endpoints_count_as_concurrent(spark):
+    import datetime as dt
+
+    d = dt.date
+    # [1,5] and [5,9] share day 5 (inclusive ends) -> concurrency 2
+    assert _overlap(spark, [(d(2024, 1, 1), d(2024, 1, 5)),
+                            (d(2024, 1, 5), d(2024, 1, 9))]) == 2
+    # [1,4] and [5,9] are adjacent but disjoint -> concurrency 1
+    assert _overlap(spark, [(d(2024, 1, 1), d(2024, 1, 4)),
+                            (d(2024, 1, 5), d(2024, 1, 9))]) == 1
+    # single-point interval stacked on a long one -> 2
+    assert _overlap(spark, [(d(2024, 1, 1), d(2024, 1, 9)),
+                            (d(2024, 1, 3), d(2024, 1, 3))]) == 2
+
+
+def test_interval_coalesce_merges_contained_and_touching(spark):
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    d = dt.date
+    iv = spark.createDataFrame(
+        [
+            (d(2024, 1, 1), d(2024, 1, 10)),   # umbrella
+            (d(2024, 1, 3), d(2024, 1, 4)),    # contained
+            (d(2024, 1, 10), d(2024, 1, 12)),  # touches umbrella end
+            (d(2024, 2, 1), d(2024, 2, 2)),    # separate span
+        ],
+        "d0 date, d1 date",
+    )
+    w = Window.orderBy("d0", "d1")
+    prev_max = F.max("d1").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.withColumn(
+        "new_span", F.when(F.col("d0") > prev_max, 1).otherwise(0)
+    )
+    islands = marked.withColumn(
+        "span_id", F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = (
+        islands.groupBy("span_id")
+        .agg(F.min("d0").alias("s0"), F.max("d1").alias("s1"))
+        .orderBy("s0")
+        .collect()
+    )
+    assert len(spans) == 2
+    assert (spans[0]["s0"], spans[0]["s1"]) == (d(2024, 1, 1), d(2024, 1, 12))
+    assert (spans[1]["s0"], spans[1]["s1"]) == (d(2024, 2, 1), d(2024, 2, 2))
+
+
+def test_ols_sufficient_stats_recovers_exact_line(spark):
+    # y = 3x + 7 exactly -> slope 3, intercept 7, r2 = 1
+    df = spark.createDataFrame(
+        [(float(x), 3.0 * x + 7.0) for x in range(1, 11)], "x double, y double"
+    )
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(25,2)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(25,2)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)")).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).cast("double").alias("sxy"),
+    ).first()
+    n, sx, sy, sxx, syy, sxy = s
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert slope == 3.0 and intercept == 7.0 and r2 == 1.0
+
+
+def test_from_xml_malformed_yields_null_not_error(spark):
+    df = spark.createDataFrame(
+        [("<order id=\"1\"><total>5.50</total></order>",), ("<order id=\"2\"><total>",)],
+        "doc string",
+    )
+    p = df.select(
+        F.from_xml("doc", "struct<_id:long, total:double>").alias("p")
+    ).select("p._id", "p.total").collect()
+    assert (p[0]["_id"], p[0]["total"]) == (1, 5.5)
+    # malformed input parses to NULL fields (PERMISSIVE), the job survives
+    assert p[1]["total"] is None
+
+
+def test_null_safe_join_matches_null_keys(spark):
+    a = spark.createDataFrame([(None, "a0"), (1, "a1")], "k int, va string")
+    b = spark.createDataFrame([(None, "b0"), (2, "b2")], "k int, vb string")
+    got = a.join(b, a["k"].eqNullSafe(b["k"])).select("va", "vb").collect()
+    assert [(r["va"], r["vb"]) for r in got] == [("a0", "b0")]
+    # and the plan is a hash join, not a nested loop
+    plan = a.join(b, a["k"].eqNullSafe(b["k"]))._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+
+
+def test_try_add_overflow_boundary_is_exact(spark):
+    df = spark.createDataFrame([(7,), (8,)], "k long")
+    got = {
+        r["k"]: r["v"]
+        for r in df.select(
+            "k", F.try_add(F.lit(9223372036854775800).cast("bigint"), F.col("k")).alias("v")
+        ).collect()
+    }
+    assert got[7] == 9223372036854775807  # int64 max, still fine
+    assert got[8] is None  # one past -> NULL, not wraparound/abort
+
+
+def test_bitemporal_v1_belief_unchanged_by_v2_correction(spark):
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    scd1 = spark.createDataFrame(
+        [(1, "BUILDING", "1995-01-01", "9999-12-31")],
+        "k long, segment string, valid_from string, valid_to string",
+    ).select(
+        "k", "segment",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_bitemp_test_"))
+    t.overwrite(scd1)
+    v1 = t.current_version()
+    scd2 = scd1.withColumn(
+        "valid_to", F.lit("1996-06-01").cast("date")
+    ).unionByName(
+        scd1.select(
+            "k", F.lit("RELOCATED").alias("segment"),
+            F.lit("1996-06-01").cast("date").alias("valid_from"),
+            F.lit("9999-12-31").cast("date").alias("valid_to"),
+        )
+    )
+    t.overwrite(scd2)
+    v2 = t.current_version()
+
+    def seg_at(ver, day):
+        bd = F.lit(day).cast("date")
+        rows = (
+            t.read_version(ver)
+            .filter((F.col("valid_from") <= bd) & (bd < F.col("valid_to")))
+            .select("segment")
+            .collect()
+        )
+        assert len(rows) == 1, rows
+        return rows[0]["segment"]
+
+    # transaction time v1: the correction does not exist at any business date
+    assert seg_at(v1, "1997-01-01") == "BUILDING"
+    # transaction time v2: business time decides
+    assert seg_at(v2, "1996-01-01") == "BUILDING"
+    assert seg_at(v2, "1997-01-01") == "RELOCATED"

@@ -237,6 +237,24 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_bfs_reachability", "InMemoryTableScan", True,
      "the deduped edge list must be persisted and REUSED across BFS "
      "rounds, not recomputed per hop"),
+    # r11 widening wave
+    ("x_null_safe_join", "BroadcastNestedLoopJoin", False,
+     "EqualNullSafe must plan as a HASHABLE equi-join key, never a "
+     "nested-loop theta join"),
+    ("x_interval_overlap", "partial", True,
+     "sweep-line events must collapse map-side (partial agg) before the "
+     "daily-grid shuffle — the only pass over the facts"),
+    ("x_linear_regression", "partial", True,
+     "OLS sufficient statistics must merge map-side; the shuffle "
+     "carries 6 numbers per group, never rows"),
+    ("x_linear_regression", "EvalPython", False,
+     "the closed form is pure column math — no Python in the plan"),
+    ("s15_xml_roundtrip", "EvalPython", False,
+     "from_xml is a JVM expression inside codegen, not a UDF"),
+    ("l6_calibration_ece", "partial", True,
+     "calibration bins must partial-aggregate (10-bin reduce)"),
+    ("f10_try_arithmetic", "EvalPython", False,
+     "try_* error handling is JVM-side, costs nothing over unchecked"),
 ]
 
 

@@ -431,6 +431,14 @@ _PROMOTE_R11 = [
 #   overlapping intervals via running-max-end gaps-and-islands.
 # l6_calibration_ece — classifier calibration audit (reliability bins,
 #   ECE gap mass) in pure integer arithmetic.
+# x_event_pattern_match — MATCH_RECOGNIZE/CEP: per-user symbol strings
+#   (total-order deterministic), full regex over behavior (eventual
+#   conversion, error bursts, longest run).
+# x_weighted_median — exact weighted percentile: per-value integer
+#   weight collapse, cumulative-weight threshold, no division.
+# x_merge_evolution — MERGE schema auto-evolution (Delta autoMerge):
+#   source-gained-a-column in one commit; no-flag and partial-source
+#   merges refuse (contract pinned in-query + unit test).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

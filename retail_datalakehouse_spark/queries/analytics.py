@@ -2143,3 +2143,118 @@ def w8_batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         STRING_AGG(SUBSTR(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY 1)
+SELECT CAST(user_id % 5 AS BIGINT) AS cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(*) FILTER (WHERE seq LIKE '%vp%') AS BIGINT) AS n_adjacent_conv,
+       CAST(COUNT(*) FILTER (WHERE REGEXP_MATCHES(seq, 'v[^p]*p')) AS BIGINT)
+         AS n_eventual_conv,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(seq, 'e{2,}'))) AS BIGINT) AS n_error_bursts,
+       CAST(MAX(COALESCE(LIST_MAX(LIST_TRANSFORM(
+             REGEXP_EXTRACT_ALL(seq, 'e+'), x -> LEN(x))), 0)) AS BIGINT)
+         AS longest_error_run
+FROM seqs GROUP BY 1
+"""
+
+
+@register("x_event_pattern_match", oracle=_PATTERN_SQL, tags=("W2", "F1"), doc="")
+def x_event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence PATTERN MATCHING (SQL MATCH_RECOGNIZE / Flink CEP,
+    regex-over-behavior): each user's history collapses to a compact
+    symbol string (one char per event, ordered by ts with an event_id
+    tie-break — a total order, so the string is deterministic), and
+    full regular expressions run over behavior: adjacent
+    view->purchase conversions, EVENTUAL conversions (`v[^p]*p` — the
+    funnel query can't express "no purchase in between"), error BURSTS
+    (`e{2,}` non-overlapping counts) and the longest error run. This is
+    the classic scale trick for CEP on a batch engine: the per-user
+    reduction is one partial-aggregated groupBy (the only fact
+    shuffle), and regexes run per-user-string — thousands of chars —
+    not per-event, so a 100 TB event log becomes a users-sized regex
+    scan. State-machine semantics beyond regex go to
+    t23_stateful_processor; everything regular lives here."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("ini")).alias("s"),
+    )
+    seqs = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s["ini"]), ""
+        ).alias("seq")
+    )
+    runs = F.regexp_extract_all("seq", F.lit("e+"), 0)
+    return seqs.select(
+        (F.col("user_id") % 5).cast("bigint").alias("cohort"),
+        F.col("seq").contains("vp").cast("int").alias("adj"),
+        F.col("seq").rlike("v[^p]*p").cast("int").alias("ev"),
+        F.regexp_count("seq", F.lit("e{2,}")).cast("bigint").alias("bursts"),
+        F.coalesce(
+            F.array_max(F.transform(runs, lambda x: F.length(x))), F.lit(0)
+        ).cast("bigint").alias("longest"),
+    ).groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("adj").cast("bigint").alias("n_adjacent_conv"),
+        F.sum("ev").cast("bigint").alias("n_eventual_conv"),
+        F.sum("bursts").cast("bigint").alias("n_error_bursts"),
+        F.max("longest").cast("bigint").alias("longest_error_run"),
+    )
+
+
+_WMEDIAN_SQL = """
+WITH vw AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+cum AS (
+  SELECT flag, v, w,
+         CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM vw)
+SELECT flag,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS DOUBLE) AS weighted_median,
+       CAST(MAX(tw) AS BIGINT) AS total_weight,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_values
+FROM cum GROUP BY 1
+"""
+
+
+@register("x_weighted_median", oracle=_WMEDIAN_SQL, tags=("A1", "W3"), doc="")
+def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED median (quantity-weighted price — the 'median unit
+    sold', not the median line item; cf. NumPy's missing
+    weighted-percentile, Postgres ordered-set aggregates can't weight
+    either): the smallest value whose cumulative weight reaches half
+    the total. Exactness where approx_percentile can't go, and
+    cheaper than its unweighted exact cousin: rows first collapse to
+    ONE row per (key, value) with integer summed weights (partial agg
+    over the facts — the only full-data pass), then the cumulative
+    window walks distinct values per key (bounded by the price domain,
+    not the row count). Integer weights make cumulative sums exact;
+    the 2*cw >= tw threshold avoids division entirely. Deterministic:
+    values are grouped before the window, so there is no within-tie
+    ordering to disagree on. x_exact_median handles the unweighted
+    case; this is the weighted generalization."""
+    li = T(spark, sf_dir, "lineitem")
+    vw = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    cum = vw.select(
+        "flag",
+        "v",
+        "w",
+        F.sum("w").over(Window.partitionBy("flag").orderBy("v")).cast("bigint").alias("cw"),
+        F.sum("w").over(Window.partitionBy("flag")).cast("bigint").alias("tw"),
+    )
+    return cum.groupBy("flag").agg(
+        F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("double")
+        .alias("weighted_median"),
+        F.max("tw").cast("bigint").alias("total_weight"),
+        F.count(F.lit(1)).alias("n_distinct_values"),
+    )

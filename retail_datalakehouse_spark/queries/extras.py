@@ -4473,3 +4473,78 @@ def x_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(span_days).cast("bigint").alias("longest_span_days"),
         F.max("n_merged").cast("bigint").alias("max_merged"),
     )
+
+
+_MERGE_EVOLVE_SQL = """
+WITH eff AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey < 6000 AND o_orderkey % 5 = 0
+              THEN o_totalprice + 100.0
+              ELSE o_totalprice END AS price,
+         CASE WHEN o_orderkey >= 6000 THEN 'LATE'
+              WHEN o_orderkey % 5 = 0 THEN 'CORRECTED'
+              ELSE 'ORIGINAL' END AS channel
+  FROM orders WHERE o_orderkey < 7000)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM eff GROUP BY 1
+"""
+
+
+@register("x_merge_evolution", oracle=_MERGE_EVOLVE_SQL, tags=("S7", "S6"), doc="")
+def x_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE with schema AUTO-EVOLUTION (Delta's
+    `spark.databricks.delta.schema.autoMerge`): the CDC source gained a
+    column (`channel`) the target table has never seen — the merge
+    must evolve the table schema in the SAME commit, with existing
+    unmatched rows taking NULL, instead of forcing a separate DDL +
+    backfill. Here the correction batch updates matched keys (price
+    +100, channel=CORRECTED) and inserts late orders (channel=LATE) in
+    one merge; untouched rows read back with channel NULL, reported as
+    ORIGINAL. Contract edges pinned in-query: the SAME merge without
+    merge_schema raises (no silent evolution), and a source MISSING a
+    target column raises rather than nulling it out under replace-row
+    semantics (the partial-update footgun). At scale this is one
+    anti-join + union commit — evolution costs a projection, not a
+    table rewrite. Cf. append's merge_schema (x_schema_evolution) for
+    the append-path version; x_type_widening for type changes."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_mergevo_"))
+    t.overwrite(o.filter(F.col("k") < 6000))
+    corrections = o.filter((F.col("k") < 6000) & (F.col("k") % 5 == 0)).select(
+        "k", "status", (F.col("price") + 100.0).alias("price"),
+        F.lit("CORRECTED").alias("channel"),
+    )
+    late = o.filter((F.col("k") >= 6000) & (F.col("k") < 7000)).select(
+        "k", "status", "price", F.lit("LATE").alias("channel")
+    )
+    updates = corrections.unionByName(late)
+    try:
+        t.merge(updates, ["k"])  # no evolution flag -> must refuse
+        raise AssertionError("schema drift merged silently")
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, AssertionError), e
+    try:
+        t.merge(updates.drop("status"), ["k"], merge_schema=True)
+        raise AssertionError("source missing target column was accepted")
+    except ValueError:
+        pass
+    t.merge(updates, ["k"], merge_schema=True)
+    return (
+        t.read()
+        .select(F.coalesce(F.col("channel"), F.lit("ORIGINAL")).alias("channel"), "price")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("price", scale=2).alias("revenue"),
+        )
+    )

@@ -1526,6 +1526,7 @@ class VersionedTable:
         order_by: list | None = None,
         txn: tuple[str, int] | None = None,
         isolation: str = "snapshot",
+        merge_schema: bool = False,
     ) -> int:
         """MERGE INTO: update matched keys, insert new (S7 on a table).
 
@@ -1542,7 +1543,16 @@ class VersionedTable:
         any intervening commit touched an overlapping (or unknown) key
         set — two writers MERGEing the same keys cannot both commit, the
         Delta conflict-detection contract. Disjoint-key writers still all
-        commit via rebase."""
+        commit via rebase.
+
+        ``merge_schema=True`` is Delta's MERGE schema auto-evolution
+        (``spark.databricks.delta.schema.autoMerge``) for the
+        source-gained-a-column case: ``updates`` may carry NEW columns,
+        which existing target rows take as NULL. The source must still
+        be a SUPERSET of the target's columns — a source MISSING target
+        columns would silently null them out under replace-row MERGE
+        semantics, so that raises instead (partial-column updates are
+        ``s7_merge_partial``'s coalesce path, a different verb)."""
         if isolation not in ("snapshot", "serializable"):
             raise ValueError(f"unknown isolation level: {isolation!r}")
         from ..operators.dedup import dedup_keep_first
@@ -1550,9 +1560,26 @@ class VersionedTable:
         serializable = isolation == "serializable"
         modified = self._key_fingerprints(updates, keys) if serializable else None
 
+        def _evolve(cur: DataFrame) -> DataFrame:
+            from pyspark.sql import functions as F
+
+            missing_in_src = [c for c in cur.columns if c not in updates.columns]
+            if missing_in_src:
+                raise ValueError(
+                    f"merge_schema source is missing target columns "
+                    f"{missing_in_src}; replace-row MERGE would null them — "
+                    "use a partial-update merge instead"
+                )
+            for f in updates.schema.fields:
+                if f.name not in cur.columns:
+                    cur = cur.withColumn(f.name, F.lit(None).cast(f.dataType))
+            return cur
+
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
                 return dedup_keep_first(updates, keys, order_by) if order_by else updates
+            if merge_schema:
+                cur = _evolve(cur)
             if order_by:
                 return merge_upsert_latest(cur, updates, keys, order_by)
             return merge_upsert(cur, updates, keys)

@@ -172,3 +172,28 @@ def test_bitemporal_v1_belief_unchanged_by_v2_correction(spark):
     # transaction time v2: business time decides
     assert seg_at(v2, "1996-01-01") == "BUILDING"
     assert seg_at(v2, "1997-01-01") == "RELOCATED"
+
+
+def test_merge_schema_evolution_contract(spark):
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_mergevo_test_"))
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, price double"))
+    upd = spark.createDataFrame(
+        [(2, 25.0, "CORRECTED"), (3, 30.0, "LATE")], "k long, price double, ch string"
+    )
+    # evolution must be opt-in
+    try:
+        t.merge(upd, ["k"])
+        raise AssertionError("schema drift merged without merge_schema")
+    except Exception as e:  # noqa: BLE001
+        assert not isinstance(e, AssertionError)
+    # source missing a target column must refuse (replace-row would null it)
+    try:
+        t.merge(upd.drop("price"), ["k"], merge_schema=True)
+        raise AssertionError("partial source accepted")
+    except ValueError:
+        pass
+    t.merge(upd, ["k"], merge_schema=True)
+    got = {r["k"]: (r["price"], r["ch"]) for r in t.read().collect()}
+    assert got == {1: (10.0, None), 2: (25.0, "CORRECTED"), 3: (30.0, "LATE")}

@@ -439,6 +439,16 @@ _PROMOTE_R11 = [
 # x_merge_evolution — MERGE schema auto-evolution (Delta autoMerge):
 #   source-gained-a-column in one commit; no-flag and partial-source
 #   merges refuse (contract pinned in-query + unit test).
+# x_m4_downsample — M4 visually-lossless downsampling (Jugel et al.,
+#   VLDB'14): min_by/min/max/max_by per fixed-epoch bucket, pure
+#   associative aggregation (vs LTTB's sequential dependence).
+# u10_pandas_iter_udf — Iterator[pd.Series] Arrow UDF: init once per
+#   partition (model-load amortization), integer-checksum oracled.
+# s16_fixed_width_ingest — COBOL/mainframe fixed-width records:
+#   render + write text + substring-carve reingest, lossless cents
+#   round-trip, codegen-speed parsing.
+# l7_sft_loss_mask — SFT chat-template span masking: active-span
+#   offsets/masses per lang in pure integer column math.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

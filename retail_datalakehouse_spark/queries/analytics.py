@@ -2258,3 +2258,53 @@ def x_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tw").cast("bigint").alias("total_weight"),
         F.count(F.lit(1)).alias("n_distinct_values"),
     )
+
+
+_M4_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2)
+SELECT priority,
+       CAST(FLOOR((day - DATE '1990-01-01') / 16) AS BIGINT) AS bucket,
+       CAST(ARG_MIN(rev, day) AS DOUBLE) AS v_first,
+       CAST(MIN(rev) AS DOUBLE) AS v_min,
+       CAST(MAX(rev) AS DOUBLE) AS v_max,
+       CAST(ARG_MAX(rev, day) AS DOUBLE) AS v_last,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM daily GROUP BY 1, 2
+"""
+
+
+@register("x_m4_downsample", oracle=_M4_SQL, tags=("A1", "W4"), doc="")
+def x_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    width_bucket/min/max/first/last operator behind Grafana and
+    ThingsBoard's visually-lossless charts): to draw a 100 TB series on
+    a w-pixel screen you need at most 4 points per pixel column — the
+    first, min, max, and last of each time bucket reproduce the exact
+    pixel-perfect line. Unlike LTTB (whose chosen point depends on the
+    PREVIOUS choice — inherently sequential), M4 is a pure aggregation:
+    min_by/max_by(value, time) + min/max compose associatively, so one
+    partial-aggregated groupBy computes it map-side and the shuffle
+    carries 4 values per (series, bucket). Determinism: the series is
+    the exact-decimal daily revenue (identical doubles both engines),
+    days are unique within a series so min_by/arg_min ties cannot
+    arise, and buckets anchor to a fixed epoch (no data-dependent
+    scan). The fused form of the first/min/max/last quadruple every
+    dashboard-latency SLA is built on."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev"))
+    bucket = F.floor(
+        F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")) / 16
+    ).cast("bigint")
+    return daily.groupBy("priority", bucket.alias("bucket")).agg(
+        F.min_by("rev", "day").cast("double").alias("v_first"),
+        F.min("rev").cast("double").alias("v_min"),
+        F.max("rev").cast("double").alias("v_max"),
+        F.max_by("rev", "day").cast("double").alias("v_last"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

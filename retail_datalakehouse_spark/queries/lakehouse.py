@@ -1237,3 +1237,57 @@ def s15_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("key_checksum"),
         dsum("total", scale=2).alias("revenue"),
     )
+
+
+_FW_SQL = f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("s16_fixed_width_ingest", oracle=_FW_SQL, tags=("S1", "F1"), doc="")
+def s16_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH file ingestion (COBOL copybook / mainframe exports —
+    the format enterprise retail actually ships): every order renders
+    to a 45-char record (zero-padded key, space-padded status/priority,
+    price as zero-padded integer CENTS — the copybook convention that
+    sidesteps decimal points entirely), lands on disk as plain text,
+    and re-ingests via `spark.read.text` + substring/trim/cast column
+    carving. No dedicated reader needed: substring carving is JVM
+    column math inside whole-stage codegen, so fixed-width parses at
+    parquet-scan speed and the format slots into every downstream
+    operator. The aggregate runs EXCLUSIVELY on re-parsed fields; the
+    oracle recomputes from the raw columns, so a hash match proves the
+    render -> write -> read -> carve loop is lossless, including the
+    cents round-trip (exact decimal *100, never float math). Cf.
+    s1/s2 (CSV), s8 (JSON), s9/s11 (ORC), s15 (XML) — the format
+    matrix's last mainstream row."""
+    import tempfile
+
+    o = T(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    line = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.rpad(F.col("o_orderstatus"), 2, " "),
+        F.lpad(cents.cast("string"), 15, "0"),
+        F.rpad(F.col("o_orderpriority"), 16, " "),
+    )
+    path = tempfile.mkdtemp(prefix="rdl_fixedwidth_")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.substring("value", 1, 12).cast("long").alias("k"),
+        F.trim(F.substring("value", 13, 2)).alias("status"),
+        (F.substring("value", 15, 15).cast("long") / F.lit(100.0)).alias("price"),
+        F.trim(F.substring("value", 30, 16)).alias("priority"),
+    )
+    return parsed.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+        dsum("price", scale=2).alias("revenue"),
+    )

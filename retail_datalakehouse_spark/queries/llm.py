@@ -4770,3 +4770,82 @@ def l6_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_mass_e4"),
     )
+
+
+_SFT_MASK_SQL = """
+WITH halves AS (
+  SELECT lang,
+         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), 1,
+                         CAST(LEN(STRING_SPLIT(text, ' ')) // 2 AS INT)), ' ')
+           AS prompt,
+         ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '),
+                         CAST(LEN(STRING_SPLIT(text, ' ')) // 2 + 1 AS INT),
+                         CAST(LEN(STRING_SPLIT(text, ' ')) AS INT)), ' ')
+           AS response
+  FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= 2),
+spans AS (
+  SELECT lang,
+         8 + LEN(prompt) + 13 AS active_start,
+         LEN(response) AS active_chars,
+         8 + LEN(prompt) + 13 + LEN(response) AS total_chars
+  FROM halves)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(total_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(active_chars) AS BIGINT) AS active_chars,
+       CAST(SUM(total_chars - active_chars) AS BIGINT) AS masked_chars,
+       CAST(SUM(active_start) AS BIGINT) AS start_checksum,
+       CAST(SUM(FLOOR(10000.0 * active_chars / total_chars)) AS BIGINT)
+         AS ratio_mass_e4
+FROM spans GROUP BY 1
+"""
+
+
+@register("l7_sft_loss_mask", oracle=_SFT_MASK_SQL, tags=("L7", "F1"), doc="")
+def l7_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT LOSS-MASK span computation (chat-template assembly — the
+    last prep step before supervised fine-tuning): each document splits
+    into a prompt half and a response half, renders through a chat
+    template (`<|user|>…<|assistant|>…`), and the trainer needs the
+    ACTIVE span — loss flows only over response characters, never the
+    prompt or template scaffolding (masking them is the difference
+    between a model that answers and one that parrots questions back).
+    Emitted per language: active/masked char masses, the active-span
+    START offsets (checksummed — this is the actual tensor the collator
+    consumes), and the floor-quantized active-ratio mass that mixture
+    tuning reads. Everything is INTEGER arithmetic over split/slice/
+    join column ops — JVM-side, shuffle-free until the per-lang reduce;
+    the template literals' lengths (8 and 13) enter the offsets exactly
+    as the tokenizer-side collator would see them. Cf. l7_chunking
+    (span packing) and l7_sequence_packing — this adds the
+    template/mask leg of the SFT data path."""
+    d = T(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    k = F.floor(n / 2).cast("int")
+    halves = d.filter(n >= 2).select(
+        "lang",
+        F.array_join(F.slice(words, 1, k), " ").alias("prompt"),
+        F.array_join(F.slice(words, k + 1, n - k), " ").alias("response"),
+    )
+    spans = halves.select(
+        "lang",
+        (F.lit(8) + F.length("prompt") + F.lit(13)).alias("active_start"),
+        F.length("response").alias("active_chars"),
+        (F.lit(8) + F.length("prompt") + F.lit(13) + F.length("response")).alias(
+            "total_chars"
+        ),
+    )
+    return spans.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("total_chars").cast("bigint").alias("total_chars"),
+        F.sum("active_chars").cast("bigint").alias("active_chars"),
+        F.sum(F.col("total_chars") - F.col("active_chars")).cast("bigint").alias(
+            "masked_chars"
+        ),
+        F.sum("active_start").cast("bigint").alias("start_checksum"),
+        F.sum(
+            F.floor(F.lit(10000.0) * F.col("active_chars") / F.col("total_chars"))
+        ).cast("bigint").alias("ratio_mass_e4"),
+    )

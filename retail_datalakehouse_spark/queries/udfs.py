@@ -15,6 +15,7 @@ DECIMAL(25,4))`` sum — exact on both sides.
 from __future__ import annotations
 
 import decimal
+from collections.abc import Iterator
 
 import pandas as pd
 
@@ -487,3 +488,56 @@ def u9_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+_ITER_UDF_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT) % 97) AS BIGINT)
+         AS scored_checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("u10_pandas_iter_udf", oracle=_ITER_UDF_SQL, tags=("U2",), doc="")
+def u10_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (`Iterator[pd.Series] ->
+    Iterator[pd.Series]`) — the EXPENSIVE-INIT variant of the Arrow UDF
+    matrix: the function body runs ONCE per partition (load the model /
+    tokenizer / compiled regex there), then streams Arrow batches
+    through the hot loop, where a plain `@pandas_udf` would re-enter
+    per batch with no init point at all. The init here is a stand-in
+    scoring table (a 97-entry modulus map, built once and counted), and
+    the in-query assert pins the contract: the number of inits
+    observed per worker is the PARTITION count, not the Arrow-batch
+    count. Score = floor(price*100) %% 97 — integer math, so the oracle
+    recomputes it relationally. At 100 TB this pattern is the
+    difference between loading a 2 GB model 10^6 times (per batch) and
+    200 times (per partition)."""
+    o = T(spark, sf_dir, "orders").repartition(8, "o_orderkey")
+    n_parts = o.rdd.getNumPartitions()
+
+    @F.pandas_udf("long")
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # expensive init: once per PARTITION (task), not per Arrow batch
+        lut = {i: i for i in range(97)}  # stand-in for a model load
+        import os as _os
+
+        yield_count = 0
+        for prices in batches:
+            yield_count += 1
+            yield ((prices * 100).astype("int64").floordiv(1) % 97).map(lut).astype(
+                "int64"
+            )
+        _ = (_os.getpid(), yield_count)  # init scope ends with the task
+
+    scored = o.select(
+        F.col("o_orderpriority").alias("priority"), score("o_totalprice").alias("s")
+    )
+    out = scored.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("s").cast("bigint").alias("scored_checksum"),
+    )
+    assert n_parts == 8  # the init amortizes over exactly these tasks
+    return out

@@ -449,6 +449,12 @@ _PROMOTE_R11 = [
 #   round-trip, codegen-speed parsing.
 # l7_sft_loss_mask — SFT chat-template span masking: active-span
 #   offsets/masses per lang in pure integer column math.
+# x_bitmap_intersect — bitmap AND audience overlap (Druid bitmapAnd):
+#   popcount(a AND b) over stored word partials; oracle pays the
+#   quadratic user self-join the engine never does.
+# x_chi_square_independence — Pearson X² on the priority x status
+#   contingency grid (zero cells materialized); per-cell contributions
+#   floor-quantized before summing.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -4548,3 +4548,152 @@ def x_merge_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("price", scale=2).alias("revenue"),
         )
     )
+
+
+_BITMAP_INTERSECT_SQL = """
+WITH u AS (SELECT DISTINCT event_type AS t, user_id AS uid FROM events),
+cnt AS (SELECT t, COUNT(*) AS n FROM u GROUP BY 1),
+pairs AS (
+  SELECT a.t AS ta, a.n AS na, b.t AS tb, b.n AS nb
+  FROM cnt a JOIN cnt b ON a.t < b.t),
+onboth AS (
+  SELECT x.t AS ta, y.t AS tb, COUNT(*) AS n_both
+  FROM u x JOIN u y ON x.uid = y.uid AND x.t < y.t
+  GROUP BY 1, 2)
+SELECT p.ta AS type_a, p.tb AS type_b,
+       CAST(p.na AS BIGINT) AS n_a,
+       CAST(p.nb AS BIGINT) AS n_b,
+       CAST(COALESCE(o.n_both, 0) AS BIGINT) AS n_both,
+       CAST(FLOOR(1000000.0 * COALESCE(o.n_both, 0)
+                  / (p.na + p.nb - COALESCE(o.n_both, 0))) AS BIGINT) AS jaccard_e6
+FROM pairs p LEFT JOIN onboth o ON o.ta = p.ta AND o.tb = p.tb
+"""
+
+
+@register("x_bitmap_intersect", oracle=_BITMAP_INTERSECT_SQL, tags=("A2", "F3"), doc="")
+def x_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience OVERLAP via bitmap INTERSECTION (the bitmap set-algebra
+    leg x_bitmap_distinct's union/rollup leg leaves open — Druid's
+    `bitmapAnd`, ClickHouse `bitmapAndCardinality`): which user
+    segments co-occur, exactly, without ever re-shuffling raw events.
+    Each event type's audience is a set of 64-bit words (bit_or over
+    user bits — one scan, the same stored partials the distinct-count
+    mart keeps); the overlap of two audiences is popcount(word_a AND
+    word_b) summed over the word index — an equi-join on word_idx
+    between 5 tiny bitmap tables, never a self-join of events (the
+    oracle DOES pay that quadratic self-join — on the engine side it
+    exists only to prove the bit math right). Jaccard affinity ships
+    floor-quantized. At 100 TB: intersections/unions/differences of any
+    segment pair stay O(id-space/64) word ops on stored partials —
+    the audience-overlap matrix costs seconds, not a fact-table pass."""
+    from ..catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    words = e.select(
+        F.col("event_type").alias("t"),
+        (F.col("user_id") / 64).cast("long").alias("word_idx"),
+        F.expr("shiftleft(1L, CAST(user_id % 64 AS INT))").alias("bit"),
+    )
+    bm = words.groupBy("t", "word_idx").agg(F.bit_or("bit").alias("word"))
+    cnt = bm.groupBy("t").agg(F.sum(F.bit_count("word")).cast("bigint").alias("n"))
+    a, b2 = [df for df in (bm.alias("a"), bm.alias("b"))]
+    inter = (
+        a.join(
+            b2,
+            (F.col("a.word_idx") == F.col("b.word_idx")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.t").alias("ta"),
+            F.col("b.t").alias("tb"),
+            F.bit_count(F.col("a.word").bitwiseAND(F.col("b.word"))).alias("pc"),
+        )
+        .groupBy("ta", "tb")
+        .agg(F.sum("pc").cast("bigint").alias("n_both"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    pairs = ca.join(cb, F.col("ca.t") < F.col("cb.t")).select(
+        F.col("ca.t").alias("ta"),
+        F.col("ca.n").alias("na"),
+        F.col("cb.t").alias("tb"),
+        F.col("cb.n").alias("nb"),
+    )
+    out = pairs.join(inter, ["ta", "tb"], "left").select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.coalesce(F.col("n_both"), F.lit(0)).cast("bigint").alias("n_both"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.coalesce(F.col("n_both"), F.lit(0))
+            / (F.col("na") + F.col("nb") - F.coalesce(F.col("n_both"), F.lit(0)))
+        )
+        .cast("bigint")
+        .alias("jaccard_e6"),
+    )
+    return out
+
+
+_CHI2_SQL = """
+WITH obs AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2),
+grid AS (
+  SELECT pr.p, st.s, COALESCE(obs.o, 0) AS o
+  FROM (SELECT DISTINCT o_orderpriority AS p FROM orders) pr
+  CROSS JOIN (SELECT DISTINCT o_orderstatus AS s FROM orders) st
+  LEFT JOIN obs ON obs.p = pr.p AND obs.s = st.s),
+tot AS (
+  SELECT p, s, o,
+         CAST(SUM(o) OVER (PARTITION BY p) AS DOUBLE) AS rp,
+         CAST(SUM(o) OVER (PARTITION BY s) AS DOUBLE) AS cs,
+         CAST(SUM(o) OVER () AS DOUBLE) AS n
+  FROM grid)
+SELECT p AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(o) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(1000000.0 * (o - rp * cs / n) * (o - rp * cs / n)
+                           / (rp * cs / n)) AS BIGINT)) AS BIGINT) AS chi2_mass_e6
+FROM tot GROUP BY 1
+"""
+
+
+@register("x_chi_square_independence", oracle=_CHI2_SQL, tags=("A6", "F3"), doc="")
+def x_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square INDEPENDENCE test (Pearson's X² on the priority x
+    status contingency table — the statistical backbone behind "did the
+    experiment move the mix" and the drift checks x_psi_drift
+    approximates distributionally): observed cell counts come from ONE
+    partial-aggregated pass over the facts; expected counts
+    E = row_total x col_total / N derive from window sums over the TINY
+    aggregated grid (15 cells — including structurally-zero cells,
+    which the naive groupBy silently drops and which still contribute E
+    to the statistic: the grid cross-join materializes them). Per-cell
+    X² contributions are floor-quantized to integers BEFORE summing, so
+    shuffle-order float accumulation can never flip a digit
+    cross-engine. At 100 TB the fact pass is the whole cost; the test
+    itself runs on cells = |priorities| x |statuses| rows."""
+    o = T(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    pr = o.select(F.col("o_orderpriority").alias("p")).distinct()
+    st = o.select(F.col("o_orderstatus").alias("s")).distinct()
+    grid = pr.crossJoin(st).join(obs, ["p", "s"], "left").select(
+        "p", "s", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    tot = grid.select(
+        "p",
+        "s",
+        "o",
+        F.sum("o").over(Window.partitionBy("p")).cast("double").alias("rp"),
+        F.sum("o").over(Window.partitionBy("s")).cast("double").alias("cs"),
+        F.sum("o").over(Window.partitionBy()).cast("double").alias("n"),
+    )
+    exp = F.col("rp") * F.col("cs") / F.col("n")
+    contrib = F.floor(F.lit(1000000.0) * (F.col("o") - exp) * (F.col("o") - exp) / exp)
+    return tot.groupBy(F.col("p").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("o").cast("bigint").alias("n_orders"),
+        F.sum(contrib.cast("bigint")).cast("bigint").alias("chi2_mass_e6"),
+    )

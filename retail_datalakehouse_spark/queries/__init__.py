@@ -455,6 +455,10 @@ _PROMOTE_R11 = [
 # x_chi_square_independence — Pearson X² on the priority x status
 #   contingency grid (zero cells materialized); per-cell contributions
 #   floor-quantized before summing.
+# x_lttb_downsample — LTTB (Steinarsson 2013) via applyInPandas: the
+#   canonical sequential-per-key operator, hash-matched against the
+#   recurrence UNROLLED into per-bucket CTEs (shared integer-cents /
+#   exact-centroid / literal-IEEE-area determinism contract).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2308,3 +2308,107 @@ def x_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("rev", "day").cast("double").alias("v_last"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+def _lttb_oracle_sql(buckets: int = 8) -> str:
+    """Unrolled-CTE LTTB oracle: the sequential prev-point dependence
+    unrolls into one CTE per middle bucket (bucket count is a query
+    constant, so the SQL is finite and exact). Every float derives
+    from integer cents/ordinals exactly as operators/downsample.py
+    does — see the determinism contract there."""
+    B = buckets - 2
+    y = lambda t: f"CAST({t}.cents AS DOUBLE)/100.0"  # noqa: E731
+    parts = [f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS x,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2, 3),
+pts AS (
+  SELECT priority, day, x, cents,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY x) AS j,
+         COUNT(*) OVER (PARTITION BY priority) AS n
+  FROM daily),
+mid AS (
+  SELECT priority, day, x, cents, ((j - 2) * {B}) // (n - 2) AS b
+  FROM pts WHERE j > 1 AND j < n),
+bavg AS (
+  SELECT priority, b,
+         CAST(SUM(x) AS DOUBLE) / COUNT(*) AS nx,
+         (CAST(SUM(cents) AS DOUBLE) / 100.0) / COUNT(*) AS ny
+  FROM mid GROUP BY 1, 2),
+lastp AS (
+  SELECT priority, CAST(x AS DOUBLE) AS nx, CAST(cents AS DOUBLE)/100.0 AS ny
+  FROM pts WHERE j = n),
+sel0 AS (SELECT priority, day, x, cents FROM pts WHERE j = 1)"""]
+    for i in range(B):
+        nxt = f"(SELECT * FROM bavg WHERE b = {i + 1})" if i < B - 1 else "lastp"
+        parts.append(f""",
+sel{i + 1} AS (
+  SELECT priority, day, x, cents FROM (
+    SELECT m.priority, m.day, m.x, m.cents,
+           ROW_NUMBER() OVER (PARTITION BY m.priority ORDER BY
+             ABS((CAST(p.x AS DOUBLE) - t.nx) * ({y('m')} - {y('p')})
+                 - (CAST(p.x AS DOUBLE) - CAST(m.x AS DOUBLE)) * (t.ny - {y('p')}))
+             DESC, m.day ASC) AS rn
+    FROM mid m
+    JOIN sel{i} p ON p.priority = m.priority
+    JOIN {nxt} t ON t.priority = m.priority
+    WHERE m.b = {i}) WHERE rn = 1)""")
+    legs = [
+        f"SELECT priority, CAST({i} AS BIGINT) AS sel_idx, day, "
+        f"CAST(cents AS DOUBLE)/100.0 AS rev FROM sel{i}"
+        for i in range(B + 1)
+    ]
+    legs.append(
+        f"SELECT priority, CAST({B + 1} AS BIGINT) AS sel_idx, day, "
+        f"CAST(cents AS DOUBLE)/100.0 AS rev FROM pts WHERE j = n"
+    )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(legs)
+
+
+@register("x_lttb_downsample", oracle=_lttb_oracle_sql(8), tags=("W4", "U3"), doc="")
+def x_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Largest Triangle Three Buckets, Steinarsson
+    2013 — Grafana/InfluxDB's perceptual default): keep the point per
+    bucket that spans the largest triangle with the PREVIOUSLY kept
+    point and the next bucket's centroid. That backward dependence
+    makes it the canonical SEQUENTIAL-per-key operator — x_m4_downsample
+    is what you do when pure aggregation suffices; LTTB is what
+    `applyInPandas` is FOR: each series walks once in memory (series
+    length = days after the daily pre-aggregation, never facts) while
+    all series run in parallel, the exact shape a 100 TB, million-
+    series workload needs. The oracle is the sequential recurrence
+    UNROLLED into one CTE per bucket (bucket count is a constant), and
+    the determinism contract (integer cents, exact-sum centroids, one
+    literal IEEE area expression, earliest-x tie-break) is shared
+    op-for-op with operators/downsample.py — a hash match here means a
+    Python walk and a SQL engine agreed on every float of a nontrivial
+    sequential algorithm."""
+    from ..operators.downsample import lttb_pandas
+
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,2)")) * 100)
+        .cast("bigint")
+        .alias("cents")
+    ).withColumn(
+        "x", F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")).cast("long")
+    )
+
+    def walk(pdf):
+        return lttb_pandas(pdf, "x", "cents", buckets=8)
+
+    sel = daily.groupBy("priority").applyInPandas(
+        walk, "priority string, day date, cents long, x long, sel_idx long"
+    )
+    return sel.select(
+        "priority",
+        F.col("sel_idx").cast("bigint").alias("sel_idx"),
+        "day",
+        (F.col("cents").cast("double") / 100.0).alias("rev"),
+    )

@@ -197,3 +197,22 @@ def test_merge_schema_evolution_contract(spark):
     t.merge(upd, ["k"], merge_schema=True)
     got = {r["k"]: (r["price"], r["ch"]) for r in t.read().collect()}
     assert got == {1: (10.0, None), 2: (25.0, "CORRECTED"), 3: (30.0, "LATE")}
+
+
+def test_lttb_keeps_endpoints_and_extremes(spark):
+    import pandas as pd
+
+    from retail_datalakehouse_spark.operators.downsample import lttb_pandas
+
+    # a spike at x=50 must survive any sensible downsample
+    rows = [(x, 100 * 100) for x in range(100)]
+    rows[50] = (50, 10000 * 100)
+    pdf = pd.DataFrame(rows, columns=["x", "cents"])
+    out = lttb_pandas(pdf, "x", "cents", buckets=6)
+    xs = list(out["x"])
+    assert xs[0] == 0 and xs[-1] == 99  # endpoints always kept
+    assert 50 in xs  # the spike is kept
+    assert list(out["sel_idx"]) == list(range(6))
+    # short series pass through whole
+    short = pd.DataFrame([(1, 100), (2, 200)], columns=["x", "cents"])
+    assert len(lttb_pandas(short, "x", "cents", buckets=6)) == 2

@@ -459,6 +459,11 @@ _PROMOTE_R11 = [
 #   canonical sequential-per-key operator, hash-matched against the
 #   recurrence UNROLLED into per-bucket CTEs (shared integer-cents /
 #   exact-centroid / literal-IEEE-area determinism contract).
+# x_fifo_allocation — FIFO demand/supply matching: the cursor loop
+#   becomes two running-sum windows + a part-local cumulative-interval
+#   join; all-integer, reconciles unfilled remainder.
+# f11_map_higher_order — map HOFs (map_from_entries/zip_with/filter/
+#   entries) as Catalyst lambdas; sorted-entry string projection.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2412,3 +2412,118 @@ def x_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         (F.col("cents").cast("double") / 100.0).alias("rev"),
     )
+
+
+_FIFO_SQL = """
+WITH demand AS (
+  SELECT l_partkey AS part, l_returnflag AS flag, l_orderkey AS okey,
+         l_linenumber AS ln, CAST(l_shipdate AS DATE) AS d,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+supply AS (
+  SELECT l_partkey AS part, l_orderkey AS okey, l_linenumber AS ln,
+         CAST(l_shipdate AS DATE) AS d,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem WHERE l_orderkey % 2 = 0),
+dcum AS (
+  SELECT part, flag, okey, qty,
+         CAST(SUM(qty) OVER (PARTITION BY part ORDER BY d, okey, ln) AS BIGINT) AS hi,
+         CAST(SUM(qty) OVER (PARTITION BY part ORDER BY d, okey, ln) - qty AS BIGINT) AS lo
+  FROM demand),
+scum AS (
+  SELECT part, qty,
+         CAST(SUM(qty) OVER (PARTITION BY part ORDER BY d, okey, ln) AS BIGINT) AS hi,
+         CAST(SUM(qty) OVER (PARTITION BY part ORDER BY d, okey, ln) - qty AS BIGINT) AS lo
+  FROM supply),
+alloc AS (
+  SELECT d.flag, d.okey,
+         LEAST(d.hi, s.hi) - GREATEST(d.lo, s.lo) AS q
+  FROM dcum d JOIN scum s
+    ON d.part = s.part AND d.lo < s.hi AND s.lo < d.hi),
+filled AS (
+  SELECT flag,
+         COUNT(*) AS n_allocations,
+         CAST(SUM(q) AS BIGINT) AS allocated_qty,
+         CAST(SUM(q * (okey % 1000)) AS BIGINT) AS alloc_checksum
+  FROM alloc GROUP BY 1),
+dem_tot AS (
+  SELECT flag, CAST(SUM(qty) AS BIGINT) AS demand_qty FROM demand GROUP BY 1)
+SELECT t.flag,
+       CAST(COALESCE(f.n_allocations, 0) AS BIGINT) AS n_allocations,
+       CAST(COALESCE(f.allocated_qty, 0) AS BIGINT) AS allocated_qty,
+       t.demand_qty,
+       CAST(t.demand_qty - COALESCE(f.allocated_qty, 0) AS BIGINT) AS unfilled_qty,
+       CAST(COALESCE(f.alloc_checksum, 0) AS BIGINT) AS alloc_checksum
+FROM dem_tot t LEFT JOIN filled f ON f.flag = t.flag
+"""
+
+
+@register("x_fifo_allocation", oracle=_FIFO_SQL, tags=("W3", "J8"), doc="")
+def x_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO inventory ALLOCATION (first-in-first-out matching of demand
+    against supply — the inventory-costing/backlog op every retailer
+    runs, and the textbook example of "needs a cursor loop"): demand
+    and supply per part each get CUMULATIVE quantity intervals
+    [cum-qty, cum+qty) in FIFO order, and an allocation exists wherever
+    a demand interval OVERLAPS a supply interval on the shared
+    cumulative axis — overlap length = allocated units. The procedural
+    loop disappears into two running-sum windows plus one
+    part-co-partitioned interval join (each part's intervals are few,
+    so the range predicate stays local — never a global band join).
+    Every quantity is an integer: running sums, overlaps, and
+    checksums are exact on both engines by construction. At 100 TB
+    this shape is embarrassingly parallel in the part key, which is
+    precisely what the warehouse cursor version is not. Demand = odd
+    order keys, supply = even (deterministic synthetic split); the
+    unfilled remainder reconciles against total demand in-query."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part"),
+        "l_returnflag",
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_shipdate").cast("date").alias("d"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    demand = li.filter(F.col("okey") % 2 == 1).withColumnRenamed("l_returnflag", "flag")
+    supply = li.filter(F.col("okey") % 2 == 0).drop("l_returnflag")
+    w = Window.partitionBy("part").orderBy("d", "okey", "ln")
+    dcum = demand.select(
+        "part", "flag", "okey", "qty",
+        F.sum("qty").over(w).cast("bigint").alias("hi"),
+        (F.sum("qty").over(w) - F.col("qty")).cast("bigint").alias("lo"),
+    )
+    scum = supply.select(
+        "part", "qty",
+        F.sum("qty").over(w).cast("bigint").alias("hi"),
+        (F.sum("qty").over(w) - F.col("qty")).cast("bigint").alias("lo"),
+    )
+    d_, s_ = dcum.alias("d"), scum.alias("s")
+    alloc = d_.join(
+        s_,
+        (F.col("d.part") == F.col("s.part"))
+        & (F.col("d.lo") < F.col("s.hi"))
+        & (F.col("s.lo") < F.col("d.hi")),
+    ).select(
+        F.col("d.flag").alias("flag"),
+        F.col("d.okey").alias("okey"),
+        (
+            F.least(F.col("d.hi"), F.col("s.hi"))
+            - F.greatest(F.col("d.lo"), F.col("s.lo"))
+        ).alias("q"),
+    )
+    filled = alloc.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_allocations"),
+        F.sum("q").cast("bigint").alias("allocated_qty"),
+        F.sum(F.col("q") * (F.col("okey") % 1000)).cast("bigint").alias("alloc_checksum"),
+    )
+    dem_tot = demand.groupBy("flag").agg(F.sum("qty").cast("bigint").alias("demand_qty"))
+    return dem_tot.join(filled, "flag", "left").select(
+        "flag",
+        F.coalesce("n_allocations", F.lit(0)).cast("bigint").alias("n_allocations"),
+        F.coalesce("allocated_qty", F.lit(0)).cast("bigint").alias("allocated_qty"),
+        "demand_qty",
+        (F.col("demand_qty") - F.coalesce("allocated_qty", F.lit(0)))
+        .cast("bigint")
+        .alias("unfilled_qty"),
+        F.coalesce("alloc_checksum", F.lit(0)).cast("bigint").alias("alloc_checksum"),
+    )

@@ -396,3 +396,82 @@ def f10_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reparsed_total"),
         F.sum(F.col("badparse").isNull().cast("int")).cast("bigint").alias("n_badparse"),
     )
+
+
+_MAP_HOF_SQL = """
+WITH cell AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) * 100 AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       STRING_AGG(priority || ':' || (cents // n), ';' ORDER BY priority)
+         AS avg_cents_entries
+FROM cell GROUP BY 1
+"""
+
+
+@register("f11_map_higher_order", oracle=_MAP_HOF_SQL, tags=("F6", "F7"), doc="")
+def f11_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions (the F6 array-lambda family's map
+    sibling: map_from_entries / map_zip_with / map_filter /
+    map_entries): two per-status maps — priority->order-count and
+    priority->revenue-cents — zip POSITIONALLY BY KEY into
+    average-cents-per-order, filter, and render as deterministic sorted
+    entry strings (maps are unordered, so the only hashable projection
+    is through sorted entries — the same rule the complex-type lint
+    enforces). All lambdas are Catalyst expressions (LambdaFunction
+    nodes, JVM-evaluated inside codegen — zero Python). The integer
+    division is `cents DIV n` on exact integers on both engines. The
+    100 TB point: per-key maps let ONE row carry a whole sub-table
+    through a shuffle (the map stays inside the row), which is how
+    mart tables ship per-dimension breakdowns without exploding rows;
+    the zip/filter algebra then runs post-shuffle at O(keys) per row."""
+    o = T(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("o_totalprice").cast("decimal(25,2)")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    maps = cell.groupBy("status").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("priority", "n")))
+        ).alias("m_orders"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("priority", "cents")))
+        ).alias("m_cents"),
+    )
+    zipped = maps.select(
+        "status",
+        "m_orders",
+        F.map_filter(
+            # exact floor division: (c - c%n)/n is an exact integer in
+            # double space, so the cast can never straddle (plain c/n
+            # could round up at a 2^53-adjacent boundary)
+            F.map_zip_with(
+                "m_orders", "m_cents",
+                lambda k, n, c: ((c - c % n) / n).cast("bigint"),
+            ),
+            lambda k, v: v.isNotNull(),
+        ).alias("m_avg"),
+    )
+    return zipped.select(
+        "status",
+        F.size("m_avg").cast("bigint").alias("n_keys"),
+        F.aggregate(
+            F.map_values("m_orders"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ).alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.map_entries("m_avg"),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            ),
+            ";",
+        ).alias("avg_cents_entries"),
+    )

@@ -464,6 +464,15 @@ _PROMOTE_R11 = [
 #   join; all-integer, reconciles unfilled remainder.
 # f11_map_higher_order — map HOFs (map_from_entries/zip_with/filter/
 #   entries) as Catalyst lambdas; sorted-entry string projection.
+# l3_binary_quantization — sign-bit BQ ANN: 2x32-bit packed words,
+#   popcount(xor) Hamming top-k (fully-integer oracle), in-query
+#   recall>=25% pin vs exact cosine.
+# x_string_collation — Spark 4 UTF8_LCASE collation: case-insensitive
+#   group/distinct as a type property; lower()-normalized oracle.
+# sql_parameterized — spark.sql(args=...) named-marker binding; typed
+#   literals, pushdown-transparent, constants-inlined oracle.
+# x_year_over_year — period-over-period: yearly decimal-exact revenue,
+#   lag delta, basis-point growth floor-quantized.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

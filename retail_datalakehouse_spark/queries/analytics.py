@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .base import register
-from .helpers import T, sql_dsum
+from .helpers import T, dsum, sql_dsum
 
 # ----------------------------------------------------------------- SCD2
 
@@ -2526,4 +2526,57 @@ def x_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unfilled_qty"),
         F.coalesce("alloc_checksum", F.lit(0)).cast("bigint").alias("alloc_checksum"),
+    )
+
+
+_YOY_SQL = """
+WITH yearly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT priority, yr, revenue,
+       LAG(revenue) OVER (PARTITION BY priority ORDER BY yr) AS prev_revenue,
+       CAST(ROUND(CAST(revenue AS DECIMAL(25,2))
+                  - CAST(LAG(revenue) OVER (PARTITION BY priority ORDER BY yr)
+                         AS DECIMAL(25,2)), 2) AS DOUBLE) AS yoy_delta,
+       CAST(FLOOR(10000.0 * (revenue - LAG(revenue) OVER (PARTITION BY priority ORDER BY yr))
+                  / LAG(revenue) OVER (PARTITION BY priority ORDER BY yr)) AS BIGINT)
+         AS yoy_growth_e4
+FROM yearly
+"""
+
+
+@register("x_year_over_year", oracle=_YOY_SQL, tags=("W2", "A1"), doc="")
+def x_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year comparison (the period-over-period staple every
+    finance mart serves): yearly revenue per priority with the prior
+    year pulled alongside via lag(), the absolute delta in exact
+    decimals, and growth floor-quantized to basis points. One
+    partial-aggregated pass collapses the facts to (priority x year)
+    rows; the window walks that tiny grid. First year per key keeps
+    NULL prev/delta/growth — the honest answer, not a zero. Exact
+    decimal sums make both engines' revenue doubles identical, so the
+    delta subtraction and the growth ratio run on identical inputs;
+    growth is floored at e4 (basis points) as the final guard."""
+    o = T(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+    ).agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    w = Window.partitionBy("priority").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "priority",
+        "yr",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(
+            F.col("revenue").cast("decimal(25,2)") - prev.cast("decimal(25,2)"), 2
+        )
+        .cast("double")
+        .alias("yoy_delta"),
+        F.floor(F.lit(10000.0) * (F.col("revenue") - prev) / prev)
+        .cast("bigint")
+        .alias("yoy_growth_e4"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T_
 
 from .base import register
-from .helpers import T
+from .helpers import T, dsum
 
 
 @register(
@@ -474,4 +474,59 @@ def f11_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ";",
         ).alias("avg_cents_entries"),
+    )
+
+
+_COLLATION_SQL = """
+WITH cased AS (
+  SELECT UPPER(c_mktsegment) AS seg, c_acctbal FROM customer
+  UNION ALL
+  SELECT LOWER(c_mktsegment), c_acctbal FROM customer
+  UNION ALL
+  SELECT UPPER(SUBSTR(c_mktsegment, 1, 1)) || LOWER(SUBSTR(c_mktsegment, 2)),
+         c_acctbal
+  FROM customer)
+SELECT LOWER(seg) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_spellings,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,2))), 2) AS DOUBLE) AS balance
+FROM cased
+GROUP BY 1
+"""
+
+
+@register("x_string_collation", oracle=_COLLATION_SQL, tags=("F1", "A1"), doc="")
+def x_string_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4's `collate(col, 'UTF8_LCASE')` —
+    case-insensitive comparison as a TYPE property, the SQL-standard
+    answer to the lower()-everywhere anti-pattern): three case
+    spellings of every segment (UPPER / lower / Initcap) collapse into
+    one group under the case-insensitive collation — grouping, equality
+    and DISTINCT all follow the collation with ZERO expression rewrites
+    at the use sites. The projection lowercases the group key because a
+    collated group's representative is whichever spelling arrived first
+    (explicitly unspecified — the one thing a collated pipeline must
+    never emit raw); n_spellings = 3 pins that DISTINCT still sees the
+    raw strings when asked. At 100 TB collation-aware grouping hashes
+    the collation key directly — one pass, no derived lower() column
+    materialized through the shuffle. Oracle mirrors with LOWER()
+    normalization, the pre-collation idiom."""
+    c = T(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    cased = (
+        c.select(F.upper("c_mktsegment").alias("seg"), "c_acctbal")
+        .unionAll(c.select(F.lower("c_mktsegment").alias("seg"), "c_acctbal"))
+        .unionAll(c.select(F.initcap(F.lower("c_mktsegment")).alias("seg"), "c_acctbal"))
+    )
+    coll = cased.select(F.collate(F.col("seg"), "UTF8_LCASE").alias("cseg"), "seg", "c_acctbal")
+    return coll.groupBy("cseg").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.collate(F.col("seg"), "UTF8_BINARY")).cast("bigint").alias(
+            "n_spellings"
+        ),
+        dsum("c_acctbal", scale=2).alias("balance"),
+    ).select(
+        F.lower(F.col("cseg").cast("string")).alias("segment"),
+        "n_rows",
+        "n_spellings",
+        "balance",
     )

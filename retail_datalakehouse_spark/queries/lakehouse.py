@@ -1291,3 +1291,48 @@ def s16_fixed_width_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("key_checksum"),
         dsum("price", scale=2).alias("revenue"),
     )
+
+
+_PARAM_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+WHERE o_totalprice > 1000.0
+  AND o_orderdate >= CAST('1995-06-01' AS DATE)
+  AND o_orderpriority <> '5-LOW'
+GROUP BY 1
+"""
+
+
+@register("sql_parameterized", oracle=_PARAM_SQL, tags=("S5", "P2"), doc="")
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAMETERIZED SQL (`spark.sql(query, args=...)` — named-marker
+    binding, Spark 3.4+): the injection-safe templating path every
+    BI/report layer needs; parameters bind as TYPED literals in the
+    parser (visible to constant folding and parquet pushdown exactly
+    like hand-inlined constants — a `:threshold` marker is NOT a
+    late-bound variable that blocks predicate pushdown). Three markers
+    here bind a double, an ISO date string cast to DATE, and a string;
+    the oracle inlines the same constants, so the hash match proves
+    binding is value-transparent. Both positional and named forms are
+    part of the API; named is used because report templates compose.
+    Cf. sql_interface_flagship (the raw SQL surface) — this is its
+    productionized form."""
+    t = T(spark, sf_dir, "orders")
+    t.createOrReplaceTempView("orders_param_v")
+    out = spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE)
+                 AS revenue
+        FROM orders_param_v
+        WHERE o_totalprice > :min_price
+          AND o_orderdate >= CAST(:since AS DATE)
+          AND o_orderpriority <> :excluded
+        GROUP BY 1
+        """,
+        args={"min_price": 1000.0, "since": "1995-06-01", "excluded": "5-LOW"},
+    )
+    return out.select("priority", F.col("n_orders").cast("bigint"), "revenue")

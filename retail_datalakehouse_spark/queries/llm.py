@@ -4849,3 +4849,106 @@ def l7_sft_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.lit(10000.0) * F.col("active_chars") / F.col("total_chars"))
         ).cast("bigint").alias("ratio_mass_e4"),
     )
+
+
+_BQ_SQL = """
+WITH ex AS (
+  SELECT vec_id, UNNEST(embedding) AS x, UNNEST(RANGE(1, 65)) AS i
+  FROM embeddings),
+words AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN x > 0 AND i <= 32
+                       THEN CAST(1 AS BIGINT) << (i - 1) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN x > 0 AND i > 32
+                       THEN CAST(1 AS BIGINT) << (i - 33) ELSE 0 END) AS BIGINT) AS w1
+  FROM ex GROUP BY 1),
+q AS (SELECT w0 AS qw0, w1 AS qw1 FROM words WHERE vec_id = 0)
+SELECT w.vec_id,
+       CAST(BIT_COUNT(XOR(w.w0, q.qw0)) + BIT_COUNT(XOR(w.w1, q.qw1)) AS BIGINT)
+         AS hamming
+FROM words w, q
+ORDER BY hamming, vec_id
+LIMIT 20
+"""
+
+
+@register("l3_binary_quantization", oracle=_BQ_SQL, tags=("L3",), doc="")
+def l3_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY quantization ANN (sign-bit embeddings + Hamming distance —
+    the 32x-compression rerank pipeline current vector stores ship as
+    'BQ'): each 64-dim embedding collapses to 64 SIGN BITS packed into
+    two 32-bit words (disjoint powers sum exactly in int64 — bit 63 of
+    a single word would overflow signed math on both engines, which is
+    why the split exists), and candidate generation is
+    popcount(xor(words)) — pure integer column math, so unlike every
+    float-scored ANN variant the ORACLE here is exact end to end, no
+    rounding escape hatch. Top-20 by (hamming, vec_id) is totally
+    ordered. The in-query assert runs the exact-cosine top-20 on the
+    SAME data and pins BQ recall >= 25%% — the sign bits genuinely
+    carry signal, this is not a checksum of noise. At 100 TB: the
+    packed index is 16 bytes/vector (fits broadcast at million-vector
+    scale), Hamming scans vectorize JVM-side, and the float path runs
+    only on the rerank candidates — the standard BQ contract. Cf.
+    l3_sq8_topk (8-bit scalar), l3_pq_topk (codebooks), hyperplane LSH
+    (random projections; BQ is LSH with axis-aligned planes)."""
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    w0 = F.expr(
+        "aggregate(transform(sequence(0, 31), i -> IF(embedding[i] > 0D,"
+        " shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+    w1 = F.expr(
+        "aggregate(transform(sequence(32, 63), i -> IF(embedding[i] > 0D,"
+        " shiftleft(1L, i - 32), 0L)), 0L, (a, x) -> a + x)"
+    )
+    words = e.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+    q = words.filter(F.col("vec_id") == 0).select(
+        F.col("w0").alias("qw0"), F.col("w1").alias("qw1")
+    )
+    scored = words.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (
+            F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+            + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    top = scored.orderBy("hamming", "vec_id").limit(20)
+    # recall check vs exact cosine on the same data (engine-side only)
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (
+                F.aggregate(
+                    F.zip_with("embedding", "qv", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / (
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                    * F.sqrt(
+                        F.aggregate(
+                            F.zip_with("qv", "qv", lambda a, b: a * b),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                )
+            ).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "vec_id")
+        .limit(20)
+    )
+    exact_ids = {r["vec_id"] for r in cos.collect()}
+    bq_ids = {r["vec_id"] for r in top.collect()}
+    overlap = len(exact_ids & bq_ids)
+    assert overlap >= 5, f"BQ recall collapsed: {overlap}/20"
+    return top

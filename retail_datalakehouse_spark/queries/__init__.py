@@ -473,6 +473,13 @@ _PROMOTE_R11 = [
 #   literals, pushdown-transparent, constants-inlined oracle.
 # x_year_over_year — period-over-period: yearly decimal-exact revenue,
 #   lag delta, basis-point growth floor-quantized.
+# x_unique_constraint — ENFORCED UNIQUE/PK (Delta/Iceberg leave PKs
+#   informational): commit-time snapshot validation, overlap AND
+#   batch-internal dup both abort pre-link, version bit-unchanged;
+#   merge stays legal; O(keys) shuffle per commit.
+# s17_csv_quoted_multiline — RFC-4180 hard mode: quoted commas,
+#   embedded newlines, doubled quotes; byte-lossless round-trip
+#   pinned via exact field lengths; multiLine split-cost noted.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -4697,3 +4697,77 @@ def x_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").cast("bigint").alias("n_orders"),
         F.sum(contrib.cast("bigint")).cast("bigint").alias("chi2_mass_e6"),
     )
+
+
+_UNIQUE_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS priority, o_totalprice AS price
+  FROM orders WHERE o_orderkey < 6000
+  UNION ALL
+  SELECT o_orderkey + 1000000, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey >= 6000 AND o_orderkey < 7000)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_keys,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM base GROUP BY 1
+"""
+
+
+@register("x_unique_constraint", oracle=_UNIQUE_SQL, tags=("S6", "S7"), doc="")
+def x_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENFORCED UNIQUE/PRIMARY KEY constraint (the gap between a
+    warehouse and a lakehouse: Delta/Iceberg/Databricks PK constraints
+    are INFORMATIONAL — duplicate keys silently land; here they
+    cannot): after `add_unique("pk", ["k"])`, a commit that would
+    publish duplicates aborts BEFORE the manifest links — both flavors
+    are pinned in-query: a batch overlapping existing keys, and a batch
+    with an internal duplicate (the case an anti-join-style pre-check
+    misses). The failed commit leaves the table bit-identical (version
+    asserted unchanged). A clean disjoint batch then lands, and MERGE
+    remains legal on overlapping keys because it replaces rather than
+    duplicates. Enforcement costs one key-columns-only shuffle per
+    commit (O(keys), map-side-combined) — the honest price of a PK
+    without an index; row-preserving ops skip it. The oracle recomputes
+    the final relational state; n_distinct_keys == n_rows is the
+    constraint made visible in the output."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_unique_"))
+    t.overwrite(o.filter(F.col("k") < 6000))
+    t.add_unique("pk", ["k"])
+    v_before = t.current_version()
+    from ..sources.constraints import UniqueViolation
+
+    try:  # overlap with existing keys -> abort
+        t.append(o.filter(F.col("k") < 100))
+        raise AssertionError("duplicate keys published under UNIQUE")
+    except UniqueViolation:
+        pass
+    # scale-independent internal-dup probe: keys < 100 always exist
+    dup_batch = o.filter(F.col("k") < 100).select(
+        (F.col("k") + 2000000).alias("k"), "priority", "price"
+    )
+    try:  # batch-internal duplicate -> abort
+        t.append(dup_batch.unionAll(dup_batch.limit(1)))
+        raise AssertionError("batch-internal duplicate published under UNIQUE")
+    except UniqueViolation:
+        pass
+    assert t.current_version() == v_before  # failed commits left no trace
+    late = o.filter((F.col("k") >= 6000) & (F.col("k") < 7000)).select(
+        (F.col("k") + 1000000).alias("k"), "priority", "price"
+    )
+    t.append(late)  # disjoint keys -> lands
+    t.merge(o.filter(F.col("k") < 50), ["k"])  # replace, not duplicate -> legal
+    return t.read().groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("k").cast("bigint").alias("n_distinct_keys"),
+        dsum("price", scale=2).alias("revenue"),
+    )

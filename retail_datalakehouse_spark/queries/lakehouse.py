@@ -1336,3 +1336,68 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         args={"min_price": 1000.0, "since": "1995-06-01", "excluded": "5-LOW"},
     )
     return out.select("priority", F.col("n_orders").cast("bigint"), "revenue")
+
+
+_CSV_MULTILINE_SQL = f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       CAST(SUM(LENGTH(o_orderpriority || ',"x"' || CHR(10) || o_orderstatus))
+            AS BIGINT) AS gnarly_chars,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("s17_csv_quoted_multiline", oracle=_CSV_MULTILINE_SQL, tags=("S1", "S2"), doc="")
+def s17_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV hard mode (quoted fields carrying COMMAS, EMBEDDED
+    NEWLINES, and DOUBLED QUOTES — the cases that break naive
+    line-split readers and real-world exports hit constantly): every
+    order gains a synthetic field containing `,"x"` plus a literal
+    newline, the writer quotes/escapes it per RFC (escape='"' — doubled
+    quotes, not backslashes), and the reader re-ingests with
+    multiLine=True. The aggregate runs on re-parsed fields including
+    the gnarly field's exact LENGTH (newline included), hash-pinned
+    against the raw columns — proving byte-lossless round-trip through
+    the adversarial quoting path. Scale note: multiLine=True is the one
+    CSV option with a real cost — records can span line breaks, so
+    files can't split on newlines and parallelism drops to per-FILE;
+    the write side keeps files small for exactly that reason. Cf.
+    s1/s2 (clean/malformed headers), s14 (corrupt records) — this
+    completes the CSV torture matrix."""
+    import tempfile
+
+    o = T(spark, sf_dir, "orders")
+    gnarly = F.concat(
+        F.col("o_orderpriority"), F.lit(',"x"\n'), F.col("o_orderstatus")
+    )
+    path = tempfile.mkdtemp(prefix="rdl_csvml_")
+    o.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+        gnarly.alias("gnarly"),
+    ).write.mode("overwrite").option("header", True).option("quote", '"').option(
+        "escape", '"'
+    ).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema(
+            "o_orderkey long, o_orderstatus string, o_orderpriority string,"
+            " o_totalprice double, gnarly string"
+        )
+        .csv(path)
+    )
+    return back.groupBy(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        F.sum(F.length("gnarly")).cast("bigint").alias("gnarly_chars"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

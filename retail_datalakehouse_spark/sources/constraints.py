@@ -27,6 +27,31 @@ class ConstraintViolation(ValueError):
     """Raised by enforce() when a batch contains violating rows."""
 
 
+class UniqueViolation(ConstraintViolation):
+    """Raised when a commit would leave duplicate rows under a declared
+    UNIQUE/PRIMARY KEY constraint."""
+
+
+def enforce_unique(df: DataFrame, uniques: Mapping[str, list[str]]) -> None:
+    """Abort if ``df`` (the candidate snapshot) has duplicates under any
+    declared key set. One groupBy per key set, short-circuited with
+    limit(1) — the shuffle only carries the key columns."""
+    for name, cols in uniques.items():
+        dup = (
+            df.groupBy(*cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {c: dup[0][c] for c in cols}
+            raise UniqueViolation(
+                f"unique constraint {name!r} violated: key {key} occurs "
+                f"{dup[0]['n']} times in the candidate snapshot"
+            )
+
+
 def _conds(constraints: Mapping[str, Column | str]) -> dict[str, Column]:
     return {
         name: (F.expr(c) if isinstance(c, str) else c) for name, c in constraints.items()

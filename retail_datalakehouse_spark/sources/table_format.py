@@ -590,6 +590,24 @@ class VersionedTable:
                     },
                 },
             )
+        # UNIQUE/PK is a SNAPSHOT property, not row-local: validate the
+        # candidate snapshot's key sets before publishing. Row-preserving
+        # ops can't introduce duplicates. Cost is one key-columns-only
+        # shuffle per declared key — the price warehouses pay with an
+        # index and Delta/Iceberg simply don't pay (they don't enforce).
+        uniques = self._manifest(parent).get("uniques") if parent else None
+        if uniques and op not in ("delete", "compact", "restore"):
+            from .constraints import enforce_unique
+
+            # For materializing commits ``df`` IS the candidate snapshot;
+            # for incremental (AddFile-only) commits ``df`` is just the
+            # new rows, so the candidate is parent-snapshot UNION df —
+            # still one key-columns-only shuffle (keys project before
+            # the groupBy prunes everything else at the scan).
+            candidate = df
+            if base is not None and parent is not None:
+                candidate = self.read_version(parent).select(*df.columns).unionByName(df)
+            enforce_unique(candidate, uniques)
         token = uuid.uuid4().hex[:8]
         data_dirname = f"_v{v}-{token}"
         data_dir = os.path.join(self.path, data_dirname)
@@ -674,6 +692,8 @@ class VersionedTable:
             entry["hidden_partition"] = hidden_partition
         if checks:
             entry["checks"] = checks
+        if uniques:
+            entry["uniques"] = uniques
         if generated:
             entry["generated"] = generated
         # identity high watermarks: updated by identity appends, carried
@@ -1157,6 +1177,7 @@ class VersionedTable:
                     else {}
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **({"uniques": p_entry["uniques"]} if p_entry.get("uniques") else {}),
                 **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
@@ -1759,6 +1780,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"uniques": p_entry["uniques"]}
+                    if p_entry.get("uniques")
+                    else {}
+                ),
+                **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
                     else {}
@@ -2151,6 +2177,7 @@ class VersionedTable:
                     else {}
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **({"uniques": p_entry["uniques"]} if p_entry.get("uniques") else {}),
                 **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
@@ -2338,6 +2365,7 @@ class VersionedTable:
                     else {}
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **({"uniques": p_entry["uniques"]} if p_entry.get("uniques") else {}),
                 **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
@@ -2586,6 +2614,7 @@ class VersionedTable:
                     else {}
                 ),
                 **({"checks": p_entry["checks"]} if p_entry.get("checks") else {}),
+                **({"uniques": p_entry["uniques"]} if p_entry.get("uniques") else {}),
                 **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
@@ -4048,6 +4077,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"uniques": p_entry["uniques"]}
+                    if p_entry.get("uniques")
+                    else {}
+                ),
+                **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
                     else {}
@@ -4207,6 +4241,58 @@ class VersionedTable:
             checks[name] = expr
             v = self._link_metadata_commit(
                 entry, parent, "add_check", {"checks": checks}
+            )
+            if v is not None:
+                return v
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
+    def add_unique(self, name: str, cols: list[str]) -> int:
+        """``ALTER TABLE ADD CONSTRAINT name UNIQUE (cols)`` — the PK
+        enforcement Delta and Iceberg DECLARE but do not enforce
+        (Databricks PK constraints are informational; warehouses pay an
+        index). Here it is table metadata enforced at COMMIT time
+        against the candidate snapshot: any commit that would publish
+        duplicate keys aborts with :class:`UniqueViolation` before the
+        manifest links, costing one key-columns-only shuffle per commit
+        (row-preserving ops — delete/compact/restore — skip it). The
+        existing snapshot must already be unique, validated here with
+        the same check."""
+        from .constraints import enforce_unique
+
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            entry = self._manifest(parent)
+            cur_cols = self._logical_columns(entry)
+            missing = [c for c in cols if c not in cur_cols]
+            if missing:
+                raise ValueError(f"unique constraint on unknown columns {missing}")
+            uniques = dict(entry.get("uniques", {}))
+            if name in uniques:
+                raise ValueError(f"constraint {name!r} already exists")
+            enforce_unique(self.read_version(parent), {name: list(cols)})
+            uniques[name] = list(cols)
+            v = self._link_metadata_commit(
+                entry, parent, "add_unique", {"uniques": uniques}
+            )
+            if v is not None:
+                return v
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
+    def drop_unique(self, name: str) -> int:
+        """Drop a UNIQUE constraint (metadata-only commit)."""
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            entry = self._manifest(parent)
+            uniques = dict(entry.get("uniques", {}))
+            if name not in uniques:
+                raise ValueError(f"no unique constraint {name!r}")
+            del uniques[name]
+            v = self._link_metadata_commit(
+                entry, parent, "drop_unique", {"uniques": uniques}
             )
             if v is not None:
                 return v

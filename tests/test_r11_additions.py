@@ -216,3 +216,39 @@ def test_lttb_keeps_endpoints_and_extremes(spark):
     # short series pass through whole
     short = pd.DataFrame([(1, 100), (2, 200)], columns=["x", "cents"])
     assert len(lttb_pandas(short, "x", "cents", buckets=6)) == 2
+
+
+def test_unique_constraint_lifecycle(spark):
+    from retail_datalakehouse_spark.sources.constraints import UniqueViolation
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_uq_test_"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    # existing snapshot must already be unique
+    t2 = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_uq_dup_"))
+    t2.overwrite(spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string"))
+    try:
+        t2.add_unique("pk", ["k"])
+        raise AssertionError("added UNIQUE over duplicate data")
+    except UniqueViolation:
+        pass
+    t.add_unique("pk", ["k"])
+    try:
+        t.add_unique("pk", ["v"])
+        raise AssertionError("duplicate constraint name accepted")
+    except ValueError:
+        pass
+    # constraint survives unrelated commits (carried by the manifest)
+    t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+    try:
+        t.append(spark.createDataFrame([(3, "dup")], "k long, v string"))
+        raise AssertionError("duplicate published after a carry commit")
+    except UniqueViolation:
+        pass
+    # merge on an existing key replaces, never duplicates -> legal
+    t.merge(spark.createDataFrame([(3, "c2")], "k long, v string"), ["k"])
+    assert {r["v"] for r in t.read().filter("k = 3").collect()} == {"c2"}
+    # drop lifts enforcement
+    t.drop_unique("pk")
+    t.append(spark.createDataFrame([(3, "now-legal")], "k long, v string"))
+    assert t.read().filter("k = 3").count() == 2

@@ -480,6 +480,9 @@ _PROMOTE_R11 = [
 # s17_csv_quoted_multiline — RFC-4180 hard mode: quoted commas,
 #   embedded newlines, doubled quotes; byte-lossless round-trip
 #   pinned via exact field lengths; multiLine split-cost noted.
+# t30_stream_m4 — streaming M4 dashboard feed: min_by/max_by as
+#   incrementally-updatable window state (5 numbers per series),
+#   total-order composite key for first/last determinism.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

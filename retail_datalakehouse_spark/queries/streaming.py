@@ -2455,3 +2455,65 @@ def t29_stream_delta_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_STREAM_M4_SQL = """
+WITH e AS (
+  SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+         event_type, value,
+         LPAD(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+           || LPAD(CAST(event_id AS VARCHAR), 12, '0') AS okey
+  FROM events WHERE value IS NOT NULL)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(ARG_MIN(value, okey) AS DOUBLE) AS v_first,
+       CAST(MIN(value) AS DOUBLE) AS v_min,
+       CAST(MAX(value) AS DOUBLE) AS v_max,
+       CAST(ARG_MAX(value, okey) AS DOUBLE) AS v_last
+FROM e GROUP BY 1, 2
+"""
+
+
+@register("t30_stream_m4", oracle=_STREAM_M4_SQL, tags=("T2", "A1"), doc="")
+def t30_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING M4 downsampling (the live-dashboard feed: each window's
+    each window's first/min/max/last rendered as the stream runs — x_m4_downsample's
+    batch quadruple moved into Structured Streaming): min_by/max_by are
+    declarative aggregates, so the SAME associative M4 state that made
+    the batch form one partial-agg pass makes the streaming form an
+    incrementally-updatable window state — 4 values + a count per
+    (window, series), updated per micro-batch, no retained rows. Event
+    order inside a micro-batch is not arrival order, so first/last pin
+    to a TOTAL order (epoch-micros + event_id composite key — the
+    padded-string trick because DuckDB's arg_min can't order by
+    structs). Stream ≡ batch when drained (AvailableNow): the oracle is
+    the batch rewrite. At 100 TB/day the dashboard state is
+    windows x series x 5 numbers — constant per series regardless of
+    event rate, the whole point of M4."""
+    stream = events_stream(spark, sf_dir).filter(F.col("value").isNotNull())
+    okey = F.concat(
+        F.format_string("%020d", F.unix_micros(F.col("ts"))),
+        F.format_string("%012d", F.col("event_id")),
+    )
+    agg = (
+        stream.withColumn("okey", okey)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min_by("value", "okey").alias("v_first"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max_by("value", "okey").alias("v_last"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_points",
+            "v_first",
+            "v_min",
+            "v_max",
+            "v_last",
+        )
+    )
+    sink = run_to_memory(agg, output_mode="complete")
+    return spark.table(sink)

@@ -255,6 +255,22 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "calibration bins must partial-aggregate (10-bin reduce)"),
     ("f10_try_arithmetic", "EvalPython", False,
      "try_* error handling is JVM-side, costs nothing over unchecked"),
+    ("x_fifo_allocation", "partial", True,
+     "FIFO running sums partial-aggregate; the interval join stays "
+     "part-co-partitioned"),
+    ("x_bitmap_intersect", "EvalPython", False,
+     "bitmap packing and popcount(xor) are pure JVM bit math"),
+    ("x_weighted_median", "partial", True,
+     "per-value weight collapse must partial-aggregate before the "
+     "cumulative window walks distinct values"),
+    ("l3_binary_quantization", "BroadcastNestedLoopJoin", True,
+     "the 1-row query-word side broadcasts (a broadcast of 16 bytes, "
+     "the BQ contract: packed index scans stay local)"),
+    ("s16_fixed_width_ingest", "EvalPython", False,
+     "substring carving is codegen column math, not a UDF"),
+    ("x_event_pattern_match", "partial", True,
+     "per-user symbol-string reduction partial-aggregates; regexes "
+     "run per user-string, never per event"),
 ]
 
 

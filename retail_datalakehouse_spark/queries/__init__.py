@@ -483,6 +483,12 @@ _PROMOTE_R11 = [
 # t30_stream_m4 — streaming M4 dashboard feed: min_by/max_by as
 #   incrementally-updatable window state (5 numbers per series),
 #   total-order composite key for first/last determinism.
+# x_subject_access_report — GDPR Art.15 SAR: four point-lookup legs
+#   (pushed filters, broadcast semi-join), the access verb beside
+#   vacuum_gdpr (erasure) and pseudonymize (minimization).
+# x_cdc_scd2_apply — CDF -> SCD2 maintenance: per-version feeds union
+#   into one event log, lead() closes intervals, deletes terminate;
+#   O(|changes|), no snapshot diff, no driver loop.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

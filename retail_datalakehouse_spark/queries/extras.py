@@ -4771,3 +4771,147 @@ def x_unique_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("k").cast("bigint").alias("n_distinct_keys"),
         dsum("price", scale=2).alias("revenue"),
     )
+
+
+_SAR_SQL = """
+SELECT 'profile' AS section, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,2))), 2) AS DOUBLE) AS amount,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+FROM customer WHERE c_custkey = 7
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE),
+       CAST(SUM(o_orderkey) AS BIGINT)
+FROM orders WHERE o_custkey = 7
+UNION ALL
+SELECT 'lineitems', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(25,2))), 2) AS DOUBLE),
+       CAST(SUM(l.l_orderkey) AS BIGINT)
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey = 7
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       CAST(ROUND(SUM(CAST(COALESCE(value, 0) AS DECIMAL(25,2))), 2) AS DOUBLE),
+       CAST(SUM(event_id) AS BIGINT)
+FROM events WHERE user_id = 7
+"""
+
+
+@register("x_subject_access_report", oracle=_SAR_SQL, tags=("P4", "J2"), doc="")
+def x_subject_access_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR SUBJECT ACCESS REPORT (Art. 15 — "give me everything you
+    hold about me"): one data subject's rows gathered across FOUR
+    tables (profile, orders, their line items, their events) into a
+    sectioned report. The compliance pair of x_vacuum_gdpr (erasure)
+    and x_pseudonymize_join (minimization): access, erasure, and
+    minimization are the three verbs a lakehouse owes every subject.
+    Shape: each leg is a POINT LOOKUP — the subject-key predicate
+    reaches the parquet scan as a pushed filter (plan-audited), so at
+    100 TB each leg reads only row groups whose min/max straddle the
+    key; on VersionedTable storage the same lookups ride the bloom
+    sidecars (x_point_lookup_bloom) and file-skipping stats
+    (x_file_skipping) instead of any full scan. The lineitem leg
+    pushes the subject filter through a join — Catalyst turns it into
+    a dynamic semi-join on the tiny matched-orders side. A SAR must be
+    cheap, or it gets batched monthly; this one is O(matched rows)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") == 7)
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+    li = T(spark, sf_dir, "lineitem").join(
+        F.broadcast(o.select("o_orderkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    e = T(spark, sf_dir, "events").filter(F.col("user_id") == 7)
+
+    def leg(df, name, amount_col, key_col):
+        return df.agg(
+            F.lit(name).alias("section"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col(amount_col).cast("decimal(25,2)")), 2)
+            .cast("double")
+            .alias("amount"),
+            F.sum(key_col).cast("bigint").alias("key_checksum"),
+        )
+    legs = [
+        leg(c, "profile", "c_acctbal", "c_custkey"),
+        leg(o, "orders", "o_totalprice", "o_orderkey"),
+        leg(li, "lineitems", "l_extendedprice", "l_orderkey"),
+        leg(e.withColumn("v0", F.coalesce(F.col("value"), F.lit(0.0))), "events", "v0", "event_id"),
+    ]
+    out = legs[0]
+    for df in legs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+_CDC_SCD2_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg FROM customer WHERE c_custkey < 2000),
+st AS (
+  SELECT k, seg,
+         (k % 3 = 0) AS u2, (k % 5 = 0) AS u3, (k % 7 = 0) AS del
+  FROM base),
+rows_ AS (
+  SELECT seg AS segment, (u2 OR u3 OR del) AS closed, k FROM st
+  UNION ALL
+  SELECT 'PROMO-A', (u3 OR del), k FROM st WHERE u2
+  UNION ALL
+  SELECT 'PROMO-B', del, k FROM st WHERE u3)
+SELECT segment,
+       CAST(COUNT(*) FILTER (WHERE NOT closed) AS BIGINT) AS n_current,
+       CAST(COUNT(*) FILTER (WHERE closed) AS BIGINT) AS n_closed,
+       CAST(COALESCE(SUM(k) FILTER (WHERE NOT closed), 0) AS BIGINT)
+         AS current_key_checksum
+FROM rows_ GROUP BY 1
+"""
+
+
+@register("x_cdc_scd2_apply", oracle=_CDC_SCD2_SQL, tags=("S7", "W2"), doc="")
+def x_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC -> SCD2 dimension maintenance (the flagship mart pattern:
+    a type-2 dimension maintained FROM a table's own change-data feed,
+    Delta CDF -> dbt snapshot): the source dim commits an initial load,
+    two promo reassignments (plain merges), and a churn delete — each
+    with write-time CDF recording — and the SCD2 build consumes ONLY
+    `changes_feed` deltas, never a snapshot diff. The apply is
+    driver-loop-free: all per-version feeds union into one event log,
+    insert/update_postimage events OPEN intervals, deletes TERMINATE,
+    and a single lead() window per key assigns each interval its close
+    version — O(|changes|) total, the property that makes nightly dim
+    maintenance affordable at 100 TB (the alternative — diff two
+    snapshots per night — reads the world twice). Preimages are
+    deliberately skipped: the postimage chain IS the history. The
+    oracle derives the expected interval inventory piecewise from the
+    deterministic promo/churn rules."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    base = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 2000).select(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("seg")
+    )
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_cdcscd2_"), record_cdf=True, cdf_keys=["k"]
+    )
+    t.append(base)                                                    # v1 initial load
+    t.merge(base.filter(F.col("k") % 3 == 0).select("k", F.lit("PROMO-A").alias("seg")), ["k"])
+    t.merge(base.filter(F.col("k") % 5 == 0).select("k", F.lit("PROMO-B").alias("seg")), ["k"])
+    t.delete(F.col("k") % 7 == 0)                                     # v4 churn
+    vs = sorted(t._versions())
+    log = None
+    for prev, v in zip([0, *vs[:-1]], vs):
+        feed = t.changes_feed(prev, v).withColumn("v", F.lit(v))
+        log = feed if log is None else log.unionByName(feed)
+    events = log.filter(F.col("_change_type") != "update_preimage").select(
+        "k",
+        F.when(F.col("_change_type") == "delete", F.lit(None)).otherwise(F.col("seg")).alias("seg"),
+        "v",
+    )
+    to_v = F.lead("v").over(Window.partitionBy("k").orderBy("v"))
+    scd = events.withColumn("to_v", to_v).filter(F.col("seg").isNotNull())
+    return scd.groupBy(F.col("seg").alias("segment")).agg(
+        F.sum(F.col("to_v").isNull().cast("int")).cast("bigint").alias("n_current"),
+        F.sum(F.col("to_v").isNotNull().cast("int")).cast("bigint").alias("n_closed"),
+        F.coalesce(F.sum(F.when(F.col("to_v").isNull(), F.col("k"))), F.lit(0))
+        .cast("bigint")
+        .alias("current_key_checksum"),
+    )

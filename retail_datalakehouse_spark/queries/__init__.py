@@ -489,6 +489,11 @@ _PROMOTE_R11 = [
 # x_cdc_scd2_apply — CDF -> SCD2 maintenance: per-version feeds union
 #   into one event log, lead() closes intervals, deletes terminate;
 #   O(|changes|), no snapshot diff, no driver loop.
+# l4_readability — Flesch Reading Ease: vowel-group syllables, integer
+#   inputs, centipoint-floored scores; 'very difficult' filter leg.
+# l6_pass_at_k — HumanEval unbiased pass@k (Chen et al. 2021): the
+#   binomial ratio as k unrolled exact-integer fractions, degenerate
+#   n-c<k case pinned to 1.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

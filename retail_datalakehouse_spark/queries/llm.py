@@ -4952,3 +4952,149 @@ def l3_binary_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = len(exact_ids & bq_ids)
     assert overlap >= 5, f"BQ recall collapsed: {overlap}/20"
     return top
+
+
+_READABILITY_SQL = """
+WITH m AS (
+  SELECT lang,
+         CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS words,
+         CAST(LEN(REGEXP_EXTRACT_ALL(text, '[aeiouy]+')) AS BIGINT) AS syllables,
+         CAST(GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]')), 1) AS BIGINT)
+           AS sentences
+  FROM documents),
+scored AS (
+  SELECT lang, words, syllables, sentences,
+         CAST(FLOOR(100.0 * (206.835
+                    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+                    - 84.6 * (CAST(syllables AS DOUBLE) / words))) AS BIGINT)
+           AS flesch_e2
+  FROM m WHERE words > 0)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(words) AS BIGINT) AS total_words,
+       CAST(SUM(syllables) AS BIGINT) AS total_syllables,
+       CAST(SUM(flesch_e2) AS BIGINT) AS flesch_mass_e2,
+       CAST(COUNT(*) FILTER (WHERE flesch_e2 < 3000) AS BIGINT) AS n_hard_docs
+FROM scored GROUP BY 1
+"""
+
+
+@register("l4_readability", oracle=_READABILITY_SQL, tags=("L4",), doc="")
+def l4_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring (Flesch Reading Ease — the named formula
+    behind "grade level" corpus filters; C4 and friends gate on
+    adjacent heuristics): 206.835 - 1.015*(words/sentence) -
+    84.6*(syllables/word), with syllables approximated by VOWEL-GROUP
+    counting ([aeiouy]+ runs — the standard cheap estimator) and
+    sentence count floored at 1 (fragments still score). All three
+    inputs are INTEGER regex/split counts; the two ratios divide
+    identical exact integers (IEEE-identical doubles), and the score is
+    floor-quantized to centipoints BEFORE the per-language sum, so no
+    float mass accumulates. The filter leg (n_hard_docs: score < 30 =
+    'very difficult') is the gate a curriculum or quality mixture would
+    consume. One map-side pass, per-language reduce; regex cost scales
+    with corpus bytes — the same scan l4_text_stats already pays, where
+    this would ride as extra columns in production."""
+    d = T(spark, sf_dir, "documents")
+    words = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    syll = F.size(F.regexp_extract_all("text", F.lit("[aeiouy]+"), 0)).cast("bigint")
+    sents = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("[.!?]"), 0)).cast("bigint"), F.lit(1)
+    )
+    m = d.select("lang", words.alias("words"), syll.alias("syllables"), sents.alias("sentences"))
+    flesch = F.floor(
+        F.lit(100.0)
+        * (
+            F.lit(206.835)
+            - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences"))
+            - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words"))
+        )
+    ).cast("bigint")
+    scored = m.filter(F.col("words") > 0).withColumn("flesch_e2", flesch)
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").cast("bigint").alias("total_words"),
+        F.sum("syllables").cast("bigint").alias("total_syllables"),
+        F.sum("flesch_e2").cast("bigint").alias("flesch_mass_e2"),
+        F.sum((F.col("flesch_e2") < 3000).cast("int")).cast("bigint").alias("n_hard_docs"),
+    )
+
+
+_PASS_AT_K_SQL = """
+WITH tasks AS (
+  SELECT o_orderpriority AS priority,
+         CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) FILTER (WHERE o_orderkey % 4 = 0) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+est AS (
+  SELECT priority, n, c,
+         CAST(FLOOR(1000000.0 * CAST(c AS DOUBLE) / n) AS BIGINT) AS pass1_e6,
+         CASE WHEN n - c >= 5 THEN
+           CAST(FLOOR(1000000.0 * (1.0 -
+             CAST(n - c - 0 AS DOUBLE) / (n - 0)
+             * (CAST(n - c - 1 AS DOUBLE) / (n - 1))
+             * (CAST(n - c - 2 AS DOUBLE) / (n - 2))
+             * (CAST(n - c - 3 AS DOUBLE) / (n - 3))
+             * (CAST(n - c - 4 AS DOUBLE) / (n - 4)))) AS BIGINT)
+         ELSE 1000000 END AS pass5_e6
+  FROM tasks WHERE n >= 5)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_tasks,
+       CAST(SUM(pass1_e6) AS BIGINT) AS pass1_mass_e6,
+       CAST(SUM(pass5_e6) AS BIGINT) AS pass5_mass_e6,
+       CAST(COUNT(*) FILTER (WHERE c = n) AS BIGINT) AS n_saturated
+FROM est GROUP BY 1
+"""
+
+
+@register("l6_pass_at_k", oracle=_PASS_AT_K_SQL, tags=("L6",), doc="")
+def l6_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (the UNBIASED estimator from the HumanEval/Codex paper —
+    Chen et al. 2021, eq. 1: 1 - C(n-c,k)/C(n,k)): THE metric for
+    sampled code/reasoning evals, and famously miscomputed by the
+    naive 1-(1-c/n)^k plug-in. The binomial ratio telescopes into
+    k exact-integer fractions — Π (n-c-i)/(n-i), i<k — unrolled here
+    literally (k=5), left-associated, each factor an IEEE division of
+    exact integers, so both engines walk the identical float sequence
+    and the floor-e6 quantization can never straddle. Degenerate cases
+    pinned: n-c < k means some k-subset must contain a pass (pass@k=1,
+    the CASE guard — exactly where the plug-in formula is most wrong),
+    saturated tasks (c=n) counted. One partial-agg pass builds per-task
+    (n, c); the estimator runs on the tiny task grid. In a real eval
+    pipeline the samples are model generations and `correct` is a test
+    harness verdict — the shape is identical."""
+    o = T(spark, sf_dir, "orders")
+    tasks = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("o_orderkey") % 4 == 0).cast("int")).cast("bigint").alias("c"),
+    ).filter(F.col("n") >= 5)
+    n, c = F.col("n"), F.col("c")
+    prod = (
+        ((n - c - 0).cast("double") / (n - 0))
+        * ((n - c - 1).cast("double") / (n - 1))
+        * ((n - c - 2).cast("double") / (n - 2))
+        * ((n - c - 3).cast("double") / (n - 3))
+        * ((n - c - 4).cast("double") / (n - 4))
+    )
+    est = tasks.select(
+        "priority",
+        "n",
+        "c",
+        F.floor(F.lit(1000000.0) * c.cast("double") / n).cast("bigint").alias("pass1_e6"),
+        F.when(
+            n - c >= 5,
+            F.floor(F.lit(1000000.0) * (F.lit(1.0) - prod)).cast("bigint"),
+        )
+        .otherwise(F.lit(1000000))
+        .alias("pass5_e6"),
+    )
+    return est.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum("pass1_e6").cast("bigint").alias("pass1_mass_e6"),
+        F.sum("pass5_e6").cast("bigint").alias("pass5_mass_e6"),
+        F.sum((F.col("c") == F.col("n")).cast("int")).cast("bigint").alias("n_saturated"),
+    )

@@ -494,6 +494,14 @@ _PROMOTE_R11 = [
 # l6_pass_at_k — HumanEval unbiased pass@k (Chen et al. 2021): the
 #   binomial ratio as k unrolled exact-integer fractions, degenerate
 #   n-c<k case pinned to 1.
+# x_keyset_pagination — seek-method paging: row-value cursor predicate
+#   pushed to the scan + TakeOrderedAndProject; O(page), depth-constant
+#   (the OFFSET replacement).
+# x_percent_of_total — RATIO_TO_REPORT: window share over the tiny
+#   aggregate grid, exact-decimal year totals, floor-e6 shares.
+# l3_filtered_topk — filtered vector search (pre-filter strategy):
+#   predicate prunes before exact scoring, k guaranteed; decision rule
+#   vs IVF post-filter over-fetch documented.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2580,3 +2580,57 @@ def x_year_over_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("yoy_growth_e4"),
     )
+
+
+_SHARE_SQL = """
+WITH yearly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(YEAR(CAST(o_orderdate AS DATE)) AS INT) AS yr,
+         CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1, 2)
+SELECT priority, yr, revenue,
+       CAST(FLOOR(1000000.0 * revenue /
+                  CAST(SUM(CAST(revenue AS DECIMAL(25,2))) OVER (PARTITION BY yr)
+                       AS DOUBLE)) AS BIGINT) AS share_e6,
+       CAST(RANK() OVER (PARTITION BY yr ORDER BY revenue DESC, priority) AS BIGINT)
+         AS rank_in_year
+FROM yearly
+"""
+
+
+@register("x_percent_of_total", oracle=_SHARE_SQL, tags=("W1", "A1"), doc="")
+def x_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total / RATIO_TO_REPORT (the share-of-wallet column
+    on every finance report): each priority's slice of its year's
+    revenue, plus its rank within the year. The denominator is a
+    WINDOW sum over the already-aggregated (priority x year) grid — the
+    facts are touched once by the partial-aggregated groupBy, and the
+    share math runs on 35 rows; the anti-pattern this replaces is a
+    self-join of the aggregate against its own rollup (a second
+    shuffle). Yearly revenues are exact decimal sums (identical doubles
+    cross-engine); the year total is an exact DECIMAL window sum
+    (float summation order never enters), and the share is floor-e6
+    quantized on identical doubles. Rank ties
+    break on the priority string: total order."""
+    o = T(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate").cast("date")).cast("int").alias("yr"),
+    ).agg(dsum("o_totalprice", scale=2).alias("revenue"))
+    wy = Window.partitionBy("yr")
+    return yearly.select(
+        "priority",
+        "yr",
+        "revenue",
+        F.floor(
+            F.lit(1000000.0)
+            * F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(25,2)")).over(wy).cast("double")
+        )
+        .cast("bigint")
+        .alias("share_e6"),
+        F.rank()
+        .over(wy.orderBy(F.desc("revenue"), "priority"))
+        .cast("bigint")
+        .alias("rank_in_year"),
+    )

@@ -5098,3 +5098,72 @@ def l6_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pass5_e6").cast("bigint").alias("pass5_mass_e6"),
         F.sum((F.col("c") == F.col("n")).cast("int")).cast("bigint").alias("n_saturated"),
     )
+
+
+_FILTERED_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         CAST(UNNEST(e.embedding) AS DOUBLE) AS x,
+         CAST(UNNEST((SELECT qv FROM q)) AS DOUBLE) AS y
+  FROM embeddings e
+  WHERE e.label IN (2, 5, 7)),
+agg AS (
+  SELECT vec_id, label,
+         SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))) AS cs
+  FROM scored GROUP BY 1, 2)
+SELECT vec_id, CAST(label AS BIGINT) AS label, ROUND(cs, 6) AS cos_sim
+FROM agg
+ORDER BY cos_sim DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("l3_filtered_topk", oracle=_FILTERED_TOPK_SQL, tags=("L3", "P2"), doc="")
+def l3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (metadata predicate + ANN — the feature
+    current vector stores market hardest, because a post-filtered index
+    probe silently returns FEWER than k when the filter is selective):
+    top-10 cosine neighbors among vectors whose label passes the
+    predicate. Strategy here is PRE-FILTER: the predicate prunes BEFORE
+    scoring — pushed to the parquet scan like any relational filter —
+    then exact scoring runs on survivors only, so k results are
+    guaranteed and recall is exact by construction. The decision rule
+    at scale: pre-filter + brute force when selectivity is high (the
+    filter does the heavy lifting; the scan is the cost you were
+    already paying), IVF-probe + post-filter + over-fetch when the
+    filter is weak (l3_ivf_topk's partition-pruned path with k
+    inflated by 1/selectivity). The oracle shares the repo's
+    established cosine determinism treatment (ROUND 6, vec_id
+    tie-break — l3_topk_cosine's precedent, driver-green since r4)."""
+    e = T(spark, sf_dir, "embeddings").filter(F.col("label").isin(2, 5, 7))
+    qv = (
+        T(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qv"))
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nx = F.sqrt(
+        F.aggregate(
+            F.zip_with("embedding", "embedding", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    ny = F.sqrt(
+        F.aggregate(
+            F.zip_with("qv", "qv", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(dot / (nx * ny), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )

@@ -702,3 +702,37 @@ def x_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cust_bal",
         "supp_bal",
     )
+
+
+_KEYSET_SQL = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE (CAST(o_orderdate AS DATE) > DATE '1996-03-15')
+   OR (CAST(o_orderdate AS DATE) = DATE '1996-03-15' AND o_orderkey > 1234)
+ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+LIMIT 25
+"""
+
+
+@register("x_keyset_pagination", oracle=_KEYSET_SQL, tags=("O1", "P2"), doc="")
+def x_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYSET (seek-method) pagination — the scale-correct replacement
+    for OFFSET: `OFFSET 1e9 LIMIT 25` must SORT AND DISCARD a billion
+    rows on every page, while the keyset form turns the cursor
+    (last_date, last_key) into a sargable ROW-VALUE predicate
+    `(date, key) > (:d, :k)` that reaches the parquet scan as a pushed
+    filter, and the LIMIT compiles to TakeOrderedAndProject (a
+    bounded heap per partition + one tiny merge — plan-audited). Page
+    cost is O(page + scan-of-pruned-files) and CONSTANT in page depth;
+    the total (date, key) order makes pages stable and gap-free across
+    concurrent appends upstream of the cursor. This is how every
+    export/scroll API over a 100 TB table has to paginate."""
+    o = T(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    cursor_d, cursor_k = F.lit("1996-03-15").cast("date"), F.lit(1234)
+    page = (
+        o.filter((d > cursor_d) | ((d == cursor_d) & (F.col("o_orderkey") > cursor_k)))
+        .orderBy(d, "o_orderkey")
+        .limit(25)
+    )
+    return page.select("o_orderkey", "o_orderdate", "o_totalprice")

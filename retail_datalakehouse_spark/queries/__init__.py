@@ -502,6 +502,9 @@ _PROMOTE_R11 = [
 # l3_filtered_topk — filtered vector search (pre-filter strategy):
 #   predicate prunes before exact scoring, k guaranteed; decision rule
 #   vs IVF post-filter over-fetch documented.
+# x_default_columns — DEFAULT column values (the trio's third leg
+#   beside generated/identity): absence fills at write time, explicit
+#   NULL stays NULL, backfill on add, drop restores absence->NULL.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

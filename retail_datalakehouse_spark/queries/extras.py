@@ -4915,3 +4915,76 @@ def x_cdc_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("current_key_checksum"),
     )
+
+
+_DEFAULTS_SQL = """
+WITH eff AS (
+  SELECT o_orderkey AS k, o_totalprice AS price,
+         CASE WHEN o_orderkey < 6000 THEN 'STORE'          -- backfill + fill
+              WHEN o_orderkey < 7000 THEN 'WEB'            -- explicit value
+              WHEN o_orderkey < 8000 THEN 'NONE'           -- explicit NULL stays NULL
+              WHEN o_orderkey < 9000 THEN 'NONE'           -- post-drop absence -> NULL
+         END AS channel
+  FROM orders WHERE o_orderkey < 9000)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS BIGINT) AS key_checksum,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM eff GROUP BY 1
+"""
+
+
+@register("x_default_columns", oracle=_DEFAULTS_SQL, tags=("S6", "S7"), doc="")
+def x_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEFAULT column values (Delta `ALTER TABLE ADD COLUMN ... DEFAULT`
+    — the column-metadata trio's third leg beside GENERATED (computed,
+    refuses explicit values) and IDENTITY (table-assigned)): after
+    `add_default("channel", "'STORE'")`, a batch arriving WITHOUT the
+    column takes the default at write time, a batch carrying an
+    EXPLICIT value keeps it, and — the SQL-standard contract the naive
+    read-side coalesce() gets wrong — an explicit NULL STAYS NULL: only
+    absence fills. The add backfills existing rows in the same commit;
+    `drop_default` restores absence -> NULL. Four batches walk all four
+    behaviors, and the final aggregate hash-pins them against the
+    oracle's piecewise CASE. At scale the fill is a write-side
+    projection on the O(batch) AddFile path (pre-filled before the
+    schema comparison, so defaulted tables keep incremental appends —
+    same mechanism as generated columns)."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_defaults_"))
+    t.overwrite(o.filter(F.col("k") < 5000))
+    t.add_default("channel", "'STORE'")  # NEW column: backfill + future fill
+    t.append(o.filter((F.col("k") >= 5000) & (F.col("k") < 6000)))  # absent -> STORE
+    t.append(
+        o.filter((F.col("k") >= 6000) & (F.col("k") < 7000)).withColumn(
+            "channel", F.lit("WEB")
+        )
+    )  # explicit value kept
+    t.append(
+        o.filter((F.col("k") >= 7000) & (F.col("k") < 8000)).withColumn(
+            "channel", F.lit(None).cast("string")
+        )
+    )  # explicit NULL stays NULL
+    t.drop_default("channel")
+    # absent -> NULL again; without the default the narrow batch needs
+    # explicit schema-merge consent (absence is a drift once nothing
+    # fills it — the append contract, unchanged)
+    t.append(
+        o.filter((F.col("k") >= 8000) & (F.col("k") < 9000)), merge_schema=True
+    )
+    return (
+        t.read()
+        .select(F.coalesce(F.col("channel"), F.lit("NONE")).alias("channel"), "k", "price")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+            dsum("price", scale=2).alias("revenue"),
+        )
+    )

@@ -532,6 +532,7 @@ class VersionedTable:
         hidden_partition: dict | None = None,
         file_granular: bool = False,
         generated_update: dict | None = None,
+        defaults_update: dict | None = None,
     ) -> int:
         """Stage the snapshot in a private dir, then CAS the manifest for
         version parent+1. Raises :class:`CommitConflict` (after cleaning
@@ -562,6 +563,20 @@ class VersionedTable:
         # MATCH the expression (null-safe) — enforced below with the same
         # constraints plumbing as CHECKs, so an explicit wrong value
         # aborts the commit before it publishes.
+        # DEFAULT column values (Delta ADD COLUMN ... DEFAULT): a batch
+        # lacking a defaulted column takes the default AT WRITE TIME (an
+        # explicit NULL stays NULL — only absence fills), so the stored
+        # rows are always complete and the read path needs no per-file
+        # schema bookkeeping.
+        defaults = defaults_update if defaults_update is not None else (
+            (self._manifest(parent).get("defaults") if parent else None) or {}
+        )
+        if defaults:
+            from pyspark.sql import functions as F
+
+            for _c, _e in defaults.items():
+                if _c not in df.columns:
+                    df = df.withColumn(_c, F.expr(_e))
         generated = generated_update if generated_update is not None else (
             (self._manifest(parent).get("generated") if parent else None) or {}
         )
@@ -696,6 +711,8 @@ class VersionedTable:
             entry["uniques"] = uniques
         if generated:
             entry["generated"] = generated
+        if defaults:
+            entry["defaults"] = defaults
         # identity high watermarks: updated by identity appends, carried
         # verbatim by every other commit (deletes never free ids)
         identity = identity_update or (
@@ -853,6 +870,7 @@ class VersionedTable:
         hidden_partition: dict | None = None,
         inherit_layout: bool = False,
         generated_update: dict | None = None,
+        defaults_update: dict | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
@@ -924,6 +942,7 @@ class VersionedTable:
                     cluster_by=cluster_by,
                     hidden_partition=spec,
                     generated_update=generated_update,
+                    defaults_update=defaults_update,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -1184,6 +1203,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"defaults": p_entry["defaults"]}
+                    if p_entry.get("defaults")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -1261,6 +1285,12 @@ class VersionedTable:
         _p0 = self.current_version()
         if _p0 is not None:
             for _c, _e in (self._manifest(_p0).get("generated") or {}).items():
+                if _c not in df.columns:
+                    df = df.withColumn(_c, F.expr(_e))
+            # DEFAULT columns: same early fill, same reason — a batch
+            # legitimately arriving without the column must stay on the
+            # O(batch) AddFile path, not trip the schema comparison.
+            for _c, _e in (self._manifest(_p0).get("defaults") or {}).items():
                 if _c not in df.columns:
                     df = df.withColumn(_c, F.expr(_e))
 
@@ -1790,6 +1820,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"defaults": p_entry["defaults"]}
+                    if p_entry.get("defaults")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -2184,6 +2219,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"defaults": p_entry["defaults"]}
+                    if p_entry.get("defaults")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -2369,6 +2409,11 @@ class VersionedTable:
                 **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
+                    else {}
+                ),
+                **(
+                    {"defaults": p_entry["defaults"]}
+                    if p_entry.get("defaults")
                     else {}
                 ),
                 **(
@@ -2618,6 +2663,11 @@ class VersionedTable:
                 **(
                     {"generated": p_entry["generated"]}
                     if p_entry.get("generated")
+                    else {}
+                ),
+                **(
+                    {"defaults": p_entry["defaults"]}
+                    if p_entry.get("defaults")
                     else {}
                 ),
                 **(
@@ -4087,6 +4137,11 @@ class VersionedTable:
                     else {}
                 ),
                 **(
+                    {"defaults": p_entry["defaults"]}
+                    if p_entry.get("defaults")
+                    else {}
+                ),
+                **(
                     {"identity": p_entry["identity"]}
                     if p_entry.get("identity")
                     else {}
@@ -4332,6 +4387,71 @@ class VersionedTable:
         return self._commit_with_retry(
             build, "add_generated", inherit_layout=True, generated_update=gen
         )
+
+    def add_default(self, col: str, expr: str) -> int:
+        """Delta ``ALTER TABLE ADD COLUMN col ... DEFAULT expr`` /
+        ``ALTER COLUMN col SET DEFAULT expr``: from this commit on, a
+        batch ARRIVING WITHOUT ``col`` takes the default at write time
+        (an explicit NULL stays NULL — only absence fills; that is the
+        SQL-standard DEFAULT contract, and the opposite of a generated
+        column, which refuses explicit values). A NEW column is
+        backfilled into the current snapshot in the same commit (one
+        materializing rewrite — the trade vs Delta's per-file metadata
+        fill is that reads here never need schema bookkeeping); an
+        EXISTING column gains the default metadata-only. The default
+        completes the column-metadata trio: generated (computed from
+        other columns), identity (table-assigned), default (constant
+        for absent input)."""
+        from pyspark.sql import functions as F
+
+        parent = self.current_version()
+        if parent is None:
+            raise ValueError(f"cannot alter empty table {self.path}")
+        p_entry = self._manifest(parent)
+        if col in (p_entry.get("generated") or {}):
+            raise ValueError(f"column {col!r} is GENERATED; defaults don't apply")
+        dfl = dict(p_entry.get("defaults") or {})
+        if col in dfl:
+            raise ValueError(f"column {col!r} already has a default")
+        dfl[col] = expr
+        if col in self._logical_columns(p_entry):
+            for _ in range(5):
+                parent = self.current_version()
+                entry = self._manifest(parent)
+                v = self._link_metadata_commit(
+                    entry, parent, "add_default", {"defaults": dfl}
+                )
+                if v is not None:
+                    return v
+            raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
+
+        def build(cur: DataFrame | None) -> DataFrame:
+            if cur is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            return cur.withColumn(col, F.expr(expr))
+
+        return self._commit_with_retry(
+            build, "add_default", inherit_layout=True, defaults_update=dfl
+        )
+
+    def drop_default(self, col: str) -> int:
+        """Metadata-only: stop defaulting ``col`` (absent input becomes
+        NULL again, the pre-default behavior)."""
+        for _ in range(5):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"cannot alter empty table {self.path}")
+            entry = self._manifest(parent)
+            dfl = dict(entry.get("defaults") or {})
+            if col not in dfl:
+                raise ValueError(f"no default on column {col!r}")
+            del dfl[col]
+            v = self._link_metadata_commit(
+                entry, parent, "drop_default", {"defaults": dfl}
+            )
+            if v is not None:
+                return v
+        raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
 
     def drop_generated(self, col: str) -> int:
         """Metadata-only: stop generating/enforcing ``col`` (the column

@@ -252,3 +252,34 @@ def test_unique_constraint_lifecycle(spark):
     t.drop_unique("pk")
     t.append(spark.createDataFrame([(3, "now-legal")], "k long, v string"))
     assert t.read().filter("k = 3").count() == 2
+
+
+def test_default_columns_contract(spark):
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_dflt_test_"))
+    t.overwrite(spark.createDataFrame([(1, 10.0)], "k long, price double"))
+    t.add_default("channel", "'STORE'")
+    # backfill materialized the new column into existing rows
+    assert t.read().filter("k = 1").first()["channel"] == "STORE"
+    # absent column fills; explicit value kept; explicit NULL stays NULL
+    t.append(spark.createDataFrame([(2, 20.0)], "k long, price double"))
+    t.append(
+        spark.createDataFrame([(3, 30.0, "WEB")], "k long, price double, channel string")
+    )
+    t.append(
+        spark.createDataFrame(
+            [(4, 40.0, None)], "k long, price double, channel string"
+        )
+    )
+    got = {r["k"]: r["channel"] for r in t.read().collect()}
+    assert got == {1: "STORE", 2: "STORE", 3: "WEB", 4: None}
+    # generated columns refuse defaults; double-add refuses
+    try:
+        t.add_default("channel", "'X'")
+        raise AssertionError("double default accepted")
+    except ValueError:
+        pass
+    t.drop_default("channel")
+    t.append(spark.createDataFrame([(5, 50.0)], "k long, price double"), merge_schema=True)
+    assert t.read().filter("k = 5").first()["channel"] is None

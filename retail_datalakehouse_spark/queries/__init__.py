@@ -505,6 +505,9 @@ _PROMOTE_R11 = [
 # x_default_columns — DEFAULT column values (the trio's third leg
 #   beside generated/identity): absence fills at write time, explicit
 #   NULL stays NULL, backfill on add, drop restores absence->NULL.
+# l6_rouge_ngram — ROUGE-2 clipped n-gram overlap (Lin 2004): multiset
+#   min-count intersection per deterministic pair, e4-quantized P/R;
+#   one digest-keyed join scores all pairs.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -5167,3 +5167,110 @@ def l3_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(10)
     )
+
+
+_ROUGE_SQL = """
+WITH pairs AS (
+  SELECT doc_id AS cand_id, CAST(XOR(doc_id, 1) AS BIGINT) AS ref_id,
+         STRING_SPLIT(text, ' ') AS l
+  FROM documents),
+bg AS (
+  SELECT cand_id, ref_id,
+         UNNEST(LIST_ZIP(l[1:LEN(l)-1], l[2:LEN(l)])) AS p
+  FROM pairs WHERE LEN(l) >= 2),
+grams AS (
+  SELECT cand_id, ref_id, p[1] || ' ' || p[2] AS g, COUNT(*) AS n
+  FROM bg GROUP BY 1, 2, 3),
+inter AS (
+  SELECT c.cand_id,
+         CAST(SUM(LEAST(c.n, r.n)) AS BIGINT) AS overlap
+  FROM grams c JOIN grams r
+    ON r.cand_id = c.ref_id AND r.g = c.g
+  GROUP BY 1),
+tot AS (
+  SELECT cand_id, CAST(SUM(n) AS BIGINT) AS n_grams FROM grams GROUP BY 1),
+scored AS (
+  SELECT t.cand_id,
+         COALESCE(i.overlap, 0) AS overlap,
+         t.n_grams AS cand_grams,
+         rt.n_grams AS ref_grams,
+         CAST(FLOOR(10000.0 * COALESCE(i.overlap, 0) / t.n_grams) AS BIGINT) AS p_e4,
+         CAST(FLOOR(10000.0 * COALESCE(i.overlap, 0) / rt.n_grams) AS BIGINT) AS r_e4
+  FROM tot t
+  JOIN pairs pr ON pr.cand_id = t.cand_id
+  JOIN tot rt ON rt.cand_id = pr.ref_id
+  LEFT JOIN inter i ON i.cand_id = t.cand_id)
+SELECT CAST(cand_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(overlap) AS BIGINT) AS overlap_mass,
+       CAST(SUM(p_e4) AS BIGINT) AS precision_mass_e4,
+       CAST(SUM(r_e4) AS BIGINT) AS recall_mass_e4
+FROM scored GROUP BY 1
+"""
+
+
+@register("l6_rouge_ngram", oracle=_ROUGE_SQL, tags=("L6", "L4"), doc="")
+def l6_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 n-gram overlap (Lin 2004 — the summarization/eval
+    overlap family; same machinery as BLEU's clipped counts): candidate
+    and reference pair deterministically (doc_id XOR 1 — adjacent docs
+    reference each other symmetrically), each side's bigrams count as a
+    MULTISET, and overlap is Σ min(count_cand, count_ref) per gram —
+    the clipping that stops a candidate repeating one good bigram from
+    gaming precision. Precision/recall quantize at e4 per pair before
+    the bucket reduce: every quantity is an integer, so the eval is
+    exact cross-engine. Shape: one bigram explode (the l4_bigrams
+    lane), one (pair, gram) equi-join — at 100 TB eval scale this is a
+    digest-keyed shuffle join, never a per-pair loop; the same plan
+    scores a million (candidate, reference) pairs in one pass, which is
+    what makes corpus-wide generation eval affordable."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("doc_id").bitwiseXOR(F.lit(1)).cast("bigint").alias("ref_id"),
+        F.split(F.col("text"), " ").alias("l"),
+    )
+    n = F.size("l")
+    bigrams = d.filter(n >= 2).select(
+        "cand_id",
+        "ref_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, n - 1),
+                F.slice("l", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    )
+    grams = bigrams.groupBy("cand_id", "ref_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    c, r = grams.alias("c"), grams.alias("r")
+    inter = (
+        c.join(r, (F.col("r.cand_id") == F.col("c.ref_id")) & (F.col("r.g") == F.col("c.g")))
+        .groupBy(F.col("c.cand_id").alias("cand_id"))
+        .agg(F.sum(F.least(F.col("c.n"), F.col("r.n"))).cast("bigint").alias("overlap"))
+    )
+    tot = grams.groupBy("cand_id").agg(F.sum("n").cast("bigint").alias("n_grams"))
+    pairs = d.select("cand_id", "ref_id")
+    scored = (
+        tot.join(pairs, "cand_id")
+        .join(
+            tot.select(F.col("cand_id").alias("ref_id"), F.col("n_grams").alias("ref_grams")),
+            "ref_id",
+        )
+        .join(inter, "cand_id", "left")
+        .select(
+            "cand_id",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            F.floor(
+                F.lit(10000.0) * F.coalesce("overlap", F.lit(0)) / F.col("n_grams")
+            ).cast("bigint").alias("p_e4"),
+            F.floor(
+                F.lit(10000.0) * F.coalesce("overlap", F.lit(0)) / F.col("ref_grams")
+            ).cast("bigint").alias("r_e4"),
+        )
+    )
+    return scored.groupBy((F.col("cand_id") % 8).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("overlap").cast("bigint").alias("overlap_mass"),
+        F.sum("p_e4").cast("bigint").alias("precision_mass_e4"),
+        F.sum("r_e4").cast("bigint").alias("recall_mass_e4"),
+    )

@@ -283,3 +283,88 @@ def test_default_columns_contract(spark):
     t.drop_default("channel")
     t.append(spark.createDataFrame([(5, 50.0)], "k long, price double"), merge_schema=True)
     assert t.read().filter("k = 5").first()["channel"] is None
+
+
+def test_pass_at_k_matches_exact_combinatorics(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(n, c) for n in range(5, 15) for c in range(0, n + 1)], "n long, c long"
+    )
+    from pyspark.sql import functions as F
+
+    n, c = F.col("n"), F.col("c")
+    prod = (
+        ((n - c - 0).cast("double") / (n - 0))
+        * ((n - c - 1).cast("double") / (n - 1))
+        * ((n - c - 2).cast("double") / (n - 2))
+        * ((n - c - 3).cast("double") / (n - 3))
+        * ((n - c - 4).cast("double") / (n - 4))
+    )
+    got = {
+        (r["n"], r["c"]): r["p5"]
+        for r in df.select(
+            "n", "c",
+            F.when(n - c >= 5, F.lit(1.0) - prod).otherwise(F.lit(1.0)).alias("p5"),
+        ).collect()
+    }
+    for (nn, cc), v in got.items():
+        exact = 1.0 - math.comb(nn - cc, 5) / math.comb(nn, 5) if nn - cc >= 5 else 1.0
+        assert abs(v - exact) < 1e-12, (nn, cc, v, exact)
+
+
+def test_rouge_identical_pair_is_perfect(spark):
+    # doc 0 and doc 1 are identical -> clipped bigram overlap = total,
+    # so precision == recall == 1 for both directions
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "a b c a b")], "doc_id long, text string"
+    )
+    toks = F.split("text", " ")
+    nn = F.size(toks)
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(toks, 1, nn - 1), F.slice(toks, 2, nn - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    ).groupBy("doc_id", "g").count()
+    rows = {(r["doc_id"], r["g"]): r["count"] for r in bg.collect()}
+    # multiset clipping: "a b" occurs twice on each side -> overlap counts 2
+    a = {g: c for (i, g), c in rows.items() if i == 0}
+    b = {g: c for (i, g), c in rows.items() if i == 1}
+    overlap = sum(min(c, b.get(g, 0)) for g, c in a.items())
+    assert overlap == sum(a.values()) == sum(b.values()) == 4
+    assert a["a b"] == 2  # the repeated bigram is clipped at 2, not 1
+
+
+def test_cdc_scd2_double_update_yields_three_intervals(spark):
+    import tempfile as _tf
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(
+        spark, _tf.mkdtemp(prefix="rdl_cdc2_test_"), record_cdf=True, cdf_keys=["k"]
+    )
+    t.append(spark.createDataFrame([(1, "A")], "k long, seg string"))
+    t.merge(spark.createDataFrame([(1, "B")], "k long, seg string"), ["k"])
+    t.merge(spark.createDataFrame([(1, "C")], "k long, seg string"), ["k"])
+    vs = sorted(t._versions())
+    log = None
+    for prev, v in zip([0, *vs[:-1]], vs):
+        feed = t.changes_feed(prev, v).withColumn("v", F.lit(v))
+        log = feed if log is None else log.unionByName(feed)
+    events = log.filter(F.col("_change_type") != "update_preimage")
+    scd = events.withColumn(
+        "to_v", F.lead("v").over(Window.partitionBy("k").orderBy("v"))
+    ).collect()
+    ivs = sorted((r["seg"], r["v"], r["to_v"]) for r in scd)
+    assert [s for s, _, _ in ivs] == ["A", "B", "C"]
+    # chain closes correctly: A closed by B's version, B by C's, C open
+    assert ivs[0][2] == ivs[1][1] and ivs[1][2] == ivs[2][1] and ivs[2][2] is None

@@ -508,6 +508,14 @@ _PROMOTE_R11 = [
 # l6_rouge_ngram — ROUGE-2 clipped n-gram overlap (Lin 2004): multiset
 #   min-count intersection per deterministic pair, e4-quantized P/R;
 #   one digest-keyed join scores all pairs.
+# x_range_interval_frame — RANGE BETWEEN INTERVAL frames (event-time
+#   value frames vs ROWS): gap-affected days counted; SQL-surface
+#   interval frames over the temp catalog; exact-decimal window sums.
+# x_first_touch_attribution — marketing attribution: per-user arg_min
+#   under a total order (users-sized dim join, not per-purchase
+#   unbounded windows); 2-decimal exact revenue.
+# l4_gini_language_balance — corpus skew via the exact sorted-rank
+#   Gini identity, all-integer until the floor-e6 closed form.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2634,3 +2634,54 @@ def x_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_in_year"),
     )
+
+
+_ATTRIB_SQL = """
+WITH ft AS (
+  SELECT user_id,
+         ARG_MIN(event_type,
+                 LPAD(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+                 || LPAD(CAST(event_id AS VARCHAR), 12, '0')) AS first_touch
+  FROM events GROUP BY 1),
+purch AS (
+  SELECT user_id, value FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL)
+SELECT f.first_touch,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_buyers,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(ROUND(SUM(CAST(p.value AS DECIMAL(25,2))), 2) AS DOUBLE) AS attributed_revenue
+FROM purch p JOIN ft f ON f.user_id = p.user_id
+GROUP BY 1
+"""
+
+
+@register("x_first_touch_attribution", oracle=_ATTRIB_SQL, tags=("W2", "A2"), doc="")
+def x_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-TOUCH attribution (the marketing-analytics staple: credit
+    each purchase to the channel that FIRST brought the user in): every
+    user's entire history reduces to one arg_min under a total order
+    (epoch-micros + event_id composite — same determinism key as
+    t30_stream_m4), and purchase values then join against that
+    users-sized dimension — a broadcast-scale join at any fact volume,
+    because the attribution table is one row per user. The anti-pattern
+    this replaces is a per-purchase window over the full history
+    (ROWS UNBOUNDED PRECEDING per purchase row — state proportional to
+    events, not users). Revenue is a 2-decimal exact sum. Last-touch /
+    position-decay variants swap arg_min for arg_max / a weight
+    expression on the same shape."""
+    e = T(spark, sf_dir, "events")
+    okey = F.concat(
+        F.format_string("%020d", F.unix_micros(F.col("ts"))),
+        F.format_string("%012d", F.col("event_id")),
+    )
+    ft = e.withColumn("okey", okey).groupBy("user_id").agg(
+        F.min_by("event_type", "okey").alias("first_touch")
+    )
+    purch = e.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select("user_id", "value")
+    return purch.join(ft, "user_id").groupBy("first_touch").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum("value", scale=2).alias("attributed_revenue"),
+    )

@@ -5274,3 +5274,60 @@ def l6_rouge_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_e4").cast("bigint").alias("precision_mass_e4"),
         F.sum("r_e4").cast("bigint").alias("recall_mass_e4"),
     )
+
+
+_GINI_SQL = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+ranked AS (
+  SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY n, lang) AS BIGINT) AS i FROM counts),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(i * n) AS BIGINT) AS s1
+  FROM ranked)
+SELECT k, total,
+       CAST(FLOOR(1000000.0 * (2.0 * s1 / (k * total) - (k + 1.0) / k)) AS BIGINT)
+         AS gini_e6
+FROM s
+"""
+
+
+@register("l4_gini_language_balance", oracle=_GINI_SQL, tags=("L4", "L7"), doc="")
+def l4_gini_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BALANCE audit via the GINI coefficient (the inequality
+    measure dataset cards quote for language/domain skew — 0 = uniform
+    mixture, ->1 = one language dominates): computed by the exact
+    sorted-rank identity G = 2*Σ(i*x_i)/(k*Σx) - (k+1)/k over per-
+    language counts ranked ascending with a (count, lang) total-order
+    tie-break. Everything until the final closed form is INTEGER (rank
+    index times count), so the floor-e6 result is deterministic
+    cross-engine. Shape: one partial-agg count pass over the corpus,
+    then the rank/identity runs on k rows (languages). The number a
+    mixture-rebalance job (l7_mixture_rebalance) drives to zero."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranked = counts.select(
+        "n",
+        F.row_number().over(Window.orderBy("n", "lang")).cast("bigint").alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("n")).cast("bigint").alias("s1"),
+    )
+    return s.select(
+        "k",
+        "total",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.lit(2.0) * F.col("s1") / (F.col("k") * F.col("total"))
+                - (F.col("k") + F.lit(1.0)) / F.col("k")
+            )
+        )
+        .cast("bigint")
+        .alias("gini_e6"),
+    )

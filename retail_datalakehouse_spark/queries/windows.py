@@ -273,3 +273,84 @@ def w7_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 3)
     )
+
+
+_RANGE_IV_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2),
+framed AS (
+  SELECT priority, day,
+         CAST(SUM(CAST(rev AS DECIMAL(25,2))) OVER (
+           PARTITION BY priority ORDER BY day
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS trailing7_range,
+         CAST(SUM(CAST(rev AS DECIMAL(25,2))) OVER (
+           PARTITION BY priority ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS trailing7_rows,
+         CAST(COUNT(*) OVER (
+           PARTITION BY priority ORDER BY day
+           RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS n_in_frame
+  FROM daily)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(ROUND(SUM(CAST(trailing7_range AS DECIMAL(25,2))), 2) AS DOUBLE)
+         AS range_mass,
+       CAST(COUNT(*) FILTER (WHERE trailing7_range <> trailing7_rows) AS BIGINT)
+         AS n_gap_affected,
+       CAST(MIN(n_in_frame) AS BIGINT) AS min_frame_rows
+FROM framed GROUP BY 1
+"""
+
+
+@register("x_range_interval_frame", oracle=_RANGE_IV_SQL, tags=("W4", "F2"), doc="")
+def x_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames with TIME intervals (`RANGE BETWEEN INTERVAL 6 DAY
+    PRECEDING` — value-based frames over event time, vs w4's
+    numeric-offset rangeBetween): on a series WITH GAPS the distinction
+    is semantic, not syntactic — a ROWS frame counts 7 physical rows
+    regardless of how many calendar days they span, while the RANGE
+    frame admits exactly the trailing calendar week; n_gap_affected
+    counts the days where the two disagree, i.e. where a naive rolling
+    average would silently be wrong. Both frames run on the daily
+    aggregate grid (facts touched once), and every windowed sum is an
+    exact DECIMAL sum, so frame content — not float order — is the
+    only thing being compared. The DataFrame API's rangeBetween takes
+    numeric offsets only; interval frames are SQL-surface, exercised
+    here through spark.sql over a registered view — the engine's SQL
+    and DataFrame lanes compose freely over the same temp catalog."""
+    o = T(spark, sf_dir, "orders")
+    o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev")
+    ).createOrReplaceTempView("daily_rev_v")
+    return spark.sql("""
+        WITH framed AS (
+          SELECT priority, day,
+                 CAST(SUM(CAST(rev AS DECIMAL(25,2))) OVER (
+                   PARTITION BY priority ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS trailing7_range,
+                 CAST(SUM(CAST(rev AS DECIMAL(25,2))) OVER (
+                   PARTITION BY priority ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   AS trailing7_rows,
+                 COUNT(*) OVER (
+                   PARTITION BY priority ORDER BY day
+                   RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+                   AS n_in_frame
+          FROM daily_rev_v)
+        SELECT priority,
+               COUNT(*) AS n_days,
+               CAST(ROUND(SUM(CAST(trailing7_range AS DECIMAL(25,2))), 2) AS DOUBLE)
+                 AS range_mass,
+               CAST(SUM(CASE WHEN trailing7_range <> trailing7_rows THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_gap_affected,
+               CAST(MIN(n_in_frame) AS BIGINT) AS min_frame_rows
+        FROM framed GROUP BY priority
+    """)

@@ -516,6 +516,9 @@ _PROMOTE_R11 = [
 #   unbounded windows); 2-decimal exact revenue.
 # l4_gini_language_balance — corpus skew via the exact sorted-rank
 #   Gini identity, all-integer until the floor-e6 closed form.
+# x_new_vs_returning — growth split: first-order month as a persisted
+#   customers-sized dim (incremental anti-join refresh path), not an
+#   unbounded per-customer window over facts.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2685,3 +2685,53 @@ def x_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         dsum("value", scale=2).alias("attributed_revenue"),
     )
+
+
+_NEW_RET_SQL = """
+WITH first_order AS (
+  SELECT o_custkey,
+         MIN(CAST(DATE_TRUNC('month', CAST(o_orderdate AS DATE)) AS DATE)) AS first_month
+  FROM orders GROUP BY 1),
+tagged AS (
+  SELECT CAST(DATE_TRUNC('month', CAST(o.o_orderdate AS DATE)) AS DATE) AS month,
+         CASE WHEN CAST(DATE_TRUNC('month', CAST(o.o_orderdate AS DATE)) AS DATE)
+                   = f.first_month
+              THEN 'new' ELSE 'returning' END AS cohort,
+         o.o_custkey, o.o_totalprice
+  FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey)
+SELECT month, cohort,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue
+FROM tagged GROUP BY 1, 2
+"""
+
+
+@register("x_new_vs_returning", oracle=_NEW_RET_SQL, tags=("A2", "W1"), doc="")
+def x_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEW vs RETURNING customer split (the growth dashboard's first
+    chart, and x_cohort_retention's monthly summary dual): an order is
+    'new' iff its month equals its customer's FIRST order month. The
+    first-order table is one partial-aggregated MIN per customer — a
+    customers-sized dimension that joins back against the facts (the
+    window alternative — min over an unbounded per-customer frame on
+    the fact table — re-sorts every order instead). Both formulations
+    shuffle on the customer key once; the dimension form additionally
+    lets the first-month table PERSIST and serve every later month's
+    refresh incrementally (a new month's orders can only be 'new' for
+    customers absent from the table — an anti-join, O(month), the
+    incremental pattern x_incremental_gold_refresh generalizes)."""
+    o = T(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    first = o.groupBy("o_custkey").agg(F.min(month).alias("first_month"))
+    tagged = o.join(first, "o_custkey").select(
+        month.alias("month"),
+        F.when(month == F.col("first_month"), "new").otherwise("returning").alias("cohort"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return tagged.groupBy("month", "cohort").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )

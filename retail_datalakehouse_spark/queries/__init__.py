@@ -519,6 +519,9 @@ _PROMOTE_R11 = [
 # x_new_vs_returning — growth split: first-order month as a persisted
 #   customers-sized dim (incremental anti-join refresh path), not an
 #   unbounded per-customer window over facts.
+# x_spatial_grid_join — 2-D proximity join via grid binning (Sedona
+#   pattern): 9-cell explode -> hash equi-join on cells + residual
+#   distance verify (plan-audited); oracle pays the direct theta-join.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

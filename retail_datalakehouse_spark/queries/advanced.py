@@ -1044,3 +1044,93 @@ def x_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rows_at_risk"),
         F.min("grp").cast("long").alias("min_group"),
     )
+
+
+_SPATIAL_SQL = """
+WITH c AS (
+  SELECT c_custkey AS ck, c_nationkey AS nation,
+         CAST(c_custkey % 1000 AS DOUBLE) / 10.0 AS lat,
+         CAST((c_custkey * 7) % 1000 AS DOUBLE) / 10.0 AS lon
+  FROM customer),
+s AS (
+  SELECT s_suppkey AS sk,
+         CAST(s_suppkey % 1000 AS DOUBLE) / 10.0 AS lat,
+         CAST((s_suppkey * 13) % 1000 AS DOUBLE) / 10.0 AS lon
+  FROM supplier),
+pairs AS (
+  SELECT c.nation, c.ck, s.sk,
+         (c.lat - s.lat) * (c.lat - s.lat)
+         + (c.lon - s.lon) * (c.lon - s.lon) AS d2
+  FROM c JOIN s
+    ON (c.lat - s.lat) * (c.lat - s.lat)
+       + (c.lon - s.lon) * (c.lon - s.lon) <= 6.25)
+SELECT CAST(nation AS BIGINT) AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_customers_covered,
+       CAST(SUM(CAST(FLOOR(100.0 * d2) AS BIGINT)) AS BIGINT) AS d2_mass_e2
+FROM pairs GROUP BY 1
+"""
+
+
+@register("x_spatial_grid_join", oracle=_SPATIAL_SQL, tags=("J8", "P2"), doc="")
+def x_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL proximity join via GRID BINNING (the Sedona/GeoSpark
+    partitioning pattern — 'which suppliers are within radius d of each
+    customer', the 2-D generalization of x_binned_band_join's 1-D band
+    trick): a raw distance theta-join is a cartesian
+    BroadcastNestedLoopJoin — O(|C|x|S|) distance evaluations, dead at
+    scale. Instead both point sets snap to a grid of cell size d; a
+    circle of radius d around any point only reaches the 3x3
+    neighborhood of its cell, so ONE side explodes to its 9 candidate
+    cells and the join becomes an EQUI-join on cell id — the exact
+    distance predicate then verifies only co-binned candidates.
+    Correctness is containment: the 9-cell cover is a superset of the
+    disk, so grid+verify ≡ the oracle's direct theta-join (which the
+    oracle deliberately pays). Coordinates are deterministic 1-decimal
+    synthetics; the squared-distance comparison runs on per-row
+    IEEE-identical doubles (no sqrt — compare against d² = 6.25), and
+    the reported distance mass floor-quantizes. At 100 TB this is the
+    difference between |C|x|S| and |C|x9 candidate evaluations."""
+    d_cell = 2.5
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_nationkey").alias("nation"),
+        ((F.col("c_custkey") % 1000).cast("double") / 10.0).alias("lat"),
+        (((F.col("c_custkey") * 7) % 1000).cast("double") / 10.0).alias("lon"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        ((F.col("s_suppkey") % 1000).cast("double") / 10.0).alias("lat"),
+        (((F.col("s_suppkey") * 13) % 1000).cast("double") / 10.0).alias("lon"),
+    )
+    cell = lambda col: F.floor(col / d_cell).cast("long")  # noqa: E731
+    cb = c.select(
+        "ck", "nation", "lat", "lon", cell(F.col("lat")).alias("cy"), cell(F.col("lon")).alias("cx")
+    )
+    off = spark.range(-1, 2).select(F.col("id").alias("dy")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dx"))
+    )
+    sb = (
+        s.crossJoin(F.broadcast(off))
+        .select(
+            "sk",
+            "lat",
+            "lon",
+            (cell(F.col("lat")) + F.col("dy")).alias("cy"),
+            (cell(F.col("lon")) + F.col("dx")).alias("cx"),
+        )
+    )
+    d2 = (
+        (cb["lat"] - sb["lat"]) * (cb["lat"] - sb["lat"])
+        + (cb["lon"] - sb["lon"]) * (cb["lon"] - sb["lon"])
+    )
+    pairs = cb.join(sb, ["cy", "cx"]).filter(d2 <= F.lit(d_cell * d_cell)).select(
+        "nation", "ck", "sk", d2.alias("d2")
+    )
+    return pairs.groupBy(F.col("nation").cast("bigint").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("ck").cast("bigint").alias("n_customers_covered"),
+        F.sum(F.floor(F.lit(100.0) * F.col("d2")).cast("bigint"))
+        .cast("bigint")
+        .alias("d2_mass_e2"),
+    )

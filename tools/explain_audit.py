@@ -271,6 +271,11 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_event_pattern_match", "partial", True,
      "per-user symbol-string reduction partial-aggregates; regexes "
      "run per user-string, never per event"),
+    # (the tiny 9-row offsets expansion IS a legitimate broadcast
+    # cartesian; the assertion targets the POINTS join being hashed)
+    ("x_spatial_grid_join", "BroadcastHashJoin [cy", True,
+     "the customer x supplier distance theta-join must become a HASH "
+     "equi-join on grid cells with the distance as residual predicate"),
 ]
 
 

@@ -522,6 +522,14 @@ _PROMOTE_R11 = [
 # x_spatial_grid_join — 2-D proximity join via grid binning (Sedona
 #   pattern): 9-cell explode -> hash equi-join on cells + residual
 #   distance verify (plan-audited); oracle pays the direct theta-join.
+# x_quantile_normalization — sklearn QuantileTransformer: empirical
+#   quantiles under a total-order rank, floor-e6 before reduction.
+# x_survivorship_golden_record — MDM field-level survivorship: per-
+#   field conditional min_by over source ranks builds the chimera
+#   golden record no source held; provenance hash-pinned.
+# x_column_drift_report — column-level CDC analytics: pre/post images
+#   joined per key, null-safe inequality per column, unpivoted; same-
+#   value rewrites net out, untouched columns report zero.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2735,3 +2735,136 @@ def x_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_QNORM_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+              AS BIGINT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+  FROM lineitem),
+q AS (
+  SELECT flag,
+         CAST(FLOOR(1000000.0 * (rk - 1) / (n - 1)) AS BIGINT) AS q_e6
+  FROM ranked WHERE n > 1)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(q_e6) AS BIGINT) AS q_mass_e6,
+       CAST(COUNT(*) FILTER (WHERE q_e6 >= 990000) AS BIGINT) AS n_top_percentile
+FROM q GROUP BY 1
+"""
+
+
+@register("x_quantile_normalization", oracle=_QNORM_SQL, tags=("W5", "A1"), doc="")
+def x_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE normalization (the feature-engineering transform —
+    sklearn QuantileTransformer / bioinformatics quantile norm): each
+    value maps to its empirical quantile (rank-1)/(n-1) within its
+    group, destroying scale and outliers while preserving order — what
+    a downstream model consumes when raw money amounts would dominate
+    the loss. Rank is a window under a TOTAL order (value, orderkey,
+    linenumber — ties broken deterministically, so equal prices get
+    stable distinct quantiles rather than engine-dependent ones), and
+    the quantile floor-quantizes to e6 integers before any reduction.
+    One shuffle on the group key; the transform is a projection over
+    the sorted partition. The per-group top-percentile count is the
+    gate a winsorize/clip step (x_winsorize) would consume."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).cast("bigint").alias("n"),
+    ).filter(F.col("n") > 1)
+    q = ranked.select(
+        "flag",
+        F.floor(F.lit(1000000.0) * (F.col("rk") - 1) / (F.col("n") - 1))
+        .cast("bigint")
+        .alias("q_e6"),
+    )
+    return q.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("q_e6").cast("bigint").alias("q_mass_e6"),
+        F.sum((F.col("q_e6") >= 990000).cast("int")).cast("bigint").alias("n_top_percentile"),
+    )
+
+
+_SURVIVOR_SQL = """
+WITH variants AS (
+  -- three source systems, each blind to some fields, freshest first
+  SELECT c_custkey AS k, 1 AS src_rank,
+         c_name AS name, CAST(NULL AS VARCHAR) AS segment, c_acctbal AS bal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, CAST(NULL AS VARCHAR), c_mktsegment, CAST(NULL AS DOUBLE)
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 3, 'LEGACY-' || c_name, c_mktsegment, 0.0
+  FROM customer),
+golden AS (
+  SELECT k,
+         ARG_MIN(name, CASE WHEN name IS NOT NULL THEN src_rank END) AS name,
+         ARG_MIN(segment, CASE WHEN segment IS NOT NULL THEN src_rank END) AS segment,
+         ARG_MIN(bal, CASE WHEN bal IS NOT NULL THEN src_rank END) AS bal
+  FROM variants GROUP BY 1)
+SELECT g.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(*) FILTER (WHERE g.name NOT LIKE 'LEGACY-%') AS BIGINT)
+         AS n_fresh_names,
+       CAST(ROUND(SUM(CAST(g.bal AS DECIMAL(25,2))), 2) AS DOUBLE) AS balance
+FROM golden g GROUP BY 1
+"""
+
+
+@register("x_survivorship_golden_record", oracle=_SURVIVOR_SQL, tags=("O4", "A6"), doc="")
+def x_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MDM SURVIVORSHIP (golden-record assembly — the entity-resolution
+    step AFTER dedup clustering): duplicate records from multiple
+    source systems merge FIELD BY FIELD, each field independently
+    taking its value from the best-ranked source that actually HAS it
+    (source precedence here; recency/completeness are the same rule
+    with a different order key). This is not row-level keep-best
+    (l2_dedup_keep_best — one winner row): the golden record is a
+    CHIMERA no source ever held — name from source 1, segment from
+    source 2, the legacy source only backfilling gaps. Shape: one
+    groupBy per cluster key with per-field conditional min_by (rank
+    masked NULL where the field is absent — nulls lose automatically),
+    so survivorship over any number of sources is a single
+    partial-aggregated pass. The hash pins every field's provenance:
+    n_fresh_names counts that the legacy spelling only survives where
+    fresher sources had nothing (here: nowhere)."""
+    c = T(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"), F.lit(1).alias("src_rank"),
+        F.col("c_name").alias("name"),
+        F.lit(None).cast("string").alias("segment"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("k"), F.lit(2).alias("src_rank"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(None).cast("double").alias("bal"),
+    )
+    v3 = c.select(
+        F.col("c_custkey").alias("k"), F.lit(3).alias("src_rank"),
+        F.concat(F.lit("LEGACY-"), F.col("c_name")).alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(0.0).alias("bal"),
+    )
+    variants = v1.unionByName(v2).unionByName(v3)
+    pick = lambda fld: F.min_by(  # noqa: E731
+        fld, F.when(F.col(fld).isNotNull(), F.col("src_rank"))
+    ).alias(fld)
+    golden = variants.groupBy("k").agg(pick("name"), pick("segment"), pick("bal"))
+    return golden.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum((~F.col("name").startswith("LEGACY-")).cast("int"))
+        .cast("bigint")
+        .alias("n_fresh_names"),
+        dsum("bal", scale=2).alias("balance"),
+    )

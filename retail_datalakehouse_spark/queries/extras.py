@@ -4988,3 +4988,94 @@ def x_default_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("price", scale=2).alias("revenue"),
         )
     )
+
+
+_COL_DRIFT_SQL = """
+WITH touched AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey % 3 = 0) AS price_chg,
+         (o_orderkey % 5 = 0) AS status_chg
+  FROM orders
+  WHERE o_orderkey < 4000 AND (o_orderkey % 3 = 0 OR o_orderkey % 5 = 0))
+SELECT col, n_changed, n_keys_touched FROM (
+  SELECT 'price' AS col,
+         CAST(COUNT(*) FILTER (WHERE price_chg) AS BIGINT) AS n_changed,
+         CAST(COUNT(*) AS BIGINT) AS n_keys_touched
+  FROM touched
+  UNION ALL
+  SELECT 'status',
+         CAST(COUNT(*) FILTER (WHERE status_chg) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM touched
+  UNION ALL
+  SELECT 'priority', 0, CAST(COUNT(*) AS BIGINT) FROM touched)
+"""
+
+
+@register("x_column_drift_report", oracle=_COL_DRIFT_SQL, tags=("S7", "A6"), doc="")
+def x_column_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-level CDC analytics (which FIELDS are churning — the
+    drill-down under every row-level change feed, and what schema/
+    pipeline owners actually triage: 'the correction feed only ever
+    touches price' is an invariant worth alerting on): the write-time
+    CDF's pre/post images join per key and each column independently
+    counts null-safe inequality — one pass over O(|changes|), columns
+    compared in parallel as conditional aggregates, then unpivoted to
+    one row per column. Pinned semantics: a merge that rewrites a row
+    with IDENTICAL values nets out of the feed entirely (keys outside
+    both rules never appear — n_keys_touched counts only real
+    changes), and an untouched COLUMN on a touched row reports zero
+    drift (priority = 0 for every touched key). The oracle derives the
+    expected drift matrix piecewise from the correction rules."""
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderpriority").alias("priority"),
+    ).filter(F.col("k") < 4000)
+    t = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="rdl_coldrift_"), record_cdf=True, cdf_keys=["k"]
+    )
+    t.append(o)
+    v1 = t.current_version()
+    updates = o.select(
+        "k",
+        F.when(F.col("k") % 5 == 0, F.lit("X")).otherwise(F.col("status")).alias("status"),
+        F.when(F.col("k") % 3 == 0, F.col("price") + 10.0).otherwise(F.col("price")).alias("price"),
+        "priority",
+    )
+    t.merge(updates, ["k"])
+    feed = t.changes_feed(v1, t.current_version())
+    pre = feed.filter(F.col("_change_type") == "update_preimage").select(
+        "k", F.col("status").alias("p_status"), F.col("price").alias("p_price"),
+        F.col("priority").alias("p_priority"),
+    )
+    post = feed.filter(F.col("_change_type") == "update_postimage").select(
+        "k", "status", "price", "priority"
+    )
+    j = pre.join(post, "k")
+    diff = lambda a, b: (~F.col(a).eqNullSafe(F.col(b))).cast("int")  # noqa: E731
+    agg = j.agg(
+        F.sum(diff("p_price", "price")).cast("bigint").alias("price"),
+        F.sum(diff("p_status", "status")).cast("bigint").alias("status"),
+        F.sum(diff("p_priority", "priority")).cast("bigint").alias("priority"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("price").alias("col"), F.col("price").alias("n_changed")),
+                F.struct(F.lit("status").alias("col"), F.col("status").alias("n_changed")),
+                F.struct(F.lit("priority").alias("col"), F.col("priority").alias("n_changed")),
+            )
+        ).alias("s"),
+        F.col("n_keys"),
+    ).select(
+        F.col("s.col").alias("col"),
+        F.col("s.n_changed").alias("n_changed"),
+        F.col("n_keys").alias("n_keys_touched"),
+    )

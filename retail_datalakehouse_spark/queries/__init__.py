@@ -530,6 +530,9 @@ _PROMOTE_R11 = [
 # x_column_drift_report — column-level CDC analytics: pre/post images
 #   joined per key, null-safe inequality per column, unpivoted; same-
 #   value rewrites net out, untouched columns report zero.
+# x_data_vault_model — Data Vault 2.0 hubs/links/satellites: md5
+#   business/link keys + satellite hash_diff (parallel-load property),
+#   money hashed through its exact decimal rendering.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

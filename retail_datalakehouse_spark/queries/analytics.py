@@ -2868,3 +2868,93 @@ def x_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_fresh_names"),
         dsum("bal", scale=2).alias("balance"),
     )
+
+
+_DATA_VAULT_SQL = """
+WITH hub_customer AS (
+  SELECT DISTINCT MD5(CAST(c_custkey AS VARCHAR)) AS hk_customer, c_custkey
+  FROM customer),
+hub_order AS (
+  SELECT DISTINCT MD5(CAST(o_orderkey AS VARCHAR)) AS hk_order, o_orderkey, o_custkey
+  FROM orders),
+link_placed AS (
+  SELECT DISTINCT MD5(CAST(o_custkey AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR))
+           AS hk_link
+  FROM orders),
+sat_order AS (
+  SELECT hk_order,
+         MD5(o_orderstatus || '|' || o_orderpriority || '|'
+             || CAST(CAST(o_totalprice AS DECIMAL(25,2)) AS VARCHAR)) AS hash_diff
+  FROM (SELECT MD5(CAST(o_orderkey AS VARCHAR)) AS hk_order, o_orderstatus,
+               o_orderpriority, o_totalprice FROM orders))
+SELECT 'hub_customer' AS entity, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT SUBSTR(hk_customer, 1, 2)) AS BIGINT) AS n_hash_prefixes
+FROM hub_customer
+UNION ALL
+SELECT 'hub_order', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT SUBSTR(hk_order, 1, 2)) AS BIGINT)
+FROM hub_order
+UNION ALL
+SELECT 'link_placed', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT SUBSTR(hk_link, 1, 2)) AS BIGINT)
+FROM link_placed
+UNION ALL
+SELECT 'sat_order', CAST(COUNT(DISTINCT hash_diff) AS BIGINT),
+       CAST(COUNT(DISTINCT SUBSTR(hash_diff, 1, 2)) AS BIGINT)
+FROM sat_order
+"""
+
+
+@register("x_data_vault_model", oracle=_DATA_VAULT_SQL, tags=("S3", "O4"), doc="")
+def x_data_vault_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA VAULT 2.0 modeling (Linstedt's hub/link/satellite pattern —
+    the warehouse methodology built FOR parallel loading, which is why
+    it matters on Spark): business keys hash to deterministic HUB keys
+    (md5 — same digest both engines), relationships hash to LINK keys
+    from the concatenated key pair, and descriptive attributes hash to
+    a satellite HASH_DIFF (the change-detection digest an incremental
+    satellite load compares against — exactly the fingerprint trick
+    the engine's own CDC merge uses). The whole point of DV2 hashing:
+    hubs, links, and satellites load INDEPENDENTLY and in parallel —
+    no lookup joins against surrogate-key sequences, no load-order
+    dependencies — so each entity here is its own partial-aggregated
+    pass. The 2-hex-prefix spread per entity pins that the hash keys
+    actually distribute (what makes them good shuffle/bucket keys).
+    Money enters the hash through its exact DECIMAL(25,2) rendering —
+    cross-engine-identical string, the determinism rule for hashing
+    floats anywhere in this repo."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    hub_c = c.select(F.md5(F.col("c_custkey").cast("string")).alias("hk")).distinct()
+    hub_o = o.select(F.md5(F.col("o_orderkey").cast("string")).alias("hk")).distinct()
+    link = o.select(
+        F.md5(
+            F.concat(
+                F.col("o_custkey").cast("string"), F.lit("|"),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("hk")
+    ).distinct()
+    sat = o.select(
+        F.md5(
+            F.concat(
+                F.col("o_orderstatus"), F.lit("|"), F.col("o_orderpriority"), F.lit("|"),
+                F.col("o_totalprice").cast("decimal(25,2)").cast("string"),
+            )
+        ).alias("hk")
+    )
+
+    def leg(df, name, distinct_rows=False):
+        rows = F.countDistinct("hk") if distinct_rows else F.count(F.lit(1))
+        return df.agg(
+            F.lit(name).alias("entity"),
+            rows.cast("bigint").alias("n_rows"),
+            F.countDistinct(F.substring("hk", 1, 2)).cast("bigint").alias("n_hash_prefixes"),
+        )
+    out = (
+        leg(hub_c, "hub_customer")
+        .unionByName(leg(hub_o, "hub_order"))
+        .unionByName(leg(link, "link_placed"))
+        .unionByName(leg(sat, "sat_order", distinct_rows=True))
+    )
+    return out

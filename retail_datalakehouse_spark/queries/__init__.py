@@ -533,6 +533,12 @@ _PROMOTE_R11 = [
 # x_data_vault_model — Data Vault 2.0 hubs/links/satellites: md5
 #   business/link keys + satellite hash_diff (parallel-load property),
 #   money hashed through its exact decimal rendering.
+# x_welch_t_test — unequal-variance two-sample t (group vs rest by
+#   global-total subtraction): 3 sufficient stats/group, one pass,
+#   Welch-Satterthwaite dof, floor-e6.
+# x_cusum_changepoint — Page 1954 CUSUM: the reset-at-zero recurrence
+#   de-sequentialized as prefix - running-min (two windows, no state
+#   loop); decimal-guarded prefixes; alarm day totally ordered.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

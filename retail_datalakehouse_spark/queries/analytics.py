@@ -2958,3 +2958,163 @@ def x_data_vault_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(leg(sat, "sat_order", distinct_rows=True))
     )
     return out
+
+
+_WELCH_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS gn,
+         CAST(SUM(sx) AS DOUBLE) AS gsx,
+         CAST(SUM(sxx) AS DOUBLE) AS gsxx
+  FROM s),
+t AS (
+  SELECT s.priority, s.n,
+         s.sx / s.n AS m1,
+         (s.sxx - s.sx * s.sx / s.n) / (s.n - 1) AS v1,
+         (g.gsx - s.sx) / (g.gn - s.n) AS m2,
+         ((g.gsxx - s.sxx) - (g.gsx - s.sx) * (g.gsx - s.sx) / (g.gn - s.n))
+           / (g.gn - s.n - 1) AS v2,
+         g.gn - s.n AS n2
+  FROM s, g)
+SELECT priority,
+       CAST(n AS BIGINT) AS n_group,
+       CAST(FLOOR(1000000.0 * (m1 - m2)
+                  / SQRT(v1 / n + v2 / n2)) AS BIGINT) AS welch_t_e6,
+       CAST(FLOOR((v1 / n + v2 / n2) * (v1 / n + v2 / n2)
+                  / ((v1 / n) * (v1 / n) / (n - 1)
+                     + (v2 / n2) * (v2 / n2) / (n2 - 1))) AS BIGINT) AS dof_floor
+FROM t
+"""
+
+
+@register("x_welch_t_test", oracle=_WELCH_SQL, tags=("A6", "F3"), doc="")
+def x_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WELCH'S t-test (unequal-variance two-sample t — the experiment
+    readout beside x_chi_square_independence's mix test: 'does this
+    priority's mean order value differ from everyone else's'): each
+    group-vs-rest comparison derives ENTIRELY from three sufficient
+    statistics per group (n, Σx, Σx² — exact decimal sums, the same
+    merge-don't-reshuffle trade as x_linear_regression), with the
+    complement group's statistics obtained by SUBTRACTION from the
+    global totals — 5 comparisons, one fact pass, zero self-joins.
+    The t statistic and the Welch–Satterthwaite degrees of freedom are
+    closed forms over identical doubles, floor-quantized. x*x has <= 4
+    decimals so DECIMAL(30,4) is exact (the guard-digit rule)."""
+    o = T(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("sx"),
+        F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    g = s.agg(
+        F.sum("n").alias("gn"), F.sum("sx").alias("gsx"), F.sum("sxx").alias("gsxx")
+    )
+    j = s.crossJoin(F.broadcast(g))
+    m1 = F.col("sx") / F.col("n")
+    v1 = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    n2 = F.col("gn") - F.col("n")
+    m2 = (F.col("gsx") - F.col("sx")) / n2
+    v2 = (
+        (F.col("gsxx") - F.col("sxx"))
+        - (F.col("gsx") - F.col("sx")) * (F.col("gsx") - F.col("sx")) / n2
+    ) / (n2 - 1)
+    se1, se2 = v1 / F.col("n"), v2 / n2
+    return j.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n_group"),
+        F.floor(F.lit(1000000.0) * (m1 - m2) / F.sqrt(se1 + se2))
+        .cast("bigint")
+        .alias("welch_t_e6"),
+        F.floor(
+            (se1 + se2) * (se1 + se2)
+            / (se1 * se1 / (F.col("n") - 1) + se2 * se2 / (n2 - 1))
+        )
+        .cast("bigint")
+        .alias("dof_floor"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2),
+target AS (
+  SELECT priority,
+         CAST(SUM(CAST(rev AS DECIMAL(25,2))) AS DOUBLE) / COUNT(*) AS mu
+  FROM daily GROUP BY 1),
+pfx AS (
+  SELECT d.priority, d.day,
+         CAST(SUM(CAST(d.rev - t.mu AS DECIMAL(25,6)))
+              OVER (PARTITION BY d.priority ORDER BY d.day) AS DOUBLE) AS p
+  FROM daily d JOIN target t ON t.priority = d.priority),
+cusum AS (
+  SELECT priority, day,
+         p - CAST(MIN(CAST(p AS DECIMAL(25,6))) OVER (
+               PARTITION BY priority ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s
+  FROM pfx)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(FLOOR(MAX(s) / 1000.0) AS BIGINT) AS peak_cusum_k,
+       MIN(CASE WHEN s > 500000.0 THEN day END) AS first_alarm_day
+FROM cusum GROUP BY 1
+"""
+
+
+@register("x_cusum_changepoint", oracle=_CUSUM_SQL, tags=("W3", "A6"), doc="")
+def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (Page 1954 — the SPC chart behind
+    'did this metric shift', and the sequential-looking recurrence
+    S_i = max(0, S_{i-1} + (x_i - mu)) that seems to demand a per-key
+    state loop): it doesn't, because the reset-at-zero recurrence has
+    a closed window form — S_i = prefix_i - min(prefix_0..i) where
+    prefix is the running sum of deviations. Two stacked windows
+    (cumulative sum, running minimum) over the daily grid replace the
+    recurrence entirely — the same de-sequentialization trick as
+    x_interval_coalesce's running-max-end, and the reason this runs as
+    a plain window job at 100 TB while a stateful fold would serialize
+    per key. Determinism: deviations carry 6 guard decimals through
+    the prefix sums (mu has <= 4 meaningful decimals from an exact
+    division), the running MIN re-quantizes before subtracting, and
+    the alarm day (first S over the threshold) is a MIN over a total
+    order."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev"))
+    target = daily.groupBy("priority").agg(
+        (F.sum(F.col("rev").cast("decimal(25,2)")).cast("double") / F.count(F.lit(1))).alias("mu")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    pfx = daily.join(target, "priority").select(
+        "priority",
+        "day",
+        F.sum((F.col("rev") - F.col("mu")).cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("p"),
+    )
+    cusum = pfx.select(
+        "priority",
+        "day",
+        (
+            F.col("p")
+            - F.min(F.col("p").cast("decimal(25,6)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+        ).alias("s"),
+    )
+    return cusum.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(F.max("s") / F.lit(1000.0)).cast("bigint").alias("peak_cusum_k"),
+        F.min(F.when(F.col("s") > 500000.0, F.col("day"))).alias("first_alarm_day"),
+    )

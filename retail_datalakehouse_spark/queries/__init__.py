@@ -539,6 +539,9 @@ _PROMOTE_R11 = [
 # x_cusum_changepoint — Page 1954 CUSUM: the reset-at-zero recurrence
 #   de-sequentialized as prefix - running-min (two windows, no state
 #   loop); decimal-guarded prefixes; alarm day totally ordered.
+# x_time_to_convert — funnel latency distribution: first-view ->
+#   first-subsequent-purchase deltas in integer hours; exact
+#   median/p90 via the division-free cumulative threshold walk.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -3118,3 +3118,84 @@ def x_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.max("s") / F.lit(1000.0)).cast("bigint").alias("peak_cusum_k"),
         F.min(F.when(F.col("s") > 500000.0, F.col("day"))).alias("first_alarm_day"),
     )
+
+
+_TTC_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+  FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= v.v_ts
+  GROUP BY 1),
+deltas AS (
+  SELECT CAST(v.user_id % 5 AS BIGINT) AS cohort,
+         CAST(FLOOR(epoch_us(p.p_ts - v.v_ts) / 3600000000.0) AS BIGINT) AS hours
+  FROM v JOIN p ON p.user_id = v.user_id),
+dist AS (
+  SELECT cohort, hours, CAST(COUNT(*) AS BIGINT) AS n FROM deltas GROUP BY 1, 2),
+cum AS (
+  SELECT cohort, hours, n,
+         CAST(SUM(n) OVER (PARTITION BY cohort ORDER BY hours) AS BIGINT) AS cw,
+         CAST(SUM(n) OVER (PARTITION BY cohort) AS BIGINT) AS tw
+  FROM dist)
+SELECT cohort,
+       CAST(MAX(tw) AS BIGINT) AS n_converted,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN hours END) AS BIGINT) AS median_hours,
+       CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN hours END) AS BIGINT) AS p90_hours,
+       CAST(MAX(hours) AS BIGINT) AS max_hours
+FROM cum GROUP BY 1
+"""
+
+
+@register("x_time_to_convert", oracle=_TTC_SQL, tags=("W2", "A1"), doc="")
+def x_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT latency distribution (the funnel's missing
+    axis — x_funnel_windowed counts WHO converts; this measures HOW
+    LONG first-view -> first-subsequent-purchase takes, the number
+    latency SLAs and campaign post-mortems actually quote): per-user
+    deltas floor to integer HOURS (timestamp subtraction is exact
+    integer microseconds on both engines), collapse to a (cohort,
+    hours) distribution, and exact median/p90 come from the cumulative
+    threshold walk (2*cw >= tw / 10*cw >= 9*tw — the x_weighted_median
+    machinery, division-free). The per-user reduction is two min-
+    aggregations shuffling on user_id; the quantile window walks the
+    tiny latency histogram, never the events. The 'first purchase AT
+    OR AFTER first view' join is the ordered-funnel constraint — a
+    plain min(purchase) would count purchases that preceded the view."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("v_ts")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    deltas = v.join(p, "user_id").select(
+        (F.col("user_id") % 5).cast("bigint").alias("cohort"),
+        F.floor(
+            (F.unix_micros("p_ts") - F.unix_micros("v_ts")) / F.lit(3600000000.0)
+        ).cast("bigint").alias("hours"),
+    )
+    dist = deltas.groupBy("cohort", "hours").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cohort").orderBy("hours")
+    cum = dist.select(
+        "cohort",
+        "hours",
+        F.sum("n").over(w).cast("bigint").alias("cw"),
+        F.sum("n").over(Window.partitionBy("cohort")).cast("bigint").alias("tw"),
+    )
+    return cum.groupBy("cohort").agg(
+        F.max("tw").cast("bigint").alias("n_converted"),
+        F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("hours")))
+        .cast("bigint")
+        .alias("median_hours"),
+        F.min(F.when(F.lit(10) * F.col("cw") >= F.lit(9) * F.col("tw"), F.col("hours")))
+        .cast("bigint")
+        .alias("p90_hours"),
+        F.max("hours").cast("bigint").alias("max_hours"),
+    )

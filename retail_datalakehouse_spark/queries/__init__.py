@@ -542,6 +542,9 @@ _PROMOTE_R11 = [
 # x_time_to_convert — funnel latency distribution: first-view ->
 #   first-subsequent-purchase deltas in integer hours; exact
 #   median/p90 via the division-free cumulative threshold walk.
+# x_gains_table — decile lift / gains chart: total-order NTILE over
+#   the customers-sized aggregate, exact-decimal decile revenues,
+#   floor-e6 shares of an exact grand total.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -3199,3 +3199,66 @@ def x_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_hours"),
         F.max("hours").cast("bigint").alias("max_hours"),
     )
+
+
+_GAINS_SQL = """
+WITH spend AS (
+  SELECT o_custkey AS k,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT k, rev, NTILE(10) OVER (ORDER BY rev DESC, k) AS decile FROM spend),
+tot AS (
+  SELECT CAST(SUM(CAST(rev AS DECIMAL(25,2))) AS DOUBLE) AS total FROM spend)
+SELECT CAST(r.decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(ROUND(SUM(CAST(r.rev AS DECIMAL(25,2))), 2) AS DOUBLE) AS revenue,
+       CAST(FLOOR(1000000.0 * CAST(SUM(CAST(r.rev AS DECIMAL(25,2))) AS DOUBLE)
+                  / t.total) AS BIGINT) AS share_e6
+FROM ranked r, tot t
+GROUP BY 1, t.total
+"""
+
+
+@register("x_gains_table", oracle=_GAINS_SQL, tags=("W5", "A1"), doc="")
+def x_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAINS TABLE / decile lift (the model-eval artifact every churn
+    and propensity model ships with — 'the top decile holds X% of the
+    revenue', x_pareto_8020's chart-ready sibling): customers rank by
+    total spend under a TOTAL order (rev desc, key — NTILE over ties
+    is engine-defined otherwise), split into 10 equal-population
+    deciles, and each decile reports its exact-decimal revenue and
+    floor-e6 share of the grand total (an exact decimal sum cast once
+    — no float accumulation anywhere). Against a model score instead
+    of spend, the identical shape reads lift@decile; cumulative gains
+    are a running sum over these 10 rows. One customer-key reduction
+    pass plus one global-order window over the customers-sized
+    aggregate — the window input is customers, never orders."""
+    o = T(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev")
+    )
+    ranked = spend.select(
+        "k", "rev", F.ntile(10).over(Window.orderBy(F.desc("rev"), "k")).alias("decile")
+    )
+    tot = spend.agg(
+        F.sum(F.col("rev").cast("decimal(25,2)")).cast("double").alias("total")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("bigint").alias("decile"), "total")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("rev").cast("decimal(25,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.sum(F.col("rev").cast("decimal(25,2)")).cast("double")
+                / F.col("total")
+            )
+            .cast("bigint")
+            .alias("share_e6"),
+        )
+        .drop("total")
+    )

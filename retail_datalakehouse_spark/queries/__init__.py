@@ -546,8 +546,90 @@ _PROMOTE_R11 = [
 #   the customers-sized aggregate, exact-decimal decile revenues,
 #   floor-e6 shares of an exact grand total.
 
+# Round-12 rotation: the 52-name queue above holds every registry query
+# that has NEVER had a driver CORRECTNESS row (all judge-verified green
+# in the r11 review's independent check_oracle run). The driver gates
+# exactly 50 slots, so 50 promote now; the two deferred to r13 are the
+# two whose SHAPE already has the deepest driver evidence through
+# siblings — x_percent_of_total (window share; W3/W4 green since r2)
+# and x_year_over_year (lag delta; W2 green since r2). Order: the
+# judge's seven priority flagships first, then file-ingestion/stream/
+# UDF surfaces, then the analytics wave.
+_PROMOTE_R12 = [
+    "x_fifo_allocation",
+    "x_lttb_downsample",
+    "x_bitemporal_asof",
+    "x_event_pattern_match",
+    "l3_binary_quantization",
+    "x_data_vault_model",
+    "x_cdc_scd2_apply",
+    "s15_xml_roundtrip",
+    "s16_fixed_width_ingest",
+    "s17_csv_quoted_multiline",
+    "t30_stream_m4",
+    "u10_pandas_iter_udf",
+    "f10_try_arithmetic",
+    "f11_map_higher_order",
+    "sql_parameterized",
+    "x_string_collation",
+    "x_observe_metrics",
+    "x_merge_evolution",
+    "x_unique_constraint",
+    "x_default_columns",
+    "x_null_safe_join",
+    "x_keyset_pagination",
+    "x_timeseries_gapfill",
+    "x_interval_overlap",
+    "x_interval_coalesce",
+    "x_time_weighted_avg",
+    "x_m4_downsample",
+    "x_weighted_median",
+    "x_linear_regression",
+    "x_chi_square_independence",
+    "x_welch_t_test",
+    "x_cusum_changepoint",
+    "x_quantile_normalization",
+    "x_bitmap_intersect",
+    "x_subject_access_report",
+    "x_column_drift_report",
+    "x_survivorship_golden_record",
+    "x_spatial_grid_join",
+    "x_first_touch_attribution",
+    "x_new_vs_returning",
+    "x_time_to_convert",
+    "x_gains_table",
+    "l3_filtered_topk",
+    "l4_readability",
+    "l4_gini_language_balance",
+    "l6_calibration_ece",
+    "l6_pass_at_k",
+    "l6_rouge_ngram",
+    "l7_sft_loss_mask",
+    "x_range_interval_frame",
+]
+# _PROMOTE_R12 deferred to r13: x_percent_of_total, x_year_over_year
+# (plus any queries added during r12, which register past the window).
+# ---- r13 rotation queue (registered PAST the frozen r12 window; each
+# 3-scale + vanilla oracle-green at build time):
+# x_percent_of_total — deferred from r12 (window share; W3/W4-green shape).
+# x_year_over_year — deferred from r12 (lag delta; W2-green shape).
+# x_iceberg_export — Iceberg-v2 metadata tree export (VERDICT r11 item
+#   2, the Delta counterpart): version-hint -> metadata.json -> snapshot
+#   -> manifest list -> manifests with field-id bounds; independent
+#   stdlib-JSON planner walk re-reads the snapshot, summary counts
+#   account for every row with zero data reads.
+# x_iceberg_export_incremental — keep-in-sync exports: append REUSES the
+#   prior manifest BY REFERENCE (O(new files) metadata), delete
+#   surfaces as DELETED entries; parent-snapshot-id lineage, idempotent
+#   re-export; the structural contrast with Delta's log-replay is the
+#   point (snapshots are self-contained — readers never replay).
+# x_iceberg_import_timetravel — sources/iceberg_import.py reader half:
+#   time travel = resolve a different self-contained snapshot (O(1)
+#   metadata choices, no log replay); latest == live pinned by count +
+#   keyed checksum under the METADATA's schema.
+
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
-_head = {n: REGISTRY[n] for n in (*_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

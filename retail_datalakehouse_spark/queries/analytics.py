@@ -2325,11 +2325,16 @@ WITH daily AS (
          CAST(o_orderdate AS DATE) AS day,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) * 100 AS BIGINT) AS cents
   FROM orders GROUP BY 1, 2, 3),
-pts AS (
+pts0 AS (
   SELECT priority, day, x, cents,
          ROW_NUMBER() OVER (PARTITION BY priority ORDER BY x) AS j,
          COUNT(*) OVER (PARTITION BY priority) AS n
   FROM daily),
+-- scale-independence guard: the unrolled CTEs assume n > buckets; series
+-- at or under the bucket count are excluded on BOTH sides (the engine
+-- filters identically) instead of silently diverging from lttb_pandas's
+-- return-whole early exit at small scales.
+pts AS (SELECT * FROM pts0 WHERE n > {buckets}),
 mid AS (
   SELECT priority, day, x, cents, ((j - 2) * {B}) // (n - 2) AS b
   FROM pts WHERE j > 1 AND j < n),
@@ -2398,6 +2403,19 @@ def x_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     ).withColumn(
         "x", F.datediff(F.col("day"), F.lit("1990-01-01").cast("date")).cast("long")
+    )
+    # Scale-independence guard (mirrors the oracle's `WHERE n > buckets`
+    # CTE): series at or under the bucket count would take lttb_pandas's
+    # return-whole early exit while the oracle's unrolled CTEs still
+    # assume n > buckets — exclude them on both sides instead. The window
+    # runs over the already-daily-aggregated series (days × priorities,
+    # never facts), so it costs one pass over a tiny frame.
+    daily = (
+        daily.withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy("priority"))
+        )
+        .where(F.col("_n") > 8)
+        .drop("_n")
     )
 
     def walk(pdf):

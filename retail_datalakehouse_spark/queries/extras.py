@@ -3808,6 +3808,263 @@ def x_delta_import_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ICE_EXPORT_SQL = f"""
+WITH t AS (SELECT * FROM orders WHERE o_orderkey % 5 != 2)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register("x_iceberg_export", oracle=_ICE_EXPORT_SQL, tags=("S3", "S6"), doc="")
+def x_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata EXPORT interop (r12, VERDICT r11 item 2 — the
+    counterpart of x_delta_export on the other side of the open-table-
+    format fence): `VersionedTable.export_iceberg_metadata()` writes an
+    Iceberg-v2-shaped metadata tree (v1.metadata.json + version-hint +
+    snapshot -> manifest LIST -> manifests with field-id-keyed bounds)
+    beside the existing parquet — Iceberg's own migrate/add_files
+    direction, zero data bytes copied. The round-trip is INDEPENDENT of
+    table code: this query walks version-hint -> metadata -> current
+    snapshot -> manifest list -> manifest entries with stdlib JSON
+    (what any Iceberg engine's planner does), asserts the spec shape
+    (format-version 2, sequential field ids, per-manifest summary
+    counts that ACCOUNT for every row without opening data), reads
+    exactly the live files with the METADATA's schema (never parquet
+    inference), and the DuckDB oracle recomputes the aggregate from
+    pristine orders. Exercises the interesting layout: append +
+    incremental optimize first, so the manifest spans several data
+    directories via the file-granular manifest. Manifests serialize as
+    JSON where the spec says Avro (no Avro tooling in the container) —
+    same documented stand-in as the Delta leg."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 != 2)
+    cut = o.agg(F.max("o_orderkey")).first()[0] * 8 // 10  # data-derived
+    low, k = F.col("o_orderkey") <= cut, F.col("o_orderkey")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_iexp_"))
+    t.overwrite(o.filter(low & (k % 2 == 0)), cluster_by=["o_orderkey"], cluster_files=4)
+    t.append(o.filter(low & (k % 2 == 1)))  # interleaves: forces rewrite
+    t.append(o.filter(~low))  # disjoint high range: carried by reference
+    r = t.optimize_incremental("o_orderkey", rows_per_file=max(200, o.count() // 6))
+    assert r["rewritten"] > 0 and r["carried"] > 0, r
+    meta_path = t.export_iceberg_metadata()
+
+    # ---- independent spec-level planner walk: stdlib JSON only
+    with open(_os.path.join(t.path, "metadata", "version-hint.text")) as fh:
+        assert fh.read().strip() == "1"
+    with open(meta_path) as fh:
+        meta = _json.load(fh)
+    assert meta["format-version"] == 2
+    fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    assert [f["id"] for f in fields] == list(range(1, len(fields) + 1))
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(_os.path.join(t.path, snap["manifest-list"])) as fh:
+        manifests = _json.load(fh)["manifests"]
+    # the manifest-list summary layer accounts for every row, no data read
+    n_list = sum(m["added_rows_count"] + m["existing_rows_count"] for m in manifests)
+    entries = []
+    for m in manifests:
+        with open(_os.path.join(t.path, m["manifest_path"])) as fh:
+            entries.extend(
+                e for e in _json.load(fh)["entries"] if e["status"] != 2
+            )
+    paths = [_os.path.join(t.path, e["data_file"]["file_path"]) for e in entries]
+    assert len({_os.path.dirname(p) for p in paths}) >= 2  # spans dirs (optimize)
+    assert all(
+        _os.path.getsize(p) == e["data_file"]["file_size_in_bytes"]
+        for p, e in zip(paths, entries)
+    )
+    n_entries = sum(e["data_file"]["record_count"] for e in entries)
+    assert n_list == n_entries == o.count()
+
+    from ..sources.iceberg_import import _spark_schema
+
+    df = spark.read.schema(
+        _spark_schema(meta["schemas"][meta["current-schema-id"]])
+    ).parquet(*paths)
+    return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+
+
+_ICE_EXPORT_INC_SQL = f"""
+WITH t AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 11 != 4 AND o_orderkey % 7 != 1)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register(
+    "x_iceberg_export_incremental",
+    oracle=_ICE_EXPORT_INC_SQL,
+    tags=("S3", "S6", "S7"),
+    doc="",
+)
+def x_iceberg_export_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL Iceberg export — the keep-in-sync direction, and the
+    structural contrast with x_delta_export_incremental: Delta appends a
+    DIFF commit that readers must replay; Iceberg writes a new
+    self-contained snapshot whose manifest list REUSES untouched
+    manifests BY REFERENCE — O(new files) metadata written, O(1) for
+    the carried million-file manifest, and readers never replay
+    anything. The table goes overwrite -> export (snapshot 1) -> append
+    -> export (snapshot 2: asserts the prior manifest_path is carried
+    VERBATIM plus exactly one new manifest) -> delete (materializing
+    rewrite) -> export (snapshot 3: the lost files surface as DELETED
+    entries / summary counts). parent-snapshot-id chains the lineage,
+    sequence numbers are 1..3, and a re-export at the same source
+    version is an idempotent no-op (asserted). The final read resolves
+    ONLY snapshot 3 (no history walk) via stdlib JSON and the DuckDB
+    oracle recomputes the final state relationally."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders")
+    keep = F.col("o_orderkey") % 11 != 4
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_iexpi_"))
+    t.overwrite(
+        o.filter(keep & (F.col("o_orderkey") % 2 == 0)),
+        cluster_by=["o_orderkey"],
+        cluster_files=4,
+    )
+    m1 = t.export_iceberg_metadata()
+    t.append(o.filter(keep & (F.col("o_orderkey") % 2 == 1)).coalesce(1))
+    m2 = t.export_iceberg_metadata()
+    assert t.export_iceberg_metadata() == m2  # same version: idempotent
+    t.delete("o_orderkey % 7 = 1")  # materializing rewrite
+    m3 = t.export_iceberg_metadata()
+    assert [_os.path.basename(p) for p in (m1, m2, m3)] == [
+        f"v{i}.metadata.json" for i in (1, 2, 3)
+    ]
+
+    def _load(p):
+        with open(p) as fh:
+            return _json.load(fh)
+
+    def _list_of(meta, sid):
+        s = next(x for x in meta["snapshots"] if x["snapshot-id"] == sid)
+        return _load(_os.path.join(t.path, s["manifest-list"]))["manifests"]
+
+    meta2, meta3 = _load(m2), _load(m3)
+    l1 = _list_of(meta2, meta2["snapshots"][0]["snapshot-id"])
+    l2 = _list_of(meta2, meta2["current-snapshot-id"])
+    # append REUSED snapshot 1's manifest by reference + added ONE new
+    assert {m["manifest_path"] for m in l1} < {m["manifest_path"] for m in l2}
+    assert len(l2) == len(l1) + 1
+    assert sum(m["added_files_count"] for m in l2) == 1
+    # lineage: parent ids chain, sequence numbers advance 1..3
+    snaps = meta3["snapshots"]
+    assert [s["sequence-number"] for s in snaps] == [1, 2, 3]
+    assert [s.get("parent-snapshot-id") for s in snaps] == [
+        None, snaps[0]["snapshot-id"], snaps[1]["snapshot-id"]
+    ]
+    l3 = _list_of(meta3, meta3["current-snapshot-id"])
+    assert sum(m["deleted_files_count"] for m in l3) > 0  # delete surfaced
+
+    # ---- read = resolve snapshot 3 only (no replay), stdlib JSON
+    live = []
+    for m in l3:
+        if m["added_files_count"] + m["existing_files_count"] == 0:
+            continue
+        for e in _load(_os.path.join(t.path, m["manifest_path"]))["entries"]:
+            if e["status"] != 2:
+                live.append(_os.path.join(t.path, e["data_file"]["file_path"]))
+    return (
+        spark.read.parquet(*live)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )
+
+
+_ICE_IMPORT_SQL = f"""
+WITH t AS (
+  SELECT * FROM orders WHERE o_orderkey % 13 != 6)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register("x_iceberg_import_timetravel", oracle=_ICE_IMPORT_SQL, tags=("S4", "S6"), doc="")
+def x_iceberg_import_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata IMPORT with time travel
+    (`sources/iceberg_import.py` — the reader half, deliberately
+    independent of VersionedTable: it consumes only the exported
+    metadata tree the way an Iceberg engine's planner does). The table
+    exports three snapshots (overwrite -> append -> delete);
+    `read_iceberg_snapshot(snapshot_id=<second>)` resolves the SECOND
+    snapshot directly — Iceberg time travel is picking a different
+    self-contained snapshot object, O(1) metadata choices, never a log
+    replay — so the delete is invisible and the aggregate equals the
+    after-append state the oracle recomputes. Also asserted: the latest
+    read equals the live table (count + keyed checksum) under the
+    METADATA's schema, and `iceberg_snapshot_summary`'s zero-data-read
+    lineage accounts for every live row and the delete's lost files."""
+    import tempfile
+
+    from ..sources.iceberg_import import (
+        iceberg_snapshot_summary,
+        read_iceberg_snapshot,
+    )
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders")
+    keep = F.col("o_orderkey") % 13 != 6
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_iimp_"))
+    t.overwrite(
+        o.filter(keep & (F.col("o_orderkey") % 2 == 0)),
+        cluster_by=["o_orderkey"],
+        cluster_files=4,
+    )
+    t.export_iceberg_metadata()  # snapshot 1
+    t.append(o.filter(keep & (F.col("o_orderkey") % 2 == 1)).coalesce(1))
+    t.export_iceberg_metadata()  # snapshot 2  <- the time-travel target
+    t.delete("o_orderkey % 13 = 6 OR o_orderkey % 3 = 1")
+    t.export_iceberg_metadata()  # snapshot 3
+
+    # latest == live table (count + checksum, schema from the metadata)
+    latest = read_iceberg_snapshot(spark, t.path)
+    a = latest.agg(F.count(F.lit(1)), F.sum("o_orderkey")).first()
+    b = t.read().agg(F.count(F.lit(1)), F.sum("o_orderkey")).first()
+    assert (a[0], a[1]) == (b[0], b[1]), (a, b)
+    summ = iceberg_snapshot_summary(t.path)
+    assert summ["n_snapshots"] == 3, summ
+    assert summ["lineage"][-1]["live_rows"] == a[0], (summ, a[0])
+    assert summ["lineage"][-1]["deleted_files"] > 0, summ
+    assert summ["lineage"][-1]["operation"] == "overwrite", summ
+
+    # time travel to snapshot 2: the delete must be invisible
+    sid2 = summ["lineage"][1]["snapshot_id"]
+    tv = read_iceberg_snapshot(spark, t.path, snapshot_id=sid2)
+    return tv.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", scale=2).alias("revenue"),
+    )
+
+
 _ASOF_NEAREST_SQL = """
 WITH v AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts FROM events WHERE event_type = 'view'),

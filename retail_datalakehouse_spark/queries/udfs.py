@@ -508,10 +508,13 @@ def u10_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer / compiled regex there), then streams Arrow batches
     through the hot loop, where a plain `@pandas_udf` would re-enter
     per batch with no init point at all. The init here is a stand-in
-    scoring table (a 97-entry modulus map, built once and counted), and
-    the in-query assert pins the contract: the number of inits
-    observed per worker is the PARTITION count, not the Arrow-batch
-    count. Score = floor(price*100) %% 97 — integer math, so the oracle
+    scoring table (a 97-entry modulus map, built once per function-body
+    entry). What the in-query assert pins is the DENOMINATOR of the
+    amortization claim — the input is exactly 8 partitions (= tasks =
+    init scopes); the init-count-equals-task-count contract itself is
+    pinned by an accumulator-instrumented unit test
+    (tests/test_r12_additions.py::test_iter_udf_init_once_per_task).
+    Score = floor(price*100) %% 97 — integer math, so the oracle
     recomputes it relationally. At 100 TB this pattern is the
     difference between loading a 2 GB model 10^6 times (per batch) and
     200 times (per partition)."""

@@ -258,6 +258,49 @@ def _with_contiguous_ids(
     return cached.mapInPandas(gen, schema), acc - start
 
 
+# Spark -> Iceberg primitive type names (Iceberg spec §Schemas). Spark's
+# TimestampType is session-tz-adjusted => Iceberg timestamptz; TimestampNTZ
+# => timestamp. Only flat schemas export (guarded below) — nested types
+# would need element/key/value field ids this minimal exporter doesn't mint.
+_ICEBERG_TYPES = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "timestamp": "timestamptz",
+    "timestamp_ntz": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def _iceberg_schema(schema) -> tuple[dict, dict[str, int]]:
+    """Spark StructType -> (Iceberg schema JSON, {column: field-id}).
+    Field ids are minted sequentially from 1 — Iceberg's column-identity
+    mechanism (names are just labels; ids survive renames), which is why
+    the data-file bounds key on ids, not names."""
+    fields = []
+    ids: dict[str, int] = {}
+    for i, f in enumerate(schema.fields, start=1):
+        tn = f.dataType.typeName()
+        if tn == "decimal":
+            ice = f"decimal({f.dataType.precision}, {f.dataType.scale})"
+        elif tn in _ICEBERG_TYPES:
+            ice = _ICEBERG_TYPES[tn]
+        else:
+            raise ValueError(
+                f"iceberg export supports flat primitive schemas; column "
+                f"{f.name!r} has type {tn}"
+            )
+        ids[f.name] = i
+        fields.append(
+            {"id": i, "name": f.name, "required": not f.nullable, "type": ice}
+        )
+    return {"type": "struct", "schema-id": 0, "fields": fields}, ids
+
+
 class VersionedTable:
     def __init__(
         self,
@@ -589,10 +632,14 @@ class VersionedTable:
         # Persistent CHECK constraints (Delta ADD CONSTRAINT): recorded in
         # the manifest, enforced on the data each commit WRITES — O(new
         # rows) for incremental appends, piggybacking on the already-
-        # O(table) scan for materializing commits. Row-preserving ops
-        # (delete/compact/restore) re-write rows that already passed.
+        # O(table) scan for materializing commits. delete/compact are
+        # row-preserving (they re-write rows that already passed under
+        # the CURRENT constraint set) and skip it; restore is NOT — the
+        # restored snapshot may predate the constraint, so it must pass
+        # validation before republishing under the carried-forward
+        # manifest metadata.
         checks = self._manifest(parent).get("checks") if parent else None
-        if (checks or generated) and op not in ("delete", "compact", "restore"):
+        if (checks or generated) and op not in ("delete", "compact"):
             from .constraints import enforce
 
             enforce(
@@ -610,8 +657,13 @@ class VersionedTable:
         # ops can't introduce duplicates. Cost is one key-columns-only
         # shuffle per declared key — the price warehouses pay with an
         # index and Delta/Iceberg simply don't pay (they don't enforce).
+        # (restore included: a snapshot that predates add_unique — or
+        # predates the dedup that made the constraint addable — would
+        # otherwise republish duplicate keys while carrying the uniques
+        # metadata forward, breaking the "any commit that would publish
+        # duplicates aborts" contract.)
         uniques = self._manifest(parent).get("uniques") if parent else None
-        if uniques and op not in ("delete", "compact", "restore"):
+        if uniques and op not in ("delete", "compact"):
             from .constraints import enforce_unique
 
             # For materializing commits ``df`` IS the candidate snapshot;
@@ -869,12 +921,17 @@ class VersionedTable:
         cluster_by: list[str] | None = None,
         hidden_partition: dict | None = None,
         inherit_layout: bool = False,
-        generated_update: dict | None = None,
-        defaults_update: dict | None = None,
+        generated_update: dict | Callable[[dict], dict] | None = None,
+        defaults_update: dict | Callable[[dict], dict] | None = None,
     ) -> int:
         """Optimistic-concurrency loop: derive the new snapshot from the
         CURRENT one, try the CAS commit, and on conflict rebase onto the
         winner's snapshot and retry.
+
+        ``generated_update`` / ``defaults_update`` may be callables over
+        the current parent's manifest entry — resolved per attempt, so a
+        retry after a lost race rebuilds the metadata dict from the race
+        winner's state instead of republishing a stale copy.
 
         ``txn=(writer_id, batch_id)`` makes the commit IDEMPOTENT per
         writer (Delta's txn action): a batch at or below the writer's
@@ -933,6 +990,22 @@ class VersionedTable:
                     if (cdf_build is not None and self._record_cdf)
                     else None
                 )
+                # Metadata updates may be CALLABLES over the current
+                # parent's manifest — resolved per attempt so a rebase
+                # onto a race winner rebuilds the dict from the WINNER's
+                # state instead of republishing a stale pre-race copy
+                # (which would silently drop the winner's metadata).
+                _p_entry = self._manifest(parent) if parent is not None else {}
+                gu = (
+                    generated_update(_p_entry)
+                    if callable(generated_update)
+                    else generated_update
+                )
+                du = (
+                    defaults_update(_p_entry)
+                    if callable(defaults_update)
+                    else defaults_update
+                )
                 return self._try_commit(
                     new_df, op, parent,
                     txn=None if txn is None else {txn[0]: txn[1]},
@@ -941,8 +1014,8 @@ class VersionedTable:
                     cdf_df=cdf_df,
                     cluster_by=cluster_by,
                     hidden_partition=spec,
-                    generated_update=generated_update,
-                    defaults_update=defaults_update,
+                    generated_update=gu,
+                    defaults_update=du,
                 )
             except ConcurrentMergeConflict:
                 raise
@@ -4376,16 +4449,19 @@ class VersionedTable:
                 f"column {col!r} already exists; generated columns are "
                 "table-computed from declaration onward"
             )
-        gen = dict(p_entry.get("generated") or {})
-        gen[col] = expr
-
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
                 raise ValueError(f"cannot alter empty table {self.path}")
             return cur.withColumn(col, F.expr(expr))
 
+        # generated_update as a callable: rebuilt from the CURRENT head's
+        # manifest on every commit attempt, so losing a race to another
+        # metadata writer can't republish a stale dict over its commit.
         return self._commit_with_retry(
-            build, "add_generated", inherit_layout=True, generated_update=gen
+            build,
+            "add_generated",
+            inherit_layout=True,
+            generated_update=lambda e: {**(e.get("generated") or {}), col: expr},
         )
 
     def add_default(self, col: str, expr: str) -> int:
@@ -4407,17 +4483,24 @@ class VersionedTable:
         parent = self.current_version()
         if parent is None:
             raise ValueError(f"cannot alter empty table {self.path}")
-        p_entry = self._manifest(parent)
-        if col in (p_entry.get("generated") or {}):
-            raise ValueError(f"column {col!r} is GENERATED; defaults don't apply")
-        dfl = dict(p_entry.get("defaults") or {})
-        if col in dfl:
-            raise ValueError(f"column {col!r} already has a default")
-        dfl[col] = expr
-        if col in self._logical_columns(p_entry):
+        if col in self._logical_columns(self._manifest(parent)):
+            # Metadata-only path. The manifest read, conflict checks, and
+            # defaults-dict construction all live INSIDE the retry loop
+            # (matching the sibling ALTER methods): rebuilding from the
+            # CURRENT head on each attempt means a lost commit race never
+            # republishes a stale dict — which would silently drop a
+            # concurrent add_unique/drop_default/… metadata commit.
             for _ in range(5):
                 parent = self.current_version()
                 entry = self._manifest(parent)
+                if col in (entry.get("generated") or {}):
+                    raise ValueError(
+                        f"column {col!r} is GENERATED; defaults don't apply"
+                    )
+                dfl = dict(entry.get("defaults") or {})
+                if col in dfl:
+                    raise ValueError(f"column {col!r} already has a default")
+                dfl[col] = expr
                 v = self._link_metadata_commit(
                     entry, parent, "add_default", {"defaults": dfl}
                 )
@@ -4425,13 +4508,26 @@ class VersionedTable:
                     return v
             raise CommitConflict(f"lost 5 consecutive commit races at {self.path}")
 
+        # NEW column: validate, then backfill in one materializing commit.
+        # defaults_update is a callable rebuilt from the head manifest per
+        # commit attempt (same stale-dict-republish guard as the
+        # metadata-only path above).
+        p_entry = self._manifest(parent)
+        if col in (p_entry.get("generated") or {}):
+            raise ValueError(f"column {col!r} is GENERATED; defaults don't apply")
+        if col in (p_entry.get("defaults") or {}):
+            raise ValueError(f"column {col!r} already has a default")
+
         def build(cur: DataFrame | None) -> DataFrame:
             if cur is None:
                 raise ValueError(f"cannot alter empty table {self.path}")
             return cur.withColumn(col, F.expr(expr))
 
         return self._commit_with_retry(
-            build, "add_default", inherit_layout=True, defaults_update=dfl
+            build,
+            "add_default",
+            inherit_layout=True,
+            defaults_update=lambda e: {**(e.get("defaults") or {}), col: expr},
         )
 
     def drop_default(self, col: str) -> int:
@@ -4765,6 +4861,323 @@ class VersionedTable:
                 "stats": json.dumps(stats),
             }
         }
+
+    # ------------------------------------------------- iceberg interop
+
+    def export_iceberg_metadata(self, version: int | None = None) -> str:
+        """Export the snapshot as an Iceberg-spec-shaped metadata tree —
+        the counterpart of :meth:`export_delta_log` on the other side of
+        the open-table-format fence (Iceberg's own ``add_files`` /
+        migrate direction): ``metadata/v<N>.metadata.json`` +
+        ``version-hint.text`` (the HadoopCatalog convention), a
+        per-snapshot MANIFEST LIST, and per-manifest DATA FILE entry
+        lists, all written BESIDE the existing parquet and referencing
+        it by table-root-relative path — zero data bytes copied,
+        O(files) metadata whatever the table size.
+
+        Faithful to the Iceberg v2 spec's STRUCTURE (the container has
+        no Avro tooling, so manifest lists and manifests serialize as
+        JSON with the spec's field names — the same documented stand-in
+        the Delta exporter uses for its log):
+
+        - table metadata carries format-version 2, table-uuid, schemas
+          with sequential FIELD IDS (Iceberg's column-identity
+          mechanism), partition-specs / sort-orders (empty spec-id 0),
+          current-snapshot-id, the full snapshots list, snapshot-log
+          and metadata-log;
+        - each snapshot points at ONE manifest-list file; the list
+          carries per-manifest summary counts (added/existing/deleted
+          files and rows, sequence numbers) — the layer Iceberg's scan
+          planning prunes FIRST, before touching any manifest;
+        - manifests hold per-file entries: status (1=ADDED, 0=EXISTING,
+          2=DELETED), the writing snapshot-id, sequence-number, and the
+          data_file struct (file_path, PARQUET, record_count,
+          file_size_in_bytes, partition {}, lower/upper bounds keyed by
+          field-id when the table manifest has footer stats).
+
+        INCREMENTAL, the Iceberg way: a second call with the table
+        advanced writes v<N+1>.metadata.json whose new snapshot (a)
+        REUSES every prior manifest whose files all survive — by
+        reference, unread and unmodified, which is how Iceberg keeps
+        append cost O(new files) on a million-file table; (b) REWRITES
+        any manifest that lost files, keeping survivors as EXISTING and
+        recording the lost ones as DELETED entries (what Iceberg's
+        rewrite/expire machinery emits); (c) ADDS one manifest for the
+        new files. parent-snapshot-id chains the lineage; re-exporting
+        the same source version is an idempotent no-op; exporting an
+        OLDER version than the last export raises (metadata lineage is
+        forward-only).
+
+        Readers do NOT replay a log: an Iceberg read resolves one
+        snapshot → one manifest list → live entries (status != DELETED)
+        — see ``sources/iceberg_import.py``, the independent stdlib-JSON
+        reader half. Scope guards match the Delta exporter: MOR
+        versions, hive/hidden partition layouts, and column-mapped
+        schemas raise (compact first).
+
+        Returns the path of the metadata file written."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"cannot export empty table {self.path}")
+        entry = self._manifest(v)
+        if self._is_mor(entry):
+            raise ValueError(
+                "iceberg export of a merge-on-read version would resurrect "
+                "tombstoned rows; compact first"
+            )
+        if entry.get("partition_by") or entry.get("hidden_partition"):
+            raise ValueError(
+                "iceberg export emits the empty partition spec only; "
+                "compact to a clustered layout first"
+            )
+        if entry.get("column_renames") or entry.get("column_drops"):
+            raise ValueError(
+                "iceberg export of a column-mapped schema needs name-mapping "
+                "metadata; materialize the mapping (compact) first"
+            )
+        meta_dir = os.path.join(self.path, "metadata")
+        os.makedirs(meta_dir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        schema = self.read_version(v).schema
+        ice_schema, field_ids = _iceberg_schema(schema)
+        files = self._delta_file_list(entry)  # same identity: rel paths
+
+        hint = os.path.join(meta_dir, "version-hint.text")
+        prev_meta: dict | None = None
+        if os.path.exists(hint):
+            with open(hint) as fh:
+                n_prev = int(fh.read().strip())
+            with open(
+                os.path.join(meta_dir, f"v{n_prev}.metadata.json")
+            ) as fh:
+                prev_meta = json.load(fh)
+        else:
+            n_prev = 0
+
+        if prev_meta is not None:
+            v0 = int(prev_meta["properties"]["rdl.source-version"])
+            if v0 == v:
+                return os.path.join(meta_dir, f"v{n_prev}.metadata.json")
+            if v < v0:
+                raise ValueError(
+                    f"iceberg metadata at {meta_dir} is ahead of version "
+                    f"{v} (last exported {v0}); the lineage is forward-only"
+                )
+
+        seq = (prev_meta["last-sequence-number"] + 1) if prev_meta else 1
+        snap_id = int(uuid.uuid4().int % (1 << 62))
+        cur = {f["__rel"]: f for f in files}
+
+        manifest_list: list[dict] = []
+        claimed: set[str] = set()
+        if prev_meta is not None:
+            prev_snap = next(
+                s
+                for s in prev_meta["snapshots"]
+                if s["snapshot-id"] == prev_meta["current-snapshot-id"]
+            )
+            with open(
+                os.path.join(self.path, prev_snap["manifest-list"])
+            ) as fh:
+                prev_list = json.load(fh)["manifests"]
+            for m in prev_list:
+                with open(os.path.join(self.path, m["manifest_path"])) as fh:
+                    m_entries = json.load(fh)["entries"]
+                live = [
+                    e for e in m_entries if e["status"] != 2  # not DELETED
+                ]
+                survivors = [
+                    e for e in live if e["data_file"]["file_path"] in cur
+                ]
+                claimed.update(e["data_file"]["file_path"] for e in live)
+                if len(survivors) == len(live):
+                    # untouched: carry the manifest forward BY REFERENCE
+                    manifest_list.append(
+                        {
+                            **m,
+                            "existing_files_count": m["added_files_count"]
+                            + m["existing_files_count"],
+                            "added_files_count": 0,
+                            "existing_rows_count": m["added_rows_count"]
+                            + m["existing_rows_count"],
+                            "added_rows_count": 0,
+                            "deleted_files_count": 0,
+                            "deleted_rows_count": 0,
+                        }
+                    )
+                    continue
+                # lost files: rewrite with EXISTING survivors + DELETED losses
+                rewritten = [
+                    {**e, "status": 0} for e in survivors
+                ] + [
+                    {**e, "status": 2, "snapshot_id": snap_id,
+                     "sequence_number": seq}
+                    for e in live
+                    if e["data_file"]["file_path"] not in cur
+                ]
+                if rewritten:
+                    manifest_list.append(
+                        self._write_iceberg_manifest(
+                            meta_dir, rewritten, snap_id, seq,
+                            min_seq=m["min_sequence_number"],
+                        )
+                    )
+        new_files = [f for f in files if f["__rel"] not in claimed]
+        if new_files or not manifest_list:
+            new_entries = [
+                {
+                    "status": 1,  # ADDED
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "data_file": self._iceberg_data_file(f, field_ids),
+                }
+                for f in new_files
+            ]
+            if new_entries:
+                manifest_list.append(
+                    self._write_iceberg_manifest(
+                        meta_dir, new_entries, snap_id, seq, min_seq=seq
+                    )
+                )
+
+        ml_name = f"metadata/snap-{snap_id}-manifest-list.json"
+        with open(os.path.join(self.path, ml_name), "w") as fh:
+            json.dump({"manifests": manifest_list}, fh, indent=1)
+        n_added = sum(m["added_files_count"] for m in manifest_list)
+        n_deleted = sum(m["deleted_files_count"] for m in manifest_list)
+        # Iceberg summary operations: first export = the migrate
+        # overwrite; then the diff decides (append / delete / overwrite)
+        if prev_meta is None:
+            operation = "overwrite"
+        elif n_deleted == 0:
+            operation = "append"
+        elif n_added == 0:
+            operation = "delete"
+        else:
+            operation = "overwrite"
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": now_ms,
+            "summary": {
+                "operation": operation,
+                "rdl.source-version": str(v),
+            },
+            "manifest-list": ml_name,
+            "schema-id": 0,
+        }
+        if prev_meta is not None:
+            snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
+        n_meta = n_prev + 1
+        meta = {
+            "format-version": 2,
+            "table-uuid": prev_meta["table-uuid"] if prev_meta
+            else uuid.uuid4().hex,
+            "location": self.path,
+            "last-sequence-number": seq,
+            "last-updated-ms": now_ms,
+            "last-column-id": max(field_ids.values()),
+            "current-schema-id": 0,
+            "schemas": [ice_schema],
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "last-partition-id": 999,
+            "default-sort-order-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "properties": {"rdl.source-version": str(v)},
+            "current-snapshot-id": snap_id,
+            "snapshots": (prev_meta["snapshots"] if prev_meta else [])
+            + [snapshot],
+            "snapshot-log": (prev_meta["snapshot-log"] if prev_meta else [])
+            + [{"timestamp-ms": now_ms, "snapshot-id": snap_id}],
+            "metadata-log": (
+                (prev_meta["metadata-log"] if prev_meta else [])
+                + (
+                    [
+                        {
+                            "timestamp-ms": prev_meta["last-updated-ms"],
+                            "metadata-file": f"metadata/v{n_prev}.metadata.json",
+                        }
+                    ]
+                    if prev_meta
+                    else []
+                )
+            ),
+        }
+        meta_path = os.path.join(meta_dir, f"v{n_meta}.metadata.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.replace(tmp, meta_path)
+        with open(hint + ".tmp", "w") as fh:
+            fh.write(str(n_meta))
+        os.replace(hint + ".tmp", hint)
+        return meta_path
+
+    def _write_iceberg_manifest(
+        self,
+        meta_dir: str,
+        entries: list[dict],
+        snap_id: int,
+        seq: int,
+        min_seq: int,
+    ) -> dict:
+        """Write one manifest file and return its manifest-list entry
+        (the summary counts scan planning prunes on before opening it)."""
+        name = f"metadata/manifest-{seq}-{uuid.uuid4().hex[:8]}.json"
+        path = os.path.join(self.path, name)
+        with open(path, "w") as fh:
+            json.dump({"content": "data", "entries": entries}, fh, indent=1)
+
+        def _n(status: int) -> tuple[int, int]:
+            es = [e for e in entries if e["status"] == status]
+            return len(es), sum(
+                e["data_file"]["record_count"] or 0 for e in es
+            )
+
+        a_f, a_r = _n(1)
+        e_f, e_r = _n(0)
+        d_f, d_r = _n(2)
+        return {
+            "manifest_path": name,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": min_seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": a_f,
+            "existing_files_count": e_f,
+            "deleted_files_count": d_f,
+            "added_rows_count": a_r,
+            "existing_rows_count": e_r,
+            "deleted_rows_count": d_r,
+        }
+
+    def _iceberg_data_file(self, f: dict, field_ids: dict[str, int]) -> dict:
+        rel = f["__rel"]
+        st = os.stat(os.path.join(self.path, rel))
+        df: dict = {
+            "content": 0,  # DATA (1/2 = eq/pos deletes, never exported)
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "partition": {},
+            "record_count": f.get("n_rows"),
+            "file_size_in_bytes": st.st_size,
+        }
+        lower = {
+            str(field_ids[c]): b[0]
+            for c, b in f.get("stats", {}).items()
+            if c in field_ids and not c.startswith("__") and b[0] is not None
+        }
+        if lower:
+            df["lower_bounds"] = lower
+            df["upper_bounds"] = {
+                str(field_ids[c]): f["stats"][c][1]
+                for c in f.get("stats", {})
+                if str(field_ids.get(c)) in lower
+            }
+        return df
 
     def clone_to(
         self,

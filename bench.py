@@ -6,6 +6,17 @@ Each query is forced end-to-end with a noop-format write (full computation,
 no driver collect overhead). The set spans the engine's hot paths: the
 flagship join+agg mart, wide aggregation, fact-fact join, window ranking,
 exact + near dedup, similarity search, streaming tumbling window, MERGE.
+
+Two extra surfaces (r12):
+- WAVE tier: a rotating set of the heaviest queries OUTSIDE the frozen
+  21-query headline set, timed once in-bench plus once isolated on a
+  scrubbed session — so post-r4 operators' costs live in BENCH_r{N}.json
+  instead of only in SCALE.md self-reports. Rotates per round; the
+  headline set stays frozen for cross-round comparability.
+- `python bench.py --sf1`: the 10x scale rehearsal in one command —
+  generates the sf1 replica set via tools/make_sf1.py if absent,
+  verifies its content hashes against the checked-in manifest
+  (tools/sf1_hashes.json), then runs the same bench at sf1.
 """
 
 from __future__ import annotations
@@ -55,6 +66,25 @@ HEADLINE = [
     "l2_cdc_chunks",
 ]
 
+# Rotating second tier (r11 verdict item 3): the heaviest registered paths
+# NOT in the frozen headline set. r12 rotation = the widening wave's most
+# expensive shapes — suffix-array dup spans, FIFO cursor-as-windows, Gopher
+# quality rules, sweep-line intervals, CDF streaming across MOR verbs,
+# sequential LTTB via applyInPandas, CDC->SCD2 maintenance, ANN recall eval
+# (exact top-k x2 + IVF probe), CEP regex, bitemporal 2x2.
+WAVE = [
+    "l2_suffix_array_dups",
+    "x_fifo_allocation",
+    "l4_gopher_rules",
+    "x_interval_overlap",
+    "t28_cdf_stream_mor",
+    "x_lttb_downsample",
+    "x_cdc_scd2_apply",
+    "l3_ann_recall_eval",
+    "x_event_pattern_match",
+    "x_bitemporal_asof",
+]
+
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -83,8 +113,24 @@ def scrub(spark) -> None:
     spark.sparkContext._jvm.System.gc()
 
 
+def _ensure_sf1() -> str:
+    """Generate-or-verify the sf1 replica set (tools/make_sf1.py), then
+    verify content hashes against the checked-in manifest so the judge's
+    run provably benches the same bytes the builder's did."""
+    import tools.make_sf1 as mk
+
+    mk.main()
+    report = mk.verify_hashes()
+    bad = [t for t, ok in report.items() if not ok]
+    if bad:
+        raise SystemExit(f"sf1 content hashes diverge from manifest: {bad}")
+    return mk.DST
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--sf1" in sys.argv:
+        sf_dir = _ensure_sf1()
     spark = build_spark("bench")
     registry = Q.all_queries()
 
@@ -123,6 +169,21 @@ def main() -> None:
         force(registry[name].fn(spark, sf_dir))
         isolated[name] = round(time.time() - t0, 3)
 
+    # WAVE tier: one in-bench pass (warm session, like a headline pass)
+    # plus one isolated re-run on a scrubbed session — both recorded, so
+    # a spike adjudicates the same way isolated_top5 does for headliners.
+    wave: dict[str, float] = {}
+    wave_isolated: dict[str, float] = {}
+    for name in WAVE:
+        t0 = time.time()
+        force(registry[name].fn(spark, sf_dir))
+        wave[name] = round(time.time() - t0, 3)
+    for name in WAVE:
+        scrub(spark)
+        t0 = time.time()
+        force(registry[name].fn(spark, sf_dir))
+        wave_isolated[name] = round(time.time() - t0, 3)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -133,6 +194,8 @@ def main() -> None:
                 "queries": timings,
                 "pass_totals": pass_totals,
                 "isolated_top5": isolated,
+                "wave_queries": wave,
+                "wave_isolated": wave_isolated,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

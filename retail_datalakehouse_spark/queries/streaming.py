@@ -2517,3 +2517,116 @@ def t30_stream_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = run_to_memory(agg, output_mode="complete")
     return spark.table(sink)
+
+
+@register(
+    "t31_rocksdb_restart",
+    # Deterministic despite the stop/restart: the final emission per user
+    # is the cumulative total over ALL staged events, whatever the batch
+    # split — integer cents make it bit-equal to the batch aggregate.
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events WHERE event_id % 5 != 4 GROUP BY 1
+""",
+    tags=("T6", "U3"),
+)
+def t31_rocksdb_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful aggregation SURVIVING a checkpoint restart under the
+    RocksDB state-store provider (r12, VERDICT r11 item 7): the per-user
+    running-totals operator (streaming/jobs.py::running_user_totals)
+    runs to completion on half the events, the query STOPS, more data
+    arrives, and a brand-new query over the SAME checkpointLocation
+    resumes — Spark reloads the per-user state from the RocksDB
+    checkpoint (the in-query assert pins real RocksDB artifacts: `.sst`
+    SSTs / `.zip` snapshot uploads under ckpt/state, not HDFSBacked's
+    plain deltas) and keeps accumulating. Pinned cross-restart
+    contracts: batch ids continue (0 then 1 — offsets carried), every
+    user seen in both runs emits strictly INCREASING cumulative counts
+    (state restored, not recomputed), and the final emission per user
+    equals the plain batch aggregate — the batch ≡ stream-with-restart
+    equivalence that makes checkpointed state operationally trustworthy.
+    At 100 TB this is THE mechanism that bounds recovery: restart cost
+    is O(state snapshot) RocksDB load + O(new files), never a replay of
+    history. The provider conf is session-scoped — set before the
+    streams start, restored after (the documented
+    _require_rocksdb_state_store contract)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.jobs import (
+        _require_rocksdb_state_store,
+        restore_state_store_provider,
+        run_foreach_batch,
+        running_user_totals,
+    )
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .filter(F.col("event_id") % 5 != 4)
+    )
+    d = tempfile.mkdtemp(prefix="rdl_t31_src_")
+    ckpt = tempfile.mkdtemp(prefix="rdl_t31_ckpt_")
+    out = tempfile.mkdtemp(prefix="rdl_t31_out_")
+    _write_single_parquet(
+        e.filter(F.col("event_id") % 2 == 0), os.path.join(d, "chunk0.parquet")
+    )
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+
+    def sink(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    prior = _require_rocksdb_state_store(spark)
+    try:
+        s1 = spark.readStream.schema(schema).parquet(d)
+        run_foreach_batch(
+            running_user_totals(s1, force_api="apiws"), sink, checkpoint=ckpt
+        )
+        # the query has TERMINATED (availableNow); new data lands, and a
+        # NEW query restarts from the same checkpoint
+        _write_single_parquet(
+            e.filter(F.col("event_id") % 2 == 1), os.path.join(d, "chunk1.parquet")
+        )
+        s2 = spark.readStream.schema(schema).parquet(d)
+        run_foreach_batch(
+            running_user_totals(s2, force_api="apiws"), sink, checkpoint=ckpt
+        )
+    finally:
+        restore_state_store_provider(spark, prior)
+
+    # the state that survived is REAL RocksDB: SST files / zip snapshots
+    exts = {
+        os.path.splitext(f)[1]
+        for f in glob.glob(os.path.join(ckpt, "state", "**", "*"), recursive=True)
+        if os.path.isfile(f)
+    }
+    assert ".sst" in exts or ".zip" in exts, exts
+
+    em = spark.read.parquet(out)
+    bids = [r[0] for r in em.select("batch_id").distinct().orderBy("batch_id").collect()]
+    assert bids == [0, 1], bids  # offsets carried: restart resumed, not replayed
+    # users in both runs: restored state accumulates (strictly increasing)
+    both = (
+        em.groupBy("user_id")
+        .agg(
+            F.count_distinct("batch_id").alias("nb"),
+            F.min("n_events").alias("mn"),
+            F.max("n_events").alias("mx"),
+        )
+        .filter("nb >= 2")
+    )
+    n_both, n_incr = both.count(), both.filter("mx > mn").count()
+    assert n_both > 0 and n_incr == n_both, (n_both, n_incr)
+    shutil.rmtree(d, ignore_errors=True)
+
+    # final emission per user == the batch aggregate (the oracle)
+    return em.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("total_cents").alias("total_cents"),
+    )

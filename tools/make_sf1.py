@@ -69,6 +69,48 @@ TABLES = {
 }
 
 
+HASHES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "sf1_hashes.json")
+
+
+def table_hashes() -> dict[str, dict]:
+    """Per-table (row count, order-insensitive content hash) of the
+    generated sf1 set — the replication SQL is deterministic, so these
+    are reproducible constants any re-run must hit."""
+    import json
+
+    con = duckdb.connect()
+    out: dict[str, dict] = {}
+    for name in TABLES:
+        p = os.path.join(DST, f"{name}.parquet")
+        n, h = con.sql(
+            f"SELECT COUNT(*), bit_xor(hash(t::VARCHAR)) FROM '{p}' t"
+        ).fetchone()
+        out[name] = {"rows": int(n), "xor_hash": str(h)}
+    return out
+
+
+def verify_hashes() -> dict[str, bool]:
+    """Compare the on-disk sf1 set against the checked-in manifest
+    (tools/sf1_hashes.json). First generation WRITES the manifest; every
+    later run — builder, driver, or judge — verifies against it, making
+    the 10x rehearsal a one-command reproducible artifact."""
+    import json
+
+    got = table_hashes()
+    if not os.path.exists(HASHES):
+        with open(HASHES, "w") as fh:
+            json.dump(got, fh, indent=1, sort_keys=True)
+        print(f"wrote manifest {HASHES}")
+        return {t: True for t in got}
+    with open(HASHES) as fh:
+        want = json.load(fh)
+    report = {t: got.get(t) == want.get(t) for t in want}
+    for t, ok in report.items():
+        if not ok:
+            print(f"MISMATCH {t}: want {want.get(t)} got {got.get(t)}")
+    return report
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
@@ -85,4 +127,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
+    report = verify_hashes()
+    sys.exit(0 if all(report.values()) else 1)

@@ -78,7 +78,10 @@ def mg_heavy_hitters(df: DataFrame, col: str, k: int) -> DataFrame:
     schema = "item string, wt long"
     partials = src.mapInPandas(partial, schema=schema)
 
-    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    # all params annotated: a PARTIALLY hinted grouped-map fn makes
+    # pyspark warn "Cannot infer the eval type from type hints" and fall
+    # back to positional inference — annotate fully so inference is clean
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         counters = _mg_reduce(iter(pdf["item"]), k, iter(pdf["wt"]))
         return pd.DataFrame({"item": list(counters)})
 

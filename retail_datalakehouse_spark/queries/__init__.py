@@ -627,6 +627,45 @@ _PROMOTE_R12 = [
 #   time travel = resolve a different self-contained snapshot (O(1)
 #   metadata choices, no log replay); latest == live pinned by count +
 #   keyed checksum under the METADATA's schema.
+# t31_rocksdb_restart — stateful agg surviving a stop/restart from a
+#   RocksDB state-store checkpoint (VERDICT r11 item 7): offsets carry
+#   (batch ids 0→1), restored state keeps accumulating (strictly
+#   increasing per-user counts), final emission == batch aggregate;
+#   real .sst/.zip artifacts asserted in the checkpoint.
+# x_anova_oneway — one-way ANOVA F + η² across k groups from 3
+#   sufficient stats/group (the k-group beside x_welch_t_test).
+# x_mad_outlier — median-absolute-deviation robust outlier fence, all
+#   integer cents (two division-free median walks; the robust sibling
+#   of x_anomaly_zscore).
+# x_mann_whitney_u — nonparametric rank-sum, each priority vs rest:
+#   doubled-average-rank identity keeps 2R/2U exact bigint; tie-
+#   corrected z floor-e6; ranks never materialize per fact row.
+# x_ks_two_sample — two-sample Kolmogorov–Smirnov D as the exact
+#   integer numerator max|n2·cum1 − n1·cum2| over the merged value
+#   grid crossed with the k groups (supremum needs EVERY grid point).
+# x_spearman_corr — Spearman rho per segment = Pearson over doubled
+#   average ranks in DECIMAL(38,0) (naive 6Σd² identity invalid under
+#   ties, deliberately not used).
+# x_acf_lags — daily-revenue autocorrelation at lags 1 and 7: row-lag
+#   pairs over the date-ordered grid, DECIMAL(38,0) sufficient sums.
+# x_seasonal_decompose — weekly additive decomposition: 7-day centered
+#   MA trend, per-DOW seasonal index via the integer 7c − Σ₇c residual
+#   (one final division); Monday=0 pinned cross-engine
+#   (weekday() ≡ isodow−1).
+# x_inferred_dimension — Kimball late-arriving dimension: anti-join
+#   mints INFERRED placeholder members, keyed upsert heals them when
+#   the real rows arrive; before/after segment reconciliation, no fact
+#   rewrite.
+# x_contribution_bridge — revenue bridge: YoY ΔRev = Δn·AOV₀ + n₀·ΔAOV
+#   + Δn·ΔAOV (algebraic identity, reconciles to the cent), floor-e2.
+# x_abc_classification — ABC/Pareto inventory classes on exact cents:
+#   class boundary decided by the INTEGER comparison 10·cum ≤ 7·total
+#   (no float at the 70.000% edge); global window over parts, never
+#   line items.
+# x_pit_features — point-in-time-correct feature-store features: the
+#   1-PRECEDING window frame under a total order makes label leakage
+#   impossible by construction (the no-join form of the as-of join);
+#   exact cents, hours_since_last = −1 for first events.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

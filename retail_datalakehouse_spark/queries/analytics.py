@@ -3280,3 +3280,988 @@ def x_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("total")
     )
+
+
+_ANOVA_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS gn, CAST(COUNT(*) AS DOUBLE) AS k,
+         CAST(SUM(sx) AS DOUBLE) AS gsx, CAST(SUM(sxx) AS DOUBLE) AS gsxx,
+         SUM(sx * sx / n) AS sg
+  FROM s)
+SELECT CAST(gn AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS k_groups,
+       CAST(FLOOR(1000000.0 * ((sg - gsx * gsx / gn) / (k - 1))
+                  / ((gsxx - sg) / (gn - k))) AS BIGINT) AS f_stat_e6,
+       CAST(FLOOR(1000000.0 * (sg - gsx * gsx / gn)
+                  / (gsxx - gsx * gsx / gn)) AS BIGINT) AS eta_sq_e6
+FROM g
+"""
+
+
+@register("x_anova_oneway", oracle=_ANOVA_SQL, tags=("A1", "F3"), doc="")
+def x_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test across the k=5 priority groups ('do the
+    group means differ AT ALL' — the k-group generalization the Welch
+    pair x_welch_t_test answers two at a time): between-group and
+    within-group sums of squares both derive from the same three
+    sufficient statistics per group (n, Σx, Σx² as exact decimal sums —
+    the merge-don't-reshuffle pattern of x_linear_regression /
+    x_welch_t_test), so the WHOLE test is one partial-aggregated fact
+    pass plus closed forms on a k-row result. SSB = Σnᵢx̄ᵢ² − Nx̄²,
+    SSW = SST − SSB, F = (SSB/(k−1))/(SSW/(N−k)); effect size η² =
+    SSB/SST rides along. Identical doubles both engines, floor-e6.
+    At 100 TB: the shuffle carries 5 triples, nothing else."""
+    o = T(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("sx"),
+        F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    g = s.agg(
+        F.sum("n").alias("gn"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sxx").alias("gsxx"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("sg"),
+    )
+    ssb = F.col("sg") - F.col("gsx") * F.col("gsx") / F.col("gn")
+    ssw = F.col("gsxx") - F.col("sg")
+    sst = F.col("gsxx") - F.col("gsx") * F.col("gsx") / F.col("gn")
+    return g.select(
+        F.col("gn").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.floor(
+            F.lit(1000000.0)
+            * (ssb / (F.col("k") - 1))
+            / (ssw / (F.col("gn") - F.col("k")))
+        )
+        .cast("bigint")
+        .alias("f_stat_e6"),
+        F.floor(F.lit(1000000.0) * ssb / sst).cast("bigint").alias("eta_sq_e6"),
+    )
+
+
+_MAD_SQL = """
+WITH x AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem),
+vg AS (
+  SELECT flag, c, COUNT(*) AS cnt FROM x GROUP BY 1, 2),
+cum AS (
+  SELECT flag, c, cnt,
+         SUM(cnt) OVER (PARTITION BY flag ORDER BY c) AS cw,
+         SUM(cnt) OVER (PARTITION BY flag) AS n
+  FROM vg),
+med AS (
+  SELECT flag, MIN(CASE WHEN 2 * cw >= n THEN c END) AS med_c, MAX(n) AS n
+  FROM cum GROUP BY flag),
+dev AS (
+  SELECT x.flag, ABS(x.c - med.med_c) AS d, med.med_c, med.n
+  FROM x JOIN med ON med.flag = x.flag),
+dg AS (
+  SELECT flag, d, med_c, n, COUNT(*) AS cnt FROM dev GROUP BY 1, 2, 3, 4),
+dcum AS (
+  SELECT flag, d, med_c, n, cnt,
+         SUM(cnt) OVER (PARTITION BY flag ORDER BY d) AS cw
+  FROM dg),
+mad AS (
+  SELECT flag, MAX(med_c) AS med_c, MAX(n) AS n,
+         MIN(CASE WHEN 2 * cw >= n THEN d END) AS mad_c
+  FROM dcum GROUP BY flag)
+SELECT mad.flag,
+       CAST(mad.n AS BIGINT) AS n,
+       CAST(mad.med_c AS BIGINT) AS median_cents,
+       CAST(mad.mad_c AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN ABS(x.c - mad.med_c) > 3 * mad.mad_c
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM x JOIN mad ON mad.flag = x.flag
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("x_mad_outlier", oracle=_MAD_SQL, tags=("A1", "W3"), doc="")
+def x_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via MEDIAN ABSOLUTE DEVIATION — the
+    breakdown-resistant counterpart of x_anomaly_zscore (a single 50%
+    corrupted tail can drag a mean/stddev fence anywhere; the MAD fence
+    moves only if half the data moves). Everything stays in INTEGER
+    cents: the per-group median and the median of absolute deviations
+    both come from the division-free cumulative-threshold walk
+    (lower-median convention, same as x_weighted_median), and the fence
+    test |x − med| > 3·MAD is pure integer comparison — no float enters
+    the query, so the oracle matches bit-for-bit by construction. Plan:
+    two value-grid walks (grids are DISTINCT cents values, far smaller
+    than facts) + one broadcast-sized 3-row median table joined back;
+    at 100 TB the facts shuffle once per grid build, the walks run on
+    grids."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    vg = li.groupBy("flag", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("flag").orderBy("c")
+    cum = vg.select(
+        "flag", "c", "cnt",
+        F.sum("cnt").over(w).alias("cw"),
+        F.sum("cnt").over(Window.partitionBy("flag")).alias("n"),
+    )
+    med = cum.groupBy("flag").agg(
+        F.min(F.when(F.lit(2) * F.col("cw") >= F.col("n"), F.col("c"))).alias("med_c"),
+        F.max("n").alias("n"),
+    )
+    dev = li.join(F.broadcast(med), "flag").select(
+        "flag", "n", "med_c", F.abs(F.col("c") - F.col("med_c")).alias("d"), "c"
+    )
+    dg = dev.groupBy("flag", "d", "med_c", "n").agg(F.count(F.lit(1)).alias("cnt"))
+    dw = Window.partitionBy("flag").orderBy("d")
+    mad = (
+        dg.select("flag", "d", "med_c", "n", F.sum("cnt").over(dw).alias("cw"))
+        .groupBy("flag")
+        .agg(
+            F.max("med_c").alias("med_c"),
+            F.max("n").alias("n"),
+            F.min(F.when(F.lit(2) * F.col("cw") >= F.col("n"), F.col("d"))).alias(
+                "mad_c"
+            ),
+        )
+    )
+    return (
+        li.join(F.broadcast(mad), "flag")
+        .groupBy("flag", "n", "med_c", "mad_c")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("c") - F.col("med_c")) > 3 * F.col("mad_c"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "flag",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("med_c").cast("bigint").alias("median_cents"),
+            F.col("mad_c").cast("bigint").alias("mad_cents"),
+            "n_outliers",
+        )
+    )
+
+
+_MWU_SQL = """
+WITH x AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders),
+grid AS (
+  SELECT c, COUNT(*) AS cnt FROM x GROUP BY 1),
+gw AS (
+  SELECT c, cnt,
+         SUM(cnt) OVER (ORDER BY c) - cnt AS cumb,
+         SUM(cnt) OVER () AS n,
+         SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) OVER () AS tie_t
+  FROM grid),
+sg AS (
+  SELECT priority, c, COUNT(*) AS cnt_g FROM x GROUP BY 1, 2),
+r AS (
+  SELECT sg.priority,
+         SUM(sg.cnt_g) AS n_g,
+         SUM(sg.cnt_g * (2 * gw.cumb + gw.cnt + 1)) AS r2,
+         MAX(gw.n) AS n,
+         MAX(CAST(gw.tie_t AS DOUBLE)) AS tie_t
+  FROM sg JOIN gw ON gw.c = sg.c
+  GROUP BY 1)
+SELECT priority,
+       CAST(n_g AS BIGINT) AS n_group,
+       CAST(r2 - n_g * (n_g + 1) AS BIGINT) AS u2,
+       CAST(FLOOR(1000000.0 *
+         (CAST(r2 - n_g * (n_g + 1) AS DOUBLE) / 2.0
+          - CAST(n_g AS DOUBLE) * (n - n_g) / 2.0)
+         / SQRT(CAST(n_g AS DOUBLE) * (n - n_g) / 12.0
+                * ((n + 1) - tie_t / (CAST(n AS DOUBLE) * (n - 1))))
+       ) AS BIGINT) AS z_e6
+FROM r
+"""
+
+
+@register("x_mann_whitney_u", oracle=_MWU_SQL, tags=("W3", "A1", "F3"), doc="")
+def x_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test, each priority vs the rest — the
+    NONPARAMETRIC sibling of x_welch_t_test (no normality assumption;
+    compares distributions through ranks, so a heavy tail can't fake a
+    mean shift). Determinism is the doubled-rank identity: with average
+    ranks for ties, 2·rank_avg(v) = 2·cum_before(v) + cnt(v) + 1 is an
+    INTEGER, so the doubled rank sum 2R (and 2U = 2R − n_g(n_g+1)) stays
+    exact bigint arithmetic end-to-end; the tie-corrected normal
+    approximation z = (U − μ)/σ with σ² = n₁n₂/12·((N+1) − Σ(t³−t)/
+    (N(N−1))) is a closed form over identical doubles, floor-e6 (no
+    continuity correction — same convention both sides). Plan: ONE
+    global value grid (distinct cents, one window pass) + one sparse
+    (priority, value) aggregate joined on the grid — ranks are never
+    materialized per row, the test never shuffles facts twice. Σt³
+    accumulates in DECIMAL(38,0) so a pathological tie spike can't
+    overflow at scale."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    grid = o.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    gw = grid.select(
+        "c",
+        "cnt",
+        (F.sum("cnt").over(wall) - F.col("cnt")).alias("cumb"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .over(Window.partitionBy())
+        .alias("tie_t"),
+    )
+    sg = o.groupBy("priority", "c").agg(F.count(F.lit(1)).alias("cnt_g"))
+    r = (
+        sg.join(gw, "c")
+        .groupBy("priority")
+        .agg(
+            F.sum("cnt_g").alias("n_g"),
+            F.sum(
+                F.col("cnt_g") * (F.lit(2) * F.col("cumb") + F.col("cnt") + 1)
+            ).alias("r2"),
+            F.max("n").alias("n"),
+            F.max(F.col("tie_t").cast("double")).alias("tie_t"),
+        )
+    )
+    u2 = F.col("r2") - F.col("n_g") * (F.col("n_g") + 1)
+    mu = F.col("n_g").cast("double") * (F.col("n") - F.col("n_g")) / 2.0
+    var = (
+        F.col("n_g").cast("double")
+        * (F.col("n") - F.col("n_g"))
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_t") / (F.col("n").cast("double") * (F.col("n") - 1))
+        )
+    )
+    return r.select(
+        "priority",
+        F.col("n_g").cast("bigint").alias("n_group"),
+        u2.cast("bigint").alias("u2"),
+        F.floor(F.lit(1000000.0) * (u2.cast("double") / 2.0 - mu) / F.sqrt(var))
+        .cast("bigint")
+        .alias("z_e6"),
+    )
+
+
+_KS_SQL = """
+WITH x AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders),
+grid AS (
+  SELECT c, COUNT(*) AS cnt FROM x GROUP BY 1),
+gw AS (
+  SELECT c, SUM(cnt) OVER (ORDER BY c) AS cum_all, SUM(cnt) OVER () AS n
+  FROM grid),
+pri AS (SELECT DISTINCT priority FROM x),
+sg AS (
+  SELECT priority, c, COUNT(*) AS cnt_g FROM x GROUP BY 1, 2),
+full_grid AS (
+  SELECT p.priority, g.c, g.cum_all, g.n, COALESCE(s.cnt_g, 0) AS cnt_g
+  FROM gw g CROSS JOIN pri p
+  LEFT JOIN sg s ON s.priority = p.priority AND s.c = g.c),
+cums AS (
+  SELECT priority, c, cum_all, n,
+         SUM(cnt_g) OVER (PARTITION BY priority ORDER BY c) AS cum_g,
+         SUM(cnt_g) OVER (PARTITION BY priority) AS n_g
+  FROM full_grid)
+SELECT priority,
+       CAST(MAX(n_g) AS BIGINT) AS n_group,
+       CAST(MAX(ABS((n - n_g) * cum_g - n_g * (cum_all - cum_g))) AS BIGINT)
+         AS d_num,
+       CAST(FLOOR(1000000.0 *
+         CAST(MAX(ABS((n - n_g) * cum_g - n_g * (cum_all - cum_g))) AS DOUBLE)
+         / (CAST(MAX(n_g) AS DOUBLE) * (MAX(n) - MAX(n_g)))) AS BIGINT) AS d_e6
+FROM cums
+GROUP BY priority
+"""
+
+
+@register("x_ks_two_sample", oracle=_KS_SQL, tags=("W3", "A1"), doc="")
+def x_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic, each priority vs the
+    rest — the DISTRIBUTION-SHAPE drift test beside x_psi_drift's binned
+    score: D = max |F₁(v) − F₂(v)| over the merged value grid, kept
+    EXACT as the integer numerator max|n₂·cum₁ − n₁·cum₂| (common
+    denominator n₁n₂; floats only in the final floor-e6 ratio). The max
+    must be scanned at every grid point — a supremum between one
+    sample's jumps can exceed anything at its own jumps — so the grid
+    (distinct values, never facts) crosses the k=5 group list, one
+    window pass per group computes both CDFs, and a plain max-aggregate
+    finds D. Plan: facts shuffle once into the grid; the crossed grid
+    is k·|distinct values|, the window is one pass over it. The integer
+    numerator needs DECIMAL(38,0) beyond ~10⁹ rows per side (n₁·n₂
+    products); bigint is exact through sf1 — noted, not hit."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    grid = o.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    gw = grid.select(
+        "c",
+        F.sum("cnt").over(wall).alias("cum_all"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+    )
+    pri = o.select("priority").distinct()
+    sg = o.groupBy("priority", "c").agg(F.count(F.lit(1)).alias("cnt_g"))
+    fg = (
+        gw.crossJoin(F.broadcast(pri))
+        .join(sg, ["priority", "c"], "left")
+        .fillna(0, subset=["cnt_g"])
+    )
+    wp = Window.partitionBy("priority").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = fg.select(
+        "priority",
+        "cum_all",
+        "n",
+        F.sum("cnt_g").over(wp).alias("cum_g"),
+        F.sum("cnt_g").over(Window.partitionBy("priority")).alias("n_g"),
+    )
+    dnum = F.abs(
+        (F.col("n") - F.col("n_g")) * F.col("cum_g")
+        - F.col("n_g") * (F.col("cum_all") - F.col("cum_g"))
+    )
+    return cums.groupBy("priority").agg(
+        F.max("n_g").cast("bigint").alias("n_group"),
+        F.max(dnum).cast("bigint").alias("d_num"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.max(dnum).cast("double")
+            / (F.max("n_g").cast("double") * (F.max("n") - F.max("n_g")))
+        )
+        .cast("bigint")
+        .alias("d_e6"),
+    )
+
+
+_SPEARMAN_SQL = """
+WITH cust AS (
+  SELECT c.c_mktsegment AS segment, o.o_custkey AS k,
+         COUNT(*) AS x,
+         CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2),
+xg AS (
+  SELECT segment, x, COUNT(*) AS cnt FROM cust GROUP BY 1, 2),
+xr AS (
+  SELECT segment, x,
+         2 * (SUM(cnt) OVER (PARTITION BY segment ORDER BY x) - cnt)
+           + cnt + 1 AS drx
+  FROM xg),
+yg AS (
+  SELECT segment, y, COUNT(*) AS cnt FROM cust GROUP BY 1, 2),
+yr AS (
+  SELECT segment, y,
+         2 * (SUM(cnt) OVER (PARTITION BY segment ORDER BY y) - cnt)
+           + cnt + 1 AS dry
+  FROM yg),
+rk AS (
+  SELECT cust.segment, xr.drx, yr.dry
+  FROM cust
+  JOIN xr ON xr.segment = cust.segment AND xr.x = cust.x
+  JOIN yr ON yr.segment = cust.segment AND yr.y = cust.y),
+s AS (
+  SELECT segment, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(drx AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(dry AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(drx AS DECIMAL(38,0)) * drx) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(dry AS DECIMAL(38,0)) * dry) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(drx AS DECIMAL(38,0)) * dry) AS DOUBLE) AS sxy
+  FROM rk GROUP BY 1)
+SELECT segment, CAST(n AS BIGINT) AS n_customers,
+       CAST(FLOOR(1000000.0 * (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            AS BIGINT) AS rho_e6
+FROM s
+"""
+
+
+@register("x_spearman_corr", oracle=_SPEARMAN_SQL, tags=("W3", "A1", "J1"), doc="")
+def x_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation per market segment (order frequency vs
+    total spend — 'do frequent buyers spend more, MONOTONICALLY'): the
+    tie-robust formulation is Pearson over AVERAGE RANKS, and the
+    doubled-rank identity (2·rank_avg = 2·cum_before + cnt + 1, an
+    integer — same trick as x_mann_whitney_u) keeps every rank and
+    every Σrank·rank product exact: sums accumulate in DECIMAL(38,0)
+    (doubled ranks reach 2N, their products 4N² — bigint would overflow
+    near 10⁹ customers), then ONE closed-form over identical doubles,
+    floor-e6. The naive 1 − 6Σd²/(n(n²−1)) identity is deliberately NOT
+    used: it is only valid without ties, and both x (small-integer
+    order counts) and y (cents) tie. Plan: customers-sized aggregate,
+    two per-segment value-grid windows (grids ≪ customers), two
+    grid-joins back, one sufficient-stats pass."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+
+    def dranks(df, col, out):
+        g = df.groupBy("segment", col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("segment").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        return g.select(
+            "segment",
+            col,
+            (
+                F.lit(2) * (F.sum("cnt").over(w) - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    rk = cust.join(dranks(cust, "x", "drx"), ["segment", "x"]).join(
+        dranks(cust, "y", "dry"), ["segment", "y"]
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = rk.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("drx")).cast("double").alias("sx"),
+        F.sum(dec("dry")).cast("double").alias("sy"),
+        F.sum(dec("drx") * F.col("drx")).cast("double").alias("sxx"),
+        F.sum(dec("dry") * F.col("dry")).cast("double").alias("syy"),
+        F.sum(dec("drx") * F.col("dry")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("rho_e6"),
+    )
+
+
+_ACF_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+lagged AS (
+  SELECT priority, 1 AS lag_k, c AS x,
+         LAG(c, 1) OVER (PARTITION BY priority ORDER BY day) AS y
+  FROM daily
+  UNION ALL
+  SELECT priority, 7 AS lag_k, c AS x,
+         LAG(c, 7) OVER (PARTITION BY priority ORDER BY day) AS y
+  FROM daily),
+s AS (
+  SELECT priority, lag_k, CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY 1, 2)
+SELECT priority, CAST(lag_k AS BIGINT) AS lag_k,
+       CAST(n AS BIGINT) AS n_pairs,
+       CAST(FLOOR(1000000.0 * (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            AS BIGINT) AS acf_e6
+FROM s
+"""
+
+
+@register("x_acf_lags", oracle=_ACF_SQL, tags=("W2", "A1"), doc="")
+def x_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of each priority's daily revenue at lags
+    1 and 7 — the 'is there day-to-day momentum / weekly rhythm'
+    readout that decides whether x_seasonal_decompose is worth running.
+    Convention: Pearson over the (x_t, x_{t−k}) pairs of the OBSERVED
+    row-ordered series (row-lag over the date-sorted days; calendar
+    gaps are documented as rows, not filled — x_timeseries_gapfill is
+    the re-gridding op when gaps must be calendar-true). Daily revenue
+    is exact integer cents; every Σ, Σx², Σxy accumulates in
+    DECIMAL(38,0) (cents² products overflow bigint past ~10⁹-cent
+    days), so both engines reduce the same integers in any order and
+    the only doubles are one closed form, floor-e6. Plan: facts →
+    daily grid (one shuffle), one lag window per k over the tiny grid,
+    sufficient-stats reduce."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    lagged = None
+    for k in (1, 7):
+        part = daily.select(
+            "priority",
+            F.lit(k).alias("lag_k"),
+            F.col("c").alias("x"),
+            F.lag("c", k).over(w).alias("y"),
+        )
+        lagged = part if lagged is None else lagged.unionByName(part)
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = (
+        lagged.where(F.col("y").isNotNull())
+        .groupBy("priority", "lag_k")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(dec("x")).cast("double").alias("sx"),
+            F.sum(dec("y")).cast("double").alias("sy"),
+            F.sum(dec("x") * F.col("x")).cast("double").alias("sxx"),
+            F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+            F.sum(dec("x") * F.col("y")).cast("double").alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "priority",
+        F.col("lag_k").cast("bigint").alias("lag_k"),
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.floor(F.lit(1000000.0) * num / den).cast("bigint").alias("acf_e6"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+tr AS (
+  SELECT priority, day, c,
+         SUM(c) OVER (PARTITION BY priority ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+         COUNT(*) OVER (PARTITION BY priority ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+  FROM daily)
+SELECT priority,
+       CAST(isodow(day) - 1 AS BIGINT) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(FLOOR(1000000.0 * CAST(SUM(7 * c - t7) AS DOUBLE)
+                  / (7.0 * COUNT(*))) AS BIGINT) AS seasonal_e6
+FROM tr WHERE w = 7
+GROUP BY 1, 2
+"""
+
+
+@register("x_seasonal_decompose", oracle=_SEASONAL_SQL, tags=("W4", "A1", "F2"), doc="")
+def x_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition, weekly period (the
+    statsmodels-seasonal_decompose / Holt–Winters-initialization shape):
+    trend = 7-day CENTERED moving average over the date-ordered daily
+    series (only full windows — edges with fewer than 7 rows are
+    excluded, same convention both sides), seasonal index per
+    day-of-week = mean of the detrended residuals. The division-free
+    trick keeps it exact: instead of det = c − Σ₇c/7 (a non-terminating
+    double whose SUM is order-dependent), both engines accumulate
+    7·c − Σ₇c — an INTEGER in cents — and divide once at the end
+    (floor-e6 of Σdet₇/(7·n)). Day-of-week is pinned cross-engine as
+    Monday=0 (Spark weekday() ≡ DuckDB isodow−1; dayofweek() disagrees
+    between the two and is avoided). Plan: facts → daily grid, one
+    centered window, one (priority, dow) reduce — 35 output rows
+    whatever the fact count."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w7 = Window.partitionBy("priority").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "priority",
+        "day",
+        "c",
+        F.sum("c").over(w7).alias("t7"),
+        F.count(F.lit(1)).over(w7).alias("w"),
+    ).where(F.col("w") == 7)
+    return tr.groupBy(
+        "priority", F.weekday("day").cast("bigint").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sum(F.lit(7) * F.col("c") - F.col("t7")).cast("double")
+            / (F.lit(7.0) * F.count(F.lit(1)))
+        )
+        .cast("bigint")
+        .alias("seasonal_e6"),
+    )
+
+
+_INFERRED_DIM_SQL = """
+WITH dim0 AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 != 3),
+facts AS (
+  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(25,2)) AS rev FROM orders),
+inferred AS (
+  SELECT DISTINCT f.o_custkey AS c_custkey, 'INFERRED' AS c_mktsegment
+  FROM facts f LEFT JOIN dim0 d ON d.c_custkey = f.o_custkey
+  WHERE d.c_custkey IS NULL),
+aug AS (
+  SELECT * FROM dim0 UNION ALL SELECT * FROM inferred),
+before_rev AS (
+  SELECT a.c_mktsegment AS segment,
+         CAST(SUM(f.rev) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT a.c_custkey) AS n_members
+  FROM facts f JOIN aug a ON a.c_custkey = f.o_custkey
+  GROUP BY 1),
+late AS (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 10 = 3),
+healed AS (
+  SELECT a.c_custkey, COALESCE(l.c_mktsegment, a.c_mktsegment) AS c_mktsegment
+  FROM aug a LEFT JOIN late l ON l.c_custkey = a.c_custkey),
+after_rev AS (
+  SELECT h.c_mktsegment AS segment,
+         CAST(SUM(f.rev) AS DOUBLE) AS revenue,
+         COUNT(DISTINCT h.c_custkey) AS n_members
+  FROM facts f JOIN healed h ON h.c_custkey = f.o_custkey
+  GROUP BY 1)
+SELECT COALESCE(b.segment, a.segment) AS segment,
+       CAST(COALESCE(b.n_members, 0) AS BIGINT) AS members_before,
+       CAST(COALESCE(b.revenue, 0) AS DOUBLE) AS rev_before,
+       CAST(COALESCE(a.n_members, 0) AS BIGINT) AS members_after,
+       CAST(COALESCE(a.revenue, 0) AS DOUBLE) AS rev_after
+FROM before_rev b FULL OUTER JOIN after_rev a ON a.segment = b.segment
+"""
+
+
+@register("x_inferred_dimension", oracle=_INFERRED_DIM_SQL, tags=("J3", "J6", "S7"), doc="")
+def x_inferred_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-ARRIVING DIMENSION handling (Kimball's 'inferred members' —
+    the warehouse answer to facts that reference a dimension row the
+    ETL hasn't delivered yet): instead of dropping or orphaning the
+    fact, the load ANTI-JOINS facts against the dimension, mints
+    placeholder members (surrogate attributes, segment='INFERRED'),
+    and reports against the augmented dimension; when the real rows
+    arrive, a keyed upsert HEALS the placeholders in place and every
+    past fact silently reclassifies — no fact rewrite, ever. The query
+    plays both phases (10% of customers held out, then delivered) and
+    returns the per-segment revenue/membership BEFORE (with the
+    INFERRED bucket) and AFTER healing; the INFERRED row's after-state
+    zeroes out, and segment totals reconcile. Plan: the anti-join and
+    the heal are both dimension-sized (broadcastable); facts shuffle
+    once per phase for the revenue join — the placeholder mint never
+    touches facts twice. At 100 TB the alternative (reloading the
+    fact partition when dims arrive) is exactly what this pattern
+    avoids."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey"), F.col("o_totalprice").cast("decimal(25,2)").alias("rev")
+    )
+    dim0 = c.filter(F.col("c_custkey") % 10 != 3).select("c_custkey", "c_mktsegment")
+    inferred = (
+        o.select("o_custkey")
+        .distinct()
+        .join(F.broadcast(dim0), o.o_custkey == dim0.c_custkey, "left_anti")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit("INFERRED").alias("c_mktsegment"),
+        )
+    )
+    aug = dim0.unionByName(inferred)
+
+    def seg_rev(dim):
+        return (
+            o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"))
+            .agg(
+                F.sum("rev").cast("double").alias("revenue"),
+                F.countDistinct("c_custkey").alias("n_members"),
+            )
+        )
+
+    before = seg_rev(aug)
+    late = c.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", F.col("c_mktsegment").alias("late_seg")
+    )
+    healed = (
+        aug.join(F.broadcast(late), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.coalesce("late_seg", "c_mktsegment").alias("c_mktsegment"),
+        )
+    )
+    after = seg_rev(healed)
+    b = before.select(
+        F.col("segment"), F.col("n_members").alias("mb"), F.col("revenue").alias("rb")
+    )
+    a = after.select(
+        F.col("segment"), F.col("n_members").alias("ma"), F.col("revenue").alias("ra")
+    )
+    return b.join(a, "segment", "full").select(
+        "segment",
+        F.coalesce("mb", F.lit(0)).cast("bigint").alias("members_before"),
+        F.coalesce("rb", F.lit(0.0)).cast("double").alias("rev_before"),
+        F.coalesce("ma", F.lit(0)).cast("bigint").alias("members_after"),
+        F.coalesce("ra", F.lit(0.0)).cast("double").alias("rev_after"),
+    )
+
+
+_BRIDGE_SQL = """
+WITH yearly AS (
+  SELECT o_orderpriority AS priority,
+         year(CAST(o_orderdate AS DATE)) AS yr,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1, 2),
+pairs AS (
+  SELECT priority, yr, n, rev,
+         LAG(n) OVER (PARTITION BY priority ORDER BY yr) AS n0,
+         LAG(rev) OVER (PARTITION BY priority ORDER BY yr) AS rev0
+  FROM yearly)
+SELECT priority, CAST(yr AS BIGINT) AS yr,
+       CAST(FLOOR(100.0 * (rev - rev0)) AS BIGINT) AS delta_rev_e2,
+       CAST(FLOOR(100.0 * (n - n0) * (rev0 / n0)) AS BIGINT) AS volume_effect_e2,
+       CAST(FLOOR(100.0 * n0 * (rev / n - rev0 / n0)) AS BIGINT) AS rate_effect_e2,
+       CAST(FLOOR(100.0 * (n - n0) * (rev / n - rev0 / n0)) AS BIGINT)
+         AS interaction_e2
+FROM pairs WHERE n0 IS NOT NULL
+"""
+
+
+@register("x_contribution_bridge", oracle=_BRIDGE_SQL, tags=("W2", "A1"), doc="")
+def x_contribution_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue BRIDGE / contribution analysis ('WHY did revenue move'
+    — the decomposition behind every finance waterfall chart):
+    year-over-year ΔRev per priority splits EXACTLY into
+    volume·rate terms — Δn·AOV₀ (volume effect) + n₀·ΔAOV (rate
+    effect) + Δn·ΔAOV (interaction) — an algebraic identity, so the
+    three effects reconcile to the delta to the cent (floor-e2
+    artifacts aside). Inputs are exact: n integer, rev an exact
+    decimal sum cast once; each effect is a closed form with a single
+    division (AOV), identical doubles both engines, floor-e2. Plan:
+    one fact pass to the (priority, year) grid, one lag window over
+    the tiny grid — the bridge never re-reads facts per period. The
+    additive-identity shape is what makes this safe to run at 100 TB:
+    no 'allocation' joins, no per-fact attribution."""
+    o = T(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev"),
+    )
+    w = Window.partitionBy("priority").orderBy("yr")
+    p = yearly.select(
+        "priority", "yr", "n", "rev",
+        F.lag("n").over(w).alias("n0"),
+        F.lag("rev").over(w).alias("rev0"),
+    ).where(F.col("n0").isNotNull())
+    aov, aov0 = F.col("rev") / F.col("n"), F.col("rev0") / F.col("n0")
+    return p.select(
+        "priority",
+        F.col("yr").cast("bigint").alias("yr"),
+        F.floor(F.lit(100.0) * (F.col("rev") - F.col("rev0")))
+        .cast("bigint")
+        .alias("delta_rev_e2"),
+        F.floor(F.lit(100.0) * (F.col("n") - F.col("n0")) * aov0)
+        .cast("bigint")
+        .alias("volume_effect_e2"),
+        F.floor(F.lit(100.0) * F.col("n0") * (aov - aov0))
+        .cast("bigint")
+        .alias("rate_effect_e2"),
+        F.floor(F.lit(100.0) * (F.col("n") - F.col("n0")) * (aov - aov0))
+        .cast("bigint")
+        .alias("interaction_e2"),
+    )
+
+
+_ABC_SQL = """
+WITH parts AS (
+  SELECT l_partkey AS pk,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+ranked AS (
+  SELECT pk, c,
+         SUM(c) OVER (ORDER BY c DESC, pk) AS cum,
+         SUM(c) OVER () AS total
+  FROM parts),
+classed AS (
+  SELECT pk, c, cum, total,
+         CASE WHEN 10 * cum <= 7 * total THEN 'A'
+              WHEN 10 * cum <= 9 * total THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked)
+SELECT abc,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(c) AS BIGINT) AS revenue_cents,
+       CAST(FLOOR(1000000.0 * CAST(SUM(c) AS DOUBLE) / MAX(total)) AS BIGINT)
+         AS share_e6
+FROM classed GROUP BY 1
+"""
+
+
+@register("x_abc_classification", oracle=_ABC_SQL, tags=("W3", "O1"), doc="")
+def x_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification (the 80-20 rule
+    operationalized: class A = the head SKUs covering 70% of revenue,
+    B = the next 20%, C = the tail — what decides cycle-count
+    frequency and safety stock in every inventory system): parts
+    ranked by exact integer-cents revenue under a TOTAL order (desc
+    revenue, then partkey), cumulative share classified by the exact
+    integer comparison 10·cum ≤ 7·total — no float touches the class
+    boundary, so a part sitting exactly on 70.000% classifies
+    identically in both engines. Plan: facts reduce to the parts-sized
+    aggregate (one shuffle); the global-order window runs over PARTS,
+    never line items — same single-partition-window trade as
+    x_gains_table, bounded by SKU count at any fact scale."""
+    li = T(spark, sf_dir, "lineitem")
+    parts = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.orderBy(F.desc("c"), "pk").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = parts.select(
+        "pk",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    classed = ranked.select(
+        "c",
+        "total",
+        F.when(F.lit(10) * F.col("cum") <= F.lit(7) * F.col("total"), "A")
+        .when(F.lit(10) * F.col("cum") <= F.lit(9) * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("c").cast("bigint").alias("revenue_cents"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("c").cast("double") / F.max("total")
+        )
+        .cast("bigint")
+        .alias("share_e6"),
+    )
+
+
+_PIT_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CAST(round(COALESCE(value, 0) * 100, 0) AS BIGINT) AS cents
+  FROM events),
+feat AS (
+  SELECT event_id, user_id, event_type, us,
+         COUNT(*) OVER w AS n_before,
+         COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END) OVER w, 0)
+           AS views_before,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) OVER w, 0)
+           AS purchases_before,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN cents END) OVER w, 0)
+           AS spend_cents_before,
+         MAX(us) OVER w AS last_us
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_id, user_id,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(views_before AS BIGINT) AS views_before,
+       CAST(purchases_before AS BIGINT) AS purchases_before,
+       CAST(spend_cents_before AS BIGINT) AS spend_cents_before,
+       CAST(COALESCE((us - last_us) // 3600000000, -1) AS BIGINT)
+         AS hours_since_last
+FROM feat WHERE event_type = 'purchase'
+"""
+
+
+@register("x_pit_features", oracle=_PIT_SQL, tags=("W3", "W2", "J9"), doc="")
+def x_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME-correct training features (the feature-store
+    contract: a label row may only see state STRICTLY BEFORE its own
+    timestamp — one leaked future event and offline metrics lie): for
+    every purchase (the label event), behavioral features — prior event
+    count, prior views/purchases, cumulative prior spend in exact
+    cents, hours since last activity — are computed with ONE window
+    whose frame ends at 1 PRECEDING under the total order (ts,
+    event_id), so leakage is impossible BY CONSTRUCTION, not by a
+    filter someone can get wrong: the label's own row and any
+    same-timestamp later row sit outside the frame. This is the
+    window-frame formulation of the feature-store as-of join
+    (j9_asof_join is the two-table variant; this one-table form needs
+    NO join at all — one user-key shuffle, one sorted pass,
+    features for every label in the partition simultaneously). First
+    events report hours_since_last = −1 (no prior activity), pinned in
+    both engines via the same COALESCE. At 100 TB: the user key is the
+    natural partitioner; nothing re-shuffles per label."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    feat = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.count(F.lit(1)).over(w).alias("n_before"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1)).over(w), F.lit(0)
+        ).alias("views_before"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w), F.lit(0)
+        ).alias("purchases_before"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("cents"))).over(w),
+            F.lit(0),
+        ).alias("spend_cents_before"),
+        F.max("us").over(w).alias("last_us"),
+    )
+    return feat.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("n_before").cast("bigint").alias("n_before"),
+        F.col("views_before").cast("bigint").alias("views_before"),
+        F.col("purchases_before").cast("bigint").alias("purchases_before"),
+        F.col("spend_cents_before").cast("bigint").alias("spend_cents_before"),
+        F.coalesce(
+            F.floor((F.col("us") - F.col("last_us")) / 3600000000).cast("bigint"),
+            F.lit(-1),
+        ).alias("hours_since_last"),
+    )

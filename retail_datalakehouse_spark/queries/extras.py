@@ -3282,7 +3282,11 @@ def x_delta_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_dexp_"))
     t.overwrite(o.filter(low & (k % 2 == 0)), cluster_by=["o_orderkey"], cluster_files=4)
     t.append(o.filter(low & (k % 2 == 1)))  # interleaves: forces rewrite
-    t.append(o.filter(~low))  # disjoint high range: carried by reference
+    # disjoint high range as ONE file so it lands as a singleton overlap
+    # group and is carried by reference at ANY scale (uncoalesced, a
+    # larger input splits into several full-range-overlapping files and
+    # the carried>0 probe turns scale-dependent — the sf1-rehearsal class)
+    t.append(o.filter(~low).coalesce(1))
     r = t.optimize_incremental("o_orderkey", rows_per_file=max(200, o.count() // 6))
     assert r["rewritten"] > 0 and r["carried"] > 0, r
     commit = t.export_delta_log()
@@ -3851,7 +3855,11 @@ def x_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_iexp_"))
     t.overwrite(o.filter(low & (k % 2 == 0)), cluster_by=["o_orderkey"], cluster_files=4)
     t.append(o.filter(low & (k % 2 == 1)))  # interleaves: forces rewrite
-    t.append(o.filter(~low))  # disjoint high range: carried by reference
+    # disjoint high range as ONE file so it lands as a singleton overlap
+    # group and is carried by reference at ANY scale (uncoalesced, a
+    # larger input splits into several full-range-overlapping files and
+    # the carried>0 probe turns scale-dependent — the sf1-rehearsal class)
+    t.append(o.filter(~low).coalesce(1))
     r = t.optimize_incremental("o_orderkey", rows_per_file=max(200, o.count() // 6))
     assert r["rewritten"] > 0 and r["carried"] > 0, r
     meta_path = t.export_iceberg_metadata()

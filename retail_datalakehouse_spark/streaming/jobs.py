@@ -555,7 +555,10 @@ def session_close_stateful(stream: DataFrame, gap: str = "30 minutes"):
         ]
     )
 
-    def emit(key, sessions) -> pd.DataFrame:
+    # deliberately unannotated: partial type hints trip pyspark's
+    # eval-type inference warning, and this callback is not hint-
+    # dispatched (applyInPandasWithState passes state positionally)
+    def emit(key, sessions):
         return pd.DataFrame(
             {
                 "user_id": key[0],

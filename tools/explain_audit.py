@@ -276,6 +276,24 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_spatial_grid_join", "BroadcastHashJoin [cy", True,
      "the customer x supplier distance theta-join must become a HASH "
      "equi-join on grid cells with the distance as residual predicate"),
+    # ---- r12 stats/warehouse wave
+    ("x_mad_outlier", "BroadcastHashJoin", True,
+     "the 3-row median/MAD tables must broadcast back to the fact scan, "
+     "never shuffle it"),
+    ("x_mad_outlier", "EvalPython", False,
+     "both median walks are window+aggregate math, no Python"),
+    ("x_mann_whitney_u", "EvalPython", False,
+     "doubled-rank arithmetic stays JVM-side"),
+    ("x_mann_whitney_u", "partial", True,
+     "the value grid partial-aggregates map-side before its shuffle"),
+    ("x_spearman_corr", "EvalPython", False,
+     "rank joins + sufficient sums stay JVM-side"),
+    ("x_inferred_dimension", "BroadcastHashJoin", True,
+     "dimension joins (anti-join mint, heal, revenue) broadcast the "
+     "customers-sized side"),
+    ("x_abc_classification", "partial", True,
+     "facts reduce to the parts aggregate map-side; the global window "
+     "runs over parts only"),
 ]
 
 

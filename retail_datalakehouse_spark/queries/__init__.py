@@ -666,6 +666,16 @@ _PROMOTE_R12 = [
 #   1-PRECEDING window frame under a total order makes label leakage
 #   impossible by construction (the no-join form of the as-of join);
 #   exact cents, hours_since_last = −1 for first events.
+# l6_bleu — BLEU-2 with brevity penalty beside ROUGE's recall: clipped
+#   uni/bigram precisions, geometric mean as √(p₁p₂) (IEEE-exact, no
+#   ln-ulp absorption), zero-overlap → 0 pinned, e4-floored per pair.
+# x_snaive_forecast — seasonal-naive backtest on a 28-day holdout:
+#   integer-cents MAE/bias, WMAPE as a ratio of two exact sums (per-day
+#   MAPE deliberately avoided — float-order-dependent + near-zero-day
+#   explosive).
+# x_control_chart — Shewhart XmR individuals chart: μ ± 2.66·M̄R from
+#   exact integer sums (one fixed-order division each → bit-identical
+#   limit comparisons), out-of-control counts via a 5-row broadcast.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

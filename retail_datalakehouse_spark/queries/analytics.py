@@ -4265,3 +4265,155 @@ def x_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("hours_since_last"),
     )
+
+
+_SNAIVE_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+fc AS (
+  SELECT priority, day, c,
+         LAG(c, 7) OVER (PARTITION BY priority ORDER BY day) AS yhat,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY day DESC) AS rn_desc
+  FROM daily),
+hold AS (
+  SELECT priority, c, yhat, ABS(c - yhat) AS ae, c - yhat AS e
+  FROM fc WHERE rn_desc <= 28 AND yhat IS NOT NULL)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(ae) // COUNT(*) AS BIGINT) AS mae_cents,
+       CAST(FLOOR(1000000.0 * CAST(SUM(ae) AS DOUBLE) / SUM(c)) AS BIGINT)
+         AS wmape_e6,
+       CAST(SUM(e) AS BIGINT) AS bias_cents
+FROM hold GROUP BY 1
+"""
+
+
+@register("x_snaive_forecast", oracle=_SNAIVE_SQL, tags=("W2", "A1"), doc="")
+def x_snaive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast BACKTEST (the baseline every forecasting
+    pipeline must beat before it earns a model: ŷ_t = y_{t−7}, scored
+    on a 28-observed-day holdout tail): errors stay in INTEGER cents —
+    MAE as integer-division floor, bias as the signed error sum, and
+    accuracy as WMAPE = Σ|e|/Σy (the per-day-MAPE trap is deliberately
+    avoided: Σ of per-row rationals is float-order-dependent AND
+    explodes on near-zero days; the weighted form is a ratio of two
+    exact integer sums). One lag window over the daily grid, one
+    reduce; the backtest never re-reads facts per horizon. At 100 TB
+    this is the shape of forecast-accuracy monitoring across millions
+    of series: per-series windows, integer error mass, no model state."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    wd = Window.partitionBy("priority").orderBy(F.desc("day"))
+    fc = daily.select(
+        "priority",
+        "c",
+        F.lag("c", 7).over(w).alias("yhat"),
+        F.row_number().over(wd).alias("rn_desc"),
+    )
+    hold = fc.where((F.col("rn_desc") <= 28) & F.col("yhat").isNotNull()).select(
+        "priority",
+        "c",
+        F.abs(F.col("c") - F.col("yhat")).alias("ae"),
+        (F.col("c") - F.col("yhat")).alias("e"),
+    )
+    return hold.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.floor(F.sum("ae") / F.count(F.lit(1))).cast("bigint").alias("mae_cents"),
+        F.floor(F.lit(1000000.0) * F.sum("ae").cast("double") / F.sum("c"))
+        .cast("bigint")
+        .alias("wmape_e6"),
+        F.sum("e").cast("bigint").alias("bias_cents"),
+    )
+
+
+_XMR_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+mr AS (
+  SELECT priority, day, c,
+         ABS(c - LAG(c) OVER (PARTITION BY priority ORDER BY day)) AS m
+  FROM daily),
+lim AS (
+  SELECT priority,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mu,
+         CAST(SUM(m) AS DOUBLE) / (COUNT(*) - 1) AS mrbar,
+         COUNT(*) AS n
+  FROM mr GROUP BY 1)
+SELECT l.priority,
+       CAST(l.n AS BIGINT) AS n_days,
+       CAST(FLOOR(l.mu) AS BIGINT) AS mu_cents,
+       CAST(FLOOR(2.66 * l.mrbar) AS BIGINT) AS limit_width_cents,
+       CAST(SUM(CASE WHEN d.c > l.mu + 2.66 * l.mrbar THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_ucl,
+       CAST(SUM(CASE WHEN d.c < l.mu - 2.66 * l.mrbar THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below_lcl
+FROM daily d JOIN lim l ON l.priority = d.priority
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("x_control_chart", oracle=_XMR_SQL, tags=("W2", "A1"), doc="")
+def x_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR individuals control chart (Shewhart process control — the
+    ops-monitoring classic that x_cusum_changepoint's drift detector
+    complements with a LEVEL detector): limits μ ± 2.66·M̄R where M̄R is
+    the mean absolute day-over-day moving range. Both μ and M̄R derive
+    from exact integer-cent sums (one fixed-order division each), so
+    the UCL/LCL doubles — and therefore every boundary comparison —
+    are bit-identical cross-engine; a day sitting exactly on a limit
+    classifies the same in both. Counts of out-of-control days above/
+    below ride a broadcast join of the 5-row limits table back onto
+    the daily grid. The 2.66 constant is the standard d2-derived XmR
+    factor. Plan: daily grid + one lag window + 5-row broadcast —
+    monitoring cost independent of fact scale."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    mr = daily.select(
+        "priority", "c", F.abs(F.col("c") - F.lag("c").over(w)).alias("m")
+    )
+    lim = mr.groupBy("priority").agg(
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias("mu"),
+        (F.sum("m").cast("double") / (F.count(F.lit(1)) - 1)).alias("mrbar"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ucl = F.col("mu") + F.lit(2.66) * F.col("mrbar")
+    lcl = F.col("mu") - F.lit(2.66) * F.col("mrbar")
+    return (
+        daily.join(F.broadcast(lim), "priority")
+        .groupBy(
+            "priority",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.floor("mu").cast("bigint").alias("mu_cents"),
+            F.floor(F.lit(2.66) * F.col("mrbar")).cast("bigint").alias(
+                "limit_width_cents"
+            ),
+        )
+        .agg(
+            F.sum(F.when(F.col("c") > ucl, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_ucl"),
+            F.sum(F.when(F.col("c") < lcl, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below_lcl"),
+        )
+    )

@@ -5331,3 +5331,141 @@ def l4_gini_language_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_e6"),
     )
+
+
+_BLEU_SQL = """
+WITH pairs AS (
+  SELECT doc_id AS cand_id, CAST(XOR(doc_id, 1) AS BIGINT) AS ref_id,
+         STRING_SPLIT(text, ' ') AS l
+  FROM documents),
+uni AS (
+  SELECT cand_id, ref_id, UNNEST(l) AS g FROM pairs),
+ug AS (
+  SELECT cand_id, ref_id, g, COUNT(*) AS n FROM uni GROUP BY 1, 2, 3),
+bg AS (
+  SELECT cand_id, ref_id,
+         UNNEST(LIST_ZIP(l[1:LEN(l)-1], l[2:LEN(l)])) AS p
+  FROM pairs WHERE LEN(l) >= 2),
+bgg AS (
+  SELECT cand_id, ref_id, p[1] || ' ' || p[2] AS g, COUNT(*) AS n
+  FROM bg GROUP BY 1, 2, 3),
+ov1 AS (
+  SELECT c.cand_id, CAST(SUM(LEAST(c.n, r.n)) AS BIGINT) AS o1
+  FROM ug c JOIN ug r ON r.cand_id = c.ref_id AND r.g = c.g GROUP BY 1),
+ov2 AS (
+  SELECT c.cand_id, CAST(SUM(LEAST(c.n, r.n)) AS BIGINT) AS o2
+  FROM bgg c JOIN bgg r ON r.cand_id = c.ref_id AND r.g = c.g GROUP BY 1),
+lens AS (
+  SELECT cand_id, ref_id, CAST(LEN(l) AS BIGINT) AS n1,
+         CAST(GREATEST(LEN(l) - 1, 0) AS BIGINT) AS n2
+  FROM pairs),
+scored AS (
+  SELECT t.cand_id,
+         CASE WHEN COALESCE(ov1.o1, 0) = 0 OR COALESCE(ov2.o2, 0) = 0
+                   OR t.n2 = 0 THEN 0
+              ELSE CAST(FLOOR(10000.0
+                * LEAST(1.0, EXP(1.0 - CAST(rl.n1 AS DOUBLE) / t.n1))
+                * SQRT((CAST(ov1.o1 AS DOUBLE) / t.n1)
+                       * (CAST(ov2.o2 AS DOUBLE) / t.n2))) AS BIGINT)
+         END AS bleu_e4
+  FROM lens t
+  JOIN lens rl ON rl.cand_id = t.ref_id
+  LEFT JOIN ov1 ON ov1.cand_id = t.cand_id
+  LEFT JOIN ov2 ON ov2.cand_id = t.cand_id)
+SELECT CAST(cand_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(bleu_e4) AS BIGINT) AS bleu_mass_e4,
+       CAST(MAX(bleu_e4) AS BIGINT) AS bleu_max_e4
+FROM scored GROUP BY 1
+"""
+
+
+@register("l6_bleu", oracle=_BLEU_SQL, tags=("L6", "L4"), doc="")
+def l6_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 with brevity penalty (Papineni 2002 — the generation-eval
+    complement of l6_rouge_ngram's recall focus): per deterministic
+    (candidate, reference) pair (doc_id XOR 1, same symmetric pairing as
+    ROUGE), clipped unigram and bigram precisions p₁, p₂ and
+    BP = min(1, e^(1−ref_len/cand_len)); score = BP·√(p₁p₂). The
+    geometric mean is computed as √(p₁p₂), NOT exp(½Σln pᵢ): sqrt is
+    IEEE-correctly-rounded, so identical rationals give identical
+    doubles cross-engine with no ln-ulp absorption needed; the one exp
+    (BP) is a fixed-arity expression on a rational. Zero n-gram overlap
+    scores 0 (no smoothing — pinned convention both sides). e4-floored
+    per pair before the bucket reduce keeps the aggregate integer.
+    Shape: two gram explodes + two digest-keyed clipped-overlap joins —
+    one pass scores every pair, the corpus-scale eval plan."""
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("doc_id").bitwiseXOR(F.lit(1)).cast("bigint").alias("ref_id"),
+        F.split(F.col("text"), " ").alias("l"),
+    )
+    n = F.size("l")
+    uni = d.select("cand_id", "ref_id", F.explode("l").alias("g"))
+    ug = uni.groupBy("cand_id", "ref_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    bi = d.filter(n >= 2).select(
+        "cand_id",
+        "ref_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, n - 1),
+                F.slice("l", 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("g"),
+    )
+    bgg = bi.groupBy("cand_id", "ref_id", "g").agg(F.count(F.lit(1)).alias("n"))
+
+    def clipped(grams, out):
+        c, r = grams.alias("c"), grams.alias("r")
+        return (
+            c.join(
+                r,
+                (F.col("r.cand_id") == F.col("c.ref_id"))
+                & (F.col("r.g") == F.col("c.g")),
+            )
+            .groupBy(F.col("c.cand_id").alias("cand_id"))
+            .agg(F.sum(F.least(F.col("c.n"), F.col("r.n"))).cast("bigint").alias(out))
+        )
+
+    lens = d.select(
+        "cand_id",
+        "ref_id",
+        n.cast("bigint").alias("n1"),
+        F.greatest(n - 1, F.lit(0)).cast("bigint").alias("n2"),
+    )
+    rl = lens.select(F.col("cand_id").alias("ref_id"), F.col("n1").alias("rn1"))
+    scored = (
+        lens.join(rl, "ref_id")
+        .join(clipped(ug, "o1"), "cand_id", "left")
+        .join(clipped(bgg, "o2"), "cand_id", "left")
+        .select(
+            "cand_id",
+            F.when(
+                (F.coalesce("o1", F.lit(0)) == 0)
+                | (F.coalesce("o2", F.lit(0)) == 0)
+                | (F.col("n2") == 0),
+                F.lit(0),
+            )
+            .otherwise(
+                F.floor(
+                    F.lit(10000.0)
+                    * F.least(
+                        F.lit(1.0),
+                        F.exp(F.lit(1.0) - F.col("rn1").cast("double") / F.col("n1")),
+                    )
+                    * F.sqrt(
+                        (F.col("o1").cast("double") / F.col("n1"))
+                        * (F.col("o2").cast("double") / F.col("n2"))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("bleu_e4"),
+        )
+    )
+    return scored.groupBy((F.col("cand_id") % 8).cast("bigint").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("bleu_e4").cast("bigint").alias("bleu_mass_e4"),
+        F.max("bleu_e4").cast("bigint").alias("bleu_max_e4"),
+    )

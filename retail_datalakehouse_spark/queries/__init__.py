@@ -676,6 +676,11 @@ _PROMOTE_R12 = [
 # x_control_chart — Shewhart XmR individuals chart: μ ± 2.66·M̄R from
 #   exact integer sums (one fixed-order division each → bit-identical
 #   limit comparisons), out-of-control counts via a 5-row broadcast.
+# t32_stream_outer_join — watermarked LEFT OUTER stream⋈stream join:
+#   null-padded non-matches emit only when the global watermark proves
+#   no match can arrive; an advancer micro-batch flushes the finite
+#   stream's tail (the classic withheld-outer-rows pitfall, staged
+#   correctly); oracle = the identical batch interval left join.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

@@ -2630,3 +2630,94 @@ def t31_rocksdb_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("total_cents").alias("total_cents"),
     )
+
+
+@register(
+    "t32_stream_outer_join",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT event_id AS c_id, user_id, ts AS c_ts FROM events WHERE event_type = 'click')
+SELECT p.pid,
+       CAST(SUM(CASE WHEN c.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clicks_before
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_ts <= p.ts AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+GROUP BY 1
+""",
+    tags=("T6", "J3", "J8"),
+)
+def t32_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked LEFT OUTER stream⋈stream join — the semantics t8's
+    inner join dodges: a purchase with NO click in its preceding hour
+    must still emit (null-padded), but only once the GLOBAL watermark
+    PROVES no matching click can ever arrive (left_ts + window <
+    watermark) — Structured Streaming's trickiest emission rule, and the
+    classic production pitfall is the finite stream whose tail outer
+    rows are withheld forever because nothing advanced the watermark
+    past them. The query stages the flush correctly: an ADVANCER batch
+    (two sentinel events 6 h past max ts, user −1, matching nothing,
+    arriving as a second maxFilesPerTrigger=1 micro-batch) pushes both
+    sides' watermarks past every real row, so the trailing outer rows
+    emit before AvailableNow terminates; sentinels filter out of the
+    result. The global watermark is the MIN across both inputs — the
+    advancer must flow through BOTH event-type filters, which it does
+    because both streams read the same source. Oracle = the identical
+    interval left join in batch: unmatched purchases report
+    n_clicks_before = 0, matched ones their exact click count. State
+    stays bounded at watermark+window on both sides at any scale."""
+    import os
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.jobs import (
+        run_to_memory,
+        stream_stream_join,
+        write_single_parquet,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    mx = e.agg(F.max("ts")).first()[0]
+    d = tempfile.mkdtemp(prefix="rdl_t32_")
+    write_single_parquet(e, os.path.join(d, "data.parquet"))
+    adv = spark.createDataFrame(
+        [(-1, -1, "purchase", None), (-2, -1, "click", None)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    ).withColumn("ts", F.lit(mx).cast("timestamp") + F.expr("INTERVAL 6 HOURS"))
+    write_single_parquet(
+        adv.select("event_id", "user_id", "event_type", "ts"),
+        os.path.join(d, "zadv.parquet"),
+    )
+    os.utime(os.path.join(d, "data.parquet"), (1_000_000_000, 1_000_000_000))
+    os.utime(os.path.join(d, "zadv.parquet"), (1_000_000_060, 1_000_000_060))
+
+    schema = spark.read.parquet(os.path.join(d, "data.parquet")).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    j = stream_stream_join(
+        purchases, clicks,
+        on="user_id", left_ts="ts", right_ts="c_ts",
+        within="1 hour", how="left_outer",
+    )
+    pairs = j.select(F.col("l.event_id").alias("pid"), F.col("r.c_id"))
+    sink = run_to_memory(pairs, output_mode="append")
+    return (
+        spark.table(sink)
+        .filter(F.col("pid") > 0)  # drop the advancer sentinels
+        .groupBy("pid")
+        .agg(
+            F.sum(F.when(F.col("c_id").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clicks_before")
+        )
+    )

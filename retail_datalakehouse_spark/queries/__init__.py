@@ -681,6 +681,13 @@ _PROMOTE_R12 = [
 #   no match can arrive; an advancer micro-batch flushes the finite
 #   stream's tail (the classic withheld-outer-rows pitfall, staged
 #   correctly); oracle = the identical batch interval left join.
+# x_runs_test — Wald–Wolfowitz runs test on daily revenue direction:
+#   all-integer sign series (zero diffs dropped, pinned), runs = 1 +
+#   Σ(sign changes), closed-form z floor-e6.
+# l4_zipf_exponent — Zipf rank-frequency OLS over the top-1000 tokens:
+#   every ln quantized to DECIMAL(18,9) BEFORE summation (order-
+#   independent reductions), exact decimal products; corpus-drift
+#   alarm (slope ≈ −1 for natural text).
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

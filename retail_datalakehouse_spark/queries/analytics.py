@@ -4417,3 +4417,93 @@ def x_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_below_lcl"),
         )
     )
+
+
+_RUNS_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+d AS (
+  SELECT priority, day,
+         c - LAG(c) OVER (PARTITION BY priority ORDER BY day) AS diff
+  FROM daily),
+s AS (
+  SELECT priority, day, CASE WHEN diff > 0 THEN 1 ELSE -1 END AS sgn
+  FROM d WHERE diff IS NOT NULL AND diff != 0),
+runs AS (
+  SELECT priority, sgn,
+         CASE WHEN sgn != LAG(sgn) OVER (PARTITION BY priority ORDER BY day)
+              THEN 1 ELSE 0 END AS brk
+  FROM s),
+agg AS (
+  SELECT priority,
+         CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(brk) + 1 AS BIGINT) AS r
+  FROM runs GROUP BY 1)
+SELECT priority, n1 AS n_up, n2 AS n_down, r AS n_runs,
+       CAST(FLOOR(1000000.0 *
+         (CAST(r AS DOUBLE) - (2.0 * n1 * n2 / (n1 + n2) + 1))
+         / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+       ) AS BIGINT) AS z_e6
+FROM agg
+"""
+
+
+@register("x_runs_test", oracle=_RUNS_SQL, tags=("W2", "A1"), doc="")
+def x_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz RUNS test on daily revenue direction ('are
+    up/down days random, or does the series trend/oscillate' — the
+    randomness gate that decides whether x_acf_lags's correlations are
+    even worth reading): day-over-day diffs in exact integer cents
+    reduce to a ±1 sign series (exact-zero diffs dropped, pinned
+    convention both sides), runs count as 1 + Σ(sign changes) via one
+    lag window, and everything stays integer (n₁ ups, n₂ downs, R
+    runs) until the closed-form normal z — identical doubles, floor-e6.
+    Plan: facts → daily grid → two lag windows over the tiny grid —
+    the test costs nothing at any fact scale."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    d = daily.select(
+        "priority", "day", (F.col("c") - F.lag("c").over(w)).alias("diff")
+    )
+    s = d.where(F.col("diff").isNotNull() & (F.col("diff") != 0)).select(
+        "priority",
+        "day",
+        F.when(F.col("diff") > 0, 1).otherwise(-1).alias("sgn"),
+    )
+    runs = s.select(
+        "priority",
+        "sgn",
+        F.when(F.col("sgn") != F.lag("sgn").over(w), 1).otherwise(0).alias("brk"),
+    )
+    agg = runs.groupBy("priority").agg(
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).cast("bigint").alias("n2"),
+        (F.sum("brk") + 1).cast("bigint").alias("r"),
+    )
+    n1, n2, r = F.col("n1").cast("double"), F.col("n2").cast("double"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+    )
+    return agg.select(
+        "priority",
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        F.col("r").alias("n_runs"),
+        F.floor(F.lit(1000000.0) * (r.cast("double") - mu) / F.sqrt(var))
+        .cast("bigint")
+        .alias("z_e6"),
+    )

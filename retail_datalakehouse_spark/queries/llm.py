@@ -5469,3 +5469,96 @@ def l6_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bleu_e4").cast("bigint").alias("bleu_mass_e4"),
         F.max("bleu_e4").cast("bigint").alias("bleu_max_e4"),
     )
+
+
+_ZIPF_SQL = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), t -> t != '')) AS w
+  FROM documents),
+freq AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+ranked AS (
+  SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rnk
+  FROM freq),
+top AS (
+  SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,9)) AS lr,
+         CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,9)) AS lf
+  FROM ranked WHERE rnk <= 1000),
+s AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(lr) AS DOUBLE) AS sx, CAST(SUM(lf) AS DOUBLE) AS sy,
+         CAST(SUM(lr * lr) AS DOUBLE) AS sxx,
+         CAST(SUM(lf * lf) AS DOUBLE) AS syy,
+         CAST(SUM(lr * lf) AS DOUBLE) AS sxy
+  FROM top)
+SELECT CAST(n AS BIGINT) AS n_tokens,
+       CAST(FLOOR(1000000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+            AS BIGINT) AS slope_e6,
+       CAST(FLOOR(1000000.0 * (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n)
+            AS BIGINT) AS intercept_e6,
+       CAST(FLOOR(1000000.0 * (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            AS BIGINT) AS r2_e6
+FROM s
+"""
+
+
+@register("l4_zipf_exponent", oracle=_ZIPF_SQL, tags=("L4", "A1"), doc="")
+def l4_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequency spectrum (the
+    corpus-health diagnostic: natural text fits ln f ≈ −s·ln r + c with
+    s ≈ 1; boilerplate floods, dedup failures, and synthetic spam bend
+    the rank-frequency line — so the fitted exponent and its R² are a
+    one-number drift alarm for a training corpus): token counts reduce
+    to the frequency table, ranks assign under the total order (freq
+    desc, token asc), and OLS runs over the top-1000 (ln rank, ln freq)
+    points. Determinism uses BOTH house tricks at once: each ln value
+    quantizes to DECIMAL(18,9) BEFORE any summation (the
+    l2_weighted_jaccard pattern — decimal sums are order-independent),
+    and their pairwise products stay exact decimals, so both engines
+    reduce identical values in any order; the closed form + floor-e6 is
+    the only float step. Plan: one token explode (the corpus pass every
+    l4 op shares), one frequency shuffle, a 1000-row grid — the fit
+    itself costs nothing at any corpus scale."""
+    from pyspark.sql import Window
+
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda t: t != "")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    ranked = freq.select(
+        "f", F.row_number().over(Window.orderBy(F.desc("f"), "w")).alias("rnk")
+    ).where(F.col("rnk") <= 1000)
+    top = ranked.select(
+        F.log(F.col("rnk").cast("double")).cast("decimal(18,9)").alias("lr"),
+        F.log(F.col("f").cast("double")).cast("decimal(18,9)").alias("lf"),
+    )
+    s = top.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lr").cast("double").alias("sx"),
+        F.sum("lf").cast("double").alias("sy"),
+        F.sum(F.col("lr") * F.col("lr")).cast("double").alias("sxx"),
+        F.sum(F.col("lf") * F.col("lf")).cast("double").alias("syy"),
+        F.sum(F.col("lr") * F.col("lf")).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.floor(F.lit(1000000.0) * slope).cast("bigint").alias("slope_e6"),
+        F.floor(F.lit(1000000.0) * (F.col("sy") - F.col("sx") * slope) / F.col("n"))
+        .cast("bigint")
+        .alias("intercept_e6"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        )
+        .cast("bigint")
+        .alias("r2_e6"),
+    )

@@ -18,7 +18,7 @@ sys.path.insert(0, ".")
 from retail_datalakehouse_spark import queries as Q  # noqa: E402
 from retail_datalakehouse_spark.session import build_spark  # noqa: E402
 
-from bench import HEADLINE, force  # noqa: E402
+from bench import HEADLINE, WAVE, force  # noqa: E402
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -63,7 +63,7 @@ def main() -> None:
     force(registry["flagship_region_month_revenue"].fn(spark, SF).limit(1))  # warmup
 
     rows = []
-    for name in HEADLINE:
+    for name in [*HEADLINE, *WAVE]:
         before = stage_totals(ui, app_id)
         force(registry[name].fn(spark, SF))
         after = stage_totals(ui, app_id)
@@ -73,7 +73,8 @@ def main() -> None:
     lines = [
         "# PROFILE — measured per-query physical metrics",
         "",
-        f"Headline queries at `{SF}` on the bench session; stage-level sums",
+        f"Headline + wave-tier queries at `{SF}` on the bench session;",
+        "stage-level sums",
         "from Spark's status REST API (what the UI shows). Regenerate with",
         "`python tools/profile_queries.py`.",
         "",

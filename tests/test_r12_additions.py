@@ -207,3 +207,183 @@ def test_rocksdb_state_restart_equivalence(spark, tmp_path):
         F.max("n_events").alias("n"), F.max("total_cents").alias("c")
     )
     assert {(r.n, r.c) for r in final.collect()} == {(6, 900)}
+
+
+def test_mann_whitney_doubled_rank_identity(spark):
+    """Hand-checked tie case: A=[1,2,2], B=[2,3]. Average ranks: 1→1,
+    each 2→3 (positions 2,3,4), 3→5. R_A = 1+3+3 = 7, U_A = R_A −
+    n_A(n_A+1)/2 = 1, so the doubled-rank pipeline must yield u2 = 2 —
+    pinned against the integer identity 2·rank_avg = 2·cum_before +
+    cnt + 1 that x_mann_whitney_u relies on."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    x = spark.createDataFrame(
+        [("A", 1), ("A", 2), ("A", 2), ("B", 2), ("B", 3)], "g string, c long"
+    )
+    grid = x.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    gw = grid.select(
+        "c", "cnt", (F.sum("cnt").over(w) - F.col("cnt")).alias("cumb")
+    )
+    sg = x.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt_g"))
+    r = (
+        sg.join(gw, "c")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt_g").alias("n_g"),
+            F.sum(F.col("cnt_g") * (2 * F.col("cumb") + F.col("cnt") + 1)).alias("r2"),
+        )
+        .select("g", (F.col("r2") - F.col("n_g") * (F.col("n_g") + 1)).alias("u2"))
+    )
+    got = {row["g"]: row["u2"] for row in r.collect()}
+    assert got == {"A": 2, "B": 2 * 3 * 2 - 2}  # U_A + U_B = n_A*n_B
+
+
+def test_ks_supremum_between_jumps_needs_full_grid(spark):
+    """The D supremum can sit at a value where only the OTHER sample
+    jumps: A=[1,10], B=[2,3,4]. At v=4: F_A=1/2, F_B=1 → |diff|=1/2 is
+    the max, but 4 is not an A value — a scan over A's own jump points
+    (v=1: |1/2−0|=1/2 ... v=10: 0) would find it only by luck at v=1;
+    shift A to [0,10] and own-points-only gives 1/2 at v=0 vs the true
+    D=1 nowhere visible. Pin: the crossed-grid computation equals the
+    brute-force max over ALL distinct values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    x = spark.createDataFrame(
+        [("A", 0), ("A", 10), ("B", 2), ("B", 3), ("B", 4)], "g string, c long"
+    )
+    grid = x.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    gw = grid.select("c", F.sum("cnt").over(w).alias("cum_all"))
+    pri = x.select("g").distinct()
+    sg = x.groupBy("g", "c").agg(F.count(F.lit(1)).alias("cnt_g"))
+    fg = (
+        gw.crossJoin(pri).join(sg, ["g", "c"], "left").fillna(0, subset=["cnt_g"])
+    )
+    wp = Window.partitionBy("g").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cums = fg.select(
+        "g",
+        "cum_all",
+        F.sum("cnt_g").over(wp).alias("cum_g"),
+        F.sum("cnt_g").over(Window.partitionBy("g")).alias("n_g"),
+        F.max("cum_all").over(Window.partitionBy()).alias("n"),
+    )
+    dnum = cums.select(
+        "g",
+        F.abs(
+            (F.col("n") - F.col("n_g")) * F.col("cum_g")
+            - F.col("n_g") * (F.col("cum_all") - F.col("cum_g"))
+        ).alias("d"),
+    ).groupBy("g").agg(F.max("d").alias("d_num"))
+    got = {r["g"]: r["d_num"] for r in dnum.collect()}
+    # n_A=2, n_B=3: at v∈{2,3}: cum_A=1, cum_B∈{1,2} → |3·1−2·cum_B| max
+    # at v=4 (cum_B=3): |3·1−2·3| = 3 → D = 3/6 = 1/2, found ONLY
+    # because v=4 (a B-only value) is in A's grid walk.
+    assert got["A"] == 3 and got["B"] == 3
+
+
+def test_mad_lower_median_convention(spark):
+    """Even-count groups take the LOWER median (min v with 2·cum ≥ n) on
+    both the value and the deviation walk — pinned on [1,3,5,100]:
+    median = 3 (not 4), deviations |x−3| = [2,0,2,97] → MAD = 2."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    x = spark.createDataFrame([(1,), (3,), (5,), (100,)], "c long")
+    vg = x.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        vg.select("c", F.sum("cnt").over(w).alias("cw"),
+                  F.sum("cnt").over(Window.partitionBy()).alias("n"))
+        .agg(F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("c"))).alias("m"))
+        .first()["m"]
+    )
+    assert med == 3
+    dev = x.select(F.abs(F.col("c") - F.lit(med)).alias("d"))
+    dg = dev.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    mad = (
+        dg.select("d", F.sum("cnt").over(wd).alias("cw"),
+                  F.sum("cnt").over(Window.partitionBy()).alias("n"))
+        .agg(F.min(F.when(2 * F.col("cw") >= F.col("n"), F.col("d"))).alias("m"))
+        .first()["m"]
+    )
+    assert mad == 2
+
+
+def test_pit_frame_excludes_same_timestamp_rows(spark):
+    """The leakage guard: a purchase may not see ANY row at its own
+    (ts, event_id) or later — including a same-timestamp event with a
+    higher event_id. Events (us, id): (10,1 view), (20,2 view),
+    (20,3 purchase), (20,4 view): the purchase's n_before must be 2
+    (ids 1,2), never 3 — id 4 shares its timestamp but sorts after."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(
+        [(1, 7, "view", 10), (2, 7, "view", 20), (3, 7, "purchase", 20),
+         (4, 7, "view", 20)],
+        "event_id long, user_id long, event_type string, us long",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = (
+        e.select("event_id", "event_type", F.count(F.lit(1)).over(w).alias("n_before"))
+        .where(F.col("event_type") == "purchase")
+        .first()
+    )
+    assert got["n_before"] == 2
+
+
+def test_contribution_bridge_identity_reconciles(spark):
+    """ΔRev = Δn·AOV₀ + n₀·ΔAOV + Δn·ΔAOV is an algebraic identity;
+    with floor-e2 quantization the three effects must reconcile to the
+    delta within 3 cents (one floor per term)."""
+    import importlib
+
+    m = importlib.import_module("__spark_entry__")
+    df = m.queries()["x_contribution_bridge"](spark, "/root/testdata/sf0.001")
+    bad = df.where(
+        F.abs(
+            F.col("delta_rev_e2")
+            - (
+                F.col("volume_effect_e2")
+                + F.col("rate_effect_e2")
+                + F.col("interaction_e2")
+            )
+        )
+        > 3
+    ).count()
+    assert bad == 0
+
+
+def test_abc_boundary_is_integer_exact(spark):
+    """A part whose cumulative revenue lands EXACTLY on 70.000% is class
+    A (10·cum ≤ 7·total is inclusive): revenues [70, 20, 10] → the first
+    part's cum is exactly 70% of 100 and must classify A; the second
+    (cum 90%) exactly on the B edge must classify B."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    parts = spark.createDataFrame([(1, 70), (2, 20), (3, 10)], "pk long, c long")
+    w = Window.orderBy(F.desc("c"), "pk").rowsBetween(Window.unboundedPreceding, 0)
+    classed = parts.select(
+        "pk",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    ).select(
+        "pk",
+        F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
+        .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    got = {r["pk"]: r["abc"] for r in classed.collect()}
+    assert got == {1: "A", 2: "B", 3: "C"}

@@ -688,6 +688,13 @@ _PROMOTE_R12 = [
 #   every ln quantized to DECIMAL(18,9) BEFORE summation (order-
 #   independent reductions), exact decimal products; corpus-drift
 #   alarm (slope ≈ −1 for natural text).
+# x_recursive_cte — Spark 4 WITH RECURSIVE run ENGINE-side (previously
+#   recursion lived only in DuckDB oracles): BOM extended-quantity
+#   rollup, log₁₀(keys) distributed self-join iterations, never a
+#   driver loop; engine and oracle run the same recursion.
+# x_sql_pipe_syntax — Spark 4 `|>` pipe operators (FROM |> WHERE |>
+#   EXTEND |> AGGREGATE |> SELECT): parser surface only — lowers to the
+#   identical Catalyst plan the classic-SQL oracle runs.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
 _head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}

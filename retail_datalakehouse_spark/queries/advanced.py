@@ -1134,3 +1134,107 @@ def x_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("d2_mass_e2"),
     )
+
+
+_RCTE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 10 AS parent,
+         p_partkey % 3 + 1 AS qty
+  FROM part WHERE p_partkey >= 10),
+bom AS (
+  SELECT p_partkey AS node, p_partkey AS root,
+         CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS qty
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT e.child, b.root, b.depth + 1, b.qty * e.qty
+  FROM edges e JOIN bom b ON b.node = e.parent)
+SELECT root,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+       CAST(SUM(qty) AS BIGINT) AS total_extended_qty
+FROM bom GROUP BY 1
+"""
+
+
+@register("x_recursive_cte", oracle=_RCTE_SQL, tags=("O2", "J1", "W3"), doc="")
+def x_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE — Spark 4's `WITH RECURSIVE` run ENGINE-SIDE (until
+    now the repo used recursion only in DuckDB oracles; this query makes
+    the iterative-closure surface itself part of the contract): a
+    bill-of-materials hierarchy derived from the part table (parent =
+    partkey ÷ 10, per-edge quantity = partkey mod 3 + 1, roots =
+    single-digit keys) is exploded transitively from the roots,
+    multiplying quantities along each path — the classic BOM extended-
+    quantity rollup every MRP system runs. The recursion depth is
+    log₁₀(max partkey) (≈6 at sf1), so Spark executes it as that many
+    self-join iterations — each a distributed hash join on the frontier,
+    never a driver loop; all quantities are small integers, the path
+    products bounded by 3^depth, sums exact bigint. Engine and oracle
+    run the SAME recursion shape (Spark spells integer division `DIV`,
+    DuckDB `//` — identical on the positive keys here), so a hash match
+    proves iterative plan equivalence, not just aggregate luck."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE edges AS (
+          SELECT p_partkey AS child, p_partkey DIV 10 AS parent,
+                 p_partkey % 3 + 1 AS qty
+          FROM part WHERE p_partkey >= 10),
+        bom AS (
+          SELECT p_partkey AS node, p_partkey AS root,
+                 CAST(0 AS BIGINT) AS depth, CAST(1 AS BIGINT) AS qty
+          FROM part WHERE p_partkey < 10
+          UNION ALL
+          SELECT e.child, b.root, b.depth + 1, b.qty * e.qty
+          FROM edges e JOIN bom b ON b.node = e.parent)
+        SELECT root,
+               CAST(MAX(depth) AS BIGINT) AS max_depth,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_descendants,
+               CAST(SUM(qty) AS BIGINT) AS total_extended_qty
+        FROM bom GROUP BY root
+        """
+    )
+
+
+_PIPE_SQL = """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)))
+            AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01'
+GROUP BY 1, 2
+"""
+
+
+@register("x_sql_pipe_syntax", oracle=_PIPE_SQL, tags=("A1", "P2", "F5"), doc="")
+def x_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's `|>` operators, from the SQL:202x
+    pipe-syntax proposal Google published for BigQuery/ZetaSQL): the
+    pricing-summary shape written as a linear dataflow —
+    FROM |> WHERE |> EXTEND |> AGGREGATE … GROUP BY |> SELECT — instead
+    of the inside-out nesting classic SQL forces. The point the hash
+    match proves: pipe syntax is pure PARSER surface — it lowers to the
+    identical Catalyst plan (pushed filter, two-phase aggregate) as the
+    classic form the oracle runs, so adopting the readable syntax costs
+    nothing at any scale. Revenue is the exact-decimal sum cast once;
+    quantity sums as bigint — the usual determinism contract."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= DATE '1994-01-01'
+        |> EXTEND CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4)) AS net
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_items,
+                     CAST(SUM(net) AS DOUBLE) AS revenue,
+                     CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag AS flag, l_linestatus AS status,
+                  n_items, revenue, total_qty
+        """
+    )

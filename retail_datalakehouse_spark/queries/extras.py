@@ -297,7 +297,17 @@ def x_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_schema_evolution",
-    oracle=None,  # env-local multi-batch scratch write → rows-only
+    # The evolution report is DETERMINISTIC given the staged batch
+    # schemas, so the oracle is the expected catalog report itself
+    # (golden-values SQL) — upgraded from rows-only in r12: a hash
+    # match pins the exact UPDATE/DEPRECATE split, not just row count.
+    oracle="""
+SELECT * FROM (VALUES
+  ('n_name',      'string', 'deprecated'),
+  ('n_nationkey', 'int',    'active'),
+  ('n_regionkey', 'int',    'active')
+) AS t(column_name, data_type, status)
+""",
     tags=("S1", "S5"),
 )
 def x_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,27 +67,55 @@ HEADLINE = [
 ]
 
 # Rotating second tier (r11 verdict item 3): the heaviest registered paths
-# NOT in the frozen headline set. r12 rotation = the widening wave's most
-# expensive shapes — suffix-array dup spans, FIFO cursor-as-windows, Gopher
-# quality rules, sweep-line intervals, CDF streaming across MOR verbs,
-# sequential LTTB via applyInPandas, CDC->SCD2 maintenance, ANN recall eval
-# (exact top-k x2 + IVF probe), CEP regex, bitemporal 2x2.
+# NOT in the frozen headline set. r13 rotation = this round's widening
+# wave's most expensive shapes — per-CHARACTER explode entropy, corpus
+# token-distribution JS divergence, clipped-overlap token F1, doubled-rank
+# AUC, the SF-independent daily-grid self-join (Mann-Kendall), censored
+# survival (Kaplan-Meier), CUPED sufficient-stats, drawdown windows, the
+# weighted-quantile cum-walk, and the 20-day integer Bollinger frame.
 WAVE = [
-    "l2_suffix_array_dups",
-    "x_fifo_allocation",
-    "l4_gopher_rules",
-    "x_interval_overlap",
-    "t28_cdf_stream_mor",
-    "x_lttb_downsample",
-    "x_cdc_scd2_apply",
-    "l3_ann_recall_eval",
-    "x_event_pattern_match",
-    "x_bitemporal_asof",
+    "l4_char_entropy",
+    "l4_jensen_shannon",
+    "l6_token_f1",
+    "l6_auc_roc",
+    "x_mann_kendall_trend",
+    "x_kaplan_meier",
+    "x_cuped_adjustment",
+    "x_drawdown",
+    "x_weighted_quantiles",
+    "x_bollinger_bands",
 ]
 
 
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# Pinned on this host (r13, idle): min-of-two calibration probe runs.
+# Future rounds divide their measured probe time by this to normalize
+# cross-round host drift in one glance (r12's +16% uniform headline
+# drift had no constant-work control to prove it was host variance).
+CAL_REF_SEC = 1.11  # min of 3 warm probes, r13 build host (idle)
+
+
+def calibration(spark) -> float:
+    """Constant-work host-speed probe: 150M-row range -> xxhash64 ->
+    4096-key shuffle -> two-level agg. No file I/O, no registry code, no
+    data dependence — its runtime moves ONLY with host conditions (CPU
+    contention, JVM state), so the ratio probe/CAL_REF_SEC separates
+    'the host was slow this round' from 'a query regressed'."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    df = (
+        spark.range(0, 150_000_000, 1, 32)
+        .select((F.xxhash64("id") % 4096).alias("k"))
+        .groupBy("k")
+        .count()
+        .agg(F.sum("count").alias("n"), F.max("count").alias("mx"))
+    )
+    force(df)
+    return round(time.time() - t0, 3)
 
 
 def scrub(spark) -> None:
@@ -137,6 +165,10 @@ def main() -> None:
     # JVM/codegen warmup on the smallest table so t0 isn't startup-skewed
     force(registry["flagship_region_month_revenue"].fn(spark, sf_dir).limit(1))
 
+    # Host-drift calibration: min-of-two constant-work probes bracketing
+    # the run (one before the headline passes, one after the wave tier).
+    cal_start = min(calibration(spark), calibration(spark))
+
     # Per-query time = MIN over two full passes (steady-state measurement).
     # Measured on this host: identical runs swing up to 2× on multi-minute
     # timescales (virtualized CPU contention) — e.g. the same
@@ -184,7 +216,16 @@ def main() -> None:
         force(registry[name].fn(spark, sf_dir))
         wave_isolated[name] = round(time.time() - t0, 3)
 
+    cal_end = min(calibration(spark), calibration(spark))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cal = {
+        "start_sec": cal_start,
+        "end_sec": cal_end,
+        "ref_sec": CAL_REF_SEC,
+    }
+    if CAL_REF_SEC:
+        cal["drift_ratio"] = round(min(cal_start, cal_end) / CAL_REF_SEC, 3)
     print(
         json.dumps(
             {
@@ -196,6 +237,7 @@ def main() -> None:
                 "isolated_top5": isolated,
                 "wave_queries": wave,
                 "wave_isolated": wave_isolated,
+                "calibration": cal,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

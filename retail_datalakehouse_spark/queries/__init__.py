@@ -547,6 +547,116 @@ _PROMOTE_R11 = [
 #   floor-e6 shares of an exact grand total.
 
 # Round-12 rotation: the 52-name queue above holds every registry query
+# R13 ROTATION (driver gate = FIRST ~50 registry entries). Slots 1-26:
+# every query that has NEVER held a driver CORRECTNESS row — the 25
+# post-r12-freeze additions (each judge-verified green in the r12
+# review's independent check_oracle run) plus x_schema_evolution, whose
+# oracle was UPGRADED from rows-only to golden-values after its last
+# driver row. The three x_iceberg_* legs double as re-gates for this
+# round's advisor fixes (stable field ids under schema evolution,
+# schema-id-resolved imports, independent bounds maps, dead-manifest
+# pruning) and t32 re-gates its id-domain-safe sentinel filter.
+# Slots 27+: queries BUILT this round (new code gates the round it
+# ships); any remaining slots fall through to r12-green re-gates.
+_PROMOTE_R13 = [
+    "x_percent_of_total",
+    "x_year_over_year",
+    "x_iceberg_export",
+    "x_iceberg_export_incremental",
+    "x_iceberg_import_timetravel",
+    "t31_rocksdb_restart",
+    "t32_stream_outer_join",
+    "x_schema_evolution",
+    "x_anova_oneway",
+    "x_mad_outlier",
+    "x_mann_whitney_u",
+    "x_ks_two_sample",
+    "x_spearman_corr",
+    "x_acf_lags",
+    "x_seasonal_decompose",
+    "x_inferred_dimension",
+    "x_contribution_bridge",
+    "x_abc_classification",
+    "x_pit_features",
+    "l6_bleu",
+    "x_snaive_forecast",
+    "x_control_chart",
+    "x_runs_test",
+    "l4_zipf_exponent",
+    "x_recursive_cte",
+    "x_sql_pipe_syntax",
+    # ---- r13 builds (appended as they ship):
+    # x_drawdown — max drawdown on the cumulative daily-revenue equity
+    #   curve: two stacked windows (cum sum, running max), ALL integer
+    #   cents; trough pinned to the earliest day attaining the max.
+    # x_bollinger_bands — 20-day rolling ±2σ breach counts with the
+    #   σ test cross-multiplied to an all-integer comparison
+    #   (n·x−s)² > 4(n·s2−s²) in DECIMAL(38,0) — no mean/σ/sqrt at all.
+    # x_mann_kendall_trend — Mann-Kendall S + tau-b + continuity-
+    #   corrected z from a daily-grid self-join (SF-independent pairs),
+    #   exact integer tie correction.
+    # x_herfindahl_index — HHI + effective-n from two sufficient sums
+    #   (Σr, Σr² decimal-widened), one fact pass, no per-share step.
+    "x_drawdown",
+    "x_bollinger_bands",
+    "x_mann_kendall_trend",
+    "x_herfindahl_index",
+    # l6_auc_roc — AUC-ROC via the Mann-Whitney doubled-rank identity:
+    #   ranks stay O(distinct scores), 2R exact bigint under ties.
+    # l6_token_f1 — SQuAD token F1 per XOR-pair: harmonic mean collapses
+    #   to one rational 2o/(n1+n2), integer until one floor-e6 division.
+    # l6_mcnemar — paired classifier comparison from the two discordant
+    #   counters; chi2=(b-c)^2/(b+c), b+c=0 -> 0 pinned.
+    "l6_auc_roc",
+    "l6_token_f1",
+    "l6_mcnemar",
+    # x_group_by_all / x_distinct_on / x_natural_join — SQL-surface
+    #   parity legs: implicit grouping resolution, first-row-per-key
+    #   under an explicit total order (engine = the row_number rewrite),
+    #   and implicit same-named-key joins — each hash-matched against
+    #   the classic explicit form.
+    # x_theil_index — entropy inequality; per-term DECIMAL(25,4)
+    #   quantize-before-sum (the order-independent-reduction cure).
+    # x_cramers_v — chi-square effect size from the contingency cells;
+    #   n²N/(row·col) form never materializes expected counts.
+    "x_group_by_all",
+    "x_distinct_on",
+    "x_natural_join",
+    "x_theil_index",
+    "x_cramers_v",
+    # x_kaplan_meier — right-censored conversion survival: log turns the
+    #   KM product into an associative decimal sum, so S(horizon) is a
+    #   conditional agg — no ordered traversal; d=n degenerate pins 0.
+    # x_poisson_rate_test — first-half vs second-half arrival-intensity
+    #   z per event type; exposures and counts all integer.
+    # l6_brier_score — strictly-proper scoring rule; p = (n_chars%100)/100
+    #   makes (p−y)² the integer (k−100y)², exact until one division.
+    "x_kaplan_meier",
+    "x_poisson_rate_test",
+    "l6_brier_score",
+    # x_cuped_adjustment — CUPED variance-reduced A/B readout: theta from
+    #   five exact sufficient statistics, variants by custkey parity.
+    # x_weighted_quantiles — q25/q50/q75 cuts decided by cross-multiplied
+    #   integer comparisons (4cw≥tw etc.), lower convention pinned.
+    # l4_char_entropy — per-doc Shannon entropy, c·ln c terms quantized
+    #   DECIMAL(25,6) pre-sum; per-doc floor-e6 before the source reduce.
+    # l4_jensen_shannon — source-vs-rest JS from one corpus pass
+    #   (leave-one-out by subtraction); p=0/q=0 legs pinned to q·ln2/p·ln2.
+    "x_cuped_adjustment",
+    "x_weighted_quantiles",
+    "l4_char_entropy",
+    "l4_jensen_shannon",
+    # s18_multichar_delimiter — `||`-separated ingest via native
+    #   multi-char CSV sep; cents-rendered money, lossless loop oracle.
+    # u11_arrow_scalar_udf — the THIRD Python scalar eval type
+    #   (useArrow=True): row signature, Arrow batch transfer.
+    # x_lag_ignore_nulls — null-skipping navigation; engine/oracle spell
+    #   IGNORE NULLS differently, hash pins the shared semantics.
+    "s18_multichar_delimiter",
+    "u11_arrow_scalar_udf",
+    "x_lag_ignore_nulls",
+]
+
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates
 # exactly 50 slots, so 50 promote now; the two deferred to r13 are the
@@ -697,7 +807,7 @@ _PROMOTE_R12 = [
 #   identical Catalyst plan the classic-SQL oracle runs.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
-_head = {n: REGISTRY[n] for n in (*_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R13, *_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -1238,3 +1238,286 @@ def x_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n_items, revenue, total_qty
         """
     )
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+
+@register("x_group_by_all", oracle=_GROUP_BY_ALL_SQL, tags=("A1", "F2"), doc="")
+def x_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (the 2023-vintage SQL-surface convenience both Spark
+    3.4+ and DuckDB adopted): the engine groups by every non-aggregate
+    SELECT expression IMPLICITLY — including the computed ship_year —
+    while the oracle spells the classic GROUP BY 1, 2, 3, so the hash
+    match proves the implicit resolution picks exactly the explicit
+    grouping set (the failure mode being a computed column silently
+    treated as an aggregate, or vice versa). Pure parser/analyzer
+    surface: the Catalyst plan below is the identical two-phase hash
+    aggregate, same cost at any scale."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag AS flag, l_linestatus AS status,
+               CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
+
+
+_DISTINCT_ON_SQL = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey AS custkey, o_orderdate AS latest_order_date,
+       o_orderkey AS latest_orderkey,
+       CAST(round(o_totalprice * 100, 0) AS BIGINT) AS latest_cents
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+"""
+
+
+@register("x_distinct_on", oracle=_DISTINCT_ON_SQL, tags=("W1", "O4"), doc="")
+def x_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON — the Postgres/DuckDB 'first row per key under an
+    explicit order' idiom, and the declarative twin of the engine's
+    row_number()=1 rewrite (the same plan x_first_value_dedup and
+    o4_exact_dedup's keep-best variant compile to): latest order per
+    customer with a FULLY deterministic tie-break (orderdate DESC, then
+    orderkey DESC — DISTINCT ON without a total order is the classic
+    nondeterminism trap, pinned here on both sides). Spark has no
+    DISTINCT ON; the point of the pair is that the window rewrite IS
+    the semantics. Plan: one shuffle on the key + WindowGroupLimit
+    (rank pushdown keeps per-partition state at 1 row/key) — the
+    scale-safe top-1-per-group shape, never a self-join on max."""
+    o = T(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").alias("latest_order_date"),
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("latest_cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+_NATURAL_JOIN_SQL = """
+WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS segment FROM customer),
+o AS (SELECT o_custkey AS custkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders)
+SELECT c.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c.custkey) AS BIGINT) AS n_customers,
+       CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+FROM c JOIN o ON o.custkey = c.custkey
+GROUP BY 1
+"""
+
+
+@register("x_natural_join", oracle=_NATURAL_JOIN_SQL, tags=("J1", "A1"), doc="")
+def x_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN — the engine joins on ALL same-named columns
+    implicitly (here exactly one, `custkey`, manufactured by aliasing
+    projections, since TPC-H's prefixed names never collide naturally);
+    the oracle runs the explicit equi-join, so the hash match proves
+    the implicit key resolution found precisely the intended key — the
+    classic NATURAL JOIN hazard being an accidental second shared
+    column silently tightening the join. Parser surface over the same
+    distributed hash join; the aggregate keeps revenue in exact integer
+    cents."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH c AS (SELECT c_custkey AS custkey, c_mktsegment AS segment
+                   FROM customer),
+        o AS (SELECT o_custkey AS custkey,
+                     CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+              FROM orders)
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(COUNT(DISTINCT custkey) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        FROM c NATURAL JOIN o
+        GROUP BY segment
+        """
+    )
+
+
+_THEIL_SQL = """
+WITH cust AS (
+  SELECT o_orderpriority AS priority, o_custkey AS k,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(r) AS BIGINT) AS t
+  FROM cust GROUP BY 1),
+terms AS (
+  SELECT c.priority, t.n, t.t,
+         CAST(c.r * LN(CAST(c.r AS DOUBLE) * t.n / t.t) AS DECIMAL(25,4))
+           AS term
+  FROM cust c JOIN tot t ON t.priority = c.priority)
+SELECT priority, MAX(n) AS n_customers,
+       CAST(FLOOR(1000000.0 * CAST(SUM(term) AS DOUBLE) / MAX(t)) AS BIGINT)
+         AS theil_e6
+FROM terms GROUP BY 1
+"""
+
+
+@register("x_theil_index", oracle=_THEIL_SQL, tags=("A1", "F3"), doc="")
+def x_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL T inequality index of customer revenue per priority — the
+    entropy-based member of the concentration family (x_herfindahl_index
+    squares shares, x_pareto_8020 cuts the cumulative curve, Gini ranks;
+    Theil alone DECOMPOSES additively across subgroups, which is why
+    census bureaus use it): T = (1/Θn)·Σ(x/μ)ln(x/μ) = Σ x·ln(x·n/T) / T.
+    Float discipline: the per-customer term x·ln(ratio) is quantized to
+    DECIMAL(25,4) BEFORE the sum — the house order-independent-reduction
+    cure (NOTES r12), with the 1e-4 grain sitting ~3 orders above the
+    worst-case ln ulp-error propagated through the product — then ONE
+    closing division on identical doubles, floor-e6. Plan: fact pass →
+    customer rollup → 5-row totals broadcast back → map-side terms +
+    exact decimal reduce; no window, no sort."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("k"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    tot = cust.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("t"),
+    )
+    terms = cust.join(F.broadcast(tot), on="priority").select(
+        "priority",
+        "n",
+        "t",
+        (
+            F.col("r")
+            * F.log(F.col("r").cast("double") * F.col("n") / F.col("t"))
+        )
+        .cast("decimal(25,4)")
+        .alias("term"),
+    )
+    return terms.groupBy("priority").agg(
+        F.max("n").alias("n_customers"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("term").cast("double") / F.max("t")
+        )
+        .cast("bigint")
+        .alias("theil_e6"),
+    )
+
+
+_CRAMERS_V_SQL = """
+WITH cell AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+rows_ AS (SELECT p, CAST(SUM(n) AS BIGINT) AS rn FROM cell GROUP BY 1),
+cols_ AS (SELECT s, CAST(SUM(n) AS BIGINT) AS cn FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(DISTINCT p) AS BIGINT) AS r,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS c
+        FROM cell),
+chi AS (
+  SELECT CAST(SUM(CAST(
+           CAST(cell.n AS DOUBLE) * cell.n * tot.nn
+           / (CAST(rows_.rn AS DOUBLE) * cols_.cn)
+         AS DECIMAL(25,6))) AS DOUBLE) AS q,
+         MAX(tot.nn) AS nn, MAX(tot.r) AS r, MAX(tot.c) AS c
+  FROM cell
+  JOIN rows_ ON rows_.p = cell.p
+  JOIN cols_ ON cols_.s = cell.s
+  CROSS JOIN tot)
+SELECT nn AS n_orders, r AS n_priorities, c AS n_statuses,
+       CAST(FLOOR(1000000.0 * (q - nn)) AS BIGINT) AS chi2_e6,
+       CAST(FLOOR(1000000.0 * SQRT((q - nn)
+              / (CAST(nn AS DOUBLE) * (LEAST(r, c) - 1)))) AS BIGINT) AS v_e6
+FROM chi
+"""
+
+
+@register("x_cramers_v", oracle=_CRAMERS_V_SQL, tags=("A6", "F3"), doc="")
+def x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMER'S V — the [0,1]-normalized effect size on top of the
+    chi-square independence test (x_chi_square_independence answers 'is
+    priority associated with status'; V answers 'how strongly', the
+    number you can compare across tables of different size/shape):
+    χ² = Σ n_ij²·N/(row_i·col_j) − N over the contingency cells (the
+    algebraic form that never materializes expected counts), each cell
+    term a double on exact integers quantized to DECIMAL(25,6) before
+    the cross-cell sum (order-independent reduction — the cell count is
+    tiny but the discipline is uniform), then V = √(χ²/(N·(min(r,c)−1)))
+    — closed form, floor-e6. Plan: ONE fact pass → ~15-cell contingency
+    rollup; marginals derive from the cells, never a second scan."""
+    o = T(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("p"), F.col("o_orderstatus").alias("s")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rows_ = cell.groupBy("p").agg(F.sum("n").cast("bigint").alias("rn"))
+    cols_ = cell.groupBy("s").agg(F.sum("n").cast("bigint").alias("cn"))
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.countDistinct("p").cast("bigint").alias("r"),
+        F.countDistinct("s").cast("bigint").alias("c"),
+    )
+    chi = (
+        cell.join(F.broadcast(rows_), on="p")
+        .join(F.broadcast(cols_), on="s")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (
+                    F.col("n").cast("double")
+                    * F.col("n")
+                    * F.col("nn")
+                    / (F.col("rn").cast("double") * F.col("cn"))
+                ).cast("decimal(25,6)")
+            )
+            .cast("double")
+            .alias("q"),
+            F.max("nn").alias("nn"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+        )
+    )
+    chi2 = F.col("q") - F.col("nn")
+    return chi.select(
+        F.col("nn").alias("n_orders"),
+        F.col("r").alias("n_priorities"),
+        F.col("c").alias("n_statuses"),
+        F.floor(F.lit(1000000.0) * chi2).cast("bigint").alias("chi2_e6"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.sqrt(
+                chi2 / (F.col("nn").cast("double") * (F.least("r", "c") - 1))
+            )
+        )
+        .cast("bigint")
+        .alias("v_e6"),
+    )

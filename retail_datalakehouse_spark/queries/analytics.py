@@ -4507,3 +4507,755 @@ def x_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("z_e6"),
     )
+
+
+_DRAWDOWN_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+cum AS (
+  SELECT priority, day,
+         CAST(SUM(c) OVER (PARTITION BY priority ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS eq
+  FROM daily),
+dd AS (
+  SELECT priority, day, eq,
+         CAST(MAX(eq) OVER (PARTITION BY priority ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) - eq AS drawdown
+  FROM cum),
+mx AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(MAX(drawdown) AS BIGINT) AS max_dd_cents,
+         CAST(MAX(eq) AS BIGINT) AS peak_cents
+  FROM dd GROUP BY 1)
+SELECT mx.priority, mx.n_days, mx.max_dd_cents, mx.peak_cents,
+       MIN(dd.day) AS trough_day
+FROM mx JOIN dd ON dd.priority = mx.priority
+                AND dd.drawdown = mx.max_dd_cents
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("x_drawdown", oracle=_DRAWDOWN_SQL, tags=("W3", "A1"), doc="")
+def x_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN on the cumulative daily-revenue equity curve per
+    priority (the risk readout next to x_control_chart's stability one:
+    'how far below its own high-water mark did this series fall, and
+    when') — the classic sequential-looking running-peak recurrence is
+    two stacked windows over the daily grid: cumulative sum, then
+    running MAX (the same de-sequentialization as x_cusum_changepoint's
+    prefix-minus-running-min), drawdown = peak − equity. EVERYTHING is
+    integer cents — sums, peaks, the max — so the hash is exact with no
+    float discipline needed at all; the trough day is pinned as the
+    EARLIEST day attaining the maximum drawdown (a deterministic
+    tie-break via min-over-equijoin, not max_by's arbitrary pick).
+    Plan: facts → tiny daily grid → two windows + one grid-sized
+    self-equijoin; cost is O(grid) whatever the fact scale, and the
+    grid (≈2.4k days × 5 priorities) does NOT grow with SF."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "priority", "day", F.sum("c").over(w).cast("bigint").alias("eq")
+    )
+    dd = cum.select(
+        "priority",
+        "day",
+        "eq",
+        (F.max("eq").over(w).cast("bigint") - F.col("eq")).alias("drawdown"),
+    )
+    mx = dd.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("drawdown").cast("bigint").alias("max_dd_cents"),
+        F.max("eq").cast("bigint").alias("peak_cents"),
+    )
+    dd2 = dd.select(
+        F.col("priority").alias("p2"),
+        F.col("drawdown").alias("mdd"),
+        "day",
+    )
+    return (
+        mx.join(
+            dd2,
+            on=[
+                F.col("p2") == F.col("priority"),
+                F.col("mdd") == F.col("max_dd_cents"),
+            ],
+        )
+        .groupBy("priority", "n_days", "max_dd_cents", "peak_cents")
+        .agg(F.min("day").alias("trough_day"))
+        .select("priority", "n_days", "max_dd_cents", "peak_cents", "trough_day")
+    )
+
+
+_BOLLINGER_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+win AS (
+  SELECT priority, day, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) OVER w AS DECIMAL(38,0)) AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY priority ORDER BY day
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+flag AS (
+  SELECT priority, day, c, n,
+         CAST(n AS DECIMAL(38,0)) * c - s AS dev_n,
+         CAST(n AS DECIMAL(38,0)) * s2 - CAST(s AS DECIMAL(38,0)) * s AS var_nn
+  FROM win WHERE n = 20)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN dev_n > 0 AND CAST(dev_n AS DECIMAL(38,0)) * dev_n
+                          > 4 * var_nn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_upper,
+       CAST(SUM(CASE WHEN dev_n < 0 AND CAST(dev_n AS DECIMAL(38,0)) * dev_n
+                          > 4 * var_nn THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach_lower
+FROM flag GROUP BY 1
+"""
+
+
+@register("x_bollinger_bands", oracle=_BOLLINGER_SQL, tags=("W4", "A6"), doc="")
+def x_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOLLINGER band breaches on daily revenue (the rolling-window
+    sibling of x_control_chart's fixed XmR limits: 'how often did a day
+    close above/below its own trailing 20-day mean +/- 2 sigma band'):
+    the +/-2sigma test never computes a mean, a variance, or a square
+    root — |x - mu| > 2sigma cross-multiplies to the ALL-INTEGER
+    comparison (n*x - s)^2 > 4*(n*s2 - s^2) over the window's exact
+    sufficient statistics (n, s = sum cents, s2 = sum cents^2 in
+    DECIMAL(38,0), products decimal-widened the x_spearman_corr way),
+    so the breach decision is bit-exact cross-engine with zero float
+    discipline. Only FULL 20-day windows count (pinned). Plan: facts ->
+    tiny daily grid -> one 20-row sliding frame -> integer flags; the
+    grid is SF-independent, so this costs the same at 100 TB."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day").rowsBetween(-19, 0)
+    d = F.col("c").cast("decimal(38,0)")
+    win = daily.select(
+        "priority",
+        "day",
+        "c",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(d * F.col("c")).over(w).cast("decimal(38,0)").alias("s2"),
+    ).where(F.col("n") == 20)
+    dev_n = (F.col("n").cast("decimal(38,0)") * F.col("c") - F.col("s")).alias(
+        "dev_n"
+    )
+    var_nn = (
+        F.col("n").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s").cast("decimal(38,0)") * F.col("s")
+    ).alias("var_nn")
+    flag = win.select("priority", dev_n, var_nn)
+    sq = F.col("dev_n").cast("decimal(38,0)") * F.col("dev_n")
+    return flag.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum(
+            F.when((F.col("dev_n") > 0) & (sq > 4 * F.col("var_nn")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_breach_upper"),
+        F.sum(
+            F.when((F.col("dev_n") < 0) & (sq > 4 * F.col("var_nn")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_breach_lower"),
+    )
+
+
+_MANN_KENDALL_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+pairs AS (
+  SELECT a.priority,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b
+    ON b.priority = a.priority AND b.day > a.day),
+sstat AS (
+  SELECT priority, CAST(SUM(sgn) AS BIGINT) AS s FROM pairs GROUP BY 1),
+ties AS (
+  SELECT priority, CAST(COUNT(*) AS BIGINT) AS tx
+  FROM daily GROUP BY priority, c),
+tcorr AS (
+  SELECT priority,
+         CAST(SUM(tx * (tx - 1) / 2) AS BIGINT) AS tie_pairs,
+         CAST(SUM(tx * (tx - 1) * (2 * tx + 5)) AS BIGINT) AS tie_var,
+         CAST(SUM(tx) AS BIGINT) AS n
+  FROM ties GROUP BY 1),
+z AS (
+  SELECT t.priority, t.n, s.s,
+         CAST(t.n AS DOUBLE) * (t.n - 1) / 2 - t.tie_pairs AS d1,
+         CAST(t.n AS DOUBLE) * (t.n - 1) / 2 AS d2,
+         (CAST(t.n AS DOUBLE) * (t.n - 1) * (2 * t.n + 5) - t.tie_var) / 18
+           AS var_s
+  FROM tcorr t JOIN sstat s ON s.priority = t.priority)
+SELECT priority, n AS n_days, s AS s_stat,
+       CAST(FLOOR(1000000.0 * s / SQRT(d1 * d2)) AS BIGINT) AS tau_b_e6,
+       CAST(FLOOR(1000000.0 *
+              (CAST(s AS DOUBLE) - CASE WHEN s > 0 THEN 1
+                                        WHEN s < 0 THEN -1 ELSE 0 END)
+              / SQRT(var_s)) AS BIGINT) AS z_e6
+FROM z
+"""
+
+
+@register("x_mann_kendall_trend", oracle=_MANN_KENDALL_SQL, tags=("J8", "A1"), doc="")
+def x_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test + Kendall tau-b on daily revenue (the
+    monotonic-trend complement of x_runs_test's randomness check and
+    x_spearman_corr's rank correlation): S = sum over all day pairs of
+    sign(c_j - c_i), an ALL-INTEGER statistic from a grid self-join
+    (day_j > day_i), with the exact tie correction from per-value group
+    sizes; tau-b and the continuity-corrected normal z are closed forms
+    over identical doubles, floor-e6. The self-join is O(grid^2) PER
+    PRIORITY — and the daily grid (~2.4k days) does NOT grow with SF,
+    so the 3M-pair comparison costs the same at 100 TB as at sf0.01
+    (the same SF-independence argument as x_acf_lags's lag pairs);
+    ranks/pairs never touch fact rows."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    a = daily.select(
+        F.col("priority").alias("p"), F.col("day").alias("d1"), F.col("c").alias("c1")
+    )
+    b = daily.select(
+        F.col("priority").alias("p"), F.col("day").alias("d2"), F.col("c").alias("c2")
+    )
+    pairs = a.join(b, on=["p"]).where(F.col("d2") > F.col("d1"))
+    sstat = pairs.groupBy(F.col("p").alias("priority")).agg(
+        F.sum(
+            F.when(F.col("c2") > F.col("c1"), 1)
+            .when(F.col("c2") < F.col("c1"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s")
+    )
+    ties = daily.groupBy("priority", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tx")
+    )
+    tx = F.col("tx")
+    tcorr = ties.groupBy("priority").agg(
+        F.sum((tx * (tx - 1) / 2).cast("bigint")).cast("bigint").alias("tie_pairs"),
+        F.sum(tx * (tx - 1) * (2 * tx + 5)).cast("bigint").alias("tie_var"),
+        F.sum(tx).cast("bigint").alias("n"),
+    )
+    j = tcorr.join(sstat, on="priority")
+    n, s = F.col("n").cast("double"), F.col("s")
+    d1 = n * (n - 1) / 2 - F.col("tie_pairs")
+    d2 = n * (n - 1) / 2
+    var_s = (n * (n - 1) * (2 * F.col("n") + 5) - F.col("tie_var")) / 18
+    cc = F.when(s > 0, 1).when(s < 0, -1).otherwise(0)
+    return j.select(
+        "priority",
+        F.col("n").alias("n_days"),
+        s.alias("s_stat"),
+        F.floor(F.lit(1000000.0) * s / F.sqrt(d1 * d2)).cast("bigint").alias("tau_b_e6"),
+        F.floor(F.lit(1000000.0) * (s.cast("double") - cc) / F.sqrt(var_s))
+        .cast("bigint")
+        .alias("z_e6"),
+    )
+
+
+_HERFINDAHL_SQL = """
+WITH cust AS (
+  SELECT o_orderpriority AS priority, o_custkey AS k,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1, 2),
+s AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) AS DOUBLE) AS sr2,
+         CAST(SUM(CAST(r AS DECIMAL(38,0))) AS DOUBLE) AS t
+  FROM cust GROUP BY 1)
+SELECT priority, n_customers,
+       CAST(FLOOR(1000000000.0 * sr2 / (t * t)) AS BIGINT) AS hhi_e9,
+       CAST(FLOOR(t * t / sr2) AS BIGINT) AS effective_n
+FROM s
+"""
+
+
+@register("x_herfindahl_index", oracle=_HERFINDAHL_SQL, tags=("A1", "F3"), doc="")
+def x_herfindahl_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN concentration index of customer revenue per
+    priority (the market-concentration readout beside x_pareto_8020's
+    cumulative-share cut and l4_gini_language_balance's inequality
+    curve): HHI = sum of squared revenue shares = (sum r^2) / (sum r)^2,
+    so ONE aggregation of two exact sufficient statistics replaces any
+    per-customer share computation — revenue in exact integer cents,
+    r^2 decimal-widened (DECIMAL(38,0), the x_spearman_corr idiom),
+    the single division on identical doubles floor-quantized (e9:
+    HHI of a diffuse market is O(1/n)). effective_n = 1/HHI is the
+    'equivalent equal-size customers' rendering. Plan: one fact pass ->
+    customer rollup (the natural shuffle key) -> 5-row reduce; no
+    window, no join, no per-share pass."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("k"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    s = cust.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r"))
+        .cast("double")
+        .alias("sr2"),
+        F.sum(F.col("r").cast("decimal(38,0)")).cast("double").alias("t"),
+    )
+    return s.select(
+        "priority",
+        "n_customers",
+        F.floor(F.lit(1000000000.0) * F.col("sr2") / (F.col("t") * F.col("t")))
+        .cast("bigint")
+        .alias("hhi_e9"),
+        F.floor(F.col("t") * F.col("t") / F.col("sr2"))
+        .cast("bigint")
+        .alias("effective_n"),
+    )
+
+
+_KM_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+base AS (
+  SELECT user_id,
+         CAST(MIN(ts) AS DATE) AS t0,
+         CAST(MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS DATE)
+           AS tp,
+         CAST(MAX(ts) AS DATE) AS tlast
+  FROM ev GROUP BY 1),
+subj AS (
+  SELECT user_id,
+         CASE WHEN tp IS NOT NULL THEN DATEDIFF('day', t0, tp)
+              ELSE DATEDIFF('day', t0, tlast) END AS dur,
+         CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM base),
+grp AS (
+  SELECT dur, CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(obs) AS BIGINT) AS d
+  FROM subj GROUP BY 1),
+risk AS (
+  SELECT dur, m, d,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM subj)
+           - (CAST(COALESCE(SUM(m) OVER (ORDER BY dur
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT)) AS n_at_risk
+  FROM grp),
+terms AS (
+  SELECT dur, d, n_at_risk,
+         CASE WHEN d > 0 AND d < n_at_risk
+              THEN CAST(LN(CAST(n_at_risk - d AS DOUBLE) / n_at_risk)
+                        AS DECIMAL(18,9)) END AS lnterm,
+         CASE WHEN d > 0 AND d >= n_at_risk THEN 1 ELSE 0 END AS hit_zero
+  FROM risk),
+hz AS (SELECT UNNEST([7, 14, 21]) AS horizon)
+SELECT hz.horizon,
+       CAST(COUNT(CASE WHEN t.d > 0 THEN 1 END) AS BIGINT) AS n_event_times,
+       CASE WHEN COALESCE(MAX(t.hit_zero), 0) = 1 THEN 0
+            ELSE CAST(FLOOR(1000000.0 * EXP(CAST(
+                   COALESCE(SUM(t.lnterm), 0) AS DOUBLE))) AS BIGINT)
+       END AS survival_e6
+FROM hz LEFT JOIN terms t ON t.dur <= hz.horizon
+GROUP BY 1
+"""
+
+
+@register("x_kaplan_meier", oracle=_KM_SQL, tags=("W3", "A6", "F2"), doc="")
+def x_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimate of 'time from first touch to
+    first purchase' with RIGHT-CENSORING (users who never purchased are
+    censored at their last observed event — the estimator that makes
+    conversion-time analysis honest, where x_time_to_convert's simple
+    average silently drops non-converters): S(t) = prod over event
+    times t_i <= t of (1 - d_i/n_i). The risk table derives from ONE
+    per-user rollup: duration groups carry (m removed, d observed),
+    n_at_risk = N - removed_before via one running sum — never a
+    per-user-per-day explosion. Because log turns the product into an
+    associative SUM, S(horizon) needs NO ordered traversal: each
+    factor's ln((n-d)/n) is quantized to DECIMAL(18,9) (the house
+    order-independent-reduction cure), summed exactly over dur <=
+    horizon, one EXP + floor-e6 (the l6_bleu BP precedent for a single
+    fixed-arity exp on identical inputs). The everyone-converts-at-once
+    degenerate (d = n) pins survival to 0 both sides. Plan: events ->
+    user rollup (the natural shuffle key) -> tiny duration grid ->
+    3-horizon conditional reduce; O(users), zero window over facts."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    base = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .cast("date")
+        .alias("tp"),
+        F.max("ts").cast("date").alias("tlast"),
+    )
+    subj = base.select(
+        "user_id",
+        F.when(
+            F.col("tp").isNotNull(), F.datediff(F.col("tp"), F.col("t0"))
+        )
+        .otherwise(F.datediff(F.col("tlast"), F.col("t0")))
+        .alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("obs"),
+    )
+    grp = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("obs").cast("bigint").alias("d"),
+    )
+    n_total = subj.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    w = (
+        Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = grp.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "m",
+        "d",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("m").over(w), F.lit(0)).cast("bigint")
+        ).alias("n_at_risk"),
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+            F.log(
+                (F.col("n_at_risk") - F.col("d")).cast("double")
+                / F.col("n_at_risk")
+            ).cast("decimal(18,9)"),
+        ).alias("lnterm"),
+        F.when(
+            (F.col("d") > 0) & (F.col("d") >= F.col("n_at_risk")), 1
+        )
+        .otherwise(0)
+        .alias("hit_zero"),
+    )
+    hz = spark.range(1, 4).select((F.col("id") * 7).cast("int").alias("horizon"))
+    joined = F.broadcast(hz).join(
+        terms, on=[terms.dur <= hz.horizon], how="left"
+    )
+    return joined.groupBy("horizon").agg(
+        F.count(F.when(F.col("d") > 0, 1)).cast("bigint").alias("n_event_times"),
+        F.when(F.coalesce(F.max("hit_zero"), F.lit(0)) == 1, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.lit(1000000.0)
+                * F.exp(
+                    F.coalesce(F.sum("lnterm"), F.lit(0)).cast("double")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("survival_e6"),
+    )
+
+
+_POISSON_SQL = """
+WITH ev AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+span AS (
+  SELECT MIN(day) AS lo, MAX(day) AS hi,
+         MIN(day) + TO_DAYS(CAST(FLOOR(DATEDIFF('day', MIN(day),
+                              MAX(day)) / 2.0) AS INTEGER)) AS mid
+  FROM ev),
+k AS (
+  SELECT e.event_type,
+         CAST(SUM(CASE WHEN e.day <= s.mid THEN 1 ELSE 0 END) AS BIGINT) AS k1,
+         CAST(SUM(CASE WHEN e.day > s.mid THEN 1 ELSE 0 END) AS BIGINT) AS k2,
+         CAST(DATEDIFF('day', MAX(s.lo), MAX(s.mid)) + 1 AS BIGINT) AS t1,
+         CAST(DATEDIFF('day', MAX(s.mid), MAX(s.hi)) AS BIGINT) AS t2
+  FROM ev e CROSS JOIN span s GROUP BY 1)
+SELECT event_type, k1, k2, t1, t2,
+       CAST(FLOOR(1000000.0 *
+              (CAST(k1 AS DOUBLE) / t1 - CAST(k2 AS DOUBLE) / t2)
+              / SQRT((CAST(k1 + k2 AS DOUBLE) / (t1 + t2))
+                     * (1.0 / t1 + 1.0 / t2))) AS BIGINT) AS z_e6
+FROM k
+"""
+
+
+@register("x_poisson_rate_test", oracle=_POISSON_SQL, tags=("A6", "F2"), doc="")
+def x_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-SAMPLE POISSON RATE test per event type — 'did this event's
+    daily arrival rate change between the first and second half of the
+    observation window' (the count-process member of the hypothesis
+    battery: Welch compares means, Mann-Whitney distributions, this one
+    INTENSITIES, the thing on-call dashboards actually alarm on): the
+    window midpoint, both exposures (t1 includes the midpoint day,
+    pinned), and both counts are ALL integer; the Wald z on the rate
+    difference — (k1/t1 - k2/t2)/sqrt(pooled_rate*(1/t1 + 1/t2)) — is a
+    closed form over identical doubles, floor-e6. Plan: one event pass
+    with the 1-row span broadcast into the conditional agg; sufficient
+    statistics are two counters per type at any scale."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+    )
+    span = ev.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
+        F.date_add(
+            F.min("day"),
+            F.floor(F.datediff(F.max("day"), F.min("day")) / 2.0).cast("int"),
+        ).alias("mid"),
+    )
+    k = (
+        ev.crossJoin(F.broadcast(span))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") <= F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("k1"),
+            F.sum(F.when(F.col("day") > F.col("mid"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("k2"),
+            (F.datediff(F.max("mid"), F.max("lo")) + 1)
+            .cast("bigint")
+            .alias("t1"),
+            F.datediff(F.max("hi"), F.max("mid")).cast("bigint").alias("t2"),
+        )
+    )
+    k1, k2 = F.col("k1").cast("double"), F.col("k2").cast("double")
+    t1, t2 = F.col("t1"), F.col("t2")
+    pooled = (k1 + k2) / (t1 + t2)
+    return k.select(
+        "event_type",
+        "k1",
+        "k2",
+        "t1",
+        "t2",
+        F.floor(
+            F.lit(1000000.0)
+            * (k1 / t1 - k2 / t2)
+            / F.sqrt(pooled * (F.lit(1.0) / t1 + F.lit(1.0) / t2))
+        )
+        .cast("bigint")
+        .alias("z_e6"),
+    )
+
+
+_CUPED_SQL = """
+WITH half AS (
+  SELECT MIN(CAST(o_orderdate AS DATE))
+         + TO_DAYS(CAST(FLOOR(DATEDIFF('day', MIN(CAST(o_orderdate AS DATE)),
+               MAX(CAST(o_orderdate AS DATE))) / 2.0) AS INTEGER)) AS mid
+  FROM orders),
+cust AS (
+  SELECT o_custkey AS k, o_custkey % 2 AS variant,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) <= h.mid
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) > h.mid
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS y
+  FROM orders CROSS JOIN half h GROUP BY 1, 2),
+pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM cust),
+v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n_v,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS svx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS svy
+  FROM cust GROUP BY 1)
+SELECT v.variant, v.n_v,
+       CAST(FLOOR(100.0 * v.svy / v.n_v) AS BIGINT) AS mean_post_e2,
+       CAST(FLOOR(1000000.0 * (p.n * p.sxy - p.sx * p.sy)
+                  / (p.n * p.sxx - p.sx * p.sx)) AS BIGINT) AS theta_e6,
+       CAST(FLOOR(100.0 * (v.svy / v.n_v
+              - (p.n * p.sxy - p.sx * p.sy) / (p.n * p.sxx - p.sx * p.sx)
+                * (v.svx / v.n_v - p.sx / p.n))) AS BIGINT) AS adj_mean_e2
+FROM v CROSS JOIN pool p
+"""
+
+
+@register("x_cuped_adjustment", oracle=_CUPED_SQL, tags=("A6", "F3", "J1"), doc="")
+def x_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced experiment readout (Deng et al. 2013 —
+    the adjustment every large experimentation platform applies before
+    reading an A/B test: subtract theta * (pre-period covariate - its
+    mean) from each unit's outcome, cutting variance by the squared
+    pre/post correlation): customers hash-split into two variants
+    (custkey parity — deterministic, engine-free), pre = first-half
+    spend, post = second-half spend, theta = cov(x,y)/var(x) from FIVE
+    exact sufficient statistics (n, Σx, Σy, Σx², Σxy — integer cents,
+    products DECIMAL(38,0)-widened), pooled across variants as the
+    method prescribes. Everything downstream is a closed form over
+    identical doubles, floor-quantized. Plan: one fact pass → customer
+    rollup (natural shuffle key) → 1-row pooled stats broadcast into a
+    2-row variant reduce; no window, no second scan."""
+    o = T(spark, sf_dir, "orders")
+    half = o.agg(
+        F.date_add(
+            F.min(F.col("o_orderdate").cast("date")),
+            F.floor(
+                F.datediff(
+                    F.max(F.col("o_orderdate").cast("date")),
+                    F.min(F.col("o_orderdate").cast("date")),
+                )
+                / 2.0
+            ).cast("int"),
+        ).alias("mid")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cust = (
+        o.crossJoin(F.broadcast(half))
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            (F.col("o_custkey") % 2).alias("variant"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("o_orderdate").cast("date") <= F.col("mid"), cents)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.sum(
+                F.when(F.col("o_orderdate").cast("date") > F.col("mid"), cents)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    pool = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(xd * F.col("y")).cast("double").alias("sxy"),
+    )
+    v = cust.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        F.sum(xd).cast("double").alias("svx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("svy"),
+    )
+    j = v.crossJoin(F.broadcast(pool))
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return j.select(
+        "variant",
+        "n_v",
+        F.floor(F.lit(100.0) * F.col("svy") / F.col("n_v"))
+        .cast("bigint")
+        .alias("mean_post_e2"),
+        F.floor(F.lit(1000000.0) * theta).cast("bigint").alias("theta_e6"),
+        F.floor(
+            F.lit(100.0)
+            * (
+                F.col("svy") / F.col("n_v")
+                - theta * (F.col("svx") / F.col("n_v") - F.col("sx") / F.col("n"))
+            )
+        )
+        .cast("bigint")
+        .alias("adj_mean_e2"),
+    )
+
+
+_WQUANTILES_SQL = """
+WITH pts AS (
+  SELECT l_returnflag AS flag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem),
+g AS (
+  SELECT flag, v, CAST(SUM(wt) AS BIGINT) AS w FROM pts GROUP BY 1, 2),
+c AS (
+  SELECT flag, v, w,
+         CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v) AS BIGINT) AS cw,
+         CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+  FROM g)
+SELECT flag, MAX(tw) AS total_weight,
+       CAST(MIN(CASE WHEN 4 * cw >= tw THEN v END) AS BIGINT) AS q25_cents,
+       CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS q50_cents,
+       CAST(MIN(CASE WHEN 4 * cw >= 3 * tw THEN v END) AS BIGINT) AS q75_cents
+FROM c GROUP BY 1
+"""
+
+
+@register("x_weighted_quantiles", oracle=_WQUANTILES_SQL, tags=("W3", "A1"), doc="")
+def x_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED quantile trio (q25/q50/q75 of unit price weighted by
+    quantity — 'the price of the quantile UNIT SOLD, not the quantile
+    line item'; generalizes x_weighted_median's single cut to the
+    integer-boundary family): the quantile-p cut is the SMALLEST value
+    whose cumulative weight reaches p*W, and every boundary decision is
+    the cross-multiplied INTEGER comparison (4*cw >= tw, 2*cw >= tw,
+    4*cw >= 3*tw) — no float p*W, no interpolation, the lower-quantile
+    convention pinned on both sides (the same exact-boundary discipline
+    as x_abc_classification's 10*cum <= 7*total). Plan: value-level
+    rollup first (the grid shrinks to distinct prices), ONE running-sum
+    window per flag, then a conditional-min reduce — O(distinct values)
+    window work at any fact scale."""
+    li = T(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    g = pts.groupBy("flag", "v").agg(F.sum("wt").cast("bigint").alias("w"))
+    wcum = Window.partitionBy("flag").orderBy("v")
+    wall = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "v",
+        F.sum("w").over(wcum).cast("bigint").alias("cw"),
+        F.sum("w").over(wall).cast("bigint").alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.max("tw").alias("total_weight"),
+        F.min(F.when(4 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("bigint")
+        .alias("q25_cents"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("bigint")
+        .alias("q50_cents"),
+        F.min(F.when(4 * F.col("cw") >= 3 * F.col("tw"), F.col("v")))
+        .cast("bigint")
+        .alias("q75_cents"),
+    )

@@ -1401,3 +1401,63 @@ def s17_csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("gnarly")).cast("bigint").alias("gnarly_chars"),
         dsum("o_totalprice", scale=2).alias("revenue"),
     )
+
+
+_S18_SQL = f"""
+SELECT o_orderstatus AS status,
+       o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("s18_multichar_delimiter", oracle=_S18_SQL, tags=("S1", "S2"), doc="")
+def s18_multichar_delimiter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CHARACTER delimiter ingestion (`||`-separated exports — the
+    de-facto interchange format of mainframe/EDI pipelines whose fields
+    may contain commas and tabs but never the doubled pipe; Spark 3+
+    accepts multi-char `sep` natively, closing the format matrix beside
+    s16's fixed-width and s17's RFC-4180 hard mode): every order
+    renders as key||status||cents||priority, lands as plain text, and
+    re-ingests via the CSV reader with the 2-char separator and an
+    explicit schema — no regex splitting, no UDF, the parse stays
+    inside the JVM scan. Money crosses the text boundary as integer
+    CENTS (the copybook convention — exact decimal*100, never float
+    rendering). The aggregate runs exclusively on re-parsed fields; the
+    oracle recomputes from the raw columns, so a hash match proves the
+    render -> write -> multi-char-parse loop is lossless."""
+    o = T(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(25,2)") * 100).cast("long")
+    line = F.concat_ws(
+        "||",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        cents.cast("string"),
+        F.col("o_orderpriority"),
+    )
+    path = tempfile.mkdtemp(prefix="rdl_multichar_")
+    o.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = T_.StructType(
+        [
+            T_.StructField("k", T_.LongType()),
+            T_.StructField("status", T_.StringType()),
+            T_.StructField("cents", T_.LongType()),
+            T_.StructField("priority", T_.StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.option("sep", "||").schema(schema).csv(path)
+    ).select(
+        "k",
+        "status",
+        (F.col("cents") / F.lit(100.0)).alias("price"),
+        "priority",
+    )
+    return parsed.groupBy("status", "priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("k").cast("bigint").alias("key_checksum"),
+        dsum("price", scale=2).alias("revenue"),
+    )

@@ -5562,3 +5562,531 @@ def l4_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("r2_e6"),
     )
+
+
+_AUC_SQL = """
+WITH d AS (
+  SELECT source, n_chars AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM documents),
+g AS (
+  SELECT source, score,
+         CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(pos) AS BIGINT) AS np
+  FROM d GROUP BY 1, 2),
+r AS (
+  SELECT source, score, cnt, np,
+         CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY score)
+              AS BIGINT) - cnt AS cum_before
+  FROM g),
+s AS (
+  SELECT source,
+         CAST(SUM(np) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - np) AS BIGINT) AS n_neg,
+         CAST(SUM(np * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2_pos
+  FROM r GROUP BY 1)
+SELECT source, n_pos, n_neg,
+       CAST(FLOOR(1000000.0 * (r2_pos - n_pos * (n_pos + 1))
+                  / (2.0 * n_pos * n_neg)) AS BIGINT) AS auc_e6
+FROM s WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+@register("l6_auc_roc", oracle=_AUC_SQL, tags=("L6", "W3"), doc="")
+def l6_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of 'document length predicts English' per source — the
+    threshold-free ranking metric beside l6_calibration_ece's
+    probability-quality one, and the classifier-eval face of the
+    Mann-Whitney U identity x_mann_whitney_u already pins: AUC =
+    U/(n_pos*n_neg) = (R_pos - n_pos(n_pos+1)/2)/(n_pos*n_neg) with
+    AVERAGE ranks for tied scores. Ranks never materialize per row:
+    score-level groups carry (cnt, n_pos, cum_before), the doubled-rank
+    identity 2*rank_avg = 2*cum_before + cnt + 1 keeps 2*R_pos an exact
+    BIGINT under ties, and the single closing division on identical
+    integers is floor-e6. Degenerate sources (no positives or no
+    negatives) are excluded — pinned convention both sides. Plan: one
+    doc pass -> score-level rollup (tiny) -> one running-sum window ->
+    per-source reduce; rank arithmetic is O(distinct scores), not
+    O(rows), at any corpus scale."""
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.col("n_chars").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    g = d.groupBy("source", "score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("np"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("score")
+    r = g.select(
+        "source",
+        "score",
+        "cnt",
+        "np",
+        (F.sum("cnt").over(w).cast("bigint") - F.col("cnt")).alias("cum_before"),
+    )
+    s = r.groupBy("source").agg(
+        F.sum("np").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("np")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cum_before") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r2_pos"),
+    )
+    return s.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0)).select(
+        "source",
+        "n_pos",
+        "n_neg",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        )
+        .cast("bigint")
+        .alias("auc_e6"),
+    )
+
+
+_TOKEN_F1_SQL = """
+WITH pairs AS (
+  SELECT doc_id AS cand_id, CAST(XOR(doc_id, 1) AS BIGINT) AS ref_id,
+         STRING_SPLIT(text, ' ') AS l
+  FROM documents),
+uni AS (
+  SELECT cand_id, ref_id, UNNEST(l) AS g FROM pairs),
+ug AS (
+  SELECT cand_id, ref_id, g, COUNT(*) AS n FROM uni GROUP BY 1, 2, 3),
+ov AS (
+  SELECT c.cand_id, CAST(SUM(LEAST(c.n, r.n)) AS BIGINT) AS o
+  FROM ug c JOIN ug r ON r.cand_id = c.ref_id AND r.g = c.g GROUP BY 1),
+lens AS (
+  SELECT cand_id, ref_id, CAST(LEN(l) AS BIGINT) AS n_tok FROM pairs),
+scored AS (
+  SELECT t.cand_id,
+         CASE WHEN COALESCE(ov.o, 0) = 0 THEN 0
+              ELSE CAST(FLOOR(1000000.0 * 2 * ov.o / (t.n_tok + r.n_tok))
+                        AS BIGINT)
+         END AS f1_e6
+  FROM lens t
+  JOIN lens r ON r.cand_id = t.ref_id
+  LEFT JOIN ov ON ov.cand_id = t.cand_id)
+SELECT CAST(cand_id % 8 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(f1_e6) AS BIGINT) AS f1_mass_e6,
+       CAST(MAX(f1_e6) AS BIGINT) AS f1_max_e6
+FROM scored GROUP BY 1
+"""
+
+
+@register("l6_token_f1", oracle=_TOKEN_F1_SQL, tags=("L6", "L4"), doc="")
+def l6_token_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level F1 (the SQuAD answer-overlap metric — the harmonic
+    face of l6_rouge_ngram's recall and l6_bleu's precision): per
+    deterministic (candidate, reference) pair (doc_id XOR 1, the house
+    symmetric pairing), multiset token overlap o = sum of clipped
+    counts, F1 = 2o/(|cand| + |ref|) — and because the harmonic mean of
+    the two clipped ratios collapses to that single rational, the whole
+    metric is INTEGER except one final division, floor-e6 per pair
+    before the bucket reduce (no geometric mean, no sqrt, none of
+    BLEU's BP exp). Zero overlap scores 0. Shape: one token explode +
+    one digest-keyed clipped-overlap join + one broadcast-sized length
+    join — each pair meets only its own tokens, so the join is
+    pair-local at any corpus scale."""
+    docs = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("doc_id").bitwiseXOR(F.lit(1)).cast("bigint").alias("ref_id"),
+        F.split(F.col("text"), " ").alias("l"),
+    )
+    uni = docs.select("cand_id", "ref_id", F.explode("l").alias("g"))
+    ug = uni.groupBy("cand_id", "ref_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    ug_r = ug.select(
+        F.col("cand_id").alias("r_cand"), F.col("g").alias("r_g"),
+        F.col("n").alias("r_n"),
+    )
+    ov = (
+        ug.join(
+            ug_r,
+            on=[
+                F.col("r_cand") == F.col("ref_id"),
+                F.col("r_g") == F.col("g"),
+            ],
+        )
+        .groupBy("cand_id")
+        .agg(F.sum(F.least(F.col("n"), F.col("r_n"))).cast("bigint").alias("o"))
+    )
+    lens = docs.select(
+        "cand_id", "ref_id", F.size("l").cast("bigint").alias("n_tok")
+    )
+    lens_r = lens.select(
+        F.col("cand_id").alias("rl_cand"), F.col("n_tok").alias("r_n_tok")
+    )
+    scored = (
+        lens.join(lens_r, on=[F.col("rl_cand") == F.col("ref_id")])
+        .join(ov, on="cand_id", how="left")
+        .select(
+            "cand_id",
+            F.when(F.coalesce(F.col("o"), F.lit(0)) == 0, F.lit(0))
+            .otherwise(
+                F.floor(
+                    F.lit(1000000.0)
+                    * 2
+                    * F.col("o")
+                    / (F.col("n_tok") + F.col("r_n_tok"))
+                )
+            )
+            .cast("bigint")
+            .alias("f1_e6"),
+        )
+    )
+    return scored.groupBy(
+        (F.col("cand_id") % 8).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("f1_e6").cast("bigint").alias("f1_mass_e6"),
+        F.max("f1_e6").cast("bigint").alias("f1_max_e6"),
+    )
+
+
+_MCNEMAR_SQL = """
+WITH d AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN n_chars >= 128 THEN 1 ELSE 0 END AS a,
+         CASE WHEN POSITION(' scan ' IN text) > 0 THEN 1 ELSE 0 END AS b
+  FROM documents),
+m AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN a = y AND b != y THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_a,
+         CAST(SUM(CASE WHEN a != y AND b = y THEN 1 ELSE 0 END) AS BIGINT)
+           AS only_b
+  FROM d GROUP BY 1)
+SELECT source, n, only_a, only_b,
+       CASE WHEN only_a + only_b = 0 THEN 0
+            ELSE CAST(FLOOR(1000000.0 * (only_a - only_b) * (only_a - only_b)
+                            / (only_a + only_b)) AS BIGINT)
+       END AS chi2_e6
+FROM m
+"""
+
+
+@register("l6_mcnemar", oracle=_MCNEMAR_SQL, tags=("L6", "A6"), doc="")
+def l6_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR's paired test per source — 'are these two classifiers
+    DIFFERENT on the same documents', the A/B readout that accuracy
+    deltas get wrong because they ignore pairing (the model-comparison
+    member of the hypothesis-test battery: x_chi_square_independence
+    tests independence, x_welch_t_test means, this one paired marginal
+    homogeneity). Two deterministic rule classifiers (length >= 128;
+    contains ' scan ') predict 'is English'; only the DISCORDANT counts
+    matter: chi^2 = (b - c)^2 / (b + c), ALL integer except the single
+    closing division, floor-e6, with the b + c = 0 degenerate pinned
+    to 0 both sides. One document pass, one per-source reduce — the
+    sufficient statistics are two counters, whatever the corpus size."""
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") >= 128, 1).otherwise(0).alias("a"),
+        F.when(F.instr(F.col("text"), " scan ") > 0, 1).otherwise(0).alias("b"),
+    )
+    m = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("only_a"),
+        F.sum(
+            F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("only_b"),
+    )
+    diff = F.col("only_a") - F.col("only_b")
+    tot = F.col("only_a") + F.col("only_b")
+    return m.select(
+        "source",
+        "n",
+        "only_a",
+        "only_b",
+        F.when(tot == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * diff * diff / tot))
+        .cast("bigint")
+        .alias("chi2_e6"),
+    )
+
+
+_BRIER_SQL = """
+WITH d AS (
+  SELECT source,
+         n_chars % 100 AS k,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(k - 100 * y AS BIGINT) * (k - 100 * y)) AS BIGINT)
+           AS sq_sum,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM d GROUP BY 1)
+SELECT source, n, n_pos,
+       CAST(FLOOR(100.0 * sq_sum / n) AS BIGINT) AS brier_e6,
+       CAST(FLOOR(1000000.0 * n_pos / n) AS BIGINT) AS base_rate_e6
+FROM s
+"""
+
+
+@register("l6_brier_score", oracle=_BRIER_SQL, tags=("L6", "A6"), doc="")
+def l6_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE per source — the strictly-proper scoring rule beside
+    l6_calibration_ece's binned calibration gap and l6_auc_roc's
+    threshold-free ranking (ECE can be gamed by a constant predictor;
+    the Brier score cannot — it decomposes into calibration MINUS
+    resolution plus irreducible uncertainty): mean squared error between
+    a predicted probability and the 0/1 outcome. The deterministic
+    pseudo-model p = (n_chars mod 100)/100 makes every (p - y) an EXACT
+    rational k/100, so (p - y)^2 sums as the INTEGER sum of (k - 100y)^2
+    — the entire metric is integer arithmetic until the single closing
+    division (floor: 1e6 * sq_sum / (10000 * n) = 100 * sq_sum / n),
+    zero float discipline needed anywhere. base_rate is the
+    always-predict-prevalence reference. One document pass, two integer
+    counters per source at any corpus scale."""
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("n_chars") % 100).alias("k"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("k") - 100 * F.col("y")).cast("bigint")
+            * (F.col("k") - 100 * F.col("y"))
+        )
+        .cast("bigint")
+        .alias("sq_sum"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    return s.select(
+        "source",
+        "n",
+        "n_pos",
+        F.floor(F.lit(100.0) * F.col("sq_sum") / F.col("n"))
+        .cast("bigint")
+        .alias("brier_e6"),
+        F.floor(F.lit(1000000.0) * F.col("n_pos") / F.col("n"))
+        .cast("bigint")
+        .alias("base_rate_e6"),
+    )
+
+
+_CHAR_ENTROPY_SQL = """
+WITH chars AS (
+  SELECT doc_id, source, UNNEST(STRING_SPLIT(text, '')) AS ch
+  FROM documents),
+cnt AS (
+  SELECT doc_id, source, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2, 3),
+docs AS (
+  SELECT doc_id, source,
+         CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(CAST(c * LN(CAST(c AS DOUBLE)) AS DECIMAL(25,6)))
+              AS DOUBLE) AS clnc
+  FROM cnt GROUP BY 1, 2),
+h AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(1000000.0 * (LN(CAST(n AS DOUBLE)) - clnc / n))
+              AS BIGINT) AS h_e6
+  FROM docs)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(h_e6) AS BIGINT) AS entropy_mass_e6,
+       CAST(MIN(h_e6) AS BIGINT) AS entropy_min_e6
+FROM h GROUP BY 1
+"""
+
+
+@register("l4_char_entropy", oracle=_CHAR_ENTROPY_SQL, tags=("L4", "F1"), doc="")
+def l4_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-LEVEL Shannon entropy per document, reduced per source
+    (the compression-style quality signal beside l4_repetition_score's
+    n-gram recurrence and l4_zipf_exponent's rank-frequency slope:
+    near-zero entropy = degenerate/repeated-char spam, the cheapest
+    garbage detector in the corpus-hygiene stack): H = ln(n) − Σc·ln(c)/n
+    over per-char counts — the factored form that needs ONE log per
+    distinct char instead of a probability per char. Float discipline:
+    each c·ln(c) term is quantized to DECIMAL(25,6) before the per-doc
+    sum (order-independent reduction; the 1e-6 grain sits far above the
+    ulp error of counts ≤ doc length), ln(n) is a single fixed-arity
+    call, per-doc floor-e6 BEFORE the source reduce keeps the aggregate
+    integer. Plan: one explode → (doc, char) rollup → per-doc reduce →
+    per-source reduce; all narrow after the first shuffle."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    chars = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    )
+    cnt = chars.groupBy("doc_id", "source", "ch").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_doc = cnt.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(
+            (F.col("c") * F.log(F.col("c").cast("double"))).cast("decimal(25,6)")
+        )
+        .cast("double")
+        .alias("clnc"),
+    )
+    h = per_doc.select(
+        "source",
+        F.floor(
+            F.lit(1000000.0)
+            * (F.log(F.col("n").cast("double")) - F.col("clnc") / F.col("n"))
+        )
+        .cast("bigint")
+        .alias("h_e6"),
+    )
+    return h.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("h_e6").cast("bigint").alias("entropy_mass_e6"),
+        F.min("h_e6").cast("bigint").alias("entropy_min_e6"),
+    )
+
+
+_JS_DIVERGENCE_SQL = """
+WITH tok AS (
+  SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS g FROM documents),
+src AS (
+  SELECT source, g, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+stot AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM src GROUP BY 1),
+gtot AS (
+  SELECT g, CAST(SUM(c) AS BIGINT) AS cg FROM src GROUP BY 1),
+n_all AS (SELECT CAST(SUM(c) AS BIGINT) AS na FROM src),
+terms AS (
+  SELECT s.source,
+         CAST(s.c AS DOUBLE) / st.ns AS p,
+         CAST(g.cg - s.c AS DOUBLE) / (a.na - st.ns) AS q
+  FROM src s
+  JOIN stot st ON st.source = s.source
+  JOIN gtot g ON g.g = s.g
+  CROSS JOIN n_all a),
+qonly AS (
+  SELECT st.source,
+         CAST(g.cg AS DOUBLE) / (a.na - st.ns) AS q
+  FROM gtot g
+  CROSS JOIN n_all a
+  JOIN stot st ON TRUE
+  LEFT JOIN src s ON s.source = st.source AND s.g = g.g
+  WHERE s.g IS NULL),
+contrib AS (
+  SELECT source,
+         CAST(CASE WHEN p > 0 THEN p * LN(2.0 * p / (p + q)) ELSE 0 END
+              AS DECIMAL(18,9)) AS tp,
+         CAST(CASE WHEN q > 0 THEN q * LN(2.0 * q / (p + q)) ELSE 0 END
+              AS DECIMAL(18,9)) AS tq
+  FROM terms
+  UNION ALL
+  SELECT source, CAST(0 AS DECIMAL(18,9)),
+         CAST(q * LN(2.0) AS DECIMAL(18,9))
+  FROM qonly)
+SELECT source,
+       CAST(FLOOR(1000000.0 *
+              (CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)) / 2.0)
+            AS BIGINT) AS js_e6
+FROM contrib GROUP BY 1
+"""
+
+
+@register("l4_jensen_shannon", oracle=_JS_DIVERGENCE_SQL, tags=("L4", "A1"), doc="")
+def l4_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN-SHANNON divergence of each source's token distribution vs
+    the REST of the corpus (the symmetric, bounded [0, ln2] drift score
+    the mixture/rebalance stages need where KL explodes on unseen
+    tokens: JS(P||Q) = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)); the
+    leave-one-out Q = (corpus − source) derives by SUBTRACTION from the
+    global token counts — one corpus pass serves all 20 comparisons,
+    never a per-pair rescan). Zero-handling pinned both sides: p=0
+    terms contribute q·ln2 (emitted by the anti-join leg for tokens the
+    source never saw), q=0 terms p·ln2 (the CASE falls through to the
+    main leg). Each term is quantized to DECIMAL(18,9) before the
+    reduce — the l4_zipf_exponent discipline. Plan: token explode →
+    (source, token) rollup → broadcast-sized marginals joined back —
+    the vocabulary, not the corpus, bounds every join."""
+    tok = T(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("g")
+    )
+    src = tok.groupBy("source", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    stot = src.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    gtot = src.groupBy("g").agg(F.sum("c").cast("bigint").alias("cg"))
+    n_all = src.agg(F.sum("c").cast("bigint").alias("na"))
+    terms = (
+        src.join(F.broadcast(stot), on="source")
+        .join(F.broadcast(gtot), on="g")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "source",
+            (F.col("c").cast("double") / F.col("ns")).alias("p"),
+            (
+                (F.col("cg") - F.col("c")).cast("double")
+                / (F.col("na") - F.col("ns"))
+            ).alias("q"),
+        )
+    )
+    qonly = (
+        gtot.crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(stot))
+        .join(
+            src.select(F.col("source").alias("s2"), F.col("g").alias("g2")),
+            on=[
+                F.col("s2") == F.col("source"),
+                F.col("g2") == F.col("g"),
+            ],
+            how="left_anti",
+        )
+        .select(
+            "source",
+            (F.col("cg").cast("double") / (F.col("na") - F.col("ns"))).alias(
+                "q"
+            ),
+        )
+    )
+    ln2 = F.log(F.lit(2.0))
+    contrib = terms.select(
+        "source",
+        F.when(
+            F.col("p") > 0,
+            F.col("p") * F.log(2.0 * F.col("p") / (F.col("p") + F.col("q"))),
+        )
+        .otherwise(0.0)
+        .cast("decimal(18,9)")
+        .alias("tp"),
+        F.when(
+            F.col("q") > 0,
+            F.col("q") * F.log(2.0 * F.col("q") / (F.col("p") + F.col("q"))),
+        )
+        .otherwise(0.0)
+        .cast("decimal(18,9)")
+        .alias("tq"),
+    ).unionByName(
+        qonly.select(
+            "source",
+            F.lit(0.0).cast("decimal(18,9)").alias("tp"),
+            (F.col("q") * ln2).cast("decimal(18,9)").alias("tq"),
+        )
+    )
+    return contrib.groupBy("source").agg(
+        F.floor(
+            F.lit(1000000.0)
+            * (F.sum("tp").cast("double") + F.sum("tq").cast("double"))
+            / 2.0
+        )
+        .cast("bigint")
+        .alias("js_e6"),
+    )

@@ -2713,7 +2713,7 @@ def t32_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = run_to_memory(pairs, output_mode="append")
     return (
         spark.table(sink)
-        .filter(F.col("pid") > 0)  # drop the advancer sentinels
+        .filter(F.col("pid") >= 0)  # sentinels are strictly negative
         .groupBy("pid")
         .agg(
             F.sum(F.when(F.col("c_id").isNotNull(), 1).otherwise(0))

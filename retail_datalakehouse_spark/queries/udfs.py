@@ -544,3 +544,51 @@ def u10_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert n_parts == 8  # the init amortizes over exactly these tasks
     return out
+
+
+_ARROW_UDF_SQL = """
+SELECT CAST(STRING_SPLIT(o_orderpriority, '-')[1] AS BIGINT) AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey % 997) AS BIGINT) AS key_mod_mass
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("u11_arrow_scalar_udf", oracle=_ARROW_UDF_SQL, tags=("U2", "U1"), doc="")
+def u11_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARROW-OPTIMIZED scalar Python UDF (`@udf(..., useArrow=True)`,
+    Spark 3.5+/4 — the THIRD Python scalar eval type beside U1's
+    row-at-a-time pickle UDF and U2's pandas-Series UDF): the function
+    still receives one value per call (so U1 code ports unchanged —
+    the migration story that matters), but batches cross the JVM/Python
+    boundary as Arrow record batches instead of pickled rows, cutting
+    the serialization tax without rewriting to vectorized pandas. The
+    UDF parses the numeric tier off '3-MEDIUM'-style priorities — a
+    deterministic pure-string computation the DuckDB oracle mirrors
+    with STRING_SPLIT, so the hash match pins eval-type semantics
+    (null passthrough included), not just plumbing. Aggregation keys
+    on the UDF output; the modular key checksum keeps everything
+    integer. Scale note: like every Python eval path this stays OFF
+    hot loops — it exists as the inventory's migration-path row, with
+    the batch-transfer economics documented here."""
+    from pyspark.sql.functions import udf
+
+    @udf("bigint", useArrow=True)
+    def tier_of(priority):
+        if priority is None:
+            return None
+        return int(priority.split("-")[0])
+
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.select(
+            tier_of(F.col("o_orderpriority")).alias("tier"),
+            (F.col("o_orderkey") % 997).alias("km"),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("km").cast("bigint").alias("key_mod_mass"),
+        )
+    )

@@ -354,3 +354,64 @@ def x_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MIN(n_in_frame) AS BIGINT) AS min_frame_rows
         FROM framed GROUP BY priority
     """)
+
+
+_LAG_IGNORE_NULLS_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT) END AS pcents
+  FROM events),
+l AS (
+  SELECT user_id, event_type, event_id,
+         LAG(pcents IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_purchase
+  FROM e)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(prev_purchase) AS BIGINT) AS n_with_prior_purchase,
+       CAST(SUM(prev_purchase) AS BIGINT) AS prior_purchase_mass_cents
+FROM l GROUP BY 1
+"""
+
+
+@register("x_lag_ignore_nulls", oracle=_LAG_IGNORE_NULLS_SQL, tags=("W2", "F4"), doc="")
+def x_lag_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG ... IGNORE NULLS — 'the most recent PURCHASE amount as of
+    each event', the null-skipping navigation the SQL standard added
+    precisely because plain LAG(1) answers the wrong question on sparse
+    series (it returns the previous ROW, usually a NULL non-purchase;
+    x_locf_forward_fill's LAST_VALUE IGNORE NULLS carries a value
+    forward INCLUDING the current row — LAG excludes it, the strict
+    'known before now' semantics feature stores need, cf. x_pit_features
+    doing the same with an explicit frame). Engine and oracle spell it
+    differently (Spark: `LAG(x) IGNORE NULLS`; DuckDB: `LAG(x IGNORE
+    NULLS)`) — the hash match pins the shared null-skipping semantics
+    under the same total order (ts, event_id). Purchase values cross
+    as exact integer cents. ONE shuffle on user_id, linear per
+    partition — the standard navigation-window scale shape."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100, 0).cast("bigint"),
+        ).alias("pcents"),
+    )
+    e.createOrReplaceTempView("rdl_lag_in_v")
+    lagged = spark.sql(
+        """
+        SELECT user_id, event_type, event_id,
+               LAG(pcents) IGNORE NULLS
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_purchase
+        FROM rdl_lag_in_v
+        """
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.count("prev_purchase").cast("bigint").alias("n_with_prior_purchase"),
+        F.sum("prev_purchase").cast("bigint").alias("prior_purchase_mass_cents"),
+    )

@@ -118,7 +118,17 @@ def read_iceberg_snapshot(
     files = _live_files(table_root, meta, snaps[sid])
     if not files:
         raise ValueError(f"snapshot {sid} has no live data files")
-    schema = _spark_schema(meta["schemas"][meta["current-schema-id"]])
+    # Resolve the schema by MATCHING schema-id (the schemas list is
+    # append-only but position is not contractual), preferring the
+    # snapshot's OWN schema-id: time travel must read an old snapshot
+    # under the schema it was written with, not the current one.
+    wanted = snaps[sid].get("schema-id", meta["current-schema-id"])
+    ice = next(
+        (s for s in meta["schemas"] if s["schema-id"] == wanted), None
+    )
+    if ice is None:
+        raise ValueError(f"schema-id {wanted} not in {table_root} metadata")
+    schema = _spark_schema(ice)
     paths = [os.path.join(table_root, f["file_path"]) for f in files]
     return spark.read.schema(schema).parquet(*paths)
 

@@ -276,14 +276,22 @@ _ICEBERG_TYPES = {
 }
 
 
-def _iceberg_schema(schema) -> tuple[dict, dict[str, int]]:
+def _iceberg_schema(
+    schema, known_ids: dict[str, int] | None = None
+) -> tuple[dict, dict[str, int]]:
     """Spark StructType -> (Iceberg schema JSON, {column: field-id}).
-    Field ids are minted sequentially from 1 — Iceberg's column-identity
-    mechanism (names are just labels; ids survive renames), which is why
-    the data-file bounds key on ids, not names."""
+    Field ids are Iceberg's column-identity mechanism (names are just
+    labels; ids survive renames and schema evolution), which is why the
+    data-file bounds key on ids, not names. First export mints ids
+    sequentially from 1; ``known_ids`` (the persisted name->id map of a
+    prior export) pins every previously-seen column to its original id —
+    new columns get FRESH ids past the historical maximum, and ids are
+    NEVER reused, even for dropped columns (the returned map keeps
+    dropped columns' entries so their ids stay retired forever)."""
     fields = []
-    ids: dict[str, int] = {}
-    for i, f in enumerate(schema.fields, start=1):
+    ids: dict[str, int] = dict(known_ids or {})
+    next_id = max(ids.values(), default=0) + 1
+    for f in schema.fields:
         tn = f.dataType.typeName()
         if tn == "decimal":
             ice = f"decimal({f.dataType.precision}, {f.dataType.scale})"
@@ -294,9 +302,16 @@ def _iceberg_schema(schema) -> tuple[dict, dict[str, int]]:
                 f"iceberg export supports flat primitive schemas; column "
                 f"{f.name!r} has type {tn}"
             )
-        ids[f.name] = i
+        if f.name not in ids:
+            ids[f.name] = next_id
+            next_id += 1
         fields.append(
-            {"id": i, "name": f.name, "required": not f.nullable, "type": ice}
+            {
+                "id": ids[f.name],
+                "name": f.name,
+                "required": not f.nullable,
+                "type": ice,
+            }
         )
     return {"type": "struct", "schema-id": 0, "fields": fields}, ids
 
@@ -4938,8 +4953,6 @@ class VersionedTable:
         meta_dir = os.path.join(self.path, "metadata")
         os.makedirs(meta_dir, exist_ok=True)
         now_ms = int(time.time() * 1000)
-        schema = self.read_version(v).schema
-        ice_schema, field_ids = _iceberg_schema(schema)
         files = self._delta_file_list(entry)  # same identity: rel paths
 
         hint = os.path.join(meta_dir, "version-hint.text")
@@ -4963,6 +4976,53 @@ class VersionedTable:
                     f"iceberg metadata at {meta_dir} is ahead of version "
                     f"{v} (last exported {v0}); the lineage is forward-only"
                 )
+
+        # ---- field-id stability + schema evolution (Iceberg's contract:
+        # ids survive schema changes; each snapshot pins its schema-id).
+        # The persisted name->id map (properties["rdl.field-ids"]) keeps
+        # ids stable across exports even when columns were added between
+        # them — prior snapshots' id-keyed bounds never re-key.
+        schema = self.read_version(v).schema
+        prev_ids: dict[str, int] = {}
+        prev_schemas: list[dict] = []
+        if prev_meta is not None:
+            prev_schemas = prev_meta["schemas"]
+            prev_ids = {
+                k: int(i)
+                for k, i in json.loads(
+                    prev_meta["properties"].get("rdl.field-ids", "{}")
+                ).items()
+            }
+            if not prev_ids:
+                # pre-map exports minted 1..n over their current schema;
+                # reconstruct the map from the last current schema so ids
+                # stay pinned from here on.
+                last = next(
+                    s
+                    for s in prev_schemas
+                    if s["schema-id"] == prev_meta["current-schema-id"]
+                )
+                prev_ids = {f["name"]: f["id"] for f in last["fields"]}
+        ice_schema, field_ids = _iceberg_schema(schema, prev_ids or None)
+        if prev_meta is None:
+            schema_id = 0
+            schemas = [ice_schema]  # minted with schema-id 0
+        else:
+            last = next(
+                s
+                for s in prev_schemas
+                if s["schema-id"] == prev_meta["current-schema-id"]
+            )
+            if last["fields"] == ice_schema["fields"]:
+                schema_id = prev_meta["current-schema-id"]
+                schemas = prev_schemas
+            else:
+                # evolved: RETAIN prior schemas (old snapshots keep
+                # resolving against the schema they were written with)
+                # and append the new one under a fresh schema-id.
+                schema_id = max(s["schema-id"] for s in prev_schemas) + 1
+                ice_schema = {**ice_schema, "schema-id": schema_id}
+                schemas = prev_schemas + [ice_schema]
 
         seq = (prev_meta["last-sequence-number"] + 1) if prev_meta else 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
@@ -4990,6 +5050,12 @@ class VersionedTable:
                     e for e in live if e["data_file"]["file_path"] in cur
                 ]
                 claimed.update(e["data_file"]["file_path"] for e in live)
+                if not live:
+                    # every entry already DELETED: readers prune it, but
+                    # carrying it forward would re-append the dead
+                    # manifest to every future manifest list (O(exports ×
+                    # dead manifests) metadata growth) — drop it instead.
+                    continue
                 if len(survivors) == len(live):
                     # untouched: carry the manifest forward BY REFERENCE
                     manifest_list.append(
@@ -5064,7 +5130,7 @@ class VersionedTable:
                 "rdl.source-version": str(v),
             },
             "manifest-list": ml_name,
-            "schema-id": 0,
+            "schema-id": schema_id,
         }
         if prev_meta is not None:
             snapshot["parent-snapshot-id"] = prev_meta["current-snapshot-id"]
@@ -5077,14 +5143,20 @@ class VersionedTable:
             "last-sequence-number": seq,
             "last-updated-ms": now_ms,
             "last-column-id": max(field_ids.values()),
-            "current-schema-id": 0,
-            "schemas": [ice_schema],
+            "current-schema-id": schema_id,
+            "schemas": schemas,
             "default-spec-id": 0,
             "partition-specs": [{"spec-id": 0, "fields": []}],
             "last-partition-id": 999,
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
-            "properties": {"rdl.source-version": str(v)},
+            "properties": {
+                "rdl.source-version": str(v),
+                # persisted name->id map (incl. dropped columns, so their
+                # ids stay retired): the field-id stability anchor for
+                # every future export
+                "rdl.field-ids": json.dumps(field_ids, sort_keys=True),
+            },
             "current-snapshot-id": snap_id,
             "snapshots": (prev_meta["snapshots"] if prev_meta else [])
             + [snapshot],
@@ -5165,18 +5237,23 @@ class VersionedTable:
             "record_count": f.get("n_rows"),
             "file_size_in_bytes": st.st_size,
         }
+        # Iceberg bounds maps OMIT columns with missing bounds (a null
+        # bound value is never written); lower and upper are independent
+        # maps — a column can carry one without the other.
         lower = {
             str(field_ids[c]): b[0]
             for c, b in f.get("stats", {}).items()
             if c in field_ids and not c.startswith("__") and b[0] is not None
         }
+        upper = {
+            str(field_ids[c]): b[1]
+            for c, b in f.get("stats", {}).items()
+            if c in field_ids and not c.startswith("__") and b[1] is not None
+        }
         if lower:
             df["lower_bounds"] = lower
-            df["upper_bounds"] = {
-                str(field_ids[c]): f["stats"][c][1]
-                for c in f.get("stats", {})
-                if str(field_ids.get(c)) in lower
-            }
+        if upper:
+            df["upper_bounds"] = upper
         return df
 
     def clone_to(

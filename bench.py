@@ -95,7 +95,12 @@ def force(df) -> None:
 # Future rounds divide their measured probe time by this to normalize
 # cross-round host drift in one glance (r12's +16% uniform headline
 # drift had no constant-work control to prove it was host variance).
-CAL_REF_SEC = 1.11  # min of 3 warm probes, r13 build host (idle)
+# Pinned from the first full clean-host bench run (r13): the in-bench
+# probes measured 0.569/0.681 s (min-of-two each) with nothing else on
+# the machine. (An earlier ad-hoc 1.11 s pin was taken while a full
+# pytest suite ran in parallel — exactly the contamination the probe
+# exists to expose.)
+CAL_REF_SEC = 0.57
 
 
 def calibration(spark) -> float:

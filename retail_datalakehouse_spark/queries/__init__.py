@@ -656,6 +656,20 @@ _PROMOTE_R13 = [
     "u11_arrow_scalar_udf",
     "x_lag_ignore_nulls",
 ]
+# ---- r14 rotation queue (registered PAST the frozen r13 window; each
+# 4-scale (0.001/0.01/0.1/sf1) + vanilla oracle-green at build time):
+# x_two_way_anova — factorial ANOVA with the interaction term
+#   SS_AB = SS_total − SS_A − SS_B − SS_within from the ~15-cell
+#   contingency's sufficient statistics; marginals derive from cells.
+# x_brown_forsythe — median-based Levene variance-homogeneity gate
+#   (the assumption check BEFORE trusting ANOVA/Welch): integer
+#   cum-weight medians, |x−med| stays exact cents, ANOVA on (n,Σz,Σz²).
+# x_price_index — Laspeyres/Paasche/Fisher 1995→1996 over matched
+#   parts; unit prices as exact rationals, basket terms DECIMAL(25,4)
+#   quantized pre-sum, Fisher via IEEE sqrt.
+# x_durbin_watson — serial-correlation test on OLS residuals of the
+#   daily grid; five exact sufficient sums -> closed-form residuals,
+#   squared terms quantized pre-reduce.
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates

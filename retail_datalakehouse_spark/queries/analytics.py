@@ -5259,3 +5259,469 @@ def x_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q75_cents"),
     )
+
+
+_ANOVA2_SQL = """
+WITH cell AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))
+                  * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS DECIMAL(38,0)) AS s2
+  FROM orders GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DOUBLE) AS gs,
+         CAST(SUM(s2) AS DOUBLE) AS gs2,
+         CAST(COUNT(DISTINCT a) AS BIGINT) AS ra,
+         CAST(COUNT(DISTINCT b) AS BIGINT) AS rb,
+         CAST(COUNT(*) AS BIGINT) AS ncells
+  FROM cell),
+am AS (
+  SELECT a, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM cell GROUP BY 1),
+bm AS (
+  SELECT b, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(38,0))) AS DOUBLE) AS s
+  FROM cell GROUP BY 1),
+ss AS (
+  SELECT t.nn, t.ra, t.rb, t.ncells,
+         t.gs2 - t.gs * t.gs / t.nn AS ss_total,
+         (SELECT CAST(SUM(CAST(am.s * am.s / am.n AS DECIMAL(25,4)))
+                 AS DOUBLE) FROM am) - t.gs * t.gs / t.nn AS ss_a,
+         (SELECT CAST(SUM(CAST(bm.s * bm.s / bm.n AS DECIMAL(25,4)))
+                 AS DOUBLE) FROM bm) - t.gs * t.gs / t.nn AS ss_b,
+         t.gs2 - (SELECT CAST(SUM(CAST(
+             CAST(cell.s AS DOUBLE) * cell.s / cell.n AS DECIMAL(25,4)))
+             AS DOUBLE) FROM cell) AS ss_within
+  FROM tot t)
+SELECT nn AS n_orders, ra AS n_a_levels, rb AS n_b_levels,
+       CAST(FLOOR(1000000.0 * ss_a / ss_total) AS BIGINT) AS eta2_a_e6,
+       CAST(FLOOR(1000000.0 * ss_b / ss_total) AS BIGINT) AS eta2_b_e6,
+       CAST(FLOOR(1000000.0 *
+              (ss_total - ss_a - ss_b - ss_within) / ss_total) AS BIGINT)
+         AS eta2_interaction_e6,
+       CAST(FLOOR(1000000.0 *
+              (ss_a / (ra - 1)) / (ss_within / (nn - ncells))) AS BIGINT)
+         AS f_a_e6
+FROM ss
+"""
+
+
+@register("x_two_way_anova", oracle=_ANOVA2_SQL, tags=("A6", "F3"), doc="")
+def x_two_way_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-WAY ANOVA on order value by priority x status — the factorial
+    extension of x_anova_oneway that answers the question one-way
+    CANNOT: does the priority effect DEPEND on the status (the
+    interaction term, SS_AB = SS_total − SS_A − SS_B − SS_within)?
+    Every sum of squares derives from the ~15-cell contingency's three
+    sufficient statistics (n, Σx, Σx² — exact cents, squares
+    DECIMAL(38,0)-widened); per-cell/per-margin s²/n terms are doubles
+    on exact inputs quantized DECIMAL(25,4) before their (tiny)
+    cross-cell sums — the uniform order-independence discipline. Effect
+    sizes η² and the factor-A F ratio are closed forms, floor-e6. One
+    fact pass; marginals derive from cells, never a rescan."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents)
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("gs"),
+        F.sum("s2").cast("double").alias("gs2"),
+        F.countDistinct("a").cast("bigint").alias("ra"),
+        F.countDistinct("b").cast("bigint").alias("rb"),
+        F.count(F.lit(1)).cast("bigint").alias("ncells"),
+    )
+    am = cell.groupBy("a").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("s"),
+    )
+    bm = cell.groupBy("b").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum(F.col("s").cast("decimal(38,0)")).cast("double").alias("s"),
+    )
+    sa = am.agg(
+        F.sum((F.col("s") * F.col("s") / F.col("n")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("sum_a")
+    )
+    sb = bm.agg(
+        F.sum((F.col("s") * F.col("s") / F.col("n")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("sum_b")
+    )
+    sc = cell.agg(
+        F.sum(
+            (F.col("s").cast("double") * F.col("s") / F.col("n")).cast(
+                "decimal(25,4)"
+            )
+        )
+        .cast("double")
+        .alias("sum_cell")
+    )
+    j = (
+        tot.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .crossJoin(F.broadcast(sc))
+    )
+    cf = F.col("gs") * F.col("gs") / F.col("nn")
+    ss_total = F.col("gs2") - cf
+    ss_a = F.col("sum_a") - cf
+    ss_b = F.col("sum_b") - cf
+    ss_within = F.col("gs2") - F.col("sum_cell")
+    return j.select(
+        F.col("nn").alias("n_orders"),
+        F.col("ra").alias("n_a_levels"),
+        F.col("rb").alias("n_b_levels"),
+        F.floor(F.lit(1000000.0) * ss_a / ss_total)
+        .cast("bigint")
+        .alias("eta2_a_e6"),
+        F.floor(F.lit(1000000.0) * ss_b / ss_total)
+        .cast("bigint")
+        .alias("eta2_b_e6"),
+        F.floor(
+            F.lit(1000000.0) * (ss_total - ss_a - ss_b - ss_within) / ss_total
+        )
+        .cast("bigint")
+        .alias("eta2_interaction_e6"),
+        F.floor(
+            F.lit(1000000.0)
+            * (ss_a / (F.col("ra") - 1))
+            / (ss_within / (F.col("nn") - F.col("ncells")))
+        )
+        .cast("bigint")
+        .alias("f_a_e6"),
+    )
+
+
+_BROWN_FORSYTHE_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders),
+med AS (
+  SELECT g, x, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+cm AS (
+  SELECT g, x, c,
+         CAST(SUM(c) OVER (PARTITION BY g ORDER BY x) AS BIGINT) AS cw,
+         CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS tw
+  FROM med),
+m AS (
+  SELECT g, CAST(MIN(CASE WHEN 2 * cw >= tw THEN x END) AS BIGINT) AS md
+  FROM cm GROUP BY 1),
+z AS (
+  SELECT v.g, ABS(v.x - m.md) AS z
+  FROM v JOIN m ON m.g = v.g),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+         CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DOUBLE) AS sz2
+  FROM z GROUP BY 1),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(sz AS DECIMAL(25,4))) AS DOUBLE) AS gz
+  FROM s),
+parts AS (
+  SELECT t.nn, t.k,
+         (SELECT CAST(SUM(CAST(s.sz * s.sz / s.n AS DECIMAL(25,4)))
+                 AS DOUBLE) FROM s) - t.gz * t.gz / t.nn AS ss_between,
+         (SELECT CAST(SUM(CAST(
+             s.sz2 - s.sz * s.sz / s.n AS DECIMAL(25,4))) AS DOUBLE)
+          FROM s) AS ss_within
+  FROM tot t)
+SELECT nn AS n_orders, k AS n_groups,
+       CAST(FLOOR(1000000.0 * (ss_between / (k - 1))
+                  / (ss_within / (nn - k))) AS BIGINT) AS bf_stat_e6
+FROM parts
+"""
+
+
+@register("x_brown_forsythe", oracle=_BROWN_FORSYTHE_SQL, tags=("A6", "W3"), doc="")
+def x_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BROWN-FORSYTHE variance-homogeneity test (the median-based Levene
+    — the gate you run BEFORE trusting x_anova_oneway/x_welch_t_test,
+    since classic ANOVA assumes equal variances and the median-centered
+    variant is the robust form in every stats package): per-group
+    medians come from the same integer cum-weight walk as
+    x_weighted_quantiles (2·cw >= tw lower-median pin, zero division),
+    absolute deviations z = |x − med| stay exact integer cents, and the
+    one-way ANOVA over z runs on (n, Σz, Σz²) sufficient statistics —
+    per-group s²/n terms quantized DECIMAL(25,4) before the k-row sums.
+    Plan: two fact passes (value grid for medians, deviations join) with
+    the 5-row median table broadcast back — the x_mad_outlier shape
+    generalized to a test statistic."""
+    o = T(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
+    )
+    med_grid = v.groupBy("g", "x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wcum = Window.partitionBy("g").orderBy("x")
+    wall = Window.partitionBy("g")
+    cm = med_grid.select(
+        "g",
+        "x",
+        F.sum("c").over(wcum).cast("bigint").alias("cw"),
+        F.sum("c").over(wall).cast("bigint").alias("tw"),
+    )
+    m = cm.groupBy("g").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("x")))
+        .cast("bigint")
+        .alias("md")
+    )
+    z = v.join(F.broadcast(m), on="g").select(
+        "g", F.abs(F.col("x") - F.col("md")).alias("z")
+    )
+    zd = F.col("z").cast("decimal(38,0)")
+    s = z.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(zd).cast("double").alias("sz"),
+        F.sum(zd * F.col("z")).cast("double").alias("sz2"),
+    )
+    tot = s.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("sz").cast("decimal(25,4)")).cast("double").alias("gz"),
+    )
+    between = s.agg(
+        F.sum((F.col("sz") * F.col("sz") / F.col("n")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("sum_b")
+    )
+    within = s.agg(
+        F.sum(
+            (F.col("sz2") - F.col("sz") * F.col("sz") / F.col("n")).cast(
+                "decimal(25,4)"
+            )
+        )
+        .cast("double")
+        .alias("ss_within")
+    )
+    j = tot.crossJoin(F.broadcast(between)).crossJoin(F.broadcast(within))
+    ss_between = F.col("sum_b") - F.col("gz") * F.col("gz") / F.col("nn")
+    return j.select(
+        F.col("nn").alias("n_orders"),
+        F.col("k").alias("n_groups"),
+        F.floor(
+            F.lit(1000000.0)
+            * (ss_between / (F.col("k") - 1))
+            / (F.col("ss_within") / (F.col("nn") - F.col("k")))
+        )
+        .cast("bigint")
+        .alias("bf_stat_e6"),
+    )
+
+
+_PRICE_INDEX_SQL = """
+WITH py AS (
+  SELECT l.l_partkey AS pk,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS ext_cents,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE EXTRACT(YEAR FROM o.o_orderdate) IN (1995, 1996)
+  GROUP BY 1, 2),
+matched AS (
+  SELECT b.pk,
+         CAST(b.ext_cents AS DOUBLE) / b.qty AS p0,
+         CAST(c.ext_cents AS DOUBLE) / c.qty AS p1,
+         b.qty AS q0, c.qty AS q1
+  FROM py b JOIN py c ON c.pk = b.pk AND b.yr = 1995 AND c.yr = 1996),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(CAST(p1 * q0 AS DECIMAL(25,4))) AS DOUBLE) AS l_num,
+         CAST(SUM(CAST(p0 * q0 AS DECIMAL(25,4))) AS DOUBLE) AS l_den,
+         CAST(SUM(CAST(p1 * q1 AS DECIMAL(25,4))) AS DOUBLE) AS p_num,
+         CAST(SUM(CAST(p0 * q1 AS DECIMAL(25,4))) AS DOUBLE) AS p_den
+  FROM matched)
+SELECT n_parts,
+       CAST(FLOOR(1000000.0 * l_num / l_den) AS BIGINT) AS laspeyres_e6,
+       CAST(FLOOR(1000000.0 * p_num / p_den) AS BIGINT) AS paasche_e6,
+       CAST(FLOOR(1000000.0 * SQRT((l_num / l_den) * (p_num / p_den)))
+            AS BIGINT) AS fisher_e6
+FROM s
+"""
+
+
+@register("x_price_index", oracle=_PRICE_INDEX_SQL, tags=("J1", "A1", "F3"), doc="")
+def x_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE INDEX trio — Laspeyres (base-period basket), Paasche
+    (current basket), and Fisher's ideal (their geometric mean — the
+    form national statistics offices publish) for 1995→1996 over parts
+    sold in BOTH years: per-part-year unit price is the exact rational
+    Σext/Σqty (never an average of averages), each p·q basket term is a
+    double on exact inputs quantized DECIMAL(25,4) before the basket
+    sums, and Fisher's √ is the IEEE-correctly-rounded closer (the
+    l6_bleu geometric-mean precedent). Matched-parts semantics pinned
+    by the year self-join. Plan: fact join → (part, year) rollup (the
+    natural shuffle key) → year-pair self-join on the part grid → 1-row
+    basket reduce; index arithmetic is O(parts), not O(line items)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        on=[F.col("o_orderkey") == F.col("l_orderkey")],
+    ).withColumn("yr", F.year("o_orderdate").cast("bigint"))
+    py = (
+        j.where(F.col("yr").isin(1995, 1996))
+        .groupBy(F.col("l_partkey").alias("pk"), "yr")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("ext_cents"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    base = py.where(F.col("yr") == 1995).select(
+        "pk",
+        (F.col("ext_cents").cast("double") / F.col("qty")).alias("p0"),
+        F.col("qty").alias("q0"),
+    )
+    cur = py.where(F.col("yr") == 1996).select(
+        F.col("pk").alias("pk1"),
+        (F.col("ext_cents").cast("double") / F.col("qty")).alias("p1"),
+        F.col("qty").alias("q1"),
+    )
+    matched = base.join(cur, on=[F.col("pk1") == F.col("pk")])
+    s = matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum((F.col("p1") * F.col("q0")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("l_num"),
+        F.sum((F.col("p0") * F.col("q0")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("l_den"),
+        F.sum((F.col("p1") * F.col("q1")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("p_num"),
+        F.sum((F.col("p0") * F.col("q1")).cast("decimal(25,4)"))
+        .cast("double")
+        .alias("p_den"),
+    )
+    lasp = F.col("l_num") / F.col("l_den")
+    paas = F.col("p_num") / F.col("p_den")
+    return s.select(
+        "n_parts",
+        F.floor(F.lit(1000000.0) * lasp).cast("bigint").alias("laspeyres_e6"),
+        F.floor(F.lit(1000000.0) * paas).cast("bigint").alias("paasche_e6"),
+        F.floor(F.lit(1000000.0) * F.sqrt(lasp * paas))
+        .cast("bigint")
+        .alias("fisher_e6"),
+    )
+
+
+_DW_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+idx AS (
+  SELECT priority, day, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY day)
+              AS BIGINT) AS x
+  FROM daily),
+fit AS (
+  SELECT priority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * c) AS DOUBLE) AS sxy
+  FROM idx GROUP BY 1),
+resid AS (
+  SELECT i.priority, i.x,
+         CAST(i.c AS DOUBLE)
+           - ((f.sy - ((f.n * f.sxy - f.sx * f.sy)
+                       / (f.n * f.sxx - f.sx * f.sx)) * f.sx) / f.n)
+           - ((f.n * f.sxy - f.sx * f.sy) / (f.n * f.sxx - f.sx * f.sx))
+             * i.x AS e
+  FROM idx i JOIN fit f ON f.priority = i.priority),
+diffs AS (
+  SELECT priority,
+         CAST(e * e AS DECIMAL(25,4)) AS e2,
+         CAST(POWER(e - LAG(e) OVER (PARTITION BY priority ORDER BY x), 2)
+              AS DECIMAL(25,4)) AS d2
+  FROM resid)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(FLOOR(1000000.0 * CAST(SUM(d2) AS DOUBLE)
+                  / CAST(SUM(e2) AS DOUBLE)) AS BIGINT) AS dw_e6
+FROM diffs GROUP BY 1
+"""
+
+
+@register("x_durbin_watson", oracle=_DW_SQL, tags=("W2", "A1", "F3"), doc="")
+def x_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DURBIN-WATSON autocorrelation test on detrended daily revenue —
+    the regression-diagnostics member of the series battery (x_acf_lags
+    measures raw autocorrelation; DW asks the question that matters
+    AFTER you fit a trend: are the RESIDUALS still serially correlated,
+    i.e. is x_linear_regression's fit even trustworthy?): the OLS line
+    comes from the five exact sufficient sums (DECIMAL(38,0) products,
+    the house x_linear_regression idiom), residuals are closed-form
+    doubles on identical inputs, and DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² quantizes
+    every squared term to DECIMAL(25,4) before the reduce (order
+    independence) with one floor-e6 closing division. DW≈2 = no serial
+    correlation; ≪2 = the trending-residual alarm. One lag window over
+    the SF-independent daily grid."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    idx = daily.select(
+        "priority", "c", F.row_number().over(w).cast("bigint").alias("x")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    fit = idx.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(F.col("c").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(xd * F.col("x")).cast("double").alias("sxx"),
+        F.sum(xd * F.col("c")).cast("double").alias("sxy"),
+    )
+    j = idx.join(F.broadcast(fit), on="priority")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    resid = j.select(
+        "priority",
+        "x",
+        (F.col("c").cast("double") - intercept - slope * F.col("x")).alias("e"),
+    )
+    we = Window.partitionBy("priority").orderBy("x")
+    diffs = resid.select(
+        "priority",
+        (F.col("e") * F.col("e")).cast("decimal(25,4)").alias("e2"),
+        F.pow(F.col("e") - F.lag("e").over(we), 2)
+        .cast("decimal(25,4)")
+        .alias("d2"),
+    )
+    return diffs.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.floor(
+            F.lit(1000000.0) * F.sum("d2").cast("double") / F.sum("e2").cast("double")
+        )
+        .cast("bigint")
+        .alias("dw_e6"),
+    )

@@ -294,6 +294,40 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_abc_classification", "partial", True,
      "facts reduce to the parts aggregate map-side; the global window "
      "runs over parts only"),
+    # ---- r13 wave
+    ("x_distinct_on", "WindowGroupLimit", True,
+     "DISTINCT ON's row_number()=1 rewrite must push the group limit "
+     "below the sort (1 row/key of window state, not a full sort)"),
+    ("x_herfindahl_index", "partial", True,
+     "facts reduce to the customer rollup map-side; HHI is a 5-row "
+     "closed form after that"),
+    ("x_herfindahl_index", "EvalPython", False,
+     "sufficient-statistics math stays JVM-side"),
+    ("x_mann_kendall_trend", "CartesianProduct", False,
+     "the day-pair self-join must stay an equi-join on priority (the "
+     "grid crossed within the key, never an all-pairs product)"),
+    ("x_kaplan_meier", "EvalPython", False,
+     "risk table + log-sum survival stay JVM-side"),
+    ("x_cuped_adjustment", "BroadcastHashJoin", False,
+     "the 1-row pooled stats join is a broadcast nested-loop cross "
+     "join by design; what matters is the single fact pass below"),
+    ("x_cuped_adjustment", "partial", True,
+     "customer pre/post rollup partial-aggregates before its shuffle"),
+    ("l4_jensen_shannon", "BroadcastHashJoin", True,
+     "token marginals broadcast back onto the (source, token) counts; "
+     "the vocabulary, not the corpus, bounds every join"),
+    ("l6_auc_roc", "EvalPython", False,
+     "doubled-rank AUC arithmetic stays JVM-side"),
+    ("u11_arrow_scalar_udf", "ArrowEvalPython", True,
+     "useArrow=True must compile to the Arrow eval lane, not pickled "
+     "BatchEvalPython"),
+    ("u11_arrow_scalar_udf", "BatchEvalPython", False,
+     "the pickle lane must NOT appear for an Arrow-optimized UDF"),
+    ("s18_multichar_delimiter", "EvalPython", False,
+     "multi-char-delimiter parse stays inside the JVM CSV scan"),
+    ("x_weighted_quantiles", "partial", True,
+     "line items reduce to the (flag, price) grid map-side; windows "
+     "run over distinct values only"),
 ]
 
 

@@ -670,6 +670,14 @@ _PROMOTE_R13 = [
 # x_durbin_watson — serial-correlation test on OLS residuals of the
 #   daily grid; five exact sufficient sums -> closed-form residuals,
 #   squared terms quantized pre-reduce.
+# x_iceberg_partitioned_export — identity-partitioned hive layouts now
+#   export a REAL partition spec (r12 scope guard removed): partition
+#   values are metadata-borne per data_file (recovered from the hive
+#   path segments, never read from parquet); the reader injects them as
+#   typed literals and partition_filter prunes the FILE LIST from
+#   metadata alone (in-query inputFiles() assertion); spec changes
+#   between exports refuse. The r13 x_iceberg_* trio re-gated green at
+#   sf0.01/0.1 + vanilla after the exporter change.
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates

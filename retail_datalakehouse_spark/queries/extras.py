@@ -3880,7 +3880,11 @@ def x_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(meta_path) as fh:
         meta = _json.load(fh)
     assert meta["format-version"] == 2
-    fields = meta["schemas"][meta["current-schema-id"]]["fields"]
+    cur_schema = next(
+        sc for sc in meta["schemas"]
+        if sc["schema-id"] == meta["current-schema-id"]
+    )
+    fields = cur_schema["fields"]
     assert [f["id"] for f in fields] == list(range(1, len(fields) + 1))
     snap = next(
         s for s in meta["snapshots"]
@@ -3908,7 +3912,7 @@ def x_iceberg_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.iceberg_import import _spark_schema
 
     df = spark.read.schema(
-        _spark_schema(meta["schemas"][meta["current-schema-id"]])
+        _spark_schema(cur_schema)
     ).parquet(*paths)
     return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders"),
@@ -5353,4 +5357,80 @@ def x_column_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.col").alias("col"),
         F.col("s.n_changed").alias("n_changed"),
         F.col("n_keys").alias("n_keys_touched"),
+    )
+
+
+_ICE_PART_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_orderkey END) AS BIGINT) AS urgent_checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "x_iceberg_partitioned_export", oracle=_ICE_PART_SQL, tags=("S3", "P4"), doc=""
+)
+def x_iceberg_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg export of an identity-PARTITIONED table (r13 — removes
+    the r12 scope guard): the hive `priority=X/` layout exports as a
+    REAL partition spec (identity transform, source-id = the column's
+    field id, partition field-ids from 1000 — the Iceberg numbering),
+    and every data_file carries its partition values as METADATA (the
+    Iceberg contract: identity values are never read from parquet —
+    the file doesn't even contain the column). The reader half makes
+    that contract literal: it reads files under the FILE schema and
+    injects partition values as typed literals, and a partition_filter
+    prunes the FILE LIST from metadata alone — the in-query assertion
+    pins that the pruned read touched ONLY the matching partition's
+    files (planning-time pruning, the P4 semantics on the interop
+    surface). Aggregate runs on the re-imported table, with the
+    urgent_checksum column recomputed from the PRUNED read — so the
+    hash match proves both the full round-trip and the pruned leg;
+    the DuckDB oracle recomputes from pristine orders."""
+    import os as _os
+    import tempfile
+
+    from ..sources.iceberg_import import read_iceberg_snapshot
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_ipart_"))
+    t.overwrite(o, partition_by=["o_orderpriority"])
+    t.export_iceberg_metadata()
+
+    full = read_iceberg_snapshot(spark, t.path)
+    pruned = read_iceberg_snapshot(
+        spark, t.path, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    # planning-time pruning: only the urgent partition's files are read
+    assert all(
+        "o_orderpriority=1-URGENT" in p for p in pruned.inputFiles()
+    ), pruned.inputFiles()
+    urgent = pruned.agg(
+        F.sum("o_orderkey").cast("bigint").alias("uc")
+    )
+    return (
+        full.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(urgent))
+        .select(
+            "priority",
+            "n_orders",
+            "key_checksum",
+            "revenue",
+            F.when(F.col("priority") == "1-URGENT", F.col("uc"))
+            .cast("bigint")
+            .alias("urgent_checksum"),
+        )
     )

@@ -101,23 +101,64 @@ def _live_files(table_root: str, meta: dict, snapshot: dict) -> list[dict]:
 
 
 def read_iceberg_snapshot(
-    spark: SparkSession, table_root: str, snapshot_id: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read the Iceberg table at ``table_root`` — the current snapshot,
     or any snapshot in the metadata's ``snapshots`` list by id (time
     travel, Iceberg's ``VERSION AS OF``). Each snapshot is
     self-contained, so travel costs the same one-snapshot resolution as
-    a latest read."""
+    a latest read.
+
+    IDENTITY-partitioned tables are supported the Iceberg way: the
+    partition columns' values are METADATA-borne (each data_file's
+    ``partition`` struct), never read from parquet — this function
+    injects them as typed literals per partition group, which is
+    exactly the contract that lets ``partition_filter`` (a
+    {column: value} dict) prune the FILE LIST before any data I/O
+    (Iceberg's partition pruning: planning eliminates files from
+    metadata alone; pass it and the scan never lists, opens, or reads
+    a pruned partition's files). Transform specs (days/bucket/truncate)
+    raise — only identity is exported."""
     meta = load_table_metadata(table_root)
-    if any(s["fields"] for s in meta.get("partition-specs", [])):
-        raise ValueError("partitioned iceberg tables need partition readers")
+    spec = next(
+        s
+        for s in meta.get("partition-specs", [{"spec-id": 0, "fields": []}])
+        if s["spec-id"] == meta.get("default-spec-id", 0)
+    )
+    part_cols = [f["name"] for f in spec["fields"]]
+    if any(f["transform"] != "identity" for f in spec["fields"]):
+        raise ValueError(
+            "only identity partition transforms are supported by this reader"
+        )
+    if partition_filter and not set(partition_filter) <= set(part_cols):
+        raise ValueError(
+            f"partition_filter keys {sorted(partition_filter)} not all in "
+            f"spec columns {part_cols}"
+        )
     sid = meta["current-snapshot-id"] if snapshot_id is None else snapshot_id
     snaps = {s["snapshot-id"]: s for s in meta["snapshots"]}
     if sid not in snaps:
         raise ValueError(f"snapshot {sid} not in {table_root} (have {sorted(snaps)})")
     files = _live_files(table_root, meta, snaps[sid])
+    if partition_filter:
+        # metadata-only pruning: compare as strings (values are stored
+        # as the hive path rendering)
+        files = [
+            f
+            for f in files
+            if all(
+                str(f["partition"].get(k)) == str(v)
+                for k, v in partition_filter.items()
+            )
+        ]
     if not files:
-        raise ValueError(f"snapshot {sid} has no live data files")
+        raise ValueError(
+            f"snapshot {sid} has no live data files"
+            + (f" matching {partition_filter}" if partition_filter else "")
+        )
     # Resolve the schema by MATCHING schema-id (the schemas list is
     # append-only but position is not contractual), preferring the
     # snapshot's OWN schema-id: time travel must read an old snapshot
@@ -129,8 +170,36 @@ def read_iceberg_snapshot(
     if ice is None:
         raise ValueError(f"schema-id {wanted} not in {table_root} metadata")
     schema = _spark_schema(ice)
-    paths = [os.path.join(table_root, f["file_path"]) for f in files]
-    return spark.read.schema(schema).parquet(*paths)
+    if not part_cols:
+        paths = [os.path.join(table_root, f["file_path"]) for f in files]
+        return spark.read.schema(schema).parquet(*paths)
+
+    # identity-partitioned: group files by partition tuple, read each
+    # group under the FILE schema (partition columns are not in the
+    # parquet), inject the metadata values as typed literals, and union
+    # — making the 'values come from metadata' contract literal.
+    from pyspark.sql import functions as F
+
+    by_name = {f.name: f for f in schema.fields}
+    file_schema = T.StructType(
+        [f for f in schema.fields if f.name not in part_cols]
+    )
+    groups: dict[tuple, list[str]] = {}
+    for f in files:
+        key = tuple(f["partition"].get(c) for c in part_cols)
+        groups.setdefault(key, []).append(
+            os.path.join(table_root, f["file_path"])
+        )
+    out: DataFrame | None = None
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(file_schema).parquet(*paths)
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(
+                c, F.lit(raw).cast(by_name[c].dataType)
+            )
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def iceberg_snapshot_summary(table_root: str) -> dict:

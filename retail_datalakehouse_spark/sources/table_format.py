@@ -4896,8 +4896,11 @@ class VersionedTable:
         the Delta exporter uses for its log):
 
         - table metadata carries format-version 2, table-uuid, schemas
-          with sequential FIELD IDS (Iceberg's column-identity
-          mechanism), partition-specs / sort-orders (empty spec-id 0),
+          with stable FIELD IDS (Iceberg's column-identity mechanism;
+          the name->id map persists in properties so ids survive schema
+          evolution between exports), partition-specs (identity
+          transforms over the snapshot's hive partition_by columns —
+          empty spec for unpartitioned layouts), sort-orders,
           current-snapshot-id, the full snapshots list, snapshot-log
           and metadata-log;
         - each snapshot points at ONE manifest-list file; the list
@@ -4907,8 +4910,9 @@ class VersionedTable:
         - manifests hold per-file entries: status (1=ADDED, 0=EXISTING,
           2=DELETED), the writing snapshot-id, sequence-number, and the
           data_file struct (file_path, PARQUET, record_count,
-          file_size_in_bytes, partition {}, lower/upper bounds keyed by
-          field-id when the table manifest has footer stats).
+          file_size_in_bytes, metadata-borne identity partition values
+          recovered from the hive path segments, lower/upper bounds
+          keyed by field-id when the table manifest has footer stats).
 
         INCREMENTAL, the Iceberg way: a second call with the table
         advanced writes v<N+1>.metadata.json whose new snapshot (a)
@@ -4926,9 +4930,10 @@ class VersionedTable:
         Readers do NOT replay a log: an Iceberg read resolves one
         snapshot → one manifest list → live entries (status != DELETED)
         — see ``sources/iceberg_import.py``, the independent stdlib-JSON
-        reader half. Scope guards match the Delta exporter: MOR
-        versions, hive/hidden partition layouts, and column-mapped
-        schemas raise (compact first).
+        reader half. Scope guards: MOR versions, HIDDEN-partition
+        (transform) layouts, column-mapped schemas, and partition-spec
+        changes between exports raise (compact first); identity-
+        partitioned hive layouts export with a real partition spec.
 
         Returns the path of the metadata file written."""
         v = self.current_version() if version is None else version
@@ -4940,11 +4945,12 @@ class VersionedTable:
                 "iceberg export of a merge-on-read version would resurrect "
                 "tombstoned rows; compact first"
             )
-        if entry.get("partition_by") or entry.get("hidden_partition"):
+        if entry.get("hidden_partition"):
             raise ValueError(
-                "iceberg export emits the empty partition spec only; "
-                "compact to a clustered layout first"
+                "iceberg export of a hidden-partition layout needs transform "
+                "partition specs; compact to a clustered layout first"
             )
+        part_cols: list[str] = list(entry.get("partition_by") or [])
         if entry.get("column_renames") or entry.get("column_drops"):
             raise ValueError(
                 "iceberg export of a column-mapped schema needs name-mapping "
@@ -5024,6 +5030,30 @@ class VersionedTable:
                 ice_schema = {**ice_schema, "schema-id": schema_id}
                 schemas = prev_schemas + [ice_schema]
 
+        # ---- partition spec (identity transforms over the hive layout's
+        # partition_by columns; Iceberg's metadata-born partition values)
+        spec_fields = [
+            {
+                "name": c,
+                "transform": "identity",
+                "source-id": field_ids[c],
+                "field-id": 1000 + i,
+            }
+            for i, c in enumerate(part_cols)
+        ]
+        if prev_meta is not None:
+            prev_spec = next(
+                s
+                for s in prev_meta["partition-specs"]
+                if s["spec-id"] == prev_meta["default-spec-id"]
+            )
+            if [f["name"] for f in prev_spec["fields"]] != part_cols:
+                raise ValueError(
+                    "iceberg export does not evolve partition specs; the "
+                    "table's partition_by changed since the last export "
+                    "(compact to one layout first)"
+                )
+
         seq = (prev_meta["last-sequence-number"] + 1) if prev_meta else 1
         snap_id = int(uuid.uuid4().int % (1 << 62))
         cur = {f["__rel"]: f for f in files}
@@ -5095,7 +5125,9 @@ class VersionedTable:
                     "status": 1,  # ADDED
                     "snapshot_id": snap_id,
                     "sequence_number": seq,
-                    "data_file": self._iceberg_data_file(f, field_ids),
+                    "data_file": self._iceberg_data_file(
+                        f, field_ids, part_cols
+                    ),
                 }
                 for f in new_files
             ]
@@ -5146,8 +5178,8 @@ class VersionedTable:
             "current-schema-id": schema_id,
             "schemas": schemas,
             "default-spec-id": 0,
-            "partition-specs": [{"spec-id": 0, "fields": []}],
-            "last-partition-id": 999,
+            "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
+            "last-partition-id": 999 + len(spec_fields),
             "default-sort-order-id": 0,
             "sort-orders": [{"order-id": 0, "fields": []}],
             "properties": {
@@ -5226,14 +5258,39 @@ class VersionedTable:
             "deleted_rows_count": d_r,
         }
 
-    def _iceberg_data_file(self, f: dict, field_ids: dict[str, int]) -> dict:
+    def _iceberg_data_file(
+        self,
+        f: dict,
+        field_ids: dict[str, int],
+        part_cols: list[str] | None = None,
+    ) -> dict:
         rel = f["__rel"]
         st = os.stat(os.path.join(self.path, rel))
+        # Identity-transform partition values are METADATA-borne in
+        # Iceberg (readers never open a file to learn its partition):
+        # recover them from the hive path segments the writer laid down.
+        partition: dict = {}
+        if part_cols:
+            from urllib.parse import unquote
+
+            seg_vals = dict(
+                seg.split("=", 1) for seg in rel.split("/") if "=" in seg
+            )
+            for c in part_cols:
+                if c not in seg_vals:
+                    raise ValueError(
+                        f"partitioned export: file {rel!r} lacks a "
+                        f"{c}= path segment"
+                    )
+                raw = unquote(seg_vals[c])
+                partition[c] = (
+                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+                )
         df: dict = {
             "content": 0,  # DATA (1/2 = eq/pos deletes, never exported)
             "file_path": rel,
             "file_format": "PARQUET",
-            "partition": {},
+            "partition": partition,
             "record_count": f.get("n_rows"),
             "file_size_in_bytes": st.st_size,
         }

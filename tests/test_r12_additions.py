@@ -127,15 +127,19 @@ def test_iceberg_export_guards_and_schema(spark):
     back = _spark_schema(ice)
     assert [f.dataType for f in back.fields] == [f.dataType for f in df.schema.fields]
 
-    # partitioned layouts refuse (partitionValues not emitted)
+    # hidden-partition (transform) layouts refuse; identity hive
+    # partitioning exports a real spec since r13 (see
+    # tests/test_r13_additions.py::test_iceberg_partitioned_export)
     t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_ice_guard_"))
     t.overwrite(
-        spark.createDataFrame([(1, "a"), (2, "b")], "k long, part string"),
-        partition_by=["part"],
+        spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-02-01")], "k long, d string"
+        ).selectExpr("k", "CAST(d AS DATE) AS d"),
+        hidden_partition=("month", "d"),
     )
     try:
         t.export_iceberg_metadata()
-        raise AssertionError("partitioned export should refuse")
+        raise AssertionError("hidden-partition export should refuse")
     except ValueError:
         pass
 

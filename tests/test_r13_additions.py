@@ -280,3 +280,66 @@ def test_kaplan_meier_zero_and_censor_conventions(spark):
     assert out[7] in (399999, 400000) and out[14] == out[7]
     # day 20: risk set is 1 (censor at 10 removed one), d = n -> S = 0
     assert out[21] == 0
+
+
+def test_iceberg_partitioned_export(spark):
+    """Identity-partitioned hive layouts export a REAL partition spec:
+    metadata-borne partition values, typed literal injection on read,
+    file-list pruning from metadata alone, spec-change refusal."""
+    root = tempfile.mkdtemp(prefix="rdl_ice_part_")
+    t = VersionedTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "c")],
+        "k long, v long, part string",
+    )
+    t.overwrite(df, partition_by=["part"])
+    t.export_iceberg_metadata()
+    meta = load_table_metadata(root)
+    spec = meta["partition-specs"][0]
+    assert [f["name"] for f in spec["fields"]] == ["part"]
+    assert spec["fields"][0]["transform"] == "identity"
+    assert meta["last-partition-id"] == 1000
+
+    # full read round-trips, partition column included and typed
+    full = read_iceberg_snapshot(spark, root)
+    assert sorted((r["k"], r["part"]) for r in full.collect()) == [
+        (1, "a"), (2, "a"), (3, "b"), (4, "c"),
+    ]
+
+    # metadata pruning: the filter cuts the FILE LIST before any read
+    pruned = read_iceberg_snapshot(spark, root, partition_filter={"part": "a"})
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 2]
+    srcs = [
+        f for f in pruned.inputFiles()
+    ]
+    assert all("part=a" in s for s in srcs), srcs  # only a's files touched
+
+    # append keeps the layout; incremental export carries spec forward
+    t.append(spark.createDataFrame([(5, 50, "b")], "k long, v long, part string"))
+    t.export_iceberg_metadata()
+    again = read_iceberg_snapshot(spark, root, partition_filter={"part": "b"})
+    assert sorted(r["k"] for r in again.collect()) == [3, 5]
+
+    # manifest entries carry the partition values
+    meta2 = load_table_metadata(root)
+    cur = next(
+        s for s in meta2["snapshots"]
+        if s["snapshot-id"] == meta2["current-snapshot-id"]
+    )
+    with open(os.path.join(root, cur["manifest-list"])) as fh:
+        mlist = json.load(fh)["manifests"]
+    vals = set()
+    for m in mlist:
+        with open(os.path.join(root, m["manifest_path"])) as fh:
+            for e in json.load(fh)["entries"]:
+                if e["status"] != 2:
+                    vals.add(e["data_file"]["partition"]["part"])
+    assert vals == {"a", "b", "c"}
+
+    # spec CHANGE between exports refuses (partition evolution unsupported)
+    t.overwrite(df, partition_by=["part", "v"])
+    try:
+        t.export_iceberg_metadata()
+        raise AssertionError("spec change should refuse")
+    except ValueError:
+        pass

@@ -678,6 +678,19 @@ _PROMOTE_R13 = [
 #   metadata alone (in-query inputFiles() assertion); spec changes
 #   between exports refuse. The r13 x_iceberg_* trio re-gated green at
 #   sf0.01/0.1 + vanilla after the exporter change.
+# x_order_by_all — ORDER BY ALL made hash-visible via LIMIT 7 (top-k
+#   under the implicit sort vs the oracle's explicit column order).
+# x_select_except — SELECT * EXCEPT(...) wide-table projection; the
+#   hash pins post-* resolution, pruning still reaches the scan.
+# l6_cochran_q — k=3 McNemar generalization; five integer counters per
+#   source (T_j, G, sum R_i^2 with R in {0..3}), denominator-0 -> 0.
+# x_gini_revenue — Lorenz/Gini on the full customer distribution via
+#   the doubled-average-rank identity (ranks O(distinct revenues)).
+# t33_stream_iceberg_sync — per-micro-batch Iceberg metadata export
+#   (t29's Delta-log counterpart): one self-contained snapshot per
+#   batch, parent-chained, manifests carried by reference (in-query
+#   existing_files_count > 0 assertion); reader resolves ONE snapshot,
+#   never replays history.
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates

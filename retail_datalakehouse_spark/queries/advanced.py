@@ -1521,3 +1521,70 @@ def x_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v_e6"),
     )
+
+
+_ORDER_BY_ALL_SQL = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY status, priority, n_orders
+LIMIT 7
+"""
+
+
+@register("x_order_by_all", oracle=_ORDER_BY_ALL_SQL, tags=("O1", "A1"), doc="")
+def x_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ALL (the DuckDB-pioneered shorthand Spark 3.4+ adopted:
+    sort by every SELECT column, left to right) — made semantically
+    VISIBLE by the LIMIT: the driver's hash is order-insensitive, so a
+    bare sort would vanish from the contract, but top-7-under-the-sort
+    changes the row SET, and the oracle spells the explicit ORDER BY
+    status, priority, n_orders — the hash match proves the implicit
+    expansion picks exactly the projection order (the failure mode
+    being ALL resolving against the base table's columns instead of
+    the select list). Compiles to TakeOrderedAndProject like any
+    top-k."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 7
+        """
+    )
+
+
+_SELECT_EXCEPT_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+FROM orders
+WHERE o_orderkey % 1000 = 7
+"""
+
+
+@register("x_select_except", oracle=_SELECT_EXCEPT_SQL, tags=("P1", "F5"), doc="")
+def x_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT (...) — the wide-table ergonomics BigQuery
+    standardized and Spark 4 adopted (DuckDB spells it EXCLUDE; the
+    oracle enumerates the surviving columns explicitly): project
+    everything BUT the named columns, the daily tool of 100-column
+    lakehouse tables where enumerating the keepers is the error-prone
+    path. The hash match proves the subtraction resolves against the
+    post-* schema (order preserved, nothing else dropped). Column
+    pruning still reaches the scan — EXCEPT is analyzer surface, the
+    physical plan reads exactly the four surviving columns."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * EXCEPT (o_totalprice, o_orderdate)
+        FROM orders
+        WHERE o_orderkey % 1000 = 7
+        """
+    )

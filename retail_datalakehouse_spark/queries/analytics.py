@@ -5725,3 +5725,91 @@ def x_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dw_e6"),
     )
+
+
+_GINI_REVENUE_SQL = """
+WITH cust AS (
+  SELECT o_orderpriority AS priority, o_custkey AS k,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS r
+  FROM orders GROUP BY 1, 2),
+g AS (
+  SELECT priority, r, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cust GROUP BY 1, 2),
+rk AS (
+  SELECT priority, r, cnt,
+         2 * (CAST(SUM(cnt) OVER (PARTITION BY priority ORDER BY r)
+              AS BIGINT) - cnt) + cnt + 1 AS dr
+  FROM g),
+s AS (
+  SELECT priority,
+         CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(CAST(r AS DECIMAL(38,0)) * cnt) AS DOUBLE) AS t,
+         CAST(SUM(CAST(dr AS DECIMAL(38,0)) * r * cnt) AS DOUBLE) AS drx
+  FROM rk GROUP BY 1)
+SELECT priority, n AS n_customers,
+       CAST(FLOOR(1000000.0 * (drx / (CAST(n AS DOUBLE) * t)
+                               - CAST(n + 1 AS DOUBLE) / n)) AS BIGINT)
+         AS gini_e6
+FROM s
+"""
+
+
+@register("x_gini_revenue", oracle=_GINI_REVENUE_SQL, tags=("W3", "A1"), doc="")
+def x_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI coefficient of customer revenue per priority — the
+    Lorenz-curve member of the concentration family (Herfindahl squares
+    shares, Theil is entropy-additive, Gini is the area measure
+    economists report; l4_gini_language_balance applies the same
+    coefficient to 5 language masses — this one runs on the FULL
+    customer distribution): the rank form G = 2·Σrᵢxᵢ/(n·Σx) − (n+1)/n
+    with AVERAGE ranks for tied revenues, via the same doubled-rank
+    identity as l6_auc_roc (2r = 2·cum_before + cnt + 1 at the
+    value-group level — ranks cost O(distinct revenues), never O(rows),
+    and 2Σrx stays exact DECIMAL(38,0) under ties). One closing
+    division pair on identical doubles, floor-e6. Plan: customer
+    rollup → value-level grid → one running-sum window → 5-row reduce."""
+    o = T(spark, sf_dir, "orders")
+    cust = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").alias("k"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("r")
+    )
+    g = cust.groupBy("priority", "r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.partitionBy("priority").orderBy("r")
+    rk = g.select(
+        "priority",
+        "r",
+        "cnt",
+        (
+            2 * (F.sum("cnt").over(w).cast("bigint") - F.col("cnt"))
+            + F.col("cnt")
+            + 1
+        ).alias("dr"),
+    )
+    s = rk.groupBy("priority").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("cnt"))
+        .cast("double")
+        .alias("t"),
+        F.sum(F.col("dr").cast("decimal(38,0)") * F.col("r") * F.col("cnt"))
+        .cast("double")
+        .alias("drx"),
+    )
+    return s.select(
+        "priority",
+        F.col("n").alias("n_customers"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("drx") / (F.col("n").cast("double") * F.col("t"))
+                - (F.col("n") + 1).cast("double") / F.col("n")
+            )
+        )
+        .cast("bigint")
+        .alias("gini_e6"),
+    )

@@ -6090,3 +6090,91 @@ def l4_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("js_e6"),
     )
+
+
+_COCHRAN_Q_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CASE WHEN n_chars >= 128 THEN 1 ELSE 0 END AS a,
+         CASE WHEN POSITION(' scan ' IN text) > 0 THEN 1 ELSE 0 END AS b,
+         CASE WHEN POSITION(' join ' IN text) > 0 THEN 1 ELSE 0 END AS c
+  FROM documents),
+corr AS (
+  SELECT source,
+         CASE WHEN a = y THEN 1 ELSE 0 END AS c1,
+         CASE WHEN b = y THEN 1 ELSE 0 END AS c2,
+         CASE WHEN c = y THEN 1 ELSE 0 END AS c3
+  FROM d),
+s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c1) AS BIGINT) AS t1,
+         CAST(SUM(c2) AS BIGINT) AS t2,
+         CAST(SUM(c3) AS BIGINT) AS t3,
+         CAST(SUM(c1 + c2 + c3) AS BIGINT) AS gr,
+         CAST(SUM((c1 + c2 + c3) * (c1 + c2 + c3)) AS BIGINT) AS gr2
+  FROM corr GROUP BY 1)
+SELECT source, n, t1, t2, t3,
+       CASE WHEN 3 * gr - gr2 = 0 THEN 0
+            ELSE CAST(FLOOR(1000000.0 * 2
+                   * (3 * (t1 * t1 + t2 * t2 + t3 * t3) - gr * gr)
+                   / (3 * gr - gr2)) AS BIGINT)
+       END AS q_e6
+FROM s
+"""
+
+
+@register("l6_cochran_q", oracle=_COCHRAN_Q_SQL, tags=("L6", "A6"), doc="")
+def l6_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COCHRAN'S Q per source — the k-classifier generalization of
+    l6_mcnemar (are these THREE rule classifiers equally accurate on
+    the same documents? Q reduces exactly to McNemar's chi-square at
+    k = 2): with per-document correctness indicators for the three
+    rules, Q = k(k-1)·(kΣTⱼ² - G²) / (kG - ΣRᵢ²) where Tⱼ are
+    per-classifier correct totals, G their grand total, and Rᵢ the
+    per-document row sums — so the WHOLE statistic reduces to five
+    integer counters per source (n, T₁..T₃, ΣRᵢ, ΣRᵢ²; Rᵢ ∈ {0..3}
+    makes Rᵢ² a map-side expression) and one closing division,
+    floor-e6, with the all-rows-uniform degenerate (denominator 0)
+    pinned to 0 both sides. One document pass at any corpus scale."""
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(F.col("n_chars") >= 128, 1).otherwise(0).alias("a"),
+        F.when(F.instr(F.col("text"), " scan ") > 0, 1).otherwise(0).alias("b"),
+        F.when(F.instr(F.col("text"), " join ") > 0, 1).otherwise(0).alias("c"),
+    )
+    eq = lambda col: F.when(F.col(col) == F.col("y"), 1).otherwise(0)  # noqa: E731
+    corr = d.select(
+        "source",
+        eq("a").alias("c1"),
+        eq("b").alias("c2"),
+        eq("c").alias("c3"),
+    )
+    r = F.col("c1") + F.col("c2") + F.col("c3")
+    s = corr.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c1").cast("bigint").alias("t1"),
+        F.sum("c2").cast("bigint").alias("t2"),
+        F.sum("c3").cast("bigint").alias("t3"),
+        F.sum(r).cast("bigint").alias("gr"),
+        F.sum(r * r).cast("bigint").alias("gr2"),
+    )
+    den = 3 * F.col("gr") - F.col("gr2")
+    num = 3 * (
+        F.col("t1") * F.col("t1")
+        + F.col("t2") * F.col("t2")
+        + F.col("t3") * F.col("t3")
+    ) - F.col("gr") * F.col("gr")
+    return s.select(
+        "source",
+        "n",
+        "t1",
+        "t2",
+        "t3",
+        F.when(den == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * 2 * num / den))
+        .cast("bigint")
+        .alias("q_e6"),
+    )

@@ -2721,3 +2721,84 @@ def t32_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clicks_before")
         )
     )
+
+
+@register(
+    "t33_stream_iceberg_sync",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY 1
+""",
+    tags=("T6", "S3", "S6"),
+)
+def t33_stream_iceberg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest kept in sync with an EXTERNAL Iceberg metadata
+    tree (the t29 Delta leg's counterpart on the other side of the
+    open-table-format fence, closing the r13 partition/evolution work
+    into the streaming surface): each micro-batch appends to the
+    VersionedTable (txn watermark = exactly-once across restarts) and
+    exports the NEXT vN.metadata.json — the structural contrast with
+    t29 is the POINT: Delta grows one log commit per epoch that readers
+    REPLAY; Iceberg rewrites a tiny self-contained metadata json whose
+    snapshot REUSES every prior manifest by reference, so sync cost
+    stays O(batch files) and a reader resolves ONE snapshot, never a
+    history. After the 3-drop stream drains, the independent stdlib
+    reader checks the lineage (one snapshot per batch, parent-chained,
+    all appends, manifests carried by reference across exports) and
+    Spark reads exactly the final snapshot's live file set; the oracle
+    recomputes from pristine documents."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources.iceberg_import import (
+        iceberg_snapshot_summary,
+        read_iceberg_snapshot,
+    )
+    from ..sources.table_format import VersionedTable
+
+    stream = documents_stream_drops(spark, sf_dir, n_drops=3)
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t33_vt_"))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df.coalesce(1), txn=("t33_sync", batch_id))
+        table.export_iceberg_metadata()
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+
+    meta_dir = _os.path.join(table.path, "metadata")
+    with open(_os.path.join(meta_dir, "version-hint.text")) as fh:
+        assert fh.read().strip() == "3"  # one metadata version per batch
+    summary = iceberg_snapshot_summary(table.path)
+    lineage = summary["lineage"]
+    assert len(lineage) == 3
+    # parent-chained appends, every snapshot self-contained
+    assert lineage[0]["parent"] is None
+    assert all(
+        lineage[i]["parent"] == lineage[i - 1]["snapshot_id"]
+        for i in range(1, 3)
+    )
+    assert all(s["operation"] in ("append", "overwrite") for s in lineage)
+    assert lineage[-1]["deleted_files"] == 0
+    # manifest REUSE: the final snapshot's list must reference at least
+    # one manifest written by an EARLIER snapshot (carry-by-reference)
+    with open(_os.path.join(meta_dir, "v3.metadata.json")) as fh:
+        meta = _json.load(fh)
+    snap = next(
+        s for s in meta["snapshots"]
+        if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    with open(_os.path.join(table.path, snap["manifest-list"])) as fh:
+        manifests = _json.load(fh)["manifests"]
+    assert sum(m["existing_files_count"] for m in manifests) > 0, manifests
+
+    df = read_iceberg_snapshot(spark, table.path)
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -691,6 +691,19 @@ _PROMOTE_R13 = [
 #   batch, parent-chained, manifests carried by reference (in-query
 #   existing_files_count > 0 assertion); reader resolves ONE snapshot,
 #   never replays history.
+# x_friedman_test — nonparametric repeated-measures ANOVA over daily
+#   blocks (doubled-average-rank within 5-row blocks, tie-corrected
+#   chi2 + Kendall's W); complete blocks only, pinned.
+# x_partial_correlation — r_xy.z from TEN exact sufficient statistics
+#   in one pass (the confounder-removal step raw correlation skips).
+# l6_mean_avg_precision — AP per source over a pinned deterministic
+#   ranking; precision@rank terms DECIMAL(18,9) quantized pre-sum.
+# l4_burstiness — Church-Gale dispersion D = (N·Σc²−(Σc)²)/(N·Σc),
+#   zeros included by algebra (never densified); top-20 pinned order.
+# x_jarque_bera — normality gate from four raw power sums (x⁴ via
+#   re-widened DECIMAL(38,0) squares); says whose sigma alarms lie.
+# x_tukey_hsd — post-hoc studentized-range pairs (Tukey-Kramer form)
+#   over the 5-ROW aggregate table; facts never self-joined.
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates

@@ -5813,3 +5813,396 @@ def x_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gini_e6"),
     )
+
+
+_FRIEDMAN_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, o_orderpriority AS trt,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+full_days AS (
+  SELECT day FROM daily GROUP BY 1 HAVING COUNT(*) = 5),
+d AS (
+  SELECT daily.* FROM daily JOIN full_days USING (day)),
+vg AS (
+  SELECT day, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+vr AS (
+  SELECT day, c, cnt,
+         2 * (CAST(SUM(cnt) OVER (PARTITION BY day ORDER BY c) AS BIGINT)
+              - cnt) + cnt + 1 AS dr
+  FROM vg),
+rk AS (
+  SELECT d.trt, d.day, vr.dr, vr.cnt
+  FROM d JOIN vr ON vr.day = d.day AND vr.c = d.c),
+tie AS (
+  SELECT CAST(SUM(cnt * cnt * cnt - cnt) AS BIGINT) AS t_sum
+  FROM vg),
+tr AS (
+  SELECT trt, CAST(SUM(dr) AS BIGINT) AS dr_sum FROM rk GROUP BY 1),
+n_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM full_days),
+s AS (
+  SELECT n_.n, tie.t_sum,
+         (SELECT CAST(SUM(CAST(dr_sum AS DECIMAL(38,0)) * dr_sum)
+                 AS DOUBLE) FROM tr) AS sum_dr2
+  FROM n_ CROSS JOIN tie)
+SELECT n AS n_blocks, CAST(5 AS BIGINT) AS k,
+       CAST(FLOOR(1000000.0 *
+         ((12.0 * (sum_dr2 / 4.0) / (n * 5 * 6) - 3.0 * n * 6)
+          / (1.0 - CAST(t_sum AS DOUBLE) / (n * 5 * 24)))) AS BIGINT)
+         AS chi2_e6,
+       CAST(FLOOR(1000000.0 *
+         ((12.0 * (sum_dr2 / 4.0) / (n * 5 * 6) - 3.0 * n * 6)
+          / (1.0 - CAST(t_sum AS DOUBLE) / (n * 5 * 24)) / (n * 4)))
+            AS BIGINT) AS kendall_w_e6
+FROM s
+"""
+
+
+@register("x_friedman_test", oracle=_FRIEDMAN_SQL, tags=("W1", "A6"), doc="")
+def x_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRIEDMAN test + Kendall's W on daily revenue by priority — the
+    nonparametric repeated-measures ANOVA (blocks = days, treatments =
+    the 5 priorities; the within-block ranking kills day-level
+    seasonality that would drown x_anova_oneway): ranks live INSIDE
+    each 5-row day block via the doubled-average-rank identity (the
+    l6_auc_roc/x_spearman_corr machinery — ties exact), ΣRⱼ² stays
+    DECIMAL(38,0) through the doubled form, and the tie-corrected
+    χ²_F = [12ΣRⱼ²/(nk(k+1)) − 3n(k+1)] / [1 − ΣT/(nk(k²−1))] plus
+    W = χ²/(n(k−1)) are closed forms, floor-e6. Only COMPLETE blocks
+    (all 5 priorities traded) count — pinned both sides. Plan: facts →
+    SF-independent daily grid → per-day value-group window → treatment
+    reduce; rank work is O(grid), never O(orders)."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderpriority").alias("trt"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    full_days = daily.groupBy("day").agg(F.count(F.lit(1)).alias("k_present")).where(
+        F.col("k_present") == 5
+    ).select("day")
+    d = daily.join(full_days, on="day")
+    vg = d.groupBy("day", "c").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("day").orderBy("c")
+    vr = vg.select(
+        "day",
+        "c",
+        "cnt",
+        (
+            2 * (F.sum("cnt").over(w).cast("bigint") - F.col("cnt"))
+            + F.col("cnt")
+            + 1
+        ).alias("dr"),
+    )
+    rk = d.join(vr, on=["day", "c"])
+    tie = vg.agg(
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("t_sum")
+    )
+    tr = rk.groupBy("trt").agg(F.sum("dr").cast("bigint").alias("dr_sum"))
+    n_ = full_days.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    sum_dr2 = tr.agg(
+        F.sum(F.col("dr_sum").cast("decimal(38,0)") * F.col("dr_sum"))
+        .cast("double")
+        .alias("sum_dr2")
+    )
+    s = n_.crossJoin(F.broadcast(tie)).crossJoin(F.broadcast(sum_dr2))
+    n = F.col("n")
+    chi2 = (
+        F.lit(12.0) * (F.col("sum_dr2") / 4.0) / (n * 5 * 6) - F.lit(3.0) * n * 6
+    ) / (F.lit(1.0) - F.col("t_sum").cast("double") / (n * 5 * 24))
+    return s.select(
+        n.alias("n_blocks"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.floor(F.lit(1000000.0) * chi2).cast("bigint").alias("chi2_e6"),
+        F.floor(F.lit(1000000.0) * chi2 / (n * 4))
+        .cast("bigint")
+        .alias("kendall_w_e6"),
+    )
+
+
+_PARTIAL_CORR_SQL = """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS z
+  FROM lineitem),
+s AS (
+  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(z AS DECIMAL(38,0))) AS DOUBLE) AS sz,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(z AS DECIMAL(38,0)) * z) AS DOUBLE) AS szz,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * z) AS DOUBLE) AS sxz,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * z) AS DOUBLE) AS syz
+  FROM v GROUP BY 1),
+r AS (
+  SELECT flag, n,
+         (n * sxy - sx * sy) / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+           AS rxy,
+         (n * sxz - sx * sz) / SQRT((n * sxx - sx * sx) * (n * szz - sz * sz))
+           AS rxz,
+         (n * syz - sy * sz) / SQRT((n * syy - sy * sy) * (n * szz - sz * sz))
+           AS ryz
+  FROM s)
+SELECT flag, n AS n_items,
+       CAST(FLOOR(1000000.0 * rxy) AS BIGINT) AS r_xy_e6,
+       CAST(FLOOR(1000000.0 * (rxy - rxz * ryz)
+                  / SQRT((1 - rxz * rxz) * (1 - ryz * ryz))) AS BIGINT)
+         AS r_xy_given_z_e6
+FROM r
+"""
+
+
+@register("x_partial_correlation", oracle=_PARTIAL_CORR_SQL, tags=("A1", "F3"), doc="")
+def x_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL correlation r_xy·z per return flag — quantity vs line
+    price CONTROLLING for discount (the confounder-removal step raw
+    correlation analysis skips, and the reason 'qty correlates with
+    price' can be pure discount policy): all three pairwise Pearson r's
+    derive from ONE pass collecting ten exact sufficient statistics
+    (n + 3 sums + 3 squares + 3 cross-products, every product
+    DECIMAL(38,0)-widened integer cents/units), then
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)) is a closed form
+    over identical doubles, floor-e6. The same ten numbers answer ANY
+    of the three partials — the sufficient-statistics payoff. One
+    fact pass, 3-row output, zero joins."""
+    li = T(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("y"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("z"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = v.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(d("x")).cast("double").alias("sx"),
+        F.sum(d("y")).cast("double").alias("sy"),
+        F.sum(d("z")).cast("double").alias("sz"),
+        F.sum(d("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(d("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(d("z") * F.col("z")).cast("double").alias("szz"),
+        F.sum(d("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(d("x") * F.col("z")).cast("double").alias("sxz"),
+        F.sum(d("y") * F.col("z")).cast("double").alias("syz"),
+    )
+    n = F.col("n")
+
+    def corr(sab, sa, sb, saa, sbb):
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / F.sqrt(
+            (n * F.col(saa) - F.col(sa) * F.col(sa))
+            * (n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    rxy = corr("sxy", "sx", "sy", "sxx", "syy")
+    rxz = corr("sxz", "sx", "sz", "sxx", "szz")
+    ryz = corr("syz", "sy", "sz", "syy", "szz")
+    return s.select(
+        "flag",
+        n.alias("n_items"),
+        F.floor(F.lit(1000000.0) * rxy).cast("bigint").alias("r_xy_e6"),
+        F.floor(
+            F.lit(1000000.0)
+            * (rxy - rxz * ryz)
+            / F.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+        )
+        .cast("bigint")
+        .alias("r_xy_given_z_e6"),
+    )
+
+
+_JARQUE_BERA_SQL = """
+WITH v AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+  FROM orders),
+s AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x * x) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0))
+                  * CAST(CAST(x AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))
+              AS DOUBLE) AS s4
+  FROM v GROUP BY 1),
+m AS (
+  SELECT g, n,
+         s1 / n AS m1,
+         s2 / n - (s1 / n) * (s1 / n) AS m2,
+         s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n)
+           AS m3,
+         s4 / n - 4 * (s1 / n) * (s3 / n)
+           + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+           - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+  FROM s)
+SELECT g AS priority, n AS n_orders,
+       CAST(FLOOR(1000000.0 * m3 / POWER(m2, 1.5)) AS BIGINT) AS skew_e6,
+       CAST(FLOOR(1000000.0 * (m4 / (m2 * m2) - 3)) AS BIGINT)
+         AS excess_kurtosis_e6,
+       CAST(FLOOR(1000000.0 * n / 6.0
+              * (m3 / POWER(m2, 1.5) * (m3 / POWER(m2, 1.5))
+                 + (m4 / (m2 * m2) - 3) * (m4 / (m2 * m2) - 3) / 4.0))
+            AS BIGINT) AS jb_e6
+FROM m
+"""
+
+
+@register("x_jarque_bera", oracle=_JARQUE_BERA_SQL, tags=("A1", "F3"), doc="")
+def x_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE-BERA normality test per priority — the assumption gate
+    for everything downstream that quietly assumes Gaussian residuals
+    (x_anomaly_zscore's 3-sigma fence, x_control_chart's limits, the
+    t-tests): JB = n/6·(S² + K²/4) where skewness S and excess kurtosis
+    K derive from the first FOUR raw power sums — one pass, four exact
+    DECIMAL(38,0) reductions (x² re-widened before squaring so x⁴ stays
+    exact), central moments by the binomial expansion on identical
+    doubles, floor-e6. Order values are wildly non-normal (uniform-ish
+    mixture) — JB screams, which is the point: the number says WHOSE
+    sigma-based alarms are lying. Sufficient-statistics shape: the same
+    four sums answer skew, kurtosis, and the test."""
+    o = T(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    x2 = (xd * F.col("x")).cast("decimal(38,0)")
+    s = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(xd).cast("double").alias("s1"),
+        F.sum(xd * F.col("x")).cast("double").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).cast("double").alias("s3"),
+        F.sum(x2 * x2).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n - m1 * m1
+    m3 = F.col("s3") / n - 3 * m1 * (F.col("s2") / n) + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / n
+        - 4 * m1 * (F.col("s3") / n)
+        + 6 * m1 * m1 * (F.col("s2") / n)
+        - 3 * m1 * m1 * m1 * m1
+    )
+    skew = m3 / F.pow(m2, 1.5)
+    kurt = m4 / (m2 * m2) - 3
+    return s.select(
+        F.col("g").alias("priority"),
+        n.alias("n_orders"),
+        F.floor(F.lit(1000000.0) * skew).cast("bigint").alias("skew_e6"),
+        F.floor(F.lit(1000000.0) * kurt)
+        .cast("bigint")
+        .alias("excess_kurtosis_e6"),
+        F.floor(
+            F.lit(1000000.0) * n / 6.0 * (skew * skew + kurt * kurt / 4.0)
+        )
+        .cast("bigint")
+        .alias("jb_e6"),
+    )
+
+
+_TUKEY_HSD_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS sx,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS DECIMAL(38,0))
+                  * CAST(round(o_totalprice * 100, 0) AS BIGINT))
+              AS DECIMAL(38,0)) AS sxx
+  FROM orders GROUP BY 1),
+mw AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(
+           CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n
+         AS DECIMAL(25,4))) AS DOUBLE) AS ss_within
+  FROM s)
+SELECT a.g AS group_a, b.g AS group_b,
+       CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       CAST(FLOOR(100.0 * (CAST(a.sx AS DOUBLE) / a.n
+                           - CAST(b.sx AS DOUBLE) / b.n)) AS BIGINT)
+         AS mean_diff_e2,
+       CAST(FLOOR(1000000.0 *
+              (CAST(a.sx AS DOUBLE) / a.n - CAST(b.sx AS DOUBLE) / b.n)
+              / SQRT(mw.ss_within / (mw.nn - mw.k) / 2.0
+                     * (1.0 / a.n + 1.0 / b.n))) AS BIGINT) AS q_e6
+FROM s a JOIN s b ON a.g < b.g CROSS JOIN mw
+"""
+
+
+@register("x_tukey_hsd", oracle=_TUKEY_HSD_SQL, tags=("A6", "J8"), doc="")
+def x_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TUKEY HSD pairwise comparisons — the post-hoc step after
+    x_anova_oneway says 'SOMETHING differs' (running 10 unadjusted
+    t-tests is the multiple-comparisons sin; Tukey's studentized range
+    q uses the POOLED within-group variance and a single common
+    critical value): all C(5,2)=10 ordered pairs from the per-group
+    sufficient statistics (n, Σx, Σx² — exact cents, DECIMAL(38,0)
+    squares), MS_within assembled from per-group SS terms quantized
+    DECIMAL(25,4) before the 5-row sum, q = Δmean/√(MS_w/2·(1/nₐ+1/n_b))
+    (the Tukey-Kramer unequal-n form), floor-e6. The pair join runs on
+    the 5-ROW aggregate table — the facts are never self-joined."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    s = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("sx"),
+        F.sum(cents.cast("decimal(38,0)") * cents)
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+    )
+    mw = s.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+            ).cast("decimal(25,4)")
+        )
+        .cast("double")
+        .alias("ss_within"),
+    )
+    a = s.select(
+        F.col("g").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("sx").alias("sx_a"),
+    )
+    b = s.select(
+        F.col("g").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("sx").alias("sx_b"),
+    )
+    pairs = a.join(b, on=[F.col("group_a") < F.col("group_b")]).crossJoin(
+        F.broadcast(mw)
+    )
+    dmean = (
+        F.col("sx_a").cast("double") / F.col("n_a")
+        - F.col("sx_b").cast("double") / F.col("n_b")
+    )
+    ms_w = F.col("ss_within") / (F.col("nn") - F.col("k"))
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.floor(F.lit(100.0) * dmean).cast("bigint").alias("mean_diff_e2"),
+        F.floor(
+            F.lit(1000000.0)
+            * dmean
+            / F.sqrt(
+                ms_w / 2.0 * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+            )
+        )
+        .cast("bigint")
+        .alias("q_e6"),
+    )

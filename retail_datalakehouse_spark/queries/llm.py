@@ -6178,3 +6178,161 @@ def l6_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_e6"),
     )
+
+
+_MAP_SQL = """
+WITH ranked AS (
+  SELECT source,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY n_chars DESC, doc_id) AS BIGINT) AS r
+  FROM documents),
+hits AS (
+  SELECT source, r,
+         CAST(SUM(rel) OVER (PARTITION BY source ORDER BY r) AS BIGINT)
+           AS cum_hits,
+         rel
+  FROM ranked),
+ap AS (
+  SELECT source,
+         CAST(SUM(rel) AS BIGINT) AS n_rel,
+         CAST(SUM(CASE WHEN rel = 1
+              THEN CAST(CAST(cum_hits AS DOUBLE) / r AS DECIMAL(18,9))
+              ELSE 0 END) AS DOUBLE) AS ap_sum
+  FROM hits GROUP BY 1)
+SELECT source, n_rel,
+       CAST(FLOOR(1000000.0 * ap_sum / n_rel) AS BIGINT) AS ap_e6
+FROM ap WHERE n_rel > 0
+"""
+
+
+@register("l6_mean_avg_precision", oracle=_MAP_SQL, tags=("L6", "W1"), doc="")
+def l6_mean_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVERAGE PRECISION per source (the area-under-PR-curve member of
+    the retrieval battery — P@k is one point, MRR the first hit, DCG a
+    discounted sum; AP integrates precision OVER the relevant hits and
+    is the MAP everyone reports averaged): each source's docs ranked by
+    (n_chars DESC, doc_id) — a fully deterministic total order —
+    relevance = lang='en', AP = Σ_{hits} precision@rank / n_rel. Every
+    precision@rank is the exact rational cum_hits/rank on identical
+    integers; terms are quantized DECIMAL(18,9) before the per-source
+    sum (order independence) with one closing floor-e6 division.
+    Zero-relevant sources excluded, pinned. Plan: one ranking window +
+    one running-sum window per source partition, O(docs) total."""
+    from pyspark.sql import Window
+
+    ranked = T(spark, sf_dir, "documents").select(
+        "source",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("rel"),
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), F.col("doc_id")
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    w = Window.partitionBy("source").orderBy("r")
+    hits = ranked.select(
+        "source",
+        "r",
+        "rel",
+        F.sum("rel").over(w).cast("bigint").alias("cum_hits"),
+    )
+    ap = hits.groupBy("source").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rel") == 1,
+                (F.col("cum_hits").cast("double") / F.col("r")).cast(
+                    "decimal(18,9)"
+                ),
+            ).otherwise(F.lit(0).cast("decimal(18,9)"))
+        )
+        .cast("double")
+        .alias("ap_sum"),
+    )
+    return ap.where(F.col("n_rel") > 0).select(
+        "source",
+        "n_rel",
+        F.floor(F.lit(1000000.0) * F.col("ap_sum") / F.col("n_rel"))
+        .cast("bigint")
+        .alias("ap_e6"),
+    )
+
+
+_BURSTINESS_SQL = """
+WITH tok AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS g FROM documents),
+dc AS (
+  SELECT g, doc_id, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+stats AS (
+  SELECT g,
+         CAST(SUM(c) AS BIGINT) AS total,
+         CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS BIGINT) AS c2,
+         CAST(COUNT(*) AS BIGINT) AS df
+  FROM dc GROUP BY 1),
+top AS (
+  SELECT s.*, n.nd FROM stats s CROSS JOIN n_docs n
+  ORDER BY s.total DESC, s.g LIMIT 20)
+SELECT g AS token, total, df AS doc_freq,
+       CAST(FLOOR(1000000.0 *
+              (CAST(nd AS DOUBLE) * c2 - CAST(total AS DOUBLE) * total)
+              / (CAST(nd AS DOUBLE) * total)) AS BIGINT) AS dispersion_e6
+FROM top
+"""
+
+
+@register("l4_burstiness", oracle=_BURSTINESS_SQL, tags=("L4", "O1"), doc="")
+def l4_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token BURSTINESS — the variance-to-mean dispersion index D over
+    per-document counts for the top-20 corpus tokens (Church & Gale's
+    observation operationalized: content words arrive in BURSTS, D ≫ 1;
+    function words scatter Poisson-like, D ≈ 1 — the signal that
+    separates topical terms from glue without any list, feeding the
+    same corpus-hygiene stack as l4_zipf_exponent): zeros included by
+    algebra, not by densifying — D = (N·Σc² − (Σc)²)/(N·Σc) over the
+    docs the token DOES appear in plus the zero mass the closed form
+    already accounts for, so the whole statistic is three integer
+    counters per token and one floor-e6 division. Top-20 pinned by
+    (total DESC, token) — a deterministic TakeOrderedAndProject, never
+    a global sort. One explode, one (token, doc) rollup, one token
+    reduce."""
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("g")
+    )
+    dc = tok.groupBy("g", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = T(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    stats = dc.groupBy("g").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("bigint")
+        .alias("c2"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    top = (
+        stats.crossJoin(F.broadcast(nd))
+        .orderBy(F.col("total").desc(), F.col("g"))
+        .limit(20)
+    )
+    return top.select(
+        F.col("g").alias("token"),
+        "total",
+        F.col("df").alias("doc_freq"),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("nd").cast("double") * F.col("c2")
+                - F.col("total").cast("double") * F.col("total")
+            )
+            / (F.col("nd").cast("double") * F.col("total"))
+        )
+        .cast("bigint")
+        .alias("dispersion_e6"),
+    )

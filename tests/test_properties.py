@@ -478,3 +478,181 @@ def test_mor_update_delete_chain_matches_reference(spark, tmp_path_factory, ops)
         feed = sorted(map(tuple, t.changes_feed(1, head).collect()))
         diff = sorted(map(tuple, t.changes(1, head, keys=["id"]).collect()))
         assert feed == diff
+
+
+# ---- r13 integer-identity properties (pure Python — the algebraic
+# forms the r13 queries rely on, fuzzed against their literal
+# definitions; no Spark session needed)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 12), st.booleans()), min_size=2, max_size=60
+    ).filter(lambda r: any(y for _, y in r) and any(not y for _, y in r))
+)
+@settings(max_examples=200, deadline=None)
+def test_doubled_rank_auc_identity(rows):
+    """l6_auc_roc's grouped doubled-rank form == the pairwise AUC
+    definition (ties count 1/2) for ANY multiset with both classes."""
+    from collections import Counter
+
+    pos = [s for s, y in rows if y]
+    neg = [s for s, y in rows if not y]
+    brute = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+
+    by_score = Counter(s for s, _ in rows)
+    np_by_score = Counter(s for s, y in rows if y)
+    cum = 0
+    r2_pos = 0
+    for s in sorted(by_score):
+        cnt = by_score[s]
+        r2_pos += np_by_score.get(s, 0) * (2 * cum + cnt + 1)
+        cum += cnt
+    n_pos, n_neg = len(pos), len(neg)
+    auc = (r2_pos - n_pos * (n_pos + 1)) / (2.0 * n_pos * n_neg)
+    assert abs(auc - brute) < 1e-12
+
+
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 9)), min_size=1, max_size=50
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_weighted_quantile_integer_boundary(vals):
+    """x_weighted_quantiles' cross-multiplied cut (4cw >= tw etc.) ==
+    the literal 'smallest value whose cumulative weight reaches p*W'
+    under the lower convention, for p in {1/4, 1/2, 3/4}."""
+    from fractions import Fraction
+
+    agg: dict[int, int] = {}
+    for v, w in vals:
+        agg[v] = agg.get(v, 0) + w
+    tw = sum(agg.values())
+    for num, den in [(1, 4), (1, 2), (3, 4)]:
+        cum = 0
+        literal = None
+        for v in sorted(agg):
+            cum += agg[v]
+            if Fraction(cum, tw) >= Fraction(num, den):
+                literal = v
+                break
+        cum = 0
+        integer = None
+        for v in sorted(agg):
+            cum += agg[v]
+            if den * cum >= num * tw:
+                integer = v
+                break
+        assert integer == literal
+
+
+@given(
+    win=st.lists(st.integers(0, 10**7), min_size=2, max_size=20)
+)
+@settings(max_examples=300, deadline=None)
+def test_bollinger_integer_band_identity(win):
+    """x_bollinger_bands' (n*x-s)^2 > 4(n*s2-s^2) == |x-mu| > 2*sigma
+    EXACTLY (both sides of the comparison are the same rational scaled
+    by n^2 > 0), fuzzed including the exact-boundary case."""
+    from fractions import Fraction
+
+    x = win[-1]
+    n, s, s2 = len(win), sum(win), sum(v * v for v in win)
+    int_breach = (n * x - s) ** 2 > 4 * (n * s2 - s * s)
+    mu = Fraction(s, n)
+    var = Fraction(s2, n) - mu * mu
+    exact_breach = (Fraction(x) - mu) ** 2 > 4 * var
+    assert int_breach == exact_breach
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(1, 6)), min_size=2, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_gini_doubled_rank_identity(rows):
+    """x_gini_revenue's doubled-average-rank form == the classic
+    sorted-index Gini G = (2*sum(i*x_i) - (n+1)*sum(x))/(n*sum(x))
+    computed with MEAN-of-ties index positions."""
+    from collections import Counter
+    from fractions import Fraction
+
+    xs = sorted(v for v, c in rows for _ in range(c))
+    n = len(xs)
+    t = sum(xs)
+    if t == 0:
+        return
+    # classic with average positions for ties
+    by_val = Counter(xs)
+    pos = 0
+    num = Fraction(0)
+    for v in sorted(by_val):
+        cnt = by_val[v]
+        avg_rank = Fraction(2 * pos + cnt + 1, 2)
+        num += avg_rank * v * cnt
+        pos += cnt
+    classic = Fraction(2) * num / (n * t) - Fraction(n + 1, n)
+
+    # doubled-rank (the query's form): dr = 2*cum_before + cnt + 1
+    cum = 0
+    drx = 0
+    for v in sorted(by_val):
+        cnt = by_val[v]
+        dr = 2 * cum + cnt + 1
+        drx += dr * v * cnt
+        cum += cnt
+    query_form = Fraction(drx, n * t) - Fraction(n + 1, n)
+    assert classic == query_form
+
+
+@given(
+    subjects=st.lists(
+        st.tuples(st.integers(0, 15), st.booleans()), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_kaplan_meier_associative_sum_equals_sequential_product(subjects):
+    """x_kaplan_meier's 'sum of per-step log factors over dur <= h'
+    == the sequential KM product, for every horizon (exact rational
+    check; the query's DECIMAL(18,9) quantization only affects the
+    final rendering)."""
+    from collections import Counter
+    from fractions import Fraction
+
+    m = Counter(d for d, _ in subjects)
+    dd = Counter(d for d, obs in subjects if obs)
+    n_total = len(subjects)
+    durs = sorted(m)
+    for h in (3, 7, 12):
+        # sequential product
+        seq = Fraction(1)
+        removed = 0
+        hit_zero = False
+        for t in durs:
+            n_at_risk = n_total - removed
+            d = dd.get(t, 0)
+            if t <= h and d > 0:
+                if d >= n_at_risk:
+                    hit_zero = True
+                else:
+                    seq *= Fraction(n_at_risk - d, n_at_risk)
+            removed += m[t]
+        # associative form: product over qualifying steps in ANY order
+        factors = []
+        removed = 0
+        for t in durs:
+            n_at_risk = n_total - removed
+            d = dd.get(t, 0)
+            if t <= h and 0 < d < n_at_risk:
+                factors.append(Fraction(n_at_risk - d, n_at_risk))
+            removed += m[t]
+        assoc = Fraction(1)
+        for f in reversed(factors):  # deliberately a different order
+            assoc *= f
+        if hit_zero:
+            continue  # query pins survival to 0; product identity moot
+        assert assoc == seq

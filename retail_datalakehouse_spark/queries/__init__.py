@@ -704,6 +704,12 @@ _PROMOTE_R13 = [
 #   re-widened DECIMAL(38,0) squares); says whose sigma alarms lie.
 # x_tukey_hsd — post-hoc studentized-range pairs (Tukey-Kramer form)
 #   over the 5-ROW aggregate table; facts never self-joined.
+# x_delta_partitioned_export — identity-partitioned hive layouts export
+#   real Delta partitionValues + partitionColumns (guard removed, the
+#   Iceberg sibling's log-replay counterpart); the independent reader
+#   injects metadata-borne values and partition_filter prunes the file
+#   list during replay; partitionColumns changes refuse. All six
+#   delta-touching queries re-gated green after the exporter change.
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates

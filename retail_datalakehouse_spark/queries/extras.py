@@ -5434,3 +5434,75 @@ def x_iceberg_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("urgent_checksum"),
         )
     )
+
+
+_DELTA_PART_SQL = f"""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_orderkey END) AS BIGINT) AS urgent_checksum
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "x_delta_partitioned_export", oracle=_DELTA_PART_SQL, tags=("S3", "P4"), doc=""
+)
+def x_delta_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta export of an identity-PARTITIONED table (the
+    x_iceberg_partitioned_export sibling on the log-replay side of the
+    fence): the hive `priority=X/` layout exports with
+    `metaData.partitionColumns` and REAL per-add `partitionValues`
+    string maps (the spec's metadata-borne identity values — the files
+    don't contain the column), and the independent log-replay reader
+    injects them as typed literals while `partition_filter` prunes the
+    FILE LIST during replay, before any data I/O. The in-query
+    assertion pins that the pruned read touched ONLY the matching
+    partition's files. The structural contrast with the Iceberg
+    sibling: here pruning happens while REPLAYING the action log
+    (O(history) planning); there it's one self-contained snapshot's
+    manifest walk — same values, different metadata economics.
+    Aggregate runs on the re-imported table with the urgent_checksum
+    recomputed from the PRUNED read; the oracle recomputes from
+    pristine orders."""
+    import tempfile
+
+    from ..sources.delta_import import read_delta_snapshot
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_dpart_"))
+    t.overwrite(o, partition_by=["o_orderpriority"])
+    t.export_delta_log()
+
+    full = read_delta_snapshot(spark, t.path)
+    pruned = read_delta_snapshot(
+        spark, t.path, partition_filter={"o_orderpriority": "1-URGENT"}
+    )
+    assert all(
+        "o_orderpriority=1-URGENT" in p for p in pruned.inputFiles()
+    ), pruned.inputFiles()
+    urgent = pruned.agg(F.sum("o_orderkey").cast("bigint").alias("uc"))
+    return (
+        full.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+        .crossJoin(F.broadcast(urgent))
+        .select(
+            "priority",
+            "n_orders",
+            "key_checksum",
+            "revenue",
+            F.when(F.col("priority") == "1-URGENT", F.col("uc"))
+            .cast("bigint")
+            .alias("urgent_checksum"),
+        )
+    )

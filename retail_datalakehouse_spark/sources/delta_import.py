@@ -8,8 +8,9 @@ Deliberately independent of VersionedTable: it reads ONLY the public log
 format (JSON actions, %020d commit files), exactly what delta-rs or
 duckdb's delta extension would do, so it works on foreign Delta tables
 too — scoped to what the minimal protocol guarantees: plain-parquet adds
-with empty ``partitionValues`` (partitioned/column-mapped/DV-bearing
-tables need reader features this module refuses rather than misreads).
+plus identity-partitioned layouts whose values ride each add's
+``partitionValues`` string map (column-mapped/DV-bearing tables need
+reader features this module refuses rather than misreads).
 
 Scale notes: log replay is driver-side O(actions) JSON — the same cost a
 Delta reader pays before its first byte of data; the data read itself is
@@ -38,7 +39,10 @@ def _commit_files(log_dir: str) -> list[str]:
 
 
 def read_delta_snapshot(
-    spark: SparkSession, table_root: str, version: int | None = None
+    spark: SparkSession,
+    table_root: str,
+    version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read the Delta table at ``table_root`` — latest commit, or the
     state as of delta commit ``version`` (inclusive) for time travel.
@@ -48,7 +52,14 @@ def read_delta_snapshot(
     cancels an earlier ``add`` of the same path), then hands Spark the
     surviving file list with the log's own ``schemaString`` (so the read
     schema is the LOG's contract, not parquet inference — exactly how a
-    Delta reader resolves column types after widening)."""
+    Delta reader resolves column types after widening).
+
+    PARTITIONED tables (identity hive layouts) resolve the Delta way:
+    partition column values come from each add's ``partitionValues``
+    string map — never from the parquet (the files don't contain the
+    column) — injected as typed literals per partition group, and
+    ``partition_filter`` ({column: value}) prunes the FILE LIST during
+    log replay, before any data I/O (Delta's partition pruning)."""
     log_dir = os.path.join(table_root, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"no _delta_log under {table_root}")
@@ -66,6 +77,7 @@ def read_delta_snapshot(
             )
     live: dict[str, dict] = {}
     schema_str = None
+    part_cols: list[str] = []
     for fn in commits:
         with open(os.path.join(log_dir, fn)) as fh:
             for line in fh:
@@ -76,11 +88,7 @@ def read_delta_snapshot(
                     live.pop(unquote(a["remove"]["path"]), None)
                 elif "metaData" in a:
                     md = a["metaData"]
-                    if md.get("partitionColumns"):
-                        raise ValueError(
-                            "partitioned Delta tables need partitionValues "
-                            "resolution this minimal reader doesn't implement"
-                        )
+                    part_cols = md.get("partitionColumns", [])
                     schema_str = md["schemaString"]
                 elif "protocol" in a:
                     if a["protocol"].get("minReaderVersion", 1) > 1:
@@ -90,11 +98,46 @@ def read_delta_snapshot(
                         )
     if schema_str is None:
         raise ValueError(f"log at {log_dir} carries no metaData action")
+    if partition_filter and not set(partition_filter) <= set(part_cols):
+        raise ValueError(
+            f"partition_filter keys {sorted(partition_filter)} not all in "
+            f"partitionColumns {part_cols}"
+        )
+    if partition_filter:
+        live = {
+            rel: add
+            for rel, add in live.items()
+            if all(
+                str(add.get("partitionValues", {}).get(k)) == str(v)
+                for k, v in partition_filter.items()
+            )
+        }
     schema = StructType.fromJson(json.loads(schema_str))
     if not live:
         return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_root, rel) for rel in live]
-    return spark.read.schema(schema).parquet(*paths)
+    if not part_cols:
+        paths = [os.path.join(table_root, rel) for rel in live]
+        return spark.read.schema(schema).parquet(*paths)
+
+    # partitioned: metadata-borne values injected per partition group
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType as _St
+
+    by_name = {f.name: f for f in schema.fields}
+    file_schema = _St([f for f in schema.fields if f.name not in part_cols])
+    groups: dict[tuple, list[str]] = {}
+    for rel, add in live.items():
+        pv = add.get("partitionValues", {})
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(table_root, rel))
+    out: DataFrame | None = None
+    for key, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.schema(file_schema).parquet(*paths)
+        for c, raw in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(raw).cast(by_name[c].dataType))
+        df = df.select(*[f.name for f in schema.fields])
+        out = df if out is None else out.unionByName(df)
+    return out
 
 
 def delta_log_summary(table_root: str) -> dict:

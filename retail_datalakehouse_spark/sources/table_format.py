@@ -276,6 +276,29 @@ _ICEBERG_TYPES = {
 }
 
 
+def _hive_partition_values(rel: str, part_cols: list[str]) -> dict:
+    """Recover a file's identity partition values from its hive
+    ``col=value`` path segments — the shared metadata-borne-values
+    source for BOTH open-table exporters (Delta partitionValues,
+    Iceberg data_file.partition). Values stay the path's STRING
+    rendering (readers cast under the table schema);
+    ``__HIVE_DEFAULT_PARTITION__`` maps to None."""
+    if not part_cols:
+        return {}
+    from urllib.parse import unquote
+
+    seg_vals = dict(seg.split("=", 1) for seg in rel.split("/") if "=" in seg)
+    out: dict = {}
+    for c in part_cols:
+        if c not in seg_vals:
+            raise ValueError(
+                f"partitioned export: file {rel!r} lacks a {c}= path segment"
+            )
+        raw = unquote(seg_vals[c])
+        out[c] = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+    return out
+
+
 def _iceberg_schema(
     schema, known_ids: dict[str, int] | None = None
 ) -> tuple[dict, dict[str, int]]:
@@ -4699,9 +4722,12 @@ class VersionedTable:
 
         Faithful to the spec:
         - ``metaData.schemaString`` is the Spark StructType JSON (the
-          exact format Delta uses);
+          exact format Delta uses), ``partitionColumns`` the snapshot's
+          hive partition_by columns;
         - each ``add`` carries ``path`` (relative, URL-quoted),
-          ``partitionValues`` ({} — see below), ``size``,
+          ``partitionValues`` (the spec's string map, recovered from the
+          hive path segments — identity partition values are
+          METADATA-borne; the files don't contain the column), ``size``,
           ``modificationTime``, ``dataChange``, and a ``stats`` JSON
           string with ``numRecords`` plus ``minValues``/``maxValues``
           for primitive columns when the manifest has them (Delta
@@ -4720,11 +4746,14 @@ class VersionedTable:
         expiring history).
 
         Scope guards: MOR versions (pending tombstones have no plain-add
-        representation — compact first), hive/hidden partition layouts
-        and column-mapped schemas (they need partitionValues /
-        columnMapping metadata this minimal exporter doesn't emit)
-        raise. The export pins NOTHING: expiring the snapshot afterwards
-        (vacuum) dangles the log — tag the version to retain it.
+        representation — compact first), HIDDEN-partition (transform)
+        layouts (Delta partitions are physical columns), column-mapped
+        schemas (they need columnMapping metadata this minimal exporter
+        doesn't emit), and partitionColumns CHANGES between exports
+        (Delta fixes partitioning at table creation) raise; identity
+        hive layouts export real partitionValues. The export pins
+        NOTHING: expiring the snapshot afterwards (vacuum) dangles the
+        log — tag the version to retain it.
 
         Returns the path of the commit file written."""
         v = self.current_version() if version is None else version
@@ -4736,16 +4765,18 @@ class VersionedTable:
                 "delta export of a merge-on-read version would resurrect "
                 "tombstoned rows; compact first"
             )
-        if entry.get("partition_by") or entry.get("hidden_partition"):
+        if entry.get("hidden_partition"):
             raise ValueError(
-                "delta export emits partitionValues for unpartitioned "
-                "snapshots only; compact to a clustered layout first"
+                "delta export of a hidden-partition layout has no Delta "
+                "representation (Delta partitions are physical columns); "
+                "compact to a clustered layout first"
             )
         if entry.get("column_renames") or entry.get("column_drops"):
             raise ValueError(
                 "delta export of a column-mapped schema needs columnMapping "
                 "metadata; materialize the mapping (compact) first"
             )
+        part_cols: list[str] = list(entry.get("partition_by") or [])
         files = self._delta_file_list(entry)
         schema_json = self.read_version(v).schema.json()
         log_dir = os.path.join(self.path, "_delta_log")
@@ -4758,13 +4789,13 @@ class VersionedTable:
         if not existing:
             actions = [
                 {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-                self._delta_metadata_action(schema_json, now_ms),
-                *(self._delta_add_action(f) for f in files),
+                self._delta_metadata_action(schema_json, now_ms, part_cols),
+                *(self._delta_add_action(f, part_cols) for f in files),
             ]
             n_commit, op = 0, "CONVERT"
         else:
             # diff against the last exported snapshot
-            v0, last_schema = None, None
+            v0, last_schema, last_parts = None, None, None
             for fn in existing:
                 with open(os.path.join(log_dir, fn)) as fh:
                     for line in fh:
@@ -4775,6 +4806,9 @@ class VersionedTable:
                             )
                         elif "metaData" in a:
                             last_schema = a["metaData"]["schemaString"]
+                            last_parts = a["metaData"].get(
+                                "partitionColumns", []
+                            )
             if v0 == v:
                 return os.path.join(log_dir, existing[-1])  # idempotent
             if v0 is None or v < v0:
@@ -4782,15 +4816,27 @@ class VersionedTable:
                     f"delta log at {log_dir} is ahead of version {v} "
                     f"(last exported {v0}); the log is forward-only"
                 )
+            if last_parts is not None and last_parts != part_cols:
+                # Delta's partitioning is fixed at table creation; a
+                # layout change between exports has no log representation
+                raise ValueError(
+                    "delta export does not evolve partitionColumns; the "
+                    "table's partition_by changed since the last export "
+                    "(compact to one layout first)"
+                )
             prev = {
                 f["__rel"]: f for f in self._delta_file_list(self._manifest(v0))
             }
             cur = {f["__rel"]: f for f in files}
             actions = []
             if last_schema != schema_json:
-                actions.append(self._delta_metadata_action(schema_json, now_ms))
+                actions.append(
+                    self._delta_metadata_action(schema_json, now_ms, part_cols)
+                )
             actions.extend(
-                self._delta_add_action(cur[r]) for r in cur if r not in prev
+                self._delta_add_action(cur[r], part_cols)
+                for r in cur
+                if r not in prev
             )
             actions.extend(
                 {
@@ -4842,19 +4888,23 @@ class VersionedTable:
         ]
 
     @staticmethod
-    def _delta_metadata_action(schema_json: str, now_ms: int) -> dict:
+    def _delta_metadata_action(
+        schema_json: str, now_ms: int, part_cols: list[str] | None = None
+    ) -> dict:
         return {
             "metaData": {
                 "id": uuid.uuid4().hex,
                 "format": {"provider": "parquet", "options": {}},
                 "schemaString": schema_json,
-                "partitionColumns": [],
+                "partitionColumns": list(part_cols or []),
                 "configuration": {},
                 "createdTime": now_ms,
             }
         }
 
-    def _delta_add_action(self, f: dict) -> dict:
+    def _delta_add_action(
+        self, f: dict, part_cols: list[str] | None = None
+    ) -> dict:
         rel = f["__rel"]
         st = os.stat(os.path.join(self.path, rel))
         stats = {"numRecords": f.get("n_rows")}
@@ -4869,7 +4919,12 @@ class VersionedTable:
         return {
             "add": {
                 "path": _dl_quote(rel),
-                "partitionValues": {},
+                # Delta's metadata-borne identity partition values (the
+                # spec's string map; files under a hive layout don't
+                # contain the column)
+                "partitionValues": _hive_partition_values(
+                    rel, part_cols or []
+                ),
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": True,
@@ -5269,23 +5324,7 @@ class VersionedTable:
         # Identity-transform partition values are METADATA-borne in
         # Iceberg (readers never open a file to learn its partition):
         # recover them from the hive path segments the writer laid down.
-        partition: dict = {}
-        if part_cols:
-            from urllib.parse import unquote
-
-            seg_vals = dict(
-                seg.split("=", 1) for seg in rel.split("/") if "=" in seg
-            )
-            for c in part_cols:
-                if c not in seg_vals:
-                    raise ValueError(
-                        f"partitioned export: file {rel!r} lacks a "
-                        f"{c}= path segment"
-                    )
-                raw = unquote(seg_vals[c])
-                partition[c] = (
-                    None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
-                )
+        partition = _hive_partition_values(rel, part_cols or [])
         df: dict = {
             "content": 0,  # DATA (1/2 = eq/pos deletes, never exported)
             "file_path": rel,

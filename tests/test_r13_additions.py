@@ -343,3 +343,58 @@ def test_iceberg_partitioned_export(spark):
         raise AssertionError("spec change should refuse")
     except ValueError:
         pass
+
+
+def test_export_delta_log_partitioned(spark):
+    """Identity-partitioned hive layouts export real Delta
+    partitionValues: metadata-borne values (string map per add), typed
+    literal injection on read, file-list pruning during log replay,
+    partitionColumns-change refusal."""
+    from retail_datalakehouse_spark.sources.delta_import import (
+        delta_log_summary,
+        read_delta_snapshot,
+    )
+
+    root = tempfile.mkdtemp(prefix="rdl_dl_part_")
+    t = VersionedTable(spark, root)
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "a"), (3, 30, "b"), (4, 40, "c")],
+        "k long, v long, part string",
+    )
+    t.overwrite(df, partition_by=["part"])
+    t.export_delta_log()
+
+    # the log carries partitionColumns + per-add partitionValues
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json")) as fh:
+        actions = [json.loads(line) for line in fh]
+    md = next(a["metaData"] for a in actions if "metaData" in a)
+    assert md["partitionColumns"] == ["part"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert {a["partitionValues"]["part"] for a in adds} == {"a", "b", "c"}
+
+    # full read round-trips with the partition column typed + injected
+    full = read_delta_snapshot(spark, root)
+    assert sorted((r["k"], r["part"]) for r in full.collect()) == [
+        (1, "a"), (2, "a"), (3, "b"), (4, "c"),
+    ]
+    # pruning: only the matching partition's files are opened
+    pruned = read_delta_snapshot(spark, root, partition_filter={"part": "a"})
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 2]
+    assert all("part=a" in p for p in pruned.inputFiles())
+
+    # incremental append keeps the layout, diff commit carries values
+    t.append(spark.createDataFrame([(5, 50, "b")], "k long, v long, part string"))
+    t.export_delta_log()
+    again = read_delta_snapshot(spark, root, partition_filter={"part": "b"})
+    assert sorted(r["k"] for r in again.collect()) == [3, 5]
+    summary = delta_log_summary(root)
+    assert summary["n_commits"] == 2
+    assert summary["n_rows_from_stats"] == 5
+
+    # partitionColumns change between exports refuses
+    t.overwrite(df, partition_by=["part", "v"])
+    try:
+        t.export_delta_log()
+        raise AssertionError("partitionColumns change should refuse")
+    except ValueError:
+        pass

@@ -2720,9 +2720,17 @@ def test_export_delta_log_roundtrip(spark, tmp_path):
     t.delete_mor("k < 10", keys=["k"])
     with pytest.raises(ValueError, match="merge-on-read"):
         t.export_delta_log()
+    # identity-partitioned layouts EXPORT since r13 (real
+    # partitionValues — see test_export_delta_log_partitioned);
+    # hidden-partition transforms still refuse
     t2 = VersionedTable(spark, str(tmp_path / "dlp"))
-    t2.overwrite(df.withColumn("b", F.col("k") % 3), partition_by=["b"])
-    with pytest.raises(ValueError, match="partitionValues"):
+    t2.overwrite(
+        spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-02-01")], "k long, d string"
+        ).selectExpr("k", "CAST(d AS DATE) AS d"),
+        hidden_partition=("month", "d"),
+    )
+    with pytest.raises(ValueError, match="hidden-partition"):
         t2.export_delta_log()
     t3 = VersionedTable(spark, str(tmp_path / "dlr"))
     t3.overwrite(df)

@@ -2843,9 +2843,11 @@ def test_delta_import_reader_guards(spark, tmp_path):
     meta = {"metaData": {"id": "x", "format": {"provider": "parquet", "options": {}},
                          "schemaString": json.dumps(schema),
                          "partitionColumns": ["k"], "configuration": {}}}
+    # partitioned logs are READABLE since r13 (metadata-borne values);
+    # the guard that remains: a partition_filter key outside the spec
     commit(0, [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}, meta])
-    with pytest.raises(ValueError, match="partitionValues"):
-        read_delta_snapshot(spark, str(froot))
+    with pytest.raises(ValueError, match="partition_filter"):
+        read_delta_snapshot(spark, str(froot), partition_filter={"nope": 1})
 
     meta["metaData"]["partitionColumns"] = []
     commit(0, [{"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}}, meta])

@@ -710,6 +710,13 @@ _PROMOTE_R13 = [
 #   injects metadata-borne values and partition_filter prunes the file
 #   list during replay; partitionColumns changes refuse. All six
 #   delta-touching queries re-gated green after the exporter change.
+# x_wasserstein_1d — earth mover's distance vs the 5-LOW baseline:
+#   cross-multiplied CDF gaps make every segment's mass exact integer
+#   |n_b·cumA − n_a·cumB|·gap; ONE division at the end (the L1
+#   integral beside KS's supremum).
+# l6_aurc — area under the risk-coverage curve (selective prediction):
+#   pinned confidence order, exact rational cum_err/k terms quantized
+#   DECIMAL(18,9) pre-sum.
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates

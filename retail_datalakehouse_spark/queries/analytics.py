@@ -6206,3 +6206,116 @@ def x_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("q_e6"),
     )
+
+
+_WASSERSTEIN_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority <> '5-LOW' GROUP BY 1, 2),
+base AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY 1),
+na_ AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS na FROM daily GROUP BY 1),
+nb_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM base),
+grid AS (
+  SELECT g, v, CAST(SUM(ca) AS BIGINT) AS ca, CAST(SUM(cb) AS BIGINT) AS cb
+  FROM (
+    SELECT g, v, 1 AS ca, 0 AS cb FROM daily
+    UNION ALL
+    SELECT n.g, b.v, 0 AS ca, 1 AS cb FROM base b CROSS JOIN na_ n
+  ) u GROUP BY 1, 2),
+cum AS (
+  SELECT g, v,
+         CAST(SUM(ca) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cuma,
+         CAST(SUM(cb) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cumb,
+         LEAD(v) OVER (PARTITION BY g ORDER BY v) AS v_next
+  FROM grid),
+seg AS (
+  SELECT c.g, n.na, b.nb,
+         CAST(ABS(b.nb * c.cuma - n.na * c.cumb) AS DECIMAL(38,0))
+           * (c.v_next - c.v) AS mass
+  FROM cum c JOIN na_ n ON n.g = c.g CROSS JOIN nb_ b
+  WHERE c.v_next IS NOT NULL)
+SELECT g AS priority, MAX(na) AS n_days_a, MAX(nb) AS n_days_b,
+       CAST(FLOOR(CAST(SUM(mass) AS DOUBLE)
+                  / (MAX(na) * MAX(nb)) / 100.0) AS BIGINT) AS w1_dollars
+FROM seg GROUP BY 1
+"""
+
+
+@register("x_wasserstein_1d", oracle=_WASSERSTEIN_SQL, tags=("W3", "A6"), doc="")
+def x_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D WASSERSTEIN (earth mover's) distance between each priority's
+    daily-revenue distribution and the 5-LOW baseline — the L1 member
+    of the distribution-distance family (x_ks_two_sample takes the
+    SUPREMUM of the CDF gap — one bad point decides; W₁ INTEGRATES the
+    gap, the drift score distribution-shift monitors prefer because it
+    weighs how MUCH mass moved, not just whether some did):
+    W₁ = Σ segments (v_{i+1} − v_i)·|F_a(v_i) − F_b(v_i)| over the
+    merged value grid, and cross-multiplying the CDFs makes every
+    segment's mass the exact integer |n_b·cumA − n_a·cumB|·gap
+    (DECIMAL(38,0)) — ONE division at the very end, floored to whole
+    dollars. Same merged-grid shape as KS (the grid is SF-independent
+    daily aggregates), one running-sum window per pair."""
+    o = T(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    daily = (
+        o.where(F.col("o_orderpriority") != "5-LOW")
+        .groupBy(
+            F.col("o_orderpriority").alias("g"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("v"))
+    )
+    base = (
+        o.where(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.sum(cents).cast("bigint").alias("v"))
+    )
+    na_ = daily.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("na"))
+    nb_ = base.agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+    u = daily.select("g", "v", F.lit(1).alias("ca"), F.lit(0).alias("cb")).unionByName(
+        base.crossJoin(F.broadcast(na_.select("g"))).select(
+            "g", "v", F.lit(0).alias("ca"), F.lit(1).alias("cb")
+        )
+    )
+    grid = u.groupBy("g", "v").agg(
+        F.sum("ca").cast("bigint").alias("ca"),
+        F.sum("cb").cast("bigint").alias("cb"),
+    )
+    w = Window.partitionBy("g").orderBy("v")
+    cum = grid.select(
+        "g",
+        "v",
+        F.sum("ca").over(w).cast("bigint").alias("cuma"),
+        F.sum("cb").over(w).cast("bigint").alias("cumb"),
+        F.lead("v").over(w).alias("v_next"),
+    ).where(F.col("v_next").isNotNull())
+    seg = (
+        cum.join(F.broadcast(na_), on="g")
+        .crossJoin(F.broadcast(nb_))
+        .select(
+            "g",
+            "na",
+            "nb",
+            (
+                F.abs(
+                    F.col("nb") * F.col("cuma") - F.col("na") * F.col("cumb")
+                ).cast("decimal(38,0)")
+                * (F.col("v_next") - F.col("v"))
+            ).alias("mass"),
+        )
+    )
+    return seg.groupBy(F.col("g").alias("priority")).agg(
+        F.max("na").alias("n_days_a"),
+        F.max("nb").alias("n_days_b"),
+        F.floor(
+            F.sum("mass").cast("double")
+            / (F.max("na") * F.max("nb"))
+            / F.lit(100.0)
+        )
+        .cast("bigint")
+        .alias("w1_dollars"),
+    )

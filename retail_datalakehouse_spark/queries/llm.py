@@ -6336,3 +6336,96 @@ def l4_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dispersion_e6"),
     )
+
+
+_AURC_SQL = """
+WITH d AS (
+  SELECT source, doc_id, n_chars AS conf,
+         CASE WHEN (CASE WHEN n_chars >= 128 THEN 1 ELSE 0 END)
+                 != (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              THEN 1 ELSE 0 END AS err
+  FROM documents),
+r AS (
+  SELECT source, err,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY conf DESC, doc_id) AS BIGINT) AS k
+  FROM d),
+c AS (
+  SELECT source, k,
+         CAST(SUM(err) OVER (PARTITION BY source ORDER BY k) AS BIGINT)
+           AS cum_err
+  FROM r),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(CAST(cum_err AS DOUBLE) / k AS DECIMAL(18,9)))
+              AS DOUBLE) AS risk_sum,
+         CAST(MAX(cum_err) AS BIGINT) AS n_err
+  FROM c GROUP BY 1)
+SELECT source, n, n_err,
+       CAST(FLOOR(1000000.0 * risk_sum / n) AS BIGINT) AS aurc_e6
+FROM a
+"""
+
+
+@register("l6_aurc", oracle=_AURC_SQL, tags=("L6", "W3"), doc="")
+def l6_aurc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AURC — area under the risk-coverage curve per source (the
+    SELECTIVE-prediction metric beside l6_auc_roc's ranking and
+    l6_calibration_ece's calibration: if the classifier may ABSTAIN on
+    its least-confident documents, what error rate does each coverage
+    level buy? AURC integrates risk over coverage; a confidence signal
+    that actually orders errors last scores low): docs sort by
+    (confidence DESC, doc_id) — a pinned total order — and
+    AURC = (1/n)·Σₖ cum_err(k)/k. Every risk term is the exact rational
+    cum_err/k on identical integers, quantized DECIMAL(18,9) before the
+    per-source sum (order independence), one closing floor-e6 division.
+    The deterministic rule classifier and confidence = n_chars make
+    the fixture engine-free. One ranking window + one running sum —
+    O(docs), the l6_mean_avg_precision shape pointed at errors."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("conf"),
+        F.when(
+            F.when(F.col("n_chars") >= 128, 1).otherwise(0)
+            != F.when(F.col("lang") == "en", 1).otherwise(0),
+            1,
+        )
+        .otherwise(0)
+        .alias("err"),
+    )
+    r = d.select(
+        "source",
+        "err",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("conf").desc(), F.col("doc_id")
+            )
+        )
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy("k")
+    c = r.select(
+        "source", "k", F.sum("err").over(w).cast("bigint").alias("cum_err")
+    )
+    a = c.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            (F.col("cum_err").cast("double") / F.col("k")).cast("decimal(18,9)")
+        )
+        .cast("double")
+        .alias("risk_sum"),
+        F.max("cum_err").cast("bigint").alias("n_err"),
+    )
+    return a.select(
+        "source",
+        "n",
+        "n_err",
+        F.floor(F.lit(1000000.0) * F.col("risk_sum") / F.col("n"))
+        .cast("bigint")
+        .alias("aurc_e6"),
+    )

@@ -718,6 +718,43 @@ _PROMOTE_R13 = [
 #   pinned confidence order, exact rational cum_err/k terms quantized
 #   DECIMAL(18,9) pre-sum.
 
+# R14 ROTATION (driver gate = FIRST ~50 registry entries). Slots 1-20:
+# the RECONCILED never-driver-checked set — the drafted r13 queue held
+# 17 names, but the union of CORRECTNESS_r1..r13 vs the live registry
+# shows exactly 20 queries without a driver row (VERDICT r13 item 1):
+# the drafted 17 plus x_replace_range_incremental, x_wasserstein_1d,
+# and l6_aurc. After this rotation every registry query holds direct
+# driver evidence. Slots 21+: re-gates for code touched THIS round —
+# the global-ntile family rewritten onto the distributed two-pass rank
+# (w5 / RFM / gains; VERDICT r13 item 2), the two oracle upgrades from
+# rows-only to golden values (VERDICT item 5), and the t28 gate-cost
+# consolidation (VERDICT item 4). Remaining slots fall through to the
+# r13 prefix via dict-order dedupe.
+_PROMOTE_R14 = [
+    # -- the 20 never-driver-checked (set-verified against r1..r13):
+    "t33_stream_iceberg_sync",
+    "x_iceberg_partitioned_export",
+    "x_delta_partitioned_export",
+    "x_replace_range_incremental",
+    "x_two_way_anova",
+    "x_brown_forsythe",
+    "x_price_index",
+    "x_durbin_watson",
+    "x_gini_revenue",
+    "x_friedman_test",
+    "x_partial_correlation",
+    "x_jarque_bera",
+    "x_tukey_hsd",
+    "x_wasserstein_1d",
+    "x_order_by_all",
+    "x_select_except",
+    "l6_cochran_q",
+    "l6_mean_avg_precision",
+    "l6_aurc",
+    "l4_burstiness",
+    # -- re-gates for r14 code changes (appended as they ship):
+]
+
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green
 # in the r11 review's independent check_oracle run). The driver gates
 # exactly 50 slots, so 50 promote now; the two deferred to r13 are the
@@ -868,7 +905,7 @@ _PROMOTE_R12 = [
 #   identical Catalyst plan the classic-SQL oracle runs.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
-_head = {n: REGISTRY[n] for n in (*_PROMOTE_R13, *_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R14, *_PROMOTE_R13, *_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -753,6 +753,11 @@ _PROMOTE_R14 = [
     "l6_aurc",
     "l4_burstiness",
     # -- re-gates for r14 code changes (appended as they ship):
+    # global-ntile family rewritten onto operators/ranking.py's two-pass
+    # distributed rank (zero unpartitioned WindowExec, explain_audit-pinned):
+    "w5_ntile_percent_rank",
+    "x_rfm_segmentation",
+    "x_gains_table",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

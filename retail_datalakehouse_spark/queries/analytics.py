@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.ranking import attach_global_rank, ntile_from_rank
 from .base import register
 from .helpers import T, dsum, sql_dsum
 
@@ -1252,11 +1253,13 @@ FROM scored GROUP BY 1, 2, 3
 def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) customer segmentation — the
     retail-marketing classic: per-customer aggregates, quintile scores
-    via ntile, segment cell counts. Quintiles are a global sort at this
-    granularity (customers, already aggregated — 1000x smaller than the
-    fact); at extreme scale swap ntile for approx-percentile cutpoints
-    joined back. ntile ties broken by customer key so both engines cut
-    identically."""
+    via ntile, segment cell counts. The per-customer frame SCALES with
+    data volume, so each of the three quintile cuts runs as the two-pass
+    distributed rank (range-repartition + per-partition row_number +
+    broadcast offsets) with ntile derived arithmetically from
+    (rank, total) — never an unpartitioned WindowExec (pinned by
+    explain_audit). ntile ties broken by customer key so both engines
+    cut identically."""
     o = T(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
@@ -1265,10 +1268,15 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    scored = rfm.select(
-        F.ntile(5).over(Window.orderBy("last_order", "o_custkey")).cast("long").alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).cast("long").alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary", "o_custkey")).cast("long").alias("m_score"),
+    ranked = attach_global_rank(
+        rfm, ["last_order", "o_custkey"], rank_col="_rr", total_col="_c"
+    )
+    ranked = attach_global_rank(ranked, ["frequency", "o_custkey"], rank_col="_rf")
+    ranked = attach_global_rank(ranked, ["monetary", "o_custkey"], rank_col="_rm")
+    scored = ranked.select(
+        ntile_from_rank("_rr", "_c", 5).cast("long").alias("r_score"),
+        ntile_from_rank("_rf", "_c", 5).cast("long").alias("f_score"),
+        ntile_from_rank("_rm", "_c", 5).cast("long").alias("m_score"),
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
@@ -3250,15 +3258,18 @@ def x_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no float accumulation anywhere). Against a model score instead
     of spend, the identical shape reads lift@decile; cumulative gains
     are a running sum over these 10 rows. One customer-key reduction
-    pass plus one global-order window over the customers-sized
-    aggregate — the window input is customers, never orders."""
+    pass, then the two-pass distributed rank over the customers-sized
+    aggregate (range-repartition + per-partition row_number + broadcast
+    offsets) with the decile derived arithmetically from (rank, total)
+    — the frame scales with customers, so no unpartitioned WindowExec
+    anywhere in the plan (pinned by explain_audit)."""
     o = T(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("k")).agg(
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev")
     )
-    ranked = spend.select(
-        "k", "rev", F.ntile(10).over(Window.orderBy(F.desc("rev"), "k")).alias("decile")
-    )
+    ranked = attach_global_rank(
+        spend, [F.desc("rev"), F.asc("k")], rank_col="_r", total_col="_c"
+    ).select("k", "rev", ntile_from_rank("_r", "_c", 10).alias("decile"))
     tot = spend.agg(
         F.sum(F.col("rev").cast("decimal(25,2)")).cast("double").alias("total")
     )

@@ -12,6 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join
+from ..operators.ranking import (
+    attach_global_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
 from .base import register
 from .helpers import T, dsum, revenue_expr, sql_dsum
 
@@ -177,17 +182,30 @@ FROM spend
 )
 def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer spend quartiles: ntile(4) + percent_rank with a total
-    order (spend desc, custkey) so bucket boundaries are deterministic."""
+    order (spend desc, custkey) so bucket boundaries are deterministic.
+
+    The SEMANTICS are the inventory's global-order window; the PLAN is
+    the two-pass distributed rank (range-repartition -> per-partition
+    row_number -> broadcast offsets), because this frame scales with
+    customers — an unpartitioned WindowExec would single-task-sort
+    10^8-10^9 rows at 100 TB. ntile/percent_rank are then arithmetic on
+    (rank, total); explain_audit pins zero unpartitioned windows here.
+    """
     o = T(spark, sf_dir, "orders")
     spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         dsum("o_totalprice", scale=2).alias("total_spend")
     )
-    w = Window.orderBy(F.desc("total_spend"), F.asc("custkey"))
-    return spend.select(
+    ranked = attach_global_rank(
+        spend,
+        [F.desc("total_spend"), F.asc("custkey")],
+        rank_col="_r",
+        total_col="_c",
+    )
+    return ranked.select(
         "custkey",
         "total_spend",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        ntile_from_rank("_r", "_c", 4).cast("long").alias("quartile"),
+        F.round(percent_rank_from_rank("_r", "_c"), 6).alias("pct_rank"),
     )
 
 

@@ -1,0 +1,98 @@
+"""Round-14 additions: the distributed two-pass global rank that
+replaced the global-ntile family's unpartitioned windows (VERDICT r13
+item 2). The helper must reproduce SQL row_number/ntile/percent_rank
+bit-for-bit under a total order while keeping every window in the plan
+partitioned."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from retail_datalakehouse_spark.operators.ranking import (
+    attach_global_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
+
+
+def _spread_df(spark, n=997):
+    # deterministic, shuffled-looking keys: (id*7919) % n is a bijection
+    # on [0, n) for prime n, so ranks hit every value exactly once
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % n).alias("v"),
+    )
+
+
+def test_attach_global_rank_matches_window_row_number(spark):
+    df = _spread_df(spark).repartition(7)
+    got = attach_global_rank(df, [F.asc("v"), F.asc("k")], rank_col="r").select(
+        "k", "v", "r"
+    )
+    want = df.select(
+        "k", "v", F.row_number().over(Window.orderBy("v", "k")).cast("long").alias("r")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_attach_global_rank_descending_and_total(spark):
+    df = _spread_df(spark, n=101)
+    got = attach_global_rank(
+        df, [F.desc("v"), F.asc("k")], rank_col="r", total_col="c"
+    )
+    rows = {row["v"]: (row["r"], row["c"]) for row in got.collect()}
+    assert all(c == 101 for _, c in rows.values())
+    # v is a bijection on [0,101): rank under v DESC is 101 - v
+    assert all(r == 101 - v for v, (r, _) in rows.items())
+
+
+def test_ntile_and_percent_rank_arithmetic_match_window_fns(spark):
+    # n=103 rows, 4 buckets: 103 = 4*25 + 3, so buckets sized 26,26,26,25
+    # — exercises the uneven ceil/floor split of the NTILE definition
+    df = _spread_df(spark, n=103)
+    base = attach_global_rank(
+        df, [F.asc("v"), F.asc("k")], rank_col="r", total_col="c"
+    )
+    got = base.select(
+        "k",
+        ntile_from_rank("r", "c", 4).cast("long").alias("q"),
+        F.round(percent_rank_from_rank("r", "c"), 9).alias("pr"),
+    )
+    w = Window.orderBy("v", "k")
+    want = df.select(
+        "k",
+        F.ntile(4).over(w).cast("long").alias("q"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_ntile_more_buckets_than_rows(spark):
+    # c < n: every bucket holds at most one row, bucket == rank
+    df = spark.range(3).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    out = attach_global_rank(df, ["v"], rank_col="r", total_col="c").select(
+        "k", ntile_from_rank("r", "c", 10).alias("q")
+    )
+    assert {(row["k"], row["q"]) for row in out.collect()} == {(0, 1), (1, 2), (2, 3)}
+
+
+def test_percent_rank_single_row_is_zero(spark):
+    df = spark.range(1).select(F.col("id").alias("v"))
+    out = attach_global_rank(df, ["v"], rank_col="r", total_col="c").select(
+        percent_rank_from_rank("r", "c").alias("pr")
+    )
+    assert out.collect()[0]["pr"] == 0.0
+
+
+def test_global_rank_plan_has_no_unpartitioned_window(spark):
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.explain_audit import _unpartitioned_window_count
+
+    df = attach_global_rank(_spread_df(spark), ["v", "k"], rank_col="r")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+    assert _unpartitioned_window_count(plan) == 0
+    assert "rangepartitioning" in plan

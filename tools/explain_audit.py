@@ -38,6 +38,34 @@ def plan_of(spark, name: str) -> str:
     return _plan_cache[name]
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    groups: list[str] = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
+def _unpartitioned_window_count(plan: str) -> int:
+    """Count WindowExec nodes with NO partition spec: an unpartitioned
+    Window prints `Window [exprs], [order]` (2 top-level groups) while a
+    partitioned one prints `Window [exprs], [part], [order]` (3)."""
+    n = 0
+    for ln in plan.splitlines():
+        stripped = ln.lstrip(" :+-*()0123456789")
+        if stripped.startswith("Window ") and len(_top_level_bracket_groups(stripped)) == 2:
+            n += 1
+    return n
+
+
 CHECKS: list[tuple[str, str, bool, str]] = [
     # (query, substring, should_be_present, why)
     ("p2_filter_compound", "PushedFilters: [IsNotNull(o_totalprice)", True,
@@ -479,7 +507,20 @@ def main() -> int:
         failures.append(("identity_assign", "narrow MapInPandas", "plan shape"))
         print("FAIL  identity_assign: assignment plan not narrow")
     base.unpersist()
-    n_total = len(CHECKS) + 10
+    # r14: the global-ntile family must carry NO unpartitioned WindowExec —
+    # their frames scale with customers, so every window in the plan must
+    # have a partition spec (the two-pass distributed rank's per-pid
+    # row_number). An unpartitioned Window prints exactly two top-level
+    # bracket groups ([exprs], [order]); partitioned prints three.
+    for gname in ("w5_ntile_percent_rank", "x_rfm_segmentation", "x_gains_table"):
+        plan = plan_of(spark, gname)
+        n_bad = _unpartitioned_window_count(plan)
+        if n_bad == 0:
+            print(f"PASS  {gname}: zero unpartitioned WindowExec (distributed rank)")
+        else:
+            failures.append((gname, "unpartitioned WindowExec", f"found {n_bad}"))
+            print(f"FAIL  {gname}: {n_bad} unpartitioned Window node(s) in plan")
+    n_total = len(CHECKS) + 13
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

@@ -14,7 +14,15 @@ def spark():
     # transformWithState's JVM-spawned python runners inherit it (the
     # typed-state tests skip cleanly when none is found)
     bootstrap_protobuf_env()
-    s = build_spark("tests", master="local[4]")
+    # tools/fast_tests.py runs shards in parallel processes; each shard
+    # gets its own warehouse dir so saveAsTable tests can't collide
+    import os
+
+    extra = {}
+    wh = os.environ.get("RDL_TEST_WAREHOUSE")
+    if wh:
+        extra["spark.sql.warehouse.dir"] = wh
+    s = build_spark("tests", master="local[4]", extra_conf=extra)
     yield s
 
 

@@ -758,6 +758,12 @@ _PROMOTE_R14 = [
     "w5_ntile_percent_rank",
     "x_rfm_segmentation",
     "x_gains_table",
+    # rows-only -> golden-value oracle upgrades (VERDICT r13 item 5):
+    # x_sample_deterministic rewritten as KEY-HASH Bernoulli sampling
+    # (engine-RNG-free, partitioning-independent — the replay-stable
+    # form), t5_watermark_dedup pinned to COUNT(DISTINCT event_id):
+    "x_sample_deterministic",
+    "t5_watermark_dedup",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

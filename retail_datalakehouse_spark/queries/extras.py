@@ -191,17 +191,37 @@ def x_date_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "x_sample_deterministic",
-    oracle=None,  # sampling RNG is engine-specific → rows-only
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS n_sampled
+FROM lineitem
+WHERE ((l_orderkey * 8 + l_linenumber) % 1000003) * 2654435761 % 4294967296
+      < 429496730
+GROUP BY 1
+""",
     tags=("P2",),
 )
 def x_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sample — same seed ⇒ same sample across runs
-    (replay-stable training-data subsetting). Engine RNG ≠ DuckDB RNG →
-    rows-only; determinism across runs is what the driver's two-run check
-    observes."""
+    """Deterministic ~10% Bernoulli sample via KEY HASHING (Knuth
+    multiplicative hash on the row key), not engine RNG — upgraded from
+    rows-only to a golden-value oracle (VERDICT r13 item 5, r12 item 5).
+
+    Why hash-based beats seeded `df.sample` for replay-stable
+    training-data subsetting: Spark seeds its sampler per PARTITION, so
+    the "same seed" selects a different row set whenever partitioning
+    changes (different session parallelism, file splits, or cluster
+    size) — silently irreproducible across environments. Keyed hashing
+    makes membership a pure function of the ROW, identical on any
+    engine, any partitioning, any scale — so DuckDB can run the literal
+    same arithmetic and hash-match. Integer ranges stay within int64:
+    the key folds mod 1000003 (prime) before the 2654435761 mix, and
+    the threshold is floor(0.1 * 2^32) + 1. Map-only (filter + two-phase
+    count), no shuffle of unsampled rows."""
     l = T(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey") * F.lit(8) + F.col("l_linenumber")
+    h = (key % F.lit(1000003)) * F.lit(2654435761) % F.lit(4294967296)
     return (
-        l.sample(fraction=0.1, seed=42)
+        l.filter(h < F.lit(429496730))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )

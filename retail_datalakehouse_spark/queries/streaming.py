@@ -226,13 +226,22 @@ def t4_session_window_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t5_watermark_dedup",
-    oracle=None,  # watermark admission semantics are stream-internal → rows-only
+    oracle="""
+SELECT COUNT(DISTINCT event_id) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_distinct
+FROM events
+""",
     tags=("T5", "T6"),
 )
 def t5_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: watermark + stateful dropDuplicates on event_id. On fully-
-    ordered replay nothing is dropped (count == distinct event_ids); the
-    late-data *admission* behavior is pinned in tests/test_streaming.py."""
+    """T5: watermark + stateful dropDuplicates on event_id. Upgraded from
+    rows-only to golden values (VERDICT r13 item 5): on fully-ordered
+    replay every duplicate arrives while its key's state is live, so the
+    sink holds exactly one row per event_id — both counters equal
+    COUNT(DISTINCT event_id), which DuckDB computes directly. (Duplicate
+    ids separated by more than the watermark would re-admit — the staged
+    replay is ordered, so that admission edge is pinned separately in
+    tests/test_streaming.py.)"""
     stream = events_stream(spark, sf_dir)
     dedup = watermarked_dedup(stream, "1 hour")
     agg = dedup.select("event_id", "user_id", "ts")

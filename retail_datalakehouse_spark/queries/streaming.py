@@ -2327,8 +2327,12 @@ def t28_cdf_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     over copy-on-write MERGE/DELETE; this proves the O(changed) DML
     verbs feed the same pipe, which is the 100 TB shape: a correction
     pass touches 0.1% of the table AND its downstream refresh reads
-    0.1%-sized deltas — never a snapshot diff. Exactly-once pinned by a
-    third run delivering nothing."""
+    0.1%-sized deltas — never a snapshot diff. Exactly-once (a third
+    run delivers NOTHING) is pinned in tests/test_streaming.py::
+    test_cdf_stream_scale_source_matches_simple — moved out of this
+    per-round gate to cut a stream lifecycle (VERDICT r13 item 4); the
+    in-gate version-set assert below still proves no batch was
+    redelivered across the restart."""
     import os
     import tempfile
 
@@ -2378,13 +2382,14 @@ def t28_cdf_stream_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.update_mor(f"k > {m_lo} AND k <= {m_hi}", {"p": "p + 7.0"})  # v3
     t.delete_mor_pos("k % 6 = 0")  # v4
 
-    run_once()  # delivers exactly v3-v4
+    run_once()  # delivers exactly v3-v4 (restart picks up from v2)
     changes = spark.read.parquet(out)
     assert set(
         r._version for r in changes.select("_version").distinct().collect()
     ) == {1, 2, 3, 4}
-    run_once()  # exactly-once: zero fresh rows
-    assert spark.read.parquet(out).count() == changes.count() > n_run1
+    # no redelivery: the restart added zero rows for the already-sent
+    # versions (exactly the no-duplicate half of exactly-once)
+    assert changes.filter(F.col("_version") <= 2).count() == n_run1
 
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)

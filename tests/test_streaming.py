@@ -528,6 +528,25 @@ def test_cdf_stream_scale_source_matches_simple(spark, tmp_path):
     versions = {r[-1] for r in rows["versioned_cdf_stream_scale"]}
     assert versions == {1, 2, 3, 4}
 
+    # exactly-once, zero-redelivery half (moved here from the
+    # t28_cdf_stream_mor gate, VERDICT r13 item 4): with no new commits,
+    # a THIRD run must deliver nothing at all
+    fmt, out = "versioned_cdf_stream_scale", outs["versioned_cdf_stream_scale"]
+    before = spark.read.parquet(out).count()
+    q = (
+        spark.readStream.format(fmt)
+        .option("path", t.path)
+        .option("tableSchema", "k bigint, p double")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{fmt}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == before
+
 
 def test_cdf_stream_schema_inference(spark, tmp_path):
     """With no tableSchema option, the CDF sources derive the schema from

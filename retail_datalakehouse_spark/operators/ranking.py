@@ -5,21 +5,18 @@ An unpartitioned window forces ``Exchange SinglePartition`` + a
 single-task sort of the whole frame; fine on a 15k-row demo, fatal when
 the frame scales with data volume (at 100 TB a per-customer frame is
 10^8-10^9 rows). The standard distributed alternative is the two-pass
-rank used by every MPP engine (and by Spark's own ``zipWithIndex``):
+rank every MPP engine uses (Trino/Presto call it sampled range
+partitioning):
 
-1. ``repartitionByRange`` on the sort key — the range partitioner puts
-   partition *i*'s rows entirely before partition *i+1*'s in the total
-   order (equal keys never straddle a boundary), so global order is the
-   concatenation of per-partition orders;
-2. a *partitioned* window (``partitionBy(spark_partition_id())``) gives
-   each row its local row_number — every sort is per-partition, size
-   ~rows/N, and N scales with the cluster;
-3. per-partition row counts (a tiny aggregate, one row per partition)
-   turn into cumulative offsets via a bounded O(N^2) broadcast
-   theta-join — N is ``spark.sql.shuffle.partitions``, a config, not a
-   data scale, and this formulation keeps even the offset step free of
-   single-partition windows;
-4. global rank = local rank + offset of the partition before mine,
+1. split the frame into ORDERED BUCKETS along the sort key;
+2. a *partitioned* window gives each row its local row_number — every
+   sort is per-bucket, size ~rows/N, and N scales with the cluster;
+3. per-bucket row counts (a tiny aggregate, one row per bucket) turn
+   into cumulative offsets via a bounded O(N^2) broadcast theta-join —
+   N is derived from ``spark.sql.shuffle.partitions``, a config, not a
+   data scale, so even the offset step is free of single-partition
+   windows;
+4. global rank = local rank + offset of the buckets before mine,
    attached by broadcast join (no shuffle of the data side).
 
 ``ntile`` / ``percent_rank`` then become *arithmetic on the rank* (plus
@@ -27,13 +24,28 @@ the broadcast total row count) — their SQL definitions are pure
 functions of (row_number, total) under a total order, so no window
 function is needed at all.
 
-Determinism notes: ``repartitionByRange``'s reservoir sampling is
-seeded per-partition (deterministic for a given input), and the two
-consumers of the ranged exchange reuse the same shuffle output
-(``ReusedExchange``), so ``spark_partition_id()`` is consistent across
-branches. Callers must supply a TOTAL order (tie-broken) — the same
-requirement the registry's oracles already impose so DuckDB and Spark
-cut ntile buckets identically.
+Why explicit literal cutpoints instead of ``repartitionByRange`` +
+``spark_partition_id()``: the counts branch and the data branch consume
+the same subtree with DIFFERENT column prunings, so the two range
+exchanges don't canonicalize equal, ReuseExchange doesn't fire, and
+each instantiation re-SAMPLES its range bounds with a different seed —
+boundary rows then land in different partitions per branch and the
+offsets silently corrupt (observed at sf1 before this design). Here the
+bucket id is a pure deterministic function of the ROW (a lexicographic
+comparison against literal cutpoints collected once on the driver), so
+every branch, every re-evaluation, and every AQE re-plan agrees by
+construction. The cutpoints come from one deterministic hash-sample:
+the ~128·N key tuples with the SMALLEST xxhash64 values (a distributed
+heap top-K — one job, no RNG, no partition dependence, driver memory
+bounded by the bucket-count config), tie-broken on the keys themselves
+so even hash collisions cannot make it order-dependent. This gives the
+same balance guarantee RangePartitioner's reservoir does.
+
+Callers must supply a TOTAL order (tie-broken, null-free sort keys) —
+the same requirement the registry's oracles already impose so DuckDB
+and Spark cut ntile buckets identically. The helper runs ONE driver
+action over the input (the sample collect); when chaining several
+ranks over one expensive frame, persist the frame first.
 
 Reference parity: the reference repo has no engine code; this addresses
 the VERDICT r13 scale finding on the global-ntile family
@@ -42,76 +54,207 @@ the VERDICT r13 scale finding on the global-ntile family
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["attach_global_rank", "ntile_from_rank", "percent_rank_from_rank"]
+__all__ = [
+    "attach_global_rank",
+    "ntile_from_rank",
+    "percent_rank_from_rank",
+    "sample_cutpoints",
+]
 
-_OrderCol = Union[str, Column]
+_OrderKey = Union[str, tuple]
 
 
-def _num_range_partitions(df: DataFrame, num_partitions: int | None) -> int:
-    if num_partitions is not None:
-        return int(num_partitions)
+def _normalize(order_by: Sequence[_OrderKey]) -> list[tuple[str, str]]:
+    keys = []
+    for o in order_by:
+        if isinstance(o, str):
+            keys.append((o, "asc"))
+        else:
+            name, d = o
+            d = d.lower()
+            if d not in ("asc", "desc"):
+                raise ValueError(f"direction must be asc|desc, got {d!r}")
+            keys.append((name, d))
+    return keys
+
+
+def _sort_cols(keys: list[tuple[str, str]]) -> list[Column]:
+    return [F.col(n).asc() if d == "asc" else F.col(n).desc() for n, d in keys]
+
+
+def _row_gt_cut(keys: list[tuple[str, str]], cut: tuple) -> Column:
+    """row > cutpoint in the (direction-aware) lexicographic total order."""
+    (name, d), c = keys[0], F.lit(cut[0])
+    head = (F.col(name) > c) if d == "asc" else (F.col(name) < c)
+    if len(keys) == 1:
+        return head
+    return head | ((F.col(name) == c) & _row_gt_cut(keys[1:], cut[1:]))
+
+
+def _sorted_sample(rows: list[tuple], keys: list[tuple[str, str]]) -> list[tuple]:
+    import functools
+
+    dirs = [d for _, d in keys]
+
+    def cmp(a: tuple, b: tuple) -> int:
+        for x, y, d in zip(a, b, dirs):
+            if x == y:
+                continue
+            lt = x < y
+            return (-1 if lt else 1) if d == "asc" else (1 if lt else -1)
+        return 0
+
+    return sorted(rows, key=functools.cmp_to_key(cmp))
+
+
+def _num_buckets(df: DataFrame, num_buckets: int | None) -> int:
+    if num_buckets is not None:
+        return max(1, int(num_buckets))
     try:
-        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
-        return df.sparkSession.sparkContext.defaultParallelism
+        n = df.sparkSession.sparkContext.defaultParallelism
+    # 2x the partition count smooths the hash-collision imbalance of
+    # bucket-id -> reducer assignment (some reducers get 2 buckets)
+    return max(1, 2 * n)
+
+
+def _pick_cutpoints(
+    sample: list[tuple], keys: list[tuple[str, str]], n_buckets: int
+) -> list[tuple]:
+    m = len(sample)
+    cutpoints: list[tuple] = []
+    if m > n_buckets:
+        sample = _sorted_sample(sample, keys)
+        seen = set()
+        for i in range(1, n_buckets):
+            c = sample[(m * i) // n_buckets]
+            if c not in seen:
+                seen.add(c)
+                cutpoints.append(c)
+    return cutpoints
+
+
+def sample_cutpoints(
+    df: DataFrame,
+    orders: Sequence[Sequence[_OrderKey]],
+    *,
+    num_buckets: int | None = None,
+) -> list[list[tuple]]:
+    """Derive cutpoints for SEVERAL rank orders over the same frame from
+    ONE deterministic sample job (one uniform row subset serves every
+    sort order — just re-sorted per key set). Feed each result to
+    attach_global_rank(..., cutpoints=...) to skip its per-call sample.
+    """
+    keyed = [_normalize(o) for o in orders]
+    n_buckets = _num_buckets(df, num_buckets)
+    union_names: list[str] = []
+    for keys in keyed:
+        for n, _ in keys:
+            if n not in union_names:
+                union_names.append(n)
+    target = n_buckets * 128
+    rows = (
+        df.select(F.xxhash64(*union_names).alias("_rp_h"), *union_names)
+        .orderBy("_rp_h", *union_names)
+        .limit(target)
+        .collect()
+    )
+    out = []
+    for keys in keyed:
+        idx = [union_names.index(n) + 1 for n, _ in keys]  # +1 skips _rp_h
+        sample = [tuple(tuple(r)[i] for i in idx) for r in rows]
+        out.append(_pick_cutpoints(sample, keys, n_buckets))
+    return out
 
 
 def attach_global_rank(
     df: DataFrame,
-    order_by: Sequence[_OrderCol],
+    order_by: Sequence[_OrderKey],
     *,
     rank_col: str = "_grank",
     total_col: str | None = None,
-    num_partitions: int | None = None,
+    num_buckets: int | None = None,
+    cutpoints: list[tuple] | None = None,
 ) -> DataFrame:
-    """Attach a 1-based global row_number under ``order_by`` (which must
-    be a TOTAL order — include a tie-break key) without ever sorting the
-    frame in one task. Optionally attaches the global row count as
-    ``total_col`` (broadcast, one extra tiny aggregate) so callers can
-    derive ntile / percent_rank arithmetically.
+    """Attach a 1-based global row_number under ``order_by`` (a TOTAL
+    order: include a tie-break key; sort keys must be non-null) without
+    ever sorting the frame in one task. ``order_by`` entries are column
+    names or ``(name, "asc"|"desc")`` tuples. Optionally attaches the
+    global row count as ``total_col`` (broadcast) so callers can derive
+    ntile / percent_rank arithmetically.
 
-    Cost: one range shuffle of the data + one pid-hash shuffle of the
-    data (each sort is ~rows/N) + two tiny N-row aggregates. The plan
-    contains NO unpartitioned WindowExec — pinned by explain_audit.
+    Cost: one tiny sample collect (a heap top-K driver action), then one
+    hash shuffle of the data (each bucket sorts ~rows/N) plus two tiny
+    N-row aggregates. The plan contains NO unpartitioned WindowExec and
+    no data-sized single-partition exchange — pinned by explain_audit.
     """
-    n = _num_range_partitions(df, num_partitions)
-    order = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    keys = _normalize(order_by)
+    sort = _sort_cols(keys)
+    names = [n for n, _ in keys]
+    n_buckets = _num_buckets(df, num_buckets)
 
-    ranged = df.repartitionByRange(n, *order).withColumn(
-        "_rp_pid", F.spark_partition_id()
-    )
-    local_w = Window.partitionBy("_rp_pid").orderBy(*order)
-    local = ranged.withColumn("_rp_lrank", F.row_number().over(local_w))
+    if cutpoints is None:
+        # deterministic hash-sample of key tuples: the target smallest
+        # xxhash64 values (uniform subset, pure function of the data —
+        # TakeOrderedAndProject, one job, keys tie-break hash collisions)
+        target = n_buckets * 128
+        sample = [
+            tuple(r)[1:]
+            for r in df.select(F.xxhash64(*names).alias("_rp_h"), *names)
+            .orderBy("_rp_h", *names)
+            .limit(target)
+            .collect()
+        ]
+        cutpoints = _pick_cutpoints(sample, keys, n_buckets)
 
-    # One row per non-empty range partition — bounded by the shuffle
-    # partition CONFIG, never by data volume.
-    counts = ranged.groupBy("_rp_pid").agg(F.count(F.lit(1)).alias("_rp_cnt"))
-    before = counts.select(
-        F.col("_rp_pid").alias("_rp_pid_b"), F.col("_rp_cnt").alias("_rp_cnt_b")
-    )
-    # Cumulative offsets via a bounded O(N^2) broadcast theta-join (N <=
-    # shuffle.partitions) instead of an unpartitioned window — keeps the
-    # whole helper free of single-partition sorts, tiny at any scale.
-    offsets = (
-        counts.join(
-            F.broadcast(before), F.col("_rp_pid_b") < F.col("_rp_pid"), "left"
+    if cutpoints:
+        bucket = reduce(
+            lambda acc, cut: acc
+            + F.when(_row_gt_cut(keys, cut), F.lit(1)).otherwise(F.lit(0)),
+            cutpoints,
+            F.lit(0),
         )
-        .groupBy("_rp_pid")
-        .agg(F.coalesce(F.sum("_rp_cnt_b"), F.lit(0)).alias("_rp_off"))
-    )
+    else:
+        bucket = F.lit(0)
+    b = df.withColumn("_rp_b", bucket)
 
-    out = local.join(F.broadcast(offsets), "_rp_pid").withColumn(
-        rank_col, (F.col("_rp_lrank") + F.col("_rp_off")).cast("long")
+    local_w = Window.partitionBy("_rp_b").orderBy(*sort)
+    local = b.withColumn("_rp_lrank", F.row_number().over(local_w))
+
+    # One row per non-empty bucket — bounded by the bucket-count CONFIG,
+    # never by data volume. Bucket ids are pure row functions, so this
+    # branch agrees with the data branch under any re-evaluation.
+    # Cumulative offsets via a bounded O(N^2) broadcast theta-join — a
+    # constant-key window would be simpler, but Catalyst constant-folds
+    # the partition spec away and re-creates the unpartitioned
+    # WindowExec this module exists to eliminate (caught by the plan
+    # test). The grand total rides the TINY offsets frame, never as an
+    # extra stage over the data side.
+    counts = b.groupBy("_rp_b").agg(F.count(F.lit(1)).alias("_rp_cnt"))
+    before = counts.select(
+        F.col("_rp_b").alias("_rp_b_b"), F.col("_rp_cnt").alias("_rp_cnt_b")
+    )
+    offsets = (
+        counts.join(F.broadcast(before), F.col("_rp_b_b") < F.col("_rp_b"), "left")
+        .groupBy("_rp_b", "_rp_cnt")
+        .agg(F.coalesce(F.sum("_rp_cnt_b"), F.lit(0)).alias("_rp_off"))
     )
     if total_col is not None:
         total = counts.agg(F.sum("_rp_cnt").cast("long").alias(total_col))
-        out = out.crossJoin(F.broadcast(total))
-    return out.drop("_rp_pid", "_rp_lrank", "_rp_off")
+        offsets = offsets.crossJoin(F.broadcast(total))
+    offsets = offsets.drop("_rp_cnt")
+
+    out = local.join(F.broadcast(offsets), "_rp_b").withColumn(
+        rank_col, (F.col("_rp_lrank") + F.col("_rp_off")).cast("long")
+    )
+    return out.drop("_rp_b", "_rp_lrank", "_rp_off")
 
 
 def ntile_from_rank(rank_col: str, total_col: str, n_buckets: int) -> Column:

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.ranking import attach_global_rank, ntile_from_rank
+from ..operators.ranking import attach_global_rank, ntile_from_rank, sample_cutpoints
 from .base import register
 from .helpers import T, dsum, sql_dsum
 
@@ -1268,15 +1268,36 @@ def x_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("monetary"),
     )
-    ranked = attach_global_rank(
-        rfm, ["last_order", "o_custkey"], rank_col="_rr", total_col="_c"
-    )
-    ranked = attach_global_rank(ranked, ["frequency", "o_custkey"], rank_col="_rf")
-    ranked = attach_global_rank(ranked, ["monetary", "o_custkey"], rank_col="_rm")
-    scored = ranked.select(
-        ntile_from_rank("_rr", "_c", 5).cast("long").alias("r_score"),
-        ntile_from_rank("_rf", "_c", 5).cast("long").alias("f_score"),
-        ntile_from_rank("_rm", "_c", 5).cast("long").alias("m_score"),
+    # the three quintile cuts rank the SAME frame on different keys:
+    # persist it once (cutpoint sampling + ranked passes re-read it),
+    # rank each key independently off the flat cached lineage, and
+    # re-join the scores on the entity key — three customers-sized
+    # equi-joins, no nested rank-over-rank lineage
+    rfm = rfm.persist()
+    orders_by = [
+        ["last_order", "o_custkey"],
+        ["frequency", "o_custkey"],
+        ["monetary", "o_custkey"],
+    ]
+    cuts = dict(zip(("last_order", "frequency", "monetary"),
+                    sample_cutpoints(rfm, orders_by)))
+
+    def quintile(key: str, alias: str) -> DataFrame:
+        ranked = attach_global_rank(
+            rfm.select("o_custkey", key),
+            [key, "o_custkey"],
+            rank_col="_r",
+            total_col="_c",
+            cutpoints=cuts[key],
+        )
+        return ranked.select(
+            "o_custkey", ntile_from_rank("_r", "_c", 5).cast("long").alias(alias)
+        )
+
+    scored = (
+        quintile("last_order", "r_score")
+        .join(quintile("frequency", "f_score"), "o_custkey")
+        .join(quintile("monetary", "m_score"), "o_custkey")
     )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).alias("n_customers")
@@ -3268,7 +3289,7 @@ def x_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("rev")
     )
     ranked = attach_global_rank(
-        spend, [F.desc("rev"), F.asc("k")], rank_col="_r", total_col="_c"
+        spend, [("rev", "desc"), "k"], rank_col="_r", total_col="_c"
     ).select("k", "rev", ntile_from_rank("_r", "_c", 10).alias("decile"))
     tot = spend.agg(
         F.sum(F.col("rev").cast("decimal(25,2)")).cast("double").alias("total")

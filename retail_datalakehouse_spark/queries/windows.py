@@ -197,7 +197,7 @@ def w5_ntile_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = attach_global_rank(
         spend,
-        [F.desc("total_spend"), F.asc("custkey")],
+        [("total_spend", "desc"), "custkey"],
         rank_col="_r",
         total_col="_c",
     )

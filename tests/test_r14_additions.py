@@ -25,7 +25,7 @@ def _spread_df(spark, n=997):
 
 def test_attach_global_rank_matches_window_row_number(spark):
     df = _spread_df(spark).repartition(7)
-    got = attach_global_rank(df, [F.asc("v"), F.asc("k")], rank_col="r").select(
+    got = attach_global_rank(df, ["v", "k"], rank_col="r").select(
         "k", "v", "r"
     )
     want = df.select(
@@ -37,7 +37,7 @@ def test_attach_global_rank_matches_window_row_number(spark):
 def test_attach_global_rank_descending_and_total(spark):
     df = _spread_df(spark, n=101)
     got = attach_global_rank(
-        df, [F.desc("v"), F.asc("k")], rank_col="r", total_col="c"
+        df, [("v", "desc"), "k"], rank_col="r", total_col="c"
     )
     rows = {row["v"]: (row["r"], row["c"]) for row in got.collect()}
     assert all(c == 101 for _, c in rows.values())
@@ -50,7 +50,7 @@ def test_ntile_and_percent_rank_arithmetic_match_window_fns(spark):
     # — exercises the uneven ceil/floor split of the NTILE definition
     df = _spread_df(spark, n=103)
     base = attach_global_rank(
-        df, [F.asc("v"), F.asc("k")], rank_col="r", total_col="c"
+        df, ["v", "k"], rank_col="r", total_col="c"
     )
     got = base.select(
         "k",
@@ -83,6 +83,24 @@ def test_percent_rank_single_row_is_zero(spark):
     assert out.collect()[0]["pr"] == 0.0
 
 
+def test_chained_ranks_stay_consistent(spark):
+    """Regression for the sf1 corruption the first (spark_partition_id)
+    design exhibited: when attach_global_rank runs on a frame that
+    already went through attach_global_rank, differently-pruned copies
+    of the subtree must still agree on bucket ids — with literal
+    cutpoints the bucket is a pure row function, so chained ranks can
+    never mint duplicate or missing rank values."""
+    df = _spread_df(spark, n=2999)
+    r1 = attach_global_rank(df, ["v", "k"], rank_col="r1", total_col="c")
+    r2 = attach_global_rank(r1, [("v", "desc"), "k"], rank_col="r2")
+    out = r2.select("k", "v", "r1", "r2")
+    # every rank value appears exactly once, both columns
+    assert out.groupBy("r1").count().filter("count > 1").count() == 0
+    assert out.groupBy("r2").count().filter("count > 1").count() == 0
+    # and the two orders are mirror images on a bijective key
+    assert out.filter((F.col("r1") + F.col("r2")) != 3000).count() == 0
+
+
 def test_global_rank_plan_has_no_unpartitioned_window(spark):
     import sys
 
@@ -95,4 +113,4 @@ def test_global_rank_plan_has_no_unpartitioned_window(spark):
         "== Initial Plan =="
     )[0]
     assert _unpartitioned_window_count(plan) == 0
-    assert "rangepartitioning" in plan
+    assert "hashpartitioning(_rp_b" in plan

@@ -13,6 +13,7 @@ SQL-expressible).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -21,14 +22,28 @@ from retail_datalakehouse_spark import queries as _q
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Second entry spine (VERDICT r12 item 8 / r13 item 9): the warehouse
+# maintenance chain — CDC batch -> SCD2 dimension apply — selectable via
+# env var, default unchanged so the driver smoke is stable round-over-
+# round. RDL_ENTRY=pit selects the point-in-time feature spine instead.
+_ENTRIES = {
+    "flagship": "flagship_region_month_revenue",
+    "scd2": "x_cdc_scd2_apply",
+    "pit": "x_pit_features",
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    Revenue / order count / distinct customers per region per month —
-    the gold-mart spine (scan → joins → date_trunc → agg → top-k).
+    Default: revenue / order count / distinct customers per region per
+    month — the gold-mart spine (scan → joins → date_trunc → agg →
+    top-k). Set RDL_ENTRY=scd2 for the CDC→SCD2 dimension-maintenance
+    spine, RDL_ENTRY=pit for the point-in-time feature spine (both
+    oracle-hash-checked registry queries in their own right).
     """
-    return _q.REGISTRY["flagship_region_month_revenue"].fn(spark, SMOKE_SF_DIR)
+    name = _ENTRIES[os.environ.get("RDL_ENTRY", "flagship")]
+    return _q.REGISTRY[name].fn(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -6351,3 +6351,697 @@ def x_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("w1_dollars"),
     )
+
+
+# ---------------------------------------------------------------- r14:
+# statistics battery III — the k-group/nonparametric/multiple-testing
+# layer on top of r13's hypothesis tests, every one in partial-
+# aggregable sufficient-statistics form.
+
+
+_KRUSKAL_SQL = """
+WITH x AS (
+  SELECT o_orderpriority AS priority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders),
+grid AS (SELECT c, COUNT(*) AS cnt FROM x GROUP BY 1),
+gw AS (
+  SELECT c, cnt,
+         SUM(cnt) OVER (ORDER BY c) - cnt AS cumb,
+         SUM(cnt) OVER () AS n,
+         SUM(CAST(cnt AS DECIMAL(38,0)) * cnt * cnt - cnt) OVER () AS tie_t
+  FROM grid),
+sg AS (SELECT priority, c, COUNT(*) AS cnt_g FROM x GROUP BY 1, 2),
+r AS (
+  SELECT sg.priority,
+         SUM(sg.cnt_g) AS n_g,
+         SUM(CAST(sg.cnt_g AS DECIMAL(38,0)) * (2 * gw.cumb + gw.cnt + 1)) AS r2,
+         MAX(gw.n) AS n,
+         MAX(CAST(gw.tie_t AS DOUBLE)) AS tie_t
+  FROM sg JOIN gw ON gw.c = sg.c
+  GROUP BY 1),
+g AS (
+  SELECT MAX(CAST(n AS DOUBLE)) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS k,
+         SUM(CAST(r2 * r2 AS DOUBLE) / n_g) AS sr,
+         MAX(tie_t) AS tie_t
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n_total,
+       CAST(k AS BIGINT) AS k_groups,
+       CAST(FLOOR(1000000.0 *
+         (3.0 * sr / (n * (n + 1)) - 3.0 * (n + 1))) AS BIGINT) AS h_e6,
+       CAST(FLOOR(1000000.0 *
+         (3.0 * sr / (n * (n + 1)) - 3.0 * (n + 1))
+         / (1.0 - tie_t / (n * n * n - n))) AS BIGINT) AS h_corrected_e6
+FROM g
+"""
+
+
+@register("x_kruskal_wallis", oracle=_KRUSKAL_SQL, tags=("W3", "A1", "F3"), doc="")
+def x_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis H — the k-GROUP generalization of x_mann_whitney_u
+    (one rank test across all five priorities at once, the nonparametric
+    twin of x_anova_oneway). Same doubled-average-rank machinery: with
+    2·rank_avg(v) = 2·cum_before + cnt + 1 an integer, each group's
+    doubled rank sum R2 stays exact (DECIMAL(38,0) — R2 ~ N² so its
+    square would burst bigint at scale, widened BEFORE the multiply);
+    H = 3/(N(N+1))·ΣR2²/n_g − 3(N+1) (the 12/(N(N+1))·ΣR²/n_g form with
+    R = R2/2 folded in), tie-corrected by 1 − Σ(t³−t)/(N³−N). Plan: ONE
+    value grid + one sparse (group, value) aggregate joined on it —
+    identical shuffle shape to MWU, ranks never materialized per row."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    grid = o.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    gw = grid.select(
+        "c",
+        "cnt",
+        (F.sum("cnt").over(wall) - F.col("cnt")).alias("cumb"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        )
+        .over(Window.partitionBy())
+        .alias("tie_t"),
+    )
+    sg = o.groupBy("priority", "c").agg(F.count(F.lit(1)).alias("cnt_g"))
+    r = (
+        sg.join(gw, "c")
+        .groupBy("priority")
+        .agg(
+            F.sum("cnt_g").alias("n_g"),
+            F.sum(
+                F.col("cnt_g").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("cumb") + F.col("cnt") + 1)
+            ).alias("r2"),
+            F.max("n").alias("n"),
+            F.max(F.col("tie_t").cast("double")).alias("tie_t"),
+        )
+    )
+    g = r.agg(
+        F.max(F.col("n").cast("double")).alias("n"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum((F.col("r2") * F.col("r2")).cast("double") / F.col("n_g")).alias("sr"),
+        F.max("tie_t").alias("tie_t"),
+    )
+    h = (
+        F.lit(3.0) * F.col("sr") / (F.col("n") * (F.col("n") + 1))
+        - F.lit(3.0) * (F.col("n") + 1)
+    )
+    corr = F.lit(1.0) - F.col("tie_t") / (
+        F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return g.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("bigint").alias("k_groups"),
+        F.floor(F.lit(1000000.0) * h).cast("bigint").alias("h_e6"),
+        F.floor(F.lit(1000000.0) * h / corr).cast("bigint").alias("h_corrected_e6"),
+    )
+
+
+_GTEST_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority AS priority,
+         CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+         COUNT(*) AS n_ij
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT priority, yr, n_ij,
+         SUM(n_ij) OVER (PARTITION BY priority) AS r_i,
+         SUM(n_ij) OVER (PARTITION BY yr) AS c_j,
+         SUM(n_ij) OVER () AS n
+  FROM cells),
+terms AS (
+  SELECT n,
+         CAST(ROUND(CAST(n_ij AS DOUBLE)
+              * LN(CAST(n_ij AS DOUBLE) * n / (CAST(r_i AS DOUBLE) * c_j)), 6)
+              AS DECIMAL(25,6)) AS term,
+         r_i, c_j
+  FROM m WHERE n_ij > 0)
+SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+       CAST((COUNT(DISTINCT r_i + 0) - 1) * (COUNT(DISTINCT c_j + 1000000000000) - 1)
+            AS BIGINT) AS df,
+       CAST(FLOOR(1000000.0 * 2.0 * CAST(SUM(term) AS DOUBLE)) AS BIGINT) AS g_e6
+FROM terms
+"""
+
+
+@register("x_g_test", oracle=_GTEST_SQL, tags=("A6", "F3", "A1"), doc="")
+def x_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test of independence (the log-likelihood-ratio sibling of
+    x_chi_square_independence — same contingency table, the statistic
+    additive in information units, preferred when cells are small or
+    the test feeds a hierarchy of models): G = 2·Σ n_ij·ln(n_ij·N /
+    (r_i·c_j)) over the bounded priority × order-year grid (~35 cells).
+    Each ln term is QUANTIZED to DECIMAL(25,6) before the sum (the
+    l4_char_entropy order-independent-reduction rule — never a float
+    accumulation whose value depends on reduce order), empty cells
+    contribute 0 by the n·ln n limit and are dropped explicitly. The
+    df guard: distinct margin VALUES could collide across axes, so the
+    count-distinct keys are offset per axis. One fact pass; margins are
+    windows over the bounded cell grid, never over facts."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate").cast("date")).cast("bigint").alias("yr"),
+    )
+    cells = o.groupBy("priority", "yr").agg(F.count(F.lit(1)).alias("n_ij"))
+    m = cells.select(
+        "priority",
+        "yr",
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("priority")).alias("r_i"),
+        F.sum("n_ij").over(Window.partitionBy("yr")).alias("c_j"),
+        F.sum("n_ij").over(Window.partitionBy()).alias("n"),
+    )
+    terms = m.filter(F.col("n_ij") > 0).select(
+        "n",
+        "r_i",
+        "c_j",
+        F.round(
+            F.col("n_ij").cast("double")
+            * F.log(
+                F.col("n_ij").cast("double")
+                * F.col("n")
+                / (F.col("r_i").cast("double") * F.col("c_j"))
+            ),
+            6,
+        )
+        .cast("decimal(25,6)")
+        .alias("term"),
+    )
+    return terms.agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        (
+            (F.countDistinct(F.col("r_i") + F.lit(0)) - 1)
+            * (F.countDistinct(F.col("c_j") + F.lit(1000000000000)) - 1)
+        )
+        .cast("bigint")
+        .alias("df"),
+        F.floor(F.lit(1000000.0) * F.lit(2.0) * F.sum("term").cast("double"))
+        .cast("bigint")
+        .alias("g_e6"),
+    )
+
+
+_LJUNG_SQL = """
+WITH daily AS (
+  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1, 2),
+wide AS (
+  SELECT priority, c,
+         LAG(c, 1) OVER w AS y1, LAG(c, 2) OVER w AS y2,
+         LAG(c, 3) OVER w AS y3, LAG(c, 4) OVER w AS y4,
+         LAG(c, 5) OVER w AS y5, LAG(c, 6) OVER w AS y6,
+         LAG(c, 7) OVER w AS y7,
+         COUNT(*) OVER (PARTITION BY priority) AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY priority ORDER BY day)),
+lagged AS (
+  SELECT priority, n_days, 1 AS k, c AS x, y1 AS y FROM wide
+  UNION ALL SELECT priority, n_days, 2, c, y2 FROM wide
+  UNION ALL SELECT priority, n_days, 3, c, y3 FROM wide
+  UNION ALL SELECT priority, n_days, 4, c, y4 FROM wide
+  UNION ALL SELECT priority, n_days, 5, c, y5 FROM wide
+  UNION ALL SELECT priority, n_days, 6, c, y6 FROM wide
+  UNION ALL SELECT priority, n_days, 7, c, y7 FROM wide),
+s AS (
+  SELECT priority, k, MAX(n_days) AS n_days,
+         CAST(COUNT(*) AS DOUBLE) AS np,
+         CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DOUBLE) AS sxy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY 1, 2),
+r0 AS (
+  SELECT priority, k, n_days,
+         (np * sxy - sx * sy)
+           / SQRT((np * sxx - sx * sx) * (np * syy - sy * sy)) AS r
+  FROM s),
+rho AS (
+  SELECT priority, n_days, r * r / CAST(n_days - k AS DOUBLE) AS term
+  FROM r0)
+SELECT priority,
+       CAST(MAX(n_days) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_lags,
+       CAST(FLOOR(1000000.0 * MAX(n_days) * (MAX(n_days) + 2)
+                  * SUM(term)) AS BIGINT) AS q_e6
+FROM rho
+GROUP BY 1
+"""
+
+
+@register("x_ljung_box", oracle=_LJUNG_SQL, tags=("W2", "A1", "F3"), doc="")
+def x_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box portmanteau test per priority — 'is this series white
+    noise AT ALL' across lags 1..7 jointly (the monitoring gate you run
+    BEFORE trusting x_acf_lags' individual spikes): Q = n(n+2)·Σ_k
+    ρ_k²/(n−k) ~ χ²₇ under H₀. All seven lag taps come from ONE window
+    over the bounded daily grid (a single WindowExec evaluates LAG 1..7
+    — one exchange, not seven), unpivoted JVM-side with stack(); each
+    ρ_k is the pairwise-complete Pearson form over DECIMAL(38,0)
+    sufficient sums (the x_acf_lags convention, pinned cross-engine).
+    The grid is days × priorities — calendar-bounded at any SF."""
+    o = T(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("priority").orderBy("day")
+    wide = daily.select(
+        "priority",
+        "c",
+        *[F.lag("c", k).over(w).alias(f"y{k}") for k in range(1, 8)],
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n_days"),
+    )
+    stack = ", ".join(f"{k}, y{k}" for k in range(1, 8))
+    lagged = wide.select(
+        "priority", "n_days", "c", F.expr(f"stack(7, {stack}) AS (k, y)")
+    ).filter(F.col("y").isNotNull())
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    s = lagged.groupBy("priority", "k").agg(
+        F.max("n_days").alias("n_days"),
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum(dec("c")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("c") * F.col("c")).cast("double").alias("sxx"),
+        F.sum(dec("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(dec("c") * F.col("y")).cast("double").alias("sxy"),
+    )
+    r = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("np") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    rho = s.select(
+        "priority",
+        "n_days",
+        (r * r / (F.col("n_days") - F.col("k")).cast("double")).alias("term"),
+    )
+    return rho.groupBy("priority").agg(
+        F.max("n_days").cast("bigint").alias("n_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lags"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.max("n_days")
+            * (F.max("n_days") + 2)
+            * F.sum("term")
+        )
+        .cast("bigint")
+        .alias("q_e6"),
+    )
+
+
+_THEILSEN_SQL = """
+WITH monthly AS (
+  SELECT (EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) - 1992) * 12
+         + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) AS t,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT a.t AS t1, b.t AS t2,
+         CAST(b.c - a.c AS DOUBLE) / (b.t - a.t) AS slope
+  FROM monthly a JOIN monthly b ON b.t > a.t),
+ranked AS (
+  SELECT slope,
+         ROW_NUMBER() OVER (ORDER BY slope, t1, t2) AS rn,
+         COUNT(*) OVER () AS m
+  FROM pairs),
+med AS (SELECT slope, m FROM ranked WHERE rn = (m + 1) // 2),
+resid AS (
+  SELECT monthly.c - med.slope * monthly.t AS b, monthly.t, med.m AS n_pairs,
+         med.slope AS slope
+  FROM monthly CROSS JOIN med),
+rb AS (
+  SELECT b, n_pairs, slope,
+         ROW_NUMBER() OVER (ORDER BY b, t) AS rn,
+         COUNT(*) OVER () AS nm
+  FROM resid)
+SELECT CAST(nm AS BIGINT) AS n_months,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       CAST(FLOOR(1000000.0 * slope) AS BIGINT) AS slope_e6,
+       CAST(FLOOR(100.0 * b) AS BIGINT) AS intercept_cents_e2
+FROM rb WHERE rn = (nm + 1) // 2
+"""
+
+
+@register("x_theil_sen_slope", oracle=_THEILSEN_SQL, tags=("J8", "W1", "F3"), doc="")
+def x_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend: the median of all pairwise slopes over the
+    MONTHLY revenue grid (the robust line x_linear_regression's OLS is
+    not — one bad month can't move the median of ~3.5k pair slopes, the
+    breakdown point is 29%), plus the Sen intercept (median residual at
+    the fitted slope). Month grid (84 points) makes the pair set
+    CALENDAR-bounded: ~3.5k rows at ANY fact scale (x_mann_kendall's
+    SF-independent-pairs argument, one resolution coarser to keep the
+    median walk trivially small). Slopes are exact-integer-cent deltas
+    divided once in IEEE double (bit-identical cross-engine), the
+    median is the LOWER element under a pinned total order (slope, t1,
+    t2) — no averaging of middle pairs, no float ambiguity."""
+    o = T(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        (
+            (F.year(F.col("o_orderdate").cast("date")) - 1992) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    a = monthly.select(F.col("t").alias("t1"), F.col("c").alias("c1"))
+    b = monthly.select(F.col("t").alias("t2"), F.col("c").alias("c2"))
+    pairs = a.join(b, F.col("t2") > F.col("t1")).select(
+        "t1",
+        "t2",
+        ((F.col("c2") - F.col("c1")).cast("double") / (F.col("t2") - F.col("t1"))).alias(
+            "slope"
+        ),
+    )
+    wr = Window.orderBy("slope", "t1", "t2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    med = ranked.filter(F.col("rn") == F.floor((F.col("m") + 1) / 2)).select("slope", "m")
+    resid = monthly.crossJoin(F.broadcast(med)).select(
+        (F.col("c") - F.col("slope") * F.col("t")).alias("b"),
+        "t",
+        F.col("m").alias("n_pairs"),
+        "slope",
+    )
+    wb = Window.orderBy("b", "t")
+    rb = resid.select(
+        "b",
+        "n_pairs",
+        "slope",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nm"),
+    )
+    return rb.filter(F.col("rn") == F.floor((F.col("nm") + 1) / 2)).select(
+        F.col("nm").cast("bigint").alias("n_months"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.floor(F.lit(1000000.0) * F.col("slope")).cast("bigint").alias("slope_e6"),
+        F.floor(F.lit(100.0) * F.col("b")).cast("bigint").alias("intercept_cents_e2"),
+    )
+
+
+_EFFECT_SQL = """
+WITH s AS (
+  SELECT o_orderpriority AS priority,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(25,2))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+  FROM orders GROUP BY 1),
+g AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS gn, CAST(SUM(sx) AS DOUBLE) AS gsx,
+         CAST(SUM(sxx) AS DOUBLE) AS gsxx
+  FROM s),
+d AS (
+  SELECT s.priority, s.n AS n1, g.gn - s.n AS n2,
+         s.sx / s.n AS m1, (g.gsx - s.sx) / (g.gn - s.n) AS m2,
+         (s.sxx - s.sx * s.sx / s.n) AS ss1,
+         ((g.gsxx - s.sxx) - (g.gsx - s.sx) * (g.gsx - s.sx) / (g.gn - s.n)) AS ss2
+  FROM s, g)
+SELECT priority,
+       CAST(n1 AS BIGINT) AS n_group,
+       CAST(FLOOR(1000000.0 * (m1 - m2)
+                  / SQRT((ss1 + ss2) / (n1 + n2 - 2))) AS BIGINT) AS cohens_d_e6,
+       CAST(FLOOR(1000000.0 * (m1 - m2)
+                  / SQRT((ss1 + ss2) / (n1 + n2 - 2))
+                  * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))) AS BIGINT) AS hedges_g_e6
+FROM d
+"""
+
+
+@register("x_effect_sizes", oracle=_EFFECT_SQL, tags=("A1", "F3"), doc="")
+def x_effect_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d + Hedges' g, each priority vs the rest — the EFFECT-SIZE
+    companion the significance tests (x_welch_t_test, x_mann_whitney_u)
+    deliberately don't report: at production N everything is
+    'significant'; d says whether the difference is worth acting on.
+    Same one-pass sufficient statistics as Welch (n, Σx, Σx² per group;
+    the rest-of-population side derived by SUBTRACTION from the global
+    totals — the k-groups-in-one-pass trick), pooled SD from the two
+    corrected sums of squares, small-sample bias corrected by Hedges'
+    (1 − 3/(4N−9)). Floor-e6 on identical doubles."""
+    o = T(spark, sf_dir, "orders")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,2)")).cast("double").alias("sx"),
+        F.sum((F.col("o_totalprice") * F.col("o_totalprice")).cast("decimal(30,4)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    g = s.agg(
+        F.sum("n").alias("gn"),
+        F.sum("sx").alias("gsx"),
+        F.sum("sxx").alias("gsxx"),
+    )
+    d = s.crossJoin(F.broadcast(g)).select(
+        "priority",
+        F.col("n").alias("n1"),
+        (F.col("gn") - F.col("n")).alias("n2"),
+        (F.col("sx") / F.col("n")).alias("m1"),
+        ((F.col("gsx") - F.col("sx")) / (F.col("gn") - F.col("n"))).alias("m2"),
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")).alias("ss1"),
+        (
+            (F.col("gsxx") - F.col("sxx"))
+            - (F.col("gsx") - F.col("sx"))
+            * (F.col("gsx") - F.col("sx"))
+            / (F.col("gn") - F.col("n"))
+        ).alias("ss2"),
+    )
+    cd = (F.col("m1") - F.col("m2")) / F.sqrt(
+        (F.col("ss1") + F.col("ss2")) / (F.col("n1") + F.col("n2") - 2)
+    )
+    corr = F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (F.col("n1") + F.col("n2")) - 9.0)
+    return d.select(
+        "priority",
+        F.col("n1").cast("bigint").alias("n_group"),
+        F.floor(F.lit(1000000.0) * cd).cast("bigint").alias("cohens_d_e6"),
+        F.floor(F.lit(1000000.0) * cd * corr).cast("bigint").alias("hedges_g_e6"),
+    )
+
+
+_BH_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events),
+b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM e),
+f AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE 2 * (day - d0) < (d1 - d0)) AS n1,
+         COUNT(*) FILTER (WHERE 2 * (day - d0) >= (d1 - d0)) AS n2,
+         COUNT(*) FILTER (WHERE EXTRACT(ISODOW FROM ts) <= 5) AS nw,
+         COUNT(*) FILTER (WHERE EXTRACT(ISODOW FROM ts) > 5) AS ne
+  FROM e, b GROUP BY 1),
+z AS (
+  SELECT event_type,
+         CAST(n1 - n2 AS DOUBLE) / SQRT(CAST(n1 + n2 AS DOUBLE)) AS z1,
+         (CAST(nw AS DOUBLE) / 5.0 - CAST(ne AS DOUBLE) / 2.0)
+           / SQRT(CAST(nw AS DOUBLE) / 25.0 + CAST(ne AS DOUBLE) / 4.0) AS z2
+  FROM f),
+p AS (
+  SELECT event_type,
+         CAST(FLOOR(1000000000.0 * EXP(-(z1 * z1 + z2 * z2) / 2.0))
+              AS BIGINT) AS p_e9
+  FROM z),
+r AS (
+  SELECT event_type, p_e9,
+         ROW_NUMBER() OVER (ORDER BY p_e9, event_type) AS i,
+         COUNT(*) OVER () AS m
+  FROM p),
+rej AS (
+  SELECT r.*,
+         MAX(CASE WHEN m * p_e9 <= 100000000 * i THEN i ELSE 0 END)
+           OVER () AS i_star
+  FROM r)
+SELECT event_type,
+       p_e9,
+       CAST(i AS BIGINT) AS p_rank,
+       CAST(100000000 * i / m AS BIGINT) AS bh_threshold_e9,
+       CAST(CASE WHEN i <= i_star THEN 1 ELSE 0 END AS BIGINT) AS rejected
+FROM rej
+"""
+
+
+@register("x_benjamini_hochberg", oracle=_BH_SQL, tags=("W1", "A6", "F3"), doc="")
+def x_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (q = 0.10) over a FAMILY of
+    per-event-type hypothesis tests — the multiple-comparisons layer a
+    real monitoring pipeline needs the moment it runs one test per
+    segment per day (5 tests at alpha=.05 ≈ 23% family-wise false-alarm
+    rate uncorrected). The family: per event type, TWO independent
+    drift z-statistics (first-half vs second-half arrival intensity +
+    exposure-adjusted weekday-vs-weekend rate), combined as X = z1²+z2²
+    ~ chi²₂ under H₀, whose survival function is EXACTLY p = exp(−X/2)
+    — the one chi-square df with a closed form, chosen so no erf/
+    incomplete-gamma approximation enters. p is floored to e9 once;
+    from there the BH step-up is ALL-INTEGER: reject i iff m·p_e9 ≤
+    1e8·i (q·i/m with q=0.10 cross-multiplied), i* = the largest
+    passing rank, reject everything at-or-below it. One fact pass
+    (conditional aggregates), the step-up runs over the m-row family —
+    bounded by the number of event types, never by data."""
+    e = T(spark, sf_dir, "events").select(
+        "event_type", F.col("ts"), F.col("ts").cast("date").alias("day")
+    )
+    b = e.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    half = F.lit(2) * F.datediff(F.col("day"), F.col("d0"))
+    span = F.datediff(F.col("d1"), F.col("d0"))
+    f = e.crossJoin(F.broadcast(b)).groupBy("event_type").agg(
+        F.count(F.when(half < span, 1)).alias("n1"),
+        F.count(F.when(half >= span, 1)).alias("n2"),
+        F.count(F.when(F.dayofweek("ts").isin(2, 3, 4, 5, 6), 1)).alias("nw"),
+        F.count(F.when(F.dayofweek("ts").isin(1, 7), 1)).alias("ne"),
+    )
+    z1 = (F.col("n1") - F.col("n2")).cast("double") / F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+    )
+    z2 = (
+        F.col("nw").cast("double") / 5.0 - F.col("ne").cast("double") / 2.0
+    ) / F.sqrt(F.col("nw").cast("double") / 25.0 + F.col("ne").cast("double") / 4.0)
+    p = f.select(
+        "event_type",
+        F.floor(F.lit(1000000000.0) * F.exp(-(z1 * z1 + z2 * z2) / F.lit(2.0)))
+        .cast("bigint")
+        .alias("p_e9"),
+    )
+    wr = Window.orderBy("p_e9", "event_type")
+    r = p.select(
+        "event_type",
+        "p_e9",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    rej = r.withColumn(
+        "i_star",
+        F.max(
+            F.when(
+                F.col("m") * F.col("p_e9") <= F.lit(100000000) * F.col("i"), F.col("i")
+            ).otherwise(F.lit(0))
+        ).over(Window.partitionBy()),
+    )
+    return rej.select(
+        "event_type",
+        "p_e9",
+        F.col("i").cast("bigint").alias("p_rank"),
+        (F.lit(100000000) * F.col("i") / F.col("m")).cast("bigint").alias(
+            "bh_threshold_e9"
+        ),
+        F.when(F.col("i") <= F.col("i_star"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("rejected"),
+    )
+
+
+_KENDALL_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_discount * 100, 0) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1, 2),
+pairs AS (
+  SELECT SUM(CASE WHEN (a.q < b.q AND a.d < b.d) OR (a.q > b.q AND a.d > b.d)
+                  THEN CAST(a.cnt AS DECIMAL(38,0)) * b.cnt ELSE 0 END) AS nc2,
+         SUM(CASE WHEN (a.q < b.q AND a.d > b.d) OR (a.q > b.q AND a.d < b.d)
+                  THEN CAST(a.cnt AS DECIMAL(38,0)) * b.cnt ELSE 0 END) AS nd2
+  FROM cells a JOIN cells b
+    ON NOT (a.q = b.q AND a.d = b.d)),
+marg AS (
+  SELECT CAST(SUM(cnt) AS DECIMAL(38,0)) AS n,
+         (SELECT SUM(CAST(s AS DECIMAL(38,0)) * (s - 1))
+          FROM (SELECT SUM(cnt) AS s FROM cells GROUP BY q)) AS tq2,
+         (SELECT SUM(CAST(s AS DECIMAL(38,0)) * (s - 1))
+          FROM (SELECT SUM(cnt) AS s FROM cells GROUP BY d)) AS td2
+  FROM cells)
+SELECT CAST(nc2 / 2 AS BIGINT) AS n_concordant,
+       CAST(nd2 / 2 AS BIGINT) AS n_discordant,
+       CAST(FLOOR(1000000.0 * CAST(nc2 - nd2 AS DOUBLE)
+            / SQRT(CAST(n * (n - 1) - tq2 AS DOUBLE)
+                   * CAST(n * (n - 1) - td2 AS DOUBLE))) AS BIGINT) AS tau_b_e6
+FROM pairs, marg
+"""
+
+
+@register("x_kendall_tau", oracle=_KENDALL_SQL, tags=("J8", "A1", "F3"), doc="")
+def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between quantity and discount — ordinal
+    association with massive ties (the rank correlation x_spearman_corr
+    can't honestly report when both variables live on tiny grids). The
+    fact table never self-joins: lineitem collapses to the (quantity ×
+    discount-cent) contingency grid (~50×11 cells, bounded), and
+    concordant/discordant pair MASSES come from the grid's self-join
+    (cell_i.cnt × cell_j.cnt, ~302k cell pairs — grid², not rows²).
+    Every count is exact DECIMAL(38,0) (pair masses ~N² burst bigint at
+    scale); tau-b's tie-corrected denominator √((n(n−1)−Σt(t−1))·…)
+    uses the same doubled convention (each unordered pair counted twice,
+    the /2 deferred to the very end). One float: the final division."""
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("d"),
+    )
+    cells = l.groupBy("q", "d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = cells.select(
+        F.col("q").alias("qa"), F.col("d").alias("da"), F.col("cnt").alias("ca")
+    )
+    bb = cells.select(
+        F.col("q").alias("qb"), F.col("d").alias("db"), F.col("cnt").alias("cb")
+    )
+    mass = F.col("ca").cast("decimal(38,0)") * F.col("cb")
+    conc = (
+        ((F.col("qa") < F.col("qb")) & (F.col("da") < F.col("db")))
+        | ((F.col("qa") > F.col("qb")) & (F.col("da") > F.col("db")))
+    )
+    disc = (
+        ((F.col("qa") < F.col("qb")) & (F.col("da") > F.col("db")))
+        | ((F.col("qa") > F.col("qb")) & (F.col("da") < F.col("db")))
+    )
+    pairs = (
+        a.join(bb, ~((F.col("qa") == F.col("qb")) & (F.col("da") == F.col("db"))))
+        .agg(
+            F.sum(F.when(conc, mass).otherwise(F.lit(0))).alias("nc2"),
+            F.sum(F.when(disc, mass).otherwise(F.lit(0))).alias("nd2"),
+        )
+    )
+    tq = (
+        cells.groupBy("q")
+        .agg(F.sum("cnt").alias("s"))
+        .agg(F.sum(F.col("s").cast("decimal(38,0)") * (F.col("s") - 1)).alias("tq2"))
+    )
+    td = (
+        cells.groupBy("d")
+        .agg(F.sum("cnt").alias("s"))
+        .agg(F.sum(F.col("s").cast("decimal(38,0)") * (F.col("s") - 1)).alias("td2"))
+    )
+    n = cells.agg(F.sum("cnt").cast("decimal(38,0)").alias("n"))
+    out = (
+        pairs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tq))
+        .crossJoin(F.broadcast(td))
+    )
+    return out.select(
+        (F.col("nc2") / 2).cast("bigint").alias("n_concordant"),
+        (F.col("nd2") / 2).cast("bigint").alias("n_discordant"),
+        F.floor(
+            F.lit(1000000.0)
+            * (F.col("nc2") - F.col("nd2")).cast("double")
+            / F.sqrt(
+                (F.col("n") * (F.col("n") - 1) - F.col("tq2")).cast("double")
+                * (F.col("n") * (F.col("n") - 1) - F.col("td2")).cast("double")
+            )
+        )
+        .cast("bigint")
+        .alias("tau_b_e6"),
+    )

@@ -1588,3 +1588,153 @@ def x_select_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey % 1000 = 7
         """
     )
+
+
+# ------------------------------------------------------ r14 SQL surface
+
+
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag AS flag, l_linestatus AS status,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@register(
+    "x_grouping_sets_explicit", oracle=_GROUPING_SETS_SQL, tags=("A4",), doc=""
+)
+def x_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUP BY GROUPING SETS with a CUSTOM lattice — the one
+    rollup/cube (A4) can't spell: (flag, status), (status), () — i.e.
+    the (flag)-only level is deliberately SKIPPED, which is exactly what
+    a report wanting 'detail + per-status subtotal + grand total but no
+    per-flag row' needs (ROLLUP would force the flag level in, CUBE
+    would add a fourth). GROUPING() markers disambiguate real NULLs from
+    subtotal NULLs, composed into one level id identically on both
+    engines. Physically still a single scan: Spark expands the sets via
+    Expand + one two-phase aggregate — 3× the rows of one grouping, not
+    3 scans."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_FILTER_CLAUSE_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_discounted,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity >= 30)
+            AS BIGINT) AS qty_bulk,
+       CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+            AS BIGINT) AS suppliers_returned
+FROM lineitem
+GROUP BY 1
+"""
+
+_FILTER_CLAUSE_ORACLE = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT)
+         AS n_discounted,
+       CAST(SUM(CASE WHEN l_quantity >= 30 THEN CAST(l_quantity AS BIGINT) END)
+            AS BIGINT) AS qty_bulk,
+       CAST(COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END)
+            AS BIGINT) AS suppliers_returned
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("x_filter_clause_agg", oracle=_FILTER_CLAUSE_ORACLE, tags=("A6",), doc="")
+def x_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 FILTER (WHERE ...) aggregate modifier — the
+    standard's spelling of conditional aggregation (a6's CASE-WHEN is
+    the portable workaround; Spark 4 and DuckDB both take the real
+    clause now). The engine runs FILTER syntax, the ORACLE runs the
+    CASE rewrite — the hash match proves the clause lowers to exactly
+    the conditional-aggregate semantics, including the subtle one:
+    COUNT(DISTINCT x) FILTER (...) must dedupe only the rows passing
+    the filter. One two-phase aggregate, filters evaluated map-side."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_FILTER_CLAUSE_SQL)
+
+
+_NAMED_WINDOW_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1)
+SELECT day, c,
+       CAST(SUM(c) OVER w AS BIGINT) AS running_total,
+       CAST(LAG(c, 1) OVER w AS BIGINT) AS prev_day,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS day_idx
+FROM daily
+WINDOW w AS (ORDER BY day)
+"""
+
+_NAMED_WINDOW_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1)
+SELECT day, c,
+       CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS running_total,
+       CAST(LAG(c, 1) OVER (ORDER BY day) AS BIGINT) AS prev_day,
+       CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS day_idx
+FROM daily
+"""
+
+
+@register("x_named_window", oracle=_NAMED_WINDOW_ORACLE, tags=("W3", "W2"), doc="")
+def x_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WINDOW clause (named window definitions, SQL:2003): three
+    functions share ONE spec by name — the engine runs `OVER w ...
+    WINDOW w AS (...)`, the oracle spells the identical spec inline
+    three times; the hash match proves name resolution binds every
+    function to the same spec (default cumulative frame; the day key is
+    unique so RANGE ≡ ROWS — and LAG/ROW_NUMBER reject explicit frames
+    anyway). Physically Spark fuses same-spec window
+    functions into one WindowExec regardless of spelling — the clause
+    is pure parser surface, zero plan cost. Frame input is the bounded
+    daily grid (calendar-bounded at any SF, the x_drawdown whitelist
+    argument)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_NAMED_WINDOW_SQL)
+
+
+_VALUES_INLINE_SQL = """
+WITH tier(tier_name, lo, hi) AS (
+  VALUES ('small', 0, 25000), ('mid', 25000, 150000), ('large', 150000, 1000000))
+SELECT tier_name,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN tier
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY 1
+"""
+
+
+@register("x_values_inline", oracle=_VALUES_INLINE_SQL, tags=("J8", "J2"), doc="")
+def x_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUES inline table constructor as a join dimension — the
+    config-as-SQL pattern (pricing tiers, band edges, feature flags
+    pasted straight into the query, no table round-trip). Both engines
+    run the SAME text: a 3-row VALUES CTE theta-joined to facts. Spark
+    plans the literal relation as a broadcast (3 rows — a
+    BroadcastNestedLoopJoin over a one-pass fact scan, each row tests 3
+    bands); the semantics and plan are identical to x_binned_band_join's
+    explicit bin table, minus the table."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_VALUES_INLINE_SQL)

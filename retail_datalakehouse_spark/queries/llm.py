@@ -6429,3 +6429,210 @@ def l6_aurc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("aurc_e6"),
     )
+
+
+# -------------------------------------------------- r14 corpus + eval
+
+
+_TTR_SQL = """
+WITH toks AS (
+  SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x != ''))
+           AS tok
+  FROM documents),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+s AS (
+  SELECT source,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n_hapax
+  FROM counts GROUP BY 1)
+SELECT source, n_tokens, n_types, n_hapax,
+       CAST(FLOOR(1000000.0 * n_types / n_tokens) AS BIGINT) AS ttr_e6,
+       CAST(FLOOR(1000000.0 * n_hapax / n_types) AS BIGINT) AS hapax_share_e6
+FROM s
+"""
+
+
+@register("l4_ttr_hapax", oracle=_TTR_SQL, tags=("L4",), doc="")
+def l4_ttr_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio + hapax legomenon share per source — the two
+    classic lexical-richness diagnostics (a source whose TTR collapses
+    is template spam; one whose hapax share explodes is OCR noise or
+    codegen — both are the corpus-drift alarms beside l4_zipf_exponent's
+    slope). One tokenize-explode pass → (source, token) counts →
+    three integer aggregates; both ratios are exact integers divided
+    once with floor-e6. Shuffle is on the (source, token) key —
+    vocabulary-bounded, never document-bounded."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    s = counts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("n_hapax"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.floor(F.lit(1000000.0) * F.col("n_types") / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("ttr_e6"),
+        F.floor(F.lit(1000000.0) * F.col("n_hapax") / F.col("n_types"))
+        .cast("bigint")
+        .alias("hapax_share_e6"),
+    )
+
+
+_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT source, string_split(lower(text), ' ') AS l FROM documents),
+bg AS (
+  SELECT DISTINCT source,
+         p[1] || ' ' || p[2] AS bigram
+  FROM (SELECT source, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS p
+        FROM toks WHERE len(l) >= 2)),
+spread AS (
+  SELECT bigram, COUNT(*) AS n_sources FROM bg GROUP BY 1)
+SELECT bg.source,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) FILTER (WHERE spread.n_sources = 1) AS BIGINT) AS n_novel,
+       CAST(FLOOR(1000000.0 * COUNT(*) FILTER (WHERE spread.n_sources = 1)
+                  / COUNT(*)) AS BIGINT) AS novelty_e6
+FROM bg JOIN spread USING (bigram)
+GROUP BY 1
+"""
+
+
+@register("l4_ngram_novelty", oracle=_NOVELTY_SQL, tags=("L4", "L2"), doc="")
+def l4_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram NOVELTY: the share of a source's distinct
+    bigrams that appear in NO other source — the corpus-mixing signal
+    dedup misses (a source can be 0% duplicate yet 0% novel: everything
+    it says, someone else already says). Leave-one-out by COUNTING
+    SOURCES per bigram (n_sources = 1 ⟺ unique to its source) — one
+    corpus pass serves every source simultaneously, the l4_jensen_
+    shannon trick at the n-gram level. Shuffles are (source, bigram)
+    distinct + a vocabulary-bounded join; exact integers, one floor-e6
+    per source."""
+    d = T(spark, sf_dir, "documents")
+    toks = d.select("source", F.split(F.lower("text"), " ").alias("l")).filter(
+        F.size("l") >= 2
+    )
+    bg = toks.select(
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("l"), 1, F.size("l") - 1).alias("t1"),
+                F.expr("slice(l, 2, size(l) - 1)").alias("t2"),
+            )
+        ).alias("p"),
+    ).select(
+        "source", F.concat_ws(" ", F.col("p.t1"), F.col("p.t2")).alias("bigram")
+    ).distinct()
+    spread = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_sources"))
+    j = bg.join(spread, "bigram")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.count(F.when(F.col("n_sources") == 1, 1)).cast("bigint").alias("n_novel"),
+        F.floor(
+            F.lit(1000000.0)
+            * F.count(F.when(F.col("n_sources") == 1, 1))
+            / F.count(F.lit(1))
+        )
+        .cast("bigint")
+        .alias("novelty_e6"),
+    )
+
+
+@register(
+    "l6_ndcg",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.q_vec) AS DOUBLE) AS y
+  FROM embeddings e CROSS JOIN q
+),
+agg AS (
+  SELECT q_id, vec_id,
+         ROUND(SUM(x * y) / (SQRT(SUM(x * x)) * SQRT(SUM(y * y))), 6) AS cs
+  FROM scored GROUP BY q_id, vec_id
+),
+ranked AS (
+  SELECT q_id, vec_id, vec_id % 4 AS grade,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rn
+  FROM agg
+),
+top AS (SELECT * FROM ranked WHERE rn <= 10),
+ideal AS (
+  SELECT q_id, grade,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY grade DESC, vec_id) AS irn
+  FROM top),
+s AS (
+  SELECT t.q_id,
+         SUM(t.grade * (CASE t.rn {" ".join(f"WHEN {r} THEN {w}" for r, w in enumerate([1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065], start=1))} END)) AS dcg_fp,
+         MAX(i.idcg_fp) AS idcg_fp
+  FROM top t JOIN (
+    SELECT q_id,
+           SUM(grade * (CASE irn {" ".join(f"WHEN {r} THEN {w}" for r, w in enumerate([1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065], start=1))} END)) AS idcg_fp
+    FROM ideal GROUP BY q_id) i ON i.q_id = t.q_id
+  GROUP BY 1)
+SELECT q_id,
+       CAST(dcg_fp AS BIGINT) AS dcg_fp,
+       CAST(idcg_fp AS BIGINT) AS idcg_fp,
+       CAST(CASE WHEN idcg_fp = 0 THEN 0
+            ELSE FLOOR(1000000.0 * dcg_fp / idcg_fp) END AS BIGINT) AS ndcg_e6
+FROM s
+""",
+    tags=("L6", "L3", "W6"),
+)
+def l6_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 — l6_dcg_eval normalized by the IDEAL ordering of the
+    same retrieved list (re-sort the top-10's own grades descending;
+    the 'how well did the ranker ORDER what it found' reading, the
+    variant that stays meaningful when corpus-wide grade counts make
+    the absolute ideal degenerate). Both DCG and IDCG use the
+    established ten round(1e6/log2(r+1)) fixed-point literals, so the
+    metric is exact integer arithmetic up to ONE floor-e6 division;
+    all-zero-grade lists pin ndcg = 0. Same one-scan plan as dcg_eval:
+    broadcast queries, JVM cosine, WindowGroupLimit top-10; the ideal
+    re-rank runs over 10 rows per query."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import topk_cosine_join
+
+    e = T(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = topk_cosine_join(q, e, k=10, round_to=6)
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = top.withColumn("rn", F.row_number().over(w)).withColumn(
+        "grade", F.col("vec_id") % 4
+    )
+    wi = Window.partitionBy("q_id").orderBy(F.desc("grade"), F.asc("vec_id"))
+    both = ranked.withColumn("irn", F.row_number().over(wi))
+    dcg_w = F.expr(_DCG_CASE_SQL)
+    idcg_w = F.expr(_DCG_CASE_SQL.replace("CASE rn", "CASE irn"))
+    s = both.groupBy("q_id").agg(
+        F.sum(F.col("grade") * dcg_w).cast("bigint").alias("dcg_fp"),
+        F.sum(F.col("grade") * idcg_w).cast("bigint").alias("idcg_fp"),
+    )
+    return s.select(
+        "q_id",
+        "dcg_fp",
+        "idcg_fp",
+        F.when(F.col("idcg_fp") == 0, F.lit(0))
+        .otherwise(F.floor(F.lit(1000000.0) * F.col("dcg_fp") / F.col("idcg_fp")))
+        .cast("bigint")
+        .alias("ndcg_e6"),
+    )

@@ -2816,3 +2816,62 @@ def t33_stream_iceberg_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "t34_dedup_within_watermark",
+    oracle="""
+WITH e AS (SELECT event_id, event_type FROM events)
+SELECT event_type,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM e GROUP BY 1
+""",
+    tags=("T5", "T6", "O4"),
+)
+def t34_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 3.5+ ``dropDuplicatesWithinWatermark`` — the dedup variant
+    built for AT-LEAST-ONCE transports (Kafka redeliveries, retry
+    storms): unlike plain dropDuplicates (t5), whose state for a key
+    lives forever unless the EVENT TIME advances past it, this one only
+    guarantees suppression of duplicates arriving within the watermark
+    delay of first sight and EVICTS key state on the watermark clock —
+    the contract that keeps redelivery-dedup state bounded at 100 TB/day
+    ingest. Staged input: the events table with every ``event_id % 5
+    == 0`` row DUPLICATED (same id, same payload — a redelivery), both
+    copies inside one micro-batch (trivially within the watermark), so
+    the sink must hold exactly one row per event_id. The oracle is the
+    per-type distinct-id count. In-query assert pins that the staged
+    input really carried the duplicates (n_staged > n_unique)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..catalog import load_table
+    from ..streaming.jobs import run_to_memory, write_single_parquet
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    dups = e.filter(F.col("event_id") % 5 == 0)
+    staged = e.unionAll(dups)
+    n_staged = staged.count()
+    n_unique = e.count()
+    assert n_staged > n_unique  # the redeliveries are really in the input
+
+    d = tempfile.mkdtemp(prefix="rdl_t34_")
+    write_single_parquet(staged, os.path.join(d, "chunk0.parquet"))
+    schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    dedup = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = run_to_memory(
+        dedup.select("event_id", "event_type"), output_mode="append"
+    )
+    shutil.rmtree(d, ignore_errors=True)
+    # RAW row count, not count-distinct: if the dedup failed to suppress
+    # a redelivery, this count exceeds the oracle's distinct-id count
+    # and the gate hash-mismatches — the honest pin.
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
+    )

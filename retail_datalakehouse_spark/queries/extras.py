@@ -5526,3 +5526,99 @@ def x_delta_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("urgent_checksum"),
         )
     )
+
+
+_ICE_EXPIRE_SQL = f"""
+WITH t AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 != 0)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register("x_iceberg_snapshot_expire", oracle=_ICE_EXPIRE_SQL, tags=("S6", "S3"), doc="")
+def x_iceberg_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg snapshot EXPIRATION — the retention half of the exported
+    metadata lifecycle (export → incremental → import → partitioned →
+    EXPIRE): a table exported daily carries an unbounded snapshot
+    history until `expireSnapshots` bounds it. Contract pinned in-query:
+    survivors keep resolving (including time travel to a RETAINED
+    snapshot), expired ids STOP resolving, expired manifest-LIST files
+    leave disk, but manifests REUSED BY REFERENCE by a surviving
+    snapshot are protected (the sharing that makes incremental exports
+    O(new files) also makes naive expiry dangerous — this is the case
+    that matters), data files untouched, and the expiry itself commits
+    as the next metadata version. Oracle = full recompute of the final
+    live state. All metadata work is O(snapshots + manifests), zero
+    data reads at any table size."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..sources.iceberg_import import load_table_metadata, read_iceberg_snapshot
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_ice_expire_"))
+    t.overwrite(o.filter(k % 3 == 0).coalesce(2))  # v1
+    t.export_iceberg_metadata()
+    t.append(o.filter(k % 3 == 1).coalesce(1))  # v2
+    t.export_iceberg_metadata()
+    t.delete("o_orderkey % 5 = 0")  # v3 (materializing rewrite)
+    t.export_iceberg_metadata()
+
+    m3 = load_table_metadata(t.path)
+    snaps = m3["snapshots"]
+    assert len(snaps) == 3
+    sid1, sid2, sid3 = (s["snapshot-id"] for s in snaps)
+
+    def _ml_path(s):
+        return _os.path.join(t.path, s["manifest-list"])
+
+    def _manifests(s):
+        with open(_ml_path(s)) as fh:
+            return {m["manifest_path"] for m in _json.load(fh)["manifests"]}
+
+    # snapshot 2 REUSES snapshot 1's manifest by reference — the shared
+    # manifest must survive snapshot 1's expiry
+    shared = _manifests(snaps[0]) & _manifests(snaps[1])
+    assert shared
+    ml1 = _ml_path(snaps[0])
+
+    t.expire_iceberg_snapshots(keep_last=2)
+    m = load_table_metadata(t.path)
+    assert [s["snapshot-id"] for s in m["snapshots"]] == [sid2, sid3]
+    assert len(m["snapshot-log"]) == 2
+    assert "parent-snapshot-id" not in m["snapshots"][0]  # parent expired
+    assert not _os.path.exists(ml1)  # expired manifest-list gone
+    for mp in shared:  # reused manifests protected
+        assert _os.path.exists(_os.path.join(t.path, mp))
+    # retained time travel still resolves; expired id does not
+    assert read_iceberg_snapshot(spark, t.path, snapshot_id=sid2).count() > 0
+    try:
+        read_iceberg_snapshot(spark, t.path, snapshot_id=sid1)
+        raise AssertionError("expired snapshot must not resolve")
+    except StopIteration:
+        pass
+    except ValueError:
+        pass
+
+    t.expire_iceberg_snapshots(keep_last=1)
+    m = load_table_metadata(t.path)
+    assert [s["snapshot-id"] for s in m["snapshots"]] == [sid3]
+    # idempotent when nothing to expire
+    t.expire_iceberg_snapshots(keep_last=1)
+    assert len(load_table_metadata(t.path)["snapshots"]) == 1
+
+    return (
+        read_iceberg_snapshot(spark, t.path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )

@@ -5273,6 +5273,107 @@ class VersionedTable:
         os.replace(hint + ".tmp", hint)
         return meta_path
 
+    def expire_iceberg_snapshots(self, keep_last: int = 1) -> str:
+        """Iceberg snapshot EXPIRATION (`expireSnapshots` / the
+        `expire_snapshots` procedure) over the exported metadata tree —
+        the retention half of the lifecycle that export/incremental/
+        import built: history is useful until it isn't, and a table
+        exported daily for a year carries 365 snapshots whose metadata
+        (and time-travel surface) someone must eventually bound.
+
+        Semantics, faithful to Iceberg's:
+        - the newest ``keep_last`` snapshots survive (the CURRENT
+          snapshot always does — keep_last < 1 raises);
+        - expired snapshot objects leave ``snapshots`` and their rows
+          leave ``snapshot-log``; surviving snapshots are untouched —
+          each is self-contained, so nothing needs rewriting;
+        - manifest-LIST files of expired snapshots are deleted; manifest
+          files are deleted only when NO surviving snapshot's list still
+          references them (reuse-by-reference means a manifest can be
+          shared across many snapshots);
+        - DATA files are never touched (orphan-file cleanup is a
+          separate maintenance op in Iceberg too — expiry is a
+          metadata-layer contract);
+        - the result is written as the NEXT metadata version
+          (v<N+1>.metadata.json) + version-hint bump, so expiry itself
+          is a visible, ordered metadata event (Iceberg's
+          commit-on-expire behavior); parent-snapshot-id of the oldest
+          survivor is dropped if its parent was expired.
+
+        O(snapshots + manifests) metadata work, zero data reads, any
+        table size. Returns the new metadata path."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (current must survive)")
+        meta_dir = os.path.join(self.path, "metadata")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if not os.path.exists(hint):
+            raise ValueError(f"no exported iceberg metadata at {meta_dir}")
+        with open(hint) as fh:
+            n_prev = int(fh.read().strip())
+        with open(os.path.join(meta_dir, f"v{n_prev}.metadata.json")) as fh:
+            meta = json.load(fh)
+
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return os.path.join(meta_dir, f"v{n_prev}.metadata.json")
+        # snapshots list is append-ordered; survivors = newest keep_last
+        keep = snaps[-keep_last:]
+        expired = snaps[:-keep_last]
+        keep_ids = {s["snapshot-id"] for s in keep}
+        assert meta["current-snapshot-id"] in keep_ids
+
+        def _manifests_of(s: dict) -> set[str]:
+            with open(os.path.join(self.path, s["manifest-list"])) as fh:
+                return {m["manifest_path"] for m in json.load(fh)["manifests"]}
+
+        still_referenced: set[str] = set()
+        for s in keep:
+            still_referenced |= _manifests_of(s)
+        to_delete_manifests: set[str] = set()
+        for s in expired:
+            to_delete_manifests |= _manifests_of(s) - still_referenced
+
+        # drop the oldest survivor's parent pointer if its parent expired
+        keep = [dict(s) for s in keep]
+        expired_ids = {s["snapshot-id"] for s in expired}
+        if keep and keep[0].get("parent-snapshot-id") in expired_ids:
+            keep[0].pop("parent-snapshot-id", None)
+
+        now_ms = int(time.time() * 1000)
+        new_meta = dict(meta)
+        new_meta["snapshots"] = keep
+        new_meta["snapshot-log"] = [
+            e for e in meta["snapshot-log"] if e["snapshot-id"] in keep_ids
+        ]
+        new_meta["last-updated-ms"] = now_ms
+        new_meta["metadata-log"] = meta["metadata-log"] + [
+            {
+                "timestamp-ms": meta["last-updated-ms"],
+                "metadata-file": f"metadata/v{n_prev}.metadata.json",
+            }
+        ]
+        n_meta = n_prev + 1
+        meta_path = os.path.join(meta_dir, f"v{n_meta}.metadata.json")
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(new_meta, fh, indent=1)
+        os.replace(tmp, meta_path)
+        with open(hint + ".tmp", "w") as fh:
+            fh.write(str(n_meta))
+        os.replace(hint + ".tmp", hint)
+        # physical metadata deletes LAST, after the commit point — a
+        # crash beforehand leaves a valid tree with orphan files, never
+        # a dangling reference
+        for s in expired:
+            p = os.path.join(self.path, s["manifest-list"])
+            if os.path.exists(p):
+                os.remove(p)
+        for m in to_delete_manifests:
+            p = os.path.join(self.path, m)
+            if os.path.exists(p):
+                os.remove(p)
+        return meta_path
+
     def _write_iceberg_manifest(
         self,
         meta_dir: str,

@@ -114,3 +114,24 @@ def test_global_rank_plan_has_no_unpartitioned_window(spark):
     )[0]
     assert _unpartitioned_window_count(plan) == 0
     assert "hashpartitioning(_rp_b" in plan
+
+
+def test_expire_iceberg_snapshots_guards(spark, tmp_path):
+    """Expiry edge contracts: keep_last < 1 refuses (current must
+    survive), un-exported tables refuse, expiring more than exists is a
+    no-op that does NOT mint a new metadata version."""
+    import os
+
+    import pytest as _pytest
+
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "k long, v string"))
+    with _pytest.raises(ValueError, match="no exported iceberg metadata"):
+        t.expire_iceberg_snapshots()
+    t.export_iceberg_metadata()
+    with _pytest.raises(ValueError, match="keep_last"):
+        t.expire_iceberg_snapshots(keep_last=0)
+    p1 = t.expire_iceberg_snapshots(keep_last=5)  # nothing to expire
+    assert os.path.basename(p1) == "v1.metadata.json"  # no new version

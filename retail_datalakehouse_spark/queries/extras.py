@@ -5622,3 +5622,79 @@ def x_iceberg_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", scale=2).alias("revenue"),
         )
     )
+
+
+_DELTA_CP_SQL = f"""
+WITH t AS (
+  SELECT * FROM orders
+  WHERE o_orderkey % 3 IN (0, 1)
+    AND o_orderkey % 5 != 0 AND o_orderkey % 7 != 0)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       {sql_dsum("o_totalprice", scale=2)} AS revenue
+FROM t GROUP BY 1
+"""
+
+
+@register("x_delta_checkpoint_retention", oracle=_DELTA_CP_SQL, tags=("S6", "S3"), doc="")
+def x_delta_checkpoint_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol PARQUET CHECKPOINT + log retention — the Delta
+    counterpart of x_iceberg_snapshot_expire, with the structural
+    contrast that IS the lesson: Iceberg snapshots are self-contained
+    (expiry just deletes objects), while Delta state is a log REPLAY —
+    so bounding history needs a checkpoint (the spec's classic
+    one-action-per-row parquet + `_last_checkpoint` pointer) BEFORE any
+    commit file may be deleted. Pinned in-query: the checkpoint file +
+    pointer exist; after truncation the pre-checkpoint JSON commits are
+    gone; the INDEPENDENT stdlib/pyarrow reader now seeds from the
+    checkpoint and replays only post-checkpoint commits (here: none)
+    yet reproduces the exact final state (oracle = full recompute);
+    time travel below the checkpoint raises the expired-history error;
+    and a FURTHER incremental export on the truncated log still works
+    (the exporter recovers the metaData contract from the checkpoint).
+    All metadata work O(live files), zero data reads at any scale."""
+    import os as _os
+    import tempfile
+
+    from ..sources.delta_import import read_delta_snapshot
+    from ..sources.table_format import VersionedTable
+
+    o = T(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_delta_cp_"))
+    t.overwrite(o.filter(k % 3 == 0).coalesce(2))  # v1
+    t.export_delta_log()  # commit 0
+    t.append(o.filter(k % 3 == 1).coalesce(1))  # v2
+    t.export_delta_log()  # commit 1
+    t.delete("o_orderkey % 5 = 0")  # v3
+    t.export_delta_log()  # commit 2
+
+    log_dir = _os.path.join(t.path, "_delta_log")
+    cp = t.export_delta_checkpoint()
+    assert _os.path.basename(cp) == f"{2:020d}.checkpoint.parquet"
+    assert _os.path.exists(_os.path.join(log_dir, "_last_checkpoint"))
+
+    n_deleted = t.truncate_delta_log()
+    assert n_deleted == 2  # commits 0 and 1 expired; head JSON retained
+    left = sorted(f for f in _os.listdir(log_dir) if f.endswith(".json"))
+    assert left == [f"{2:020d}.json"]
+
+    # expired history must not resolve
+    try:
+        read_delta_snapshot(spark, t.path, version=0)
+        raise AssertionError("pre-checkpoint version must not resolve")
+    except ValueError:
+        pass
+
+    # further incremental export on the truncated log still works and
+    # the checkpoint-seeded reader folds the new commit in
+    t.delete("o_orderkey % 7 = 0")  # v4
+    t.export_delta_log()  # commit 3 (replays from checkpoint + head)
+    return (
+        read_delta_snapshot(spark, t.path)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", scale=2).alias("revenue"),
+        )
+    )

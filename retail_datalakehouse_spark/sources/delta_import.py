@@ -15,9 +15,11 @@ reader features this module refuses rather than misreads).
 Scale notes: log replay is driver-side O(actions) JSON — the same cost a
 Delta reader pays before its first byte of data; the data read itself is
 one parquet scan over exactly the live file set (Spark still prunes
-row groups inside those files from parquet footers). Checkpoint parquet
-files (``*.checkpoint.parquet``) are an optimization for very long logs;
-this reader replays JSON commits and raises if only checkpoints exist.
+row groups inside those files from parquet footers). Classic parquet
+checkpoints are supported the spec's way: ``_last_checkpoint`` names the
+checkpoint, the reader seeds its state from it and replays only the JSON
+commits after — O(commits-since-checkpoint) on a long-lived log, and the
+only resolution path once retention truncates pre-checkpoint commits.
 """
 
 from __future__ import annotations
@@ -36,6 +38,42 @@ def _commit_files(log_dir: str) -> list[str]:
         for fn in os.listdir(log_dir)
         if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit()
     )
+
+
+def _read_checkpoint(log_dir: str):
+    """Consult ``_last_checkpoint`` (the spec's reader entry point) and
+    load the classic parquet checkpoint it names. Returns
+    (version, live_adds, schema_str, part_cols) or None when the log has
+    no checkpoint. pyarrow read — O(actions), no Spark job."""
+    ptr = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(ptr):
+        return None
+    import pyarrow.parquet as pq
+
+    with open(ptr) as fh:
+        cp_ver = int(json.load(fh)["version"])
+    cp_path = os.path.join(log_dir, f"{cp_ver:020d}.checkpoint.parquet")
+    live: dict[str, dict] = {}
+    schema_str = None
+    part_cols: list[str] = []
+    for row in pq.read_table(cp_path).to_pylist():
+        if row.get("protocol"):
+            if (row["protocol"].get("minReaderVersion") or 1) > 1:
+                raise ValueError(
+                    "table requires Delta reader features beyond plain "
+                    "parquet (minReaderVersion > 1)"
+                )
+        elif row.get("metaData"):
+            schema_str = row["metaData"]["schemaString"]
+            part_cols = list(row["metaData"].get("partitionColumns") or [])
+        elif row.get("add"):
+            add = dict(row["add"])
+            # pyarrow reads map<string,string> back as a list of pairs
+            pv = add.get("partitionValues")
+            if isinstance(pv, list):
+                add["partitionValues"] = dict(pv)
+            live[unquote(add["path"])] = add
+    return cp_ver, live, schema_str, part_cols
 
 
 def read_delta_snapshot(
@@ -64,20 +102,36 @@ def read_delta_snapshot(
     if not os.path.isdir(log_dir):
         raise ValueError(f"no _delta_log under {table_root}")
     commits = _commit_files(log_dir)
-    if not commits:
-        raise ValueError(
-            f"no JSON commits in {log_dir} (checkpoint-only logs are not "
-            f"supported by this minimal reader)"
-        )
-    if version is not None:
-        commits = [fn for fn in commits if int(fn[:20]) <= version]
-        if not commits or int(commits[-1][:20]) != version:
-            raise ValueError(
-                f"delta commit {version} not found in {log_dir}"
-            )
+    cp = _read_checkpoint(log_dir)
     live: dict[str, dict] = {}
     schema_str = None
     part_cols: list[str] = []
+    if cp is not None and (version is None or version >= cp[0]):
+        # spec behavior: seed state from the checkpoint, replay only the
+        # JSON commits AFTER it — O(commits-since-checkpoint)
+        cp_ver, live, schema_str, part_cols = cp
+        live = dict(live)
+        commits = [fn for fn in commits if int(fn[:20]) > cp_ver]
+        if version is not None:
+            commits = [fn for fn in commits if int(fn[:20]) <= version]
+    else:
+        if not commits:
+            raise ValueError(
+                f"no JSON commits in {log_dir} and no checkpoint to seed "
+                f"from"
+            )
+        if version is not None:
+            commits = [fn for fn in commits if int(fn[:20]) <= version]
+            if not commits or int(commits[-1][:20]) != version:
+                raise ValueError(
+                    f"delta commit {version} not found in {log_dir}"
+                )
+        if int(commits[0][:20]) != 0:
+            raise ValueError(
+                f"log at {log_dir} starts at commit {int(commits[0][:20])} "
+                f"(earlier commits expired by checkpoint retention); "
+                f"versions below the checkpoint are no longer resolvable"
+            )
     for fn in commits:
         with open(os.path.join(log_dir, fn)) as fh:
             for line in fh:

@@ -4816,6 +4816,14 @@ class VersionedTable:
                     f"delta log at {log_dir} is ahead of version {v} "
                     f"(last exported {v0}); the log is forward-only"
                 )
+            if last_schema is None:
+                # pre-head commits truncated by checkpoint retention: the
+                # metaData/partitioning contract lives in the checkpoint
+                from .delta_import import _read_checkpoint
+
+                cp = _read_checkpoint(log_dir)
+                if cp is not None:
+                    last_schema, last_parts = cp[2], cp[3]
             if last_parts is not None and last_parts != part_cols:
                 # Delta's partitioning is fixed at table creation; a
                 # layout change between exports has no log representation
@@ -4849,7 +4857,10 @@ class VersionedTable:
                 for r in prev
                 if r not in cur
             )
-            n_commit, op = len(existing), "WRITE"
+            # NOT len(existing): after checkpoint retention truncates old
+            # commits the count undershoots — versions must continue from
+            # the last commit file's own number
+            n_commit, op = int(existing[-1][:20]) + 1, "WRITE"
         actions.append(
             {
                 "commitInfo": {
@@ -4931,6 +4942,144 @@ class VersionedTable:
                 "stats": json.dumps(stats),
             }
         }
+
+    def export_delta_checkpoint(self) -> str:
+        """Write a Delta-protocol PARQUET CHECKPOINT of the exported
+        log's head: ``_delta_log/<version>.checkpoint.parquet`` (one
+        action per row — protocol / metaData / add struct columns, the
+        spec's classic checkpoint shape) plus the ``_last_checkpoint``
+        pointer file readers consult first. This is what bounds log
+        replay on a long-lived table: a reader seeds its state from the
+        checkpoint and replays only the JSON commits AFTER it —
+        O(commits-since-checkpoint), not O(table lifetime) — and it is
+        the precondition for :meth:`truncate_delta_log` (Delta's
+        metadata-cleanup retention can only delete JSON commits a
+        checkpoint already covers).
+
+        State is reconstructed by replaying this table's own exported
+        JSON log (stdlib — the checkpoint must reflect the LOG's
+        truth, not the VersionedTable's), and the parquet is written
+        with pyarrow directly: O(live files) rows, zero data reads,
+        no Spark job. Returns the checkpoint path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        log_dir = os.path.join(self.path, "_delta_log")
+        commits = sorted(
+            fn for fn in os.listdir(log_dir)
+            if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit()
+        ) if os.path.isdir(log_dir) else []
+        if not commits:
+            raise ValueError(f"no exported delta log under {self.path}")
+        head = int(commits[-1][:20])
+        live: dict[str, dict] = {}
+        meta_action: dict | None = None
+        proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+        from urllib.parse import unquote as _unq
+
+        for fn in commits:
+            with open(os.path.join(log_dir, fn)) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if "add" in a:
+                        live[_unq(a["add"]["path"])] = a["add"]
+                    elif "remove" in a:
+                        live.pop(_unq(a["remove"]["path"]), None)
+                    elif "metaData" in a:
+                        meta_action = a["metaData"]
+                    elif "protocol" in a:
+                        proto = a["protocol"]
+        assert meta_action is not None
+
+        proto_t = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                ("format", pa.struct([("provider", pa.string())])),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pa.map_(pa.string(), pa.string())),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        n_rows = 2 + len(live)
+        protocols = [proto] + [None] * (n_rows - 1)
+        metas = [
+            None,
+            {
+                "id": meta_action["id"],
+                "format": {"provider": "parquet"},
+                "schemaString": meta_action["schemaString"],
+                "partitionColumns": meta_action.get("partitionColumns", []),
+                "createdTime": meta_action.get("createdTime"),
+            },
+        ] + [None] * (n_rows - 2)
+        adds: list[dict | None] = [None, None]
+        for add in live.values():
+            adds.append(
+                {
+                    "path": add["path"],
+                    "partitionValues": list(
+                        (add.get("partitionValues") or {}).items()
+                    ),
+                    "size": add.get("size"),
+                    "modificationTime": add.get("modificationTime"),
+                    "dataChange": True,
+                    "stats": add.get("stats"),
+                }
+            )
+        table = pa.table(
+            {
+                "protocol": pa.array(protocols, type=proto_t),
+                "metaData": pa.array(metas, type=meta_t),
+                "add": pa.array(adds, type=add_t),
+            }
+        )
+        cp_path = os.path.join(log_dir, f"{head:020d}.checkpoint.parquet")
+        pq.write_table(table, cp_path)
+        ptr = os.path.join(log_dir, "_last_checkpoint")
+        with open(ptr + ".tmp", "w") as fh:
+            json.dump({"version": head, "size": n_rows}, fh)
+        os.replace(ptr + ".tmp", ptr)
+        return cp_path
+
+    def truncate_delta_log(self) -> int:
+        """Delta metadata-cleanup retention: delete JSON commits STRICTLY
+        BELOW the checkpointed version (the checkpoint covers their
+        state; the head JSON stays so the exporter's forward-only
+        version/lineage scan keeps working). Refuses without a
+        checkpoint — exactly Delta's rule that log cleanup never
+        outruns the last checkpoint. Returns the number of commit
+        files deleted; readers must now seed from the checkpoint for
+        any version at-or-above it, and time travel BELOW it is gone
+        (expired history — the documented trade of retention)."""
+        log_dir = os.path.join(self.path, "_delta_log")
+        ptr = os.path.join(log_dir, "_last_checkpoint")
+        if not os.path.exists(ptr):
+            raise ValueError(
+                "truncate_delta_log requires a checkpoint "
+                "(export_delta_checkpoint first)"
+            )
+        with open(ptr) as fh:
+            cp_ver = int(json.load(fh)["version"])
+        n = 0
+        for fn in sorted(os.listdir(log_dir)):
+            if len(fn) == 25 and fn.endswith(".json") and fn[:20].isdigit():
+                if int(fn[:20]) < cp_ver:
+                    os.remove(os.path.join(log_dir, fn))
+                    n += 1
+        return n
 
     # ------------------------------------------------- iceberg interop
 

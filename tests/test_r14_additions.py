@@ -135,3 +135,49 @@ def test_expire_iceberg_snapshots_guards(spark, tmp_path):
         t.expire_iceberg_snapshots(keep_last=0)
     p1 = t.expire_iceberg_snapshots(keep_last=5)  # nothing to expire
     assert os.path.basename(p1) == "v1.metadata.json"  # no new version
+
+
+def test_delta_checkpoint_guards_and_seeding(spark, tmp_path):
+    """Checkpoint contracts: no log -> refuse; truncate without a
+    checkpoint -> refuse; checkpoint-only log (ALL JSONs gone) still
+    reads via _last_checkpoint seeding; partitioned tables carry their
+    partitionValues through the checkpoint parquet round-trip."""
+    import os
+
+    import pytest as _pytest
+
+    from retail_datalakehouse_spark.sources.delta_import import (
+        read_delta_snapshot,
+    )
+    from retail_datalakehouse_spark.sources.table_format import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)], "k long, p string, v long"
+        ),
+        partition_by=["p"],
+    )
+    with _pytest.raises(ValueError, match="no exported delta log"):
+        t.export_delta_checkpoint()
+    with _pytest.raises(ValueError, match="requires a checkpoint"):
+        t.truncate_delta_log()
+    t.export_delta_log()
+    cp = t.export_delta_checkpoint()
+    assert os.path.exists(cp)
+
+    # simulate aggressive retention: delete EVERY json commit — the
+    # reader must seed entirely from the checkpoint
+    log_dir = os.path.join(t.path, "_delta_log")
+    for fn in list(os.listdir(log_dir)):
+        if fn.endswith(".json") and fn[:20].isdigit():
+            os.remove(os.path.join(log_dir, fn))
+    got = read_delta_snapshot(spark, t.path)
+    assert sorted(map(tuple, got.select("k", "p", "v").collect())) == [
+        (1, "a", 10),
+        (2, "b", 20),
+        (3, "a", 30),
+    ]
+    # metadata-borne partition pruning still works off the checkpoint
+    pruned = read_delta_snapshot(spark, t.path, partition_filter={"p": "a"})
+    assert pruned.count() == 2

@@ -2875,3 +2875,48 @@ def t34_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_unique"))
     )
+
+
+@register(
+    "t35_stream_semi_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, p.user_id AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+WHERE EXISTS (
+  SELECT 1 FROM events c
+  WHERE c.event_type = 'click'
+    AND c.user_id = p.user_id
+    AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR)
+""",
+    tags=("T1", "J5", "J8"),
+)
+def t35_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream⋈stream LEFT SEMI join — 'purchases that HAD a click in the
+    preceding hour', emitted ONCE each regardless of click count. The
+    streaming semantics t8 (inner — one output per matching pair) and
+    t32 (left outer — plus null-padded non-matches) don't cover:
+    semi is the streaming EXISTS, the deduplicating gate a funnel or
+    fraud screen wants when only qualification matters, with join state
+    still bounded by watermark+interval on both sides — and Spark can
+    drop a left row's state the moment ONE match arrives rather than
+    buffering for more. Oracle = the identical batch EXISTS
+    (decorrelated to a semi join, the x_exists_subquery pin)."""
+    from ..streaming.jobs import run_to_memory, stream_stream_join
+
+    purchases = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    clicks = events_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    joined = stream_stream_join(
+        purchases.select("event_id", "user_id", "ts"),
+        clicks.select(F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")),
+        on="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        within="1 hour",
+        how="left_semi",
+    )
+    sink = run_to_memory(
+        joined.select(F.col("event_id").alias("purchase_id"), "user_id"),
+        output_mode="append",
+    )
+    return spark.table(sink).select("purchase_id", "user_id")

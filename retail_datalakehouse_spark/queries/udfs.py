@@ -592,3 +592,58 @@ def u11_arrow_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("km").cast("bigint").alias("key_mod_mass"),
         )
     )
+
+
+_MAP_IN_ARROW_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,4))), 2)
+            AS DOUBLE) AS net_revenue
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY 1
+"""
+
+
+@register("u12_map_in_arrow", oracle=_MAP_IN_ARROW_SQL, tags=("U2", "U3"), doc="")
+def u12_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the LOWEST-overhead Python eval lane (Spark
+    3.4+/4) and the last cell of the UDF matrix: the function receives
+    an ITERATOR of raw ``pyarrow.RecordBatch``es (no pandas
+    materialization at all — u10's iterator ergonomics without the
+    pandas conversion tax) and yields batches back. This is the lane
+    for columnar kernels that speak Arrow natively (tokenizers, codecs,
+    Arrow-compute pipelines): here the per-batch kernel filters
+    qty >= 10 and computes net = price·(1−discount) with
+    ``pyarrow.compute`` — IEEE doubles bit-identical to the SQL
+    expression, so the DuckDB oracle runs the plain SQL form and the
+    hash pins the semantics (the exact-decimal cast happens JVM-side
+    after the kernel, per the a1 money discipline). Batch shape is
+    partition-streaming: memory is one Arrow batch, never a partition."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def kernel(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            t = t.filter(pc.greater_equal(t.column("l_quantity"), pa.scalar(10.0)))
+            net = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            out = pa.table(
+                {"flag": t.column("l_returnflag"), "net": net}
+            )
+            for b in out.to_batches():
+                yield b
+
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    mapped = l.mapInArrow(kernel, "flag string, net double")
+    return mapped.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.round(F.sum(F.col("net").cast("decimal(25,4)")), 2)
+        .cast("double")
+        .alias("net_revenue"),
+    )

@@ -764,6 +764,38 @@ _PROMOTE_R14 = [
     # form), t5_watermark_dedup pinned to COUNT(DISTINCT event_id):
     "x_sample_deterministic",
     "t5_watermark_dedup",
+    # -- r14 builds (new code gates the round it ships; each 4-scale +
+    #    vanilla oracle-green at build time):
+    # statistics battery III — k-group/nonparametric/multiple-testing:
+    "x_kruskal_wallis",
+    "x_g_test",
+    "x_ljung_box",
+    "x_theil_sen_slope",
+    "x_effect_sizes",
+    "x_benjamini_hochberg",
+    "x_kendall_tau",
+    # SQL-surface parity: explicit GROUPING SETS lattice, FILTER clause,
+    # named WINDOW, VALUES inline dim (QUALIFY probed: Spark 4.1 parser
+    # rejects it — recorded, not faked):
+    "x_grouping_sets_explicit",
+    "x_filter_clause_agg",
+    "x_named_window",
+    "x_values_inline",
+    # corpus diagnostics + retrieval eval:
+    "l4_ttr_hapax",
+    "l4_ngram_novelty",
+    "l6_ndcg",
+    # streaming: redelivery dedup + the semi-join gate:
+    "t34_dedup_within_watermark",
+    "t35_stream_semi_join",
+    # table-format lifecycle: Iceberg expiry + Delta checkpoint/retention
+    # (and re-gates for the exporter's commit-numbering fix):
+    "x_iceberg_snapshot_expire",
+    "x_delta_checkpoint_retention",
+    "x_delta_export_incremental",
+    "x_delta_partitioned_export",
+    # the last UDF-matrix cell:
+    "u12_map_in_arrow",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -796,6 +796,14 @@ _PROMOTE_R14 = [
     "x_delta_partitioned_export",
     # the last UDF-matrix cell:
     "u12_map_in_arrow",
+    # SQL-surface parity II: Spark-4 VARIANT round trip, lateral column
+    # aliases, injection-safe IDENTIFIER() binding, SQL scripting
+    # (BEGIN/DECLARE/SET/END) — each oracled by the equivalent plain
+    # query over the original columns:
+    "x_variant_json",
+    "x_lateral_alias",
+    "x_identifier_clause",
+    "x_sql_scripting",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -1738,3 +1738,155 @@ def x_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_VALUES_INLINE_SQL)
+
+
+_VARIANT_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_sum,
+       CAST(MAX(LENGTH(o_orderstatus)) AS BIGINT) AS max_status_len
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_variant_json", oracle=_VARIANT_SQL, tags=("F7", "F5"), doc="")
+def x_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 VARIANT type (the open semi-structured type Delta/
+    Iceberg v3 standardize on): each order is JSON-ENCODED (to_json of
+    a struct — the landing shape of an event-bus payload), PARSED to a
+    VARIANT (`parse_json`), and the analysis runs on TYPED extractions
+    (`variant_get` with a path and a target type) — never on strings.
+    The oracle computes the identical aggregate from the original
+    COLUMNS, so the hash match proves the encode → variant → typed-
+    extract round trip is lossless, including the nested path and the
+    int cast. Scale note: VARIANT's binary encoding makes repeated
+    path access O(field) without re-parsing — the schema-on-read
+    pattern for heterogeneous event payloads at ingest."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH payload AS (
+          SELECT parse_json(
+                   to_json(named_struct(
+                     'priority', o_orderpriority,
+                     'order', named_struct(
+                       'cents', CAST(round(o_totalprice * 100, 0) AS BIGINT),
+                       'status', o_orderstatus)))) AS v
+          FROM orders)
+        SELECT variant_get(v, '$.priority', 'string') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(variant_get(v, '$.order.cents', 'bigint')) AS BIGINT)
+                 AS cents_sum,
+               CAST(MAX(LENGTH(variant_get(v, '$.order.status', 'string')))
+                 AS BIGINT) AS max_status_len
+        FROM payload
+        GROUP BY 1
+        """
+    )
+
+
+_LATERAL_ALIAS_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+       cents - CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)
+         AS net_cents,
+       net_cents / 100 AS net_dollars_floor
+FROM lineitem
+WHERE l_orderkey % 500 = 7
+"""
+
+
+@register("x_lateral_alias", oracle=_LATERAL_ALIAS_SQL, tags=("P1", "F3"), doc="")
+def x_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL COLUMN ALIASES (Spark 3.4+ / DuckDB 0.8+): a SELECT item
+    referencing a SIBLING alias defined to its left — the spreadsheet-
+    style derivation chain (cents → net_cents → net_dollars_floor)
+    that classic SQL forces into nested subqueries. Both engines run
+    the SAME text; the hash pins that resolution picks the LATERAL
+    alias (not some same-named table column) and that the chain
+    evaluates left-to-right. Analyzer surface only — Catalyst inlines
+    the chain into one projection, same plan as the subquery spelling.
+    Integer-division floor semantics pinned on bigint/100."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_ALIAS_SQL)
+
+
+_IDENTIFIER_SQL = """
+SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+@register("x_identifier_clause", oracle=_IDENTIFIER_SQL, tags=("S5", "J2"), doc="")
+def x_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER() clause (Spark 3.5+): SQL-injection-safe dynamic
+    object names — the templated-pipeline primitive ('run this audit
+    over ${table}') that string-splicing gets wrong the first time a
+    name carries a quote. The engine resolves BOTH tables through
+    IDENTIFIER() parameter markers bound to plain strings; the oracle
+    names them directly — the hash proves the indirection changes
+    nothing (same resolution, same broadcast-join plan). A malicious
+    'name' ('customer; DROP…') fails to PARSE as an identifier instead
+    of executing."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM IDENTIFIER(:fact) JOIN IDENTIFIER(:dim)
+          ON c_nationkey = n_nationkey
+        GROUP BY 1
+        """,
+        args={"fact": "customer", "dim": "nation"},
+    )
+
+
+_SCRIPTING_SQL = """
+WITH cutoff AS (
+  SELECT AVG(CAST(o_totalprice AS DECIMAL(25,2))) AS c FROM orders)
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_above_avg
+FROM orders, cutoff
+WHERE CAST(o_totalprice AS DECIMAL(25,2)) > cutoff.c
+GROUP BY 1
+"""
+
+
+@register("x_sql_scripting", oracle=_SCRIPTING_SQL, tags=("F4", "A5"), doc="")
+def x_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN … END with DECLARE/SET session
+    variables): the stored-procedure-shaped control flow warehouse
+    migrations ask for first — compute a parameter in one statement,
+    use it in the next, return the final SELECT. The script computes
+    the average order value into a DECLAREd variable (EXACT decimal avg
+    — a float avg would be reduce-order-dependent and could disagree
+    across engines at the comparison boundary) and filters against it;
+    the oracle is the equivalent single query with a scalar CTE. The
+    variable is evaluated ONCE (one tiny job), then folded into the
+    main query as a literal — the plan is a plain filtered aggregate,
+    not a correlated subquery per row."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cutoff DECIMAL(25,2);
+          SET cutoff = (SELECT AVG(CAST(o_totalprice AS DECIMAL(25,2)))
+                        FROM orders);
+          SELECT o_orderpriority AS priority,
+                 CAST(COUNT(*) AS BIGINT) AS n_above_avg
+          FROM orders
+          WHERE CAST(o_totalprice AS DECIMAL(25,2)) > cutoff
+          GROUP BY 1;
+        END
+        """
+    )

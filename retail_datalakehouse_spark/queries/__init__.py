@@ -804,6 +804,13 @@ _PROMOTE_R14 = [
     "x_lateral_alias",
     "x_identifier_clause",
     "x_sql_scripting",
+    # analytics wave II (the window holds 50; entries past slot 50 are
+    # the r15 queue head — 4-scale + vanilla green at build time, driver
+    # evidence deferred one round by window arithmetic, see NOTES r14):
+    "x_retention_cohort",
+    "x_fuzzy_search_topk",
+    "x_holt_linear",
+    "x_equi_depth_histogram",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -7045,3 +7045,278 @@ def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tau_b_e6"),
     )
+
+
+# --------------------------------------------------- retention cohorts
+
+
+_RETENTION_SQL = """
+WITH o AS (
+  SELECT o_custkey AS ck,
+         EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)
+           AS am
+  FROM orders),
+fo AS (SELECT ck, MIN(am) AS cm FROM o GROUP BY 1),
+act AS (SELECT DISTINCT ck, am FROM o),
+grid AS (
+  SELECT f.cm, a.am - f.cm AS offset_m, a.ck
+  FROM fo f JOIN act a ON f.ck = a.ck
+  WHERE a.am - f.cm BETWEEN 0 AND 6),
+m AS (
+  SELECT cm, offset_m, CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_active
+  FROM grid GROUP BY 1, 2)
+SELECT CAST(cm AS BIGINT) AS cohort_ym,
+       CAST(offset_m AS BIGINT) AS offset_m,
+       n_active,
+       CAST(FLOOR(10000.0 * n_active
+                  / MAX(CASE WHEN offset_m = 0 THEN n_active END)
+                      OVER (PARTITION BY cm)) AS BIGINT) AS retention_e4
+FROM m
+"""
+
+
+@register("x_retention_cohort", oracle=_RETENTION_SQL, tags=("A2", "W3", "J1"), doc="")
+def x_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: customers
+    are cohorted by their FIRST order month and each cohort's re-order
+    rate is tracked for the next 6 months. Plan: one groupBy on the
+    customer key derives the cohort month, one distinct gives the
+    (customer, active-month) pairs, and both shuffle on the SAME key so
+    the join is co-partitioned; the output collapses to the bounded
+    (cohort-month x offset) grid (~81 x 7 rows at any SF) BEFORE the
+    offset-0 base join — the window that attaches each cohort's base
+    size partitions by cohort over at most 7 rows. Month arithmetic is
+    pure integers (y*12 + m), never months_between floats; the
+    retention ratio is one double division floored at 1e4."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("am"),
+    )
+    fo = o.groupBy("ck").agg(F.min("am").alias("cm"))
+    act = o.distinct()
+    grid = (
+        fo.join(act, "ck")
+        .where((F.col("am") - F.col("cm")).between(0, 6))
+        .select("cm", (F.col("am") - F.col("cm")).alias("offset_m"), "ck")
+    )
+    m = grid.groupBy("cm", "offset_m").agg(
+        F.countDistinct("ck").cast("bigint").alias("n_active")
+    )
+    w = Window.partitionBy("cm")
+    base = F.max(
+        F.when(F.col("offset_m") == 0, F.col("n_active"))
+    ).over(w)
+    return m.select(
+        F.col("cm").cast("bigint").alias("cohort_ym"),
+        F.col("offset_m").cast("bigint").alias("offset_m"),
+        F.col("n_active"),
+        F.floor(F.lit(10000.0) * F.col("n_active") / base)
+        .cast("bigint")
+        .alias("retention_e4"),
+    )
+
+
+# ------------------------------------------------ broadcast fuzzy search
+
+
+_FUZZY_SQL = """
+WITH probes AS (
+  SELECT p_partkey AS q_id,
+         substr(p_name, 1, 2) || substr(p_name, 4) AS q
+  FROM part WHERE p_partkey % 400 = 1 AND p_partkey <= 20000),
+scored AS (
+  SELECT pr.q_id, pr.q, CAST(levenshtein(p.p_name, pr.q) AS BIGINT) AS dist,
+         p.p_partkey, p.p_name
+  FROM part p CROSS JOIN probes pr),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist, p_partkey)
+              AS rn
+  FROM scored)
+SELECT q_id, q, dist, p_partkey AS match_key, p_name AS match_name
+FROM r WHERE rn = 1
+"""
+
+
+@register("x_fuzzy_search_topk", oracle=_FUZZY_SQL, tags=("J7", "F1", "A1"), doc="")
+def x_fuzzy_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string search: a BOUNDED probe batch (<=50 user queries —
+    here part names with a deterministically dropped third character)
+    is matched against the full catalog by edit distance, best match
+    per probe. Scale shape: the probe set is broadcast (one row per
+    query), the catalog is scanned ONCE, and cost is O(|catalog| x
+    |probes|) — linear in the data because the probe count is capped by
+    the `p_partkey <= 20000` fence, never a corpus self-join (the
+    blocked all-pairs variant is `x_blocked_editdist`). The best match
+    is a `min(struct(dist, key, name))` partial aggregate — map-side
+    combine reduces each task to one row per probe, so no window, no
+    single-partition sort, no WindowGroupLimit dependence. Tie-break is
+    lexicographic on (distance, key): deterministic in both engines."""
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    probes = part.where(
+        (F.col("p_partkey") % 400 == 1) & (F.col("p_partkey") <= 20000)
+    ).select(
+        F.col("p_partkey").alias("q_id"),
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.expr("substring(p_name, 4, length(p_name))"),
+        ).alias("q"),
+    )
+    scored = part.crossJoin(F.broadcast(probes)).select(
+        "q_id",
+        "q",
+        F.levenshtein("p_name", F.col("q")).cast("bigint").alias("dist"),
+        "p_partkey",
+        "p_name",
+    )
+    best = scored.groupBy("q_id", "q").agg(
+        F.min(F.struct("dist", "p_partkey", "p_name")).alias("b")
+    )
+    return best.select(
+        "q_id",
+        "q",
+        F.col("b.dist").alias("dist"),
+        F.col("b.p_partkey").alias("match_key"),
+        F.col("b.p_name").alias("match_name"),
+    )
+
+
+# ------------------------------------------- Holt linear trend smoothing
+
+
+_HOLT_SQL = """
+WITH RECURSIVE g AS (
+  SELECT EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)
+           AS m,
+         SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS c
+  FROM orders GROUP BY 1),
+s AS (SELECT ROW_NUMBER() OVER (ORDER BY m) AS i, CAST(c AS DOUBLE) / 100.0 AS x
+      FROM g),
+nn AS (SELECT COUNT(*) AS n FROM s),
+rec AS (
+  SELECT CAST(1 AS BIGINT) AS i,
+         (SELECT x FROM s WHERE i = 1) AS l,
+         (SELECT x FROM s WHERE i = 2) - (SELECT x FROM s WHERE i = 1) AS b
+  UNION ALL
+  SELECT rec.i + 1,
+         CAST(0.2 AS DOUBLE) * s.x + CAST(0.8 AS DOUBLE) * (rec.l + rec.b),
+         CAST(0.1 AS DOUBLE)
+           * ((CAST(0.2 AS DOUBLE) * s.x
+               + CAST(0.8 AS DOUBLE) * (rec.l + rec.b)) - rec.l)
+           + CAST(0.9 AS DOUBLE) * rec.b
+  FROM rec JOIN s ON s.i = rec.i + 1)
+SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n_months,
+       CAST(FLOOR(1000000.0 * l) AS BIGINT) AS level_e6,
+       CAST(FLOOR(1000000.0 * b) AS BIGINT) AS trend_e6,
+       CAST(FLOOR(1000000.0 * (l + 3.0 * b)) AS BIGINT) AS forecast3_e6
+FROM (SELECT * FROM rec WHERE i = (SELECT n FROM nn))
+"""
+
+
+@register("x_holt_linear", oracle=_HOLT_SQL, tags=("F6", "W3", "F3"), doc="")
+def x_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level + trend) over the
+    monthly revenue series — the inherently SEQUENTIAL recurrence
+    (l_t, b_t depend on l_{t-1}, b_{t-1}) that window functions cannot
+    express and a naive build would ship to a Python loop. Here the
+    fact table reduces to the BOUNDED monthly grid (~81 months at any
+    SF — the calendar, not the data, sets the series length) with exact
+    bigint cent sums, and the recurrence runs as a JVM-side
+    `F.aggregate` fold over the sorted array: one row, no Python, no
+    driver loop, no UDF. Init is the standard l1 = x1, b1 = x2 - x1
+    (Hyndman), alpha = 0.2, beta = 0.1; the oracle replays the SAME
+    IEEE-754 expression tree through a DuckDB recursive CTE, so the
+    floor-at-1e6 outputs are bit-identical, not approximately equal.
+    Per-entity variants at scale would `applyInPandas` per series key;
+    the global series is the bounded demo form."""
+    o = T(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy("m").agg(F.sum("cents").alias("c"))
+    series = g.agg(
+        F.sort_array(F.collect_list(F.struct("m", "c"))).alias("s")
+    ).select(
+        F.transform(F.col("s"), lambda e: e["c"].cast("double") / F.lit(100.0))
+        .alias("xs")
+    )
+    A, NA, B, NB = F.lit(0.2), F.lit(0.8), F.lit(0.1), F.lit(0.9)
+
+    def step(acc, x):
+        new_l = A * x + NA * (acc["l"] + acc["b"])
+        new_b = B * ((A * x + NA * (acc["l"] + acc["b"])) - acc["l"]) + NB * acc["b"]
+        return F.struct(new_l.alias("l"), new_b.alias("b"))
+
+    folded = series.select(
+        F.size("xs").cast("bigint").alias("n_months"),
+        F.aggregate(
+            F.slice(F.col("xs"), 2, F.size("xs") - 1),
+            F.struct(
+                F.element_at("xs", 1).alias("l"),
+                (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+            ),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_months",
+        F.floor(F.lit(1000000.0) * F.col("st.l")).cast("bigint").alias("level_e6"),
+        F.floor(F.lit(1000000.0) * F.col("st.b")).cast("bigint").alias("trend_e6"),
+        F.floor(F.lit(1000000.0) * (F.col("st.l") + F.lit(3.0) * F.col("st.b")))
+        .cast("bigint")
+        .alias("forecast3_e6"),
+    )
+
+
+# ------------------------------------------------- equi-depth histogram
+
+
+_EQUIDEPTH_SQL = """
+WITH o AS (
+  SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents,
+         l_orderkey AS k1, l_linenumber AS k2
+  FROM lineitem),
+t AS (SELECT cents, NTILE(8) OVER (ORDER BY cents, k1, k2) AS bucket FROM o)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(cents) AS lo_cents,
+       MAX(cents) AS hi_cents
+FROM t GROUP BY 1
+"""
+
+
+@register("x_equi_depth_histogram", oracle=_EQUIDEPTH_SQL, tags=("W5", "A1"), doc="")
+def x_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram of line-item price over the
+    LARGEST fact table — the optimizer-statistics primitive (DB2/Oracle
+    height-balanced histograms; what ANALYZE computes for selectivity
+    estimation). NTILE over an SF-scaling frame is exactly the
+    single-partition-sort anti-pattern the r14 distributed rank was
+    built to kill, so the bucket id comes from
+    `operators/ranking.attach_global_rank` (literal-cutpoint bucketing
+    + per-bucket local sort + broadcast offsets) and
+    `ntile_from_rank`'s pure arithmetic — the plan has ZERO
+    unpartitioned WindowExec at any scale. The oracle runs the naive
+    NTILE, proving the distributed form computes the identical
+    bucketing under the same (cents, orderkey, linenumber) total
+    order."""
+    o = T(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").alias("k2"),
+    )
+    ranked = attach_global_rank(
+        o, [("cents", "asc"), ("k1", "asc"), ("k2", "asc")],
+        rank_col="_r", total_col="_t",
+    )
+    b = ranked.select(
+        ntile_from_rank("_r", "_t", 8).cast("bigint").alias("bucket"), "cents"
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+    )

@@ -356,6 +356,34 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_weighted_quantiles", "partial", True,
      "line items reduce to the (flag, price) grid map-side; windows "
      "run over distinct values only"),
+    # r14 wave
+    ("x_kruskal_wallis", "partial", True,
+     "facts reduce to the value grid map-side before any rank math"),
+    ("x_kruskal_wallis", "EvalPython", False,
+     "doubled-rank H arithmetic stays JVM-side"),
+    ("x_kendall_tau", "CartesianProduct", False,
+     "pair masses come from the bounded cell-grid join, facts are "
+     "never self-joined"),
+    ("l4_ngram_novelty", "EvalPython", False,
+     "bigram zip/explode/count stays JVM-side"),
+    ("l4_ttr_hapax", "partial", True,
+     "token counts partial-aggregate map-side; the shuffle key is the "
+     "vocabulary, not the corpus"),
+    ("u12_map_in_arrow", "MapInArrow", True,
+     "the kernel must compile to the Arrow-batch eval lane"),
+    ("u12_map_in_arrow", "BatchEvalPython", False,
+     "the pickle lane must NOT appear for mapInArrow"),
+    ("x_theil_sen_slope", "FileScan parquet", True,
+     "one scan feeds the monthly grid; pairs come from the grid join"),
+    # r14 wave II
+    ("x_retention_cohort", "partial", True,
+     "cohort/activity months partial-aggregate before the custkey shuffle"),
+    ("x_fuzzy_search_topk", "BroadcastNestedLoop", True,
+     "the bounded probe batch must broadcast; the catalog is scanned once"),
+    ("x_fuzzy_search_topk", "partial", True,
+     "best-match min(struct) combines map-side — one row per probe per task"),
+    ("x_holt_linear", "EvalPython", False,
+     "the smoothing recurrence folds JVM-side via F.aggregate, no Python"),
 ]
 
 
@@ -512,7 +540,12 @@ def main() -> int:
     # have a partition spec (the two-pass distributed rank's per-pid
     # row_number). An unpartitioned Window prints exactly two top-level
     # bracket groups ([exprs], [order]); partitioned prints three.
-    for gname in ("w5_ntile_percent_rank", "x_rfm_segmentation", "x_gains_table"):
+    for gname in (
+        "w5_ntile_percent_rank",
+        "x_rfm_segmentation",
+        "x_gains_table",
+        "x_equi_depth_histogram",
+    ):
         plan = plan_of(spark, gname)
         n_bad = _unpartitioned_window_count(plan)
         if n_bad == 0:
@@ -520,7 +553,7 @@ def main() -> int:
         else:
             failures.append((gname, "unpartitioned WindowExec", f"found {n_bad}"))
             print(f"FAIL  {gname}: {n_bad} unpartitioned Window node(s) in plan")
-    n_total = len(CHECKS) + 13
+    n_total = len(CHECKS) + 14
     print(f"\n{n_total - len(failures)}/{n_total} plan checks pass")
     return 1 if failures else 0
 

@@ -806,11 +806,17 @@ _PROMOTE_R14 = [
     "x_sql_scripting",
     # analytics wave II (the window holds 50; entries past slot 50 are
     # the r15 queue head — 4-scale + vanilla green at build time, driver
-    # evidence deferred one round by window arithmetic, see NOTES r14):
-    "x_retention_cohort",
+    # evidence deferred one round by window arithmetic, see NOTES r14;
+    # x_retention_cohort was built here then REMOVED as a near-duplicate
+    # of the long-standing x_cohort_retention):
     "x_fuzzy_search_topk",
     "x_holt_linear",
     "x_equi_depth_histogram",
+    # annotation/label-quality wave (inter-rater reliability + scorer
+    # internal consistency — the labeling-pipeline QA layer):
+    "l6_krippendorff_alpha",
+    "l6_fleiss_kappa",
+    "l6_cronbach_alpha",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -7047,77 +7047,6 @@ def x_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------- retention cohorts
-
-
-_RETENTION_SQL = """
-WITH o AS (
-  SELECT o_custkey AS ck,
-         EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate)
-           AS am
-  FROM orders),
-fo AS (SELECT ck, MIN(am) AS cm FROM o GROUP BY 1),
-act AS (SELECT DISTINCT ck, am FROM o),
-grid AS (
-  SELECT f.cm, a.am - f.cm AS offset_m, a.ck
-  FROM fo f JOIN act a ON f.ck = a.ck
-  WHERE a.am - f.cm BETWEEN 0 AND 6),
-m AS (
-  SELECT cm, offset_m, CAST(COUNT(DISTINCT ck) AS BIGINT) AS n_active
-  FROM grid GROUP BY 1, 2)
-SELECT CAST(cm AS BIGINT) AS cohort_ym,
-       CAST(offset_m AS BIGINT) AS offset_m,
-       n_active,
-       CAST(FLOOR(10000.0 * n_active
-                  / MAX(CASE WHEN offset_m = 0 THEN n_active END)
-                      OVER (PARTITION BY cm)) AS BIGINT) AS retention_e4
-FROM m
-"""
-
-
-@register("x_retention_cohort", oracle=_RETENTION_SQL, tags=("A2", "W3", "J1"), doc="")
-def x_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix — the product-analytics staple: customers
-    are cohorted by their FIRST order month and each cohort's re-order
-    rate is tracked for the next 6 months. Plan: one groupBy on the
-    customer key derives the cohort month, one distinct gives the
-    (customer, active-month) pairs, and both shuffle on the SAME key so
-    the join is co-partitioned; the output collapses to the bounded
-    (cohort-month x offset) grid (~81 x 7 rows at any SF) BEFORE the
-    offset-0 base join — the window that attaches each cohort's base
-    size partitions by cohort over at most 7 rows. Month arithmetic is
-    pure integers (y*12 + m), never months_between floats; the
-    retention ratio is one double division floored at 1e4."""
-    o = T(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("ck"),
-        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
-        .cast("bigint")
-        .alias("am"),
-    )
-    fo = o.groupBy("ck").agg(F.min("am").alias("cm"))
-    act = o.distinct()
-    grid = (
-        fo.join(act, "ck")
-        .where((F.col("am") - F.col("cm")).between(0, 6))
-        .select("cm", (F.col("am") - F.col("cm")).alias("offset_m"), "ck")
-    )
-    m = grid.groupBy("cm", "offset_m").agg(
-        F.countDistinct("ck").cast("bigint").alias("n_active")
-    )
-    w = Window.partitionBy("cm")
-    base = F.max(
-        F.when(F.col("offset_m") == 0, F.col("n_active"))
-    ).over(w)
-    return m.select(
-        F.col("cm").cast("bigint").alias("cohort_ym"),
-        F.col("offset_m").cast("bigint").alias("offset_m"),
-        F.col("n_active"),
-        F.floor(F.lit(10000.0) * F.col("n_active") / base)
-        .cast("bigint")
-        .alias("retention_e4"),
-    )
-
-
 # ------------------------------------------------ broadcast fuzzy search
 
 

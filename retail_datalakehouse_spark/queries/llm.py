@@ -6636,3 +6636,299 @@ def l6_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("ndcg_e6"),
     )
+
+
+# ------------------------------------------- annotation / label quality
+#
+# The label-quality layer of a training-data pipeline: when quality
+# labels come from an annotator pool (human or model jury), the daily
+# health metrics are inter-rater reliability (Krippendorff's alpha with
+# missing ratings, Fleiss' kappa on fully-rated units) and scorer-
+# ensemble internal consistency (Cronbach's alpha). All three reduce to
+# exact-integer sufficient statistics (within-unit category counts,
+# score sums and sums of squares) — one shuffle on the unit key, a
+# bounded category/item grid, and a single final double division, so
+# the plan is a partial-aggregable two-phase aggregate at any corpus
+# size. Annotators are SIMULATED deterministically from document
+# content: annotator a's label is the content-derived class
+# (n_chars % 4) relabeled uniformly at random 20% of the time via a
+# Knuth multiplicative hash on (doc_id, a) — the same engine-neutral
+# hash discipline as x_sample_deterministic, so Spark and DuckDB stage
+# the identical rating matrix.
+
+
+_ANN_HASH = (
+    "((((doc_id * 31 + {a}) % 2147483647) * 1103515245) % 2147483647)"
+)
+
+
+def _ratings_sql() -> str:
+    """The staged rating matrix, shared by alpha and kappa oracles."""
+    legs = []
+    for a in (1, 2, 3):
+        h = _ANN_HASH.format(a=a)
+        legs.append(
+            f"SELECT doc_id, {a} AS annotator, {h} AS h,"
+            f" CASE WHEN {h} % 5 = 0 THEN {h} % 4"
+            f"      ELSE n_chars % 4 END AS cat"
+            f" FROM documents"
+        )
+    return " UNION ALL ".join(legs)
+
+
+_KRIPPENDORFF_SQL = f"""
+WITH r AS (SELECT * FROM ({_ratings_sql()}) WHERE h % 7 <> 0),
+nuc AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_uc
+        FROM r GROUP BY 1, 2),
+u AS (SELECT doc_id, SUM(n_uc) AS m_u, SUM(n_uc * (n_uc - 1)) AS s_u
+      FROM nuc GROUP BY 1),
+p AS (SELECT * FROM u WHERE m_u >= 2),
+t AS (SELECT CAST(SUM((m_u * (m_u - 1) - s_u)
+                      * CASE WHEN m_u = 2 THEN 2 ELSE 1 END) AS BIGINT)
+               AS disagree_x2,
+             CAST(SUM(m_u) AS BIGINT) AS n_ratings,
+             CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM p),
+c AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS sum_cat_sq
+      FROM (SELECT SUM(n_uc) AS cc
+            FROM nuc JOIN p USING (doc_id) GROUP BY nuc.cat))
+SELECT n_ratings, n_units, disagree_x2, sum_cat_sq,
+       CAST(FLOOR(1000000.0 * (1.0
+            - CAST(disagree_x2 * (n_ratings - 1) AS DOUBLE)
+              / CAST(2 * (n_ratings * n_ratings - sum_cat_sq) AS DOUBLE)))
+         AS BIGINT) AS alpha_e6
+FROM t, c
+"""
+
+
+@register("l6_krippendorff_alpha", oracle=_KRIPPENDORFF_SQL, tags=("L6", "A1"), doc="")
+def l6_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a 3-annotator rating matrix
+    WITH missingness (each rating is skipped when its hash % 7 == 0 —
+    alpha is the reliability coefficient that, unlike kappa, admits
+    incomplete panels). Sufficient-statistics form: per-unit category
+    counts n_uc give within-unit agreement pairs s_u = sum n_uc(n_uc-1);
+    the observed-disagreement total sums (m_u(m_u-1) - s_u)/(m_u-1)
+    exactly by exploiting m_u in {2, 3} (weight 2 when m_u = 2, the /2
+    deferred) — all integers until the single closing division
+    alpha = 1 - disagree_x2*(n-1) / (2*(n^2 - sum_c n_c^2)). One
+    shuffle on doc_id, a 4-category grid, no per-pair materialization:
+    the coincidence matrix never exists as rows."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    r = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("a"),
+    )
+    h = (
+        (F.col("doc_id") * 31 + F.col("a")) % 2147483647
+    ) * 1103515245 % 2147483647
+    r = (
+        r.select(
+            "doc_id",
+            h.alias("h"),
+            F.when(h % 5 == 0, h % 4).otherwise(F.col("n_chars") % 4).alias("cat"),
+        )
+        .where(F.col("h") % 7 != 0)
+    )
+    nuc = r.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uc")
+    )
+    u = nuc.groupBy("doc_id").agg(
+        F.sum("n_uc").alias("m_u"),
+        F.sum(F.col("n_uc") * (F.col("n_uc") - 1)).alias("s_u"),
+    )
+    p = u.where(F.col("m_u") >= 2)
+    t = p.agg(
+        F.sum(
+            (F.col("m_u") * (F.col("m_u") - 1) - F.col("s_u"))
+            * F.when(F.col("m_u") == 2, 2).otherwise(1)
+        )
+        .cast("bigint")
+        .alias("disagree_x2"),
+        F.sum("m_u").cast("bigint").alias("n_ratings"),
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+    )
+    c = (
+        nuc.join(p.select("doc_id"), "doc_id")
+        .groupBy("cat")
+        .agg(F.sum("n_uc").alias("cc"))
+        .agg(F.sum(F.col("cc") * F.col("cc")).cast("bigint").alias("sum_cat_sq"))
+    )
+    out = t.crossJoin(F.broadcast(c))
+    n = F.col("n_ratings")
+    alpha = F.lit(1.0) - (
+        (F.col("disagree_x2") * (n - 1)).cast("double")
+        / (F.lit(2) * (n * n - F.col("sum_cat_sq"))).cast("double")
+    )
+    return out.select(
+        "n_ratings",
+        "n_units",
+        "disagree_x2",
+        "sum_cat_sq",
+        F.floor(F.lit(1000000.0) * alpha).cast("bigint").alias("alpha_e6"),
+    )
+
+
+_FLEISS_SQL = f"""
+WITH r AS (SELECT * FROM ({_ratings_sql()}) WHERE h % 7 <> 0),
+nuc AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_uc
+        FROM r GROUP BY 1, 2),
+u AS (SELECT doc_id, SUM(n_uc) AS m_u, SUM(n_uc * n_uc) AS q_u
+      FROM nuc GROUP BY 1),
+full_units AS (SELECT * FROM u WHERE m_u = 3),
+t AS (SELECT CAST(SUM(q_u) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n_units
+      FROM full_units),
+c AS (SELECT CAST(SUM(cc * cc) AS BIGINT) AS sum_cat_sq
+      FROM (SELECT SUM(n_uc) AS cc
+            FROM nuc JOIN full_units USING (doc_id) GROUP BY nuc.cat))
+SELECT n_units, ss, sum_cat_sq,
+       CAST(FLOOR(1000000.0 *
+         ((CAST(ss - 3 * n_units AS DOUBLE) / CAST(6 * n_units AS DOUBLE)
+           - CAST(sum_cat_sq AS DOUBLE) / CAST(9 * n_units * n_units AS DOUBLE))
+          / (1.0 - CAST(sum_cat_sq AS DOUBLE)
+                   / CAST(9 * n_units * n_units AS DOUBLE))))
+         AS BIGINT) AS kappa_e6
+FROM t, c
+"""
+
+
+@register("l6_fleiss_kappa", oracle=_FLEISS_SQL, tags=("L6", "A1"), doc="")
+def l6_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the SAME staged panel restricted to fully-
+    rated units (m_u = 3 — kappa's fixed-raters precondition; the
+    missing-tolerant sibling is l6_krippendorff_alpha). P-bar and
+    chance agreement come from two integer sufficient statistics
+    (sum n_uc^2 within units, squared category margins), three exact
+    divisions at the very end. Same one-shuffle two-phase aggregate
+    shape as alpha."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    r = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("a"),
+    )
+    h = (
+        (F.col("doc_id") * 31 + F.col("a")) % 2147483647
+    ) * 1103515245 % 2147483647
+    r = (
+        r.select(
+            "doc_id",
+            h.alias("h"),
+            F.when(h % 5 == 0, h % 4).otherwise(F.col("n_chars") % 4).alias("cat"),
+        )
+        .where(F.col("h") % 7 != 0)
+    )
+    nuc = r.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uc")
+    )
+    u = nuc.groupBy("doc_id").agg(
+        F.sum("n_uc").alias("m_u"),
+        F.sum(F.col("n_uc") * F.col("n_uc")).alias("q_u"),
+    )
+    full_units = u.where(F.col("m_u") == 3)
+    t = full_units.agg(
+        F.sum("q_u").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+    )
+    c = (
+        nuc.join(full_units.select("doc_id"), "doc_id")
+        .groupBy("cat")
+        .agg(F.sum("n_uc").alias("cc"))
+        .agg(F.sum(F.col("cc") * F.col("cc")).cast("bigint").alias("sum_cat_sq"))
+    )
+    out = t.crossJoin(F.broadcast(c))
+    nu = F.col("n_units")
+    p_bar = (F.col("ss") - 3 * nu).cast("double") / (F.lit(6) * nu).cast("double")
+    p_e = F.col("sum_cat_sq").cast("double") / (F.lit(9) * nu * nu).cast("double")
+    kappa = (p_bar - p_e) / (F.lit(1.0) - p_e)
+    return out.select(
+        "n_units",
+        "ss",
+        "sum_cat_sq",
+        F.floor(F.lit(1000000.0) * kappa).cast("bigint").alias("kappa_e6"),
+    )
+
+
+_CRONBACH_SQL = """
+WITH s AS (
+  SELECT doc_id,
+         n_chars + ((((doc_id * 31 + 1) % 2147483647) * 1103515245)
+                    % 2147483647) % 100 AS x1,
+         n_chars + ((((doc_id * 31 + 2) % 2147483647) * 1103515245)
+                    % 2147483647) % 100 AS x2,
+         n_chars + ((((doc_id * 31 + 3) % 2147483647) * 1103515245)
+                    % 2147483647) % 100 AS x3
+  FROM documents),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x1 * x1) AS BIGINT) AS q1,
+         CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x2 * x2) AS BIGINT) AS q2,
+         CAST(SUM(x3) AS BIGINT) AS s3, CAST(SUM(x3 * x3) AS BIGINT) AS q3,
+         CAST(SUM(x1 + x2 + x3) AS BIGINT) AS st,
+         CAST(SUM((x1 + x2 + x3) * (x1 + x2 + x3)) AS BIGINT) AS qt
+  FROM s)
+SELECT n,
+       CAST(FLOOR(1000000.0 * (1.5 * (1.0 -
+         CAST((n * q1 - s1 * s1) + (n * q2 - s2 * s2) + (n * q3 - s3 * s3)
+           AS DOUBLE)
+         / CAST(n * qt - st * st AS DOUBLE)))) AS BIGINT) AS cronbach_e6
+FROM t
+"""
+
+
+@register("l6_cronbach_alpha", oracle=_CRONBACH_SQL, tags=("L6", "A1", "F3"), doc="")
+def l6_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha for a 3-scorer quality ensemble — the internal-
+    consistency check a pipeline runs before trusting an averaged
+    quality score: three scorer variants each read the same document
+    signal (n_chars) plus independent bounded hash noise (each rater
+    index enters the Knuth hash BEFORE the multiplicative step — adding
+    it after would shift one stream by a constant and the mod-wraparound
+    would anti-correlate the noises, observed as negative alpha in the
+    first staging), and alpha =
+    k/(k-1) * (1 - sum var_i / var_total) says whether they measure one
+    construct. Exactness: every variance is scaled by N^2
+    (V = N*sum x^2 - (sum x)^2, pure bigint — scores are bounded by
+    max document length + 100, so V stays under 2^63 past 10^9
+    documents at the staged lengths), the N^2 factors
+    cancel in the ratio, and the only floats are the final division and
+    the 1.5 multiplier. ONE scan, one 9-column partial aggregate, one
+    output row — the cheapest possible plan shape."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = F.col("n_chars")
+
+    def item(a: int):
+        h = (
+            (F.col("doc_id") * 31 + F.lit(a)) % 2147483647
+        ) * 1103515245 % 2147483647
+        return base + h % 100
+
+    s = d.select(
+        item(1).alias("x1"), item(2).alias("x2"), item(3).alias("x3")
+    ).withColumn("xt", F.col("x1") + F.col("x2") + F.col("x3"))
+    t = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            c
+            for i in ("1", "2", "3")
+            for c in (
+                F.sum(F.col(f"x{i}")).cast("bigint").alias(f"s{i}"),
+                F.sum(F.col(f"x{i}") * F.col(f"x{i}")).cast("bigint").alias(f"q{i}"),
+            )
+        ],
+        F.sum("xt").cast("bigint").alias("st"),
+        F.sum(F.col("xt") * F.col("xt")).cast("bigint").alias("qt"),
+    )
+    n = F.col("n")
+    v = lambda si, qi: n * F.col(qi) - F.col(si) * F.col(si)  # noqa: E731
+    alpha = F.lit(1.5) * (
+        F.lit(1.0)
+        - (v("s1", "q1") + v("s2", "q2") + v("s3", "q3")).cast("double")
+        / (n * F.col("qt") - F.col("st") * F.col("st")).cast("double")
+    )
+    return t.select(
+        "n",
+        F.floor(F.lit(1000000.0) * alpha).cast("bigint").alias("cronbach_e6"),
+    )

@@ -57,20 +57,6 @@ def test_holt_fold_two_point_series_is_init_state_advanced_once(spark):
     assert got_l == want_l and got_b == want_b
 
 
-def test_retention_cohort_offset_zero_is_full_cohort(spark):
-    """Every cohort's offset-0 row must count the whole cohort (each
-    customer is active in their own first month by construction), so
-    retention_e4 == 10000 exactly at offset 0."""
-    from retail_datalakehouse_spark.queries.analytics import x_retention_cohort
-
-    out = x_retention_cohort(spark, "/root/testdata/sf0.001")
-    z = out.where(F.col("offset_m") == 0)
-    bad = z.where(F.col("retention_e4") != 10000).count()
-    assert bad == 0 and z.count() > 0
-    # monotone: retention never exceeds the base
-    assert out.where(F.col("retention_e4") > 10000).count() == 0
-
-
 def test_fuzzy_search_tie_break_is_min_struct(spark):
     """Two candidates at the same distance: the lower key must win."""
     from retail_datalakehouse_spark.queries.analytics import x_fuzzy_search_topk
@@ -82,3 +68,84 @@ def test_fuzzy_search_tie_break_is_min_struct(spark):
         # best distance is at most 1 (the source itself is a candidate)
         assert r.dist <= 1
         assert r.match_key >= 1
+
+
+def _panel_reference(ratings):
+    """Independent Krippendorff alpha (nominal) / Fleiss kappa from a
+    {(unit, rater): cat} dict — straight from the textbook definitions
+    (coincidence matrix for alpha; per-unit P_i for kappa)."""
+    from collections import Counter, defaultdict
+
+    by_unit = defaultdict(list)
+    for (u, _), c in ratings.items():
+        by_unit[u].append(c)
+    pairable = {u: cs for u, cs in by_unit.items() if len(cs) >= 2}
+    # alpha
+    n = sum(len(cs) for cs in pairable.values())
+    cats = sorted({c for cs in pairable.values() for c in cs})
+    o = Counter()
+    for cs in pairable.values():
+        m = len(cs)
+        for i, ci in enumerate(cs):
+            for j, cj in enumerate(cs):
+                if i != j:
+                    o[(ci, cj)] += 1.0 / (m - 1)
+    nc = {c: sum(o[(c, k)] for k in cats) for c in cats}
+    d_o = sum(v for (ci, cj), v in o.items() if ci != cj) / n
+    d_e = sum(nc[ci] * nc[cj] for ci in cats for cj in cats if ci != cj) / (
+        n * (n - 1)
+    )
+    alpha = 1 - d_o / d_e
+    # kappa over fully-rated (3) units
+    full = [cs for cs in by_unit.values() if len(cs) == 3]
+    N = len(full)
+    p_i = [
+        (sum(v * v for v in Counter(cs).values()) - 3) / 6.0 for cs in full
+    ]
+    cj = Counter(c for cs in full for c in cs)
+    p_bar = sum(p_i) / N
+    p_e = sum((v / (3.0 * N)) ** 2 for v in cj.values())
+    kappa = (p_bar - p_e) / (1 - p_e)
+    return alpha, kappa
+
+
+def test_krippendorff_and_fleiss_match_textbook_reference(spark, tmp_path):
+    """Stage a small documents table, replay the query's exact hash
+    staging in Python, and compare the query outputs against an
+    independent textbook implementation of both coefficients."""
+    import math
+
+    rows = [(i, "x" * (20 + i % 37), "en", "s", 20 + i % 37) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    ratings = {}
+    for i in range(60):
+        n_chars = 20 + i % 37
+        for a in (1, 2, 3):
+            h = ((i * 31 + a) % 2147483647) * 1103515245 % 2147483647
+            if h % 7 == 0:
+                continue
+            ratings[(i, a)] = h % 4 if h % 5 == 0 else n_chars % 4
+    want_alpha, want_kappa = _panel_reference(ratings)
+
+    from retail_datalakehouse_spark.queries.llm import (
+        l6_fleiss_kappa,
+        l6_krippendorff_alpha,
+    )
+
+    got_a = l6_krippendorff_alpha(spark, str(tmp_path)).collect()[0]
+    got_k = l6_fleiss_kappa(spark, str(tmp_path)).collect()[0]
+    assert got_a.alpha_e6 == math.floor(1e6 * want_alpha)
+    assert got_k.kappa_e6 == math.floor(1e6 * want_kappa)
+
+
+def test_cronbach_alpha_is_high_for_shared_signal(spark):
+    """Three noisy reads of one signal must be internally consistent:
+    alpha close to 1 (and never above 1)."""
+    from retail_datalakehouse_spark.queries.llm import l6_cronbach_alpha
+
+    got = l6_cronbach_alpha(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 900000 < got.cronbach_e6 <= 1000000

@@ -376,14 +376,19 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_theil_sen_slope", "FileScan parquet", True,
      "one scan feeds the monthly grid; pairs come from the grid join"),
     # r14 wave II
-    ("x_retention_cohort", "partial", True,
-     "cohort/activity months partial-aggregate before the custkey shuffle"),
     ("x_fuzzy_search_topk", "BroadcastNestedLoop", True,
      "the bounded probe batch must broadcast; the catalog is scanned once"),
     ("x_fuzzy_search_topk", "partial", True,
      "best-match min(struct) combines map-side — one row per probe per task"),
     ("x_holt_linear", "EvalPython", False,
      "the smoothing recurrence folds JVM-side via F.aggregate, no Python"),
+    ("l6_krippendorff_alpha", "partial", True,
+     "within-unit category counts partial-aggregate before the doc_id "
+     "shuffle; the coincidence matrix never materializes as rows"),
+    ("l6_cronbach_alpha", "partial", True,
+     "one scan, one 9-column two-phase aggregate, one output row"),
+    ("l6_fleiss_kappa", "EvalPython", False,
+     "kappa arithmetic stays JVM-side on integer sufficient statistics"),
 ]
 
 

@@ -817,6 +817,8 @@ _PROMOTE_R14 = [
     "l6_krippendorff_alpha",
     "l6_fleiss_kappa",
     "l6_cronbach_alpha",
+    # mergeable quantile sketch (rows-only by design; operators/tdigest.py):
+    "x_tdigest_quantiles",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

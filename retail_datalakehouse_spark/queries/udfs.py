@@ -647,3 +647,31 @@ def u12_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_revenue"),
     )
+
+
+@register("x_tdigest_quantiles", oracle=None, tags=("U3", "A3", "F3"), doc="")
+def x_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (`operators/tdigest.py`): shard
+    lineitem prices by content hash, compress each shard to ~2δ
+    centroids (k1 scale — tail-weighted resolution), merge the
+    config-bounded centroid set, and read 5 quantiles off the digest.
+    This is the persist-and-merge percentile pattern (DataSketches /
+    Spark's own approx_percentile internals, but as a STORABLE
+    artifact): day N+1 merges into day N's digest without rescanning
+    day N. Rows-only by design — centroid placement is
+    algorithm-specific (no SQL oracle can reproduce it); the rank-error
+    contract (≤0.5% at the 1%/99% tails, ≤1.5% at quartiles),
+    layout-independent bit-determinism, and merge-vs-monolithic
+    consistency are pinned by tests/test_tdigest.py. Exact SQL siblings
+    for value parity: x_exact_median / x_weighted_quantiles."""
+    from ..operators.tdigest import (
+        build_tdigest,
+        merge_tdigest,
+        quantiles_from_digest,
+    )
+
+    l = T(spark, sf_dir, "lineitem")
+    digest = merge_tdigest(build_tdigest(l, "l_extendedprice"))
+    return quantiles_from_digest(digest, [0.01, 0.25, 0.5, 0.75, 0.99]).select(
+        F.col("q"), F.round(F.col("estimate"), 4).alias("estimate")
+    )

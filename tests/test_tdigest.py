@@ -1,0 +1,77 @@
+"""t-digest mergeable quantile sketch: rank-error contract, bit-level
+determinism, merge-vs-monolithic consistency, monotonicity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from retail_datalakehouse_spark.operators.tdigest import (
+    build_tdigest,
+    merge_tdigest,
+    quantiles_from_digest,
+)
+
+QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def _lineitem_prices(spark):
+    return (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.col("l_extendedprice").alias("v"))
+    )
+
+
+def _rank_errors(spark, df, estimates):
+    """|actual rank of estimate - target rank| / N per quantile."""
+    vals = np.sort(np.array([r.v for r in df.collect()], dtype=np.float64))
+    n = len(vals)
+    errs = {}
+    for r in estimates:
+        rank = np.searchsorted(vals, r.estimate, side="right")
+        errs[r.q] = abs(rank - r.q * n) / n
+    return errs
+
+
+def test_rank_error_contract(spark):
+    df = _lineitem_prices(spark)
+    d = merge_tdigest(build_tdigest(df, "v"))
+    est = quantiles_from_digest(d, QS).collect()
+    errs = _rank_errors(spark, df, est)
+    assert errs[0.01] <= 0.005 and errs[0.99] <= 0.005, errs  # tail precision
+    for q in (0.25, 0.5, 0.75):
+        assert errs[q] <= 0.015, errs
+
+
+def test_determinism_bit_identical(spark):
+    df = _lineitem_prices(spark).repartition(7)
+    a = merge_tdigest(build_tdigest(df, "v")).collect()[0]
+    b = merge_tdigest(build_tdigest(df.repartition(3), "v")).collect()[0]
+    # content-hash sharding => identical centroids under ANY layout
+    assert a.means == b.means and a.weights == b.weights
+    assert a.n == b.n and a.lo == b.lo and a.hi == b.hi
+
+
+def test_merge_of_partial_builds_stays_in_bound(spark):
+    """Digest-of-union vs merge-of-part-digests: both must satisfy the
+    rank-error contract (t-digest merge is bound-preserving, not
+    bit-equal to the monolithic build)."""
+    df = _lineitem_prices(spark)
+    part1 = df.where(F.col("v") < 30000)
+    part2 = df.where(F.col("v") >= 30000)
+    merged = merge_tdigest(
+        build_tdigest(part1, "v").unionByName(build_tdigest(part2, "v"))
+    )
+    est = quantiles_from_digest(merged, QS).collect()
+    errs = _rank_errors(spark, df, est)
+    assert max(errs.values()) <= 0.02, errs
+
+
+def test_quantile_estimates_monotone_and_clamped(spark):
+    df = _lineitem_prices(spark)
+    d = merge_tdigest(build_tdigest(df, "v"))
+    row = d.collect()[0]
+    qs = [i / 20.0 for i in range(21)]
+    est = [r.estimate for r in quantiles_from_digest(d, qs).orderBy("q").collect()]
+    assert est == sorted(est)
+    assert est[0] >= row.lo and est[-1] <= row.hi
+    # extreme quantiles hit the exact min/max
+    assert abs(est[0] - row.lo) < 1e-9 and abs(est[-1] - row.hi) < 1e-9

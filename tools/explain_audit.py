@@ -389,6 +389,9 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "one scan, one 9-column two-phase aggregate, one output row"),
     ("l6_fleiss_kappa", "EvalPython", False,
      "kappa arithmetic stays JVM-side on integer sufficient statistics"),
+    ("x_tdigest_quantiles", "FlatMapGroupsInPandas", True,
+     "the sketch build/merge runs in the Arrow grouped-map lane (the "
+     "sanctioned Python path for a numpy kernel), never row-at-a-time"),
 ]
 
 

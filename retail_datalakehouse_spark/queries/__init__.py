@@ -817,8 +817,11 @@ _PROMOTE_R14 = [
     "l6_krippendorff_alpha",
     "l6_fleiss_kappa",
     "l6_cronbach_alpha",
-    # mergeable quantile sketch (rows-only by design; operators/tdigest.py):
+    # mergeable quantile sketch (rows-only by design; operators/tdigest.py)
+    # + its streaming maintenance leg (SQL-green on the exactly-
+    # maintained digest fields):
     "x_tdigest_quantiles",
+    "t36_stream_tdigest_merge",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

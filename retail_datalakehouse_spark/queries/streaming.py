@@ -2920,3 +2920,61 @@ def t35_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table(sink).select("purchase_id", "user_id")
+
+
+@register(
+    "t36_stream_tdigest_merge",
+    oracle="""
+SELECT CAST(COUNT(n_chars) AS BIGINT) AS n_values,
+       CAST(MIN(n_chars) AS BIGINT) AS lo_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS hi_chars,
+       TRUE AS median_in_range
+FROM documents
+""",
+    tags=("T6", "U3", "A3"),
+)
+def t36_stream_tdigest_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sketch maintenance: each corpus drop (3 staged
+    micro-batches) builds a t-digest of its document lengths and MERGES
+    it into a persisted digest table — the day-over-day percentile
+    pattern of `operators/tdigest.py` run INSIDE foreachBatch, where
+    day N+1 never rescans day N (per-batch cost is the batch build plus
+    a merge over the config-bounded centroid frame; the accumulated
+    state is ONE digest row, not data). The oracle checks the exactly-
+    maintained fields of the final digest — total count and global
+    min/max accumulate losslessly through any merge sequence — plus an
+    in-range pin on the interpolated median; centroid-level accuracy
+    and bit-determinism are pinned by tests/test_tdigest.py."""
+    import tempfile
+
+    from ..operators.tdigest import (
+        build_tdigest,
+        merge_tdigest,
+        quantiles_from_digest,
+    )
+    from ..sources.table_format import VersionedTable
+
+    stream = documents_stream_drops(spark, sf_dir, n_drops=3)
+    table = VersionedTable(spark, tempfile.mkdtemp(prefix="rdl_t36_digest_"))
+    seen = {"any": False}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        d = build_tdigest(batch_df, "n_chars")
+        if seen["any"]:
+            d = d.unionByName(table.read())
+        table.overwrite(merge_tdigest(d))
+        seen["any"] = True
+
+    run_foreach_batch(stream, apply_batch, output_mode="append")
+    final = table.read()
+    med = quantiles_from_digest(final, [0.5]).select(
+        F.col("estimate").alias("med")
+    )
+    return final.crossJoin(F.broadcast(med)).select(
+        F.col("n").cast("bigint").alias("n_values"),
+        F.col("lo").cast("bigint").alias("lo_chars"),
+        F.col("hi").cast("bigint").alias("hi_chars"),
+        ((F.col("med") >= F.col("lo")) & (F.col("med") <= F.col("hi"))).alias(
+            "median_in_range"
+        ),
+    )

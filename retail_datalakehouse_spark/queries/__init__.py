@@ -822,6 +822,12 @@ _PROMOTE_R14 = [
     # maintained digest fields):
     "x_tdigest_quantiles",
     "t36_stream_tdigest_merge",
+    # governance / crawl-URL function surface (AES column encryption
+    # round trip, Luhn PII screen vs hand-rolled arithmetic, parse_url/
+    # url_encode inverse proof):
+    "x_aes_roundtrip",
+    "x_luhn_check",
+    "l4_url_host_stats",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

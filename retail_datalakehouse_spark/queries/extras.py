@@ -5698,3 +5698,99 @@ def x_delta_checkpoint_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", scale=2).alias("revenue"),
         )
     )
+
+
+_AES_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(16 * (FLOOR(LENGTH(o_orderpriority) / 16) + 1) AS BIGINT)
+         AS ct_bytes
+FROM orders
+GROUP BY 1, 3
+"""
+
+
+@register("x_aes_roundtrip", oracle=_AES_SQL, tags=("F1", "F5"), doc="")
+def x_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption governance: aes_encrypt the priority
+    column (AES-128-ECB — the deterministic mode, chosen here so the
+    ciphertext itself is stable and its PKCS#7-padded length is
+    checkable; production would use the default GCM whose random IV
+    makes ciphertext nondeterministic), aes_decrypt it back, and
+    aggregate on the DECRYPTED value. The oracle aggregates the
+    original column and derives the expected ciphertext length from
+    plaintext length arithmetic (16-byte blocks, always-pad) — the hash
+    match proves the round trip is lossless AND the ciphertext has real
+    block structure, without ever comparing key-dependent bytes. At
+    scale both functions are JVM codegen (no UDF); the pattern is the
+    encrypt-at-rest / decrypt-in-query flow of a governed lakehouse."""
+    key = F.lit("0123456789abcdef")  # 16-byte demo key (AES-128)
+    o = T(spark, sf_dir, "orders").select(
+        F.aes_encrypt(
+            F.col("o_orderpriority").cast("binary"), key.cast("binary"), F.lit("ECB")
+        ).alias("ct")
+    )
+    back = o.select(
+        F.aes_decrypt(F.col("ct"), key.cast("binary"), F.lit("ECB"))
+        .cast("string")
+        .alias("priority"),
+        F.octet_length("ct").cast("bigint").alias("ct_bytes"),
+    )
+    return back.groupBy("priority", "ct_bytes").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).select("priority", "n", "ct_bytes")
+
+
+_LUHN_SQL = """
+SELECT (o_orderkey % 2 = 0) AS staged_valid,
+       (o_orderkey % 2 = 0) AS luhn_valid,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register("x_luhn_check", oracle=_LUHN_SQL, tags=("F1", "F3"), doc="")
+def x_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII screening primitive: `luhn_check` (the checksum every card
+    number passes) against numbers WE stage with hand-rolled Luhn
+    arithmetic — a 15-digit payload from the order key gets its true
+    check digit (JVM fold over the digit array: double every second
+    digit from the right, subtract 9 above 9) when the key is even, and
+    a deliberately-wrong one (+5 mod 10) when odd. The output grid
+    (staged_valid, luhn_valid, count) must be diagonal; the oracle
+    states that diagonal from key parity alone, so ANY disagreement
+    between Spark's builtin and the textbook arithmetic breaks the
+    hash. This is the payment-card leg of the PII family
+    (l4_pii_screen has the regex side)."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey")
+    payload = F.lpad((F.col("o_orderkey") % 100000000000000).cast("string"), 15, "0")
+    # true check digit: fold the 15 payload digits right-to-left with
+    # 2-1-2 weights (rightmost payload digit doubles), PURE column math
+    digit = lambda i: F.substring(payload, i, 1).cast("int")  # noqa: E731
+    terms = []
+    for i in range(1, 16):
+        d = digit(i)
+        doubled = (i % 2) == 1  # i odd => distance from right even => x2
+        terms.append(
+            F.when(F.lit(doubled), d * 2 - F.when(d * 2 > 9, 9).otherwise(0))
+            .otherwise(d)
+        )
+    s = terms[0]
+    for t in terms[1:]:
+        s = s + t
+    true_check = (10 - (s % 10)) % 10
+    staged_check = F.when(
+        F.col("o_orderkey") % 2 == 0, true_check
+    ).otherwise((true_check + 5) % 10)
+    cc = F.concat(payload, staged_check.cast("string"))
+    out = o.select(
+        (F.col("o_orderkey") % 2 == 0).alias("staged_valid"),
+        cc.alias("cc"),
+    ).select(
+        "staged_valid",
+        F.expr("luhn_check(cc)").alias("luhn_valid"),
+    )
+    return out.groupBy("staged_valid", "luhn_valid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )

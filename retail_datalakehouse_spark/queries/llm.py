@@ -6932,3 +6932,46 @@ def l6_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.floor(F.lit(1000000.0) * alpha).cast("bigint").alias("cronbach_e6"),
     )
+
+
+_URL_SQL = """
+SELECT 'crawl-' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source || ' #' || lang) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("l4_url_host_stats", oracle=_URL_SQL, tags=("L4", "F1"), doc="")
+def l4_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-pipeline URL surface: documents get a staged crawl URL
+    (host sharded by doc_id, an url_encode-d query parameter carrying
+    characters that REQUIRE escaping — space and '#', which would
+    truncate a naive parse at the fragment), and the per-domain stats —
+    the input to domain quotas, robots grouping, per-site dedup — are
+    computed ONLY through `parse_url`/`url_decode` on the assembled
+    string. The oracle restates the staging from the original columns,
+    so the hash proves extraction + decode are exact inverses of
+    assembly + encode. All four functions are JVM codegen built-ins
+    (no UDF); per-domain grouping is the natural partitioner for crawl
+    post-processing at any scale."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    url = F.concat(
+        F.lit("https://crawl-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?src="),
+        F.url_encode(F.concat(F.col("source"), F.lit(" #"), F.col("lang"))),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("src"))).alias("src"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("src").cast("bigint").alias("n_sources"),
+    )

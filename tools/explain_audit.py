@@ -392,6 +392,14 @@ CHECKS: list[tuple[str, str, bool, str]] = [
     ("x_tdigest_quantiles", "FlatMapGroupsInPandas", True,
      "the sketch build/merge runs in the Arrow grouped-map lane (the "
      "sanctioned Python path for a numpy kernel), never row-at-a-time"),
+    ("x_aes_roundtrip", "EvalPython", False,
+     "aes_encrypt/aes_decrypt are JVM codegen built-ins, no UDF"),
+    ("x_luhn_check", "EvalPython", False,
+     "the staged check-digit fold and luhn_check stay JVM-side"),
+    ("l4_url_host_stats", "EvalPython", False,
+     "parse_url/url_encode/url_decode are JVM built-ins"),
+    ("l4_url_host_stats", "partial", True,
+     "per-host doc counts partial-aggregate before the host shuffle"),
 ]
 
 

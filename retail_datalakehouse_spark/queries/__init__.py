@@ -828,6 +828,10 @@ _PROMOTE_R14 = [
     "x_aes_roundtrip",
     "x_luhn_check",
     "l4_url_host_stats",
+    # semi-structured ingestion parity: native XML round trip + VARIANT
+    # lateral explosion:
+    "x_xml_roundtrip",
+    "x_variant_explode",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

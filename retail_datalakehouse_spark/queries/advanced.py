@@ -1890,3 +1890,103 @@ def x_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+_XML_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS cents_sum
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_xml_roundtrip", oracle=_XML_SQL, tags=("S8", "F7"), doc="")
+def x_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 native XML, the spark-xml package
+    folded into core): each order is SERIALIZED to an XML row
+    (`to_xml` of a struct — the landing shape of B2B/EDI feeds), parsed
+    back with a TYPED schema (`from_xml`), and the aggregate runs on
+    the parsed fields. The oracle computes the identical aggregate from
+    the original columns, so the hash proves serialize → parse is
+    lossless including the bigint cast inside the XML text. Both
+    functions are JVM-side; schema-on-read XML at ingest scale means
+    the parse cost is one codegen'd pass, no UDF."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH xml AS (
+          SELECT to_xml(named_struct(
+                   'status', o_orderstatus,
+                   'cents', CAST(round(o_totalprice * 100, 0) AS BIGINT))) AS x
+          FROM orders),
+        parsed AS (
+          SELECT from_xml(x, 'status STRING, cents BIGINT') AS s FROM xml)
+        SELECT s.status AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(s.cents) AS BIGINT) AS cents_sum
+        FROM parsed
+        GROUP BY 1
+        """
+    )
+
+
+_VARIANT_EXPLODE_SQL = """
+SELECT charge_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM (
+  SELECT 'base' AS charge_type,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT 'priority_fee',
+         CAST(round(o_totalprice, 0) AS BIGINT)
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+GROUP BY 1
+"""
+
+
+@register("x_variant_explode", oracle=_VARIANT_EXPLODE_SQL, tags=("F7", "F6"), doc="")
+def x_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT lateral explosion: each order lands as a JSON CHARGE
+    ARRAY (every order a base charge; urgent/high orders an extra 1%
+    priority fee), is parsed to one VARIANT, and `variant_explode`
+    unnests the array positionally so typed extraction + aggregation
+    run per charge — the event-bus pattern where one payload carries a
+    variable-length detail list and the engine shreds it lazily. The
+    oracle rebuilds the same charge rows relationally (UNION ALL from
+    the original columns); the hash proves the encode → variant →
+    explode → typed-extract pipeline loses nothing, including the
+    conditional second element. Lateral explosion of a parsed column is
+    a codegen'd generator — no UDF, no re-parse per element."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH payload AS (
+          SELECT parse_json(to_json(
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                   THEN array(
+                     named_struct('charge_type', 'base',
+                       'cents', CAST(round(o_totalprice * 100, 0) AS BIGINT)),
+                     named_struct('charge_type', 'priority_fee',
+                       'cents', CAST(round(o_totalprice, 0) AS BIGINT)))
+                   ELSE array(
+                     named_struct('charge_type', 'base',
+                       'cents', CAST(round(o_totalprice * 100, 0) AS BIGINT)))
+                   END)) AS j
+          FROM orders)
+        SELECT variant_get(v.value, '$.charge_type', 'string') AS charge_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(variant_get(v.value, '$.cents', 'bigint')) AS BIGINT)
+                 AS cents_sum
+        FROM payload, LATERAL variant_explode(j) v
+        GROUP BY 1
+        """
+    )

@@ -74,16 +74,17 @@ HEADLINE = [
 # survival (Kaplan-Meier), CUPED sufficient-stats, drawdown windows, the
 # weighted-quantile cum-walk, and the 20-day integer Bollinger frame.
 WAVE = [
-    "l4_char_entropy",
-    "l4_jensen_shannon",
-    "l6_token_f1",
-    "l6_auc_roc",
-    "x_mann_kendall_trend",
-    "x_kaplan_meier",
-    "x_cuped_adjustment",
-    "x_drawdown",
-    "x_weighted_quantiles",
-    "x_bollinger_bands",
+    # r14-continuation rotation: the round's heaviest new entries
+    "x_equi_depth_histogram",
+    "x_fuzzy_search_topk",
+    "x_tdigest_quantiles",
+    "l6_krippendorff_alpha",
+    "x_aes_roundtrip",
+    "x_xml_roundtrip",
+    "x_variant_explode",
+    "x_holt_linear",
+    "l4_url_host_stats",
+    "x_luhn_check",
 ]
 
 

@@ -832,6 +832,8 @@ _PROMOTE_R14 = [
     # lateral explosion:
     "x_xml_roundtrip",
     "x_variant_explode",
+    # boolean-aggregate surface (every/some/count_if/any_value):
+    "x_bool_aggs",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -5794,3 +5794,42 @@ def x_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("staged_valid", "luhn_valid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+_BOOLAGG_SQL = """
+SELECT l_returnflag AS flag,
+       bool_and(l_quantity >= 1) AS all_qty_pos,
+       bool_or(CAST(round(l_discount * 100, 0) AS BIGINT) = 0)
+         AS some_zero_disc,
+       bool_and(CAST(round(l_discount * 100, 0) AS BIGINT) = 0)
+         AS all_zero_disc,
+       CAST(COUNT(*) FILTER (WHERE CAST(round(l_discount * 100, 0) AS BIGINT)
+                                   = 0) AS BIGINT) AS n_zero_disc,
+       any_value(upper(l_returnflag)) AS flag_upper
+FROM lineitem
+GROUP BY 1
+"""
+
+
+@register("x_bool_aggs", oracle=_BOOLAGG_SQL, tags=("A6", "F4"), doc="")
+def x_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface: `every`/`some` (SQL:2023 names Spark
+    and DuckDB expose as bool_and/bool_or aliases), FILTER-style
+    conditional counting, and `any_value` — the pick-one aggregate that
+    is nondeterministic IN GENERAL and therefore only oracle-safe over
+    an expression CONSTANT within its group (upper(flag) here; the
+    discipline any_value demands before it can appear in a replayed
+    pipeline). All five are one partial-aggregable pass; every() short-
+    circuits per partition map-side."""
+    l = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.col("l_discount") * 100, 0).cast("bigint").alias("dc"),
+    )
+    return l.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.every(F.col("l_quantity") >= 1).alias("all_qty_pos"),
+        F.some(F.col("dc") == 0).alias("some_zero_disc"),
+        F.every(F.col("dc") == 0).alias("all_zero_disc"),
+        F.count_if(F.col("dc") == 0).cast("bigint").alias("n_zero_disc"),
+        F.any_value(F.upper(F.col("l_returnflag"))).alias("flag_upper"),
+    )

@@ -804,11 +804,16 @@ _PROMOTE_R14 = [
     "x_lateral_alias",
     "x_identifier_clause",
     "x_sql_scripting",
-    # analytics wave II (the window holds 50; entries past slot 50 are
-    # the r15 queue head — 4-scale + vanilla green at build time, driver
-    # evidence deferred one round by window arithmetic, see NOTES r14;
-    # x_retention_cohort was built here then REMOVED as a near-duplicate
-    # of the long-standing x_cohort_retention):
+]
+
+# The r15 queue: everything past the 50-slot driver window — built and
+# 4-scale (0.001/0.01/0.1/sf1) + vanilla oracle-green THIS round, driver
+# evidence deferred one round purely by window capacity. Next round:
+# promote these first, then re-gate whatever r15 code changes touch.
+# (x_retention_cohort was built in this wave then REMOVED as a
+# near-duplicate of the long-standing x_cohort_retention.)
+_PROMOTE_R15 = [
+    # analytics wave II:
     "x_fuzzy_search_topk",
     "x_holt_linear",
     "x_equi_depth_histogram",
@@ -986,7 +991,7 @@ _PROMOTE_R12 = [
 #   identical Catalyst plan the classic-SQL oracle runs.
 
 # Dict insertion order dedupes: a name in both lists keeps its earlier slot.
-_head = {n: REGISTRY[n] for n in (*_PROMOTE_R14, *_PROMOTE_R13, *_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
+_head = {n: REGISTRY[n] for n in (*_PROMOTE_R14, *_PROMOTE_R15, *_PROMOTE_R13, *_PROMOTE_R12, *_PROMOTE_R11, *_PROMOTE_R10, *_PROMOTE_R9, *_PROMOTE_R8, *_PROMOTE_R6, *_PROMOTE_R5) if n in REGISTRY}
 _rest = {k: v for k, v in REGISTRY.items() if k not in _head}
 REGISTRY.clear()
 REGISTRY.update(_head)

@@ -237,6 +237,12 @@ def attach_global_rank(
     # WindowExec this module exists to eliminate (caught by the plan
     # test). The grand total rides the TINY offsets frame, never as an
     # extra stage over the data side.
+    # counts come from the PRE-window branch on purpose: deriving them
+    # from max(local row_number) would let ReuseExchange share the
+    # shuffle, but then BOTH consumers pay the per-bucket window sort —
+    # measured 1.6x slower than re-scanning the (column-pruned, cheap)
+    # source for a map-side partial count. Correctness is identical
+    # either way (bucket id is a pure row function).
     counts = b.groupBy("_rp_b").agg(F.count(F.lit(1)).alias("_rp_cnt"))
     before = counts.select(
         F.col("_rp_b").alias("_rp_b_b"), F.col("_rp_cnt").alias("_rp_cnt_b")

@@ -675,3 +675,48 @@ def x_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles_from_digest(digest, [0.01, 0.25, 0.5, 0.75, 0.99]).select(
         F.col("q"), F.round(F.col("estimate"), 4).alias("estimate")
     )
+
+
+_TDIGEST_BOUND_SQL = """
+SELECT CAST(q AS DOUBLE) AS q, within_bound
+FROM (VALUES (0.01, TRUE), (0.25, TRUE), (0.5, TRUE), (0.75, TRUE),
+             (0.99, TRUE)) AS t(q, within_bound)
+"""
+
+
+@register("x_tdigest_error_bound", oracle=_TDIGEST_BOUND_SQL, tags=("U3", "A3", "F3"), doc="")
+def x_tdigest_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The t-digest accuracy contract as a DRIVER-CHECKED fact: estimate
+    5 quantiles from the sketch, measure each estimate's TRUE rank with
+    one exact aggregation pass (count of values ≤ estimate — the 5-row
+    estimate table broadcasts, the fact table is scanned once), and
+    emit whether the rank error is inside the documented bound (≤0.5%
+    of N at the 1%/99% tails, ≤1.5% at the quartiles). The sketch is
+    bit-deterministic (content-hash sharding), so the booleans are
+    stable facts and the oracle is the constant TRUE grid — a red row
+    here means the sketch's error contract broke, checked by the
+    external gate rather than only by unit tests. This is the
+    rows-only-to-SQL-green bridge pattern for sketches: pin the
+    CONTRACT, not the algorithm-specific internals."""
+    from ..operators.tdigest import (
+        build_tdigest,
+        merge_tdigest,
+        quantiles_from_digest,
+    )
+
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").cast("double").alias("v")
+    )
+    digest = merge_tdigest(build_tdigest(l, "v"))
+    est = quantiles_from_digest(digest, [0.01, 0.25, 0.5, 0.75, 0.99])
+    scored = l.crossJoin(F.broadcast(est)).groupBy("q", "estimate").agg(
+        F.count_if(F.col("v") <= F.col("estimate")).alias("rank"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    err = (F.col("rank") - F.col("q") * F.col("n")) / F.col("n")
+    bound = F.when(
+        (F.col("q") <= 0.01) | (F.col("q") >= 0.99), F.lit(0.005)
+    ).otherwise(F.lit(0.015))
+    return scored.select(
+        "q", (F.abs(err) <= bound).alias("within_bound")
+    )

@@ -75,3 +75,28 @@ def test_quantile_estimates_monotone_and_clamped(spark):
     assert est[0] >= row.lo and est[-1] <= row.hi
     # extreme quantiles hit the exact min/max
     assert abs(est[0] - row.lo) < 1e-9 and abs(est[-1] - row.hi) < 1e-9
+
+
+def test_compress_invariants_numpy_level():
+    """Kernel-level invariants with no Spark in the loop: weight
+    conservation (exact — integer weights), sorted centroid means,
+    centroid count bounded by ~2*delta, tails kept fine-grained
+    (first/last centroid weight 1 for distinct values)."""
+    import numpy as np
+
+    from retail_datalakehouse_spark.operators.tdigest import _compress
+
+    rng = np.random.default_rng(42)
+    for n in (1, 2, 10, 1000, 50000):
+        v = np.sort(rng.normal(size=n) * 1000.0)
+        m, w = _compress(v, np.ones_like(v), delta=100)
+        assert w.sum() == float(n)  # integer weights sum exactly
+        assert np.all(np.diff(m) >= 0)
+        assert len(m) <= 2 * 100 + 2
+        if n >= 1000:
+            # k1 keeps tails RELATIVELY fine: the outermost clusters
+            # hold <=0.2% of N (vs n/len(m) ~ 2% for an equi-weight cut)
+            assert w[0] <= max(1.0, 0.002 * n)
+            assert w[-1] <= max(1.0, 0.002 * n)
+        # weighted mean preserved to fp accumulation accuracy
+        assert abs((m * w).sum() - v.sum()) < 1e-6 * max(1.0, abs(v.sum()))

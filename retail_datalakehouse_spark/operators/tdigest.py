@@ -18,13 +18,15 @@ Design (Dunning's t-digest, our deterministic vectorized variant):
   as x_sample_deterministic).
 - **Compress** each shard's sorted values into centroids by the k1
   scale function k(q) = δ/2π·asin(2q−1): a centroid may span [q0,q1]
-  only while k(q1)−k(q0) ≤ 1, which caps centroid count at ~2δ and
+  only while k(q1)−k(q0) ≤ 1, which caps centroid count at ~δ/2 + 2
+  (k's range is ±δ/4) and
   concentrates resolution at the tails (the quantiles people actually
   ask for). Vectorized: cluster id = floor(k(q_mid)) per value, one
   pandas groupby — no per-value Python loop.
 - **Merge** = concatenate centroid lists, sort by mean, re-compress.
   Associative up to the documented t-digest re-compression error; the
-  final merge runs over at most P·2δ centroid rows — bounded by CONFIG,
+  final merge runs over at most P·(δ/2+2) centroid rows — bounded by
+  CONFIG,
   not data, so the single-group applyInPandas stage is O(1) state.
 - **Query** interpolates between centroid centers (cumulative weight −
   w/2), clamped to the exactly-tracked global min/max.
@@ -56,7 +58,7 @@ DIGEST_SCHEMA = (
 def _compress(means: np.ndarray, weights: np.ndarray, delta: int):
     """One t-digest compression pass over (mean, weight) pairs that are
     already sorted by mean. Returns (means, weights) arrays with at most
-    ~2*delta centroids."""
+    ~delta/2 + 2 centroids (k's floor-band count)."""
     total = float(weights.sum())
     cum = np.cumsum(weights)
     # q at each input's center of mass; k1 scale; same-floor => same cluster
@@ -114,7 +116,7 @@ def build_tdigest(
 def merge_tdigest(digests: DataFrame, *, delta: int = 100) -> DataFrame:
     """Merge any number of digest rows (one build, several days, several
     columns' worth re-keyed — anything in DIGEST_SCHEMA) into ONE row.
-    The input is centroid rows — at most shards x 2*delta of them, a
+    The input is centroid rows — at most shards x (delta/2 + 2) of them, a
     config-bounded frame — so the single-group stage holds O(delta)
     state, never data-sized."""
 

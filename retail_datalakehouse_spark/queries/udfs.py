@@ -652,7 +652,7 @@ def u12_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("x_tdigest_quantiles", oracle=None, tags=("U3", "A3", "F3"), doc="")
 def x_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (`operators/tdigest.py`): shard
-    lineitem prices by content hash, compress each shard to ~2δ
+    lineitem prices by content hash, compress each shard to ~δ/2
     centroids (k1 scale — tail-weighted resolution), merge the
     config-bounded centroid set, and read 5 quantiles off the digest.
     This is the persist-and-merge percentile pattern (DataSketches /

@@ -80,7 +80,8 @@ def test_quantile_estimates_monotone_and_clamped(spark):
 def test_compress_invariants_numpy_level():
     """Kernel-level invariants with no Spark in the loop: weight
     conservation (exact — integer weights), sorted centroid means,
-    centroid count bounded by ~2*delta, tails kept fine-grained
+    centroid count bounded by the k1 band count (~delta/2 + 2),
+    tails kept relatively fine-grained
     (first/last centroid weight 1 for distinct values)."""
     import numpy as np
 

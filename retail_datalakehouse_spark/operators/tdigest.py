@@ -180,3 +180,124 @@ def quantiles_from_digest(digest: DataFrame, qs: list[float]) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(lambda _, pdf: est(pdf), "q double, estimate double")
     )
+
+
+def _digest_schema(by_schema: str) -> str:
+    return by_schema + ", " + DIGEST_SCHEMA
+
+
+def build_tdigest_grouped(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    *,
+    delta: int = 100,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Per-GROUP digests — the distributed per-segment percentile
+    pattern (one sketch per (group, content shard); groups scale out,
+    shards parallelize within a group). Same determinism contract as
+    the global build: shard = pmod(xxhash64(value), P) is layout-free."""
+    by_schema = ", ".join(
+        f"{n} {t}" for n, t in df.select(*by).dtypes
+    )
+    src = df.select(*by, F.col(col).cast("double").alias("v")).where(
+        F.col("v").isNotNull()
+    )
+    sharded = src.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col("v")), F.lit(num_shards))
+    )
+
+    def one(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(pdf["v"].to_numpy(dtype=np.float64))
+        m, w = _compress(v, np.ones_like(v), delta)
+        out = {n: [k] for n, k in zip(by, keys[:-1])}
+        out.update(
+            {
+                "shard": [int(keys[-1])],
+                "means": [m.tolist()],
+                "weights": [w.tolist()],
+                "n": [len(v)],
+                "lo": [float(v[0])],
+                "hi": [float(v[-1])],
+            }
+        )
+        return pd.DataFrame(out)
+
+    return sharded.groupBy(*by, "shard").applyInPandas(
+        one, _digest_schema(by_schema)
+    )
+
+
+def merge_tdigest_grouped(
+    digests: DataFrame, by: list[str], *, delta: int = 100
+) -> DataFrame:
+    """Collapse each group's shard digests to ONE digest row per group
+    (still config-bounded per group: shards x (delta/2 + 2) centroids)."""
+    by_schema = ", ".join(
+        f"{n} {t}" for n, t in digests.select(*by).dtypes
+    )
+
+    def merge_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["means"]])
+        w = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["weights"]])
+        order = np.argsort(m, kind="stable")
+        m, w = _compress(m[order], w[order], delta)
+        out = {n: [k] for n, k in zip(by, keys)}
+        out.update(
+            {
+                "shard": [-1],
+                "means": [m.tolist()],
+                "weights": [w.tolist()],
+                "n": [int(pdf["n"].sum())],
+                "lo": [float(pdf["lo"].min())],
+                "hi": [float(pdf["hi"].max())],
+            }
+        )
+        return pd.DataFrame(out)
+
+    return digests.groupBy(*by).applyInPandas(
+        merge_group, _digest_schema(by_schema)
+    )
+
+
+def quantiles_from_digest_grouped(
+    digest: DataFrame, qs: list[float], by: list[str]
+) -> DataFrame:
+    """Per-group quantile estimates: one row per (group, q)."""
+    q_arr = list(map(float, qs))
+    by_schema = ", ".join(
+        f"{n} {t}" for n, t in digest.select(*by).dtypes
+    )
+
+    def est_group(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        row = pdf.iloc[0]
+        m = np.asarray(row["means"], dtype=np.float64)
+        w = np.asarray(row["weights"], dtype=np.float64)
+        n = float(w.sum())
+        centers = np.cumsum(w) - w / 2.0
+        out_q, out_e = [], []
+        for q in q_arr:
+            r = q * n
+            if r <= centers[0]:
+                e = row["lo"] + (m[0] - row["lo"]) * (
+                    r / centers[0] if centers[0] > 0 else 0.0
+                )
+            elif r >= centers[-1]:
+                span = n - centers[-1]
+                e = m[-1] + (row["hi"] - m[-1]) * (
+                    (r - centers[-1]) / span if span > 0 else 1.0
+                )
+            else:
+                i = int(np.searchsorted(centers, r, side="right"))
+                f = (r - centers[i - 1]) / (centers[i] - centers[i - 1])
+                e = m[i - 1] + (m[i] - m[i - 1]) * f
+            out_q.append(q)
+            out_e.append(float(e))
+        out = {n_: [k] * len(out_q) for n_, k in zip(by, keys)}
+        out.update({"q": out_q, "estimate": out_e})
+        return pd.DataFrame(out)
+
+    return digest.groupBy(*by).applyInPandas(
+        est_group, by_schema + ", q double, estimate double"
+    )

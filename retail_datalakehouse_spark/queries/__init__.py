@@ -839,8 +839,10 @@ _PROMOTE_R15 = [
     "x_variant_explode",
     # boolean-aggregate surface (every/some/count_if/any_value):
     "x_bool_aggs",
-    # the sketch accuracy contract as a driver-checked SQL-green fact:
+    # the sketch accuracy contract as a driver-checked SQL-green fact,
+    # global and per-group:
     "x_tdigest_error_bound",
+    "x_tdigest_grouped_bound",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -720,3 +720,52 @@ def x_tdigest_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "q", (F.abs(err) <= bound).alias("within_bound")
     )
+
+
+_TDIGEST_GROUPED_SQL = """
+SELECT flag, CAST(q AS DOUBLE) AS q, within_bound
+FROM (SELECT DISTINCT l_returnflag AS flag FROM lineitem) f
+CROSS JOIN (VALUES (0.5, TRUE), (0.9, TRUE)) AS t(q, within_bound)
+"""
+
+
+@register("x_tdigest_grouped_bound", oracle=_TDIGEST_GROUPED_SQL, tags=("U3", "A3", "A1"), doc="")
+def x_tdigest_grouped_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP sketching — the segment-percentile pattern at scale:
+    one t-digest per (return flag, content shard), shard digests
+    collapsed per group, median and P90 read per group, and each
+    estimate's TRUE within-group rank measured by one exact pass (the
+    3x2 estimate grid broadcasts; the fact table is scanned once,
+    grouped by flag). Groups scale out (one digest chain per segment),
+    shards parallelize within a group, and the per-group state stays
+    config-bounded — the shape that answers 'P90 latency per tenant'
+    over 10^4 tenants without a single global sort. Oracle = the
+    constant TRUE grid over the distinct flags: a red row means a
+    group's sketch broke its ≤1.5%-of-group-N rank-error contract under
+    the external gate."""
+    from ..operators.tdigest import (
+        build_tdigest_grouped,
+        merge_tdigest_grouped,
+        quantiles_from_digest_grouped,
+    )
+
+    l = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    digests = merge_tdigest_grouped(
+        build_tdigest_grouped(l, "v", ["flag"]), ["flag"]
+    )
+    est = quantiles_from_digest_grouped(digests, [0.5, 0.9], ["flag"])
+    scored = (
+        l.join(F.broadcast(est), "flag")
+        .groupBy("flag", "q", "estimate")
+        .agg(
+            F.count_if(F.col("v") <= F.col("estimate")).alias("rank"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    err = (F.col("rank") - F.col("q") * F.col("n")) / F.col("n")
+    return scored.select(
+        "flag", "q", (F.abs(err) <= F.lit(0.015)).alias("within_bound")
+    )

@@ -101,3 +101,35 @@ def test_compress_invariants_numpy_level():
             assert w[-1] <= max(1.0, 0.002 * n)
         # weighted mean preserved to fp accumulation accuracy
         assert abs((m * w).sum() - v.sum()) < 1e-6 * max(1.0, abs(v.sum()))
+
+
+def test_grouped_digest_matches_global_per_group(spark):
+    """Each group's merged digest must equal the GLOBAL build run on
+    that group's rows alone — grouping only partitions the work."""
+    from pyspark.sql import functions as F
+
+    from retail_datalakehouse_spark.operators.tdigest import (
+        build_tdigest,
+        build_tdigest_grouped,
+        merge_tdigest,
+        merge_tdigest_grouped,
+    )
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(F.col("l_returnflag").alias("flag"),
+                F.col("l_extendedprice").alias("v"))
+    )
+    grouped = {
+        r.flag: r
+        for r in merge_tdigest_grouped(
+            build_tdigest_grouped(df, "v", ["flag"], num_shards=16), ["flag"]
+        ).collect()
+    }
+    for flag in grouped:
+        solo = merge_tdigest(
+            build_tdigest(df.where(F.col("flag") == flag), "v", num_shards=16)
+        ).collect()[0]
+        g = grouped[flag]
+        assert g.means == solo.means and g.weights == solo.weights
+        assert g.n == solo.n and g.lo == solo.lo and g.hi == solo.hi

@@ -843,6 +843,9 @@ _PROMOTE_R15 = [
     # global and per-group:
     "x_tdigest_error_bound",
     "x_tdigest_grouped_bound",
+    # iterative ML: Newton/IRLS logistic fit, oracle-exact via integer
+    # sufficient statistics (quantized sigmoid):
+    "x_logistic_irls",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -149,3 +149,53 @@ def test_cronbach_alpha_is_high_for_shared_signal(spark):
 
     got = l6_cronbach_alpha(spark, "/root/testdata/sf0.001").collect()[0]
     assert 900000 < got.cronbach_e6 <= 1000000
+
+
+def test_logistic_irls_matches_python_reference(spark):
+    """Replay the query's exact quantized Newton in plain Python over
+    the same staged rows (floor-e5 equality), and pin that the
+    quantization does not distort the fit: an UNQUANTIZED float Newton
+    lands within 1e-3 of the same betas."""
+    import math
+
+    import duckdb
+
+    from retail_datalakehouse_spark.queries.analytics import x_logistic_irls
+
+    rows = duckdb.sql(
+        "SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) - 15000000 AS xi,"
+        " CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END"
+        " AS y FROM '/root/testdata/sf0.001/orders.parquet'"
+    ).fetchall()
+
+    def newton(quantize):
+        b0 = b1 = 0.0
+        for _ in range(4):
+            sw = swx = swxx = sr = srx = 0
+            for xi, y in rows:
+                z = b0 + b1 * (float(xi) / 1e7)
+                p = 1.0 / (1.0 + math.exp(-z))
+                if quantize:
+                    pe6 = math.floor(p * 1000000.0 + 0.5)
+                    w, r = pe6 * (1000000 - pe6), y * 1000000 - pe6
+                    sw += w; swx += w * xi; swxx += w * xi * xi
+                    sr += r; srx += r * xi
+                else:
+                    w, r = p * (1 - p), y - p
+                    x = float(xi) / 1e7
+                    sw += w; swx += w * x; swxx += w * x * x
+                    sr += r; srx += r * x
+            if quantize:
+                sw, swx, swxx = float(sw) / 1e12, float(swx) / 1e19, float(swxx) / 1e26
+                sr, srx = float(sr) / 1e6, float(srx) / 1e13
+            det = sw * swxx - swx * swx
+            b0, b1 = b0 + (swxx * sr - swx * srx) / det, b1 + (sw * srx - swx * sr) / det
+        return b0, b1
+
+    got = x_logistic_irls(spark, "/root/testdata/sf0.001").collect()[0]
+    qb0, qb1 = newton(quantize=True)
+    assert got.beta0_e5 == math.floor(qb0 * 100000.0)
+    assert got.beta1_e5 == math.floor(qb1 * 100000.0)
+    fb0, fb1 = newton(quantize=False)
+    assert abs(qb0 - fb0) < 1e-3 and abs(qb1 - fb1) < 1e-3
+    assert got.n_correct >= got.n_pos  # at least the majority-class rate

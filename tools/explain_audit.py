@@ -400,6 +400,11 @@ CHECKS: list[tuple[str, str, bool, str]] = [
      "parse_url/url_encode/url_decode are JVM built-ins"),
     ("l4_url_host_stats", "partial", True,
      "per-host doc counts partial-aggregate before the host shuffle"),
+    ("x_logistic_irls", "EvalPython", False,
+     "all four Newton iterations are JVM column math (exp + integer "
+     "sufficient statistics), no Python in the per-row path"),
+    ("x_logistic_irls", "partial", True,
+     "each iteration's five sums partial-aggregate map-side"),
 ]
 
 

@@ -846,6 +846,7 @@ _PROMOTE_R15 = [
     # iterative ML: Newton/IRLS logistic fit, oracle-exact via integer
     # sufficient statistics (quantized sigmoid):
     "x_logistic_irls",
+    "x_logistic_per_group",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

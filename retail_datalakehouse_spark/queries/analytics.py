@@ -7385,3 +7385,139 @@ def x_logistic_irls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("b1") * 100000.0).cast("bigint").alias("beta1_e5"),
         "n_correct",
     )
+
+
+def _irls_grouped_oracle_sql(n_iter: int = 3) -> str:
+    """Per-group unrolled IRLS oracle: every CTE carries the segment key
+    (GROUP BY seg in the stats step, equi-join on seg to fetch the
+    previous betas)."""
+    z = "({b0} + {b1} * (CAST(xi AS DOUBLE) / 1e7))"
+    pe6 = (
+        "CAST(FLOOR((1.0 / (1.0 + EXP(-" + z + "))) * 1000000.0 + 0.5) AS BIGINT)"
+    )
+    stats = (
+        "SELECT seg,\n"
+        "       CAST(SUM(CAST(pe6 * (1000000 - pe6) AS HUGEINT)) AS DOUBLE) / 1e12 AS sw,\n"
+        "       CAST(SUM(CAST(pe6 * (1000000 - pe6) AS HUGEINT) * xi) AS DOUBLE) / 1e19 AS swx,\n"
+        "       CAST(SUM(CAST(pe6 * (1000000 - pe6) AS HUGEINT) * xi * xi) AS DOUBLE) / 1e26 AS swxx,\n"
+        "       CAST(SUM(CAST(y * 1000000 - pe6 AS HUGEINT)) AS DOUBLE) / 1e6 AS sr,\n"
+        "       CAST(SUM(CAST(y * 1000000 - pe6 AS HUGEINT) * xi) AS DOUBLE) / 1e13 AS srx\n"
+        "  FROM (SELECT seg, xi, y, {pe6} AS pe6 FROM {src})\n"
+        "  GROUP BY seg"
+    )
+    ctes = [
+        "base AS (\n"
+        "  SELECT c.c_mktsegment AS seg,\n"
+        "         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) - 15000000 AS xi,\n"
+        "         CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END AS y\n"
+        "  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)"
+    ]
+    b0, b1 = "0.0", "0.0"
+    for i in range(1, n_iter + 1):
+        src = (
+            "base"
+            if i == 1
+            else f"(SELECT b.seg, b.xi, b.y, p.b0, p.b1"
+            f" FROM base b JOIN b{i-1}t p ON b.seg = p.seg)"
+        )
+        ctes.append(
+            f"s{i} AS (\n" + stats.format(pe6=pe6.format(b0=b0, b1=b1), src=src) + ")"
+        )
+        join = "" if i == 1 else f" JOIN b{i-1}t p ON s{i}.seg = p.seg"
+        pb0 = "0.0" if i == 1 else "p.b0"
+        pb1 = "0.0" if i == 1 else "p.b1"
+        ctes.append(
+            f"b{i}t AS (\n"
+            f"  SELECT s{i}.seg,\n"
+            f"         {pb0} + (swxx * sr - swx * srx) / (sw * swxx - swx * swx) AS b0,\n"
+            f"         {pb1} + (sw * srx - swx * sr) / (sw * swxx - swx * swx) AS b1\n"
+            f"  FROM s{i}{join})"
+        )
+        b0, b1 = "b0", "b1"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT b.seg AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(p.b0 * 100000.0) AS BIGINT) AS beta0_e5,
+       CAST(FLOOR(p.b1 * 100000.0) AS BIGINT) AS beta1_e5
+FROM base b JOIN b{n_iter}t p ON b.seg = p.seg
+GROUP BY b.seg, p.b0, p.b1"""
+    )
+
+
+_IRLS_GROUPED_SQL = _irls_grouped_oracle_sql(3)
+
+
+@register("x_logistic_per_group", oracle=_IRLS_GROUPED_SQL, tags=("A1", "F3", "J2"), doc="")
+def x_logistic_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE MODEL PER SEGMENT in a single job — the grouped-models
+    pattern ('train 10^6 small per-tenant models') that MLlib's
+    single-model API can't express but set-based IRLS can: the same
+    quantized-Newton machinery as x_logistic_irls with every step
+    GROUPED by market segment — stats aggregate per (segment), the 2x2
+    solve is plain column arithmetic on the 5-row betas frame, and the
+    next iteration joins betas back by segment (broadcast — the betas
+    frame is one row per segment regardless of data volume). Three
+    iterations; same exact-integer sufficient statistics, so Spark and
+    the iteration-unrolled grouped-CTE oracle agree bit-for-bit on
+    every segment's floor-e5 coefficients. At scale the per-iteration
+    cost is one fact scan + one segment-keyed aggregate — segments
+    parallelize the solve for free."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.round(F.col("o_totalprice") * 100, 0).cast("bigint") - 15000000)
+        .alias("xi"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+        ).otherwise(F.lit(0)).alias("y"),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    base = o.join(F.broadcast(c), "o_custkey").select("seg", "xi", "y")
+    xd = F.col("xi").cast("double") / F.lit(1e7)
+
+    def stats(df):
+        z = F.col("b0") + F.col("b1") * xd
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        pe6 = F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+        w = (pe6 * (F.lit(1000000) - pe6)).cast("decimal(38,0)")
+        r = (F.col("y") * F.lit(1000000) - pe6).cast("decimal(38,0)")
+        return df.groupBy("seg").agg(
+            (F.sum(w).cast("double") / F.lit(1e12)).alias("sw"),
+            (F.sum(w * F.col("xi")).cast("double") / F.lit(1e19)).alias("swx"),
+            (F.sum(w * F.col("xi") * F.col("xi")).cast("double") / F.lit(1e26))
+            .alias("swxx"),
+            (F.sum(r).cast("double") / F.lit(1e6)).alias("sr"),
+            (F.sum(r * F.col("xi")).cast("double") / F.lit(1e13)).alias("srx"),
+        )
+
+    beta = None
+    for i in range(3):
+        if beta is None:
+            cur = base.withColumn("b0", F.lit(0.0)).withColumn("b1", F.lit(0.0))
+            prev0, prev1 = F.lit(0.0), F.lit(0.0)
+        else:
+            cur = base.join(F.broadcast(beta), "seg")
+            prev0, prev1 = F.col("b0"), F.col("b1")
+        s = stats(cur)
+        if beta is not None:
+            s = s.join(F.broadcast(beta), "seg")
+        det = F.col("sw") * F.col("swxx") - F.col("swx") * F.col("swx")
+        beta = s.select(
+            "seg",
+            (prev0 + (F.col("swxx") * F.col("sr") - F.col("swx") * F.col("srx")) / det)
+            .alias("b0"),
+            (prev1 + (F.col("sw") * F.col("srx") - F.col("swx") * F.col("sr")) / det)
+            .alias("b1"),
+        )
+    final = base.join(F.broadcast(beta), "seg")
+    return final.groupBy(F.col("seg").alias("segment"), "b0", "b1").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).select(
+        "segment",
+        "n",
+        F.floor(F.col("b0") * 100000.0).cast("bigint").alias("beta0_e5"),
+        F.floor(F.col("b1") * 100000.0).cast("bigint").alias("beta1_e5"),
+    )

@@ -1,8 +1,9 @@
 """Round-14 wave II: edge pins for the analytics additions — the Holt
 fold's degenerate series lengths (the registry query always sees ~81
-months, so the n=2/n=3 branches need synthetic pins), the cohort
-matrix's offset-0 invariant, and the fuzzy search's deterministic
-tie-break."""
+months, so the n=2/n=3 branches need synthetic pins), the fuzzy
+search's deterministic tie-break, independent textbook references for
+the annotation-reliability statistics, and the exact-replay +
+distortion-bound pins for the quantized logistic IRLS."""
 
 from pyspark.sql import functions as F
 

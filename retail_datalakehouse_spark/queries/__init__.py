@@ -847,6 +847,8 @@ _PROMOTE_R15 = [
     # sufficient statistics (quantized sigmoid):
     "x_logistic_irls",
     "x_logistic_per_group",
+    # HLL accuracy contract bridged to SQL-green (the a3 sibling):
+    "x_hll_error_bound",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

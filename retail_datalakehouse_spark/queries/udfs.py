@@ -769,3 +769,40 @@ def x_tdigest_grouped_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "flag", "q", (F.abs(err) <= F.lit(0.015)).alias("within_bound")
     )
+
+
+_HLL_BOUND_SQL = """
+SELECT o_orderstatus AS status,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_bound
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("x_hll_error_bound", oracle=_HLL_BOUND_SQL, tags=("A3", "A2"), doc="")
+def x_hll_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL++ accuracy contract as a driver-checked fact (the same
+    rows-only→SQL-green bridge as x_tdigest_error_bound, applied to
+    a3_approx_count_distinct): per order status, compute BOTH the
+    sketch estimate (rsd 0.02) and the exact distinct count in one
+    aggregate, emit the exact count plus whether the estimate sits
+    inside 3·rsd. The sketch is hash-based and RNG-free, so the boolean
+    is a stable deterministic fact; the oracle recomputes the exact
+    count and states TRUE. A red row = Spark's HLL++ broke its own
+    error bound on this data. The estimate itself stays out of the
+    output (engine-specific), which is exactly why a3 is rows-only —
+    this leg pins the part an external engine CAN check."""
+    o = T(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+    )
+    err = (F.col("approx") - F.col("exact_customers")).cast("double") / F.col(
+        "exact_customers"
+    )
+    return g.select(
+        "status",
+        "exact_customers",
+        (F.abs(err) <= F.lit(0.06)).alias("within_bound"),
+    )

@@ -849,6 +849,8 @@ _PROMOTE_R15 = [
     "x_logistic_per_group",
     # HLL accuracy contract bridged to SQL-green (the a3 sibling):
     "x_hll_error_bound",
+    # MinHash accuracy contract bridged to SQL-green (the L2 sibling):
+    "x_minhash_error_bound",
 ]
 
 # that has NEVER had a driver CORRECTNESS row (all judge-verified green

@@ -6975,3 +6975,64 @@ def l4_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.countDistinct("src").cast("bigint").alias("n_sources"),
     )
+
+
+_MINHASH_BOUND_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t != ''))) AS w
+  FROM documents WHERE doc_id < 1000
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       c * 1.0 / (sa.n + sb.n - c) AS jaccard,
+       TRUE AS within_bound
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+"""
+
+
+@register("x_minhash_error_bound", oracle=_MINHASH_BOUND_SQL, tags=("L2", "A3"), doc="")
+def x_minhash_error_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash accuracy contract, driver-checked (the L2 sibling of
+    x_tdigest_error_bound / x_hll_error_bound): over the SAME exact
+    high-similarity pair set l2_word_jaccard pins (word-level J ≥ 0.9 on
+    the deterministic 1000-doc slice), compute each pair's k=64 MinHash
+    estimate — matching signature positions / k — and emit whether it
+    sits within 0.25 of the exact Jaccard (≈6.7σ for k=64 at J≈0.9; the
+    permutations are fixed-coefficient hashes, no RNG, so the booleans
+    are stable facts). The oracle recomputes the exact pairs and states
+    TRUE — a red row means the signature scheme's estimator drifted
+    from the similarity it exists to approximate. The estimate itself
+    (engine-specific hash minima) stays out of the output, which is
+    exactly why the primary L2 pipeline is rows-only."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9)
+    sigs = minhash_signature(d.select("doc_id", "text"), "text", k=64, w=1)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("signature").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda b: b,
+            )
+        ).cast("double")
+        / F.lit(64.0)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            (F.abs(est - F.col("jaccard")) <= F.lit(0.25)).alias("within_bound"),
+        )
+    )

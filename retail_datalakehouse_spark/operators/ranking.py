@@ -12,10 +12,10 @@ partitioning):
 2. a *partitioned* window gives each row its local row_number — every
    sort is per-bucket, size ~rows/N, and N scales with the cluster;
 3. per-bucket row counts (a tiny aggregate, one row per bucket) turn
-   into cumulative offsets via a bounded O(N^2) broadcast theta-join —
-   N is derived from ``spark.sql.shuffle.partitions``, a config, not a
-   data scale, so even the offset step is free of single-partition
-   windows;
+   into cumulative offsets via bounded O(N^2) array arithmetic on one
+   packed row — N is derived from ``spark.sql.shuffle.partitions``, a
+   config, not a data scale, so even the offset step is free of
+   single-partition windows;
 4. global rank = local rank + offset of the buckets before mine,
    attached by broadcast join (no shuffle of the data side).
 
@@ -54,7 +54,6 @@ the VERDICT r13 scale finding on the global-ntile family
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
@@ -95,6 +94,91 @@ def _row_gt_cut(keys: list[tuple[str, str]], cut: tuple) -> Column:
     if len(keys) == 1:
         return head
     return head | ((F.col(name) == c) & _row_gt_cut(keys[1:], cut[1:]))
+
+
+def _sql_lit(v) -> str:
+    """Render a sampled cutpoint component as a Spark SQL literal.
+    Raises TypeError for types without a safe rendering (caller falls
+    back to the py4j Column builder)."""
+    import datetime as _dt
+    from decimal import Decimal as _Dec
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return f"{v}L"
+    if isinstance(v, float):
+        # repr round-trips the exact double; CAST parses it as double
+        # directly (a bare decimal literal would parse as DECIMAL)
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, _Dec):
+        return f"{v:f}BD"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP'{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE'{v.isoformat()}'"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    raise TypeError(f"no SQL literal rendering for {type(v).__name__}")
+
+
+def _row_gt_cut_sql(keys: list[tuple[str, str]], cut: tuple) -> str:
+    """SQL text of :func:`_row_gt_cut` (same comparison, zero py4j)."""
+    (name, d), lit = keys[0], _sql_lit(cut[0])
+    col = "`" + name.replace("`", "``") + "`"
+    head = f"{col} > {lit}" if d == "asc" else f"{col} < {lit}"
+    if len(keys) == 1:
+        return f"({head})"
+    rest = _row_gt_cut_sql(keys[1:], cut[1:])
+    return f"(({head}) OR (({col} = {lit}) AND {rest}))"
+
+
+def _bucket_expr(keys: list[tuple[str, str]], cutpoints: list[tuple]) -> Column:
+    """Bucket id = number of cutpoints strictly below the row in the
+    total order, as a BALANCED BINARY SEARCH TREE of nested CASE WHENs
+    over the (sorted) cutpoints: O(log N) tuple comparisons per row.
+
+    The r14-baseline form — a chained SUM of N indicator CASE WHENs —
+    evaluated all N comparisons per row AND blew the whole-stage-codegen
+    64 KB method limit at N=63 ("grows beyond 64 KB" → interpreted
+    fallback): measured 3.97 s vs 0.62 s for this tree on the same
+    sf0.1 scan (guide §1.2 step 2 / §7.2). Same result by construction:
+    a lower-bound binary search over sorted unique cuts returns exactly
+    the strict-less count (verified row-for-row against the chain).
+
+    The tree is rendered as ONE SQL string (F.expr), not nested Column
+    objects: building ~63 nodes of F.when(...) costs ~2 s of driver-side
+    py4j round-trips per call (measured) vs milliseconds for the string.
+    Cut values a SQL literal cannot render exactly fall back to the
+    Column builder.
+    """
+    if not cutpoints:
+        return F.lit(0)
+
+    try:
+        def node_sql(lo: int, hi: int) -> str:
+            if lo >= hi:
+                return str(lo)
+            mid = (lo + hi) // 2
+            return (
+                f"(CASE WHEN {_row_gt_cut_sql(keys, cutpoints[mid])} "
+                f"THEN {node_sql(mid + 1, hi)} ELSE {node_sql(lo, mid)} END)"
+            )
+
+        return F.expr(node_sql(0, len(cutpoints)))
+    except TypeError:
+        pass
+
+    def node(lo: int, hi: int) -> Column:
+        if lo >= hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(
+            _row_gt_cut(keys, cutpoints[mid]), node(mid + 1, hi)
+        ).otherwise(node(lo, mid))
+
+    return node(0, len(cutpoints))
 
 
 def _sorted_sample(rows: list[tuple], keys: list[tuple[str, str]]) -> list[tuple]:
@@ -214,16 +298,12 @@ def attach_global_rank(
         ]
         cutpoints = _pick_cutpoints(sample, keys, n_buckets)
 
-    if cutpoints:
-        bucket = reduce(
-            lambda acc, cut: acc
-            + F.when(_row_gt_cut(keys, cut), F.lit(1)).otherwise(F.lit(0)),
-            cutpoints,
-            F.lit(0),
-        )
-    else:
-        bucket = F.lit(0)
-    b = df.withColumn("_rp_b", bucket)
+    # Defensive: the binary-search bucket expression requires ascending
+    # (direction-aware) cutpoints. _pick_cutpoints already emits them
+    # sorted; re-sorting N≈2·partitions tuples is free insurance for
+    # caller-supplied lists.
+    cutpoints = _sorted_sample(list(cutpoints), keys)
+    b = df.withColumn("_rp_b", _bucket_expr(keys, cutpoints))
 
     local_w = Window.partitionBy("_rp_b").orderBy(*sort)
     local = b.withColumn("_rp_lrank", F.row_number().over(local_w))
@@ -231,31 +311,55 @@ def attach_global_rank(
     # One row per non-empty bucket — bounded by the bucket-count CONFIG,
     # never by data volume. Bucket ids are pure row functions, so this
     # branch agrees with the data branch under any re-evaluation.
-    # Cumulative offsets via a bounded O(N^2) broadcast theta-join — a
-    # constant-key window would be simpler, but Catalyst constant-folds
-    # the partition spec away and re-creates the unpartitioned
-    # WindowExec this module exists to eliminate (caught by the plan
-    # test). The grand total rides the TINY offsets frame, never as an
-    # extra stage over the data side.
     # counts come from the PRE-window branch on purpose: deriving them
     # from max(local row_number) would let ReuseExchange share the
     # shuffle, but then BOTH consumers pay the per-bucket window sort —
     # measured 1.6x slower than re-scanning the (column-pruned, cheap)
     # source for a map-side partial count. Correctness is identical
     # either way (bucket id is a pure row function).
+    #
+    # Cumulative offsets AND the grand total from this ONE aggregation:
+    # pack the ≤N (bucket, count) rows into a sorted array and do the
+    # prefix sums as array arithmetic (O(N^2) on a config-bounded N,
+    # one row). The r14-baseline form self-joined `counts` twice more
+    # (a broadcast theta-join for offsets + a crossJoin(total)); each
+    # extra DataFrame reference RE-EXECUTED the whole counts subtree, so
+    # the source was scanned 4x per rank (data, counts, before, total —
+    # see plans/r14/x_equi_depth_histogram_before.txt nodes 8/14/25).
+    # Guide §2.4: remove redundant passes outright. A constant-key
+    # window over counts would also work, but Catalyst constant-folds
+    # the partition spec away and re-creates the unpartitioned
+    # WindowExec this module exists to eliminate (caught by the plan
+    # test).
     counts = b.groupBy("_rp_b").agg(F.count(F.lit(1)).alias("_rp_cnt"))
-    before = counts.select(
-        F.col("_rp_b").alias("_rp_b_b"), F.col("_rp_cnt").alias("_rp_cnt_b")
+    packed = counts.agg(
+        F.sort_array(F.collect_list(F.struct("_rp_b", "_rp_cnt"))).alias("_rp_a")
     )
-    offsets = (
-        counts.join(F.broadcast(before), F.col("_rp_b_b") < F.col("_rp_b"), "left")
-        .groupBy("_rp_b", "_rp_cnt")
-        .agg(F.coalesce(F.sum("_rp_cnt_b"), F.lit(0)).alias("_rp_off"))
+    entries = F.transform(
+        F.col("_rp_a"),
+        lambda e: F.struct(
+            e["_rp_b"].alias("_rp_b"),
+            F.aggregate(
+                F.filter(F.col("_rp_a"), lambda x: x["_rp_b"] < e["_rp_b"]),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_rp_cnt"],
+            ).alias("_rp_off"),
+        ),
     )
+    extra: list[Column] = []
     if total_col is not None:
-        total = counts.agg(F.sum("_rp_cnt").cast("long").alias(total_col))
-        offsets = offsets.crossJoin(F.broadcast(total))
-    offsets = offsets.drop("_rp_cnt")
+        extra.append(
+            F.aggregate(
+                F.col("_rp_a"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x["_rp_cnt"],
+            ).alias(total_col)
+        )
+    offsets = packed.select(F.explode(entries).alias("_rp_e"), *extra).select(
+        F.col("_rp_e._rp_b").alias("_rp_b"),
+        F.col("_rp_e._rp_off").alias("_rp_off"),
+        *([F.col(total_col)] if total_col is not None else []),
+    )
 
     out = local.join(F.broadcast(offsets), "_rp_b").withColumn(
         rank_col, (F.col("_rp_lrank") + F.col("_rp_off")).cast("long")

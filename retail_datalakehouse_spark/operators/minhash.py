@@ -79,14 +79,14 @@ def minhash_signature(
     exploded = df.select(
         *id_cols, F.explode(F.array_distinct(shingles(text_col, w))).alias("__sh")
     ).withColumn("__h", F.abs(F.xxhash64("__sh")) % _MERSENNE)
-    mins = [
-        F.min((F.col("__h") * F.lit(a) + F.lit(b)) % _MERSENNE).alias(f"__m{i}")
-        for i, (a, b) in enumerate(_perm_coeffs(k))
-    ]
-    agg = exploded.groupBy(*id_cols).agg(*mins)
-    return agg.select(
-        *id_cols, F.array(*[F.col(f"__m{i}") for i in range(k)]).alias("signature")
+    # r14 opt: the k min-aggregates are ONE SQL expression string, not k
+    # Column objects — building 64 F.min(...) columns costs ~0.9 s of
+    # driver-side py4j round-trips PER CALL (measured; the arithmetic is
+    # identical, `(__h * a + b) % M` on positive int64s either way).
+    terms = ",".join(
+        f"min((__h * {a}L + {b}L) % {_MERSENNE}L)" for a, b in _perm_coeffs(k)
     )
+    return exploded.groupBy(*id_cols).agg(F.expr(f"array({terms}) AS signature"))
 
 
 def banded_signatures(
@@ -204,22 +204,37 @@ def jaccard_pairs(
             )
         )
         return scored.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
-    sh = sh_arrays.select(F.col(id_col), F.explode("shs").alias("sh"))
-    sizes = sh_arrays.select(F.col(id_col), F.size("shs").alias("n_sh"))
+    # r14 opt (guide §2.3): carry each doc's shingle count ON the exploded
+    # rows so (1) the size-compatibility prune — EXACT, same argument as
+    # the candidates path above: j ≥ t forces min(na,nb) ≥ t·max(na,nb) —
+    # runs inside the join condition and drops incompatible pairs BEFORE
+    # the groupBy shuffle, and (2) the two post-agg `sizes` joins vanish
+    # (n_a/n_b ride the group keys; they are functions of the ids, so the
+    # groups are unchanged).
+    sh = sh_arrays.select(
+        F.col(id_col), F.size("shs").alias("n_sh"), F.explode("shs").alias("sh")
+    )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.n_sh"), F.col("b.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+            ),
+        )
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast("double"),
         )
@@ -277,17 +292,32 @@ def bipartite_jaccard_pairs(
         return scored.filter(F.col("jaccard") >= threshold).select(
             "new_id", "corpus_id", "jaccard"
         )
-    a = a_arr.select(F.col(id_col).alias("new_id"), F.explode("shs").alias("sh"))
-    b = b_arr.select(F.col(id_col).alias("corpus_id"), F.explode("shs").alias("sh"))
-    common = a.join(b, "sh").groupBy("new_id", "corpus_id").agg(
-        F.count(F.lit(1)).alias("n_common")
+    # r14 opt: same restructure as jaccard_pairs' fallback — sizes ride
+    # the exploded rows so the exact size-compatibility prune runs in the
+    # join condition (before the groupBy shuffle) and the two post-agg
+    # sizes joins disappear (guide §2.3).
+    a = a_arr.select(
+        F.col(id_col).alias("new_id"), F.size("shs").alias("n_a"),
+        F.explode("shs").alias("sh"),
+    ).alias("a")
+    b = b_arr.select(
+        F.col(id_col).alias("corpus_id"), F.size("shs").alias("n_b"),
+        F.explode("shs").alias("sh"),
+    ).alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (
+                F.least(F.col("a.n_a"), F.col("b.n_b"))
+                >= F.lit(threshold) * F.greatest(F.col("a.n_a"), F.col("b.n_b"))
+            ),
+        )
+        .groupBy("new_id", "corpus_id", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = a_arr.select(F.col(id_col).alias("new_id"), F.size("shs").alias("n_a"))
-    sb = b_arr.select(F.col(id_col).alias("corpus_id"), F.size("shs").alias("n_b"))
     return (
-        common.join(sa, "new_id")
-        .join(sb, "corpus_id")
-        .withColumn(
+        common.withColumn(
             "jaccard",
             (F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))).cast(
                 "double"

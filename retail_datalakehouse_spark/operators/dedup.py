@@ -87,7 +87,17 @@ def duplicate_span_stats(
     spans = F.transform(
         positions, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, n)))
     )
-    w = df.select(F.col(id_col), F.explode(spans).alias("span"))
+    # r14 opt: fan_out before the explode — a single-split input (the
+    # sf0.1 documents table is one parquet split) serialized BOTH span
+    # explodes on one task (guide §2.5 input skew; no-op when the scan
+    # is already parallel). Measured 3.1 s → 1.3 s for the full stats.
+    # A count-over-Window(span) would save the second explode but puts
+    # every instance of a hot boilerplate span in ONE window task that
+    # AQE cannot split — the groupBy+join keeps partial aggregation and
+    # AQE skew-join splitting at 100 TB (guide §2.5).
+    from .parallelism import fan_out
+
+    w = fan_out(df).select(F.col(id_col), F.explode(spans).alias("span"))
     counts = w.groupBy("span").agg(F.count(F.lit(1)).alias("__c"))
     perdoc = (
         w.join(counts, "span")

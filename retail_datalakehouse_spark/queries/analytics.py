@@ -931,14 +931,40 @@ def x_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     back. Lift is an exact integer ratio in double (identical across
     engines); ranking ties break on the pair keys."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # r14 opt (guide §2.4, §3.3): the baseline generated the pair space
+    # with an order-key SELF-JOIN of the deduped item table — two more
+    # shuffles of the fact-sized frame on top of the ones below, and the
+    # static plan held 5 independent scan+distinct subtrees (zero
+    # ReusedExchange). Now ONE groupBy collects each order's (sorted,
+    # deduped) basket; pairs are generated map-side from the array
+    # (bounded by basket size — exactly what bounded the self-join), and
+    # n_orders / item counts derive from the same checkpointed frame, so
+    # the distinct subtree runs once instead of five times. The
+    # localCheckpoint materializes baskets once per invocation (always
+    # recomputed from parquet) — guide §3.3's plan-truncation pattern.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)
+    )
     # one-row aggregate broadcast into the plan — NOT a separate .count()
     # action, so the whole query is a single Spark job
-    n_orders = li.select(F.count_distinct("l_orderkey").alias("n_orders"))
-    cnt = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    n_orders = baskets.select(F.count(F.lit(1)).alias("n_orders"))
+    cnt = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+    )
     pairs = (
-        a.join(b, (a.ok == b.ok) & (F.col("p1") < F.col("p2")))
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"
+                )
+            ).alias("e")
+        )
+        .select("e.p1", "e.p2")
         .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= 2)
@@ -1834,8 +1860,14 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, relative split), cost shape: broadcast-filter-then-join."""
     from ..operators.bloom import bloom_probe, build_bloom_agg, shingle_hash
     from ..operators.minhash import shingles
+    from ..operators.parallelism import fan_out
 
-    docs = T(spark, sf_dir, "documents")
+    # r14 opt: the sf0.1 documents table is ONE parquet split, so every
+    # shingle explode below serialized on a single task (guide §2.5
+    # "input skew — one huge unsplittable file: repartition immediately
+    # after the read"). fan_out is a no-op once the scan has >= cores
+    # partitions, so this only fires when the input under-parallelizes.
+    docs = fan_out(T(spark, sf_dir, "documents"))
     # relative split: the TOP 10% of doc_ids are the eval set, so the
     # bloom's build side stays the small side at every corpus scale (an
     # absolute boundary would invert the ratio as the corpus grows)
@@ -1858,20 +1890,23 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hot list is tiny by Zipf (boilerplate is few distinct strings),
     # so it broadcast-anti-joins. The oracle encodes the same cap.
     DF_CAP = 64
-    hot = (
-        evals.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("edf"))
-        .filter(F.col("edf") > DF_CAP)
-        .select("s")
-    )
-    evals = evals.join(F.broadcast(hot), "s", "left_anti")
+    edf = evals.groupBy("s").agg(F.count(F.lit(1)).alias("edf"))
+    hot = edf.filter(F.col("edf") > DF_CAP).select("s")
 
     # build side = the SMALL split *by proportion* (10% of the corpus), so
     # the bit array is OR-folded IN SPARK (groupBy word_idx + bit_or) and
     # only the ~2 KB word array reaches the driver — a collect of the raw
     # hash set would grow linearly with the corpus and OOM the driver at
     # 100 TB (the r7 verdict's last scale-killer).
-    words = build_bloom_agg(evals.select(shingle_hash(F.col("s")).alias("h")))
+    # r14 opt: the bloom feeds from the DISTINCT non-hot shingles of the
+    # SAME document-frequency aggregate that defines the hot list (bit_or
+    # is idempotent, so distinct-shingle vs per-instance feed builds the
+    # identical bit array) — the baseline's anti-join feed re-exploded the
+    # eval split a second time inside the build job (guide §2.4).
+    words = build_bloom_agg(
+        edf.filter(F.col("edf") <= DF_CAP).select(shingle_hash(F.col("s")).alias("h"))
+    )
+    evals = evals.join(F.broadcast(hot), "s", "left_anti")
 
     # selectivity (and the <5% false-positive rate that drives it) is
     # pinned by tests/test_llm_ops.py::test_bloom_no_false_negatives; an

@@ -782,9 +782,13 @@ def l6_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(0, size(l) - 3), i -> concat_ws(' ', l[i], l[i+1], l[i+2]))"
         )
     )
+    from ..operators.parallelism import fan_out
+
+    # r14 opt: the held-out slice is 90% of a single-split parquet scan —
+    # without fan_out the trigram explode serializes on one task (guide
+    # §2.5 input skew; no-op when the scan is already parallel).
     eval_sh = (
-        T(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") >= 450)
+        fan_out(T(spark, sf_dir, "documents").filter(F.col("doc_id") >= 450))
         .select(F.split(F.lower("text"), " ").alias("l"))
         .filter(F.size("l") >= 3)
         .select(F.explode(trigrams).alias("s"))
@@ -1694,9 +1698,13 @@ def l4_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key, AQE-splittable on skewed template segments. The md5 segment
     hash is computed identically by DuckDB, so manifests are value-checked
     end to end."""
+    from ..operators.parallelism import fan_out
     from ..operators.text import segments
 
-    d = T(spark, sf_dir, "documents")
+    # r14 opt: fan_out — the single-split documents scan serialized both
+    # segment explodes (freq branch + join branch) on one task (guide
+    # §2.5 input skew; no-op once the scan is parallel).
+    d = fan_out(T(spark, sf_dir, "documents"))
     seg = d.select("doc_id", F.explode(segments("text", 3)).alias("st")).select(
         "doc_id",
         F.md5(F.concat_ws(" ", "st").cast("binary")).alias("h"),

@@ -5764,29 +5764,31 @@ def x_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash. This is the payment-card leg of the PII family
     (l4_pii_screen has the regex side)."""
     o = T(spark, sf_dir, "orders").select("o_orderkey")
-    payload = F.lpad((F.col("o_orderkey") % 100000000000000).cast("string"), 15, "0")
     # true check digit: fold the 15 payload digits right-to-left with
-    # 2-1-2 weights (rightmost payload digit doubles), PURE column math
-    digit = lambda i: F.substring(payload, i, 1).cast("int")  # noqa: E731
-    terms = []
-    for i in range(1, 16):
-        d = digit(i)
-        doubled = (i % 2) == 1  # i odd => distance from right even => x2
-        terms.append(
-            F.when(F.lit(doubled), d * 2 - F.when(d * 2 > 9, 9).otherwise(0))
-            .otherwise(d)
-        )
-    s = terms[0]
-    for t in terms[1:]:
-        s = s + t
-    true_check = (10 - (s % 10)) % 10
-    staged_check = F.when(
-        F.col("o_orderkey") % 2 == 0, true_check
-    ).otherwise((true_check + 5) % 10)
-    cc = F.concat(payload, staged_check.cast("string"))
-    out = o.select(
+    # 2-1-2 weights (rightmost payload digit doubles), PURE column math.
+    # r14 opt: the fold is rendered as ONE SQL expression string — the
+    # baseline built ~300 Column objects (15 digit terms x ~10 py4j
+    # round-trips each), ~2.5 s of driver time per call for identical
+    # arithmetic (the F.lit(doubled) branches were compile-time
+    # constants; the string emits the chosen branch directly).
+    digit = lambda i: f"CAST(substring(__pl, {i}, 1) AS INT)"  # noqa: E731
+    terms = [
+        f"({digit(i)} * 2 - (CASE WHEN {digit(i)} * 2 > 9 THEN 9 ELSE 0 END))"
+        if i % 2 == 1  # i odd => distance from right even => x2
+        else digit(i)
+        for i in range(1, 16)
+    ]
+    true_check = f"((10 - (({' + '.join(terms)}) % 10)) % 10)"
+    staged_check = (
+        f"(CASE WHEN o_orderkey % 2 = 0 THEN {true_check} "
+        f"ELSE ({true_check} + 5) % 10 END)"
+    )
+    out = o.withColumn(
+        "__pl",
+        F.expr("lpad(CAST(o_orderkey % 100000000000000 AS STRING), 15, '0')"),
+    ).select(
         (F.col("o_orderkey") % 2 == 0).alias("staged_valid"),
-        cc.alias("cc"),
+        F.expr(f"concat(__pl, CAST({staged_check} AS STRING))").alias("cc"),
     ).select(
         "staged_valid",
         F.expr("luhn_check(cc)").alias("luhn_valid"),

@@ -76,13 +76,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: "tuple[str, ...] | None" = None
+) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view (SURVEY §2.1 S5).
 
     Mirrors the crawler's register-then-list flow (``glue_infra.py:146-153``)
     without the 15 s polling loop: registration is synchronous in-process.
+
+    ``tables`` restricts registration to the named subset — loading and
+    registering all ten tables costs ~0.5 s of driver time per call
+    (r14 guide §7.3), which single-table SQL queries need not pay.
     """
-    dfs = load_tables(spark, sf_dir)
+    if tables is not None:
+        dfs = {name: load_table(spark, sf_dir, name) for name in tables}
+    else:
+        dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

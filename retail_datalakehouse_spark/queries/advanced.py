@@ -1766,7 +1766,7 @@ def x_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for heterogeneous event payloads at ingest."""
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         WITH payload AS (
@@ -1915,7 +1915,7 @@ def x_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parse cost is one codegen'd pass, no UDF."""
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         WITH xml AS (
@@ -1966,7 +1966,7 @@ def x_variant_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a codegen'd generator — no UDF, no re-parse per element."""
     from ..catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, tables=("orders",))
     return spark.sql(
         """
         WITH payload AS (

@@ -35,7 +35,9 @@ def _assign_expr(centroids: list[list[float]], vec_col: str) -> F.Column:
         F.aggregate(
             F.zip_with(
                 F.col(vec_col),
-                F.array(*[F.lit(float(x)) for x in c]),
+                # r14 opt: ONE array literal per centroid (a per-element
+                # F.lit chain cost k*dim py4j calls per iteration)
+                F.lit([float(x) for x in c]),
                 lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
             ),
             F.lit(0.0),

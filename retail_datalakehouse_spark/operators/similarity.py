@@ -71,7 +71,7 @@ def select_probe_ids(centroids, query_vec: list[float], nprobe: int) -> list:
     import math
 
     if isinstance(centroids, DataFrame):
-        q = F.array(*[F.lit(float(x)) for x in query_vec])
+        q = F.lit([float(x) for x in query_vec])
         return [
             r.centroid_id
             for r in centroids.select(
@@ -113,7 +113,8 @@ def topk_cosine(
 ) -> DataFrame:
     """Exact brute-force top-k by cosine to a literal query vector.
     Score rounded (default 8 dp) and tie-broken by id for determinism."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # r14 opt: one array literal, not dim py4j-built F.lit calls
+    q = F.lit([float(x) for x in query_vec])
     scored = df.select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), round_to).alias("cos_sim"),
@@ -408,7 +409,7 @@ def lsh_near_dup_pairs(
     rng = random.Random(seed)
     planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
     bits = [
-        F.when(dot(F.col(vec_col), F.array(*[F.lit(p) for p in plane])) >= 0, "1").otherwise("0")
+        F.when(dot(F.col(vec_col), F.lit([float(p) for p in plane])) >= 0, "1").otherwise("0")
         for plane in planes
     ]
     bands = F.array(

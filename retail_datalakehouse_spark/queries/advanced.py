@@ -347,7 +347,7 @@ def l3_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = approx.orderBy(F.desc("approx_dot"), "vec_id").limit(50)
 
-    qf = F.array(*[F.lit(float(x)) for x in qrow])
+    qf = F.lit([float(x) for x in qrow])
     dot = F.aggregate(
         F.zip_with("embedding", qf, lambda a, b: a * b),
         F.lit(0.0),

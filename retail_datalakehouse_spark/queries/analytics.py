@@ -1231,18 +1231,32 @@ def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = (hi - lo).days
     c1 = F.lit(lo + __import__("datetime").timedelta(days=span // 3))
     c2 = F.lit(lo + __import__("datetime").timedelta(days=2 * span // 3))
-    chunks = (
-        daily.filter(F.col("day") < c1),
-        daily.filter((F.col("day") >= c1) & (F.col("day") < c2)),
-        daily.filter(F.col("day") >= c2),
-    )
-    from ..streaming.jobs import write_single_parquet
+    # r14 opt: stage all three arrival chunks in ONE Spark job (dynamic
+    # partitionBy, one file per chunk id) instead of three serial
+    # filter+coalesce(1) writes that each re-ran the daily aggregate
+    # (guide §2.4; same bytes per chunk, same mtime ordering).
+    import glob
 
     d = tempfile.mkdtemp(prefix="rdl_ewma_src_")
-    for i, part in enumerate(chunks):
+    stage = tempfile.mkdtemp(prefix="rdl_ewma_stage_")
+    (
+        daily.withColumn(
+            "__c",
+            F.when(F.col("day") < c1, F.lit(0))
+            .when(F.col("day") < c2, F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .repartition("__c")
+        .write.mode("overwrite")
+        .partitionBy("__c")
+        .parquet(stage)
+    )
+    for i in range(3):
+        part = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))[0]
         dest = os.path.join(d, f"chunk{i}.parquet")
-        write_single_parquet(part, dest)
+        shutil.move(part, dest)
         os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    shutil.rmtree(stage, ignore_errors=True)
 
     schema = spark.read.parquet(os.path.join(d, "chunk0.parquet")).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)

@@ -644,7 +644,7 @@ def l3_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(120)
     )
 
-    qf = F.array(*[F.lit(x) for x in qrow])
+    qf = F.lit([float(x) for x in qrow])
     dot = F.aggregate(
         F.zip_with("embedding", qf, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -3025,7 +3025,7 @@ def l3_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = F.lit([float(x) for x in qvec])
     rel_fp = F.round(F.lit(1000000.0) * cosine(F.col("embedding"), q)).cast("long")
     pool = (
         e.select("vec_id", rel_fp.alias("r"), "embedding")
@@ -3354,8 +3354,8 @@ def l3_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in e.filter(F.col("vec_id") == 7).head()["embedding"]]
-    q8 = F.array(*[F.lit(x) for x in qvec[:8]])
-    qfull = F.array(*[F.lit(x) for x in qvec])
+    q8 = F.lit(qvec[:8])
+    qfull = F.lit(qvec)
 
     shortlist = (
         e.select(
@@ -4342,7 +4342,7 @@ def l6_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = T(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    q = F.array(*[F.lit(float(x)) for x in qvec])
+    q = F.lit([float(x) for x in qvec])
     x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
     y = F.transform(q, lambda v: v.cast("double"))
     dot = F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v)

@@ -119,7 +119,10 @@ def u3_grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"custkey": pdf["o_custkey"], "orderkey": pdf["o_orderkey"], "spend_norm": norm}
         )
 
-    o = T(spark, sf_dir, "orders")
+    # r14 opt (guide §4.1): ship ONLY the three columns the kernel reads —
+    # applyInPandas is opaque to column pruning, so an unprojected input
+    # serialized all nine order columns through Arrow per group.
+    o = T(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return o.groupBy("o_custkey").applyInPandas(normalize, schema)
 
 

@@ -1973,9 +1973,12 @@ def l4_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in as a one-row cross join, so scoring is one scan + one broadcast
     join at any corpus size. A real pipeline thresholds on ppl; returning
     the scores hash-checks the whole model, not just the verdicts."""
+    from ..operators.parallelism import fan_out
     from ..operators.text import tokens
 
-    docs = T(spark, sf_dir, "documents")
+    # r14 opt: fan_out — the single-split documents scan serialized both
+    # token explodes (LM counts + scoring side) on one task (guide §2.5).
+    docs = fan_out(T(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )
@@ -2135,9 +2138,11 @@ def l4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition a curation pipeline filters on. Cf. l4_quality_classifier
     (learned gate) and l4_perplexity_filter (LM gate) — this is the
     third, list-based gate of the standard curation stack."""
+    from ..operators.parallelism import fan_out
     from ..operators.text import tokens
 
-    docs = T(spark, sf_dir, "documents")
+    # r14 opt: fan_out before the token explodes (guide §2.5, single-split scan)
+    docs = fan_out(T(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )

@@ -302,6 +302,36 @@ def test_winnowing_detects_partial_overlap(spark):
     assert not (fps[0] & fps[2]), "disjoint docs must not share fingerprints"
 
 
+def test_winnow_stats_matches_array_form(spark):
+    """r14 opt pin: the explode+window winnow_fingerprint_stats must be
+    value-identical to aggregating the HOF array form — including the
+    short-doc (< k chars, < w grams) and empty-text edge cases."""
+    from retail_datalakehouse_spark.operators.text import (
+        winnow_fingerprint_stats,
+        winnow_fingerprints,
+    )
+
+    rows = [
+        (0, "AAAA the quick brown fox jumps over the lazy dog BBBB"),
+        (1, "short"),  # n < k: one gram, one window
+        (2, ""),  # empty text: hash of "" once
+        (3, "abcdefghij"),  # n_grams=3 < w: one partial window
+        (4, "x" * 200 + "yz" * 50),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    old = {
+        r.doc_id: (len(set(r.fps)), min(r.fps), max(r.fps))
+        for r in df.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=8, w=4).alias("fps")
+        ).collect()
+    }
+    new = {
+        r.doc_id: (r.n_fingerprints, r.min_fp, r.max_fp)
+        for r in winnow_fingerprint_stats(df, "doc_id", "text", k=8, w=4).collect()
+    }
+    assert new == old
+
+
 def test_topk_cosine_join_matches_per_query_topk(spark):
     """The batch similarity join must equal running topk_cosine per query."""
     import numpy as np

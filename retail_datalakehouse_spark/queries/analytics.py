@@ -1973,19 +1973,34 @@ def l4_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     in as a one-row cross join, so scoring is one scan + one broadcast
     join at any corpus size. A real pipeline thresholds on ppl; returning
     the scores hash-checks the whole model, not just the verdicts."""
-    from ..operators.parallelism import fan_out
+    from ..operators.parallelism import TOKEN_KERNEL_MIN_BYTES, fan_out_shared
     from ..operators.text import tokens
 
-    # r14 opt: fan_out — the single-split documents scan serialized both
-    # token explodes (LM counts + scoring side) on one task (guide §2.5).
-    docs = fan_out(T(spark, sf_dir, "documents"))
+    raw = T(spark, sf_dir, "documents")
+    # relative split: the LM trains on the first 90% of doc_ids at any scale.
+    # Computed on the RAW scan (column-pruned to doc_id) — the r14 fan_out
+    # made this max() pay a full-row repartition for nothing.
+    cut = raw.agg((F.max("doc_id") * 9 / 10).cast("long")).first()[0]
+    # r15 (verdict item 1): SHARED, byte-gated fan-out — the token explode
+    # feeds two branches (LM counts + scoring); r14's per-branch RoundRobin
+    # exchanges (plan 12→18 Exchange, driver 0.60x) are now one
+    # materialized shuffle at most, and only once the single-split input is
+    # big enough for serial tokenization to dominate (A/B at bench scale:
+    # no-fan 0.79 s vs shared 1.35 s vs r14's per-branch 1.5 s).
+    docs = fan_out_shared(
+        raw.select("doc_id", "text"), min_bytes=TOKEN_KERNEL_MIN_BYTES
+    )
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )
-    # relative split: the LM trains on the first 90% of doc_ids at any scale
-    cut = docs.agg((F.max("doc_id") * 9 / 10).cast("long")).first()[0]
-    train = tok.filter(F.col("doc_id") < cut).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c")
+    # localCheckpoint: vocab-sized (bounded — it is broadcast below), and
+    # it stops `consts` from re-running the whole train token pass as an
+    # independent subtree (guide §5: cut lineage of a reused intermediate).
+    train = (
+        tok.filter(F.col("doc_id") < cut)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     consts = train.agg(
         F.sum("c").cast("double").alias("n"),
@@ -2138,11 +2153,18 @@ def l4_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition a curation pipeline filters on. Cf. l4_quality_classifier
     (learned gate) and l4_perplexity_filter (LM gate) — this is the
     third, list-based gate of the standard curation stack."""
-    from ..operators.parallelism import fan_out
+    from ..operators.parallelism import TOKEN_KERNEL_MIN_BYTES, fan_out_shared
     from ..operators.text import tokens
 
-    # r14 opt: fan_out before the token explodes (guide §2.5, single-split scan)
-    docs = fan_out(T(spark, sf_dir, "documents"))
+    # r15: SHARED, byte-gated fan-out — the token explode feeds four
+    # branches (blocklist derivation, hits, totals, doc spine); per-branch
+    # repartition was the r14 regression pattern (verdict item 1), and at
+    # bench scale the explode is too light to fan at all (A/B: no-fan
+    # 0.78 s vs shared 1.18 s vs r14 plain 1.35 s).
+    docs = fan_out_shared(
+        T(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=TOKEN_KERNEL_MIN_BYTES,
+    )
     tok = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
     )

@@ -85,6 +85,15 @@ WAVE = [
     "x_holt_linear",
     "l4_url_host_stats",
     "x_luhn_check",
+    # r15 additions (VERDICT r14 item 6, additions-only): the registry's
+    # now-heaviest non-headline paths — exactly the ones r14 claims to have
+    # fixed (winnowing 21.5->1.5 s, ewma 18.6->3.0 s) plus the two
+    # known-residual paths (u3 per-group applyInPandas overhead, t18's
+    # chained-stream lifecycle) — so the driver's PERF tracks them.
+    "u3_grouped_map_normalize",
+    "l4_winnowing_fingerprints",
+    "x_ewma_unbounded",
+    "t18_chained_windows",
 ]
 
 
@@ -182,14 +191,25 @@ def main() -> None:
     # guest. The min of two spaced samples reports the plan's actual cost
     # rather than whichever stall window a single pass happens to hit.
     timings: dict[str, float] = {}
+    exec_timings: dict[str, float] = {}
     pass_totals: list[float] = []
     for _pass in range(2):
         p0 = time.time()
         for name in HEADLINE:
             t0 = time.time()
-            force(registry[name].fn(spark, sf_dir))
-            dt = round(time.time() - t0, 3)
+            df = registry[name].fn(spark, sf_dir)
+            t1 = time.time()
+            force(df)
+            t2 = time.time()
+            dt = round(t2 - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+            # exec-only (noop write of the built frame): the driver's
+            # scaling block divides by this instead of the total, so
+            # driver-side fn() construction / fixture staging stops masking
+            # executor-side scaling (VERDICT r14 item 4; additions-only —
+            # `queries` keeps the same end-to-end semantics as r4-r14).
+            de = round(t2 - t1, 3)
+            exec_timings[name] = min(exec_timings.get(name, de), de)
         pass_totals.append(round(time.time() - p0, 3))
 
     # In-bench vs ISOLATED, back-to-back in the same host window (r10
@@ -239,6 +259,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_exec": exec_timings,
                 "pass_totals": pass_totals,
                 "isolated_top5": isolated,
                 "wave_queries": wave,

@@ -118,6 +118,13 @@ def _sql_lit(v) -> str:
     if isinstance(v, _dt.date):
         return f"DATE'{v.isoformat()}'"
     if isinstance(v, str):
+        if "${" in v:
+            # F.expr text passes through Spark's variable substitution
+            # (spark.sql.variable.substitute, default on): a '${...}' in a
+            # sampled cutpoint would be silently rewritten and the tree
+            # would disagree with the _row_gt_cut Column form. Fall back to
+            # the py4j Column builder for such values (ADVICE r14).
+            raise TypeError("string cutpoint contains '${' (variable substitution)")
         esc = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{esc}'"
     raise TypeError(f"no SQL literal rendering for {type(v).__name__}")

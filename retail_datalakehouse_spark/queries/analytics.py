@@ -1240,7 +1240,11 @@ def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="rdl_ewma_src_")
     stage = tempfile.mkdtemp(prefix="rdl_ewma_stage_")
     (
-        daily.withColumn(
+        # day IS NOT NULL keeps the staged input byte-identical to the old
+        # three filter-based chunk writes, which all excluded null days
+        # (ADVICE r14: .otherwise(2) would silently route them to chunk 2)
+        daily.filter(F.col("day").isNotNull())
+        .withColumn(
             "__c",
             F.when(F.col("day") < c1, F.lit(0))
             .when(F.col("day") < c2, F.lit(1))
@@ -1252,7 +1256,15 @@ def x_ewma_unbounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     for i in range(3):
-        part = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))[0]
+        found = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))
+        if not found:
+            # degenerate date span (span//3 == 0 leaves chunk 0 empty):
+            # fail loudly instead of with IndexError (ADVICE r14)
+            raise RuntimeError(
+                f"x_ewma_unbounded: staged arrival chunk {i} is empty "
+                f"(date span {span} days too narrow to split in three)"
+            )
+        part = found[0]
         dest = os.path.join(d, f"chunk{i}.parquet")
         shutil.move(part, dest)
         os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
@@ -1874,18 +1886,22 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract, relative split), cost shape: broadcast-filter-then-join."""
     from ..operators.bloom import bloom_probe, build_bloom_agg, shingle_hash
     from ..operators.minhash import shingles
-    from ..operators.parallelism import fan_out
+    from ..operators.parallelism import fan_out_shared
 
-    # r14 opt: the sf0.1 documents table is ONE parquet split, so every
-    # shingle explode below serialized on a single task (guide §2.5
-    # "input skew — one huge unsplittable file: repartition immediately
-    # after the read"). fan_out is a no-op once the scan has >= cores
-    # partitions, so this only fires when the input under-parallelizes.
-    docs = fan_out(T(spark, sf_dir, "documents"))
+    raw = T(spark, sf_dir, "documents")
     # relative split: the TOP 10% of doc_ids are the eval set, so the
     # bloom's build side stays the small side at every corpus scale (an
-    # absolute boundary would invert the ratio as the corpus grows)
-    cut = docs.agg((F.max("doc_id") * 9 / 10).cast("long")).first()[0]
+    # absolute boundary would invert the ratio as the corpus grows).
+    # Computed on the RAW scan (column-pruned to doc_id): the fanned frame
+    # would make this max() pay a full-row repartition for nothing.
+    cut = raw.agg((F.max("doc_id") * 9 / 10).cast("long")).first()[0]
+    # r15 (verdict item 5): SHARED fan-out — the shingle explode feeds FOUR
+    # branches (hot-list aggregate, bloom feed, verify-join eval side,
+    # train probe side); r14's plain fan_out re-instantiated its RoundRobin
+    # repartition in every one of them. No byte gate: the per-document
+    # shingle kernel is heavy enough to fan even on a sub-MB input (the
+    # r14 measurement: 1.78 s serial vs 0.59 s fanned at bench scale).
+    docs = fan_out_shared(raw.select("doc_id", "text"))
     sh = docs.select(
         "doc_id", F.explode(F.array_distinct(shingles("text", w=3))).alias("s")
     ).filter(F.size(F.split(F.col("s"), " ")) == 3)  # whole-doc stub shingles excluded
@@ -1904,7 +1920,14 @@ def l4_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The hot list is tiny by Zipf (boilerplate is few distinct strings),
     # so it broadcast-anti-joins. The oracle encodes the same cap.
     DF_CAP = 64
-    edf = evals.groupBy("s").agg(F.count(F.lit(1)).alias("edf"))
+    # localCheckpoint (r15, verdict item 5): the hot list AND the bloom
+    # feed both read this aggregate — without the checkpoint each ran the
+    # whole eval shingle explode + groupBy as its own subtree (two extra
+    # jobs in the serial chain). Materialized size = DISTINCT eval-slice
+    # shingles — the same order of bytes the duplicate aggregation's
+    # shuffle re-paid every run, and the eval split is the corpus's small
+    # (10%) side by construction.
+    edf = evals.groupBy("s").agg(F.count(F.lit(1)).alias("edf")).localCheckpoint()
     hot = edf.filter(F.col("edf") > DF_CAP).select("s")
 
     # build side = the SMALL split *by proportion* (10% of the corpus), so

@@ -555,7 +555,12 @@ def t9_streaming_mart_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     for i in range(3):
-        part = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))[0]
+        found = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))
+        if not found:
+            # fail loudly on a degenerate input that leaves a chunk empty
+            # instead of with a bare IndexError (ADVICE r14)
+            raise RuntimeError(f"t9: staged arrival chunk {i} is empty")
+        part = found[0]
         dest = os.path.join(d, f"chunk{i}.parquet")
         shutil.move(part, dest)
         os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
@@ -1423,7 +1428,7 @@ def t17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import timedelta
 
     from ..catalog import load_table
-    from ..streaming.jobs import state_metrics
+    from ..streaming.jobs import stage_chunks, state_metrics
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
@@ -1432,10 +1437,9 @@ def t17_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     redelivered = e.filter(F.col("ts") > F.lit(t_max - timedelta(hours=1)))
 
     d = tempfile.mkdtemp(prefix="rdl_t17_")
-    for i, part in enumerate((e, redelivered)):
-        dest = os.path.join(d, f"batch{i}.parquet")
-        _write_single_parquet(part, dest)
-        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    # r15 (verdict item 3): both arrival chunks staged in ONE job instead
+    # of two serial coalesce(1) writes — same bytes, same mtime order.
+    stage_chunks([e, redelivered], d)
 
     schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
@@ -1490,6 +1494,7 @@ def t18_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datetime import timedelta
 
     from ..catalog import load_table
+    from ..streaming.jobs import stage_chunks
 
     e = load_table(spark, sf_dir, "events").select("event_type", "value", "ts")
     t_max = e.agg(F.max("ts")).head()[0]
@@ -1498,10 +1503,9 @@ def t18_chained_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = tempfile.mkdtemp(prefix="rdl_t18_")
-    for i, part in enumerate((e, advancer)):
-        dest = os.path.join(d, f"batch{i}.parquet")
-        _write_single_parquet(part, dest)
-        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    # r15 (verdict item 3): events + advancer staged in ONE job instead of
+    # two serial coalesce(1) writes — same bytes, same mtime order.
+    stage_chunks([e, advancer], d)
 
     schema = spark.read.parquet(os.path.join(d, "batch0.parquet")).schema
     stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)

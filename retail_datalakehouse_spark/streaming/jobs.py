@@ -185,6 +185,38 @@ def write_single_parquet(df: DataFrame, dest: str) -> None:
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def stage_chunks(chunks: list[DataFrame], dest_dir: str, name: str = "batch") -> list[str]:
+    """Stage N same-schema arrival chunks as N single parquet files with
+    increasing mtimes — in ONE Spark job instead of N serial
+    ``coalesce(1)`` writes (r15, VERDICT r14 item 3; the t9/ewma
+    one-job staging generalized). Chunks are tagged, unioned, and written
+    via dynamic ``partitionBy``: ``repartition("__c")`` puts each chunk
+    wholly in one task, so each partition directory holds exactly one
+    part file — the same bytes-per-file and mtime ordering the serial
+    writes produced. Fails loudly on an empty chunk (ADVICE r14)."""
+    import functools
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tagged = [df.withColumn("__c", F.lit(i)) for i, df in enumerate(chunks)]
+    u = functools.reduce(lambda a, b: a.unionByName(b), tagged)
+    stage = tempfile.mkdtemp(prefix="rdl_stage_chunks_")
+    u.repartition("__c").write.mode("overwrite").partitionBy("__c").parquet(stage)
+    paths = []
+    for i in range(len(chunks)):
+        found = glob.glob(os.path.join(stage, f"__c={i}", "part-*.parquet"))
+        if not found:
+            raise RuntimeError(f"staged arrival chunk {i} is empty")
+        dest = os.path.join(dest_dir, f"{name}{i}.parquet")
+        shutil.move(found[0], dest)
+        os.utime(dest, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+        paths.append(dest)
+    shutil.rmtree(stage, ignore_errors=True)
+    return paths
+
+
 def read_file_stream(spark: SparkSession, path: str, schema: StructType, fmt: str = "parquet") -> DataFrame:
     """T1: file-source stream — watch ``path``, ingest files as they appear.
     Schema must be explicit (file streams don't infer)."""
@@ -311,10 +343,13 @@ def documents_stream_drops(
     d = stage_dir or tempfile.mkdtemp(prefix="rdl_doc_drops_")
     os.makedirs(d, exist_ok=True)
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    for i in range(n_drops):
-        write_single_parquet(
-            batch.filter(F.col("doc_id") % n_drops == i), os.path.join(d, f"drop_{i}.parquet")
-        )
+    # r15 (verdict item 3): all drops staged in ONE job instead of n_drops
+    # serial coalesce(1) writes that each re-scanned the corpus.
+    stage_chunks(
+        [batch.filter(F.col("doc_id") % n_drops == i) for i in range(n_drops)],
+        d,
+        name="drop_",
+    )
     return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", 1)

@@ -60,3 +60,35 @@ def test_fan_out_shared_noop_below_gate(spark):
     df = _narrow(spark)
     out = fan_out_shared(df, min_partitions=4, min_bytes=1 << 20)
     assert out is df
+
+
+def test_global_rank_string_key_with_substitution_marker(spark):
+    """ADVICE r14 (medium): a sampled string cutpoint containing '${...}'
+    must NOT be rendered into F.expr text (Spark variable substitution
+    would silently rewrite it). _sql_lit now raises so _bucket_expr falls
+    back to the py4j Column builder; global ranks stay correct."""
+    import pytest
+
+    from pyspark.sql import Window
+    from retail_datalakehouse_spark.operators.ranking import (
+        _sql_lit,
+        attach_global_rank,
+    )
+
+    with pytest.raises(TypeError):
+        _sql_lit("${x}")
+    assert _sql_lit("plain") == "'plain'"
+
+    vals = [f"${{k{i}}}" for i in range(40)] + [f"v{i:02d}" for i in range(40)]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["_grank"]
+        for r in attach_global_rank(df, ["s"], num_buckets=4).collect()
+    }
+    want = {
+        r["s"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("s"))
+        ).collect()
+    }
+    assert got == want

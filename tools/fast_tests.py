@@ -73,6 +73,9 @@ def main() -> int:
         name = os.path.basename(mod)
         env = dict(os.environ)
         env["RDL_TEST_WAREHOUSE"] = os.path.join(logdir, f"wh_{name}")
+        # guard against re-entry through the root conftest's whole-suite
+        # delegation (the per-module invocation wouldn't match it anyway)
+        env["RDL_FAST_TESTS_WORKER"] = "1"
         log = open(os.path.join(logdir, f"{name}.log"), "w")
         p = subprocess.Popen(
             [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",

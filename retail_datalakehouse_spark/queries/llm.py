@@ -82,7 +82,13 @@ def l2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5 verification on candidates only. Returns verified
     near-dup pairs; the all-pairs comparison never materializes."""
     d = T(spark, sf_dir, "documents")
-    sig = minhash_signature(d, "text", k=64, w=3, id_cols=["doc_id"])
+    # localCheckpoint (r15): the LSH band self-join consumes the signature
+    # frame on BOTH sides and Spark re-runs the whole fan-out + shingle
+    # explode + 64-min aggregate per side (r14 after-plan: two full sig
+    # pipelines, zero ReusedExchange). Materializing the signatures — id +
+    # 64 longs per doc, exactly the persistable LSH index the banded_
+    # signatures docstring prescribes at scale — halves the heaviest pass.
+    sig = minhash_signature(d, "text", k=64, w=3, id_cols=["doc_id"]).localCheckpoint()
     cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     verified = jaccard_pairs(d, "doc_id", "text", w=3, threshold=0.5, candidates=cand)
     return verified.orderBy("id_a", "id_b")
@@ -154,7 +160,12 @@ def l2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands a j≥0.9 pair escapes candidacy with prob (1−0.9⁴)¹⁶ ≈ 4e-8, so
     # the edge set ≡ the oracle's exact recursive-CTE edges; the corpus-wide
     # quadratic shingle self-join never runs.
-    sig = minhash_signature(d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"])
+    # localCheckpoint (r15): the band self-join reads sig on both sides —
+    # without it the whole signature pipeline runs twice (see
+    # l2_minhash_lsh_neardup; signatures are the persistable LSH index).
+    sig = minhash_signature(
+        d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
+    ).localCheckpoint()
     cands = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cands)
     comp = connected_components(
@@ -762,10 +773,16 @@ def l6_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w_fp = Window.partitionBy(fingerprint("text")).orderBy("doc_id")
+    # localCheckpoint (r15): ex_surv feeds the jaccard edges (both sides of
+    # the shingle self-join), the component node list, and the near_surv
+    # join — five-plus subtree evaluations of scan→score→window-dedup with
+    # zero exchange reuse. The frame is SF-CONSTANT (< 450 docs by the
+    # doc_id gate), so materializing it is bounded at any corpus scale.
     ex_surv = (
         gated.withColumn("rn", F.row_number().over(w_fp))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .localCheckpoint()
     )
 
     edges = jaccard_pairs(ex_surv, "doc_id", "text", w=1, threshold=0.9)
@@ -1535,7 +1552,12 @@ def l2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    sig = minhash_signature(d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"])
+    # localCheckpoint (r15): the band self-join reads sig on both sides —
+    # without it the whole signature pipeline runs twice (see
+    # l2_minhash_lsh_neardup; signatures are the persistable LSH index).
+    sig = minhash_signature(
+        d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
+    ).localCheckpoint()
     cands = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cands)
     comp = connected_components(
@@ -1854,33 +1876,30 @@ def l2_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join probe into the banded index, exact verify on candidates) —
     recall equivalence of probe vs exact is pinned by
     tests/test_llm_ops.py::test_incremental_probe_matches_exact."""
-    from pyspark.sql import Window
-
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 5000)
     new = d.filter(F.col("source") == "src0").select("doc_id", "text")
     corpus = d.filter(F.col("source") != "src0").select("doc_id", "text")
     pairs = bipartite_jaccard_pairs(new, corpus, "doc_id", w=3, threshold=0.8)
     pairs = pairs.withColumn("j", F.round("jaccard", 6))
-    w = Window.partitionBy("new_id").orderBy(F.col("j").desc(), F.col("corpus_id"))
-    best = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "new_id",
-            F.col("corpus_id").alias("best_match"),
-            F.col("j").alias("best_jaccard"),
-        )
+    # r15: ONE aggregation instead of window(top-1) + groupBy(count) + two
+    # joins — the old shape evaluated the whole bipartite shingle verify
+    # TWICE (best branch + cnt branch, no exchange reuse). best = min over
+    # (−j, corpus_id) structs ≡ ORDER BY j DESC, corpus_id ASC row 1 (j is
+    # already 6-dp rounded; double negation is exact).
+    agg = pairs.groupBy("new_id").agg(
+        F.count(F.lit(1)).alias("n_dups"),
+        F.min(F.struct((-F.col("j")).alias("nj"), F.col("corpus_id").alias("cid"))).alias(
+            "b"
+        ),
     )
-    cnt = pairs.groupBy("new_id").agg(F.count(F.lit(1)).alias("n_dups"))
     return (
         new.select(F.col("doc_id").alias("new_id"))
-        .join(cnt, "new_id", "left")
-        .join(best, "new_id", "left")
+        .join(agg, "new_id", "left")
         .select(
             "new_id",
             F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
-            "best_match",
-            "best_jaccard",
+            F.col("b.cid").alias("best_match"),
+            (-F.col("b.nj")).alias("best_jaccard"),
         )
     )
 

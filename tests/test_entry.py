@@ -32,17 +32,16 @@ def test_all_queries_run_at_smoke_sf(spark, sf_dir):
     scalar-only top-level columns: the driver's canonicalizer cannot hash
     list cells (r5 red row l4_inverted_index was SQL-oracle; r9 red row
     x_approx_percentiles was rows-only — BOTH classes are pinned here, and
-    in tools/check_oracle.py's lint, which now covers rows-only queries)."""
-    m = _entry_mod()
-    for name, fn in m.queries().items():
-        df = fn(spark, sf_dir)
-        complex_cols = [
-            f"{f.name}:{f.dataType.simpleString()}"
-            for f in df.schema.fields
-            if f.dataType.typeName() in ("array", "map", "struct", "decimal")
-        ]
-        assert not complex_cols, f"{name}: driver-unhashable output columns {complex_cols}"
-        df.limit(5).collect()  # forces execution of the plan
+    in tools/check_oracle.py's lint, which now covers rows-only queries).
+
+    r15: the 477-query loop is the parallel test lane's wall-clock FLOOR
+    (~10 min alone), so the registry is walked in four shard modules
+    (tests/test_entry_smoke_shard*.py — identical coverage, same asserts,
+    via entry_smoke_util.run_smoke_shard). This module keeps shard 0 so
+    a plain `pytest tests/test_entry.py` still smoke-runs real queries."""
+    from entry_smoke_util import run_smoke_shard
+
+    run_smoke_shard(spark, sf_dir, shard=0, n_shards=4)
 
 
 def test_gate_prefix_is_fully_sql_checked():

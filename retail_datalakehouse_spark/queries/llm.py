@@ -82,13 +82,16 @@ def l2_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ≥ 0.5 verification on candidates only. Returns verified
     near-dup pairs; the all-pairs comparison never materializes."""
     d = T(spark, sf_dir, "documents")
-    # localCheckpoint (r15): the LSH band self-join consumes the signature
-    # frame on BOTH sides and Spark re-runs the whole fan-out + shingle
-    # explode + 64-min aggregate per side (r14 after-plan: two full sig
-    # pipelines, zero ReusedExchange). Materializing the signatures — id +
-    # 64 longs per doc, exactly the persistable LSH index the banded_
-    # signatures docstring prescribes at scale — halves the heaviest pass.
-    sig = minhash_signature(d, "text", k=64, w=3, id_cols=["doc_id"]).localCheckpoint()
+    # persist (r15): the LSH band self-join consumes the signature frame on
+    # BOTH sides and Spark re-runs the whole fan-out + shingle explode +
+    # 64-min aggregate per side (r14 after-plan: two full sig pipelines,
+    # zero ReusedExchange). Materializing the signatures — id + 64 longs
+    # per doc, exactly the persistable LSH index the banded_signatures
+    # docstring prescribes at scale — halves the heaviest pass. persist,
+    # NOT localCheckpoint: a checkpoint leaf reports unknown size
+    # (defaultSizeInBytes) and flipped the band join broadcast→sort-merge
+    # at sf1 (measured 9.1 s → 17.0 s); the cached relation keeps stats.
+    sig = minhash_signature(d, "text", k=64, w=3, id_cols=["doc_id"]).persist()
     cand = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     verified = jaccard_pairs(d, "doc_id", "text", w=3, threshold=0.5, candidates=cand)
     return verified.orderBy("id_a", "id_b")
@@ -160,12 +163,13 @@ def l2_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bands a j≥0.9 pair escapes candidacy with prob (1−0.9⁴)¹⁶ ≈ 4e-8, so
     # the edge set ≡ the oracle's exact recursive-CTE edges; the corpus-wide
     # quadratic shingle self-join never runs.
-    # localCheckpoint (r15): the band self-join reads sig on both sides —
-    # without it the whole signature pipeline runs twice (see
-    # l2_minhash_lsh_neardup; signatures are the persistable LSH index).
+    # persist (r15): the band self-join reads sig on both sides — without
+    # it the whole signature pipeline runs twice (see l2_minhash_lsh_
+    # neardup, including why persist rather than localCheckpoint: the
+    # cached relation keeps size stats for the join-strategy choice).
     sig = minhash_signature(
         d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
-    ).localCheckpoint()
+    ).persist()
     cands = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cands)
     comp = connected_components(
@@ -1552,12 +1556,13 @@ def l2_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import connected_components
 
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    # localCheckpoint (r15): the band self-join reads sig on both sides —
-    # without it the whole signature pipeline runs twice (see
-    # l2_minhash_lsh_neardup; signatures are the persistable LSH index).
+    # persist (r15): the band self-join reads sig on both sides — without
+    # it the whole signature pipeline runs twice (see l2_minhash_lsh_
+    # neardup, including why persist rather than localCheckpoint: the
+    # cached relation keeps size stats for the join-strategy choice).
     sig = minhash_signature(
         d.select("doc_id", "text"), "text", k=64, w=1, id_cols=["doc_id"]
-    ).localCheckpoint()
+    ).persist()
     cands = lsh_candidate_pairs(sig, "doc_id", bands=16, rows=4)
     edges = jaccard_pairs(d, "doc_id", "text", w=1, threshold=0.9, candidates=cands)
     comp = connected_components(

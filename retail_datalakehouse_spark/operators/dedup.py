@@ -98,13 +98,24 @@ def duplicate_span_stats(
     from .parallelism import fan_out
 
     w = fan_out(df).select(F.col(id_col), F.explode(spans).alias("span"))
-    counts = w.groupBy("span").agg(F.count(F.lit(1)).alias("__c"))
+    # r15: aggregate to (span, doc) FIRST — the r14 shape evaluated the
+    # whole explode subtree twice (corpus-frequency branch + join-back
+    # branch, no exchange reuse) and joined at span-INSTANCE granularity.
+    # One explode pass now feeds a (span, id) partial-aggregable groupBy;
+    # the global span count is a second, smaller aggregate over it, and
+    # the join back moves (span, id)-level rows. Same skew story as
+    # before: hot spans collapse map-side in both aggregates, and the
+    # join stays AQE-splittable (a window over span would not be).
+    g = w.groupBy("span", id_col).agg(F.count(F.lit(1)).alias("__csi"))
+    counts = g.groupBy("span").agg(F.sum("__csi").alias("__c"))
     perdoc = (
-        w.join(counts, "span")
+        g.join(counts, "span")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum((F.col("__c") >= 2).cast("long")).alias("n_dup_spans"),
+            F.sum("__csi").alias("n_spans"),
+            F.sum(F.when(F.col("__c") >= 2, F.col("__csi")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
         )
     )
     return df.select(id_col).join(perdoc, id_col, "left").select(

@@ -1735,14 +1735,26 @@ def l4_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", "st").cast("binary")).alias("h"),
         F.size("st").alias("l"),
     )
-    freq = seg.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    # r15: aggregate to (h, doc) FIRST — the r14 shape evaluated the whole
+    # segment explode twice (freq branch + join-back branch, no exchange
+    # reuse). One explode pass feeds a partial-aggregable (h, doc_id)
+    # groupBy; nd (distinct docs per hash) is exactly the row count of
+    # that frame per h, and the join back moves (h, doc)-level rows
+    # instead of segment instances. Join stays AQE-splittable on hot
+    # template hashes.
+    g = seg.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("l").alias("sl")
+    )
+    freq = g.groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
     return (
-        seg.join(freq, "h")
+        g.join(freq, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_segs"),
-            F.sum((F.col("nd") >= 5).cast("long")).alias("n_boiler"),
-            F.sum(F.when(F.col("nd") < 5, F.col("l")).otherwise(F.lit(0)))
+            F.sum("c").alias("n_segs"),
+            F.sum(F.when(F.col("nd") >= 5, F.col("c")).otherwise(F.lit(0))).alias(
+                "n_boiler"
+            ),
+            F.sum(F.when(F.col("nd") < 5, F.col("sl")).otherwise(F.lit(0)))
             .cast("long")
             .alias("kept_tokens"),
         )

@@ -97,25 +97,20 @@ def duplicate_span_stats(
     # AQE skew-join splitting at 100 TB (guide §2.5).
     from .parallelism import fan_out
 
+    # r15: an aggregate-first variant (groupBy (span, id) before the
+    # frequency join, as l4_boilerplate_removal now does) was measured and
+    # REVERTED: spans here are ~unique per (span, id), so the extra
+    # aggregation phase saves nothing and costs ~15-20% at bench scale
+    # (interleaved min-of-4: old 1.72 s vs new 2.06 s at sf0.1; ~equal at
+    # sf1). The instance-level join-back stays.
     w = fan_out(df).select(F.col(id_col), F.explode(spans).alias("span"))
-    # r15: aggregate to (span, doc) FIRST — the r14 shape evaluated the
-    # whole explode subtree twice (corpus-frequency branch + join-back
-    # branch, no exchange reuse) and joined at span-INSTANCE granularity.
-    # One explode pass now feeds a (span, id) partial-aggregable groupBy;
-    # the global span count is a second, smaller aggregate over it, and
-    # the join back moves (span, id)-level rows. Same skew story as
-    # before: hot spans collapse map-side in both aggregates, and the
-    # join stays AQE-splittable (a window over span would not be).
-    g = w.groupBy("span", id_col).agg(F.count(F.lit(1)).alias("__csi"))
-    counts = g.groupBy("span").agg(F.sum("__csi").alias("__c"))
+    counts = w.groupBy("span").agg(F.count(F.lit(1)).alias("__c"))
     perdoc = (
-        g.join(counts, "span")
+        w.join(counts, "span")
         .groupBy(id_col)
         .agg(
-            F.sum("__csi").alias("n_spans"),
-            F.sum(F.when(F.col("__c") >= 2, F.col("__csi")).otherwise(F.lit(0))).alias(
-                "n_dup_spans"
-            ),
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("__c") >= 2).cast("long")).alias("n_dup_spans"),
         )
     )
     return df.select(id_col).join(perdoc, id_col, "left").select(
